@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Source-side utilities: testdata table loading, generic csv/parquet scans
+  * with the reference's ingest conventions, and latest-date-partition
+  * resolution (/root/reference/anonymize_datasets.py:154-159).
+  */
+object Tables {
+
+  /** Read one testdata table: `spark.read.parquet(s"$dir/$name.parquet")`.
+    * Columnar vectorized scan; Catalyst pushes filters/projections into it.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV scan with the reference's conventions: header row, inferred schema,
+    * all column names lowercased on ingest (/root/reference/main.py:159-160).
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    lowercaseColumns(
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+
+  /** Parquet scan + lowercase-columns ingest convention
+    * (/root/reference/anonymize_datasets.py:39,132-133).
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    lowercaseColumns(spark.read.parquet(path))
+
+  /** P1: lowercase every column name. */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** S3: resolve the lexicographically-latest child directory (the reference
+    * picks `max(os.listdir(input_dir))` over `YYYY-MM-DD` partition dirs,
+    * /root/reference/anonymize_datasets.py:154). Driver-side FS listing — a
+    * metadata operation, not a data scan; at scale this is the same partition
+    * pruning a `dt=` partitioned table gets from `filter($"dt" === maxDt)`.
+    */
+  def latestPartition(spark: SparkSession, inputDir: String): Option[String] = {
+    val p = new Path(inputDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      if (dirs.isEmpty) None else Some(dirs.max)
+    }
+  }
+
+  /** Files within a resolved partition dir, split by extension the way the
+    * reference's per-file loop does (anonymize_datasets.py:160,187).
+    */
+  def partitionFiles(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath).collect {
+      case f if f.getName.endsWith(".csv") => ("csv", f.toString)
+      case f if f.getName.endsWith(".parquet") => ("parquet", f.toString)
+    }.toSeq.sortBy(_._2)
+  }
+}

@@ -41,7 +41,7 @@ object GraftFunctions {
     * uid pseudonym is `blake2b_hex(c, 5)` (10 hex chars).
     */
   def blake2b_hex(c: Column, digestSize: Int = 5): Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(
+    org.apache.spark.sql.GraftShim.column(
       Blake2bExpr(expression(c), digestSize))
 
   /** Cosine similarity between an array<float|double> column and a constant
@@ -69,5 +69,5 @@ object GraftFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   private def expression(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+    org.apache.spark.sql.GraftShim.expression(c)
 }

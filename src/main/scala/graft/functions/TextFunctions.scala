@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline surface
+  * (BASELINE.json north star): tokenization, shingling, quality signals,
+  * language-ID, and fingerprints. Everything here is a pure Catalyst
+  * `Column` expression — no UDFs — so it stays inside whole-stage codegen
+  * and scales with the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (BIGINT for oracle parity). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword token count: runs of lowercase letters, runs of
+    * digits, or single non-space symbols — a regex approximation of a
+    * byte-pair tokenizer's pre-tokenization pass.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
+  /** Word n-gram shingles as an array column; rows with fewer than `n`
+    * tokens yield an empty array. 1-based `slice` over `sequence` — note
+    * `sequence(1, k)` DESCENDS when k < 1, hence the `greatest` guard.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Ratio of stopword tokens to all tokens (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** Mean token length in characters (quality signal). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
+      size(t).cast("double")
+  }
+
+  /** MD5 content fingerprint (exact-dup key), lowercase hex. */
+  def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style document fingerprint: the minimum 64-bit hash over the
+    * document's word `n`-shingles — one stable representative per document
+    * that near-identical documents share with high probability. Seeded
+    * xxhash64; empty shingle sets yield null.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 3, seed: Int = 42): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s, lit(seed))))
+
+  /** Character-trigram marker profiles for the language-ID heuristic.
+    * Public-knowledge high-frequency trigrams per language; the score of a
+    * language is how many of its markers occur in the lowercased text.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "tio"),
+    "de" -> Seq("der", "ein", "sch", "ich", "und"),
+    "fr" -> Seq("les", "ent", "que", "des", "ait"),
+    "es" -> Seq("que", "los", "ado", "ión", "nte"),
+    "zh" -> Seq("的", "是", "了", "在", "不"))
+
+  /** N-gram language-ID heuristic: argmax over marker-trigram hit counts,
+    * ties broken by language code; "und" (undetermined) when nothing hits.
+    * Pure expression: per-language `regexp_count` sums → array_max over
+    * (score, lang) structs.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = langProfiles): Column = {
+    val low = lower(text)
+    val scored = profiles.map { case (lang, markers) =>
+      val score = markers.map(m =>
+        regexp_count(low, lit(java.util.regex.Pattern.quote(m)))).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -71,15 +71,42 @@ object Anonymize {
     df.withColumn(column, exact.otherwise(replaced))
   }
 
+  /** Labels above this count switch from the literal CASE/regex expression
+    * chain to a distributed enumeration join: thousands of `when`s +
+    * nested `regexp_replace`s blow past the JVM 64 KB method limit in
+    * codegen, and the `collect()` pressures the driver.
+    */
+  val MaxExpressionLabels: Int = 64
+
   /** Label anonymization where the label universe is the column's own
-    * distinct values (anonymize_datasets.py:127-128). The distinct pull is
-    * one shuffle over a dimension-cardinality set.
+    * distinct values (anonymize_datasets.py:127-128).
+    *
+    * Small (dimension-sized) label sets — the reference's only actual use —
+    * take the expression-chain path: one bounded collect, exact-match CASE +
+    * word-boundary regex, all inside whole-stage codegen. Beyond
+    * [[MaxExpressionLabels]] the operator switches to a sorted enumeration
+    * computed distributedly (`dense_rank` over the distinct set) and joined
+    * back — exact-match replacement only, which is the semantics that
+    * matters once labels stop being a curated handful; the plan never
+    * collects the label set and scales to arbitrary cardinality.
     */
   def anonymizeColumnLabels(df: DataFrame, column: String,
                             name: String = "ANON_CLIENT"): DataFrame = {
-    val labels = df.select(col(column)).distinct().collect()
-      .map(r => r.get(0)).filter(_ != null).map(_.toString).toSeq
-    anonymizeLabels(df, column, labels, name)
+    val distinctLabels = df.select(col(column)).filter(col(column).isNotNull).distinct()
+    val n = distinctLabels.limit(MaxExpressionLabels + 1).count()
+    if (n <= MaxExpressionLabels) {
+      val labels = distinctLabels.collect().map(_.get(0).toString).toSeq
+      anonymizeLabels(df, column, labels, name)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val anon = s"__${column}_anon"
+      val enumDim = distinctLabels
+        .withColumn(anon, concat(lit(s"$name "),
+          dense_rank().over(Window.orderBy(col(column)))))
+      df.join(enumDim, Seq(column), "left")
+        .withColumn(column, coalesce(col(anon), col(column)))
+        .drop(anon)
+    }
   }
 
   private def keySchema(column: String): StructType =
@@ -96,8 +123,12 @@ object Anonymize {
       keySchema(column))
   }
 
-  /** S6: atomically replace the key table. Spark cannot overwrite a path that
-    * feeds the same plan, so stage to `.tmp-` then rename (SURVEY.md §7.4).
+  /** S6: replace the key table crash-safely. Spark cannot overwrite a path
+    * that feeds the same plan, so stage to `.tmp-`; then swap the old table
+    * to `.bak` BEFORE renaming the staged one in, and delete `.bak` only
+    * after the swap succeeds — a crash at any point leaves either the old or
+    * the new table recoverable (the uid→pseudonym map is unrecoverable state
+    * otherwise). (SURVEY.md §7.4)
     */
   def overwriteKeyTable(spark: SparkSession, keyDir: String, column: String,
                         keyDf: DataFrame): Unit = {
@@ -105,10 +136,18 @@ object Anonymize {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val tmp = new Path(s"$keyDir/.tmp-key_$column")
+    val bak = new Path(s"$keyDir/.bak-key_$column")
     val dst = new Path(s"$keyDir/key_$column.snappy.parquet")
     keyDf.write.mode("overwrite").option("compression", "snappy").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"key-table swap: cannot stage $dst to $bak")
+    if (!fs.rename(tmp, dst)) {
+      if (hadOld) fs.rename(bak, dst) // roll back
+      throw new java.io.IOException(s"key-table swap: cannot publish $tmp to $dst")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 
   /** E3/J1/J2/U1: pseudonymize `column` with the persistent keyed mapping.
@@ -131,24 +170,37 @@ object Anonymize {
     val asStr = df.withColumn(column, col(column).cast(StringType))
     val keyDf = readKeyTable(spark, keyDir, column)
 
-    val newUids = asStr.select(col(column)).distinct()
+    // Null-uid contract (divergence from the reference, by design): pandas
+    // `astype(str)` turns missing uids into the literal strings 'None'/'nan'
+    // and hashes those; here nulls are excluded from the key table and keep a
+    // null pseudonym in the output — a missing identity stays missing rather
+    // than colliding into one fake uid.
+    val newUids = asStr.select(col(column)).filter(col(column).isNotNull)
+      .distinct()
       .join(keyDf.select(col(column)), Seq(column), "left_anti")
       .withColumn(pseud, blake2b_hex(col(column)))
     val updatedKey = keyDf.unionByName(newUids)
       .dropDuplicates(Seq(column, pseud))
     // The upsert plan READS the old key path and WRITES the tmp path, so the
-    // staged write is safe; the atomic rename then swaps it in. No driver
+    // staged write is safe; the crash-safe rename then swaps it in. No driver
     // materialization — the key table never has to fit on the driver.
     overwriteKeyTable(spark, keyDir, column, updatedKey)
 
+    // No broadcast() hint: the key table grows monotonically across runs, so
+    // a forced broadcast OOMs at high uid cardinality. Catalyst/AQE already
+    // broadcasts while it is small and falls back to sort-merge join after
+    // (SURVEY.md §7.4 100 TB posture).
     val freshKey = spark.read.parquet(s"$keyDir/key_$column.snappy.parquet")
-    asStr.join(broadcast(freshKey), Seq(column), "left")
+    asStr.join(freshKey, Seq(column), "left")
       .drop(column)
       .withColumnRenamed(pseud, column)
   }
 
   /** P8: stamp audit columns if absent (anonymize_datasets.py:168-173).
-    * `clock` injectable for deterministic tests (SURVEY.md §7.4).
+    * `process_time` is rendered IN the timezone the `timezone` column
+    * declares (the session clock is pinned UTC; the reference ran on a
+    * wall clock already in the declared zone). `clock` injectable for
+    * deterministic tests (SURVEY.md §7.4).
     */
   def stampAudit(df: DataFrame, timezone: String = "America/Chicago",
                  clock: Option[String] = None): DataFrame = {
@@ -156,7 +208,8 @@ object Anonymize {
       if (df.columns.contains("process_time")) df
       else df.withColumn("process_time",
         clock.map(lit).getOrElse(
-          date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss")))
+          date_format(from_utc_timestamp(current_timestamp(), timezone),
+            "yyyy-MM-dd'T'HH:mm:ss")))
     if (withTime.columns.contains("timezone")) withTime
     else withTime.withColumn("timezone", lit(timezone))
   }
@@ -176,10 +229,16 @@ object Anonymize {
         "backcast_abs_errors"),
       scaleFactor: Double = 1.0125): DataFrame = {
     val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
-    val scaled = scaleValues(df, valueCols, scaleFactor)
-    val labeled = anonCols.flatMap(c => byLower.get(c.toLowerCase))
-      .foldLeft(scaled)((d, c) => anonymizeColumnLabels(d, c))
-    val pseudonymized = uidCols.flatMap(c => byLower.get(c.toLowerCase))
+    val presentAnon = anonCols.flatMap(c => byLower.get(c.toLowerCase))
+    val presentUid = uidCols.flatMap(c => byLower.get(c.toLowerCase))
+    // Each label column runs an eager distinct and each uid column an eager
+    // key-table upsert — without a cache every one of those actions would
+    // recompute the whole upstream plan (the scan + scaling) from scratch.
+    val eagerPasses = presentAnon.size + presentUid.size
+    val scaled0 = scaleValues(df, valueCols, scaleFactor)
+    val scaled = if (eagerPasses > 1) scaled0.cache() else scaled0
+    val labeled = presentAnon.foldLeft(scaled)((d, c) => anonymizeColumnLabels(d, c))
+    val pseudonymized = presentUid
       .foldLeft(labeled)((d, c) => uidAnonymization(spark, d, c, keyDir))
     pseudonymized.toDF(pseudonymized.columns.map(_.toLowerCase): _*)
   }

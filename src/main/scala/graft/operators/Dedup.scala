@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication for the LLM-data-pipeline surface: exact
+  * (hash-groupBy), n-gram Jaccard (shingle-bucket join), MinHash+LSH
+  * (shingle → minhash signature → band → bucket join → verify), and SimHash
+  * (bit-signature → chunk-bucket join → Hamming verify).
+  *
+  * 100 TB plan shape: nothing here is all-pairs. Every candidate generator
+  * is a shuffle-bucketed equi-join (on a shingle, an LSH band key, or a
+  * SimHash chunk), so cost scales with bucket occupancy, not n². The only
+  * driver-side data is literal constants.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text with its canonical
+    * (minimum) doc_id and multiplicity. Plain hash aggregation — one
+    * shuffle on the md5 key, map-side partial agg for free.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(TextFunctions.md5Fingerprint(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct (doc_id, shingle) pairs — the posting-list relation all
+    * shingle-based dedup below builds on.
+    */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.filter(size(TextFunctions.tokens(col("text"))) >= n)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, computed as
+    * a shingle-bucket self-join: pairs only form when they share at least
+    * one shingle, and `common` falls out of the join group count —
+    * |A∩B| / (|A| + |B| − |A∩B|). Returns (i, j, jac) with i < j.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("ni") + col("nj") - col("common")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** MinHash signature per document: numPerms column-wise minima of seeded
+    * xxhash64 over the shingle set, in one aggregation pass.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerms: Int = 16): DataFrame = {
+    val sh = docShingles(docs, n)
+    val mins = (0 until numPerms).map(p =>
+      min(xxhash64(col("s"), lit(p))).as(s"mh$p"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: documents agreeing
+    * on ALL rows of any band land in the same bucket and pair up there.
+    * (bandId, band minhash tuple) is the join key — bucketed, never
+    * all-pairs.
+    */
+  def minhashCandidates(signatures: DataFrame, numPerms: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: cols: _*)
+    }
+    val banded = signatures.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs: LSH candidates verified with the exact
+    * Jaccard of their shingle sets (so no false positives; recall is the
+    * banding probability — 16 perms in 4 bands catches jac ≥ 0.8 pairs with
+    * ≥ 1-(1-0.8⁴)⁴ ≈ 93% per band structure).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                      numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(docs, n, numPerms), numPerms, bands)
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "si"), "i")
+      .join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "sj"), "j")
+      .filter(col("si") === col("sj"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
+      .withColumn("jac",
+        col("common").cast("double") /
+          (col("ni") + col("nj") - col("common")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** 64-bit SimHash per document: each token hash votes ±1 on every bit;
+    * the signature takes the sign of each bit's tally. One explode + one
+    * aggregation (64 sums) — no UDFs, no driver state.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * splitting the 64-bit signature into 4 16-bit chunks and equi-joining
+    * on (chunkIdx, chunkValue): any pair within Hamming distance 3 must
+    * agree on at least one chunk (pigeonhole), so recall is exact for
+    * maxHamming ≤ 3 and probabilistic above.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("idx"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v")))
+    val bucketed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ck"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+  }
+}

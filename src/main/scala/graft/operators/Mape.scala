@@ -44,15 +44,21 @@ object Mape {
     families.flatMap(_.all).filter(have)
   }
 
-  /** A1 + P5/P6 + P9 + O1: cast keys, hash-aggregate to (proxy_date, hour
+  /** A1 + P5/P6 + P9: cast keys, hash-aggregate to (proxy_date, hour
     * [, zone]) sums over every mapped column present, derive per-family
-    * absolute-error columns on the hourly sums, sort by (date, hour).
+    * absolute-error columns on the hourly sums.
     *
     * Scale: one shuffle on the grouping keys with map-side partial
     * aggregation; the derived columns are projections (no extra pass).
+    * The reference sorts here (main.py:69) but that sort is presentational
+    * and the daily groupBy immediately destroys it — a global range-shuffle
+    * of the hourly grain for nothing at 100 TB. Ordering belongs at final
+    * output only: pass `sort = true` (or `orderBy` yourself) when the hourly
+    * frame IS the deliverable.
     */
   def hourlyAggregation(raw: DataFrame, zone: Boolean = false,
-                        families: Seq[MetricFamily] = defaultFamilies): DataFrame = {
+                        families: Seq[MetricFamily] = defaultFamilies,
+                        sort: Boolean = false): DataFrame = {
     val sumCols = presentMappedCols(raw, families)
     require(sumCols.nonEmpty,
       "No columns found in the dataframe, make sure to define mappings correctly")
@@ -70,7 +76,7 @@ object Mape {
           .withColumn(fam.actualAbs, abs(col(fam.actual)))
       } else df
     }
-    withErrors.orderBy(col("proxy_date"), col("hour"))
+    if (sort) withErrors.orderBy(col("proxy_date"), col("hour")) else withErrors
   }
 
   /** A2 + P10 + F1/F2/F3 + P4 (+ O3 zonal pivot): re-aggregate the hourly

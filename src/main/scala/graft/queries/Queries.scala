@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Anonymize, Dedup, Mape, Similarity}
+import graft.functions.TextFunctions
+
+/** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
+  * LLM-data-pipeline extensions), each as a Spark plan builder and — where
+  * DuckDB can express the identical semantics — an oracle SQL string the
+  * driver checks hash-exact at sf0.01.
+  *
+  * Float determinism contract: every aggregated monetary/metric value is
+  * quantized per-row to integer "cents" (`ROUND(x*100)`) BEFORE summing.
+  * Per-row doubles are bit-identical across engines (same parquet input,
+  * same IEEE ops); integer-valued double sums are exact in any accumulation
+  * order; final divisions see identical operands. So Spark and DuckDB
+  * results match bitwise without decimal-typed aggregation overhead.
+  * Cosine/ratio outputs are rounded to 6 decimals to absorb sub-ulp
+  * accumulation-order noise.
+  */
+object Queries {
+
+  case class QueryDef(name: String,
+                      run: (SparkSession, String) => DataFrame,
+                      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Sum of per-row cent-quantized values, presented in original units. */
+  private def centSum(c: org.apache.spark.sql.Column, scale: Double = 100.0) =
+    sum(round(c * scale)) / scale
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Q1: scan + filter + per-row projection (S2, F, P9) ────────────────
+    QueryDef("q01_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS rev
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1997-01-01'""".stripMargin)),
+
+    // ── Q2: hourly hash-agg (A1/P5/P6) ────────────────────────────────────
+    // Date keys are rendered `yyyy-MM-dd` strings in the OUTPUT (grouping
+    // stays on the date value): parquet date32 and DuckDB DATE round-trip
+    // through different host types, so string output makes the driver's
+    // value-hash comparison representation-independent. Applies to every
+    // date-keyed query below.
+    QueryDef("q02_hourly_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          hour(col("ts")).cast("long").as("h"))
+        .agg(centSum(col("value")).as("sum_value")),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS d,
+             |       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             |       SUM(ROUND(value * 100)) / 100.0 AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q3: WAPE through the Mape operators (A1–A3, P9, P10, F1–F3, J) ────
+    // "hour" is bound to the order key, so the hourly grain is the order
+    // grain: errors form per order, sum per day, ratio last — the A3
+    // ordering contract on real operators.
+    QueryDef("q03_wape",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100))
+            .as("act_c"))
+        val raw = t(s, dir, "orders")
+          .join(rev, col("o_orderkey") === col("l_orderkey"))
+          .select(to_date(col("o_orderdate")).as("proxy_date"),
+            col("o_orderkey").cast("int").as("hour"),
+            round(col("o_totalprice") * 100).as("forecast"),
+            round(col("o_totalprice") * 100).as("backcast"),
+            col("act_c").as("settlement"))
+        Mape.dailyMapeAggregation(Mape.hourlyAggregation(raw))
+          .withColumn("proxy_date", date_format(col("proxy_date"), "yyyy-MM-dd"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_orderkey,
+             |         SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS act_c
+             |  FROM lineitem GROUP BY 1
+             |), hourly AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS proxy_date,
+             |         ROUND(o_totalprice * 100) AS forecast,
+             |         ROUND(o_totalprice * 100) AS backcast,
+             |         act_c AS settlement,
+             |         ABS(ROUND(o_totalprice * 100) - act_c) AS forecast_abs_error,
+             |         ABS(ROUND(o_totalprice * 100) - act_c) AS backcast_abs_error,
+             |         ABS(act_c) AS settlement_abs
+             |  FROM orders JOIN rev ON o_orderkey = l_orderkey
+             |), daily AS (
+             |  SELECT proxy_date,
+             |         SUM(forecast) AS forecast, SUM(backcast) AS backcast,
+             |         SUM(settlement) AS settlement,
+             |         SUM(forecast_abs_error) AS forecast_abs_error,
+             |         SUM(backcast_abs_error) AS backcast_abs_error,
+             |         SUM(settlement_abs) AS settlement_abs
+             |  FROM hourly GROUP BY 1
+             |)
+             |SELECT strftime(proxy_date, '%Y-%m-%d') AS proxy_date,
+             |       forecast_abs_error / settlement_abs AS forecast_mape,
+             |       backcast_abs_error / settlement_abs AS backcast_mape,
+             |       forecast, backcast, settlement,
+             |       forecast_abs_error, backcast_abs_error, settlement_abs
+             |FROM daily
+             |WHERE settlement_abs <> 0
+             |  AND NOT (forecast = 0 AND backcast = 0)
+             |  AND NOT (forecast_abs_error = 0 AND backcast_abs_error = 0)""".stripMargin)),
+
+    // ── Q4: left equi-join against a dimension (J1) ───────────────────────
+    QueryDef("q04_left_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name")),
+      Some("""SELECT c_custkey, c_name, n_name
+             |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // ── Q5: anti-join new-keys shape (J2/F4/A5) ───────────────────────────
+    QueryDef("q05_anti_join",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("o_custkey")).distinct(),
+      Some("""SELECT DISTINCT o_custkey FROM orders
+             |WHERE o_custkey NOT IN
+             |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)),
+
+    // ── Q6: pivot long→wide (O3) ──────────────────────────────────────────
+    QueryDef("q06_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(centSum(col("value"))),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS d,
+             |  SUM(CASE WHEN event_type='click' THEN ROUND(value*100) END)/100.0 AS click,
+             |  SUM(CASE WHEN event_type='error' THEN ROUND(value*100) END)/100.0 AS error,
+             |  SUM(CASE WHEN event_type='purchase' THEN ROUND(value*100) END)/100.0 AS purchase,
+             |  SUM(CASE WHEN event_type='signup' THEN ROUND(value*100) END)/100.0 AS signup,
+             |  SUM(CASE WHEN event_type='view' THEN ROUND(value*100) END)/100.0 AS view
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ── Q7: top-k (TakeOrderedAndProject, not a global sort) ──────────────
+    QueryDef("q07_topk",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(centSum(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_custkey").asc)
+        .limit(10),
+      Some("""SELECT o_custkey, SUM(ROUND(o_totalprice*100))/100.0 AS total
+             |FROM orders GROUP BY 1
+             |ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin)),
+
+    // ── Q8: distinct dedup (A5) ───────────────────────────────────────────
+    QueryDef("q08_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ── Q9: union-all + count (O4/A6) ─────────────────────────────────────
+    QueryDef("q09_union_count",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT nationkey, COUNT(*) AS cnt FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  UNION ALL SELECT s_nationkey FROM supplier
+             |) GROUP BY 1""".stripMargin)),
+
+    // ── Q10: intersect / except set ops ───────────────────────────────────
+    QueryDef("q10_setops",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        c.intersect(sup).withColumn("tag", lit("both"))
+          .unionByName(c.except(sup).withColumn("tag", lit("cust_only")))
+          .select(col("tag"), col("k"))
+      },
+      Some("""SELECT 'both' AS tag, k FROM
+             |  (SELECT c_nationkey AS k FROM customer
+             |   INTERSECT SELECT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'cust_only' AS tag, k FROM
+             |  (SELECT c_nationkey AS k FROM customer
+             |   EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
+
+    // ── Q11: word-boundary regex replace (U2) ─────────────────────────────
+    QueryDef("q11_regex_replace",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\bkey\\b", "ANON").as("anon_text")),
+      Some("""SELECT doc_id, regexp_replace(text, '\bkey\b', 'ANON', 'g') AS anon_text
+             |FROM documents""".stripMargin)),
+
+    // ── Q12: paired zero/null filters (F1–F3) ─────────────────────────────
+    QueryDef("q12_zero_pair_filter",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+        .agg(
+          (sum(when(col("event_type") === "view", round(col("value") * 100))) / 100.0)
+            .as("forecast"),
+          (sum(when(col("event_type") === "click", round(col("value") * 100))) / 100.0)
+            .as("actual"))
+        .filter(col("forecast").isNotNull && col("actual").isNotNull &&
+          !(col("forecast") === 0.0 && col("actual") === 0.0)),
+      Some("""SELECT * FROM (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS d, user_id,
+             |    SUM(CASE WHEN event_type='view' THEN ROUND(value*100) END)/100.0 AS forecast,
+             |    SUM(CASE WHEN event_type='click' THEN ROUND(value*100) END)/100.0 AS actual
+             |  FROM events GROUP BY 1, 2
+             |) WHERE forecast IS NOT NULL AND actual IS NOT NULL
+             |  AND NOT (forecast = 0 AND actual = 0)""".stripMargin)),
+
+    // ── Q13: constant scaling + audit literals via Anonymize (P8/P11) ─────
+    QueryDef("q13_scale_stamp",
+      (s, dir) => Anonymize.stampAudit(
+        Anonymize.scaleValues(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+          Seq("l_extendedprice"), 1.0125),
+        timezone = "America/New_York", clock = Some("2026-01-01T00:00:00")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice * 1.0125 AS l_extendedprice,
+             |       '2026-01-01T00:00:00' AS process_time,
+             |       'America/New_York' AS timezone
+             |FROM lineitem""".stripMargin)),
+
+    // ── Q14: sorted-label enumeration (O2 / dense_rank) ───────────────────
+    QueryDef("q14_label_enum",
+      (s, dir) => t(s, dir, "part").select(col("p_brand")).distinct()
+        .withColumn("anon_idx",
+          dense_rank().over(Window.orderBy(col("p_brand"))).cast("long")),
+      Some("""SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS anon_idx
+             |FROM (SELECT DISTINCT p_brand FROM part)""".stripMargin)),
+
+    // ── Q15: grouping sets (A4) ───────────────────────────────────────────
+    QueryDef("q15_grouping_sets",
+      (s, dir) => t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"),
+          col("value"))
+        .rollup(col("d"), col("event_type"))
+        .agg(centSum(col("value")).as("sum_value"))
+        .filter(col("d").isNotNull),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+             |       SUM(ROUND(value*100))/100.0 AS sum_value
+             |FROM events
+             |GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d'), event_type), (strftime(ts, '%Y-%m-%d')))""".stripMargin)),
+
+    // ── Q16: window frame — 7-row moving average ──────────────────────────
+    QueryDef("q16_window_frame",
+      (s, dir) => {
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+          .agg(sum(round(col("value") * 100)).as("sv"))
+          .select(col("d"), (col("sv") / 100.0).as("daily_total"),
+            (sum(col("sv")).over(w) / count(col("sv")).over(w) / 100.0).as("avg7"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS d, SUM(ROUND(value*100)) AS sv
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT d, sv/100.0 AS daily_total,
+             |  SUM(sv) OVER w / COUNT(sv) OVER w / 100.0 AS avg7
+             |FROM daily
+             |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ── Q17: tumbling window, batch oracle for the streaming surface ──────
+    QueryDef("q17_tumbling_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(centSum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("sum_value")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start,
+             |       SUM(ROUND(value*100))/100.0 AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ── Q18: JSON extraction (events.props) ───────────────────────────────
+    QueryDef("q18_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       COUNT(*) AS cnt
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ── Q19: cosine similarity top-20 (north star) ────────────────────────
+    QueryDef("q19_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        Similarity.topK(emb, q, 20, excludeId = Some(0L))
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ── Q20: text corpus stats (north star) ───────────────────────────────
+    QueryDef("q20_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ── Q21: exact dedup groups (hash-groupBy) ────────────────────────────
+    QueryDef("q21_dedup_exact",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS cnt
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ── Q22: exact n-gram Jaccard near-dups via shingle-bucket join ───────
+    QueryDef("q22_neardup_jaccard",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT i, j,
+             |       CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jac
+             |FROM pairs JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // ── Q23: MinHash+LSH near-dups (no SQL oracle: seeded xxhash64 LSH;
+    //         verified in ScalaTest against q22's exact pairs) ─────────────
+    QueryDef("q23_minhash_lsh",
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.8),
+      None),
+
+    // ── Q24: SimHash near-dups (no SQL oracle: seeded xxhash64 bits) ──────
+    QueryDef("q24_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3),
+      None),
+
+    // ── Q25: top-50 most-similar embedding pairs ──────────────────────────
+    QueryDef("q25_cosine_pairs",
+      (s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"), 50),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |ORDER BY cos DESC, i, j LIMIT 50""".stripMargin)),
+
+    // ── Q26: LSH-bucketed ANN (no SQL oracle: LCG-seeded hyperplanes;
+    //         recall vs q19 asserted in ScalaTest) ────────────────────────
+    QueryDef("q26_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        Similarity.lshNeighbors(emb, q, 20, numPlanes = 4, excludeId = Some(0L))
+      },
+      None),
+
+    // ── Q27: text quality signals ─────────────────────────────────────────
+    QueryDef("q27_text_quality",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.meanTokenLength(col("text")).as("mean_tok_len")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+             |  CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len
+             |FROM documents""".stripMargin)),
+
+    // ── Q28: token counting (whitespace + BPE-ish regex) ──────────────────
+    QueryDef("q28_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+          TextFunctions.subwordCount(col("text")).as("subword_tokens")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             |    AS subword_tokens
+             |FROM documents""".stripMargin)),
+
+    // ── Q29: document fingerprints ────────────────────────────────────────
+    QueryDef("q29_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(TextFunctions.md5Fingerprint(col("text")), 1, 16).as("fp")),
+      Some("SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents")),
+
+    // ── Q30: language-ID heuristic (no SQL oracle: expression-tree
+    //         heuristic; pinned by ScalaTest unit vectors) ────────────────
+    QueryDef("q30_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("cnt")),
+      None),
+
+    // ── Q31: label anonymization through the Anonymize operator (U2/O2) ───
+    QueryDef("q31_label_anon",
+      (s, dir) => Anonymize.anonymizeColumnLabels(
+          t(s, dir, "documents").select(col("doc_id"), col("source")), "source")
+        .select(col("doc_id"), col("source")),
+      Some("""WITH dim AS (
+             |  SELECT source,
+             |         'ANON_CLIENT ' || CAST(DENSE_RANK() OVER (ORDER BY source) AS VARCHAR) AS anon
+             |  FROM (SELECT DISTINCT source FROM documents)
+             |)
+             |SELECT d.doc_id, dim.anon AS source
+             |FROM documents d JOIN dim USING (source)""".stripMargin)),
+
+    // ── Q32: keyed blake2b pseudonymization (no SQL oracle: DuckDB has no
+    //         blake2b; stability + vectors pinned by ScalaTest) ────────────
+    QueryDef("q32_uid_pseudonym",
+      (s, dir) => {
+        val keyDir = s"${sys.props("java.io.tmpdir")}/graft-keys-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Anonymize.uidAnonymization(s,
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", keyDir)
+      },
+      None),
+
+    // ── Q33: zonal MAPE with pivot through the Mape operators (A4/O3) ─────
+    QueryDef("q33_mape_zonal",
+      (s, dir) => {
+        val raw = t(s, dir, "events").select(
+          to_date(col("ts")).as("proxy_date"),
+          hour(col("ts")).as("hour"),
+          col("event_type").as("zone"),
+          round(col("value") * 100).as("forecast"),
+          round(col("value") * 90).as("backcast"),
+          round(col("value") * 110).as("settlement"))
+        Mape.dailyMapeAggregation(Mape.hourlyAggregation(raw, zone = true), zone = true)
+          .withColumn("proxy_date", date_format(col("proxy_date"), "yyyy-MM-dd"))
+      },
+      Some(zonalOracleSql)),
+
+    // ── Q34: multimodal column plumbing — opaque binary payload + typed
+    //         metadata derived deterministically (decode itself is stubbed
+    //         in operators/Multimodal; the Spark-side schema/partitioning
+    //         is what this query checks) ───────────────────────────────────
+    QueryDef("q34_multimodal_meta",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("payload"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (length(col("payload")).cast("long") % 64).as("fake_width"),
+          (length(col("payload")).cast("long") % 48).as("fake_height")),
+      Some("""SELECT doc_id, encode(text) AS payload,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST(octet_length(encode(text)) AS BIGINT) % 64 AS fake_width,
+             |       CAST(octet_length(encode(text)) AS BIGINT) % 48 AS fake_height
+             |FROM documents""".stripMargin))
+  )
+
+  /** q33's oracle: the zonal daily-MAPE pivot written out longhand.
+    * Generated programmatically — 8 metrics × 5 zones of identical CASE
+    * arms would be unreadable inline.
+    */
+  private lazy val zonalOracleSql: String = {
+    val zones = Seq("click", "error", "purchase", "signup", "view")
+    val metrics = Seq("forecast_mape", "backcast_mape", "forecast", "backcast",
+      "settlement", "forecast_abs_error", "backcast_abs_error", "settlement_abs")
+    val pivotCols = metrics.flatMap(m => zones.map(z =>
+      s"  MAX(CASE WHEN zone = '$z' THEN $m END) AS ${m}_$z")).mkString(",\n")
+    s"""WITH hourly AS (
+       |  SELECT CAST(ts AS DATE) AS proxy_date, EXTRACT(hour FROM ts) AS h,
+       |         event_type AS zone,
+       |         SUM(ROUND(value*100)) AS forecast,
+       |         SUM(ROUND(value*90)) AS backcast,
+       |         SUM(ROUND(value*110)) AS settlement
+       |  FROM events GROUP BY 1, 2, 3
+       |), herr AS (
+       |  SELECT *, ABS(forecast - settlement) AS forecast_abs_error,
+       |         ABS(backcast - settlement) AS backcast_abs_error,
+       |         ABS(settlement) AS settlement_abs
+       |  FROM hourly
+       |), daily AS (
+       |  SELECT proxy_date, zone,
+       |         SUM(forecast) AS forecast, SUM(backcast) AS backcast,
+       |         SUM(settlement) AS settlement,
+       |         SUM(forecast_abs_error) AS forecast_abs_error,
+       |         SUM(backcast_abs_error) AS backcast_abs_error,
+       |         SUM(settlement_abs) AS settlement_abs
+       |  FROM herr GROUP BY 1, 2
+       |), dmape AS (
+       |  SELECT proxy_date, zone, forecast, backcast, settlement,
+       |         forecast_abs_error, backcast_abs_error, settlement_abs,
+       |         forecast_abs_error / settlement_abs AS forecast_mape,
+       |         backcast_abs_error / settlement_abs AS backcast_mape
+       |  FROM daily
+       |  WHERE settlement_abs <> 0
+       |    AND NOT (forecast = 0 AND backcast = 0)
+       |    AND NOT (forecast_abs_error = 0 AND backcast_abs_error = 0)
+       |)
+       |SELECT strftime(proxy_date, '%Y-%m-%d') AS proxy_date,
+       |$pivotCols
+       |FROM dmape GROUP BY 1""".stripMargin
+  }
+
+  val byName: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  val oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.hadoop.fs.Path
 
 /** Source-side utilities: testdata table loading, generic csv/parquet scans
@@ -11,9 +13,21 @@ object Tables {
 
   /** Read one testdata table: `spark.read.parquet(s"$dir/$name.parquet")`.
     * Columnar vectorized scan; Catalyst pushes filters/projections into it.
+    *
+    * Nanosecond-precision parquet timestamps (pyarrow's default, used by
+    * `events.ts`) are illegal for Spark's reader; `nanosAsLong` surfaces
+    * them as raw nanos, which we convert to TIMESTAMP_NTZ at microsecond
+    * precision (sessions are pinned UTC, so wall time is preserved). The
+    * conf is set here so any caller session works.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
 
   /** CSV scan with the reference's conventions: header row, inferred schema,
     * all column names lowercased on ingest (/root/reference/main.py:159-160).

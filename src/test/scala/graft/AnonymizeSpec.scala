@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Anonymize
+import graft.functions.Blake2b
+
+/** Anonymization contracts (reference E2/E3,
+  * /root/reference/anonymize_datasets.py:27-135): label enumeration and
+  * word-boundary replacement, constant scaling, audit stamps, and the
+  * cross-run keyed-pseudonym upsert (FIXTURES.md §C).
+  */
+class AnonymizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelIndex: sorted 1-based enumeration; single label drops the index") {
+    assert(Anonymize.labelIndex(Seq("zeta", "alpha", "zeta", null)) ===
+      Map("alpha" -> "ANON_CLIENT 1", "zeta" -> "ANON_CLIENT 2"))
+    assert(Anonymize.labelIndex(Seq("only")) === Map("only" -> "ANON_CLIENT"))
+  }
+
+  test("anonymizeLabels: exact match, embedded word-boundary, case-insensitive, null passthrough") {
+    val df = Seq(
+      Some("acme"),                    // exact
+      Some("ACME energy"),             // embedded, case-insensitive
+      Some("acmeco"),                  // no word boundary → untouched
+      Some("the zenith co"),           // second label embedded
+      None)                            // null passthrough
+      .toDF("customer")
+    val out = Anonymize.anonymizeLabels(df, "customer", Seq("acme", "zenith"))
+      .as[Option[String]].collect().toSeq
+    assert(out === Seq(
+      Some("ANON_CLIENT 1"),
+      Some("ANON_CLIENT 1 energy"),
+      Some("acmeco"),
+      Some("the ANON_CLIENT 2 co"),
+      None))
+  }
+
+  test("anonymizeColumnLabels switches to the distributed join path above the cap") {
+    val many = (0 until Anonymize.MaxExpressionLabels + 10)
+      .map(i => f"label$i%04d").toDF("src")
+    val out = Anonymize.anonymizeColumnLabels(many, "src")
+    // join path must still produce the sorted dense-rank enumeration
+    val got = out.filter(col("src") === "ANON_CLIENT 1").count()
+    assert(got === 1)
+    assert(out.filter(col("src").startsWith("ANON_CLIENT")).count() ===
+      Anonymize.MaxExpressionLabels + 10)
+  }
+
+  test("scaleValues multiplies present columns case-insensitively, skips absent") {
+    val df = Seq((100.0, 2.0)).toDF("Amount", "other")
+    val out = Anonymize.scaleValues(df, Seq("amount", "missing"), 1.0125)
+    val row = out.head()
+    assert(row.getDouble(0) === 101.25)
+    assert(row.getDouble(1) === 2.0)
+  }
+
+  test("stampAudit stamps only when absent; injected clock is deterministic") {
+    val df = Seq(1).toDF("x")
+    val out = Anonymize.stampAudit(df, timezone = "America/Chicago",
+      clock = Some("2026-01-01T00:00:00"))
+    val row = out.select("process_time", "timezone").head()
+    assert(row.getString(0) === "2026-01-01T00:00:00")
+    assert(row.getString(1) === "America/Chicago")
+    // pre-existing columns are preserved untouched
+    val kept = Anonymize.stampAudit(
+      Seq(("t0", "tz0")).toDF("process_time", "timezone")).head()
+    assert(kept.getString(0) === "t0" && kept.getString(1) === "tz0")
+  }
+
+  test("uid upsert: stable across runs, appends new uids, dedup, null contract") {
+    val keyDir = tmpDir("graft-key-test")
+    val run1 = Anonymize.uidAnonymization(spark,
+      Seq(Some("u1"), Some("u2"), None).toDF("uid"), "uid", keyDir)
+    val got1 = run1.as[Option[String]].collect().toSet
+    val h1 = Blake2b.hexDigest("u1".getBytes, 5)
+    val h2 = Blake2b.hexDigest("u2".getBytes, 5)
+    assert(got1 === Set(Some(h1), Some(h2), None)) // nulls stay null
+
+    // run 2: u1 known, u3 new
+    val run2 = Anonymize.uidAnonymization(spark,
+      Seq("u1", "u3").toDF("uid"), "uid", keyDir)
+    val got2 = run2.as[String].collect().toSet
+    assert(got2 === Set(h1, Blake2b.hexDigest("u3".getBytes, 5)))
+
+    // key table: exactly 3 rows, duplicate-free, no null row
+    val key = Anonymize.readKeyTable(spark, keyDir, "uid")
+    assert(key.count() === 3)
+    assert(key.distinct().count() === 3)
+    assert(key.filter(col("uid").isNull).count() === 0)
+    // no stray staging files survive the crash-safe swap
+    val leftovers = new java.io.File(keyDir).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".tmp-") || n.startsWith(".bak-"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("uid column is replaced under its original name (schema tail position)") {
+    val keyDir = tmpDir("graft-key-pos")
+    val out = Anonymize.uidAnonymization(spark,
+      Seq(("a", "u1")).toDF("other", "uid"), "uid", keyDir)
+    // pandas merge appends the joined pseudonym column at the end
+    assert(out.columns.toSeq === Seq("other", "uid"))
+    assert(out.head().getString(1) === Blake2b.hexDigest("u1".getBytes, 5))
+  }
+
+  test("integer uids hash their string rendering (astype(str) parity)") {
+    val keyDir = tmpDir("graft-key-int")
+    val out = Anonymize.uidAnonymization(spark,
+      Seq(123, 456).toDF("uid"), "uid", keyDir)
+    assert(out.as[String].collect().toSet ===
+      Set(Blake2b.hexDigest("123".getBytes, 5), Blake2b.hexDigest("456".getBytes, 5)))
+  }
+
+  test("cdmAnonymization composes scale + label + uid + lowercase") {
+    val keyDir = tmpDir("graft-key-cdm")
+    val df = Seq(("acme", "m1", 100.0), ("zenith", "m2", 200.0))
+      .toDF("CustomerCode", "meter", "Amount")
+    val out = Anonymize.cdmAnonymization(spark, df, keyDir)
+    assert(out.columns.toSeq === Seq("customercode", "amount", "meter"))
+    val rows = out.orderBy("amount").collect()
+    assert(rows(0).getAs[String]("customercode") === "ANON_CLIENT 1")
+    assert(rows(0).getAs[Double]("amount") === 101.25)
+    assert(rows(0).getAs[String]("meter") === Blake2b.hexDigest("m1".getBytes, 5))
+  }
+}

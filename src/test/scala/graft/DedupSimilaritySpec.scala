@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Dedup + similarity contracts on synthetic docs and the sf0.001 testdata:
+  * exact Jaccard is the oracle; MinHash+LSH and SimHash are checked for
+  * zero false positives (their verify stage is exact) and measured recall;
+  * LSH ANN is checked for subset-of-brute-force consistency.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (4L, "completely different text with nothing shared here at all"),
+    (5L, "another unrelated document about spark query engines"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to min doc_id") {
+    val g = Dedup.exactGroups(docs).filter(col("cnt") > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("keep_id") === 1L)
+    assert(g(0).getAs[Long]("cnt") === 2L)
+  }
+
+  test("jaccardPairs finds near-dups above threshold, i < j, correct value") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2,3: 1-3 identical (jac 1.0); 1-2 and 2-3 share 6 of 8 shingles
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j13 = pairs.find(p => p._1 == 1L && p._2 == 3L).get._3
+    assert(j13 === 1.0)
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(math.abs(j12 - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("minhash LSH: no false positives; finds the exact and heavy near-dups") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH verify stage must kill false positives")
+    assert(lsh.contains((1L, 3L)), "identical docs always collide in every band")
+  }
+
+  test("minhash LSH recall vs exact oracle on sf0.001 documents") {
+    val d = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val exact = Dedup.jaccardPairs(d, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(d, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall below banding expectation (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash: exact dups at Hamming 0; reported distance is correct") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(p13.isDefined && p13.get._3 === 0L)
+    pairs.foreach(p => assert(p._3 <= 3L))
+  }
+
+  test("cosine topK matches a locally-computed brute force on sf0.001") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = Similarity.topK(emb, q, 10, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("LSH ANN results are brute-force-consistent within the query bucket") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val ann = Similarity.lshNeighbors(emb, q, 10, numPlanes = 4, excludeId = Some(0L))
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.nonEmpty, "query's own bucket can never be empty")
+    // every ANN hit must carry the same cosine the brute-force path computes
+    val brute = Similarity.topK(emb, q, 500, excludeId = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
+    // scores descend
+    assert(ann.map(_._2).toSeq === ann.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("hyperplanes are deterministic across invocations (executor-safe)") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.{Anonymize, Mape}
+import graft.queries.Queries
+import graft.sources.Tables
+
+/** 100 TB plan-shape assertions (VERDICT r1 "what's wrong" #2/#3 +
+  * SURVEY.md §7.4): the scale-killers must stay out of the physical plans
+  * — no mid-pipeline global sort in the MAPE hot path, no forced broadcast
+  * of the unbounded key table, top-k compiling to TakeOrderedAndProject
+  * instead of a global sort, and filter pushdown reaching the parquet scan.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def collectNodes(p: SparkPlan): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    p.foreach(n => b += n.nodeName)
+    b.result()
+  }
+
+  test("MAPE hot path has no global sort between hourly and daily aggregates") {
+    val raw = Seq(("2024-01-01", 0, 1.0, 1.0, 1.0))
+      .toDF("proxy_date", "hour", "forecast", "backcast", "settlement")
+    val daily = Mape.dailyMapeAggregation(Mape.hourlyAggregation(raw))
+    val nodes = collectNodes(daily.queryExecution.executedPlan)
+    assert(!nodes.exists(_.toLowerCase.contains("sort")),
+      s"unexpected sort in: $nodes")
+  }
+
+  test("uid pseudonymization fact join carries no forced broadcast hint") {
+    val keyDir = tmpDir("graft-plan-key")
+    val out = Anonymize.uidAnonymization(spark,
+      Seq("u1", "u2").toDF("uid"), "uid", keyDir)
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("hints=[broadcast]"),
+      "key-table join must let AQE choose the strategy")
+  }
+
+  test("q07 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physical(Queries.byName("q07_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q19 cosine top-k compiles to TakeOrderedAndProject over a single scan") {
+    val plan = physical(Queries.byName("q19_cosine_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert(!plan.contains("Exchange rangepartitioning"), "global sort leaked in")
+  }
+
+  test("q01 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val plan = physical(Queries.byName("q01_filter_project")(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), plan.take(2000))
+    // projection needs only 4 columns; the scan schema must not include e.g. l_comment/l_tax
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanSchema.contains("l_orderkey") && !scanSchema.contains("l_tax"),
+      scanSchema)
+  }
+
+  test("hourly aggregation is a two-phase hash aggregate (partial + final)") {
+    val raw = Seq(("2024-01-01", 0, 1.0, 1.0, 1.0))
+      .toDF("proxy_date", "hour", "forecast", "backcast", "settlement")
+    val plan = physical(Mape.hourlyAggregation(raw))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("whole-stage codegen covers the blake2b expression") {
+    // read from parquet so ConvertToLocalRelation can't pre-evaluate the
+    // projection on the driver — the expression must land in a codegen span
+    val df = Tables.table(spark, sf0001, "documents")
+      .select(graft.functions.GraftFunctions.blake2b_hex(col("doc_id").cast("string")))
+    val plan = physical(df)
+    assert(plan.contains("*(1)"), s"blake2b fell out of codegen: $plan")
+  }
+
+  test("dedup candidate generation contains no cartesian/nested-loop join") {
+    val d = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val plan = physical(graft.operators.Dedup.minhashNearDups(d, 0.8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup path must stay bucketed, never all-pairs")
+  }
+}

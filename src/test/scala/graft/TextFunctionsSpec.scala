@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / subwordCount") {
+    val r = Seq("one two three", "x", "a1 b-2").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")),
+        TextFunctions.subwordCount(col("text"))).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(3L, 1L, 2L))
+    // "a1 b-2" → [a][1][b][-][2] = 5 subword tokens
+    assert(r(2).getLong(1) === 5L)
+  }
+
+  test("shingles: n-grams in order; fewer than n tokens → empty") {
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(r(0) === Seq("a b c", "b c d"))
+    assert(r(1) === Seq.empty)
+  }
+
+  test("stopwordRatio and meanTokenLength") {
+    val r = Seq("the cat a hat").toDF("text")
+      .select(TextFunctions.stopwordRatio(col("text")),
+        TextFunctions.meanTokenLength(col("text"))).head()
+    assert(r.getDouble(0) === 0.5)   // the, a of 4
+    assert(r.getDouble(1) === 2.5)   // (3+3+1+3)/4
+  }
+
+  test("langId heuristic on marker-rich sentences") {
+    val samples = Seq(
+      "the thing is singing and rolling" -> "en",
+      "der einzige schöne schnelle wagen ich und" -> "de",
+      "les entreprises que nous avons des difficultés" -> "fr",
+      "xyzzy qqqq" -> "und")
+    val got = samples.map(_._1).toDF("text")
+      .select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(got === samples.map(_._2))
+  }
+
+  test("md5Fingerprint matches a known MD5") {
+    val got = Seq("abc").toDF("text")
+      .select(TextFunctions.md5Fingerprint(col("text"))).as[String].head()
+    assert(got === "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("minShingleFingerprint: equal docs share it; empty shingle set → null") {
+    val r = Seq("a b c d e", "a b c d e", "short one").toDF("text")
+      .select(TextFunctions.minShingleFingerprint(col("text"))).collect()
+    assert(r(0).getLong(0) === r(1).getLong(0))
+    assert(r(2).isNullAt(0)) // "short one" has 2 tokens < 3 → empty → null
+  }
+}

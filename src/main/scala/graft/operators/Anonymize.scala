@@ -98,11 +98,23 @@ object Anonymize {
       val labels = distinctLabels.collect().map(_.get(0).toString).toSeq
       anonymizeLabels(df, column, labels, name)
     } else {
-      import org.apache.spark.sql.expressions.Window
+      // Sorted global enumeration WITHOUT an unpartitioned window (that
+      // would drag every distinct label through one task — the exact
+      // bottleneck this path exists to avoid): orderBy range-partitions the
+      // distinct set, zipWithIndex assigns contiguous indices per partition
+      // in partition order, so the 1-based enumeration equals dense_rank
+      // over the sorted labels while staying fully distributed. Costs one
+      // extra job (zipWithIndex counts partition sizes) at plan-build time.
+      val spark = df.sparkSession
+      val labelField = distinctLabels.schema.fields.head
       val anon = s"__${column}_anon"
-      val enumDim = distinctLabels
-        .withColumn(anon, concat(lit(s"$name "),
-          dense_rank().over(Window.orderBy(col(column)))))
+      val indexed = distinctLabels.orderBy(col(column)).rdd.zipWithIndex()
+        .map { case (r, idx) => org.apache.spark.sql.Row(r.get(0), idx + 1L) }
+      val enumDim = spark.createDataFrame(indexed,
+        StructType(Seq(labelField,
+          StructField(s"${anon}_idx", org.apache.spark.sql.types.LongType))))
+        .withColumn(anon, concat(lit(s"$name "), col(s"${anon}_idx")))
+        .drop(s"${anon}_idx")
       df.join(enumDim, Seq(column), "left")
         .withColumn(column, coalesce(col(anon), col(column)))
         .drop(anon)

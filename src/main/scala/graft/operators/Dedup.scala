@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
 
 /** Document deduplication for the LLM-data-pipeline surface: exact
@@ -11,10 +12,27 @@ import graft.functions.TextFunctions
   *
   * 100 TB plan shape: nothing here is all-pairs. Every candidate generator
   * is a shuffle-bucketed equi-join (on a shingle, an LSH band key, or a
-  * SimHash chunk), so cost scales with bucket occupancy, not n². The only
-  * driver-side data is literal constants.
+  * SimHash chunk), so cost scales with bucket occupancy, not n². Two
+  * defenses keep the bucketed joins honest at scale:
+  *
+  *  - the (doc_id, shingle) posting list is built ONCE and persisted —
+  *    every consumer (signatures, set sizes, the verify stage) reuses the
+  *    same materialization instead of re-running the explode+distinct;
+  *  - shingles whose document frequency exceeds `maxDf` are dropped before
+  *    any join. Text shingles are Zipf-distributed, a hot shingle's bucket
+  *    costs O(df²) in the self-join, and a shingle present in thousands of
+  *    documents carries no near-duplicate signal — capping is standard
+  *    practice and bounds every bucket. The cap applies uniformly (to set
+  *    sizes as well as intersections), so the reported Jaccard is the
+  *    Jaccard of the capped shingle sets — deterministic, engine-agnostic
+  *    semantics an oracle can replicate.
   */
 object Dedup {
+
+  /** Document frequency above which a shingle is considered background
+    * noise and excluded from near-dup computation (see class doc).
+    */
+  val DefaultMaxShingleDf: Int = 1000
 
   /** Exact duplicate groups: one row per distinct text with its canonical
     * (minimum) doc_id and multiplicity. Plain hash aggregation — one
@@ -25,25 +43,42 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
 
   /** Distinct (doc_id, shingle) pairs — the posting-list relation all
-    * shingle-based dedup below builds on.
+    * shingle-based dedup below builds on. Unbounded (no df cap, not
+    * persisted); prefer [[postingList]] inside operators.
     */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.filter(size(TextFunctions.tokens(col("text"))) >= n)
       .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("s"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, computed as
-    * a shingle-bucket self-join: pairs only form when they share at least
-    * one shingle, and `common` falls out of the join group count —
-    * |A∩B| / (|A| + |B| − |A∩B|). Returns (i, j, jac) with i < j.
+  /** The shared, df-capped, persisted posting list. Persisted because every
+    * caller consumes it at least twice (self-join sides + set sizes;
+    * MinHash adds signatures and verify) — without the persist each
+    * consumer re-runs the tokenize/explode/distinct shuffle from the scan.
+    * MEMORY_AND_DISK: at 100 TB the posting list spills rather than OOMs.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = docShingles(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("common"))
+  def postingList(docs: DataFrame, n: Int = 3,
+                  maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    if (maxDf <= 0) return docShingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist the raw list too: the df-count aggregation and the keep-join
+    // below both consume it, and without the persist the cap would run the
+    // tokenize/explode/distinct pipeline twice before capping even starts.
+    val sh = docShingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    sh.join(keep, "s").select(col("doc_id"), col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (doc_id, capped shingle-set size) — computed off the persisted list. */
+  private def setSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+  /** Join intersection counts (i, j, common) back to both set sizes and
+    * emit pairs at or above the Jaccard threshold.
+    */
+  private def jaccardFromCommon(pairs: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
       .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
@@ -52,17 +87,35 @@ object Dedup {
           (col("ni") + col("nj") - col("common")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, computed as
+    * a shingle-bucket self-join: pairs only form when they share at least
+    * one (sub-cap) shingle, and `common` falls out of the join group count —
+    * |A∩B| / (|A| + |B| − |A∩B|). Returns (i, j, jac) with i < j.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh = postingList(docs, n, maxDf)
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(pairs, setSizes(sh), threshold)
   }
 
   /** MinHash signature per document: numPerms column-wise minima of seeded
-    * xxhash64 over the shingle set, in one aggregation pass.
+    * xxhash64 over the shingle set, in one aggregation pass over `sh`
+    * (a posting-list relation from [[postingList]]).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerms: Int = 16): DataFrame = {
-    val sh = docShingles(docs, n)
+  def minhashSignaturesFrom(sh: DataFrame, numPerms: Int = 16): DataFrame = {
     val mins = (0 until numPerms).map(p =>
       min(xxhash64(col("s"), lit(p))).as(s"mh$p"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signatures straight from a documents table. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numPerms: Int = 16): DataFrame =
+    minhashSignaturesFrom(docShingles(docs, n), numPerms)
 
   /** LSH candidate pairs from banded MinHash signatures: documents agreeing
     * on ALL rows of any band land in the same bucket and pair up there.
@@ -86,28 +139,26 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs: LSH candidates verified with the exact
-    * Jaccard of their shingle sets (so no false positives; recall is the
-    * banding probability — 16 perms in 4 bands catches jac ≥ 0.8 pairs with
-    * ≥ 1-(1-0.8⁴)⁴ ≈ 93% per band structure).
+    * Jaccard of their (capped) shingle sets — no false positives; recall is
+    * the banding probability (16 perms in 4 bands catches jac ≥ 0.8 pairs
+    * with ≥ 1-(1-0.8⁴)⁴ ≈ 93% per band structure).
+    *
+    * One posting-list materialization feeds signatures, sizes, AND the
+    * verify stage. Verification touches only candidate pairs: fan each
+    * candidate out by i's shingles, then equi-join on the composite
+    * (j, shingle) key — the intersection count, never a full posting-list ×
+    * posting-list join.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-                      numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(docs, n, numPerms), numPerms, bands)
-    val sh = docShingles(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+                      numPerms: Int = 16, bands: Int = 4,
+                      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh = postingList(docs, n, maxDf)
+    val cands = minhashCandidates(minhashSignaturesFrom(sh, numPerms), numPerms, bands)
     val common = cands
-      .join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "si"), "i")
-      .join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "sj"), "j")
-      .filter(col("si") === col("sj"))
+      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
-      .withColumn("jac",
-        col("common").cast("double") /
-          (col("ni") + col("nj") - col("common")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), col("jac"))
+    jaccardFromCommon(common, setSizes(sh), threshold)
   }
 
   /** 64-bit SimHash per document: each token hash votes ±1 on every bit;

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads ride along as opaque
+  * `binary` columns; this operator derives typed metadata and features from
+  * the BYTES with pure Column expressions (binary substring → hex →
+  * base-16 conv), so everything stays inside whole-stage codegen and scales
+  * with the scan — no UDFs, no driver round-trips.
+  *
+  * What is real vs stubbed (this container has no image/audio codecs):
+  *  - container/format detection and header decode (PNG IHDR, GIF logical
+  *    screen descriptor) are REAL byte decoding, oracle-checkable;
+  *  - full JPEG dimension parse needs a variable-offset SOF marker walk —
+  *    format detection is real, dimensions are left null (the scale path
+  *    would be a `mapPartitions` byte-walk over the same binary column);
+  *  - learned-encoder features are a clearly-marked deterministic stand-in
+  *    ([[fakeEmbedding]]) with the production plumbing (schema, batching,
+  *    partitioning) real.
+  */
+object Multimodal {
+
+  /** 8-byte PNG signature, then the 4-byte IHDR length + "IHDR" tag. */
+  private val PngMagicHex = "89504E470D0A1A0A"
+  private val IhdrHex = "0000000D49484452"
+
+  /** Big-endian unsigned int from `len` bytes at 1-based `pos`. */
+  private def beUint(payload: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned short at 1-based `pos` (GIF dimensions). */
+  private def leUshort(payload: Column, pos: Int): Column =
+    (beUint(payload, pos + 1, 1) * 256 + beUint(payload, pos, 1)).cast("long")
+
+  def isPng(payload: Column): Column =
+    hex(substring(payload, 1, 8)) === lit(PngMagicHex)
+
+  def isGif(payload: Column): Column =
+    substring(payload, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+
+  def isJpeg(payload: Column): Column =
+    hex(substring(payload, 1, 3)) === lit("FFD8FF")
+
+  /** PNG IHDR dimensions: width/height are big-endian uint32 at byte
+    * offsets 16/20 (after the 8-byte signature and 8-byte chunk header).
+    */
+  def pngWidth(payload: Column): Column = beUint(payload, 17, 4)
+  def pngHeight(payload: Column): Column = beUint(payload, 21, 4)
+
+  /** GIF logical-screen dimensions: little-endian uint16 at offsets 6/8. */
+  def gifWidth(payload: Column): Column = leUshort(payload, 7)
+  def gifHeight(payload: Column): Column = leUshort(payload, 9)
+
+  /** Detected container format, or "unknown". */
+  def format(payload: Column): Column =
+    when(isPng(payload), lit("png"))
+      .when(isGif(payload), lit("gif"))
+      .when(isJpeg(payload), lit("jpeg"))
+      .otherwise(lit("unknown"))
+
+  /** Typed image metadata struct (format, width, height) decoded from the
+    * payload bytes. JPEG dimensions are null (see class doc).
+    */
+  def imageMeta(payload: Column): Column =
+    struct(
+      format(payload).as("format"),
+      when(isPng(payload), pngWidth(payload))
+        .when(isGif(payload), gifWidth(payload)).as("width"),
+      when(isPng(payload), pngHeight(payload))
+        .when(isGif(payload), gifHeight(payload)).as("height"))
+
+  /** Synthesize a minimal PNG header (signature + IHDR length/tag + the
+    * given dimensions + bit-depth/color-type/filter/interlace bytes) as a
+    * binary column. Test/fixture vehicle: lets a query construct payloads
+    * whose decode is oracle-checkable byte arithmetic.
+    */
+  def pngHeaderPayload(width: Column, height: Column): Column =
+    unhex(concat(
+      lit(PngMagicHex), lit(IhdrHex),
+      lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
+      lit("0806000000")))
+
+  /** Deterministic stand-in for a learned image/audio encoder: `dim`
+    * pseudo-random floats in [-1, 1) seeded by the payload bytes (seeded
+    * xxhash64 per dimension). The REAL part is the plumbing — an
+    * `array<double>` feature column derived per-row from binary inside
+    * codegen, partition-parallel, ready for the Similarity operators.
+    * Swap the body for a genuine encoder (mapPartitions over a batched
+    * model) without touching any consumer.
+    */
+  def fakeEmbedding(payload: Column, dim: Int = 16): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(payload, i), lit(2000000L)).cast("double") -
+        lit(1000000.0)) / lit(1000000.0))
+
+  /** Fixed-size frame sampling over an opaque media payload: every
+    * `stride`-th window of `frameSize` bytes, as an array of binary frames
+    * (video frame-sample / audio clip plumbing; short final frames are
+    * kept as-is by binary substring semantics).
+    */
+  def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(ceil(length(payload).cast("double") / stride).cast("int") - 1, lit(0))),
+      k => substring(payload, k * stride + 1, lit(frameSize)))
+
+  /** Decode + project typed metadata for a (id, payload) frame — the shape
+    * a multimodal ingest pipeline hangs off a scan.
+    */
+  def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("media_meta", imageMeta(col(payloadCol)))
+      .withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Anonymize, Dedup, Mape, Similarity}
+import graft.operators.{Anonymize, Dedup, Mape, Multimodal, Similarity}
 import graft.functions.TextFunctions
 
 /** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
@@ -325,15 +325,22 @@ object Queries {
       Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS cnt
              |FROM documents GROUP BY 1""".stripMargin)),
 
-    // ── Q22: exact n-gram Jaccard near-dups via shingle-bucket join ───────
+    // ── Q22: exact n-gram Jaccard near-dups via shingle-bucket join.
+    //         Shingles with document frequency > 1000 are dropped on BOTH
+    //         sides (Zipf-hot shingles are O(df²) join bombs with no
+    //         near-dup signal — Dedup.DefaultMaxShingleDf) ─────────────────
     QueryDef("q22_neardup_jaccard",
       (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.8),
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |), sh AS (
+             |), sh0 AS (
              |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
              |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
              |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
              |), sz AS (
              |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
              |), pairs AS (
@@ -366,14 +373,15 @@ object Queries {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |ORDER BY cos DESC, i, j LIMIT 50""".stripMargin)),
 
-    // ── Q26: LSH-bucketed ANN (no SQL oracle: LCG-seeded hyperplanes;
-    //         recall vs q19 asserted in ScalaTest) ────────────────────────
+    // ── Q26: multi-probe LSH-bucketed ANN (no SQL oracle: LCG-seeded
+    //         hyperplanes; recall vs q19 asserted in ScalaTest) ───────────
     QueryDef("q26_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble).toArray
-        Similarity.lshNeighbors(emb, q, 20, numPlanes = 4, excludeId = Some(0L))
+        Similarity.lshNeighbors(emb, q, 20, numPlanes = 4, probes = 4,
+          excludeId = Some(0L))
       },
       None),
 
@@ -458,22 +466,41 @@ object Queries {
       },
       Some(zonalOracleSql)),
 
-    // ── Q34: multimodal column plumbing — opaque binary payload + typed
-    //         metadata derived deterministically (decode itself is stubbed
-    //         in operators/Multimodal; the Spark-side schema/partitioning
-    //         is what this query checks) ───────────────────────────────────
+    // ── Q34: multimodal byte decoding — synthesize a real PNG header per
+    //         document (width/height derived from doc metadata), then
+    //         DECODE format + dimensions back from the payload BYTES via
+    //         operators/Multimodal (binary slice → hex → base-16). Payload
+    //         crosses the oracle boundary as hex text so the driver's
+    //         pandas compare never sees raw binary. ─────────────────────────
     QueryDef("q34_multimodal_meta",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"), col("payload"),
-          length(col("payload")).cast("long").as("n_bytes"),
-          (length(col("payload")).cast("long") % 64).as("fake_width"),
-          (length(col("payload")).cast("long") % 48).as("fake_height")),
-      Some("""SELECT doc_id, encode(text) AS payload,
-             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |       CAST(octet_length(encode(text)) AS BIGINT) % 64 AS fake_width,
-             |       CAST(octet_length(encode(text)) AS BIGINT) % 48 AS fake_height
-             |FROM documents""".stripMargin))
+      (s, dir) => {
+        val withPayload = t(s, dir, "documents").select(col("doc_id"),
+          Multimodal.pngHeaderPayload(
+            (col("n_chars") % 640 + 1).cast("long"),
+            (col("doc_id") % 480 + 1).cast("long")).as("payload"))
+        Multimodal.withImageMeta(withPayload)
+          .select(col("doc_id"),
+            hex(col("payload")).as("payload_hex"),
+            col("n_bytes"),
+            col("media_meta.format").as("format"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         '89504E470D0A1A0A0000000D49484452'
+             |         || lpad(upper(to_hex(n_chars % 640 + 1)), 8, '0')
+             |         || lpad(upper(to_hex(doc_id % 480 + 1)), 8, '0')
+             |         || '0806000000' AS ph
+             |  FROM documents
+             |)
+             |SELECT doc_id, ph AS payload_hex,
+             |       CAST(length(ph) / 2 AS BIGINT) AS n_bytes,
+             |       CASE WHEN substring(ph, 1, 16) = '89504E470D0A1A0A'
+             |            THEN 'png' ELSE 'unknown' END AS format,
+             |       CAST(('0x' || substring(ph, 33, 8)) AS BIGINT) AS width,
+             |       CAST(('0x' || substring(ph, 41, 8)) AS BIGINT) AS height
+             |FROM p""".stripMargin))
   )
 
   /** q33's oracle: the zonal daily-MAPE pivot written out longhand.

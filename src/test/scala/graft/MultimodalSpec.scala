@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Byte-level contracts for the multimodal operator: header decode must
+  * read the actual bytes (big-endian PNG, little-endian GIF), fall back
+  * cleanly on unknown payloads, and the feature/frame plumbing must be
+  * deterministic with the declared shapes.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG header round-trip: synthesized payload decodes to its dimensions") {
+    val df = Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 65535L, 3L))
+      .toDF("id", "w", "h")
+      .select(col("id"), Multimodal.pngHeaderPayload(col("w"), col("h")).as("payload"))
+    val meta = Multimodal.withImageMeta(df)
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("n_bytes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(meta.toSet === Set((1L, "png", 640L, 480L, 29L),
+      (2L, "png", 1L, 1L, 29L), (3L, "png", 65535L, 3L, 29L)))
+  }
+
+  test("GIF logical-screen dimensions decode little-endian") {
+    // "GIF89a" + width 320 (0x0140 → LE 40 01) + height 200 (0x00C8 → LE C8 00)
+    val df = Seq(Tuple1(1L)).toDF("id")
+      .select(col("id"), unhex(lit("4749463839614001C80000")).as("payload"))
+    val r = df.select(Multimodal.format(col("payload")),
+      Multimodal.gifWidth(col("payload")), Multimodal.gifHeight(col("payload"))).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === ("gif", 320L, 200L))
+  }
+
+  test("JPEG magic detected, dimensions null; unknown bytes fall through") {
+    val df = Seq(("jpeg", "FFD8FFE000104A464946"), ("junk", "DEADBEEF"))
+      .toDF("tag", "hex").select(col("tag"), unhex(col("hex")).as("payload"))
+    val rows = df.select(col("tag"), Multimodal.imageMeta(col("payload")).as("m"))
+      .select(col("tag"), col("m.format"), col("m.width")).collect()
+      .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSet === Set(("jpeg", "jpeg", -1L), ("junk", "unknown", -1L)))
+  }
+
+  test("fakeEmbedding is deterministic, bounded, and has the declared dim") {
+    val df = Seq(("a", "payload-bytes-1"), ("b", "payload-bytes-2"))
+      .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))
+    val e1 = df.select(col("id"), Multimodal.fakeEmbedding(col("payload"), 16).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val e2 = df.select(col("id"), Multimodal.fakeEmbedding(col("payload"), 16).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(e1 === e2, "same bytes must embed identically")
+    assert(e1("a").size === 16)
+    assert(e1("a") !== e1("b"))
+    assert(e1.values.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("sampleFrames windows the payload with stride and keeps the tail") {
+    val df = Seq(Tuple1("abcdefghij")).toDF("s")
+      .select(col("s").cast("binary").as("payload"))
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), 4, 3).as("f"))
+      .head().getSeq[Array[Byte]](0).map(b => new String(b))
+    assert(frames === Seq("abcd", "defg", "ghij", "j"))
+  }
+}

@@ -85,4 +85,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "near-dup path must stay bucketed, never all-pairs")
   }
+
+  test("q25 all-pairs similarity is block-sharded equi-joins, never a nested loop") {
+    val plan = physical(Queries.byName("q25_cosine_pairs")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact all-pairs must shard through block-pair hash joins")
+    assert(plan.contains("TakeOrderedAndProject"), "top-n must not be a global sort")
+    assert(plan.contains("array_dot"), "pair kernel must be the native dot expression")
+  }
+
+  test("large-label enumeration plans no unpartitioned window") {
+    import spark.implicits._
+    // 100 labels: above MaxExpressionLabels, so the distributed path runs
+    val df = (1 to 500).map(i => (i.toLong, s"label_${i % 100}")).toDF("id", "lbl")
+    val out = Anonymize.anonymizeColumnLabels(df, "lbl")
+    val plan = physical(out)
+    assert(!plan.contains("Window"), s"single-partition window leaked in: ${plan.take(400)}")
+    // and the enumeration itself is correct: dense 1..100 in sorted order
+    val got = out.select("lbl").distinct().collect().map(_.getString(0)).toSet
+    assert(got === (1 to 100).map(i => s"ANON_CLIENT $i").toSet)
+  }
 }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Anonymize
+
+/** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
+  * counterpart; the reference's only cross-run state, the uid→pseudonym
+  * key table, is exactly `foreachBatch` upsert semantics made continuous).
+  *
+  * Everything here is the same declarative plan the batch engine runs —
+  * `hourlySums(stream)` is q17's aggregation with a watermark bolted on —
+  * so the batch query IS the oracle: replaying a bounded event set through
+  * the stream must equal the batch result, with late rows beyond the
+  * watermark dropped (asserted in StreamingSpec).
+  */
+object StreamingEvents {
+
+  /** Streaming form of q17: 1-hour tumbling windows of cent-quantized
+    * value sums over `events(ts, value)`, late data beyond `watermark`
+    * dropped. State per key is one partial sum — bounded by the number of
+    * open windows, which the watermark caps; at 100 TB/day this scales by
+    * shuffle partitions, not data volume.
+    */
+  def hourlySums(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg((sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("window").getField("start").as("window_start"), col("sum_value"))
+
+  /** Continuous uid pseudonymization: every micro-batch runs the batch
+    * key-table upsert (J2/S6 — broadcast join + anti-join + blake2b +
+    * crash-safe swap) via `foreachBatch`, then appends the pseudonymized
+    * rows as snappy parquet. Pseudonyms stay stable across batches AND
+    * across stream restarts because the key table is the same persistent
+    * one the batch pipeline maintains.
+    */
+  def pseudonymizeStream(stream: DataFrame, column: String, keyDir: String,
+                         outDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Anonymize.uidAnonymization(batch.sparkSession, batch, column, keyDir)
+          .write.mode("append").option("compression", "snappy").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.pipelines.{AnonymizePipeline, MapePipeline}
+import graft.sinks.ExcelSink
+
+/** End-to-end pipeline goldens (reference E1/E2): the MAPE client run from
+  * a CSV fixture through the four aggregation variants into a multi-sheet
+  * xlsx, and the anonymizer directory walk — latest-partition pruning (S3),
+  * CSV+parquet ingest (S1/S2), label/uid/scale anonymization, audit stamps,
+  * file rename (S7), single-file snappy output (S4), cross-run pseudonym
+  * stability.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zipEntries(path: String): Map[String, String] = {
+    val zf = new ZipFile(path)
+    try zf.entries().asScala.map { e =>
+      e.getName -> new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }.toMap
+    finally zf.close()
+  }
+
+  // ── E1: MAPE client run ────────────────────────────────────────────────
+
+  test("MapePipeline.runClient: CSV in, 5-sheet workbook out, values correct") {
+    // two days × two hours × two zones; forecast/backcast/settlement known
+    val rows = Seq(
+      ("2024-01-01", 0, "east", 10.0, 9.0, 8.0),
+      ("2024-01-01", 0, "west", 20.0, 21.0, 24.0),
+      ("2024-01-01", 1, "east", 30.0, 28.0, 32.0),
+      ("2024-01-02", 0, "east", 5.0, 6.0, 4.0))
+    val inDir = tmpDir("graft-mape-in")
+    val outDir = tmpDir("graft-mape-out")
+    // write a real CSV file (uppercase headers: ingest must lowercase them)
+    val csv = new java.io.PrintWriter(s"$inDir/clientx.csv")
+    csv.println("PROXY_DATE,HOUR,ZONE,FORECAST,BACKCAST,SETTLEMENT")
+    rows.foreach { case (d, h, z, f, b, s) => csv.println(s"$d,$h,$z,$f,$b,$s") }
+    csv.close()
+
+    val path = MapePipeline.runClient(spark, s"$inDir/clientx.csv", "clientx", outDir)
+    assert(path.endsWith("clientx_performance.xlsx"))
+    val parts = zipEntries(path)
+    val wb = parts("xl/workbook.xml")
+    for (s <- Seq("raw_data", "hourly_portfolio", "daily_portfolio_mape",
+        "hourly_zone", "daily_zone_mape"))
+      assert(wb.contains(s"""name="$s""""), s"missing sheet $s")
+
+    // daily_portfolio_mape (sheet 3): day 1 portfolio WAPE from hourly sums:
+    // h0: f=30 b=30 s=32 → |30-32|=2, |30-32|=2, |32|=32
+    // h1: f=30 b=28 s=32 → 2, 4, 32
+    // day: fae=4, bae=6, sabs=64 → f_mape=0.0625, b_mape=0.09375
+    val sheet3 = parts("xl/worksheets/sheet3.xml")
+    assert(sheet3.contains("<v>0.0625</v>"), sheet3.take(800))
+    assert(sheet3.contains("<v>0.09375</v>"))
+    // zonal pivot sheet carries {metric}_{zone} flattened headers
+    val sheet5 = parts("xl/worksheets/sheet5.xml")
+    assert(sheet5.contains("<t>forecast_mape_east</t>") &&
+      sheet5.contains("<t>settlement_west</t>"))
+  }
+
+  test("ExcelSink enforces the driver-side row cap") {
+    val big = spark.range(100).toDF("n")
+    val f = s"${tmpDir("graft-xlsx")}/cap.xlsx"
+    val e = intercept[IllegalArgumentException] {
+      ExcelSink.write(f, Seq("s" -> big), maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+
+  test("ExcelSink column refs extend past Z") {
+    assert(ExcelSink.colRef(0) === "A" && ExcelSink.colRef(25) === "Z")
+    assert(ExcelSink.colRef(26) === "AA" && ExcelSink.colRef(701) === "ZZ")
+    assert(ExcelSink.colRef(702) === "AAA")
+  }
+
+  // ── E2: anonymizer directory walk ──────────────────────────────────────
+
+  private def writeAnonFixture(): (String, String, String) = {
+    val inDir = tmpDir("graft-anon-in")
+    val outDir = tmpDir("graft-anon-out")
+    val keyDir = tmpDir("graft-anon-key")
+    // stale partition that must be IGNORED (latest-partition pruning, S3)
+    new java.io.File(s"$inDir/2024-01-01").mkdirs()
+    val stale = new java.io.PrintWriter(s"$inDir/2024-01-01/acme-old.csv")
+    stale.println("customer,uid,amount"); stale.println("STALE,999,1.0"); stale.close()
+    // latest partition: one CSV + one parquet
+    new java.io.File(s"$inDir/2024-02-01").mkdirs()
+    val csv = new java.io.PrintWriter(s"$inDir/2024-02-01/acme-settlement.csv")
+    csv.println("Customer,uid,Amount,note")
+    csv.println("Acme Corp,101,100.0,acme corp invoice")
+    csv.println("Globex,102,200.0,plain row")
+    csv.close()
+    Seq(("Acme Corp", "201", 50.0), ("Globex", "202", 75.0))
+      .toDF("customer", "uid", "amount")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$inDir/2024-02-01/acme-history.parquet.dir")
+    // promote the part file so the fixture is a bare .parquet FILE like the reference's
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$inDir/2024-02-01/acme-history.parquet.dir"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/2024-02-01/acme-history.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$inDir/2024-02-01/acme-history.parquet.dir"), true)
+    (inDir, outDir, keyDir)
+  }
+
+  test("AnonymizePipeline.run: latest partition only, rename, anonymize, stamp") {
+    val (inDir, outDir, keyDir) = writeAnonFixture()
+    val outs = AnonymizePipeline.run(spark, inDir, outDir, keyDir,
+      client = "acme", clock = Some("2026-01-01T00:00:00")).sorted
+    assert(outs === Seq(
+      s"$outDir/client_demo-history.parquet",
+      s"$outDir/client_demo-settlement.snappy.parquet"))
+    outs.foreach(p => assert(new java.io.File(p).isFile, s"$p must be a single file"))
+
+    val settle = spark.read.parquet(outs(1))
+    // stale partition ignored (its row would be a third output row / file)
+    assert(settle.count() === 2)
+    val r = settle.orderBy("amount").collect()
+    // labels enumerated from the column's own sorted distinct set
+    assert(r.map(_.getAs[String]("customer")).toSeq === Seq("ANON_CLIENT 1", "ANON_CLIENT 2"))
+    // value scaling ×1.0125
+    assert(r.map(_.getAs[Double]("amount")).toSeq === Seq(101.25, 202.5))
+    // audit stamps with injected clock
+    assert(r.forall(_.getAs[String]("process_time") === "2026-01-01T00:00:00"))
+    assert(r.forall(_.getAs[String]("timezone") === "America/Chicago"))
+    // uids pseudonymized to 10-hex blake2b tokens
+    val uids = r.map(_.getAs[String]("uid")).toSeq
+    assert(uids.forall(_.matches("[0-9a-f]{10}")))
+    // non-target columns untouched apart from label-in-text anonymization scope
+    assert(settle.columns.toSeq.contains("note"))
+  }
+
+  test("AnonymizePipeline: pseudonyms are stable across runs and files") {
+    val (inDir, outDir, keyDir) = writeAnonFixture()
+    val run1 = AnonymizePipeline.run(spark, inDir, outDir, keyDir, "acme",
+      clock = Some("2026-01-01T00:00:00"))
+    val first = spark.read.parquet(run1.head)
+      .select("uid").as[String].collect().toSet
+    val outDir2 = tmpDir("graft-anon-out2")
+    val run2 = AnonymizePipeline.run(spark, inDir, outDir2, keyDir, "acme",
+      clock = Some("2026-02-02T00:00:00"))
+    val second = spark.read.parquet(run2.head)
+      .select("uid").as[String].collect().toSet
+    assert(first === second, "same uids must map to the same pseudonyms across runs")
+  }
+}

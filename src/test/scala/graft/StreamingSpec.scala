@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingEvents
+
+/** Streaming surface contracts (SURVEY.md §2.8/§7.6): replaying a bounded
+  * event set through the streaming plan equals the batch q17 aggregation
+  * (the batch query is the oracle), late rows beyond the watermark are
+  * dropped, and the foreachBatch pseudonymizing sink keeps key-table
+  * identity stable between streaming micro-batches and batch runs.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streamed hourly sums equal the batch q17 aggregation on replay") {
+    // bounded replay of the sf0.001 events table (through Tables so the
+    // nanos→ntz conversion applies), re-stamped as wall-clock timestamps
+    val batchRows = graft.sources.Tables.table(spark, sf0001, "events")
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double)]
+    stream.addData(batchRows)
+    val q = StreamingEvents.hourlySums(stream.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_stream")
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    val batch = batchRows.toDF("ts", "value")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg((sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("window.start"), col("sum_value"))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("append mode drops late rows beyond the 10-minute watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double)]
+    val q = StreamingEvents.hourlySums(stream.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 11:20
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), 1.0),
+        (ts("2024-01-01 10:30:00"), 2.0),
+        (ts("2024-01-01 11:30:00"), 4.0)))
+      q.processAllAvailable()
+      // batch 2: 10:05 is beyond the watermark (its window closed) → dropped;
+      // 13:00 advances the watermark past 12:00 so both earlier windows emit
+      stream.addData(Seq(
+        (ts("2024-01-01 10:05:00"), 100.0),
+        (ts("2024-01-01 13:00:00"), 16.0)))
+      q.processAllAvailable()
+      // one more tick so the second batch's watermark update finalizes 11:00
+      stream.addData(Seq((ts("2024-01-01 15:00:00"), 32.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("late_stream")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+    assert(emitted("2024-01-01 10:00:00.0") === 3.0,
+      s"late 10:05 row must be dropped, got $emitted")
+    assert(emitted("2024-01-01 11:00:00.0") === 4.0)
+  }
+
+  test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val keyDir = tmpDir("graft-stream-key")
+    val outDir = s"${tmpDir("graft-stream-out")}/rows"
+    val ckpt = tmpDir("graft-stream-ckpt")
+    val stream = MemoryStream[String]
+    val q = StreamingEvents.pseudonymizeStream(
+      stream.toDF().toDF("uid"), "uid", keyDir, outDir, ckpt)
+    try {
+      stream.addData(Seq("u1", "u2"))
+      q.processAllAvailable()
+      stream.addData(Seq("u2", "u3")) // u2 again: must reuse its pseudonym
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir).select("uid").as[String].collect()
+    assert(out.length === 4)
+    assert(out.toSet.size === 3, "u2 must keep one pseudonym across batches")
+    assert(out.forall(_.matches("[0-9a-f]{10}")))
+    // and the streaming key table equals what the batch operator would build
+    val expected = graft.functions.Blake2b.hexDigest("u2".getBytes("UTF-8"), 5)
+    assert(out.toSet.contains(expected), "streaming pseudonyms = batch blake2b")
+  }
+}

@@ -47,7 +47,8 @@ object Dedup {
     * persisted); prefer [[postingList]] inside operators.
     */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.filter(size(TextFunctions.tokens(col("text"))) >= n)
+    graft.sources.Tables.ensureParallelism(docs)
+      .filter(size(TextFunctions.tokens(col("text"))) >= n)
       .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("s"))
       .distinct()
 
@@ -166,8 +167,8 @@ object Dedup {
     * aggregation (64 sums) — no UDFs, no driver state.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val tok = graft.sources.Tables.ensureParallelism(docs)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)

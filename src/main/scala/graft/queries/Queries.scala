@@ -373,14 +373,14 @@ object Queries {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |ORDER BY cos DESC, i, j LIMIT 50""".stripMargin)),
 
-    // ── Q26: multi-probe LSH-bucketed ANN (no SQL oracle: LCG-seeded
-    //         hyperplanes; recall vs q19 asserted in ScalaTest) ───────────
+    // ── Q26: banded LSH ANN (no SQL oracle: LCG-seeded hyperplanes;
+    //         recall ≥ 0.9 vs q19 asserted in ScalaTest) ──────────────────
     QueryDef("q26_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble).toArray
-        Similarity.lshNeighbors(emb, q, 20, numPlanes = 4, probes = 4,
+        Similarity.lshNeighbors(emb, q, 20, planesPerBand = 2, bands = 8,
           excludeId = Some(0L))
       },
       None),
@@ -420,9 +420,10 @@ object Queries {
       Some("SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents")),
 
     // ── Q30: language-ID heuristic (no SQL oracle: expression-tree
-    //         heuristic; pinned by ScalaTest unit vectors) ────────────────
+    //         heuristic; pinned by ScalaTest unit vectors). 25 regex scans
+    //         per row: spread the narrow scan before the projection ───────
     QueryDef("q30_langid",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => Tables.ensureParallelism(t(s, dir, "documents"))
         .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("cnt")),
       None),

@@ -46,6 +46,25 @@ object Tables {
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
+  /** P2: rename columns by map (reference `df.rename(columns={...})`,
+    * /root/reference/anonymize_datasets.py:71,83 + sandbox_anon cell 4);
+    * absent keys are ignored, pandas-style.
+    */
+  def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** Spread a narrow scan across the cluster before CPU-heavy per-row work
+    * (tokenize/explode/regex). A small single-file parquet arrives as ONE
+    * input split, which would serialize everything upstream of the first
+    * shuffle into one task; at real scale the scan already has >= cores
+    * splits and this is a no-op — the condition, not the shuffle, is the
+    * 100 TB path.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** S3: resolve the lexicographically-latest child directory (the reference
     * picks `max(os.listdir(input_dir))` over `YYYY-MM-DD` partition dirs,
     * /root/reference/anonymize_datasets.py:154). Driver-side FS listing — a

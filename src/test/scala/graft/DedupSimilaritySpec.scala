@@ -91,15 +91,28 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
-    val ann = Similarity.lshNeighbors(emb, q, 10, numPlanes = 4, excludeId = Some(0L))
+    val ann = Similarity.lshNeighbors(emb, q, 10, excludeId = Some(0L))
       .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(ann.nonEmpty, "query's own bucket can never be empty")
+    assert(ann.nonEmpty, "the query's own band buckets can never all be empty")
     // every ANN hit must carry the same cosine the brute-force path computes
     val brute = Similarity.topK(emb, q, 500, excludeId = Some(0L))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
     // scores descend
     assert(ann.map(_._2).toSeq === ann.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("multi-probe ANN recall >= 0.9 vs brute-force top-20 on sf0.01") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = Similarity.topK(emb, q, 20, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    // q26's configuration: 8 bands of 2 sign bits (OR-amplified)
+    val ann = Similarity.lshNeighbors(emb, q, 20, planesPerBand = 2, bands = 8,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${(ann & exact).size}/${exact.size})")
   }
 
   test("hyperplanes are deterministic across invocations (executor-safe)") {

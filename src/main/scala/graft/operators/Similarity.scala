@@ -56,7 +56,22 @@ object Similarity {
     *    sequential accumulation, dot/(‖a‖·‖b‖) — as the brute-force path);
     *  - the top-n reduction compiles to TakeOrderedAndProject.
     */
-  def cosinePairs(emb: DataFrame, n: Int, blocks: Int = 32): DataFrame = {
+  def cosinePairs(emb: DataFrame, n: Int, blocks: Int = 32): DataFrame =
+    allPairsCos(emb, blocks)
+      .orderBy(col("cos").desc, col("i").asc, col("j").asc)
+      .limit(n)
+
+  /** Embedding-cosine near-duplicate pairs: every (i < j) pair with cosine
+    * at or above `threshold` — the exact dedup criterion over an embedding
+    * column. Same block-sharded execution as [[cosinePairs]]; the filter
+    * replaces the top-n reduction, so output is unordered (dedup consumers
+    * group it anyway) and no global sort appears in the plan.
+    */
+  def cosineNearDups(emb: DataFrame, threshold: Double, blocks: Int = 32): DataFrame =
+    allPairsCos(emb, blocks).filter(col("cos") >= threshold)
+
+  /** The shared exact all-pairs (i, j, cos) stream. */
+  private def allPairsCos(emb: DataFrame, blocks: Int): DataFrame = {
     val spark = emb.sparkSession
     val prepped = emb.select(
       col("vec_id"),
@@ -86,8 +101,6 @@ object Similarity {
         greatest(col("ia"), col("ib")).as("j"),
         round(GraftFunctions.dot_product(col("va"), col("vb")) /
           (col("na") * col("nb")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("i").asc, col("j").asc)
-      .limit(n)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes for LSH signatures:

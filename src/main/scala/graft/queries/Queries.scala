@@ -501,7 +501,59 @@ object Queries {
              |            THEN 'png' ELSE 'unknown' END AS format,
              |       CAST(('0x' || substring(ph, 33, 8)) AS BIGINT) AS width,
              |       CAST(('0x' || substring(ph, 41, 8)) AS BIGINT) AS height
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // ── Q35: embedding-cosine near-dup pairs (exact, threshold form) ──────
+    QueryDef("q35_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDups(t(s, dir, "embeddings"), 0.35),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q36: session windows (30-minute gap) per user — the batch form of
+    //         Structured Streaming's session_window; oracle is the classic
+    //         gaps-and-islands construction. A new session starts when the
+    //         gap since the previous event reaches the timeout (Spark's
+    //         window is [start, last+gap), so an exactly-gap event is new).
+    QueryDef("q36_session_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), centSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("sum_value")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN LAG(ts) OVER w IS NULL
+             |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sess AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged
+             |)
+             |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |       COUNT(*) AS n_events, SUM(ROUND(value * 100)) / 100.0 AS sum_value
+             |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // ── Q37: sliding windows (2-hour length, 1-hour slide): every event
+    //         lands in exactly two windows; oracle unnests the two starts ──
+    QueryDef("q37_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(centSum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("sum_value"), col("n_events")),
+      Some("""SELECT date_trunc('hour', ts) - INTERVAL (o.o) HOUR AS window_start,
+             |       SUM(ROUND(value * 100)) / 100.0 AS sum_value,
+             |       COUNT(*) AS n_events
+             |FROM events, (VALUES (0), (1)) AS o(o)
+             |GROUP BY 1""".stripMargin))
   )
 
   /** q33's oracle: the zonal daily-MAPE pivot written out longhand.

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import graft.functions.{ArrayDotProduct, Blake2bExpr}
+
+/** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`
+  * and `array_dot(a, b)` become callable from `spark.sql(...)` — the same
+  * codegen'd expressions the DataFrame API uses, registered rather than
+  * wrapped in UDFs.
+  *
+  * Two entry points for the two deployment shapes:
+  *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
+  *    (applied when the session is built);
+  *  - an existing session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def blake2bBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => Blake2bExpr(c, 5)
+    case Seq(c, Literal(d: Int, IntegerType)) => Blake2bExpr(c, d)
+    case other => throw new IllegalArgumentException(
+      s"blake2b_hex(str[, digest_size]) takes 1 or 2 arguments, got ${other.size}")
+  }
+
+  private def arrayDotBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => ArrayDotProduct(
+      Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+    case other => throw new IllegalArgumentException(
+      s"array_dot(a, b) takes 2 arguments, got ${other.size}")
+  }
+
+  /** (identifier, info, builder) triples in the shape both
+    * `SparkSessionExtensions.injectFunction` and the session
+    * `FunctionRegistry` accept.
+    */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("blake2b_hex"),
+        new ExpressionInfo(classOf[Blake2bExpr].getName, "blake2b_hex"),
+        blake2bBuilder _),
+      (FunctionIdentifier("array_dot"),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+        arrayDotBuilder _))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -29,6 +29,17 @@ object StreamingEvents {
       .agg((sum(round(col("value") * 100)) / 100.0).as("sum_value"))
       .select(col("window").getField("start").as("window_start"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose `idCols` key was already
+    * seen within the watermark horizon. State is bounded BY the watermark
+    * (expired keys are evicted), which is what makes exact dedup viable on
+    * an unbounded stream — the batch analog is `dropDuplicates`, the
+    * horizon is the price of bounded state.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Continuous uid pseudonymization: every micro-batch runs the batch
     * key-table upsert (J2/S6 — broadcast join + anti-join + blake2b +
     * crash-safe swap) via `foreachBatch`, then appends the pseudonymized

@@ -1,0 +1,26 @@
+package graft
+
+/** The SQL registration must expose the same native expressions the
+  * DataFrame API uses — same values, same codegen path.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("blake2b_hex and array_dot are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT blake2b_hex('123'), blake2b_hex('123', 8), " +
+        "array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))").head()
+    // vectors recomputable with python hashlib.blake2b(b'123', digest_size=n)
+    assert(r.getString(0) === graft.functions.Blake2b.hexDigest("123".getBytes, 5))
+    assert(r.getString(1) === graft.functions.Blake2b.hexDigest("123".getBytes, 8))
+    assert(r.getString(1).length === 16)
+    assert(r.getDouble(2) === 32.0)
+  }
+
+  test("array_dot casts float arrays like the DataFrame path") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(CAST(array(1.5, 2.5) AS ARRAY<FLOAT>), array(2.0D, 4.0D))").head()
+    assert(r.getDouble(0) === 13.0)
+  }
+}

@@ -71,6 +71,26 @@ class StreamingSpec extends SparkSpec {
     assert(emitted("2024-01-01 11:00:00.0") === 4.0)
   }
 
+  test("dedupStream drops duplicate ids arriving within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingEvents.dedupStream(
+      stream.toDF().toDF("ts", "event_id"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:01:00"), "a"), // dup within watermark
+        (ts("2024-01-01 10:02:00"), "b")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-01 10:03:00"), "b"))) // dup, later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getString(1)).sorted
+    assert(ids.toSeq === Seq("a", "b"), "each id must survive exactly once")
+  }
+
   test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
     implicit val ctx = spark.sqlContext
     val keyDir = tmpDir("graft-stream-key")

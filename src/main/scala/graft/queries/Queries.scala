@@ -30,6 +30,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** The fixed query vector for the similarity queries: embeddings row
+    * `vec_id = 0` (guaranteed by the testdata generator — ids are dense
+    * from 0). One driver-side row fetch at plan-build time, by contract;
+    * fail with a message rather than a bare NoSuchElementException.
+    */
+  private def queryVector(s: SparkSession, dir: String): Array[Double] = {
+    val rows = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).take(1)
+    require(rows.nonEmpty, s"embeddings table in $dir has no vec_id=0 anchor row")
+    rows(0).getSeq[Float](0).map(_.toDouble).toArray
+  }
+
   /** Sum of per-row cent-quantized values, presented in original units. */
   private def centSum(c: org.apache.spark.sql.Column, scale: Double = 100.0) =
     sum(round(c * scale)) / scale
@@ -295,12 +307,8 @@ object Queries {
 
     // ── Q19: cosine similarity top-20 (north star) ────────────────────────
     QueryDef("q19_cosine_topk",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
-          .head().getSeq[Float](0).map(_.toDouble).toArray
-        Similarity.topK(emb, q, 20, excludeId = Some(0L))
-      },
+      (s, dir) => Similarity.topK(t(s, dir, "embeddings"), queryVector(s, dir),
+        20, excludeId = Some(0L)),
       Some("""SELECT vec_id,
              |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
              |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
@@ -376,13 +384,9 @@ object Queries {
     // ── Q26: banded LSH ANN (no SQL oracle: LCG-seeded hyperplanes;
     //         recall ≥ 0.9 vs q19 asserted in ScalaTest) ──────────────────
     QueryDef("q26_ann_lsh",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
-          .head().getSeq[Float](0).map(_.toDouble).toArray
-        Similarity.lshNeighbors(emb, q, 20, planesPerBand = 2, bands = 8,
-          excludeId = Some(0L))
-      },
+      (s, dir) => Similarity.lshNeighbors(t(s, dir, "embeddings"),
+        queryVector(s, dir), 20, planesPerBand = 2, bands = 8,
+        excludeId = Some(0L)),
       None),
 
     // ── Q27: text quality signals ─────────────────────────────────────────

@@ -129,4 +129,21 @@ class MapeSpec extends SparkSpec {
       "forecast_abs_error", "backcast_abs_error", "settlement_abs",
       "forecast_mape", "backcast_mape"))
   }
+
+  test("property: daily WAPE is invariant to raw row order and partitioning") {
+    // seeded random frame; integer-valued doubles so sums are exact in any
+    // accumulation order (the engine's float-determinism contract)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (f"2024-01-${i % 5 + 1}%02d", rnd.nextInt(24),
+        rnd.nextInt(2000).toDouble, rnd.nextInt(2000).toDouble,
+        rnd.nextInt(2000).toDouble)
+    }
+    def runOn(rs: Seq[(String, Int, Double, Double, Double)], parts: Int): Seq[String] =
+      Mape.dailyMapeAggregation(Mape.hourlyAggregation(f1(rs).repartition(parts)))
+        .orderBy("proxy_date").collect().map(_.toString).toSeq
+    val base = runOn(rows, 4)
+    assert(runOn(rnd.shuffle(rows), 4) === base, "row order must not matter")
+    assert(runOn(rows, 13) === base, "partitioning must not matter")
+  }
 }

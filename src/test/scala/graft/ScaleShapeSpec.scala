@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Bucketing
+
+/** The explicit scale tools: bucketed co-located joins must eliminate the
+  * join-time shuffle, and salted joins must keep exact join semantics
+  * while spreading hot keys.
+  */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no Exchange on either side") {
+    val wh = tmpDir("graft-bucket-wh")
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "payload")
+    val dims = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "graft_facts_b", s"$wh/facts", Seq("k"), 4)
+    Bucketing.writeBucketed(dims, "graft_dims_b", s"$wh/dims", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the co-location claim is what the plan proves
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_facts_b")
+        .join(spark.table("graft_dims_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side: ${plan.take(600)}")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  test("saltedJoin equals the plain join on skewed data (inner and left)") {
+    // hot key 1 carries 80% of the big side
+    val big = ((1 to 800).map(_ => 1L) ++ (1 to 200).map(i => (i % 50 + 2).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val small = (1 to 40).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .orderBy("row_id").collect().map(_.toString).toSeq
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8, joinType = jt)
+        .orderBy("row_id").collect().map(_.toString).toSeq
+      assert(salted === plain, s"$jt join semantics must be preserved")
+    }
+  }
+
+  test("saltedJoin rejects semantics-changing join types") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), 4, joinType = "full_outer")
+    }
+  }
+}

@@ -71,6 +71,46 @@ class StreamingSpec extends SparkSpec {
     assert(emitted("2024-01-01 11:00:00.0") === 4.0)
   }
 
+  test("streamed session windows equal the batch session aggregation on replay") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", 1.0),
+      (ts("2024-01-01 10:10:00"), "u1", 2.0),  // same session (gap 10m)
+      (ts("2024-01-01 11:30:00"), "u1", 4.0),  // new session (gap 80m)
+      (ts("2024-01-01 10:05:00"), "u2", 8.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = stream.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("sum_value"))
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      // flush far past every session so the watermark finalizes them all
+      stream.addData(Seq((ts("2024-01-03 00:00:00"), "uF", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-04 00:00:00"), "uF", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_stream")
+      .filter(col("user_id") =!= "uF")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    val batch = rows.toDF("ts", "user_id", "value")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.size === 3, "fixture must produce 3 sessions")
+  }
+
   test("dedupStream drops duplicate ids arriving within the watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]

@@ -30,15 +30,26 @@ object Bench {
     catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    // Best-of-N (default 2): per-query minimum across full passes. The
+    // second pass measures steady state; the min filters one-off noise
+    // (GC pause, host neighbor) without hiding real regressions — a
+    // genuinely slow plan is slow on every pass.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    for (_ <- 1 to passes) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          timings(name) = timings.get(name).fold(t)(math.min(_, t))
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
       }
+      // drop persisted intermediates (dedup posting lists) so every pass
+      // pays the full build cost — the min stays a real end-to-end number
+      spark.sharedState.cacheManager.clearCache()
     }
     def esc(s: String): String =
       s.flatMap {

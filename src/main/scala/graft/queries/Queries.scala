@@ -423,14 +423,17 @@ object Queries {
           substring(TextFunctions.md5Fingerprint(col("text")), 1, 16).as("fp")),
       Some("SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents")),
 
-    // ── Q30: language-ID heuristic (no SQL oracle: expression-tree
-    //         heuristic; pinned by ScalaTest unit vectors). 25 regex scans
-    //         per row: spread the narrow scan before the projection ───────
+    // ── Q30: language-ID heuristic. The oracle replays the marker-count
+    //         argmax in DuckDB: literal-marker occurrences via
+    //         replace-length arithmetic (= non-overlapping regexp_count)
+    //         and Spark's struct-max tie-break via list_max over
+    //         (score, lang) structs. 25 regex scans per row on the Spark
+    //         side: spread the narrow scan before the projection ──────────
     QueryDef("q30_langid",
       (s, dir) => Tables.ensureParallelism(t(s, dir, "documents"))
         .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("cnt")),
-      None),
+      Some(langIdOracleSql)),
 
     // ── Q31: label anonymization through the Anonymize operator (U2/O2) ───
     QueryDef("q31_label_anon",
@@ -559,6 +562,34 @@ object Queries {
              |FROM events, (VALUES (0), (1)) AS o(o)
              |GROUP BY 1""".stripMargin))
   )
+
+  /** q30's oracle: langId's marker-count argmax in DuckDB. A literal
+    * marker's non-overlapping occurrence count equals
+    * (len(t) − len(replace(t, m, ''))) / len(m); the argmax with Spark's
+    * tie-break (max score, then lexicographically max lang) is DuckDB's
+    * list_max over (score, lang) structs. Generated from
+    * [[TextFunctions.langProfiles]] so both sides share one marker table.
+    */
+  private lazy val langIdOracleSql: String = {
+    def cnt(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"(length(low) - length(replace(low, '$esc', ''))) // ${m.length}"
+    }
+    val entries = TextFunctions.langProfiles.map { case (lang, markers) =>
+      s"{'score': ${markers.map(cnt).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString(",\n    ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         list_max([
+       |    $entries
+       |  ]) AS best
+       |  FROM (SELECT lang, lower(text) AS low FROM documents)
+       |)
+       |SELECT lang,
+       |       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted,
+       |       COUNT(*) AS cnt
+       |FROM scored GROUP BY 1, 2""".stripMargin
+  }
 
   /** q33's oracle: the zonal daily-MAPE pivot written out longhand.
     * Generated programmatically — 8 metrics × 5 zones of identical CASE

@@ -122,4 +122,24 @@ class AnonymizeSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("amount") === 101.25)
     assert(rows(0).getAs[String]("meter") === Blake2b.hexDigest("m1".getBytes, 5))
   }
+
+  test("cdmAnonymization with multiple label AND uid columns (cached-scan path)") {
+    val keyDir = tmpDir("graft-key-multi")
+    val df = Seq(
+      ("acme", "brandA", "m1", "u9", 100.0),
+      ("zenith", "brandB", "m2", "u8", 200.0))
+      .toDF("customer", "brand", "meter", "uid", "value")
+    // 2 label + 2 uid columns → 4 eager passes over one cached scan
+    val out = Anonymize.cdmAnonymization(spark, df, keyDir)
+    val rows = out.orderBy("value").collect()
+    assert(rows(0).getAs[String]("customer") === "ANON_CLIENT 1")
+    assert(rows(0).getAs[String]("brand") === "ANON_CLIENT 1")
+    assert(rows(1).getAs[String]("brand") === "ANON_CLIENT 2")
+    assert(rows(0).getAs[String]("meter") === Blake2b.hexDigest("m1".getBytes, 5))
+    assert(rows(0).getAs[String]("uid") === Blake2b.hexDigest("u9".getBytes, 5))
+    assert(rows(0).getAs[Double]("value") === 101.25)
+    // separate key tables per uid column
+    assert(new java.io.File(s"$keyDir/key_meter.snappy.parquet").exists())
+    assert(new java.io.File(s"$keyDir/key_uid.snappy.parquet").exists())
+  }
 }

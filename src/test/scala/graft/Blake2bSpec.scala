@@ -37,6 +37,16 @@ class Blake2bSpec extends SparkSpec {
       "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
   }
 
+  test("multi-block inputs (>128 bytes) match hashlib.blake2b") {
+    // exercises the compression loop across block boundaries and the
+    // final-block length counter (RFC 7693 §3.2); expected values from
+    // hashlib.blake2b(s, digest_size=5)
+    assert(Blake2b.hexDigest(("x" * 129).getBytes, 5) === "7ed039b5c0")
+    assert(Blake2b.hexDigest(("y" * 256).getBytes, 5) === "043ca2f867")
+    assert(Blake2b.hexDigest(("z" * 300).getBytes, 5) === "ed59153c70")
+    assert(Blake2b.hexDigest(("abc" * 100).getBytes, 5) === "699df9ca04")
+  }
+
   test("expression path (codegen on and off) agrees with the JVM core") {
     import spark.implicits._
     val in = vectors5.map(_._1).toDF("s")

@@ -162,6 +162,34 @@ object Dedup {
     jaccardFromCommon(common, setSizes(sh), threshold)
   }
 
+  /** Full corpus deduplication — the composition a training-data pipeline
+    * actually runs:
+    *
+    *  1. collapse EXACT duplicates to their minimum-id representative
+    *     first. This is correctness AND a scale guard: a boilerplate text
+    *     repeated k times would land k identical MinHash signatures in
+    *     every band bucket — O(k²) candidate pairs for documents that
+    *     needed one hash-groupBy to dedup;
+    *  2. MinHash+LSH near-dup pairs over the representatives only;
+    *  3. greedy keep-first: drop every doc appearing as the larger id of
+    *     a surviving near-dup pair (the standard keep-first policy; full
+    *     transitive clustering would need iterative connected components,
+    *     deliberately out of scope for a single pass).
+    *
+    * Returns the kept (doc_id, text) rows with `dup_count` = how many
+    * exact copies each survivor represents.
+    */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                  numPerms: Int = 16, bands: Int = 4,
+                  maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val reps = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("text"), col("dup_count"))
+    val nearDupJ = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
+      .select(col("j").as("doc_id")).distinct()
+    reps.join(nearDupJ, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash per document: each token hash votes ±1 on every bit;
     * the signature takes the sign of each bit's tally. One explode + one
     * aggregation (64 sums) — no UDFs, no driver state.
@@ -185,6 +213,11 @@ object Dedup {
     * on (chunkIdx, chunkValue): any pair within Hamming distance 3 must
     * agree on at least one chunk (pigeonhole), so recall is exact for
     * maxHamming ≤ 3 and probabilistic above.
+    *
+    * Degenerate-corpus note: k exact copies of one text share a signature
+    * and pair quadratically in their chunk bucket — as with MinHash,
+    * collapse exact duplicates first (the [[dedupCorpus]] composition)
+    * before running signature-based near-dup at scale.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)

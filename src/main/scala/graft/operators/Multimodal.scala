@@ -111,4 +111,39 @@ object Multimodal {
   def withImageMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("media_meta", imageMeta(col(payloadCol)))
       .withColumn("n_bytes", length(col(payloadCol)).cast("long"))
+
+  /** Partition-batched decoder plumbing: run an arbitrary per-partition
+    * decoder (a real codec / model loaded ONCE per partition, amortized
+    * over its rows — the Scala analog of `mapInPandas` batch shape) over
+    * (doc_id, payload) and return (doc_id, feature). The default decoder
+    * is a deterministic stub (this container ships no codecs); swap it for
+    * a real one without touching the plumbing, schema, or partitioning.
+    */
+  def decodeBatched(df: DataFrame, payloadCol: String = "payload",
+                    decoder: Array[Byte] => Array[Float] = stubDecoder(16))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup happens HERE (model/codec init), once,
+        // then streams the partition through it
+        it.map { case (id, bytes) => (id, decoder(bytes)) }
+      }
+      .toDF("doc_id", "feature")
+  }
+
+  /** Deterministic stand-in decoder: `dim` floats in [-1, 1) from a
+    * rolling hash of the payload bytes. Clearly a stub — it reads the
+    * bytes, not the image.
+    */
+  def stubDecoder(dim: Int): Array[Byte] => Array[Float] = { bytes =>
+    var h = 1125899906842597L
+    bytes.foreach(b => h = h * 31 + b)
+    Array.tabulate(dim) { i =>
+      val x = h * 6364136223846793005L + i * 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+  }
 }

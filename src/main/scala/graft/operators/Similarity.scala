@@ -75,7 +75,9 @@ object Similarity {
     val spark = emb.sparkSession
     val prepped = emb.select(
       col("vec_id"),
-      pmod(col("vec_id"), lit(blocks)).cast(IntegerType).as("bid"),
+      // hash-based blocking: uniform block sizes regardless of how ids are
+      // distributed (modular blocking degenerates if ids share a stride)
+      pmod(xxhash64(col("vec_id")), lit(blocks.toLong)).cast(IntegerType).as("bid"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", GraftFunctions.l2_norm(col("v")))
     val blockPairs = spark.createDataFrame(

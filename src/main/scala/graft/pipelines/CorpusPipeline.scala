@@ -1,0 +1,55 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** End-to-end training-corpus curation — the composition every LLM data
+  * pipeline runs over raw documents, expressed as one lazy plan plus the
+  * dedup pass:
+  *
+  *   quality filter (cheap, pure expressions — runs IN the scan)
+  *   → language filter (marker-trigram argmax)
+  *   → exact + near-duplicate removal ([[Dedup.dedupCorpus]])
+  *   → per-document features (token counts, fingerprint) for downstream
+  *     sampling/mixing.
+  *
+  * Order is the scale decision: the quality and language predicates are
+  * O(row) projections that prune BEFORE the dedup pass pays its shuffles,
+  * and exact-collapse runs before signature near-dup (see dedupCorpus).
+  * Everything upstream of dedup is whole-stage-codegen'd expression work
+  * with zero UDFs.
+  */
+object CorpusPipeline {
+
+  /** Tunable curation thresholds (defaults are conventional, not sacred). */
+  case class Config(
+      minTokens: Int = 10,
+      maxMeanTokenLength: Double = 15.0,
+      minStopwordRatio: Double = 0.0,
+      languages: Seq[String] = Seq("en"),
+      dedupThreshold: Double = 0.8)
+
+  /** Curate `docs(doc_id, text, ...)` → kept rows with feature columns
+    * (`n_tokens`, `subword_tokens`, `fingerprint`, `dup_count`,
+    * `predicted_lang`).
+    */
+  def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
+    val quality = docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("mean_tok_len", TextFunctions.meanTokenLength(col("text")))
+      .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
+      .filter(col("n_tokens") >= config.minTokens &&
+        col("mean_tok_len") <= config.maxMeanTokenLength &&
+        col("stop_ratio") >= config.minStopwordRatio)
+      .withColumn("predicted_lang", TextFunctions.langId(col("text")))
+      .filter(col("predicted_lang").isin(config.languages: _*))
+    val deduped = Dedup.dedupCorpus(
+      quality.select(col("doc_id"), col("text")), config.dedupThreshold)
+    deduped
+      .join(quality.drop("text"), Seq("doc_id"))
+      .withColumn("subword_tokens", TextFunctions.subwordCount(col("text")))
+      .withColumn("fingerprint", TextFunctions.md5Fingerprint(col("text")))
+  }
+}

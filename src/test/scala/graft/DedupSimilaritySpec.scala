@@ -68,6 +68,21 @@ class DedupSimilaritySpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 <= 3L))
   }
 
+  test("dedupCorpus: exact-collapse first, then near-dup drop, keep-first") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (7L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (4L, "completely different text with nothing shared here at all"),
+      (5L, "another unrelated document about spark query engines"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 1 survives carrying its 3 exact copies; 2 dropped as near-dup of 1
+    assert(kept === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("cosine topK matches a locally-computed brute force on sf0.001") {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val all = emb.select("vec_id", "embedding").collect()

@@ -54,6 +54,22 @@ class MultimodalSpec extends SparkSpec {
     assert(e1.values.flatten.forall(v => v >= -1.0 && v < 1.0))
   }
 
+  test("decodeBatched runs the partition-batched decoder with stable output") {
+    val df = Seq((1L, "payload-one"), (2L, "payload-two"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+      .repartition(2)
+    val out = Multimodal.decodeBatched(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).size === 16)
+    assert(out(1L) !== out(2L))
+    // deterministic: same bytes → same features, independent of partitioning
+    val again = Multimodal.decodeBatched(df.coalesce(1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again === out)
+  }
+
   test("sampleFrames windows the payload with stride and keeps the tail") {
     val df = Seq(Tuple1("abcdefghij")).toDF("s")
       .select(col("s").cast("binary").as("payload"))

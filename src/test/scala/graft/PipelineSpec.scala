@@ -77,6 +77,30 @@ class PipelineSpec extends SparkSpec {
     assert(ExcelSink.colRef(702) === "AAA")
   }
 
+  // ── Corpus curation (LLM training-data path) ───────────────────────────
+
+  test("CorpusPipeline.curate: quality, language, dedup, features compose") {
+    val long = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog sleeps in the sun for a while longer"
+    val corpus = Seq(
+      (1L, long),                                  // kept
+      (2L, long),                                  // exact dup of 1 → dropped
+      (3L, long + " again"),                       // near-dup of 1 → dropped
+      (4L, "too short"),                           // quality-dropped (n_tokens)
+      (5L, "der ein sch ich und der ein sch ich und der ein sch ich und"), // de → lang-dropped
+      (6L, "the theory and the notion of the motion keeps the attention " +
+        "of the nation during the session"))       // kept
+      .toDF("doc_id", "text")
+    val kept = graft.pipelines.CorpusPipeline.curate(corpus)
+    val rows = kept.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("dup_count")).toMap
+    assert(rows === Map(1L -> 2L, 6L -> 1L))
+    val cols = kept.columns.toSet
+    for (c <- Seq("n_tokens", "subword_tokens", "fingerprint", "predicted_lang"))
+      assert(cols.contains(c), s"missing feature column $c")
+    assert(kept.filter(col("predicted_lang") =!= "en").count() === 0)
+  }
+
   // ── E2: anonymizer directory walk ──────────────────────────────────────
 
   private def writeAnonFixture(): (String, String, String) = {

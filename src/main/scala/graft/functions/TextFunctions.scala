@@ -25,16 +25,15 @@ object TextFunctions {
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
 
   /** Word n-gram shingles as an array column; rows with fewer than `n`
-    * tokens yield an empty array. 1-based `slice` over `sequence` — note
-    * `sequence(1, k)` DESCENDS when k < 1, hence the `greatest` guard.
+    * tokens yield an empty array. Runs as the native [[WordShingles]]
+    * kernel (one byte pass + one bounded copy per shingle); semantics are
+    * pinned equal to the declarative
+    * `transform(sequence(1, size(t)-(n-1)), i -> concat_ws(" ", slice(t, i, n)))`
+    * form by TextFunctionsSpec, which is what the DuckDB oracles compute.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WordShingles(org.apache.spark.sql.GraftShim.expression(text), n))
 
   /** Ratio of stopword tokens to all tokens (quality signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {

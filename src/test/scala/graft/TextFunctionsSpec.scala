@@ -47,6 +47,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("native shingles kernel equals the declarative HOF form exactly") {
+    import org.apache.spark.sql.functions._
+    // adversarial inputs: multi-space (empty tokens), leading/trailing
+    // spaces, unicode multi-byte, exactly-n tokens, single token, empty
+    val texts = Seq(
+      "the quick brown fox", "a  b c d", " leading space here",
+      "trailing space here ", "héllo wörld ünïcode text", "one two three",
+      "solo", "", "a b", "tab\tis one token here", "  ", "x " * 50)
+    val df = texts.toDF("text")
+    def declarative(n: Int) = {
+      val t = split(col("text"), " ")
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+    }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(TextFunctions.shingles(col("text"), n)).collect()
+        .map(_.getSeq[String](0))
+      val want = df.select(declarative(n)).collect().map(_.getSeq[String](0))
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
   test("minShingleFingerprint: equal docs share it; empty shingle set → null") {
     val r = Seq("a b c d e", "a b c d e", "short one").toDF("text")
       .select(TextFunctions.minShingleFingerprint(col("text"))).collect()

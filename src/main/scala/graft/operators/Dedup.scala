@@ -190,27 +190,42 @@ object Dedup {
     reps.join(nearDupJ, Seq("doc_id"), "left_anti")
   }
 
-  /** 64-bit SimHash per document: each token hash votes ±1 on every bit;
-    * the signature takes the sign of each bit's tally. One explode + one
-    * aggregation (64 sums) — no UDFs, no driver state.
+  /** Default SimHash token hash: seeded xxhash64 — the fast scale path. */
+  val XxTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    tok => xxhash64(tok)
+
+  /** Portable 60-bit token hash: the top 15 hex chars of md5, decoded
+    * base-16. ~3× the cost of xxhash64 but computable identically by any
+    * engine with md5 — chosen for the oracle-checked q24 so the whole
+    * sign-vote algorithm is verifiable cross-engine.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  val Md5TokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    tok => conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** `bits`-bit SimHash per document: each token hash votes ±1 on every
+    * bit; the signature takes the sign of each bit's tally. One explode +
+    * one aggregation (`bits` sums) — no UDFs, no driver state.
+    */
+  def simhashSignatures(docs: DataFrame, bits: Int = 64,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = XxTokenHash)
+      : DataFrame = {
+    require(bits >= 4 && bits <= 64, s"bits must be in [4, 64], got $bits")
     val tok = graft.sources.Tables.ensureParallelism(docs)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b"))
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until bits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * splitting the 64-bit signature into 4 16-bit chunks and equi-joining
-    * on (chunkIdx, chunkValue): any pair within Hamming distance 3 must
+    * splitting the signature into 4 chunks and equi-joining on
+    * (chunkIdx, chunkValue): any pair within Hamming distance 3 must
     * agree on at least one chunk (pigeonhole), so recall is exact for
     * maxHamming ≤ 3 and probabilistic above.
     *
@@ -219,11 +234,16 @@ object Dedup {
     * collapse exact duplicates first (the [[dedupCorpus]] composition)
     * before running signature-based near-dup at scale.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = XxTokenHash)
+      : DataFrame = {
+    require(bits % 4 == 0, s"bits must split into 4 equal chunks, got $bits")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val sigs = simhashSignatures(docs, bits, tokenHash)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("idx"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v")))
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("v")))
     val bucketed = sigs.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("ck"))
     bucketed.as("a").join(bucketed.as("b"),

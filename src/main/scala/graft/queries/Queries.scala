@@ -367,10 +367,16 @@ object Queries {
       (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.8),
       None),
 
-    // ── Q24: SimHash near-dups (no SQL oracle: seeded xxhash64 bits) ──────
+    // ── Q24: SimHash near-dups, oracle-checked end-to-end: the portable
+    //         md5-60-bit token hash lets DuckDB replay the sign-vote
+    //         algorithm exactly (the oracle verifies by all-pairs Hamming,
+    //         which equals the chunk-bucketed result — pigeonhole recall
+    //         is exact at maxHamming ≤ 3). xxhash64 remains the operator's
+    //         scale default. ──────────────────────────────────────────────
     QueryDef("q24_simhash",
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3),
-      None),
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+        bits = 60, tokenHash = Dedup.Md5TokenHash),
+      Some(simhashOracleSql)),
 
     // ── Q25: top-50 most-similar embedding pairs ──────────────────────────
     QueryDef("q25_cosine_pairs",
@@ -562,6 +568,37 @@ object Queries {
              |FROM events, (VALUES (0), (1)) AS o(o)
              |GROUP BY 1""".stripMargin))
   )
+
+  /** q24's oracle: the sign-vote SimHash replayed in DuckDB over the
+    * portable md5-60-bit token hash, then ALL-PAIRS Hamming ≤ 3 (exact by
+    * pigeonhole, so it equals the Spark side's chunk-bucketed join; the
+    * oracle's n² is fine at oracle scale). 60 per-bit vote sums are
+    * generated programmatically.
+    */
+  private lazy val simhashOracleSql: String = {
+    val bits = 60
+    val bitSums = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n         ")
+    val sigTerms = (0 until bits).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM h GROUP BY 1
+       |), sigs AS (
+       |  SELECT doc_id, $sigTerms AS sig FROM bits
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
 
   /** q30's oracle: langId's marker-count argmax in DuckDB. A literal
     * marker's non-overlapping occurrence count equals

@@ -104,13 +104,28 @@ object Dedup {
     jaccardFromCommon(pairs, setSizes(sh), threshold)
   }
 
-  /** MinHash signature per document: numPerms column-wise minima of seeded
-    * xxhash64 over the shingle set, in one aggregation pass over `sh`
-    * (a posting-list relation from [[postingList]]).
+  /** Default permutation hash: seeded xxhash64 — the fast scale path. */
+  val XxPermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+    (s, p) => xxhash64(s, lit(p))
+
+  /** Portable permutation hash: md5 of `"p|shingle"`, top 15 hex chars
+    * decoded base-16 (60 bits). Heavier than xxhash64 but computable
+    * identically by any engine with md5 — used by the oracle-checked q23
+    * so the whole MinHash+LSH pipeline is verifiable cross-engine.
     */
-  def minhashSignaturesFrom(sh: DataFrame, numPerms: Int = 16): DataFrame = {
+  val Md5PermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+    (s, p) => conv(substring(
+      md5(concat(lit(s"$p|"), s).cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature per document: numPerms column-wise minima of the
+    * seeded permutation hash over the shingle set, in one aggregation pass
+    * over `sh` (a posting-list relation from [[postingList]]).
+    */
+  def minhashSignaturesFrom(sh: DataFrame, numPerms: Int = 16,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+      : DataFrame = {
     val mins = (0 until numPerms).map(p =>
-      min(xxhash64(col("s"), lit(p))).as(s"mh$p"))
+      min(permHash(col("s"), p)).as(s"mh$p"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -152,9 +167,12 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                       numPerms: Int = 16, bands: Int = 4,
-                      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                      maxDf: Int = DefaultMaxShingleDf,
+                      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+                      : DataFrame = {
     val sh = postingList(docs, n, maxDf)
-    val cands = minhashCandidates(minhashSignaturesFrom(sh, numPerms), numPerms, bands)
+    val cands = minhashCandidates(
+      minhashSignaturesFrom(sh, numPerms, permHash), numPerms, bands)
     val common = cands
       .join(sh.select(col("doc_id").as("i"), col("s")), "i")
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))

@@ -361,11 +361,15 @@ object Queries {
              |FROM pairs JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.8""".stripMargin)),
 
-    // ── Q23: MinHash+LSH near-dups (no SQL oracle: seeded xxhash64 LSH;
-    //         verified in ScalaTest against q22's exact pairs) ─────────────
+    // ── Q23: MinHash+LSH near-dups, oracle-checked end-to-end: with the
+    //         portable md5 permutation hash, DuckDB replays signatures →
+    //         banded candidates → exact-Jaccard verify identically.
+    //         xxhash64 remains the operator's scale default; the ScalaTest
+    //         subset-of-exact + recall checks still cover that path. ──────
     QueryDef("q23_minhash_lsh",
-      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.8),
-      None),
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.8,
+        permHash = Dedup.Md5PermHash),
+      Some(minhashOracleSql)),
 
     // ── Q24: SimHash near-dups, oracle-checked end-to-end: the portable
     //         md5-60-bit token hash lets DuckDB replay the sign-vote
@@ -387,13 +391,16 @@ object Queries {
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
              |ORDER BY cos DESC, i, j LIMIT 50""".stripMargin)),
 
-    // ── Q26: banded LSH ANN (no SQL oracle: LCG-seeded hyperplanes;
-    //         recall ≥ 0.9 vs q19 asserted in ScalaTest) ──────────────────
+    // ── Q26: banded LSH ANN, oracle-checked end-to-end: the hyperplanes
+    //         are a deterministic function of (planes, dim, seed), so the
+    //         oracle embeds their literal values and replays signatures →
+    //         band match → exact cosine rank in DuckDB. Recall ≥ 0.9 vs
+    //         q19 additionally asserted in ScalaTest. ─────────────────────
     QueryDef("q26_ann_lsh",
       (s, dir) => Similarity.lshNeighbors(t(s, dir, "embeddings"),
         queryVector(s, dir), 20, planesPerBand = 2, bands = 8,
         excludeId = Some(0L)),
-      None),
+      Some(annOracleSql)),
 
     // ── Q27: text quality signals ─────────────────────────────────────────
     QueryDef("q27_text_quality",
@@ -568,6 +575,101 @@ object Queries {
              |FROM events, (VALUES (0), (1)) AS o(o)
              |GROUP BY 1""".stripMargin))
   )
+
+  /** q23's oracle: the full MinHash+LSH pipeline replayed in DuckDB over
+    * the portable md5 permutation hash — df-capped posting list (as q22),
+    * 16 per-permutation minima, 4 banded signatures self-joined for
+    * candidates, exact-Jaccard verification at the threshold. Generated:
+    * 16 hash minima and 4 band arms inline.
+    */
+  private lazy val minhashOracleSql: String = {
+    val numPerms = 16
+    val bands = 4
+    val rows = numPerms / bands
+    def h(p: Int) =
+      s"CAST(('0x' || substring(md5('$p|' || s), 1, 15)) AS BIGINT)"
+    val minCols = (0 until numPerms).map(p => s"MIN(${h(p)}) AS mh$p")
+      .mkString(",\n         ")
+    val bandArms = (0 until bands).map { b =>
+      val rs = (0 until rows).map(r => s"mh${b * rows + r} AS r$r").mkString(", ")
+      s"  SELECT doc_id, $b AS band, $rs FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh0 AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+       |  WHERE len(t) >= 3
+       |), keep AS (
+       |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+       |), sh AS (
+       |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM sh GROUP BY 1
+       |), banded AS (
+       |$bandArms
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+       |   AND a.r2 = b.r2 AND a.r3 = b.r3 AND a.doc_id < b.doc_id
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+       |), common AS (
+       |  SELECT c.i, c.j, COUNT(*) AS common
+       |  FROM cands c
+       |  JOIN sh x ON x.doc_id = c.i
+       |  JOIN sh y ON y.doc_id = c.j AND y.s = x.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j,
+       |       CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) AS jac
+       |FROM common JOIN sz sx ON i = sx.doc_id JOIN sz sy ON j = sy.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) >= 0.8""".stripMargin
+  }
+
+  /** q26's oracle: banded sign-projection LSH replayed in DuckDB. The 16
+    * hyperplanes (8 bands × 2) come from the same deterministic LCG the
+    * operator uses, embedded as literal DOUBLE[] rows (Double.toString
+    * round-trips exactly, so both engines hold identical planes); the
+    * query's signature and every vector's signature are summed from
+    * list_inner_product signs, candidates match on any 2-bit band, exact
+    * cosine ranks the candidates. Embeddings are 64-dim (testdata schema).
+    */
+  private lazy val annOracleSql: String = {
+    val bands = 8
+    val planesPerBand = 2
+    val planes = Similarity.hyperplanes(bands * planesPerBand, 64)
+    val planeRows = planes.zipWithIndex.map { case (p, b) =>
+      s"($b, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    val mask = (1 << planesPerBand) - 1
+    val bandMatch = (0 until bands).map(b =>
+      s"((v.sig >> ${planesPerBand * b}) & $mask) = ((qs.sig >> ${planesPerBand * b}) & $mask)")
+      .mkString("\n   OR ")
+    s"""WITH planes(b, p) AS (VALUES
+       |    $planeRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qs AS (
+       |  SELECT SUM(CASE WHEN list_inner_product(pl.p, q.qv) >= 0
+       |                  THEN (1::BIGINT << pl.b) ELSE 0 END) AS sig
+       |  FROM planes pl, q
+       |),
+       |vs AS (
+       |  SELECT e.vec_id, e.v,
+       |         SUM(CASE WHEN list_inner_product(pl.p, e.v) >= 0
+       |                  THEN (1::BIGINT << pl.b) ELSE 0 END) AS sig
+       |  FROM e CROSS JOIN planes pl WHERE e.vec_id <> 0
+       |  GROUP BY e.vec_id, e.v
+       |)
+       |SELECT v.vec_id, ROUND(list_cosine_similarity(v.v, q.qv), 6) AS cos
+       |FROM vs v, q, qs
+       |WHERE $bandMatch
+       |ORDER BY cos DESC, v.vec_id LIMIT 20""".stripMargin
+  }
 
   /** q24's oracle: the sign-vote SimHash replayed in DuckDB over the
     * portable md5-60-bit token hash, then ALL-PAIRS Hamming ≤ 3 (exact by

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbors — the
+  * centroid-bucketed alternative to the sign-LSH path in [[Similarity]]:
+  * partition the vector space with k-means, store each vector under its
+  * nearest centroid ("inverted list"), and answer a query by scanning only
+  * the `nProbe` lists whose centroids are closest to it.
+  *
+  * The index is trained with plain DataFrame Lloyd's iterations — no ML
+  * library coupling, fully deterministic (seeded hash-ordered init, fixed
+  * iteration count, elementwise-mean updates):
+  *
+  *  - assignment is a pure expression: argmin over k literal centroids of
+  *    ‖v‖² − 2·v·c + ‖c‖², with the native dot kernel — runs in the scan;
+  *  - the update collects only (cluster, dim, mean) — k×dim rows, never
+  *    vectors — so driver traffic is centroid-sized at any data scale.
+  *
+  * Scale: training touches the data `iters` times (each pass one shuffle
+  * of k×dim partial means); at 100 TB you train on a sample (the API takes
+  * any DataFrame — pass `emb.sample(...)`) and assign the full set once.
+  * Like all ANN here, recall comes from the data having cluster structure;
+  * uniform-random vectors are the adversarial case (see
+  * [[Similarity.lshNeighbors]]).
+  */
+object IVF {
+
+  /** A trained index: row-major centroids. */
+  case class Index(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def dist2ToCentroid(v: Column, c: Array[Double]): Column = {
+    val c2 = c.map(x => x * x).sum
+    GraftFunctions.dot_product(v, v) -
+      lit(2.0) * GraftFunctions.dot_product(v, lit(c)) + lit(c2)
+  }
+
+  /** Nearest-centroid id of a vector column as a pure expression:
+    * array_min over (dist², cid) structs — ties break on the lower cid,
+    * deterministically.
+    */
+  def assignExpr(v: Column, index: Index): Column =
+    array_min(array(index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2ToCentroid(v, c).as("d"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Train a k-centroid index with `iters` Lloyd's iterations.
+    * Initialization: the k vectors with the smallest seeded-hash of their
+    * id — a deterministic pseudo-random sample.
+    */
+  def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42): Index = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var centroids = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"need at least $k vectors to train, got ${centroids.length}")
+    for (_ <- 1 to iters) {
+      val idx = Index(centroids)
+      val means = v.select(assignExpr(col("v"), idx).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val updated = centroids.map(_.clone())
+      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = updated // empty clusters keep their previous centroid
+    }
+    Index(centroids)
+  }
+
+  /** Approximate top-k: scan only the `nProbe` inverted lists nearest the
+    * query, exact cosine rank within them. One scan, one filter on the
+    * assignment expression, TakeOrderedAndProject — no shuffle of the data.
+    */
+  def neighbors(emb: DataFrame, index: Index, query: Array[Double], k: Int,
+                nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probes = index.centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d2, i)
+    }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2)
+    val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
+    val normQ = math.sqrt(query.map(x => x * x).sum)
+    base.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(assignExpr(col("v"), index).isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"),
+        round(GraftFunctions.dot_product(col("v"), lit(query)) /
+          (GraftFunctions.l2_norm(col("v")) * lit(normQ)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

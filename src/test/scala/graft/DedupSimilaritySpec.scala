@@ -130,6 +130,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${(ann & exact).size}/${exact.size})")
   }
 
+  test("IVF: deterministic training, consistent cosines, bounded recall") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = graft.operators.IVF.train(emb, k = 16)
+    val idx2 = graft.operators.IVF.train(emb, k = 16)
+    assert(idx.centroids.flatten.toSeq === idx2.centroids.flatten.toSeq,
+      "training must be deterministic")
+    val ann = graft.operators.IVF.neighbors(emb, idx, q, 20, nProbe = 8,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // cosines must agree with the brute-force path for every returned id
+    val brute = Similarity.topK(emb, q, 500, excludeId = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (id, c) => assert(math.abs(brute(id) - c) < 1e-9) }
+    // recall floor at nProbe = k/2; uniform-random embeddings are ANN's
+    // adversarial case (see scaladoc) — clustered data does far better
+    val exact = Similarity.topK(emb, q, 20, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (ann.map(_._1).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("hyperplanes are deterministic across invocations (executor-safe)") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)

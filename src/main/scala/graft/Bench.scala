@@ -42,13 +42,19 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val t = (System.nanoTime() - t0) / 1e9
           timings(name) = timings.get(name).fold(t)(math.min(_, t))
+          // a query is "errored" only if it NEVER succeeded: a transient
+          // failure on one pass must not leave a contradictory report
+          errors.remove(name)
         } catch {
-          case e: Throwable =>
+          case e: Throwable if !timings.contains(name) =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          case e: Throwable =>
+            System.err.println(s"[bench] $name transient failure after success: ${e.getMessage}")
         }
       }
       // drop persisted intermediates (dedup posting lists) so every pass
       // pays the full build cost — the min stays a real end-to-end number
+      CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
     }
     def esc(s: String): String =

@@ -42,7 +42,12 @@ case class Blake2bExpr(child: Expression, digestSize: Int)
   */
 object VectorOps {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // strict: silently truncating to min(length) would return plausible
+    // but wrong similarities for a mis-dimensioned query vector
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"array_dot dimension mismatch: $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

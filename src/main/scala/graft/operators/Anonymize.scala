@@ -61,11 +61,16 @@ object Anonymize {
     if (index.isEmpty) return df
     val sorted = index.keys.toSeq.sorted
     val c = col(column)
-    // exact-match CASE first (the common path), then word-boundary replace
+    // exact-match CASE first (the common path), then word-boundary replace.
+    // The replace fold runs LONGEST label first: with labels ["Acme",
+    // "Acme Corp"], ascending order would rewrite the "Acme" inside
+    // "Acme Corp" and leave a half-anonymized "ANON… Corp" residue the
+    // longer pattern can never match.
+    val byLengthDesc = sorted.sortBy(l => (-l.length, l))
     val exact = sorted.foldLeft(when(c.isNull, lit(null.asInstanceOf[String]))) {
       (acc, l) => acc.when(c === lit(l), lit(index(l)))
     }
-    val replaced = sorted.foldLeft(c) { (acc, l) =>
+    val replaced = byLengthDesc.foldLeft(c) { (acc, l) =>
       regexp_replace(acc, s"(?i)\\b${java.util.regex.Pattern.quote(l)}\\b", index(l))
     }
     df.withColumn(column, exact.otherwise(replaced))
@@ -248,7 +253,8 @@ object Anonymize {
     // recompute the whole upstream plan (the scan + scaling) from scratch.
     val eagerPasses = presentAnon.size + presentUid.size
     val scaled0 = scaleValues(df, valueCols, scaleFactor)
-    val scaled = if (eagerPasses > 1) scaled0.cache() else scaled0
+    val scaled =
+      if (eagerPasses > 1) graft.CacheRegistry.persist(scaled0) else scaled0
     val labeled = presentAnon.foldLeft(scaled)((d, c) => anonymizeColumnLabels(d, c))
     val pseudonymized = presentUid
       .foldLeft(labeled)((d, c) => uidAnonymization(spark, d, c, keyDir))

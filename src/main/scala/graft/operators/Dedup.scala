@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
 
 /** Document deduplication for the LLM-data-pipeline surface: exact
@@ -57,18 +56,21 @@ object Dedup {
     * MinHash adds signatures and verify) — without the persist each
     * consumer re-runs the tokenize/explode/distinct shuffle from the scan.
     * MEMORY_AND_DISK: at 100 TB the posting list spills rather than OOMs.
+    * Persisted frames are tracked in [[graft.CacheRegistry]]; call
+    * `CacheRegistry.releaseAll()` when a batch is done with its dedup
+    * results so long sessions don't accumulate an entry per invocation.
     */
   def postingList(docs: DataFrame, n: Int = 3,
                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    if (maxDf <= 0) return docShingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if (maxDf <= 0) return graft.CacheRegistry.persist(docShingles(docs, n))
     // Persist the raw list too: the df-count aggregation and the keep-join
     // below both consume it, and without the persist the cap would run the
     // tokenize/explode/distinct pipeline twice before capping even starts.
-    val sh = docShingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.CacheRegistry.persist(docShingles(docs, n))
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
-    sh.join(keep, "s").select(col("doc_id"), col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheRegistry.persist(
+      sh.join(keep, "s").select(col("doc_id"), col("s")))
   }
 
   /** (doc_id, capped shingle-set size) — computed off the persisted list. */
@@ -200,9 +202,11 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                   numPerms: Int = 16, bands: Int = 4,
                   maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val reps = docs.groupBy(col("text"))
+    // persisted: consumed by the near-dup posting list AND the final
+    // anti-join — without it the exact-collapse groupBy runs twice
+    val reps = graft.CacheRegistry.persist(docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
-      .select(col("doc_id"), col("text"), col("dup_count"))
+      .select(col("doc_id"), col("text"), col("dup_count")))
     val nearDupJ = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
       .select(col("j").as("doc_id")).distinct()
     reps.join(nearDupJ, Seq("doc_id"), "left_anti")

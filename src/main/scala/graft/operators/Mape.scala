@@ -137,7 +137,12 @@ object Mape {
     val order = others.take(insertAt) ++ mapeCols ++ others.drop(insertAt)
     val ordered = zeroFiltered.select(order.map(col): _*)
 
-    if (zone) pivotZones(ordered, families) else ordered
+    // The zonal pivot needs the distinct zone set BEFORE the pivot plan can
+    // be built (an eager action); persist the daily frame so that action
+    // and the pivot itself share one materialization instead of running
+    // the whole hourly→daily→mape pipeline twice.
+    if (zone) pivotZones(graft.CacheRegistry.persist(ordered), families)
+    else ordered
   }
 
   /** O3: long→wide zonal pivot with pandas-style `{metric}_{zone}` flattened

@@ -100,10 +100,11 @@ object Multimodal {
     * kept as-is by binary substring semantics).
     */
   def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =
-    transform(
-      sequence(lit(0),
-        greatest(ceil(length(payload).cast("double") / stride).cast("int") - 1, lit(0))),
-      k => substring(payload, k * stride + 1, lit(frameSize)))
+    when(length(payload) === 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          ceil(length(payload).cast("double") / stride).cast("int") - 1),
+        k => substring(payload, k * stride + 1, lit(frameSize))))
 
   /** Decode + project typed metadata for a (id, payload) frame — the shape
     * a multimodal ingest pipeline hangs off a scan.

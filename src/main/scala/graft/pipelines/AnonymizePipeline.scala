@@ -72,13 +72,13 @@ object AnonymizePipeline {
             timezone, clock)
           val outFile = s"$outputDir/${renameOutput(new Path(path).getName, client, clientDemo)}"
           writeSingleFile(spark, anonymized, outFile)
-          // cdmAnonymization caches its scaled scan for the multi-pass
-          // label/uid work; release it before the next file so a long
-          // directory walk doesn't accumulate a cache entry per file (the
-          // reference frees per-file memory explicitly too,
-          // anonymize_datasets.py:183-184). Batch entry point: the session
-          // is ours for the duration, a full cache clear is in-contract.
-          spark.catalog.clearCache()
+          // cdmAnonymization persists its scaled scan for the multi-pass
+          // label/uid work; release library-held caches before the next
+          // file so a long directory walk doesn't accumulate an entry per
+          // file (the reference frees per-file memory explicitly too,
+          // anonymize_datasets.py:183-184). Registry-scoped: the user's
+          // own cached frames are untouched.
+          graft.CacheRegistry.releaseAll()
           outFile
         }
     }

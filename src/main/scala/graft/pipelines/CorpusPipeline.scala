@@ -36,7 +36,10 @@ object CorpusPipeline {
     * `predicted_lang`).
     */
   def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
-    val quality = docs
+    // persisted: consumed by the dedup pass AND re-joined for the feature
+    // columns — without it the 25-regex langId and quality projections
+    // (the most expensive per-row work here) would run once per consumer
+    val quality = graft.CacheRegistry.persist(docs
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("mean_tok_len", TextFunctions.meanTokenLength(col("text")))
       .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
@@ -44,7 +47,7 @@ object CorpusPipeline {
         col("mean_tok_len") <= config.maxMeanTokenLength &&
         col("stop_ratio") >= config.minStopwordRatio)
       .withColumn("predicted_lang", TextFunctions.langId(col("text")))
-      .filter(col("predicted_lang").isin(config.languages: _*))
+      .filter(col("predicted_lang").isin(config.languages: _*)))
     val deduped = Dedup.dedupCorpus(
       quality.select(col("doc_id"), col("text")), config.dedupThreshold)
     deduped

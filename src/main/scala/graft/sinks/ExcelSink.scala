@@ -29,13 +29,22 @@ object ExcelSink {
   def write(path: String, sheets: Seq[(String, DataFrame)],
             maxRows: Int = DefaultMaxRows): Unit = {
     require(sheets.nonEmpty, "xlsx workbook needs at least one sheet")
+    // dedupe cleaned names: sanitation/truncation can collide two distinct
+    // inputs, and duplicate sheet names make the workbook invalid OOXML
+    val seen = scala.collection.mutable.Set[String]()
     val collected = sheets.zipWithIndex.map { case ((rawName, df), i) =>
       val rows = df.limit(maxRows + 1).collect()
       if (rows.length > maxRows)
         throw new IllegalArgumentException(
           s"sheet '$rawName' exceeds maxRows=$maxRows; Excel is a small-result " +
             "driver-side sink — write fact-scale data to parquet instead")
-      (sheetName(rawName, i), df.columns.toSeq, rows.toSeq)
+      var name = sheetName(rawName, i)
+      if (seen.contains(name)) {
+        val suffix = s"_${i + 1}"
+        name = name.take(31 - suffix.length) + suffix
+      }
+      seen += name
+      (name, df.columns.toSeq, rows.toSeq)
     }
     val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {

@@ -42,19 +42,27 @@ object StreamingEvents {
 
   /** Continuous uid pseudonymization: every micro-batch runs the batch
     * key-table upsert (J2/S6 — broadcast join + anti-join + blake2b +
-    * crash-safe swap) via `foreachBatch`, then appends the pseudonymized
-    * rows as snappy parquet. Pseudonyms stay stable across batches AND
-    * across stream restarts because the key table is the same persistent
-    * one the batch pipeline maintains.
+    * crash-safe swap) via `foreachBatch`, writing the pseudonymized rows
+    * as snappy parquet. Pseudonyms stay stable across batches AND across
+    * stream restarts because the key table is the same persistent one the
+    * batch pipeline maintains.
+    *
+    * foreachBatch is AT-LEAST-ONCE: after a crash between the write and
+    * the checkpoint commit, the same epoch replays. The write is therefore
+    * keyed by batchId — each epoch OVERWRITES its own `batch_id=N`
+    * partition, so a replay is idempotent instead of duplicating rows.
+    * (The key-table upsert is naturally idempotent: replayed uids anti-join
+    * to nothing.) Readers see `batch_id` as an ordinary partition column.
     */
   def pseudonymizeStream(stream: DataFrame, column: String, keyDir: String,
                          outDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Anonymize.uidAnonymization(batch.sparkSession, batch, column, keyDir)
-          .write.mode("append").option("compression", "snappy").parquet(outDir)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
 }

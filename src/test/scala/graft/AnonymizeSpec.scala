@@ -36,6 +36,16 @@ class AnonymizeSpec extends SparkSpec {
       None))
   }
 
+  test("anonymizeLabels replaces longest label first (prefix-label safety)") {
+    val df = Seq("see Acme Corp filings", "Acme alone", "Acme Corp").toDF("c")
+    val out = Anonymize.anonymizeLabels(df, "c", Seq("Acme", "Acme Corp"))
+      .as[String].collect().toSet
+    // sorted enumeration: "Acme" -> 1, "Acme Corp" -> 2; the longer label
+    // must win inside composite strings
+    assert(out === Set("see ANON_CLIENT 2 filings", "ANON_CLIENT 1 alone",
+      "ANON_CLIENT 2"))
+  }
+
   test("anonymizeColumnLabels switches to the distributed join path above the cap") {
     val many = (0 until Anonymize.MaxExpressionLabels + 10)
       .map(i => f"label$i%04d").toDF("src")

@@ -77,4 +77,12 @@ class MultimodalSpec extends SparkSpec {
       .head().getSeq[Array[Byte]](0).map(b => new String(b))
     assert(frames === Seq("abcd", "defg", "ghij", "j"))
   }
+
+  test("sampleFrames yields zero frames for an empty payload") {
+    val df = Seq(Tuple1("")).toDF("s")
+      .select(col("s").cast("binary").as("payload"))
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), 4, 3).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    assert(frames.isEmpty, "no phantom zero-byte frame for empty media")
+  }
 }

@@ -71,6 +71,24 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("ExcelSink dedupes colliding cleaned sheet names") {
+    val df = spark.range(1).toDF("n")
+    val f = s"${tmpDir("graft-xlsx-dup")}/dup.xlsx"
+    ExcelSink.write(f, Seq("metrics/daily" -> df, "metrics\\daily" -> df))
+    val wb = zipEntries(f)("xl/workbook.xml")
+    assert(wb.contains("""name="metrics_daily""""))
+    assert(wb.contains("""name="metrics_daily_2""""), wb)
+  }
+
+  test("CacheRegistry releases everything the pipelines persisted") {
+    val corpus = Seq((1L, "a b c d e f g h i j k l"), (2L, "m n o p q r s t u v w x"))
+      .toDF("doc_id", "text")
+    graft.pipelines.CorpusPipeline.curate(corpus).collect()
+    assert(graft.CacheRegistry.trackedCount > 0, "curate must register its caches")
+    graft.CacheRegistry.releaseAll()
+    assert(graft.CacheRegistry.trackedCount === 0)
+  }
+
   test("ExcelSink column refs extend past Z") {
     assert(ExcelSink.colRef(0) === "A" && ExcelSink.colRef(25) === "Z")
     assert(ExcelSink.colRef(26) === "AA" && ExcelSink.colRef(701) === "ZZ")

@@ -24,11 +24,23 @@ object CacheRegistry {
   }
 
   /** Unpersist everything the library has persisted since the last release.
-    * Non-blocking; safe to call between pipeline stages or per batch.
+    * Drains atomically (snapshot + clear under the list's lock), so a
+    * concurrent `persist` is either released now or stays tracked — never
+    * silently dropped from tracking while still cached.
+    *
+    * Scope note: the registry is JVM-global. Batch entry points call this
+    * after consuming their own results; if two pipelines share one session
+    * concurrently, a release by one unpersists the other's intermediates —
+    * correctness is unaffected (frames recompute), only the reuse is lost.
+    * Scope releases to quiesced points in that scenario.
     */
   def releaseAll(): Unit = {
-    frames.forEach(df => { df.unpersist(false); () })
-    frames.clear()
+    val snapshot = frames.synchronized {
+      val copy = new java.util.ArrayList[DataFrame](frames)
+      frames.clear()
+      copy
+    }
+    snapshot.forEach(df => { df.unpersist(false); () })
   }
 
   /** Number of tracked persisted frames (observability / tests). */

@@ -101,7 +101,15 @@ object GraftFunctions {
     dot_product(vec, lit(query)) / (l2_norm(vec) * lit(normQ))
   }
 
-  /** Dot product of two array columns (double arithmetic, native kernel). */
+  /** Dot product of two array columns (double arithmetic, native kernel).
+    *
+    * STRICT on dimensions: a length mismatch throws (task → job failure)
+    * rather than silently truncating to plausible-but-wrong values. For
+    * data that may contain ragged embeddings, guard the scan first —
+    * `df.filter(size(col("embedding")) === dim)` — and quarantine the
+    * remainder; a corrupt vector reaching a similarity kernel is a data
+    * bug worth failing loudly on.
+    */
   def dot_product(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")

@@ -48,12 +48,18 @@ object Anonymize {
   }
 
   /** U2: anonymize one label column. Exact matches map to their enumerated
-    * token; otherwise a case-insensitive word-boundary regex replaces
-    * embedded occurrences (anonymize_datasets.py:100-108 — implementing the
+    * token; otherwise embedded occurrences are replaced case-insensitively
+    * at word boundaries (anonymize_datasets.py:100-108 — implementing the
     * evident intent: each label's own pattern is tested/replaced; the
     * reference's `list_items[0]`-only quirk at :107-108 is documented
-    * divergence, SURVEY.md §7.4). Nulls pass through. Pure Column expression
-    * chain — stays in whole-stage codegen.
+    * divergence, SURVEY.md §7.4). Nulls pass through.
+    *
+    * Embedded replacement runs as ONE pass over the cell
+    * ([[graft.functions.MultiWordReplace]]): chained `regexp_replace`s are
+    * unsound in any order — a prefix label can eat a longer label's front,
+    * and a short label (e.g. a numeric code "2") can match inside an
+    * earlier replacement's own token. Single-pass never rescans
+    * replacements, so neither corruption can occur.
     */
   def anonymizeLabels(df: DataFrame, column: String, labels: Seq[String],
                       name: String = "ANON_CLIENT"): DataFrame = {
@@ -61,18 +67,13 @@ object Anonymize {
     if (index.isEmpty) return df
     val sorted = index.keys.toSeq.sorted
     val c = col(column)
-    // exact-match CASE first (the common path), then word-boundary replace.
-    // The replace fold runs LONGEST label first: with labels ["Acme",
-    // "Acme Corp"], ascending order would rewrite the "Acme" inside
-    // "Acme Corp" and leave a half-anonymized "ANON… Corp" residue the
-    // longer pattern can never match.
-    val byLengthDesc = sorted.sortBy(l => (-l.length, l))
     val exact = sorted.foldLeft(when(c.isNull, lit(null.asInstanceOf[String]))) {
       (acc, l) => acc.when(c === lit(l), lit(index(l)))
     }
-    val replaced = byLengthDesc.foldLeft(c) { (acc, l) =>
-      regexp_replace(acc, s"(?i)\\b${java.util.regex.Pattern.quote(l)}\\b", index(l))
-    }
+    val replaced = org.apache.spark.sql.GraftShim.column(
+      graft.functions.MultiWordReplace(
+        org.apache.spark.sql.GraftShim.expression(c),
+        sorted, sorted.map(index)))
     df.withColumn(column, exact.otherwise(replaced))
   }
 

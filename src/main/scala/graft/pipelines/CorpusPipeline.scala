@@ -34,6 +34,10 @@ object CorpusPipeline {
   /** Curate `docs(doc_id, text, ...)` → kept rows with feature columns
     * (`n_tokens`, `subword_tokens`, `fingerprint`, `dup_count`,
     * `predicted_lang`).
+    *
+    * The returned frame is lazy and reuses intermediates persisted via
+    * [[graft.CacheRegistry]]; after consuming the result (write/collect),
+    * call `CacheRegistry.releaseAll()` to free them.
     */
   def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
     // persisted: consumed by the dedup pass AND re-joined for the feature

@@ -56,6 +56,11 @@ object MapePipeline {
     new java.io.File(outputDir).mkdirs()
     val path = s"$outputDir/${client}_performance.xlsx"
     ExcelSink.write(path, sheets)
+    // everything is consumed (collected into the workbook) — release the
+    // cached scan + the zonal pivot's persisted daily frame so per-client
+    // runs don't accumulate cache entries across a long session
+    r.raw.unpersist(false)
+    graft.CacheRegistry.releaseAll()
     path
   }
 }

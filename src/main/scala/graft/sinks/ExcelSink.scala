@@ -30,7 +30,10 @@ object ExcelSink {
             maxRows: Int = DefaultMaxRows): Unit = {
     require(sheets.nonEmpty, "xlsx workbook needs at least one sheet")
     // dedupe cleaned names: sanitation/truncation can collide two distinct
-    // inputs, and duplicate sheet names make the workbook invalid OOXML
+    // inputs, and duplicate sheet names make the workbook invalid OOXML.
+    // Excel compares sheet names case-insensitively, so the seen-set does
+    // too; the suffix retries until genuinely unused (a single suffix can
+    // itself collide with an earlier literal name).
     val seen = scala.collection.mutable.Set[String]()
     val collected = sheets.zipWithIndex.map { case ((rawName, df), i) =>
       val rows = df.limit(maxRows + 1).collect()
@@ -39,11 +42,13 @@ object ExcelSink {
           s"sheet '$rawName' exceeds maxRows=$maxRows; Excel is a small-result " +
             "driver-side sink — write fact-scale data to parquet instead")
       var name = sheetName(rawName, i)
-      if (seen.contains(name)) {
-        val suffix = s"_${i + 1}"
-        name = name.take(31 - suffix.length) + suffix
+      var attempt = i + 1
+      while (seen.contains(name.toLowerCase)) {
+        val suffix = s"_$attempt"
+        name = sheetName(rawName, i).take(31 - suffix.length) + suffix
+        attempt += 1
       }
-      seen += name
+      seen += name.toLowerCase
       (name, df.columns.toSeq, rows.toSeq)
     }
     val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))

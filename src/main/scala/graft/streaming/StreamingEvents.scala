@@ -53,6 +53,11 @@ object StreamingEvents {
     * partition, so a replay is idempotent instead of duplicating rows.
     * (The key-table upsert is naturally idempotent: replayed uids anti-join
     * to nothing.) Readers see `batch_id` as an ordinary partition column.
+    *
+    * Layout contract: `outDir` must be dedicated to this sink (start it
+    * empty). Parquet files at the directory root alongside the
+    * `batch_id=N` partitions would make reads fail with conflicting
+    * directory structures.
     */
   def pseudonymizeStream(stream: DataFrame, column: String, keyDir: String,
                          outDir: String, checkpointDir: String): StreamingQuery =

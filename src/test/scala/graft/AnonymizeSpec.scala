@@ -36,14 +36,20 @@ class AnonymizeSpec extends SparkSpec {
       None))
   }
 
-  test("anonymizeLabels replaces longest label first (prefix-label safety)") {
-    val df = Seq("see Acme Corp filings", "Acme alone", "Acme Corp").toDF("c")
-    val out = Anonymize.anonymizeLabels(df, "c", Seq("Acme", "Acme Corp"))
+  test("anonymizeLabels single-pass: prefix labels and token re-injection safe") {
+    // sorted enumeration: "2" -> 1, "Acme" -> 2, "Acme Corp" -> 3
+    val df = Seq("see Acme Corp filings", "Acme alone", "Acme Corp",
+      "2 units shipped").toDF("c")
+    val out = Anonymize.anonymizeLabels(df, "c", Seq("Acme", "Acme Corp", "2"))
       .as[String].collect().toSet
-    // sorted enumeration: "Acme" -> 1, "Acme Corp" -> 2; the longer label
-    // must win inside composite strings
-    assert(out === Set("see ANON_CLIENT 2 filings", "ANON_CLIENT 1 alone",
-      "ANON_CLIENT 2"))
+    assert(out === Set(
+      // longest label wins inside composite strings (no "ANON… Corp" residue)
+      "see ANON_CLIENT 3 filings",
+      "ANON_CLIENT 2 alone",
+      "ANON_CLIENT 3",
+      // and the numeric label "2" must NOT rewrite the 2 inside another
+      // replacement's token (single pass never rescans replacements)
+      "ANON_CLIENT 1 units shipped"))
   }
 
   test("anonymizeColumnLabels switches to the distributed join path above the cap") {

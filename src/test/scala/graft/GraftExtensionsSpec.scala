@@ -23,4 +23,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT array_dot(CAST(array(1.5, 2.5) AS ARRAY<FLOAT>), array(2.0D, 4.0D))").head()
     assert(r.getDouble(0) === 13.0)
   }
+
+  test("array_dot fails loudly on dimension mismatch (no silent truncation)") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D))")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(causes(e).exists(_.contains("dimension mismatch")), e.toString)
+  }
 }

@@ -80,6 +80,20 @@ class PipelineSpec extends SparkSpec {
     assert(wb.contains("""name="metrics_daily_2""""), wb)
   }
 
+  test("ExcelSink sheet dedup survives suffix collisions and ignores case") {
+    val df = spark.range(1).toDF("n")
+    val f = s"${tmpDir("graft-xlsx-dup2")}/dup2.xlsx"
+    // "a_3" taken literally; second "a" dedupes; its suffixed "a_3" is
+    // ALSO taken, so it must retry; "Daily"/"daily" collide case-insensitively
+    ExcelSink.write(f, Seq("a_3" -> df, "a" -> df, "a" -> df,
+      "Daily" -> df, "daily" -> df))
+    val wb = zipEntries(f)("xl/workbook.xml")
+    val names = """name="([^"]+)"""".r.findAllMatchIn(wb).map(_.group(1)).toSeq
+    assert(names.map(_.toLowerCase).distinct.size === names.size,
+      s"sheet names must be unique case-insensitively: $names")
+    assert(names.toSet === Set("a_3", "a", "a_4", "Daily", "daily_5"), names)
+  }
+
   test("CacheRegistry releases everything the pipelines persisted") {
     val corpus = Seq((1L, "a b c d e f g h i j k l"), (2L, "m n o p q r s t u v w x"))
       .toDF("doc_id", "text")

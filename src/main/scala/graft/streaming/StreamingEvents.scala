@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.Anonymize
+import graft.operators.{Anonymize, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
   * counterpart; the reference's only cross-run state, the uid→pseudonym
@@ -28,6 +28,50 @@ object StreamingEvents {
       .groupBy(window(col("ts"), "1 hour"))
       .agg((sum(round(col("value") * 100)) / 100.0).as("sum_value"))
       .select(col("window").getField("start").as("window_start"), col("sum_value"))
+
+  /** The reference's MAPE pipeline (E1) made continuous — the partial-sums
+    * store that keeps the full batch semantics available at any moment:
+    *
+    * Each micro-batch pre-aggregates its raw rows to (proxy_date, hour
+    * [, zone]) PARTIAL sums and overwrites its own `batch_id=N` partition
+    * (idempotent under foreachBatch replay — sum-merging in place would
+    * double-count a replayed epoch). Because sums are associative,
+    * re-aggregating the partials reproduces the batch hourly aggregation
+    * exactly, so [[mapeFromPartials]] can run the UNCHANGED batch
+    * operators — same WAPE ordering contract, same filters, same pivot —
+    * over data that arrived as a stream. State never lives in the stream:
+    * the store IS the state, replayable and inspectable.
+    */
+  def mapePartialsSink(stream: DataFrame, storeDir: String,
+                       checkpointDir: String, zone: Boolean = false,
+                       families: Seq[MetricFamily] = Mape.defaultFamilies)
+      : StreamingQuery = {
+    val keys = if (zone) Seq("proxy_date", "hour", "zone") else Seq("proxy_date", "hour")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val present = families.flatMap(_.base).filter(batch.columns.contains)
+        batch.groupBy(keys.map(col): _*)
+          .agg(present.head -> "sum", present.tail.map(_ -> "sum"): _*)
+          .toDF(keys ++ present: _*)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$storeDir/batch_id=$batchId")
+      }
+      .start()
+  }
+
+  /** Daily MAPE over everything streamed so far: read the partial store,
+    * drop the provenance column, and run the batch pipeline.
+    */
+  def mapeFromPartials(spark: SparkSession, storeDir: String,
+                       zone: Boolean = false,
+                       families: Seq[MetricFamily] = Mape.defaultFamilies)
+      : DataFrame =
+    Mape.dailyMapeAggregation(
+      Mape.hourlyAggregation(
+        spark.read.parquet(storeDir).drop("batch_id"), zone, families),
+      zone, families)
 
   /** Streaming exact dedup: drop events whose `idCols` key was already
     * seen within the watermark horizon. State is bounded BY the watermark

@@ -131,6 +131,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq("a", "b"), "each id must survive exactly once")
   }
 
+  test("continuous MAPE: partial store replay equals the batch pipeline") {
+    implicit val ctx = spark.sqlContext
+    val storeDir = s"${tmpDir("graft-mape-store")}/partials"
+    val ckpt = tmpDir("graft-mape-ckpt")
+    val rows = Seq(
+      ("2024-01-01", 0, 10.0, 9.0, 8.0),
+      ("2024-01-01", 0, 5.0, 6.0, 7.0),   // same hour, later batch
+      ("2024-01-01", 1, 30.0, 28.0, 32.0),
+      ("2024-01-02", 0, 5.0, 6.0, 4.0))
+    val stream = MemoryStream[(String, Int, Double, Double, Double)]
+    val q = graft.streaming.StreamingEvents.mapePartialsSink(
+      stream.toDF().toDF("proxy_date", "hour", "forecast", "backcast", "settlement"),
+      storeDir, ckpt)
+    try {
+      stream.addData(rows.take(2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = graft.streaming.StreamingEvents.mapeFromPartials(spark, storeDir)
+      .orderBy("proxy_date").collect().map(_.toString).toSeq
+    val batch = graft.operators.Mape.dailyMapeAggregation(
+      graft.operators.Mape.hourlyAggregation(
+        rows.toDF("proxy_date", "hour", "forecast", "backcast", "settlement")))
+      .orderBy("proxy_date").collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the store is partitioned by batch provenance (idempotent replays)
+    assert(new java.io.File(s"$storeDir").listFiles()
+      .count(_.getName.startsWith("batch_id=")) === 2)
+  }
+
   test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
     implicit val ctx = spark.sqlContext
     val keyDir = tmpDir("graft-stream-key")

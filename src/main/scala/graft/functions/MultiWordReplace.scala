@@ -25,6 +25,8 @@ case class MultiWordReplace(child: Expression, labels: Seq[String],
                             tokens: Seq[String]) extends UnaryExpression {
   require(labels.nonEmpty && labels.length == tokens.length,
     "labels and tokens must be non-empty and aligned")
+  require(labels.forall(l => l != null && l.nonEmpty),
+    "empty label would match zero-width at every word boundary")
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -35,10 +37,14 @@ case class MultiWordReplace(child: Expression, labels: Seq[String],
     Pattern.compile(s"(?i)\\b(?:$alts)\\b")
   }
 
+  // Locale.ROOT throughout: default-locale lowercasing (Turkish dotless-ı
+  // etc.) would desynchronize the map keys from (?i) matching and throw
+  // per row on lookup
   @transient private lazy val tokenByLower: Map[String, String] =
     labels.zip(tokens).sortBy(_._1)
       .foldLeft(Map.empty[String, String]) { case (m, (l, t)) =>
-        if (m.contains(l.toLowerCase)) m else m + (l.toLowerCase -> t)
+        val k = l.toLowerCase(java.util.Locale.ROOT)
+        if (m.contains(k)) m else m + (k -> t)
       }
 
   def replace(input: UTF8String): UTF8String = {
@@ -49,7 +55,7 @@ case class MultiWordReplace(child: Expression, labels: Seq[String],
     var last = 0
     do {
       sb.append(s, last, m.start())
-      sb.append(tokenByLower(m.group().toLowerCase))
+      sb.append(tokenByLower(m.group().toLowerCase(java.util.Locale.ROOT)))
       last = m.end()
     } while (m.find())
     sb.append(s, last, s.length)

@@ -31,10 +31,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override protected def nullSafeEval(v: Any): Any =
-    WordShingles.eval(v.asInstanceOf[UTF8String], n)
+    WordShingles.compute(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -43,7 +43,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  // NOT named `eval`: the case class inherits eval(InternalRow), which
+  // suppresses the companion's static forwarder — generated code calling
+  // WordShingles.eval(UTF8String, int) then fails to compile and the whole
+  // stage silently drops to interpreted mode (CodegenSpec guards this)
+  def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes // materializes once; spans index into it
     val len = bytes.length
     // token start offsets: 0 and every position after a space byte

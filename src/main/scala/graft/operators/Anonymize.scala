@@ -42,7 +42,10 @@ object Anonymize {
     * collect is bounded and the result is embedded as a literal CASE chain.
     */
   def labelIndex(labels: Seq[String], name: String = "ANON_CLIENT"): Map[String, String] = {
-    val sorted = labels.filter(_ != null).distinct.sorted
+    // empty labels dropped along with nulls: "" carries no identity to
+    // anonymize, and a zero-width pattern would inject tokens at every
+    // word boundary of every cell
+    val sorted = labels.filter(l => l != null && l.nonEmpty).distinct.sorted
     if (sorted.size == 1) Map(sorted.head -> name)
     else sorted.zipWithIndex.map { case (l, i) => l -> s"$name ${i + 1}" }.toMap
   }

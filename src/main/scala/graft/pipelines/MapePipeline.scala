@@ -23,10 +23,12 @@ object MapePipeline {
                      dailyPortfolioMape: DataFrame, hourlyZone: DataFrame,
                      dailyZoneMape: DataFrame)
 
-  /** Build all four variants off one cached scan. */
+  /** Build all four variants off one cached scan (registry-tracked:
+    * `CacheRegistry.releaseAll()` frees it once the results are consumed).
+    */
   def run(raw: DataFrame,
           families: Seq[MetricFamily] = Mape.defaultFamilies): MapeRun = {
-    val shared = raw.cache()
+    val shared = graft.CacheRegistry.persist(raw)
     val hourlyPortfolio = Mape.hourlyAggregation(shared, zone = false, families, sort = true)
     val dailyPortfolio = Mape.dailyMapeAggregation(hourlyPortfolio, zone = false, families)
     val hourlyZone = Mape.hourlyAggregation(shared, zone = true, families, sort = true)
@@ -55,12 +57,10 @@ object MapePipeline {
         "daily_zone_mape" -> r.dailyZoneMape)
     new java.io.File(outputDir).mkdirs()
     val path = s"$outputDir/${client}_performance.xlsx"
-    ExcelSink.write(path, sheets)
-    // everything is consumed (collected into the workbook) — release the
-    // cached scan + the zonal pivot's persisted daily frame so per-client
-    // runs don't accumulate cache entries across a long session
-    r.raw.unpersist(false)
-    graft.CacheRegistry.releaseAll()
+    // release in finally: the row-cap guard can throw mid-write, and the
+    // error path must not leak the cached scan / pivot frames either
+    try ExcelSink.write(path, sheets)
+    finally graft.CacheRegistry.releaseAll()
     path
   }
 }

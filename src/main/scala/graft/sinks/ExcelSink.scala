@@ -41,14 +41,17 @@ object ExcelSink {
         throw new IllegalArgumentException(
           s"sheet '$rawName' exceeds maxRows=$maxRows; Excel is a small-result " +
             "driver-side sink — write fact-scale data to parquet instead")
+      // Locale.ROOT: default-locale lowercasing (tr-TR dotless-ı) would
+      // miss collisions Excel itself detects
+      def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
       var name = sheetName(rawName, i)
       var attempt = i + 1
-      while (seen.contains(name.toLowerCase)) {
+      while (seen.contains(key(name))) {
         val suffix = s"_$attempt"
         name = sheetName(rawName, i).take(31 - suffix.length) + suffix
         attempt += 1
       }
-      seen += name.toLowerCase
+      seen += key(name)
       (name, df.columns.toSeq, rows.toSeq)
     }
     val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))

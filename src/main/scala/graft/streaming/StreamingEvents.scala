@@ -47,11 +47,16 @@ object StreamingEvents {
                        families: Seq[MetricFamily] = Mape.defaultFamilies)
       : StreamingQuery = {
     val keys = if (zone) Seq("proxy_date", "hour", "zone") else Seq("proxy_date", "hour")
+    // validate against the (fixed) stream schema BEFORE start(): an empty
+    // mapping must fail here with the contract message, not kill the
+    // running query on its first micro-batch
+    val present = families.flatMap(_.base).filter(stream.columns.contains)
+    require(present.nonEmpty,
+      "No columns found in the dataframe, make sure to define mappings correctly")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val present = families.flatMap(_.base).filter(batch.columns.contains)
         batch.groupBy(keys.map(col): _*)
           .agg(present.head -> "sum", present.tail.map(_ -> "sum"): _*)
           .toDF(keys ++ present: _*)
@@ -63,6 +68,12 @@ object StreamingEvents {
 
   /** Daily MAPE over everything streamed so far: read the partial store,
     * drop the provenance column, and run the batch pipeline.
+    *
+    * Concurrency note: a crash-recovery REPLAY overwrites its batch
+    * partition in place; a read racing that rewrite can see a transient
+    * FileNotFoundException. Normal operation only ever ADDS partitions
+    * (each batch id is written once) — query freely while the stream runs,
+    * and retry the read if it races a recovery rewrite.
     */
   def mapeFromPartials(spark: SparkSession, storeDir: String,
                        zone: Boolean = false,

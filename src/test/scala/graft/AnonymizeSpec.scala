@@ -52,6 +52,18 @@ class AnonymizeSpec extends SparkSpec {
       "ANON_CLIENT 1 units shipped"))
   }
 
+  test("empty-string labels are dropped, never matched zero-width") {
+    assert(Anonymize.labelIndex(Seq("", "acme", null)) === Map("acme" -> "ANON_CLIENT"))
+    // a column containing "" must not trigger token injection at every
+    // word boundary of every other cell
+    val df = Seq("hello acme world", "", "plain text").toDF("c")
+    val out = Anonymize.anonymizeColumnLabels(df, "c")
+      .as[String].collect().toSet
+    // labels = {"", "hello acme world", "plain text"} -> "" dropped,
+    // remaining cells are exact matches of themselves
+    assert(out === Set("ANON_CLIENT 1", "", "ANON_CLIENT 2"))
+  }
+
   test("anonymizeColumnLabels switches to the distributed join path above the cap") {
     val many = (0 until Anonymize.MaxExpressionLabels + 10)
       .map(i => f"label$i%04d").toDF("src")

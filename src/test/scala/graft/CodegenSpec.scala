@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators.Anonymize
+
+/** Every custom expression must actually COMPILE under whole-stage
+  * codegen. A codegen failure doesn't fail tests by default — Spark logs
+  * an error and silently falls back to interpreted mode, which keeps
+  * results correct while quietly discarding the performance the native
+  * kernels exist for (a missing static forwarder did exactly this to the
+  * shingle kernel). CODEGEN_ONLY turns that silent fallback into a loud
+  * failure.
+  */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCodegenOnly[T](f: => T): T = {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try f
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("all custom kernels compile under CODEGEN_ONLY") {
+    withCodegenOnly {
+      val docs = Seq((1L, "the quick brown fox jumps"), (2L, "a b"))
+        .toDF("doc_id", "text").repartition(2) // repartition defeats local-relation pre-evaluation
+      // WordShingles
+      assert(docs.select(explode(TextFunctions.shingles(col("text"), 3))).count() === 3)
+      // Blake2b
+      assert(docs.select(GraftFunctions.blake2b_hex(col("text"))).count() === 2)
+      // ArrayDotProduct
+      val emb = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)))
+        .toDF("id", "v").repartition(2)
+      val dots = emb.select(GraftFunctions.dot_product(col("v"), col("v")).as("d"))
+        .as[Double].collect().sorted
+      assert(dots === Array(5.0, 25.0))
+      // MultiWordReplace (reference-object codegen path)
+      val labeled = Seq("acme ships", "nothing here").toDF("c").repartition(2)
+      val out = Anonymize.anonymizeLabels(labeled, "c", Seq("acme", "other"))
+        .as[String].collect().toSet
+      assert(out === Set("ANON_CLIENT 1 ships", "nothing here"))
+    }
+  }
+}

@@ -37,7 +37,8 @@ object PropertySpec extends Properties("graft") {
   property("labelIndex: 1-based contiguous enumeration in sorted order") =
     Prop.forAll(Gen.listOf(strGen)) { labels =>
       val idx = Anonymize.labelIndex(labels, "ANON")
-      val distinct = labels.filter(_ != null).distinct.sorted
+      // nulls and empty strings carry no identity and are dropped
+      val distinct = labels.filter(l => l != null && l.nonEmpty).distinct.sorted
       if (distinct.size <= 1) idx.values.toSet.subsetOf(Set("ANON"))
       else {
         idx.size == distinct.size &&

@@ -117,7 +117,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.map(_._2).toSeq === ann.map(_._2).sortBy(-_).toSeq)
   }
 
-  test("multi-probe ANN recall >= 0.9 vs brute-force top-20 on sf0.01") {
+  test("banded LSH ANN recall >= 0.9 vs brute-force top-20 on sf0.01") {
     val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray

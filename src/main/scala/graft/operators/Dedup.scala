@@ -192,9 +192,9 @@ object Dedup {
     *     needed one hash-groupBy to dedup;
     *  2. MinHash+LSH near-dup pairs over the representatives only;
     *  3. greedy keep-first: drop every doc appearing as the larger id of
-    *     a surviving near-dup pair (the standard keep-first policy; full
-    *     transitive clustering would need iterative connected components,
-    *     deliberately out of scope for a single pass).
+    *     a surviving near-dup pair (the standard keep-first policy; for
+    *     exact transitive clustering use [[dedupCorpusClustered]], which
+    *     runs [[connectedComponents]] over the pair graph).
     *
     * Returns the kept (doc_id, text) rows with `dup_count` = how many
     * exact copies each survivor represents.
@@ -210,6 +210,66 @@ object Dedup {
     val nearDupJ = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
       .select(col("j").as("doc_id")).distinct()
     reps.join(nearDupJ, Seq("doc_id"), "left_anti")
+  }
+
+  /** Connected components over near-dup pairs — exact transitive
+    * clustering, the alternative to [[dedupCorpus]]'s greedy keep-first
+    * when chains matter (A~B, B~C, A≁C must still collapse to one
+    * cluster).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node adopts the minimum label among itself
+    * and its neighbors; fixpoint in O(component diameter) rounds —
+    * near-dup clusters are shallow, so this converges in a handful.
+    * Each round `localCheckpoint`s the label table: iterative DataFrame
+    * algorithms otherwise stack a lineage of joins per round until
+    * planning itself becomes the bottleneck.
+    *
+    * Returns (doc_id, cluster) where cluster = min doc_id of the
+    * component. Only nodes appearing in `pairs` are returned — isolated
+    * documents are their own cluster by definition.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "j")
+          .withColumnRenamed("cluster", "nc"), "j")
+        .groupBy(col("i").as("doc_id")).agg(min(col("nc")).as("nc"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** [[dedupCorpus]] with exact transitive clustering: one survivor (the
+    * minimum doc_id) per connected component of the near-dup graph,
+    * instead of the greedy pair-wise drop.
+    */
+  def dedupCorpusClustered(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                           numPerms: Int = 16, bands: Int = 4,
+                           maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val reps = graft.CacheRegistry.persist(docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("text"), col("dup_count")))
+    val pairs = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
+    val dropped = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
+    reps.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** Default SimHash token hash: seeded xxhash64 — the fast scale path. */

@@ -83,6 +83,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("connectedComponents: chains collapse transitively, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))
+      .toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dedupCorpusClustered collapses a near-dup CHAIN to one survivor") {
+    val base = "the quick brown fox jumps over the lazy dog in the warm sun"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " today"),           // near-dup of 1
+      (3L, base + " today always"),    // near-dup of 2 (and transitively of 1)
+      (6L, "completely different text with nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+    val greedy = Dedup.dedupCorpus(corpus, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val clustered = Dedup.dedupCorpusClustered(corpus, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered === Set(1L, 6L), s"one survivor per component, got $clustered")
+    // greedy also drops direct pair members; both keep the unrelated doc
+    assert(greedy.contains(1L) && greedy.contains(6L))
+  }
+
   test("cosine topK matches a locally-computed brute force on sf0.001") {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val all = emb.select("vec_id", "embedding").collect()

@@ -252,6 +252,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    // loud, not wrong: stopping early would silently report split clusters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds maxIter; raise it for unusually deep dup chains")
     labels
   }
 

@@ -51,10 +51,12 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name transient failure after success: ${e.getMessage}")
         }
+        // drop persisted intermediates (dedup posting lists) after EVERY
+        // query, not just per pass: canonicalized-plan cache hits would let
+        // q23/q24 ride q22's posting list and under-report their own
+        // end-to-end cost — each number must be attributable to its query
+        CacheRegistry.releaseAll()
       }
-      // drop persisted intermediates (dedup posting lists) so every pass
-      // pays the full build cost — the min stays a real end-to-end number
-      CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
     }
     def esc(s: String): String =

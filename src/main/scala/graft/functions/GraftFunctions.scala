@@ -50,7 +50,17 @@ object VectorOps {
         s"array_dot dimension mismatch: $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // strict, matching the dimension check above: a null ELEMENT in an
+      // array<double> (containsNull=true survives the cast) read through
+      // getDouble would silently contribute 0 — a plausible-but-wrong
+      // similarity. Corrupt vectors fail loudly; filter/quarantine first.
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"array_dot null element at index $i — quarantine ragged/null embeddings before the kernel")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }

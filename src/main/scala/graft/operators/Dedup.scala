@@ -77,14 +77,35 @@ object Dedup {
   private def setSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
-  /** Join intersection counts (i, j, common) back to both set sizes and
-    * emit pairs at or above the Jaccard threshold.
+  /** The posting list with each document's (capped) set size attached:
+    * (doc_id, s, sz), persisted. Carrying `sz` on every posting row costs
+    * one long per row but pays twice: the Jaccard size bound can prune
+    * candidates INSIDE the self-join condition (before the groupBy
+    * shuffle), and the final Jaccard needs no size re-join — sizes ride
+    * the groupBy keys.
     */
-  private def jaccardFromCommon(pairs: DataFrame, sizes: DataFrame,
-                                threshold: Double): DataFrame =
+  private def sizedPostingList(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
+    val sh = postingList(docs, n, maxDf)
+    graft.CacheRegistry.persist(sh.join(setSizes(sh), "doc_id"))
+  }
+
+  /** Jaccard ≥ t implies |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|),
+    * so jac ≤ min/max — any size-incompatible pair (min < t·max) is below
+    * threshold BEFORE counting a single shingle. Lossless at the
+    * threshold; applied inside join conditions to cut candidates before
+    * they shuffle.
+    */
+  private def sizeCompatible(ni: org.apache.spark.sql.Column,
+                             nj: org.apache.spark.sql.Column,
+                             threshold: Double): org.apache.spark.sql.Column =
+    ni.cast("double") >= lit(threshold) * nj &&
+      nj.cast("double") >= lit(threshold) * ni
+
+  /** Jaccard from intersection counts when both sizes already ride the
+    * frame: (i, j, ni, nj, common) → (i, j, jac ≥ threshold).
+    */
+  private def jaccardInline(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("sz", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("sz", "nj"), "j")
       .withColumn("jac",
         col("common").cast("double") /
           (col("ni") + col("nj") - col("common")).cast("double"))
@@ -94,16 +115,21 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, computed as
     * a shingle-bucket self-join: pairs only form when they share at least
     * one (sub-cap) shingle, and `common` falls out of the join group count —
-    * |A∩B| / (|A| + |B| − |A∩B|). Returns (i, j, jac) with i < j.
+    * |A∩B| / (|A| + |B| − |A∩B|). The size bound ([[sizeCompatible]])
+    * prunes hopeless pairs in the join condition itself, and sizes ride
+    * the groupBy keys so no re-join is needed. Returns (i, j, jac) with
+    * i < j.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val sh = postingList(docs, n, maxDf)
+    val sh = sizedPostingList(docs, n, maxDf)
     val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          sizeCompatible(col("a.sz"), col("b.sz"), threshold))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("ni"), col("b.sz").as("nj"))
       .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(pairs, setSizes(sh), threshold)
+    jaccardInline(pairs, threshold)
   }
 
   /** Default permutation hash: seeded xxhash64 — the fast scale path. */
@@ -172,14 +198,33 @@ object Dedup {
                       maxDf: Int = DefaultMaxShingleDf,
                       permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
                       : DataFrame = {
-    val sh = postingList(docs, n, maxDf)
-    val cands = minhashCandidates(
-      minhashSignaturesFrom(sh, numPerms, permHash), numPerms, bands)
+    val sh = sizedPostingList(docs, n, maxDf)
+    // signatures + set size in ONE aggregation pass: a posting row count
+    // per doc IS the capped set size, so sz rides the signature frame for
+    // free and the size bound prunes candidates before the verify join
+    val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+    val rowsPerBand = numPerms / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: cols: _*)
+    }
+    val banded = sigs.select(col("doc_id"), col("sz"),
+      explode(array(bandStructs: _*)).as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id") &&
+          sizeCompatible(col("a.sz"), col("b.sz"), threshold))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("ni"), col("b.sz").as("nj"))
+      .distinct()
     val common = cands
       .join(sh.select(col("doc_id").as("i"), col("s")), "i")
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, setSizes(sh), threshold)
+      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
+      .agg(count(lit(1)).as("common"))
+    jaccardInline(common, threshold)
   }
 
   /** Full corpus deduplication — the composition a training-data pipeline

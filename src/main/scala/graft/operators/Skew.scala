@@ -29,6 +29,9 @@ object Skew {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(joinType == "inner" || joinType == "left",
       s"salted join preserves semantics for inner/left only, got $joinType")
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"input already has a '$SaltCol' column — rename it before saltedJoin " +
+        "(an ambiguous salt reference would corrupt the join semantics)")
     // the salt must spread rows WITHIN a key, so it cannot be derived from
     // the key columns; a per-row id is the standard choice
     val saltedBig = big.withColumn(SaltCol,

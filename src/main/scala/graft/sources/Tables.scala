@@ -59,8 +59,24 @@ object Tables {
     * shuffle into one task; at real scale the scan already has >= cores
     * splits and this is a no-op — the condition, not the shuffle, is the
     * 100 TB path.
+    *
+    * Applies ONLY to narrow plans (scan + project/filter): a plan that
+    * already shuffles (aggregate, join, repartition, ...) gets its
+    * parallelism from `spark.sql.shuffle.partitions` and needs nothing —
+    * and probing its `df.rdd` here would eagerly run every upstream
+    * shuffle stage as a job at plan-BUILD time under AQE. For narrow
+    * plans `rdd.getNumPartitions` is a metadata computation (file splits),
+    * not a job.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct => true
+      case r: Repartition => r.shuffle // coalesce narrows, it must not gate
+      case _: RepartitionByExpression => true
+      case _ => false
+    }
+    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -91,15 +91,19 @@ object Dedup {
 
   /** Jaccard ≥ t implies |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|),
     * so jac ≤ min/max — any size-incompatible pair (min < t·max) is below
-    * threshold BEFORE counting a single shingle. Lossless at the
-    * threshold; applied inside join conditions to cut candidates before
-    * they shuffle.
+    * threshold BEFORE counting a single shingle. The bound is slackened by
+    * an epsilon: t·max computed in doubles can round UP past an integer
+    * min for a pair whose exact Jaccard equals the threshold, and pruning
+    * such a pair would change behavior at the exact boundary. Looseness is
+    * free — this is a pre-filter backed by the exact `jac ≥ threshold`
+    * verification downstream. Applied inside join conditions to cut
+    * candidates before they shuffle.
     */
   private def sizeCompatible(ni: org.apache.spark.sql.Column,
                              nj: org.apache.spark.sql.Column,
                              threshold: Double): org.apache.spark.sql.Column =
-    ni.cast("double") >= lit(threshold) * nj &&
-      nj.cast("double") >= lit(threshold) * ni
+    ni.cast("double") >= lit(threshold) * nj - lit(1e-9) &&
+      nj.cast("double") >= lit(threshold) * ni - lit(1e-9)
 
   /** Jaccard from intersection counts when both sizes already ride the
     * frame: (i, j, ni, nj, common) → (i, j, jac ≥ threshold).
@@ -168,6 +172,9 @@ object Dedup {
     */
   def minhashCandidates(signatures: DataFrame, numPerms: Int = 16,
                         bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
+        "remainder would silently drop trailing permutations and change recall")
     val rowsPerBand = numPerms / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r =>
@@ -198,7 +205,14 @@ object Dedup {
                       maxDf: Int = DefaultMaxShingleDf,
                       permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
                       : DataFrame = {
-    val sh = sizedPostingList(docs, n, maxDf)
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
+        "remainder would silently drop trailing permutations and change recall")
+    // the PLAIN posting list: sz falls out of the signature aggregation
+    // below for free, so the sized variant's extra groupBy+join+persist
+    // would be pure overhead here (q22's self-join is the consumer that
+    // needs sz ON the posting rows)
+    val sh = postingList(docs, n, maxDf)
     // signatures + set size in ONE aggregation pass: a posting row count
     // per doc IS the capped set size, so sz rides the signature frame for
     // free and the size bound prunes candidates before the verify join

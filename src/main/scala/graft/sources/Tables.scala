@@ -72,6 +72,11 @@ object Tables {
     import org.apache.spark.sql.catalyst.plans.logical._
     val wide = df.queryExecution.analyzed.exists {
       case _: Aggregate | _: Join | _: Sort | _: Window | _: Distinct => true
+      // Dataset.distinct()/dropDuplicates produce Deduplicate (Distinct is
+      // only the SQL DISTINCT form), and Intersect/Except (SetOperation)
+      // rewrite to shuffling joins — all must gate, or the df.rdd probe
+      // below eagerly runs their shuffle as a job at plan-BUILD time
+      case _: Deduplicate | _: SetOperation => true
       case r: Repartition => r.shuffle // coalesce narrows, it must not gate
       case _: RepartitionByExpression => true
       case _ => false

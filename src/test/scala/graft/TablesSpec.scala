@@ -53,5 +53,12 @@ class TablesSpec extends SparkSpec {
     val already = narrow.repartition(spark.sparkContext.defaultParallelism)
     // no extra exchange on top of an already-parallel frame
     assert(Tables.ensureParallelism(already) eq already)
+    // wide-plan gate: Dataset.distinct() (Deduplicate) and set ops shuffle
+    // already — the probe must return them untouched, never run their
+    // shuffle at plan-build time
+    val deduped = narrow.distinct()
+    assert(Tables.ensureParallelism(deduped) eq deduped)
+    val setOp = narrow.intersect(narrow.limit(10))
+    assert(Tables.ensureParallelism(setOp) eq setOp)
   }
 }

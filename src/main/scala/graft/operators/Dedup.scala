@@ -280,20 +280,36 @@ object Dedup {
     * own id; each round every node adopts the minimum label among itself
     * and its neighbors; fixpoint in O(component diameter) rounds —
     * near-dup clusters are shallow, so this converges in a handful.
-    * Each round `localCheckpoint`s the label table: iterative DataFrame
-    * algorithms otherwise stack a lineage of joins per round until
-    * planning itself becomes the bottleneck.
+    *
+    * Cluster-safety: each round checkpoints the label table (iterative
+    * DataFrame algorithms otherwise stack a lineage of joins per round
+    * until planning itself becomes the bottleneck). When the session has
+    * a checkpoint dir (`sc.setCheckpointDir`), the cut is a RELIABLE
+    * checkpoint — label state survives executor loss, which matters
+    * mid-iteration on a real cluster. Without one it falls back to
+    * `localCheckpoint` (executor-local storage; fine in local mode and
+    * for short jobs, unrecoverable on executor loss — set a checkpoint
+    * dir at scale).
+    *
+    * Each round is ONE job: the changed-label count that decides
+    * convergence is collected by an [[org.apache.spark.sql.Observation]]
+    * metric DURING the checkpoint's materialization action, not by a
+    * second comparison join afterwards.
     *
     * Returns (doc_id, cluster) where cluster = min doc_id of the
     * component. Only nodes appearing in `pairs` are returned — isolated
     * documents are their own cluster by definition.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("i").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    var labels = cut(edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -301,13 +317,20 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "j")
           .withColumnRenamed("cluster", "nc"), "j")
         .groupBy(col("i").as("doc_id")).agg(min(col("nc")).as("nc"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val prev = labels
+      labels = cut(prev.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = updated
+        .observe(obs, count(when(col("cluster") =!= col("old"), lit(1)))
+          .as("changed"))
+        .select(col("doc_id"), col("cluster")))
+      // blocks until the checkpoint action above completes — same round,
+      // same job; count (not sum) so an empty frame still yields 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // the new label table is materialized; the previous round's
+      // executor-local copy is dead weight from here on
+      prev.unpersist(false)
       iter += 1
     }
     edges.unpersist(false)

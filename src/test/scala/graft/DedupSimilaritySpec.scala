@@ -92,6 +92,23 @@ class DedupSimilaritySpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents with a checkpoint dir: reliable cuts, same result") {
+    val dir = tmpDir("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))
+        .toDF("i", "j")
+      val cc = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+        4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
+      // the cuts must actually be RELIABLE checkpoints: files in the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written — fell back to localCheckpoint")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("dedupCorpusClustered collapses a near-dup CHAIN to one survivor") {
     val base = "the quick brown fox jumps over the lazy dog in the warm sun"
     val corpus = Seq(

@@ -22,4 +22,11 @@ object SparkEntry {
     * those are pinned by ScalaTest instead.
     */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Oracles whose SQL literals depend on the data (q38 embeds centroids
+    * trained on the target embeddings table), built per (session, sfDir).
+    * Verify merges these into its oracle_sql.json dump.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Queries.dynamicOracles.map { case (k, f) => k -> f(spark, sfDir) }
 }

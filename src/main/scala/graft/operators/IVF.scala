@@ -53,6 +53,18 @@ object IVF {
       struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
     }: _*)).getField("cid")
 
+  /** Round to 9 decimals. Trained centroid coordinates are quantized so
+    * training is bit-stable across runs: a double mean's last-ulp depends
+    * on partial-aggregate merge order (shuffle fetch order is not
+    * deterministic), and an unquantized 1-ulp wobble could flip a
+    * boundary assignment in the NEXT iteration and diverge visibly.
+    * 1e-9 also short-circuits literal round-tripping — the quantized
+    * value's decimal string parses back to the identical double in any
+    * engine, which is what lets an oracle replay assignment bitwise.
+    */
+  private def q9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Train a k-centroid index with `iters` Lloyd's iterations.
     * Initialization: the k vectors with the smallest seeded-hash of their
     * id — a deterministic pseudo-random sample.
@@ -61,7 +73,7 @@ object IVF {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     var centroids = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(k).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](0).toArray.map(q9))
     require(centroids.length == k, s"need at least $k vectors to train, got ${centroids.length}")
     for (_ <- 1 to iters) {
       val idx = Index(centroids)
@@ -70,11 +82,20 @@ object IVF {
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
       val updated = centroids.map(_.clone())
-      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = q9(r.getDouble(2)))
       centroids = updated // empty clusters keep their previous centroid
     }
     Index(centroids)
   }
+
+  /** The `nProbe` centroid ids nearest the query (ascending dist², ties on
+    * the lower cid) — the inverted lists [[neighbors]] scans. Public so an
+    * oracle can replay probe selection with the same arithmetic.
+    */
+  def probeIds(index: Index, query: Array[Double], nProbe: Int): Seq[Int] =
+    index.centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2).toSeq
 
   /** Approximate top-k: scan only the `nProbe` inverted lists nearest the
     * query, exact cosine rank within them. One scan, one filter on the
@@ -84,10 +105,7 @@ object IVF {
                 nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
     require(index.centroids.forall(_.length == query.length),
       s"query dim ${query.length} != centroid dim ${index.centroids.head.length}")
-    val probes = index.centroids.zipWithIndex.map { case (c, i) =>
-      val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d2, i)
-    }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2)
+    val probes = probeIds(index, query, nProbe)
     val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
     val normQ = math.sqrt(query.map(x => x * x).sum)
     base.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

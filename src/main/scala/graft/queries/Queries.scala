@@ -23,9 +23,16 @@ import graft.functions.TextFunctions
   */
 object Queries {
 
+  /** `oracle` is a static DuckDB SQL string; `dynamicOracle` covers the one
+    * case a static string can't — SQL whose literals depend on the DATA
+    * (q38 embeds centroids trained on the target table). Verify evaluates
+    * dynamic oracles with its (session, sfDir) and merges them into the
+    * oracle_sql.json dump, so the driver checks them like any other.
+    */
   case class QueryDef(name: String,
                       run: (SparkSession, String) => DataFrame,
-                      oracle: Option[String])
+                      oracle: Option[String],
+                      dynamicOracle: Option[(SparkSession, String) => String] = None)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
@@ -573,7 +580,61 @@ object Queries {
              |       SUM(ROUND(value * 100)) / 100.0 AS sum_value,
              |       COUNT(*) AS n_events
              |FROM events, (VALUES (0), (1)) AS o(o)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Q38: IVF ANN, oracle-checked end-to-end. Training is deterministic
+    //         (seeded init, fixed iterations, 9-decimal-quantized means),
+    //         so the DYNAMIC oracle trains the same index at Verify time
+    //         and embeds the centroids + probe ids as literals; DuckDB then
+    //         replays assignment (argmin over ‖c‖²−2·v·c with the same
+    //         operand order) → probe filter → exact cosine rank. ───────────
+    QueryDef("q38_ivf_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        graft.operators.IVF.neighbors(emb, idx, queryVector(s, dir), 20,
+          nProbe = 8, excludeId = Some(0L))
+      },
+      None,
+      dynamicOracle = Some(ivfOracleSql)),
+
+    // ── Q39: clustered dedup — connected components over the exact-Jaccard
+    //         near-dup pair graph (q22's pairs). The oracle rebuilds the
+    //         pair graph with q22's SQL and propagates min labels with a
+    //         recursive CTE: walk accumulates (node, label of reachable
+    //         node); MIN per node = the component's minimum doc_id, exactly
+    //         the operator's cluster id. ───────────────────────────────────
+    QueryDef("q39_dedup_clustered",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.8)),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), cnt AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), nd AS (
+             |  SELECT i, j
+             |  FROM cnt JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.8
+             |), edges AS (
+             |  SELECT i, j FROM nd UNION ALL SELECT j AS i, i AS j FROM nd
+             |), walk(doc_id, lbl) AS (
+             |  SELECT DISTINCT i, i FROM edges
+             |  UNION
+             |  SELECT e.i, w.lbl FROM walk w JOIN edges e ON e.j = w.doc_id
+             |)
+             |SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id""".stripMargin))
   )
 
   /** q23's oracle: the full MinHash+LSH pipeline replayed in DuckDB over
@@ -775,9 +836,49 @@ object Queries {
        |FROM dmape GROUP BY 1""".stripMargin
   }
 
+  /** q38's oracle, generated at Verify time: train the same deterministic
+    * index the query trains (identical centroids bit-for-bit — seeded init,
+    * fixed iterations, 9-decimal quantization), then emit SQL that replays
+    * assignment over the centroids as literals. `‖c‖²` is computed HERE and
+    * embedded, exactly as the Spark expression embeds it ([[IVF]]
+    * `scoreToCentroid`), so both engines evaluate `c2 − 2·v·c` over
+    * identical doubles in identical operand order — the argmin (struct-min
+    * with the cid tie-break, DuckDB list_min over the same struct shape)
+    * matches bitwise. Probe ids are replayed driver-side via
+    * [[IVF.probeIds]] and embedded as an IN-list.
+    */
+  private def ivfOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.IVF
+    val idx = IVF.train(t(s, dir, "embeddings"), k = 16)
+    val probes = IVF.probeIds(idx, queryVector(s, dir), 8)
+    val arms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |a AS (
+       |  SELECT vec_id, v,
+       |         list_min([
+       |      $arms
+       |    ]).cid AS cid
+       |  FROM e WHERE vec_id <> 0
+       |)
+       |SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cos
+       |FROM a, q
+       |WHERE cid IN (${probes.mkString(", ")})
+       |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
   val byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
 
   val oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Data-dependent oracle builders, evaluated by Verify with its
+    * (session, sfDir) and merged into the oracle_sql.json dump.
+    */
+  val dynamicOracles: Map[String, (SparkSession, String) => String] =
+    all.flatMap(q => q.dynamicOracle.map(q.name -> _)).toMap
 }

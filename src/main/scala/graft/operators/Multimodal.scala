@@ -11,10 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * What is real vs stubbed (this container has no image/audio codecs):
   *  - container/format detection and header decode (PNG IHDR, GIF logical
-  *    screen descriptor) are REAL byte decoding, oracle-checkable;
-  *  - full JPEG dimension parse needs a variable-offset SOF marker walk —
-  *    format detection is real, dimensions are left null (the scale path
-  *    would be a `mapPartitions` byte-walk over the same binary column);
+  *    screen descriptor, JPEG SOF marker walk) are REAL byte decoding,
+  *    oracle-checkable;
   *  - learned-encoder features are a clearly-marked deterministic stand-in
   *    ([[fakeEmbedding]]) with the production plumbing (schema, batching,
   *    partitioning) real.
@@ -52,6 +50,82 @@ object Multimodal {
   def gifWidth(payload: Column): Column = leUshort(payload, 7)
   def gifHeight(payload: Column): Column = leUshort(payload, 9)
 
+  /** Big-endian unsigned int from `len` bytes at DYNAMIC 1-based `pos`
+    * (the JPEG walk's offsets are data-dependent). Reads past the payload
+    * end produce a short/empty slice whose conv is null/0 — callers treat
+    * non-positive as "not decodable".
+    */
+  private def beUintAt(payload: Column, pos: Column, len: Int): Column =
+    conv(hex(payload.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+
+  /** JPEG markers whose segment is a frame header carrying dimensions:
+    * SOF0–SOF15 (0xC0–0xCF) minus DHT (0xC4), JPG (0xC8), DAC (0xCC).
+    */
+  private val SofMarkers: Seq[Long] =
+    (0xC0L to 0xCFL).filterNot(m => m == 0xC4L || m == 0xC8L || m == 0xCCL)
+
+  /** Segments to walk before giving up: real JPEGs put SOF within the
+    * first handful of segments (APPn/COM/DQT/DHT come first); EXIF-heavy
+    * files still fit comfortably in 40.
+    */
+  private val MaxJpegSegments = 40
+
+  /** JPEG frame dimensions via a bounded SOF marker walk, as a pure
+    * expression: `aggregate` over up to [[MaxJpegSegments]] steps carrying
+    * (offset, w, h) state. Each step at offset `off` (1-based position of
+    * the segment's 0xFF byte):
+    *
+    *  - marker 0xFF          → fill byte, advance 1;
+    *  - SOFn ([[SofMarkers]]) → record height/width (big-endian uint16 at
+    *    off+5 / off+7: FF, marker, 2-byte length, precision byte precede
+    *    them) and stop;
+    *  - TEM/RSTn (standalone, no length field) → advance 2;
+    *  - EOI/SOS              → no frame header before entropy data: fail;
+    *  - anything else        → advance 2 + big-endian segment length;
+    *  - a non-0xFF byte where a marker should be, a segment length < 2, or
+    *    a read past the payload end → malformed: fail.
+    *
+    * Returns struct(off, w, h) with w = h = -1 when not found/decodable.
+    */
+  def jpegDims(payload: Column): Column = {
+    val fail = struct(lit(-1L).as("off"), lit(-1L).as("w"), lit(-1L).as("h"))
+    aggregate(
+      sequence(lit(1), lit(MaxJpegSegments)),
+      struct(lit(3L).as("off"), lit(-1L).as("w"), lit(-1L).as("h")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val w = acc.getField("w")
+        val h = acc.getField("h")
+        val marker = beUintAt(payload, off + 1, 1)
+        val segLen = beUintAt(payload, off + 2, 2)
+        def advance(to: Column) = struct(to.as("off"), w.as("w"), h.as("h"))
+        when(off < 0 || w >= 0, acc)
+          .when(beUintAt(payload, off, 1) =!= 0xFFL, fail)
+          .when(marker === 0xFFL, advance(off + 1))
+          .when(marker.isin(SofMarkers: _*),
+            struct(off.as("off"),
+              coalesce(beUintAt(payload, off + 7, 2), lit(-1L)).as("w"),
+              coalesce(beUintAt(payload, off + 5, 2), lit(-1L)).as("h")))
+          .when(marker === 0x01L || (marker >= 0xD0L && marker <= 0xD7L),
+            advance(off + 2))
+          .when(marker === 0xD9L || marker === 0xDAL, fail)
+          .when(segLen >= 2L, advance(off + 2L + segLen))
+          .otherwise(fail)
+      })
+  }
+
+  /** JPEG dimensions, null when the payload has no decodable SOF header.
+    * Width/height 0 is not a legal frame size — treated as not decodable.
+    */
+  def jpegWidth(payload: Column): Column = {
+    val w = jpegDims(payload).getField("w")
+    when(w > 0, w)
+  }
+  def jpegHeight(payload: Column): Column = {
+    val h = jpegDims(payload).getField("h")
+    when(h > 0, h)
+  }
+
   /** Detected container format, or "unknown". */
   def format(payload: Column): Column =
     when(isPng(payload), lit("png"))
@@ -60,15 +134,17 @@ object Multimodal {
       .otherwise(lit("unknown"))
 
   /** Typed image metadata struct (format, width, height) decoded from the
-    * payload bytes. JPEG dimensions are null (see class doc).
+    * payload bytes; null dimensions when the header is not decodable.
     */
   def imageMeta(payload: Column): Column =
     struct(
       format(payload).as("format"),
       when(isPng(payload), pngWidth(payload))
-        .when(isGif(payload), gifWidth(payload)).as("width"),
+        .when(isGif(payload), gifWidth(payload))
+        .when(isJpeg(payload), jpegWidth(payload)).as("width"),
       when(isPng(payload), pngHeight(payload))
-        .when(isGif(payload), gifHeight(payload)).as("height"))
+        .when(isGif(payload), gifHeight(payload))
+        .when(isJpeg(payload), jpegHeight(payload)).as("height"))
 
   /** Synthesize a minimal PNG header (signature + IHDR length/tag + the
     * given dimensions + bit-depth/color-type/filter/interlace bytes) as a
@@ -80,6 +156,20 @@ object Multimodal {
       lit(PngMagicHex), lit(IhdrHex),
       lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
       lit("0806000000")))
+
+  /** Synthesize a minimal baseline-JPEG header (SOI + a 16-byte JFIF APP0
+    * segment + the SOF0 frame header through the component count) as a
+    * binary column — the JPEG counterpart of [[pngHeaderPayload]]. The SOF
+    * walk must cross the APP0 segment to find the dimensions, so decoding
+    * this fixture exercises the real variable-offset path.
+    */
+  def jpegHeaderPayload(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("FFD8" +                                   // SOI
+        "FFE000104A46494600010100000100010000" +     // APP0 "JFIF", len 16
+        "FFC0001108"),                               // SOF0, len 17, 8-bit
+      lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
+      lit("03")))                                    // 3 components
 
   /** Deterministic stand-in for a learned image/audio encoder: `dim`
     * pseudo-random floats in [-1, 1) seeded by the payload bytes (seeded

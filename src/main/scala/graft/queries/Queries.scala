@@ -494,18 +494,25 @@ object Queries {
       },
       Some(zonalOracleSql)),
 
-    // ── Q34: multimodal byte decoding — synthesize a real PNG header per
-    //         document (width/height derived from doc metadata), then
-    //         DECODE format + dimensions back from the payload BYTES via
-    //         operators/Multimodal (binary slice → hex → base-16). Payload
-    //         crosses the oracle boundary as hex text so the driver's
-    //         pandas compare never sees raw binary. ─────────────────────────
+    // ── Q34: multimodal byte decoding — synthesize a real PNG header for
+    //         even doc_ids and a JPEG (SOI + APP0 + SOF0) header for odd
+    //         ones (width/height derived from doc metadata), then DECODE
+    //         format + dimensions back from the payload BYTES via
+    //         operators/Multimodal (binary slice → hex → base-16; the JPEG
+    //         side is the bounded SOF marker walk, which must cross the
+    //         APP0 segment to reach the dimensions). The oracle replays
+    //         both decodes on the KNOWN generated layouts with fixed hex
+    //         offsets; the walk's generality over variable layouts is
+    //         pinned by MultimodalSpec. Payload crosses the oracle boundary
+    //         as hex text so the driver's pandas compare never sees raw
+    //         binary. ─────────────────────────────────────────────────────
     QueryDef("q34_multimodal_meta",
       (s, dir) => {
+        val w = (col("n_chars") % 640 + 1).cast("long")
+        val h = (col("doc_id") % 480 + 1).cast("long")
         val withPayload = t(s, dir, "documents").select(col("doc_id"),
-          Multimodal.pngHeaderPayload(
-            (col("n_chars") % 640 + 1).cast("long"),
-            (col("doc_id") % 480 + 1).cast("long")).as("payload"))
+          when(col("doc_id") % 2 === 0, Multimodal.pngHeaderPayload(w, h))
+            .otherwise(Multimodal.jpegHeaderPayload(w, h)).as("payload"))
         Multimodal.withImageMeta(withPayload)
           .select(col("doc_id"),
             hex(col("payload")).as("payload_hex"),
@@ -516,18 +523,30 @@ object Queries {
       },
       Some("""WITH p AS (
              |  SELECT doc_id,
-             |         '89504E470D0A1A0A0000000D49484452'
-             |         || lpad(upper(to_hex(n_chars % 640 + 1)), 8, '0')
-             |         || lpad(upper(to_hex(doc_id % 480 + 1)), 8, '0')
-             |         || '0806000000' AS ph
+             |         CASE WHEN doc_id % 2 = 0 THEN
+             |           '89504E470D0A1A0A0000000D49484452'
+             |           || lpad(upper(to_hex(n_chars % 640 + 1)), 8, '0')
+             |           || lpad(upper(to_hex(doc_id % 480 + 1)), 8, '0')
+             |           || '0806000000'
+             |         ELSE
+             |           'FFD8FFE000104A46494600010100000100010000FFC0001108'
+             |           || lpad(upper(to_hex(doc_id % 480 + 1)), 4, '0')
+             |           || lpad(upper(to_hex(n_chars % 640 + 1)), 4, '0')
+             |           || '03'
+             |         END AS ph
              |  FROM documents
              |)
              |SELECT doc_id, ph AS payload_hex,
              |       CAST(length(ph) / 2 AS BIGINT) AS n_bytes,
-             |       CASE WHEN substring(ph, 1, 16) = '89504E470D0A1A0A'
-             |            THEN 'png' ELSE 'unknown' END AS format,
-             |       CAST(('0x' || substring(ph, 33, 8)) AS BIGINT) AS width,
-             |       CAST(('0x' || substring(ph, 41, 8)) AS BIGINT) AS height
+             |       CASE WHEN substring(ph, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             |            WHEN substring(ph, 1, 6) = 'FFD8FF' THEN 'jpeg'
+             |            ELSE 'unknown' END AS format,
+             |       CASE WHEN doc_id % 2 = 0
+             |            THEN CAST(('0x' || substring(ph, 33, 8)) AS BIGINT)
+             |            ELSE CAST(('0x' || substring(ph, 55, 4)) AS BIGINT) END AS width,
+             |       CASE WHEN doc_id % 2 = 0
+             |            THEN CAST(('0x' || substring(ph, 41, 8)) AS BIGINT)
+             |            ELSE CAST(('0x' || substring(ph, 51, 4)) AS BIGINT) END AS height
              |FROM p""".stripMargin)),
 
     // ── Q35: embedding-cosine near-dup pairs (exact, threshold form) ──────

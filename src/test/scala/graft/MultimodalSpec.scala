@@ -32,13 +32,52 @@ class MultimodalSpec extends SparkSpec {
     assert((r.getString(0), r.getLong(1), r.getLong(2)) === ("gif", 320L, 200L))
   }
 
-  test("JPEG magic detected, dimensions null; unknown bytes fall through") {
+  test("JPEG magic detected; truncated header dims null; unknown falls through") {
     val df = Seq(("jpeg", "FFD8FFE000104A464946"), ("junk", "DEADBEEF"))
       .toDF("tag", "hex").select(col("tag"), unhex(col("hex")).as("payload"))
     val rows = df.select(col("tag"), Multimodal.imageMeta(col("payload")).as("m"))
       .select(col("tag"), col("m.format"), col("m.width")).collect()
       .map(r => (r.getString(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(rows.toSet === Set(("jpeg", "jpeg", -1L), ("junk", "unknown", -1L)))
+  }
+
+  test("JPEG header round-trip: synthesized SOI+APP0+SOF0 decodes its dims") {
+    val df = Seq((1L, 640L, 480L), (2L, 1L, 1L), (3L, 65535L, 3L))
+      .toDF("id", "w", "h")
+      .select(col("id"), Multimodal.jpegHeaderPayload(col("w"), col("h")).as("payload"))
+    val meta = Multimodal.withImageMeta(df)
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("n_bytes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(meta.toSet === Set((1L, "jpeg", 640L, 480L, 30L),
+      (2L, "jpeg", 1L, 1L, 30L), (3L, "jpeg", 65535L, 3L, 30L)))
+  }
+
+  test("JPEG SOF walk: variable segments, fill bytes, SOF2, TEM, malformed") {
+    // hand-built headers; expected (width, height), -1L = null
+    val vectors = Seq(
+      // APP1 "Exif\0\0" then DQT then progressive SOF2: h=256, w=512
+      ("exif_sof2", "FFD8" + "FFE10008457869660000" + "FFDB0005000102" +
+        "FFC2001108" + "0100" + "0200" + "03", 512L, 256L),
+      // fill byte (extra FF) before SOF0: h=200, w=100
+      ("fill_bytes", "FFD8" + "FF" + "FFC0001108" + "00C8" + "0064" + "03", 100L, 200L),
+      // standalone TEM marker (no length field) before SOF0: h=30, w=40
+      ("tem_marker", "FFD8" + "FF01" + "FFC0001108" + "001E" + "0028" + "03", 40L, 30L),
+      // SOS before any SOF: entropy data follows, walk must stop
+      ("sos_first", "FFD8" + "FFDA0002", -1L, -1L),
+      // DHT (C4) is NOT a frame header: its bytes must not parse as dims
+      ("dht_only", "FFD8" + "FFC400050001020304", -1L, -1L),
+      // garbage where a marker should be
+      ("bad_marker", "FFD8" + "00C0001108001E002803", -1L, -1L))
+    val df = vectors.map { case (tag, h, _, _) => (tag, h) }
+      .toDF("tag", "hex").select(col("tag"), unhex(col("hex")).as("payload"))
+    val got = df.select(col("tag"),
+        Multimodal.jpegWidth(col("payload")).as("w"),
+        Multimodal.jpegHeight(col("payload")).as("h"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got === vectors.map(v => (v._1, v._3, v._4)).toSet)
   }
 
   test("fakeEmbedding is deterministic, bounded, and has the declared dim") {

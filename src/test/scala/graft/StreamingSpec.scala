@@ -164,6 +164,45 @@ class StreamingSpec extends SparkSpec {
       .count(_.getName.startsWith("batch_id=")) === 2)
   }
 
+  test("continuous ZONAL MAPE: partial store replay equals batch q33 semantics") {
+    implicit val ctx = spark.sqlContext
+    val storeDir = s"${tmpDir("graft-zmape-store")}/partials"
+    val ckpt = tmpDir("graft-zmape-ckpt")
+    val rows = Seq(
+      ("2024-01-01", 0, "east", 10.0, 9.0, 8.0),
+      ("2024-01-01", 0, "east", 5.0, 6.0, 7.0),   // same (hour, zone), later batch
+      ("2024-01-01", 0, "west", 20.0, 22.0, 18.0),
+      ("2024-01-01", 1, "west", 30.0, 28.0, 32.0),
+      ("2024-01-02", 0, "east", 5.0, 6.0, 4.0))
+    val stream = MemoryStream[(String, Int, String, Double, Double, Double)]
+    val q = graft.streaming.StreamingEvents.mapePartialsSink(
+      stream.toDF().toDF("proxy_date", "hour", "zone",
+        "forecast", "backcast", "settlement"),
+      storeDir, ckpt, zone = true)
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = graft.streaming.StreamingEvents
+      .mapeFromPartials(spark, storeDir, zone = true)
+      .orderBy("proxy_date").collect().map(_.toString).toSeq
+    val batch = graft.operators.Mape.dailyMapeAggregation(
+      graft.operators.Mape.hourlyAggregation(
+        rows.toDF("proxy_date", "hour", "zone",
+          "forecast", "backcast", "settlement"), zone = true), zone = true)
+      .orderBy("proxy_date").collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // zonal output is the pivoted wide shape (metric_zone columns)
+    val cols = graft.streaming.StreamingEvents
+      .mapeFromPartials(spark, storeDir, zone = true).columns
+    assert(cols.contains("forecast_mape_east") && cols.contains("forecast_mape_west"),
+      s"expected pivoted zonal columns, got ${cols.mkString(",")}")
+  }
+
   test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
     implicit val ctx = spark.sqlContext
     val keyDir = tmpDir("graft-stream-key")

@@ -21,6 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q14 (label enum) and q16 (moving average) run global-order windows
+    // over ≤30 POST-AGGREGATION rows — tiny by construction, and Spark 4's
+    // EliminateWindowPartitions folds away any constant partition key that
+    // would silence the "No Partition Defined" warning, so it floods the
+    // log hundreds of times per run. Silence the window package in this
+    // driver-facing main only — tests keep the warning visible so a real
+    // unpartitioned window on a fact-scale path can't hide in noise.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // Warm the session OUTSIDE the measurement (parquet reader, codegen,
     // shuffle machinery, noop sink): alphabetical order otherwise bills the
     // whole JVM/JIT spin-up to whichever query happens to run first.

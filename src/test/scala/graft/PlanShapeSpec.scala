@@ -94,6 +94,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("array_dot"), "pair kernel must be the native dot expression")
   }
 
+  test("IVF probe is one scan: assignment filter + TakeOrderedAndProject, no Exchange") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val idx = graft.operators.IVF.train(emb, k = 4, iters = 1)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val plan = physical(graft.operators.IVF.neighbors(emb, idx, q, 10, nProbe = 2))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(!plan.contains("Exchange"),
+      s"probe must not shuffle the data — filter + local top-k only: ${plan.take(400)}")
+  }
+
   test("large-label enumeration plans no unpartitioned window") {
     import spark.implicits._
     // 100 labels: above MaxExpressionLabels, so the distributed path runs

@@ -305,6 +305,21 @@ object Dedup {
     val reliable = sc.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Reliable-checkpoint hygiene: Spark deletes checkpoint files only
+    // under GC-driven reference tracking (off by default), so without
+    // explicit cleanup every round leaks a label-table generation into
+    // the checkpoint dir — real disk at 100 TB. Once round N+1's
+    // checkpoint is materialized, round N's files are dead (the cut
+    // severed the lineage); delete them, keeping only the newest
+    // generation — the same discipline as MLlib's PeriodicCheckpointer.
+    // The FINAL generation backs the returned frame and must survive.
+    def checkpointDirOf(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile).map(new org.apache.hadoop.fs.Path(_))
+    def dropCheckpoint(df: DataFrame): Unit = if (reliable)
+      checkpointDirOf(df).foreach(p =>
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true))
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -328,9 +343,11 @@ object Dedup {
       // blocks until the checkpoint action above completes — same round,
       // same job; count (not sum) so an empty frame still yields 0
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      // the new label table is materialized; the previous round's
-      // executor-local copy is dead weight from here on
+      // the new label table is materialized; the previous round's copy
+      // (executor-local storage or reliable checkpoint files) is dead
+      // weight from here on
       prev.unpersist(false)
+      dropCheckpoint(prev)
       iter += 1
     }
     edges.unpersist(false)

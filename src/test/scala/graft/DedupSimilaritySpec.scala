@@ -106,6 +106,11 @@ class DedupSimilaritySpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no checkpoint files written — fell back to localCheckpoint")
+      // and superseded generations must be cleaned up: only the FINAL
+      // label table's rdd-* checkpoint may remain, not one per round
+      val gens = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(gens === 1, s"expected 1 surviving checkpoint generation, got $gens")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 

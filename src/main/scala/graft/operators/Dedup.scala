@@ -276,10 +276,18 @@ object Dedup {
     * when chains matter (A~B, B~C, A≁C must still collapse to one
     * cluster).
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round every node adopts the minimum label among itself
-    * and its neighbors; fixpoint in O(component diameter) rounds —
-    * near-dup clusters are shallow, so this converges in a handful.
+    * Iterative min-label propagation with pointer jumping: every node
+    * starts labeled with its own id; each round every node adopts the
+    * minimum of its own label, its neighbors' labels, AND its label's
+    * label (path halving — label values are node ids, so "my label's
+    * label" is a lookup in the same table). Neighbor-min alone needs
+    * O(component diameter) rounds — a pathological near-dup chain of
+    * depth 100 would blow the iteration cap; the jump makes long chains
+    * collapse in O(log diameter) rounds for one extra small join per
+    * round. Labels only ever take values of component members' labels
+    * and decrease monotonically, so the jump cannot overshoot the
+    * component minimum, and `changed = 0` still certifies the
+    * neighbor-min fixpoint.
     *
     * Cluster-safety: each round checkpoints the label table (iterative
     * DataFrame algorithms otherwise stack a lineage of joins per round
@@ -334,9 +342,18 @@ object Dedup {
         .groupBy(col("i").as("doc_id")).agg(min(col("nc")).as("nc"))
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val prev = labels
-      labels = cut(prev.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = prev.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+      // pointer jump against the PREVIOUS generation (prev is materialized,
+      // so this adds a join without recomputing the step): one-generation-
+      // stale label-of-label values are still component members' labels,
+      // hence valid upper bounds of the component min
+      labels = cut(stepped
+        .join(prev.select(col("doc_id").as("cluster"), col("cluster").as("jump")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("cluster"), coalesce(col("jump"), col("cluster"))).as("cluster"))
         .observe(obs, count(when(col("cluster") =!= col("old"), lit(1)))
           .as("changed"))
         .select(col("doc_id"), col("cluster")))

@@ -92,6 +92,16 @@ class DedupSimilaritySpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents collapses a DEEP chain within the iteration cap") {
+    // a 60-node path has diameter 59: neighbor-min alone would need ~59
+    // rounds and blow maxIter = 20; pointer jumping must finish in O(log)
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet === (1L to 60L).toSet)
+    assert(cc.values.forall(_ == 1L), "entire chain must collapse to node 1")
+  }
+
   test("connectedComponents with a checkpoint dir: reliable cuts, same result") {
     val dir = tmpDir("cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir)

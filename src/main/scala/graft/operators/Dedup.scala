@@ -140,14 +140,20 @@ object Dedup {
   val XxPermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
     (s, p) => xxhash64(s, lit(p))
 
-  /** Portable permutation hash: md5 of `"p|shingle"`, top 15 hex chars
-    * decoded base-16 (60 bits). Heavier than xxhash64 but computable
-    * identically by any engine with md5 — used by the oracle-checked q23
-    * so the whole MinHash+LSH pipeline is verifiable cross-engine.
+  /** Portable permutation hash: perm `p` reads the 8-hex (32-bit) lane
+    * `p % 4` of `md5("${p / 4}|" || shingle)` — one md5 digest feeds FOUR
+    * permutations, so 16 perms cost 4 md5 calls per posting row instead of
+    * 16 (md5 dominates the portable path's cost; codegen's subexpression
+    * elimination shares each digest across its lanes). 32-bit minima are
+    * ample for MinHash — banding compares 4-lane tuples (128 bits) and the
+    * verify stage is exact regardless. Heavier than xxhash64 but computable
+    * identically by any engine with md5 — used by the oracle-checked q23 so
+    * the whole MinHash+LSH pipeline is verifiable cross-engine.
     */
   val Md5PermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
     (s, p) => conv(substring(
-      md5(concat(lit(s"$p|"), s).cast("binary")), 1, 15), 16, 10).cast("long")
+      md5(concat(lit(s"${p / 4}|"), s).cast("binary")), 1 + 8 * (p % 4), 8),
+      16, 10).cast("long")
 
   /** MinHash signature per document: numPerms column-wise minima of the
     * seeded permutation hash over the shingle set, in one aggregation pass

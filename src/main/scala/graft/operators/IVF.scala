@@ -70,22 +70,27 @@ object IVF {
     * id — a deterministic pseudo-random sample.
     */
   def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42): Index = {
+    // persisted: the init pass + every Lloyd iteration scans this frame —
+    // without the persist each pass re-reads and re-casts the source
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    var centroids = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(k).select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray.map(q9))
-    require(centroids.length == k, s"need at least $k vectors to train, got ${centroids.length}")
-    for (_ <- 1 to iters) {
-      val idx = Index(centroids)
-      val means = v.select(assignExpr(col("v"), idx).as("cid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val updated = centroids.map(_.clone())
-      means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = q9(r.getDouble(2)))
-      centroids = updated // empty clusters keep their previous centroid
-    }
-    Index(centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+        .limit(k).select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray.map(q9))
+      require(centroids.length == k, s"need at least $k vectors to train, got ${centroids.length}")
+      for (_ <- 1 to iters) {
+        val idx = Index(centroids)
+        val means = v.select(assignExpr(col("v"), idx).as("cid"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect()
+        val updated = centroids.map(_.clone())
+        means.foreach(r => updated(r.getInt(0))(r.getInt(1)) = q9(r.getDouble(2)))
+        centroids = updated // empty clusters keep their previous centroid
+      }
+      Index(centroids)
+    } finally v.unpersist(false)
   }
 
   /** The `nProbe` centroid ids nearest the query (ascending dist², ties on

@@ -666,8 +666,10 @@ object Queries {
     val numPerms = 16
     val bands = 4
     val rows = numPerms / bands
+    // perm p = 8-hex lane (p % 4) of md5("${p/4}|" || s), mirroring
+    // Dedup.Md5PermHash — one digest feeds four permutations
     def h(p: Int) =
-      s"CAST(('0x' || substring(md5('$p|' || s), 1, 15)) AS BIGINT)"
+      s"CAST(('0x' || substring(md5('${p / 4}|' || s), ${1 + 8 * (p % 4)}, 8)) AS BIGINT)"
     val minCols = (0 until numPerms).map(p => s"MIN(${h(p)}) AS mh$p")
       .mkString(",\n         ")
     val bandArms = (0 until bands).map { b =>

@@ -80,6 +80,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got === vectors.map(v => (v._1, v._3, v._4)).toSet)
   }
 
+  test("JPEG SOF walk decodes 200 randomized segment layouts (seeded)") {
+    val rnd = new scala.util.Random(42)
+    // markers whose segments the walk must SKIP (length-delimited)
+    val skippable = Seq(0xE0, 0xE1, 0xE7, 0xEC, 0xED, 0xEE, 0xFE, 0xDB, 0xC4)
+    val sofs = Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xCF)
+    def hx(b: Int): String = f"$b%02X"
+    val cases = (1 to 200).map { i =>
+      val sb = new StringBuilder("FFD8")
+      // 0–8 skippable segments with random payloads (may contain 0xFF)
+      (0 until rnd.nextInt(9)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append("FF01")                       // standalone TEM
+          case 1 => sb.append("FF").append(hx(0xD0 + rnd.nextInt(8))) // RSTn
+          case 2 => sb.append("FF")                         // fill byte
+          case _ =>
+            val payload = Array.fill(rnd.nextInt(40))(rnd.nextInt(256))
+            sb.append("FF").append(hx(skippable(rnd.nextInt(skippable.length))))
+              .append(f"${payload.length + 2}%04X")
+              .append(payload.map(hx).mkString)
+        }
+      }
+      val (w, h) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      sb.append("FF").append(hx(sofs(rnd.nextInt(sofs.length))))
+        .append("001108").append(f"$h%04X").append(f"$w%04X").append("03")
+      (i.toLong, sb.toString, w.toLong, h.toLong)
+    }
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "hex")
+      .select(col("id"), unhex(col("hex")).as("payload"))
+    val got = df.select(col("id"), Multimodal.jpegWidth(col("payload")).as("w"),
+        Multimodal.jpegHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.foreach { case (id, _, w, h) =>
+      assert(got(id) === (w, h), s"case $id decoded ${got(id)}, expected ($w, $h)")
+    }
+  }
+
   test("fakeEmbedding is deterministic, bounded, and has the declared dim") {
     val df = Seq(("a", "payload-bytes-1"), ("b", "payload-bytes-2"))
       .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))

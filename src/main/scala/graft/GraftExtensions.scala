@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, WordShingles}
 
-/** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`
-  * and `array_dot(a, b)` become callable from `spark.sql(...)` — the same
-  * codegen'd expressions the DataFrame API uses, registered rather than
-  * wrapped in UDFs.
+/** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
+  * `array_dot(a, b)`, `l2_norm(a)`, and `word_shingles(text[, n])` become
+  * callable from `spark.sql(...)` — the same codegen'd expressions the
+  * DataFrame API uses, registered rather than wrapped in UDFs.
   *
   * Two entry points for the two deployment shapes:
   *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -38,6 +38,21 @@ object GraftExtensions {
       s"array_dot(a, b) takes 2 arguments, got ${other.size}")
   }
 
+  private def l2NormBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(a) =>
+      val ad = Cast(a, ArrayType(DoubleType))
+      Sqrt(ArrayDotProduct(ad, ad))
+    case other => throw new IllegalArgumentException(
+      s"l2_norm(a) takes 1 argument, got ${other.size}")
+  }
+
+  private def wordShinglesBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => WordShingles(c, 3)
+    case Seq(c, Literal(n: Int, IntegerType)) => WordShingles(c, n)
+    case other => throw new IllegalArgumentException(
+      s"word_shingles(text[, n]) takes 1 or 2 arguments, got ${other.size}")
+  }
+
   /** (identifier, info, builder) triples in the shape both
     * `SparkSessionExtensions.injectFunction` and the session
     * `FunctionRegistry` accept.
@@ -49,7 +64,13 @@ object GraftExtensions {
         blake2bBuilder _),
       (FunctionIdentifier("array_dot"),
         new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-        arrayDotBuilder _))
+        arrayDotBuilder _),
+      (FunctionIdentifier("l2_norm"),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, "l2_norm"),
+        l2NormBuilder _),
+      (FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        wordShinglesBuilder _))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

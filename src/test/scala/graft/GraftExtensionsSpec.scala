@@ -17,6 +17,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 32.0)
   }
 
+  test("l2_norm and word_shingles are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT l2_norm(array(3.0D, 4.0D)), " +
+        "word_shingles('a b c d'), word_shingles('a b c d', 2)").head()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
+  }
+
   test("array_dot casts float arrays like the DataFrame path") {
     GraftExtensions.register(spark)
     val r = spark.sql(

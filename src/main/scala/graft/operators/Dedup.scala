@@ -318,7 +318,16 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) {
+        // persist before the reliable cut: an eager checkpoint computes the
+        // plan TWICE (the materializing action, then the checkpoint-file
+        // write job) — the cache turns the second computation into a read,
+        // and is released as soon as the files exist
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = p.checkpoint(true)
+        p.unpersist(false)
+        c
+      } else df.localCheckpoint(true)
     // Reliable-checkpoint hygiene: Spark deletes checkpoint files only
     // under GC-driven reference tracking (off by default), so without
     // explicit cleanup every round leaks a label-table generation into

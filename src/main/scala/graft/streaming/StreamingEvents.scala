@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.functions.TextFunctions
 import graft.operators.{Anonymize, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
@@ -94,6 +95,83 @@ object StreamingEvents {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** One stored signature in a band bucket's state. */
+  case class SigEntry(id: Long, sig: Seq[Long])
+  /** One banded row entering the stateful operator. */
+  case class BandRow(bucket: String, id: Long, sig: Seq[Long])
+  /** A streaming near-dup candidate: estimated Jaccard = matching-lane
+    * fraction of the two MinHash signatures.
+    */
+  case class CandPair(i: Long, j: Long, est_jaccard: Double)
+
+  /** Per-ROW MinHash signature as a pure expression — `array_min` over the
+    * row's own shingle array per permutation, no aggregation. The min over
+    * the (multiset) shingle array equals the min over the shingle SET, so
+    * values are identical to the batch signature pipeline's — which is
+    * what lets a stream compute signatures without a groupBy that would
+    * need watermark gymnastics before any stateful logic.
+    */
+  def rowMinhashSignature(text: Column, n: Int = 3, numPerms: Int = 16): Column =
+    array((0 until numPerms).map(p =>
+      array_min(transform(TextFunctions.shingles(text, n),
+        s => xxhash64(s, lit(p))))): _*)
+
+  /** Streaming MinHash near-dup detection — custom state via
+    * `flatMapGroupsWithState`, the piece of the streaming surface windows
+    * and `dropDuplicates` can't express: each LSH band bucket keeps the
+    * signatures of the last `maxPerBucket` documents that hashed into it,
+    * and every arriving document is compared against its buckets' state,
+    * emitting candidate pairs with their estimated Jaccard immediately —
+    * no batch boundary, no full-corpus join.
+    *
+    * State is bounded by construction: buckets × maxPerBucket signatures
+    * (first-in evicted), the streaming analog of the df cap — a degenerate
+    * hot bucket cannot grow state without bound. Candidates are estimates
+    * by design (banding recall semantics, matching-lane Jaccard estimate);
+    * route them through an exact verify (join back to texts) or dedup them
+    * with `dropDuplicatesWithinWatermark("i", "j")` downstream — the same
+    * pair can surface from several shared buckets.
+    *
+    * Works identically on a batch frame (flatMapGroupsWithState's batch
+    * fallback starts with empty state), which is what the spec uses to pin
+    * stream-equals-batch candidate sets against [[graft.operators.Dedup]].
+    */
+  def streamingNearDupCandidates(docs: DataFrame, n: Int = 3,
+      numPerms: Int = 16, bands: Int = 4,
+      maxPerBucket: Int = 64): Dataset[CandPair] = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / bands
+    val bucketKeys = (0 until bands).map(b =>
+      concat_ws(":", lit(b) +: (0 until rowsPerBand)
+        .map(r => col("sig")(b * rowsPerBand + r)): _*))
+    docs.filter(size(TextFunctions.tokens(col("text"))) >= n)
+      .select(col("doc_id").cast("long").as("id"),
+        rowMinhashSignature(col("text"), n, numPerms).as("sig"))
+      .select(explode(array(bucketKeys: _*)).as("bucket"), col("id"), col("sig"))
+      .as[BandRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[SigEntry], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var entries = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[CandPair]
+        // intra-batch arrival order within a group is not deterministic —
+        // process by ascending id so emissions are replay-stable
+        rows.toSeq.sortBy(_.id).foreach { r =>
+          entries.foreach { e =>
+            if (e.id != r.id)
+              out += CandPair(math.min(e.id, r.id), math.max(e.id, r.id),
+                e.sig.zip(r.sig).count { case (a, b) => a == b }.toDouble / numPerms)
+          }
+          entries = (entries :+ SigEntry(r.id, r.sig)).takeRight(maxPerBucket)
+        }
+        state.update(entries)
+        out.result().iterator
+      }
+  }
 
   /** Continuous uid pseudonymization: every micro-batch runs the batch
     * key-table upsert (J2/S6 — broadcast join + anti-join + blake2b +

@@ -203,6 +203,45 @@ class StreamingSpec extends SparkSpec {
       s"expected pivoted zonal columns, got ${cols.mkString(",")}")
   }
 
+  test("flatMapGroupsWithState near-dup candidates: stream equals batch LSH") {
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup
+      (4L, "completely different text with nothing shared here at all"),
+      (5L, "another unrelated document about spark query engines"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingEvents.streamingNearDupCandidates(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(1))
+      q.processAllAvailable()
+      stream.addData(docs.drop(1)) // doc 3, the exact dup of 1, arrives LATER
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_stream")
+      .select("i", "j").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch oracle: the banded LSH candidate generator over the same docs
+    val batch = graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.minhashSignatures(
+          docs.toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch, s"stream $streamed vs batch $batch")
+    // (1, 3) is an exact dup split ACROSS batches: finding it proves the
+    // bucket state carried doc 1's signature into batch 2 — guaranteed,
+    // since identical signatures share every band bucket
+    assert(streamed.contains((1L, 3L)), "cross-batch state must pair exact dups")
+    // estimated jaccard of an exact dup is 1.0 on every emission
+    val est13 = spark.table("neardup_stream")
+      .filter(col("i") === 1L && col("j") === 3L)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(est13.nonEmpty && est13.forall(_ === 1.0))
+  }
+
   test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
     implicit val ctx = spark.sqlContext
     val keyDir = tmpDir("graft-stream-key")

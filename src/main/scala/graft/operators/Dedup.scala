@@ -266,13 +266,16 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                   numPerms: Int = 16, bands: Int = 4,
-                  maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                  maxDf: Int = DefaultMaxShingleDf,
+                  permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+                  : DataFrame = {
     // persisted: consumed by the near-dup posting list AND the final
     // anti-join — without it the exact-collapse groupBy runs twice
     val reps = graft.CacheRegistry.persist(docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("text"), col("dup_count")))
-    val nearDupJ = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
+    val nearDupJ = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf,
+        permHash)
       .select(col("j").as("doc_id")).distinct()
     reps.join(nearDupJ, Seq("doc_id"), "left_anti")
   }

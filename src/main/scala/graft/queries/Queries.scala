@@ -653,16 +653,29 @@ object Queries {
              |  UNION
              |  SELECT e.i, w.lbl FROM walk w JOIN edges e ON e.j = w.doc_id
              |)
-             |SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id""".stripMargin))
+             |SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id""".stripMargin)),
+
+    // ── Q40: the corpus-dedup COMPOSITION end-to-end — exact collapse →
+    //         MinHash+LSH near-dup over representatives → greedy keep-first
+    //         — oracle-checked as one unit (previously only the stages were
+    //         individually checked; PipelineSpec pinned the composition).
+    //         Portable md5 permutation hash so DuckDB replays it; xxhash64
+    //         stays the operator default. ──────────────────────────────────
+    QueryDef("q40_dedup_corpus",
+      (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), threshold = 0.8,
+        permHash = Dedup.Md5PermHash),
+      Some(dedupCorpusOracleSql))
   )
 
-  /** q23's oracle: the full MinHash+LSH pipeline replayed in DuckDB over
-    * the portable md5 permutation hash — df-capped posting list (as q22),
-    * 16 per-permutation minima, 4 banded signatures self-joined for
-    * candidates, exact-Jaccard verification at the threshold. Generated:
-    * 16 hash minima and 4 band arms inline.
+  /** The MinHash+LSH near-dup pipeline replayed in DuckDB over the portable
+    * md5 permutation hash, as a reusable CTE chain over source relation
+    * `src` (must expose doc_id, text): df-capped posting list (as q22), 16
+    * per-permutation minima, 4 banded signatures self-joined for
+    * candidates, exact-Jaccard verification at the threshold. Ends with a
+    * `verified(i, j, jac)` CTE. Shared by q23 (over documents) and q40
+    * (over the exact-collapsed representatives).
     */
-  private lazy val minhashOracleSql: String = {
+  private def minhashPairCtes(src: String, threshold: Double): String = {
     val numPerms = 16
     val bands = 4
     val rows = numPerms / bands
@@ -676,8 +689,8 @@ object Queries {
       val rs = (0 until rows).map(r => s"mh${b * rows + r} AS r$r").mkString(", ")
       s"  SELECT doc_id, $b AS band, $rs FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |), sh0 AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
@@ -705,12 +718,32 @@ object Queries {
        |  JOIN sh x ON x.doc_id = c.i
        |  JOIN sh y ON y.doc_id = c.j AND y.s = x.s
        |  GROUP BY 1, 2
-       |)
-       |SELECT i, j,
-       |       CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) AS jac
-       |FROM common JOIN sz sx ON i = sx.doc_id JOIN sz sy ON j = sy.doc_id
-       |WHERE CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) >= 0.8""".stripMargin
+       |), verified AS (
+       |  SELECT i, j,
+       |         CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) AS jac
+       |  FROM common JOIN sz sx ON i = sx.doc_id JOIN sz sy ON j = sy.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sx.n + sy.n - common AS DOUBLE) >= $threshold
+       |)""".stripMargin
   }
+
+  /** q23's oracle: the near-dup pipeline over documents. */
+  private lazy val minhashOracleSql: String =
+    s"""WITH ${minhashPairCtes("documents", 0.8)}
+       |SELECT i, j, jac FROM verified""".stripMargin
+
+  /** q40's oracle: the full corpus-dedup composition — exact collapse to
+    * min-id representatives, the near-dup pipeline over the REPS, then
+    * keep-first (drop every doc appearing as the larger id of a surviving
+    * pair). No NULL hazard in the NOT IN: j is a join key, never null.
+    */
+  private lazy val dedupCorpusOracleSql: String =
+    s"""WITH reps AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+       |  FROM documents GROUP BY text
+       |), ${minhashPairCtes("reps", 0.8)}
+       |SELECT r.doc_id, r.text, r.dup_count
+       |FROM reps r
+       |WHERE r.doc_id NOT IN (SELECT j FROM verified)""".stripMargin
 
   /** q26's oracle: banded sign-projection LSH replayed in DuckDB. The 16
     * hyperplanes (8 bands × 2) come from the same deterministic LCG the

@@ -42,6 +42,18 @@ object Tables {
   def parquet(spark: SparkSession, path: String): DataFrame =
     lowercaseColumns(spark.read.parquet(path))
 
+  /** JSON-lines scan + the same lowercase-columns convention — the
+    * de-facto interchange format for LLM text corpora (one JSON document
+    * per line; Spark's json reader splits and infers in parallel). Pass an
+    * explicit schema at real scale: inference is its own full pass over
+    * the data.
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read
+    lowercaseColumns(schema.fold(reader.json(path))(s => reader.schema(s).json(path)))
+  }
+
   /** P1: lowercase every column name. */
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)

@@ -20,6 +20,24 @@ class TablesSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getDouble(1)).toSeq === Seq(2.5, 3.5))
   }
 
+  test("jsonl: one document per line, lowercased names, optional schema") {
+    val dir = tmpDir("graft-jsonl")
+    val w = new java.io.PrintWriter(s"$dir/docs.jsonl")
+    w.println("""{"Doc_ID": 1, "Text": "hello world", "lang": "en"}""")
+    w.println("""{"Doc_ID": 2, "Text": "bonjour", "lang": "fr"}""")
+    w.close()
+    val df = Tables.jsonl(spark, s"$dir/docs.jsonl")
+    assert(df.columns.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    assert(df.count() === 2)
+    assert(df.filter($"doc_id" === 1).head().getAs[String]("text") === "hello world")
+    // explicit schema skips the inference pass and pins types
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "Doc_ID LONG, Text STRING, lang STRING")
+    val typed = Tables.jsonl(spark, s"$dir/docs.jsonl", Some(schema))
+    assert(typed.schema("doc_id").dataType.typeName === "long")
+    assert(typed.count() === 2)
+  }
+
   test("renameColumns applies the map and ignores absent keys") {
     val df = Seq((1, "x")).toDF("a", "b")
     val out = Tables.renameColumns(df, Map("a" -> "id", "zzz" -> "nope"))

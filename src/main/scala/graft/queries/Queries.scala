@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Anonymize, Dedup, Mape, Multimodal, Similarity}
+import graft.operators.{Anonymize, AsofJoin, Dedup, Mape, Multimodal, RangeJoin, Similarity}
 import graft.functions.TextFunctions
 
 /** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
@@ -664,7 +664,87 @@ object Queries {
     QueryDef("q40_dedup_corpus",
       (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), threshold = 0.8,
         permHash = Dedup.Md5PermHash),
-      Some(dedupCorpusOracleSql))
+      Some(dedupCorpusOracleSql)),
+
+    // ── Q41: as-of join — each click picks up the user's most recent
+    //         purchase value at or before its timestamp. The operator is
+    //         the union-tag + keyed-window shape (no join node, one
+    //         shuffle); the oracle replays backward-as-of with a window
+    //         over an inequality join (fine at oracle scale). State is
+    //         collapsed per (user, ts) first: the operator's contract
+    //         leaves same-instant duplicates undefined. ──────────────────
+    QueryDef("q41_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val state = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("sval"))
+        AsofJoin.asofJoin(probes, state, keys = Seq("user_id"),
+            stateVals = Seq("sval"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_ts"),
+            col("asof_sval").as("asof_value"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'click'
+             |), state AS (
+             |  SELECT user_id, ts, MAX(value) AS sval FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1, 2
+             |), j AS (
+             |  SELECT p.event_id, s.ts AS sts, s.sval,
+             |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |                            ORDER BY s.ts DESC) AS rn
+             |  FROM probes p JOIN state s
+             |    ON p.user_id = s.user_id AND s.ts <= p.ts
+             |)
+             |SELECT p.event_id, p.user_id,
+             |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, p.value,
+             |       strftime(j.sts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+             |       j.sval AS asof_value
+             |FROM probes p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+             |  USING (event_id)""".stripMargin)),
+
+    // ── Q42: range (interval) join — every click landing inside the hour
+    //         after a purchase by the same user, via the bucketized
+    //         equi-join operator (keyless range joins would otherwise plan
+    //         nested-loop; see RangeJoin scaladoc + PlanShapeSpec). A click
+    //         inside two overlapping purchase windows matches twice — the
+    //         match set, not a pick. ─────────────────────────────────────
+    QueryDef("q42_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val intervals = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("interval_id"), col("user_id"),
+            col("ts").as("win_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+        RangeJoin.intervalJoin(probes, intervals, keys = Seq("user_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("value"), col("interval_id"),
+            date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("win_start"))
+      },
+      Some("""WITH pur AS (
+             |  SELECT event_id AS interval_id, user_id, ts AS win_start,
+             |         ts + INTERVAL 1 HOUR AS win_end
+             |  FROM events WHERE event_type = 'purchase'
+             |), clk AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'click'
+             |)
+             |SELECT c.event_id, c.user_id,
+             |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, c.value,
+             |       p.interval_id,
+             |       strftime(p.win_start, '%Y-%m-%d %H:%M:%S.%f') AS win_start
+             |FROM clk c JOIN pur p
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.win_start AND c.ts < p.win_end""".stripMargin))
   )
 
   /** The MinHash+LSH near-dup pipeline replayed in DuckDB over the portable

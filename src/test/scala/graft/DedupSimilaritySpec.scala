@@ -141,6 +141,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(greedy.contains(1L) && greedy.contains(6L))
   }
 
+  test("asofJoin: inclusive backward as-of, nulls before first state, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00"), 1.0),  // before any state → null
+      (2L, "k1", ts("2024-01-01 11:00:00"), 2.0),  // exactly at state s1 → s1
+      (3L, "k1", ts("2024-01-01 12:30:00"), 3.0),  // between s1 and s2 → s1
+      (4L, "k1", ts("2024-01-01 14:00:00"), 4.0),  // after s2 → s2
+      (5L, "k2", ts("2024-01-01 14:00:00"), 5.0))  // other key → its own state
+      .toDF("id", "k", "ts", "v")
+    val state = Seq(
+      ("k1", ts("2024-01-01 11:00:00"), 10.0),     // s1
+      ("k1", ts("2024-01-01 13:00:00"), 20.0),     // s2
+      ("k2", ts("2024-01-01 09:00:00"), 30.0))
+      .toDF("k", "ts", "sv")
+    val got = graft.operators.AsofJoin.asofJoin(probes, state,
+        keys = Seq("k"), stateVals = Seq("sv"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5).asInstanceOf[Any])).toMap
+    assert(got === Map(1L -> null, 2L -> 10.0, 3L -> 10.0, 4L -> 20.0, 5L -> 30.0))
+  }
+
+  test("intervalJoin: [start, end) boundaries, bucket-crossing, empty windows") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00")),   // == start → in
+      (2L, ts("2024-01-01 10:59:59")),   // just inside
+      (3L, ts("2024-01-01 11:00:00")),   // == end → OUT (exclusive)
+      (4L, ts("2024-01-01 12:30:00")),   // inside the bucket-CROSSING window
+      (5L, ts("2024-01-01 09:00:00")))   // before everything
+      .toDF("id", "ts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      // crosses an hour-bucket boundary: 11:30 → 13:30
+      (200L, ts("2024-01-01 11:30:00"), ts("2024-01-01 13:30:00")),
+      // empty window — must match nothing (and not poison sequence())
+      (300L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00")))
+      .toDF("interval_id", "win_start", "win_end")
+    val got = graft.operators.RangeJoin.intervalJoin(probes, intervals)
+      .select("id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L), (2L, 100L), (4L, 200L)))
+  }
+
   test("cosine topK matches a locally-computed brute force on sf0.001") {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val all = emb.select("vec_id", "embedding").collect()

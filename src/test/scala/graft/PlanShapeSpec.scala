@@ -105,6 +105,28 @@ class PlanShapeSpec extends SparkSpec {
       s"probe must not shuffle the data — filter + local top-k only: ${plan.take(400)}")
   }
 
+  test("asofJoin plans one keyed window, ZERO join nodes") {
+    import spark.implicits._
+    val probes = Seq((1L, "k", new java.sql.Timestamp(0L), 1.0)).toDF("id", "k", "ts", "v")
+    val state = Seq(("k", new java.sql.Timestamp(0L), 2.0)).toDF("k", "ts", "sv")
+    val plan = physical(graft.operators.AsofJoin.asofJoin(probes, state,
+      keys = Seq("k"), stateVals = Seq("sv")))
+    assert(!plan.contains("Join"),
+      s"as-of must be the union+window shape, not a join: ${plan.take(400)}")
+    assert(plan.contains("Window"), "expected the keyed window fill")
+  }
+
+  test("KEYLESS range join plans an equi-join on buckets, not a nested loop") {
+    import spark.implicits._
+    val t0 = new java.sql.Timestamp(0L)
+    val t1 = new java.sql.Timestamp(3600000L)
+    val probes = Seq((1L, t0)).toDF("id", "ts")
+    val intervals = Seq((9L, t0, t1)).toDF("interval_id", "win_start", "win_end")
+    val plan = physical(graft.operators.RangeJoin.intervalJoin(probes, intervals))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bucketize to an equi-join: ${plan.take(400)}")
+  }
+
   test("large-label enumeration plans no unpartitioned window") {
     import spark.implicits._
     // 100 labels: above MaxExpressionLabels, so the distributed path runs

@@ -130,6 +130,15 @@ object GraftFunctions {
   /** L2 norm of an array column (sqrt of the self dot product). */
   def l2_norm(a: Column): Column = sqrt(dot_product(a, a))
 
+  /** Misra–Gries heavy hitters AGGREGATE over a string column: at most `k`
+    * counters per group, mergeable across partitions, exact when the
+    * group's distinct count stays within `k` (see [[MisraGries]]).
+    * Returns array<struct<item, count>> sorted by (count desc, item asc).
+    */
+  def heavy_hitters(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      MisraGries(expression(c), k).toAggregateExpression())
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftShim.expression(c)
 }

@@ -744,7 +744,25 @@ object Queries {
              |       strftime(p.win_start, '%Y-%m-%d %H:%M:%S.%f') AS win_start
              |FROM clk c JOIN pur p
              |  ON c.user_id = p.user_id
-             | AND c.ts >= p.win_start AND c.ts < p.win_end""".stripMargin))
+             | AND c.ts >= p.win_start AND c.ts < p.win_end""".stripMargin)),
+
+    // ── Q43: heavy hitters per language via the native Misra–Gries
+    //         aggregate (custom TypedImperativeAggregate, partial-merge
+    //         across partitions). k = 256 far exceeds the corpus
+    //         vocabulary, so the sketch is provably in its EXACT regime
+    //         and the oracle is plain exact token counts; the approximate
+    //         regime's ±n/(k+1) guarantee is spec-pinned instead. ────────
+    QueryDef("q43_heavy_hitters",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.GraftFunctions.heavy_hitters(col("tok"), 256).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("h"))
+        .select(col("lang"), col("h.item").as("token"), col("h.count").as("cnt")),
+      Some("""SELECT lang, t AS token, COUNT(*) AS cnt
+             |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+             |      FROM documents)
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** The MinHash+LSH near-dup pipeline replayed in DuckDB over the portable

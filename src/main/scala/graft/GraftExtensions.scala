@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr, WordShingles}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, MisraGries, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
   * `array_dot(a, b)`, `l2_norm(a)`, and `word_shingles(text[, n])` become
@@ -53,6 +53,14 @@ object GraftExtensions {
       s"word_shingles(text[, n]) takes 1 or 2 arguments, got ${other.size}")
   }
 
+  // returns the bare AggregateFunction — the analyzer wraps it, exactly as
+  // for built-in aggregates registered through FunctionRegistry
+  private def heavyHittersBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(c, Literal(k: Int, IntegerType)) => MisraGries(c, k)
+    case other => throw new IllegalArgumentException(
+      s"heavy_hitters(item, k) takes a column and a literal int, got ${other.size} args")
+  }
+
   /** (identifier, info, builder) triples in the shape both
     * `SparkSessionExtensions.injectFunction` and the session
     * `FunctionRegistry` accept.
@@ -70,7 +78,10 @@ object GraftExtensions {
         l2NormBuilder _),
       (FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-        wordShinglesBuilder _))
+        wordShinglesBuilder _),
+      (FunctionIdentifier("heavy_hitters"),
+        new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
+        heavyHittersBuilder _))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

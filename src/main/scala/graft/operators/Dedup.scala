@@ -349,6 +349,7 @@ object Dedup {
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var labels = cut(edges.select(col("i").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")))
     var converged = false
@@ -385,12 +386,14 @@ object Dedup {
       dropCheckpoint(prev)
       iter += 1
     }
-    edges.unpersist(false)
     // loud, not wrong: stopping early would silently report split clusters
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — component " +
         "diameter exceeds maxIter; raise it for unusually deep dup chains")
     labels
+    // finally (not the happy path only): a mid-loop failure or the
+    // non-convergence throw must not strand the persisted edges frame
+    } finally edges.unpersist(false)
   }
 
   /** [[dedupCorpus]] with exact transitive clustering: one survivor (the

@@ -27,6 +27,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
   }
 
+  test("heavy_hitters aggregate is callable from spark.sql") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("a", "a", "b").toDF("tok").createOrReplaceTempView("hh_toks")
+    val r = spark.sql(
+      "SELECT heavy_hitters(tok, 4) AS hh FROM hh_toks").head()
+    val got = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(got === Seq("a" -> 2L, "b" -> 1L))
+  }
+
   test("array_dot casts float arrays like the DataFrame path") {
     GraftExtensions.register(spark)
     val r = spark.sql(

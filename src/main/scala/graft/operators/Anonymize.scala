@@ -262,6 +262,6 @@ object Anonymize {
     val labeled = presentAnon.foldLeft(scaled)((d, c) => anonymizeColumnLabels(d, c))
     val pseudonymized = presentUid
       .foldLeft(labeled)((d, c) => uidAnonymization(spark, d, c, keyDir))
-    pseudonymized.toDF(pseudonymized.columns.map(_.toLowerCase): _*)
+    pseudonymized.toDF(pseudonymized.columns.map(_.toLowerCase).toIndexedSeq: _*)
   }
 }

@@ -30,6 +30,10 @@ import org.apache.spark.sql.types.StructType
   * winner — collapse them first (`groupBy(key, ts).agg(...)`) for
   * deterministic output.
   *
+  * `tolerance` (an interval literal body, e.g. "2 hours") bounds staleness
+  * the way pandas merge_asof's tolerance does: state older than
+  * `probe ts − tolerance` is treated as absent (nulls), not matched.
+  *
   * Returns every probe column plus `prefix + stateTs` and `prefix + v` for
   * each requested state column (null when no state row precedes the probe).
   */
@@ -38,13 +42,14 @@ object AsofJoin {
   def asofJoin(probes: DataFrame, state: DataFrame, keys: Seq[String],
                probeTs: String = "ts", stateTs: String = "ts",
                stateVals: Seq[String] = Seq("value"),
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               tolerance: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val probeStruct = StructType(probes.schema.fields)
     val p = probes.select(
       keys.map(col) ++ Seq(
         col(probeTs).as("__ts"), lit(1).as("__side"),
-        struct(probes.columns.map(col): _*).as("__probe"),
+        struct(probes.columns.map(col).toIndexedSeq: _*).as("__probe"),
         lit(null).cast(state.schema(stateTs).dataType).as(prefix + stateTs)) ++
         stateVals.map(v =>
           lit(null).cast(state.schema(v).dataType).as(prefix + v)): _*)
@@ -58,10 +63,18 @@ object AsofJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filledCols = (prefix + stateTs) +: stateVals.map(prefix + _)
-    p.unionByName(s)
-      .select(col("__side") +: col("__probe") +:
+    val filled = p.unionByName(s)
+      .select(col("__ts") +: col("__side") +: col("__probe") +:
         filledCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__side") === 1)
-      .select(col("__probe.*") +: filledCols.map(col): _*)
+    val bounded = tolerance.fold(filled) { t =>
+      // staleness must be decided BEFORE any filled column is overwritten:
+      // nulling asof_ts first would blind the check for the value columns
+      val withStale = filled.withColumn("__stale",
+        col(prefix + stateTs) < col("__ts") - expr(s"INTERVAL $t"))
+      filledCols.foldLeft(withStale)((df, c) =>
+        df.withColumn(c, when(col("__stale"), lit(null)).otherwise(col(c))))
+    }
+    bounded.select(col("__probe.*") +: filledCols.map(col): _*)
   }
 }

@@ -49,7 +49,7 @@ object IVF {
     * deterministically.
     */
   def assignExpr(v: Column, index: Index): Column =
-    array_min(array(index.centroids.zipWithIndex.map { case (c, i) =>
+    array_min(array(index.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
     }: _*)).getField("cid")
 

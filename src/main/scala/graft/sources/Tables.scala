@@ -56,7 +56,7 @@ object Tables {
 
   /** P1: lowercase every column name. */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
 
   /** P2: rename columns by map (reference `df.rename(columns={...})`,
     * /root/reference/anonymize_datasets.py:71,83 + sandbox_anon cell 4);

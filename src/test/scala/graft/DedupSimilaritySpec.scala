@@ -161,6 +161,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(5)) null else r.getDouble(5).asInstanceOf[Any])).toMap
     assert(got === Map(1L -> null, 2L -> 10.0, 3L -> 10.0, 4L -> 20.0, 5L -> 30.0))
+    // tolerance: k2's state is 5 hours stale for probe 5 → nulled; k1's
+    // probes keep their fresh matches (all within 2 hours)
+    val bounded = graft.operators.AsofJoin.asofJoin(probes, state,
+        keys = Seq("k"), stateVals = Seq("sv"), tolerance = Some("2 hours"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5).asInstanceOf[Any])).toMap
+    assert(bounded === Map(1L -> null, 2L -> 10.0, 3L -> 10.0, 4L -> 20.0, 5L -> null))
   }
 
   test("intervalJoin: [start, end) boundaries, bucket-crossing, empty windows") {

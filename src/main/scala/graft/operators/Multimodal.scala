@@ -157,6 +157,32 @@ object Multimodal {
       lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
       lit("0806000000")))
 
+  /** Rewrite the dimensions inside an image header — the metadata half of
+    * a resize, as pure binary splicing (slice → new big-endian dimension
+    * bytes → rest). PNG rewrites the IHDR width/height words at their
+    * fixed offsets; JPEG locates the SOF frame header with the same
+    * bounded marker walk the decoder uses and rewrites its height/width
+    * shorts at the discovered offset. Payloads that are not decodable
+    * images pass through unchanged. Pixel RESAMPLING requires a codec this
+    * container doesn't ship — pair this with a real decoder via
+    * [[decodeBatched]]'s per-partition plumbing; the header splice is the
+    * part an ingest pipeline needs for consistent downstream metadata.
+    */
+  def withResizedHeader(payload: Column, width: Column, height: Column): Column = {
+    val jd = jpegDims(payload)
+    val off = jd.getField("off")
+    when(isPng(payload), concat(
+        payload.substr(lit(1), lit(16)),
+        unhex(lpad(hex(width), 8, "0")), unhex(lpad(hex(height), 8, "0")),
+        payload.substr(lit(25), length(payload))))
+      .when(isJpeg(payload) && jd.getField("w") > 0, concat(
+        // keep through the SOF precision byte (off = the marker's 0xFF)
+        payload.substr(lit(1), off + 4),
+        unhex(lpad(hex(height), 4, "0")), unhex(lpad(hex(width), 4, "0")),
+        payload.substr(off + 9, length(payload))))
+      .otherwise(payload)
+  }
+
   /** Synthesize a minimal baseline-JPEG header (SOI + a 16-byte JFIF APP0
     * segment + the SOF0 frame header through the component count) as a
     * binary column — the JPEG counterpart of [[pngHeaderPayload]]. The SOF

@@ -116,6 +116,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("withResizedHeader rewrites PNG/JPEG dims in place; pass-through else") {
+    val df = Seq(
+      ("png", 1L), ("jpeg", 2L), ("junk", 3L))
+      .toDF("kind", "id")
+      .select(col("kind"),
+        when(col("kind") === "png",
+            Multimodal.pngHeaderPayload(lit(640L), lit(480L)))
+          .when(col("kind") === "jpeg",
+            // EXIF-style layout: the SOF offset is NOT fixed — the splice
+            // must land where the walk finds it
+            unhex(lit("FFD8" + "FFE10008457869660000" + "FFC2001108" +
+              "01E0" + "0280" + "03")))
+          .otherwise(unhex(lit("DEADBEEF"))).as("payload"))
+    val resized = df.select(col("kind"),
+      Multimodal.withResizedHeader(col("payload"), lit(100L), lit(200L)).as("payload"))
+    val meta = Multimodal.withImageMeta(resized)
+      .select(col("kind"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(meta === Set(
+      ("png", "png", 100L, 200L),
+      ("jpeg", "jpeg", 100L, 200L),
+      ("junk", "unknown", -1L, -1L)))
+    // only the dimension bytes changed: payload length is preserved
+    val lens = df.select(length(col("payload"))).collect().map(_.getInt(0)).toSeq
+    val lens2 = resized.select(length(col("payload"))).collect().map(_.getInt(0)).toSeq
+    assert(lens === lens2)
+  }
+
   test("fakeEmbedding is deterministic, bounded, and has the declared dim") {
     val df = Seq(("a", "payload-bytes-1"), ("b", "payload-bytes-2"))
       .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))

@@ -45,6 +45,12 @@ object AsofJoin {
                prefix: String = "asof_",
                tolerance: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    val reserved = Set("__ts", "__side", "__probe", "__stale") ++
+      ((prefix + stateTs) +: stateVals.map(prefix + _))
+    val clash = (probes.columns ++ state.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"as-of join reserves these column names: ${clash.mkString(", ")} — " +
+        "rename them (or pick another prefix) before joining")
     val probeStruct = StructType(probes.schema.fields)
     val p = probes.select(
       keys.map(col) ++ Seq(

@@ -38,6 +38,8 @@ object RangeJoin {
     val overlap = probes.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet
     require(overlap.isEmpty,
       s"probe/interval column collision beyond the keys: ${overlap.mkString(", ")}")
+    require(!(probes.columns ++ intervals.columns).contains("__b"),
+      "range join reserves the __b bucket column — rename it before joining")
     val w = bucketSeconds * 1000000L
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c.cast("timestamp")) / w)

@@ -402,11 +402,14 @@ object Dedup {
     */
   def dedupCorpusClustered(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                            numPerms: Int = 16, bands: Int = 4,
-                           maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                           maxDf: Int = DefaultMaxShingleDf,
+                           permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+                           : DataFrame = {
     val reps = graft.CacheRegistry.persist(docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("text"), col("dup_count")))
-    val pairs = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf)
+    val pairs = minhashNearDups(reps, threshold, n, numPerms, bands, maxDf,
+      permHash)
     val dropped = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))

@@ -102,6 +102,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc.values.forall(_ == 1L), "entire chain must collapse to node 1")
   }
 
+  test("connectedComponents fails loudly when the iteration cap is hit") {
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("i", "j")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"),
+      "stopping early must throw, not silently report split clusters")
+  }
+
   test("connectedComponents with a checkpoint dir: reliable cuts, same result") {
     val dir = tmpDir("cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir)

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import graft.functions.Blake2b
+import graft.functions.{Blake2b, MisraGries}
 import graft.operators.Anonymize
 import graft.sinks.ExcelSink
 
@@ -44,6 +44,39 @@ object PropertySpec extends Properties("graft") {
         idx.size == distinct.size &&
         distinct.zipWithIndex.forall { case (l, i) => idx(l) == s"ANON ${i + 1}" }
       }
+    }
+
+  property("misra-gries: any stream, any split — bounds hold, serde round-trips") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")),
+      Gen.choose(1, 6), Gen.choose(0, 100)) { (stream, k, cut) =>
+      // the aggregate's buffer algebra exercised directly (no session):
+      // update on two arbitrary partitions, serde round-trip, merge
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val agg = MisraGries(BoundReference(0, StringType, nullable = true), k)
+      val (p1, p2) = stream.splitAt(cut % (stream.size + 1))
+      def fill(part: Seq[String]) = {
+        val buf = agg.createAggregationBuffer()
+        part.foreach(s => agg.update(buf, InternalRow(UTF8String.fromString(s))))
+        buf
+      }
+      val merged = agg.merge(fill(p1), agg.deserialize(agg.serialize(fill(p2))))
+      val n = stream.size
+      val bound = n / (k + 1)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sizeOk = merged.size <= k
+      val boundsOk = merged.forall { case (item, est) =>
+        est <= truth(item) && est >= truth(item) - bound
+      }
+      val heavyOk = truth.forall { case (item, c) =>
+        c <= bound || merged.contains(item)
+      }
+      val exactOk = truth.size > k ||
+        merged.toMap == truth // distinct <= k: every count exact
+      sizeOk && boundsOk && heavyOk && exactOk
     }
 
   property("colRef: bijective over a large range and strictly A1-ordered") =

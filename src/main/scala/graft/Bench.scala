@@ -77,7 +77,9 @@ object Bench {
       "minhash_xxhash64" -> (() => graft.operators.Dedup.minhashNearDups(
         graft.sources.Tables.table(spark, sfDir, "documents"), threshold = 0.8)),
       "simhash_xxhash64" -> (() => graft.operators.Dedup.simhashPairs(
-        graft.sources.Tables.table(spark, sfDir, "documents"), maxHamming = 3)))
+        graft.sources.Tables.table(spark, sfDir, "documents"), maxHamming = 3)),
+      "dedup_corpus_xxhash64" -> (() => graft.operators.Dedup.dedupCorpus(
+        graft.sources.Tables.table(spark, sfDir, "documents"), threshold = 0.8)))
     val scaleTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) scaleDefs.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

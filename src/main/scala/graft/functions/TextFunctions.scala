@@ -60,6 +60,33 @@ object TextFunctions {
   def minShingleFingerprint(text: Column, n: Int = 3, seed: Int = 42): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s, lit(seed))))
 
+  /** PII scrub patterns, applied in order: (regex, typed placeholder).
+    * Deliberately the RE2-safe regex subset (no lookarounds) so the same
+    * patterns run identically in Spark's Java regex and engines like
+    * DuckDB/RE2 — which is what makes the scrub oracle-checkable. Order
+    * matters: emails first (their local parts contain digits and dots that
+    * later patterns would mangle), then IPs (dotted digit runs that the
+    * phone pattern must not see), then phones, then card-like digit runs.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{13,19}\\b" -> "<CARD>")
+
+  /** Scrub common PII shapes out of free text, replacing each with a typed
+    * placeholder — the text-column counterpart of the structured-column
+    * anonymization in [[graft.operators.Anonymize]], for training corpora
+    * where documents embed contact details verbatim. Pattern-based by
+    * design (deterministic, engine-portable, runs in the scan); it is NOT
+    * an NER system — names and addresses need a model pass, which would
+    * ride [[graft.operators.Multimodal.decodeBatched]]-style plumbing.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pattern, placeholder)) =>
+      regexp_replace(c, pattern, placeholder)
+    }
+
   /** Character-trigram marker profiles for the language-ID heuristic.
     * Public-knowledge high-frequency trigrams per language; the score of a
     * language is how many of its markers occur in the lowercased text.

@@ -762,8 +762,47 @@ object Queries {
       Some("""SELECT lang, t AS token, COUNT(*) AS cnt
              |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
              |      FROM documents)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q44: free-text PII scrubbing — the text-column counterpart of the
+    //         structured anonymization surface. The corpus text is clean
+    //         by construction, so the query SEEDS deterministic PII (an
+    //         email, an IP, a phone, a card number derived from doc_id)
+    //         into every row on both sides first — the q34 pattern — then
+    //         scrubs. Patterns are the RE2-safe subset, so DuckDB replays
+    //         the identical replace chain (generated from the same
+    //         PiiPatterns list). ──────────────────────────────────────────
+    QueryDef("q44_pii_scrub",
+      (s, dir) => {
+        val seeded = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com at 10.0."), col("doc_id") % 256,
+            lit(".7 or 555-123-4567 card 4111111111111111")).as("text"))
+        seeded.select(col("doc_id"),
+          TextFunctions.scrubPii(col("text")).as("clean"))
+      },
+      Some(piiOracleSql))
   )
+
+  /** q44's oracle: the identical seeded text, scrubbed by the identical
+    * replace chain — generated from [[TextFunctions.PiiPatterns]] so both
+    * engines share one pattern list.
+    */
+  private lazy val piiOracleSql: String = {
+    val chain = TextFunctions.PiiPatterns.foldLeft("text") {
+      case (e, (pattern, placeholder)) =>
+        s"regexp_replace($e, '$pattern', '$placeholder', 'g')"
+    }
+    s"""WITH seeded AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |         || '.7 or 555-123-4567 card 4111111111111111' AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id, $chain AS clean FROM seeded""".stripMargin
+  }
 
   /** The MinHash+LSH near-dup pipeline replayed in DuckDB over the portable
     * md5 permutation hash, as a reusable CTE chain over source relation

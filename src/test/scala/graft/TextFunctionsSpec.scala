@@ -76,4 +76,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0).getLong(0) === r(1).getLong(0))
     assert(r(2).isNullAt(0)) // "short one" has 2 tokens < 3 → empty → null
   }
+
+  test("scrubPii replaces typed PII shapes and leaves look-alikes alone") {
+    val vectors = Seq(
+      ("mail a.b+x@sub.example.co done", "mail <EMAIL> done"),
+      ("ip 192.168.0.1 end", "ip <IP> end"),
+      ("call 555-123-4567 or 555.987.6543", "call <PHONE> or <PHONE>"),
+      ("card 4111111111111111 pan 1234567890123", "card <CARD> pan <CARD>"),
+      // all four in one line, order-dependent interactions
+      ("u@x.io 10.0.0.7 555-123-4567 4111111111111111",
+        "<EMAIL> <IP> <PHONE> <CARD>"),
+      // look-alikes that must SURVIVE: 3-octet version, short digit run,
+      // word with @ but no TLD dot shape stays an email by the grammar? no —
+      // 'a@b' has no dot-TLD, so it survives
+      ("version 1.2.3 id 123456789012 a@b stays",
+        "version 1.2.3 id 123456789012 a@b stays"))
+    val got = vectors.map(_._1).toDF("text")
+      .select(TextFunctions.scrubPii(col("text"))).collect().map(_.getString(0))
+    got.zip(vectors.map(_._2)).foreach { case (g, want) => assert(g === want) }
+  }
 }

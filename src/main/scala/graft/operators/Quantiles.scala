@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-wise quantiles — the distribution-shape summary a data pipeline
+  * computes over document lengths, quality scores, and metric values.
+  *
+  * Two paths, one semantics:
+  *
+  *  - [[groupQuantilesExact]] — Spark's exact `percentile` aggregate
+  *    (rank `p*(n-1)`, linear interpolation — the same definition as
+  *    DuckDB's `quantile_cont` and numpy's default, which is what makes it
+  *    oracle-checkable). Exact percentile buffers each group's value
+  *    multiset on the reducer, so it is the small-group / verification
+  *    path.
+  *  - [[groupQuantilesApprox]] — `percentile_approx` (Greenwald–Khanna
+  *    sketch): bounded memory per group, mergeable partial aggregates
+  *    (map-side combine works), the ONLY viable shape at 100 TB where one
+  *    group can hold billions of rows. Accuracy is 1/accuracy quantile
+  *    error, spec-pinned against the exact path.
+  *
+  * Bitwise determinism contract for the exact path: quantize values to
+  * integers first (`round(v * scale)`) and use binary-exact probabilities
+  * (quarters, eighths…). Then `p*(n-1)` splits into an integer rank and an
+  * exact-binary fraction `d`, and BOTH interpolation algebras in use —
+  * Spark's `lo*(1-d) + hi*d` and DuckDB's `lo + d*(hi-lo)` — evaluate to
+  * the same exact rational, hence the same double. Arbitrary `p` (0.95)
+  * or raw doubles can differ in the last ulp between the two algebras.
+  */
+object Quantiles {
+
+  /** The binary-exact probability ladder used by the oracle-checked query. */
+  val QuarterProbs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  private def quantized(v: Column, scale: Double): Column = round(v * scale)
+
+  /** Exact per-group quantiles of `round(value*scale)/scale`, one column
+    * per probability (`p25`, `p50`, `p75`…). `probs` must be binary-exact
+    * fractions for the cross-engine bitwise guarantee (see object doc).
+    */
+  def groupQuantilesExact(df: DataFrame, groupCols: Seq[String], value: Column,
+                          probs: Seq[Double] = QuarterProbs,
+                          scale: Double = 1000.0): DataFrame = {
+    val v = quantized(value, scale)
+    val aggs = count(lit(1)).as("cnt") +:
+      probs.map(p => (percentile(v, lit(p)) / scale).as(probName(p)))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sketch-based per-group quantiles — the at-scale path. Same output
+    * shape as [[groupQuantilesExact]]; `accuracy` trades memory for
+    * quantile error ≤ 1/accuracy.
+    */
+  def groupQuantilesApprox(df: DataFrame, groupCols: Seq[String], value: Column,
+                           probs: Seq[Double] = QuarterProbs,
+                           scale: Double = 1000.0,
+                           accuracy: Int = 10000): DataFrame = {
+    val v = quantized(value, scale)
+    val aggs = count(lit(1)).as("cnt") +:
+      probs.map(p => (percentile_approx(v, lit(p), lit(accuracy)) / scale)
+        .as(probName(p)))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `0.25 -> p25`, `0.5 -> p50`; percent is exact for the supported
+    * quarter/eighth ladder (no float-format surprises in column names).
+    */
+  private def probName(p: Double): String = {
+    val pct = p * 100
+    require(pct == pct.floor, s"prob $p must be a whole percent")
+    s"p${pct.toInt}"
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Anonymize, AsofJoin, Dedup, Mape, Multimodal, RangeJoin, Similarity}
+import graft.operators.{Anonymize, AsofJoin, Dedup, Mape, Multimodal, Quantiles, RangeJoin, Sampling, Similarity}
 import graft.functions.TextFunctions
 
 /** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
@@ -782,7 +782,70 @@ object Queries {
         seeded.select(col("doc_id"),
           TextFunctions.scrubPii(col("text")).as("clean"))
       },
-      Some(piiOracleSql))
+      Some(piiOracleSql)),
+
+    // ── Q45: group-wise exact quantiles (p25/p50/p75 of events.value per
+    //         event_type). Values are quantized to integers and the probs
+    //         are binary-exact quarters, so Spark's exact `percentile` and
+    //         DuckDB's `quantile_cont` — different interpolation algebras —
+    //         land on the identical double (see Quantiles scaladoc). The
+    //         at-scale sketch path (`percentile_approx`) is spec-pinned in
+    //         QuantilesSamplingSpec instead. ─────────────────────────────
+    QueryDef("q45_group_quantiles",
+      (s, dir) => Quantiles.groupQuantilesExact(
+        t(s, dir, "events"), Seq("event_type"), col("value")),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |       quantile_cont(v, 0.25) / 1000.0 AS p25,
+             |       quantile_cont(v, 0.50) / 1000.0 AS p50,
+             |       quantile_cont(v, 0.75) / 1000.0 AS p75
+             |FROM (SELECT event_type, CAST(round(value * 1000.0) AS DOUBLE) AS v
+             |      FROM events)
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Q46: deterministic stratified sampling — keep 3-in-20 (15%) of
+    //         each language, where the keep/drop decision is a pure md5
+    //         hash of the row key (reproducible across runs, engines, and
+    //         partitionings — unlike RNG `sample()`). DuckDB replays the
+    //         identical hash arithmetic, so the oracle checks the SELECTED
+    //         ROW SET, not just a rate. ──────────────────────────────────
+    QueryDef("q46_stratified_sample",
+      (s, dir) => Sampling.stratifiedDeterministic(
+          t(s, dir, "documents"), col("lang"), col("doc_id"), keep = 3, buckets = 20)
+        .select("doc_id", "lang", "n_chars"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 < 3""".stripMargin)),
+
+    // ── Q47: URL parsing + per-domain source mix — the web-corpus
+    //         curation query. The corpus has no URL column, so the query
+    //         SEEDS a deterministic provenance URL per row (q34/q44
+    //         pattern), then extracts domain/TLD with engine-portable
+    //         regexes and aggregates the per-domain document mix. ────────
+    QueryDef("q47_url_domains",
+      (s, dir) => {
+        val urled = t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          concat(lit("https://cdn"), (col("doc_id") % 7).cast("string"),
+            lit(".example-"), col("lang"), lit(".org/p/"),
+            col("doc_id").cast("string"),
+            lit("?ref=r"), (col("doc_id") % 13).cast("string")).as("url"))
+        urled.select(TextFunctions.urlDomain(col("url")).as("domain"),
+            TextFunctions.urlTld(TextFunctions.urlDomain(col("url"))).as("tld"),
+            col("n_chars"))
+          .groupBy("domain", "tld")
+          .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      },
+      Some("""WITH urled AS (
+             |  SELECT lang, n_chars,
+             |         'https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example-'
+             |         || lang || '.org/p/' || CAST(doc_id AS VARCHAR)
+             |         || '?ref=r' || CAST(doc_id % 13 AS VARCHAR) AS url
+             |  FROM documents
+             |)
+             |SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS domain,
+             |       regexp_extract(regexp_extract(url, 'https?://([^/?#]+)', 1),
+             |                      '\.([A-Za-z]+)$', 1) AS tld,
+             |       COUNT(*) AS docs, SUM(n_chars) AS chars
+             |FROM urled
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

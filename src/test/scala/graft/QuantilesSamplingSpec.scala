@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Quantiles, Sampling}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+class QuantilesSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact group quantiles match a hand computation") {
+    // 1..9 per one group: p25 = 3, p50 = 5, p75 = 7 (rank p*(n-1) exact)
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = Quantiles.groupQuantilesExact(df, Seq("k"), col("v")).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 9L)
+    assert(r(0).getDouble(2) === 3.0 && r(0).getDouble(3) === 5.0 &&
+      r(0).getDouble(4) === 7.0)
+  }
+
+  test("approx quantiles track exact within the sketch error bound") {
+    val events = Tables.table(spark, sf0001, "events")
+    val exact = Quantiles.groupQuantilesExact(events, Seq("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Quantiles.groupQuantilesApprox(events, Seq("event_type"), col("value"),
+      accuracy = 10000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet === approx.keySet)
+    // GK bound is on RANK error (1/accuracy); translate loosely to value
+    // space by allowing 2% of the observed value range per group.
+    for ((k, (e25, e50, e75)) <- exact) {
+      val (a25, a50, a75) = approx(k)
+      val tol = math.max(1e-9, (e75 - e25) * 0.02 + 1e-6)
+      assert(math.abs(a25 - e25) <= tol, s"$k p25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= tol, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a75 - e75) <= tol, s"$k p75: $a75 vs $e75")
+    }
+  }
+
+  test("deterministic sample is partitioning-invariant and stratified") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.stratifiedDeterministic(df, col("lang"), col("doc_id"), 3, 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17, col("n_chars"))) // different layout, same rows
+    assert(a === b, "sample must not depend on partitioning")
+    // rate lands near 15% overall (binomial tolerance on 500 docs)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.15) < 0.06, s"rate ${a.size / n}")
+    // stratified: every language keeps a nonzero share at this size
+    val perLang = Sampling.stratifiedDeterministic(docs, col("lang"), col("doc_id"), 3, 20)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.forall(l => perLang.getOrElse(l, 0L) > 0L))
+  }
+
+  test("xxhash64 scale-path sample agrees with itself and respects bounds") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val key = concat(col("lang"), lit(":"), col("doc_id").cast("string"))
+    val kept = docs.filter(Sampling.hashBucketXx(key, 20) < 3).count()
+    val kept2 = docs.repartition(5).filter(Sampling.hashBucketXx(key, 20) < 3).count()
+    assert(kept === kept2)
+    assert(kept > 0 && kept < docs.count())
+    intercept[IllegalArgumentException](Sampling.hashBucket(col("lang"), 0))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedDeterministic(docs, col("lang"), col("doc_id"), 21, 20))
+  }
+
+  test("url helpers: domain, tld, path; non-URLs give empty strings") {
+    val vectors = Seq(
+      ("https://cdn3.example-en.org/p/42?ref=r1", "cdn3.example-en.org", "org", "/p/42"),
+      ("http://a.b.co/x/y#frag", "a.b.co", "co", "/x/y"),
+      ("https://host.io", "host.io", "io", ""), // no path
+      ("not a url at all", "", "", ""))
+    val got = vectors.map(_._1).toDF("u").select(
+      TextFunctions.urlDomain(col("u")),
+      TextFunctions.urlTld(TextFunctions.urlDomain(col("u"))),
+      TextFunctions.urlPath(col("u"))).collect()
+    got.zip(vectors).foreach { case (r, (_, d, t, p)) =>
+      assert(r.getString(0) === d); assert(r.getString(1) === t)
+      assert(r.getString(2) === p)
+    }
+  }
+}

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
@@ -90,8 +92,43 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       newRight: Expression): ArrayDotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** A double constant that generated code reads from the plan's reference
+  * array instead of embedding in the Java source.
+  *
+  * `lit(x: Double)` splices the value into the generated source text, so a
+  * family of plans that differ ONLY in scalar constants (e.g. the per-
+  * centroid ‖c‖² terms of k-means, re-planned every Lloyd iteration with
+  * fresh centroids) produces a distinct source string per plan — and janino
+  * recompiles the whole stage each time, which dominates iterative training
+  * on anything but huge inputs. Array literals already go through
+  * `references` (source-invariant); this gives scalars the same treatment.
+  * Deliberately non-foldable — ConstantFolding would otherwise collapse it
+  * right back into an embedded constant.
+  */
+case class StableDouble(value: Double) extends LeafExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "stable_double"
+  override def eval(input: InternalRow): Any = value
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stableDouble", value, "java.lang.Double")
+    ev.copy(code = code"final double ${ev.value} = $ref.doubleValue();",
+      isNull = FalseLiteral)
+  }
+}
+
 /** Column-level entry points for graft's custom functions. */
 object GraftFunctions {
+
+  /** Codegen-stable scalar constant — see [[StableDouble]]. Use in plans
+    * that are re-built many times with different constants (iterative
+    * training loops); plain `lit()` everywhere else, where embedded
+    * constants give the JIT more to work with.
+    */
+  def stable_lit(x: Double): Column =
+    org.apache.spark.sql.GraftShim.column(StableDouble(x))
 
   /** blake2b(digest_size) hex digest of a string column — the reference's
     * uid pseudonym is `blake2b_hex(c, 5)` (10 hex chars).

@@ -38,10 +38,19 @@ object IVF {
     * centroids for a given row, so it is dropped — halving the kernel
     * work in the per-row assignment (filter predicates don't get
     * subexpression elimination in codegen).
+    *
+    * The ‖c‖² scalar rides [[GraftFunctions.stable_lit]], not `lit`:
+    * training re-plans this expression every Lloyd iteration with fresh
+    * centroids, and embedded scalar constants would make each iteration's
+    * generated source unique — forcing janino to recompile the whole
+    * k×dim assignment stage per iteration, which dominates training on
+    * small-to-medium inputs. With reference-array scalars (the centroid
+    * ARRAY literals already compile that way) every iteration shares one
+    * compiled class.
     */
   private def scoreToCentroid(v: Column, c: Array[Double]): Column = {
     val c2 = c.map(x => x * x).sum
-    lit(c2) - lit(2.0) * GraftFunctions.dot_product(v, lit(c))
+    GraftFunctions.stable_lit(c2) - lit(2.0) * GraftFunctions.dot_product(v, lit(c))
   }
 
   /** Nearest-centroid id of a vector column as a pure expression:

@@ -40,6 +40,30 @@ class CodegenSpec extends SparkSpec {
       val out = Anonymize.anonymizeLabels(labeled, "c", Seq("acme", "other"))
         .as[String].collect().toSet
       assert(out === Set("ANON_CLIENT 1 ships", "nothing here"))
+      // StableDouble
+      val sd = emb.select((GraftFunctions.stable_lit(2.0) *
+        GraftFunctions.dot_product(col("v"), col("v"))).as("d"))
+        .as[Double].collect().sorted
+      assert(sd === Array(10.0, 50.0))
     }
+  }
+
+  test("stable_lit generates value-invariant source and survives the optimizer") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    // the whole point: two different constants → byte-identical generated
+    // source (the value rides the reference array), so re-planned training
+    // iterations share one compiled class instead of recompiling per plan
+    def src(x: Double): String = {
+      val ctx = new CodegenContext
+      graft.functions.StableDouble(x).genCode(ctx).code.toString
+    }
+    assert(src(1.5) === src(-273.15))
+    assert(!graft.functions.StableDouble(1.5).foldable)
+    // and ConstantFolding must not collapse it back into an embedded literal
+    val plan = spark.range(1).select(
+      (GraftFunctions.stable_lit(3.25) + col("id")).as("x"))
+      .queryExecution.optimizedPlan
+    assert(plan.expressions.exists(_.exists(_.isInstanceOf[graft.functions.StableDouble])),
+      s"StableDouble folded away:\n$plan")
   }
 }

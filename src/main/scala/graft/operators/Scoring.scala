@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics document scoring — the model-free quality/relevance
+  * signals a training-data pipeline runs at ingest:
+  *
+  *  - [[unigramLogProbScore]] — per-document average token log-probability
+  *    under the corpus's own unigram distribution. The cheap stand-in for
+  *    perplexity filtering (CCNet-style): documents whose tokens are
+  *    globally rare score low; gibberish and boilerplate separate from the
+  *    bulk. One explode + two aggregations + one broadcast-sized join.
+  *  - [[bm25]] — classic BM25 term relevance for a literal query, for
+  *    corpus search / targeted curation ("find the docs about X and
+  *    upweight them").
+  *
+  * 100 TB plan shape: token stats are one map-side-combined groupBy over
+  * the exploded scan (shuffle carries (token, count) partials, never raw
+  * token streams); the vocabulary is small relative to the corpus (Heaps'
+  * law) so the stats join back to the exploded stream is a BROADCAST join
+  * (hinted explicitly); the per-document reduce shuffles one row per
+  * (doc, term-hit). Global scalars (total tokens, doc count, avg doc
+  * length) ride one-row broadcast frames, never a driver collect.
+  *
+  * Bitwise-oracle contract: per-token log terms are quantized to 1e-6
+  * integers BEFORE the per-document sum (integer sums are order-exact;
+  * raw double sums are not), and every scalar constant is interpolated
+  * into the oracle SQL from the same Scala double so both engines parse
+  * identical values.
+  */
+object Scoring {
+
+  /** (token, lp6) — corpus unigram log-probs as 1e-6-quantized integers,
+    * plus the (total-token, distinct-token) one-row frame joined in.
+    */
+  private def tokens(docs: DataFrame, text: String): DataFrame =
+    docs.select(col("doc_id"), explode(split(col(text), " ")).as("t"))
+
+  /** Per-document mean token log-probability under the corpus unigram
+    * model, `round`-stabilized for cross-engine replay. Output:
+    * (doc_id, n_tokens, lp) with lp = mean over tokens of
+    * round(ln(count(t)/total)·1e6)/1e6.
+    */
+  def unigramLogProbScore(docs: DataFrame, text: String = "text"): DataFrame = {
+    val toks = tokens(docs, text)
+    val stats = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = stats.agg(sum(col("cnt")).cast("double").as("n"))
+    val lp = stats.crossJoin(broadcast(total))
+      .select(col("t"), round(log(col("cnt") / col("n")) * 1e6).as("lp6"))
+    toks.join(broadcast(lp), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        ((sum(col("lp6")) / 1e6) / count(lit(1))).as("lp"))
+  }
+
+  /** BM25 scores of every document against literal query `terms`; top `k`
+    * by (score desc, doc_id) for a deterministic result set. Standard
+    * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form):
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75, text: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = tokens(docs, text)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // one-row frame: doc count + average doc length (exact: integer sum)
+    val globals = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val df_ = toks.filter(col("t").isin(terms: _*))
+      .groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val idf = df_.crossJoin(broadcast(globals))
+      .select(col("t"), col("n_docs"), col("avgdl"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          .as("idf"))
+    val perTerm = tf.join(broadcast(idf), "t").join(dl, "doc_id")
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))
+          * 1e6).as("s6"))
+    perTerm.groupBy("doc_id").agg((sum(col("s6")) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The DuckDB replay of [[unigramLogProbScore]] over table `documents` —
+    * kept beside the operator so one definition change updates both
+    * engines.
+    */
+  def unigramOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), stats AS (
+      |  SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1
+      |), total AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM stats
+      |), lp AS (
+      |  SELECT t, round(ln(cnt / n) * 1000000.0) AS lp6 FROM stats, total
+      |)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       (SUM(lp6) / 1000000.0) / COUNT(*) AS lp
+      |FROM toks JOIN lp USING (t)
+      |GROUP BY doc_id""".stripMargin
+
+  /** The DuckDB replay of [[bm25]]; constants are interpolated from the
+    * same Scala doubles the Spark plan uses (`Double.toString` round-trips
+    * exactly), so both engines arithmetic on identical values.
+    */
+  def bm25OracleSql(terms: Seq[String], k: Int = 20,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+       |), globals AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+       |), dfs AS (
+       |  SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks
+       |  WHERE t IN ($termList) GROUP BY 1
+       |), tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+       |  WHERE t IN ($termList) GROUP BY 1, 2
+       |), idf AS (
+       |  SELECT t, n_docs, avgdl,
+       |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+       |  FROM dfs, globals
+       |), per_term AS (
+       |  SELECT doc_id,
+       |         round(idf * (tf * ${k1 + 1}) /
+       |               (tf + $k1 * (1.0 - $b + $b * (dl / avgdl))) * 1000000.0) AS s6
+       |  FROM tf JOIN idf USING (t) JOIN dl USING (doc_id)
+       |)
+       |SELECT doc_id, SUM(s6) / 1000000.0 AS score FROM per_term
+       |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Anonymize, AsofJoin, Dedup, Mape, Multimodal, Quantiles, RangeJoin, Sampling, Similarity}
+import graft.operators.{Anonymize, AsofJoin, Decontaminate, Dedup, Mape, Multimodal, Quantiles, RangeJoin, Sampling, Scoring, Similarity}
 import graft.functions.TextFunctions
 
 /** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
@@ -52,6 +52,12 @@ object Queries {
   /** Sum of per-row cent-quantized values, presented in original units. */
   private def centSum(c: org.apache.spark.sql.Column, scale: Double = 100.0) =
     sum(round(c * scale)) / scale
+
+  /** q49's fixed query — high-frequency corpus terms so tf spread is real.
+    * Defined BEFORE `all`: the QueryDef seq evaluates eagerly at object
+    * init, and a forward val reference would still be null there.
+    */
+  private val Bm25Terms = Seq("spark", "window", "merge")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -845,7 +851,33 @@ object Queries {
              |                      '\.([A-Za-z]+)$', 1) AS tld,
              |       COUNT(*) AS docs, SUM(n_chars) AS chars
              |FROM urled
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q48: unigram-LM quality scoring (perplexity-filter stand-in) —
+    //         per-doc mean token log-prob under the corpus's own unigram
+    //         distribution. Token log terms are 1e-6-quantized BEFORE the
+    //         per-doc sum (integer sums are order-exact across engines);
+    //         the ln() itself is the one cross-libm op, absorbed by the
+    //         quantization. ────────────────────────────────────────────────
+    QueryDef("q48_unigram_lm_score",
+      (s, dir) => Scoring.unigramLogProbScore(t(s, dir, "documents")),
+      Some(Scoring.unigramOracleSql)),
+
+    // ── Q49: BM25 relevance (Lucene idf form) for a literal 3-term query,
+    //         top-20 by (score desc, doc_id). Constants interpolate into
+    //         the oracle from the same Scala doubles the plan uses. ───────
+    QueryDef("q49_bm25",
+      (s, dir) => Scoring.bm25(t(s, dir, "documents"), Bm25Terms),
+      Some(Scoring.bm25OracleSql(Bm25Terms))),
+
+    // ── Q50: train/eval contamination audit — for every doc of the eval
+    //         slice (source = 'src0'), the fraction of its word trigrams
+    //         found anywhere in the train slice. Exact counts + one
+    //         division → bitwise. ────────────────────────────────────────
+    QueryDef("q50_decontaminate",
+      (s, dir) => Decontaminate.contamination(
+        t(s, dir, "documents"), col("source") === "src0"),
+      Some(Decontaminate.oracleSql("source = 'src0'")))
   )
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

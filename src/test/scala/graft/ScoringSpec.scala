@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Scoring}
+
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram log-prob score: uniform two-token corpus gives ln(1/2) everywhere") {
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val r = Scoring.unigramLogProbScore(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // 4 tokens total, each token type has count 2 → every token lp = ln(0.5);
+    // replicate the operator's exact arithmetic: (Σ lp6 / 1e6) / n_tokens
+    val lp6 = math.round(math.log(0.5) * 1e6).toDouble
+    assert(r(1L) === ((3L, 3 * lp6 / 1e6 / 3)))
+    assert(r(2L) === ((1L, lp6 / 1e6 / 1)))
+  }
+
+  test("rarer tokens score lower than common ones") {
+    val docs = Seq((1L, "x x x x x x x"), (2L, "q")).toDF("doc_id", "text")
+    val r = Scoring.unigramLogProbScore(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(2L) < r(1L), s"rare-token doc must score lower: $r")
+  }
+
+  test("bm25 ranks the term-dense doc first and respects the limit") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark join merge sort"),
+      (3L, "table scan filter agg"),
+      (4L, "spark spark join merge")).toDF("doc_id", "text")
+    val top = Scoring.bm25(docs, Seq("spark"), k = 2).collect()
+    assert(top.length === 2)
+    assert(top(0).getLong(0) === 1L, "highest tf wins on a single-term query")
+    assert(top.forall(_.getDouble(1) > 0))
+    intercept[IllegalArgumentException](Scoring.bm25(docs, Seq.empty))
+  }
+
+  test("contamination: hand-built overlap gives the exact fraction") {
+    // eval doc trigrams: "a b c", "b c d" — train contains "a b c" only
+    val docs = Seq(
+      (1L, "a b c d", true),
+      (2L, "z a b c z", false),
+      (3L, "unrelated text entirely here", false))
+      .toDF("doc_id", "text", "is_eval")
+    val r = Decontaminate.contamination(docs, col("is_eval")).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 1L)
+    assert(r(0).getDouble(3) === 0.5)
+  }
+
+  test("hashed scale path agrees with the exact path at collision-free size") {
+    val docs = Tables("documents")
+    val isEval = col("source") === "src0"
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(Decontaminate.contamination(docs, isEval)) ===
+      key(Decontaminate.contaminationHashed(docs, isEval)))
+  }
+
+  private object Tables {
+    def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)
+  }
+}

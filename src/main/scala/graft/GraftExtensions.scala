@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 import graft.functions.{ArrayDotProduct, Blake2bExpr, MisraGries, WordShingles}
 
@@ -61,6 +61,27 @@ object GraftExtensions {
       s"heavy_hitters(item, k) takes a column and a literal int, got ${other.size} args")
   }
 
+  // scrub_pii / url_* are Column compositions in the DataFrame API; here
+  // the same shared pattern constants are assembled into catalyst nodes
+  // directly — a registry builder must return a resolvable Expression, and
+  // Column round-tripping leaves UnresolvedFunction nodes the analyzer
+  // won't touch inside an already-built expression.
+  private def unary(name: String, f: Expression => Expression)
+      (children: Seq[Expression]): Expression = children match {
+    case Seq(c) => f(c)
+    case other => throw new IllegalArgumentException(
+      s"$name(arg) takes exactly 1 argument, got ${other.size}")
+  }
+
+  private def scrubPiiExpr(c: Expression): Expression =
+    graft.functions.TextFunctions.PiiPatterns.foldLeft(c) {
+      case (e, (pattern, placeholder)) =>
+        RegExpReplace(e, Literal(pattern), Literal(placeholder))
+    }
+
+  private def extractExpr(pattern: String)(c: Expression): Expression =
+    RegExpExtract(c, Literal(pattern), Literal(1))
+
   /** (identifier, info, builder) triples in the shape both
     * `SparkSessionExtensions.injectFunction` and the session
     * `FunctionRegistry` accept.
@@ -81,7 +102,22 @@ object GraftExtensions {
         wordShinglesBuilder _),
       (FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
-        heavyHittersBuilder _))
+        heavyHittersBuilder _),
+      (FunctionIdentifier("scrub_pii"),
+        new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
+        unary("scrub_pii", scrubPiiExpr) _),
+      (FunctionIdentifier("url_domain"),
+        new ExpressionInfo(classOf[RegExpExtract].getName, "url_domain"),
+        unary("url_domain",
+          extractExpr(graft.functions.TextFunctions.UrlDomainPattern)) _),
+      (FunctionIdentifier("url_tld"),
+        new ExpressionInfo(classOf[RegExpExtract].getName, "url_tld"),
+        unary("url_tld",
+          extractExpr(graft.functions.TextFunctions.UrlTldPattern)) _),
+      (FunctionIdentifier("url_path"),
+        new ExpressionInfo(classOf[RegExpExtract].getName, "url_path"),
+        unary("url_path",
+          extractExpr(graft.functions.TextFunctions.UrlPathPattern)) _))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

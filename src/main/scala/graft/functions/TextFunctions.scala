@@ -87,6 +87,15 @@ object TextFunctions {
       regexp_replace(c, pattern, placeholder)
     }
 
+  /** URL-piece regexes, shared by the Column helpers below and the SQL
+    * registrations in [[graft.GraftExtensions]] (which build the catalyst
+    * nodes directly — a registry builder can't return unresolved Column
+    * compositions).
+    */
+  private[graft] val UrlDomainPattern = "https?://([^/?#]+)"
+  private[graft] val UrlTldPattern = "\\.([A-Za-z]+)$"
+  private[graft] val UrlPathPattern = "https?://[^/?#]+(/[^?#]*)"
+
   /** Host part of an http(s) URL (`https://HOST/...`), empty string when
     * the text is not URL-shaped — regexp-based (not `parse_url`) so the
     * identical pattern replays in DuckDB/RE2 for the oracle, and so it
@@ -94,18 +103,18 @@ object TextFunctions {
     * per-domain document counts drive source-mix curation.
     */
   def urlDomain(url: Column): Column =
-    regexp_extract(url, "https?://([^/?#]+)", 1)
+    regexp_extract(url, UrlDomainPattern, 1)
 
   /** Registrable-suffix-ish TLD of a domain: the last dot-separated label.
     * (A public-suffix-list lookup is a broadcast-join against a suffix
     * table, not a regex — this is the cheap scan-side signal.)
     */
   def urlTld(domain: Column): Column =
-    regexp_extract(domain, "\\.([A-Za-z]+)$", 1)
+    regexp_extract(domain, UrlTldPattern, 1)
 
   /** Path of an http(s) URL, without query/fragment; empty if none. */
   def urlPath(url: Column): Column =
-    regexp_extract(url, "https?://[^/?#]+(/[^?#]*)", 1)
+    regexp_extract(url, UrlPathPattern, 1)
 
   /** Character-trigram marker profiles for the language-ID heuristic.
     * Public-knowledge high-frequency trigrams per language; the score of a

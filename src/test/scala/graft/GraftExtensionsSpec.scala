@@ -38,6 +38,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === Seq("a" -> 2L, "b" -> 1L))
   }
 
+  test("scrub_pii and url helpers are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT scrub_pii('mail a@b.io from 10.0.0.1'), " +
+        "url_domain('https://a.b.co/x?q=1'), " +
+        "url_tld(url_domain('https://a.b.co/x')), " +
+        "url_path('https://a.b.co/x/y?q=1')").head()
+    assert(r.getString(0) === "mail <EMAIL> from <IP>")
+    assert(r.getString(1) === "a.b.co")
+    assert(r.getString(2) === "co")
+    assert(r.getString(3) === "/x/y")
+  }
+
   test("array_dot casts float arrays like the DataFrame path") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -33,6 +33,53 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns array<struct<item string, count long>> sorted by (count desc,
   * item asc).
   */
+/** The Misra–Gries buffer algebra, shared by the batch aggregate below and
+  * the streaming state operator
+  * ([[graft.streaming.StreamingEvents.streamingHeavyHitters]]) — one
+  * implementation of the error-bound-carrying steps, tested once
+  * (`PropertySpec` exercises it through the aggregate; the streaming spec
+  * pins stream-equals-batch on top of the same core).
+  */
+object MisraGriesCore {
+
+  /** One observation: increment a tracked item, admit into a free slot, or
+    * run the decrement-all step at capacity.
+    */
+  def observe(buf: mutable.HashMap[String, Long], s: String, k: Int): Unit =
+    buf.get(s) match {
+      case Some(c) => buf(s) = c + 1
+      case None if buf.size < k => buf(s) = 1L
+      case None =>
+        // at capacity with an untracked item: the Misra–Gries step —
+        // decrement every counter, dropping zeros (frees slots for
+        // later items; the new item itself is "cancelled" against them)
+        buf.keys.toArray.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0L) buf.remove(key) else buf(key) = c
+        }
+    }
+
+  /** Merge `b2` into `b1` (mergeable-summaries rule: add, then subtract
+    * the (k+1)-th largest count and keep positives; error stays ≤ n/(k+1)).
+    */
+  def mergeInto(b1: mutable.HashMap[String, Long],
+                b2: collection.Map[String, Long], k: Int): mutable.HashMap[String, Long] = {
+    b2.foreach { case (s, c) => b1(s) = b1.getOrElse(s, 0L) + c }
+    if (b1.size > k) {
+      val sub = b1.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      b1.keys.toArray.foreach { key =>
+        val c = b1(key) - sub
+        if (c <= 0L) b1.remove(key) else b1(key) = c
+      }
+    }
+    b1
+  }
+
+  /** Canonical presentation order: (count desc, item asc). */
+  def sorted(buf: collection.Map[String, Long]): Array[(String, Long)] =
+    buf.toArray.sortBy { case (item, c) => (-c, item) }
+}
+
 case class MisraGries(child: Expression, k: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
@@ -53,45 +100,19 @@ case class MisraGries(child: Expression, k: Int,
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf(s) = c + 1
-        case None if buf.size < k => buf(s) = 1L
-        case None =>
-          // at capacity with an untracked item: the Misra–Gries step —
-          // decrement every counter, dropping zeros (frees slots for
-          // later items; the new item itself is "cancelled" against them)
-          buf.keys.toArray.foreach { key =>
-            val c = buf(key) - 1
-            if (c == 0L) buf.remove(key) else buf(key) = c
-          }
-      }
-    }
+    if (v != null)
+      MisraGriesCore.observe(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(b1: mutable.HashMap[String, Long],
-                     b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (s, c) => b1(s) = b1.getOrElse(s, 0L) + c }
-    if (b1.size > k) {
-      // subtract the (k+1)-th largest count from all, keep positives —
-      // the mergeable-summaries rule; error stays ≤ n/(k+1)
-      val sub = b1.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      b1.keys.toArray.foreach { key =>
-        val c = b1(key) - sub
-        if (c <= 0L) b1.remove(key) else b1(key) = c
-      }
-    }
-    b1
-  }
+                     b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesCore.mergeInto(b1, b2, k)
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (item, c) => (-c, item) }
-    new GenericArrayData(sorted.map { case (item, c) =>
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(MisraGriesCore.sorted(buf).map { case (item, c) =>
       InternalRow(UTF8String.fromString(item), c)
     })
-  }
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

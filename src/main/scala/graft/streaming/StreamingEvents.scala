@@ -173,6 +173,57 @@ object StreamingEvents {
       }
   }
 
+  /** One tracked counter of a group's Misra–Gries summary. */
+  case class MGEntry(item: String, count: Long)
+  /** A group's rolling heavy-hitters summary: at most k counters plus the
+    * total observations n, so consumers can apply the ≤ n/(k+1)
+    * undercount bound themselves.
+    */
+  case class HotKeys(group: String, n: Long, hitters: Seq[MGEntry])
+
+  /** Continuous per-group heavy hitters — the streaming form of q43's
+    * `heavy_hitters` aggregate, over the SAME [[graft.functions.MisraGries]]
+    * buffer algebra (`MisraGriesCore`): each micro-batch folds its items
+    * into the group's bounded counter state and emits the updated summary
+    * (Update output mode). The hot-key monitor a pipeline runs next to
+    * ingestion: which sources/tokens/uids dominate the stream right now,
+    * with O(k) state per group forever — no watermark needed because state
+    * never grows past k counters.
+    *
+    * Items are folded in sorted order within each micro-batch: arrival
+    * order inside a batch is nondeterministic, Misra–Gries summaries are
+    * order-dependent once decrements fire, and a replayed epoch must
+    * produce the identical summary. Any fold order is a valid MG stream,
+    * so the bounds are unaffected. When a group's distinct-item count
+    * stays ≤ k, counts are EXACT and equal the batch aggregate's — the
+    * regime the spec pins stream-equals-batch.
+    */
+  def streamingHeavyHitters(events: DataFrame, groupCol: String,
+                            itemCol: String, k: Int = 8): Dataset[HotKeys] = {
+    require(k > 0, s"streamingHeavyHitters needs a positive counter budget, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HotKeys, HotKeys](GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          val prev = state.getOption.getOrElse(HotKeys(g, 0L, Seq.empty))
+          val buf = scala.collection.mutable.HashMap.newBuilder
+            .addAll(prev.hitters.map(e => e.item -> e.count)).result()
+          var n = prev.n
+          rows.map(_._2).toSeq.sorted.foreach { item =>
+            graft.functions.MisraGriesCore.observe(buf, item, k); n += 1
+          }
+          val next = HotKeys(g, n,
+            graft.functions.MisraGriesCore.sorted(buf)
+              .map { case (i, c) => MGEntry(i, c) }.toSeq)
+          state.update(next)
+          next
+      }
+  }
+
   /** Continuous uid pseudonymization: every micro-batch runs the batch
     * key-table upsert (J2/S6 — broadcast join + anti-join + blake2b +
     * crash-safe swap) via `foreachBatch`, writing the pseudonymized rows

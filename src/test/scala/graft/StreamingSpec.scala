@@ -265,4 +265,53 @@ class StreamingSpec extends SparkSpec {
     val expected = graft.functions.Blake2b.hexDigest("u2".getBytes("UTF-8"), 5)
     assert(out.toSet.contains(expected), "streaming pseudonyms = batch blake2b")
   }
+
+  test("streaming heavy hitters: exact regime equals the batch aggregate across batches") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingEvents.streamingHeavyHitters(
+        stream.toDF().toDF("g", "item"), "g", "item", k = 8)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    val batch1 = Seq("g1" -> "a", "g1" -> "a", "g1" -> "b", "g2" -> "x")
+    val batch2 = Seq("g1" -> "a", "g1" -> "c", "g2" -> "x", "g2" -> "y")
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last update per group = the running summary over batch1 ++ batch2;
+    // distinct ≤ k, so counts are exact and must equal a plain groupBy
+    val last = spark.table("hh_stream")
+      .groupBy("group").agg(max(struct(col("n"), col("hitters"))).as("s"))
+      .select(col("group"), col("s.n"), col("s.hitters")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => x.getString(0) -> x.getLong(1))))).toMap
+    assert(last("g1") === ((5L, Seq("a" -> 3L, "b" -> 1L, "c" -> 1L))))
+    assert(last("g2") === ((3L, Seq("x" -> 2L, "y" -> 1L))))
+  }
+
+  test("streaming heavy hitters: capacity bound holds and hot item survives") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingEvents.streamingHeavyHitters(
+        stream.toDF().toDF("g", "item"), "g", "item", k = 2)
+      .writeStream.format("memory").queryName("hh_tight")
+      .outputMode("update").start()
+    // 12 of "hot", 9 distinct one-off items: any item with frequency
+    // > n/(k+1) = 21/3 = 7 is guaranteed tracked
+    val items = Seq.fill(12)("hot") ++ (1 to 9).map(i => s"rare$i")
+    try {
+      stream.addData(items.map("g" -> _))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hh_tight").orderBy(col("n").desc).head()
+    val hitters = rows.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(hitters.size <= 2, s"state must stay bounded by k: $hitters")
+    assert(hitters.exists(_._1 === "hot"), s"guaranteed hitter evicted: $hitters")
+  }
 }

@@ -79,7 +79,16 @@ object Bench {
       "simhash_xxhash64" -> (() => graft.operators.Dedup.simhashPairs(
         graft.sources.Tables.table(spark, sfDir, "documents"), maxHamming = 3)),
       "dedup_corpus_xxhash64" -> (() => graft.operators.Dedup.dedupCorpus(
-        graft.sources.Tables.table(spark, sfDir, "documents"), threshold = 0.8)))
+        graft.sources.Tables.table(spark, sfDir, "documents"), threshold = 0.8)),
+      "decontaminate_xxhash64" -> (() => graft.operators.Decontaminate.contaminationHashed(
+        graft.sources.Tables.table(spark, sfDir, "documents"),
+        org.apache.spark.sql.functions.col("source") === "src0")),
+      "sample_xxhash64" -> (() => {
+        import org.apache.spark.sql.functions._
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+        docs.filter(graft.operators.Sampling.hashBucketXx(
+          concat(col("lang"), lit(":"), col("doc_id").cast("string")), 20) < 3)
+      }))
     val scaleTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) scaleDefs.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -877,7 +877,22 @@ object Queries {
     QueryDef("q50_decontaminate",
       (s, dir) => Decontaminate.contamination(
         t(s, dir, "documents"), col("source") === "src0"),
-      Some(Decontaminate.oracleSql("source = 'src0'")))
+      Some(Decontaminate.oracleSql("source = 'src0'"))),
+
+    // ── Q51: per-group distinct cardinality — exact COUNT(DISTINCT) as the
+    //         oracle-checked inventory entry; the at-scale path is the
+    //         mergeable HLL++ sketch (`approx_count_distinct`), spec-pinned
+    //         against this exact result within its rsd bound (DuckDB can't
+    //         replay Spark's HLL bit-for-bit, so the sketch itself can't be
+    //         oracled). ─────────────────────────────────────────────────────
+    QueryDef("q51_distinct_users",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users,
+             |       COUNT(*) AS events
+             |FROM events GROUP BY 1""".stripMargin))
   )
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

@@ -138,4 +138,49 @@ class PlanShapeSpec extends SparkSpec {
     val got = out.select("lbl").distinct().collect().map(_.getString(0)).toSet
     assert(got === (1 to 100).map(i => s"ANON_CLIENT $i").toSet)
   }
+
+  test("q46 deterministic sampling is a pure narrow plan: zero Exchanges") {
+    val nodes = collectNodes(
+      Queries.byName("q46_stratified_sample")(spark, sf0001).queryExecution.executedPlan)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"a sample predicate must ride the scan, not shuffle: $nodes")
+  }
+
+  test("unigram scoring joins token stats by BROADCAST (vocab ≪ corpus)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Scoring.unigramLogProbScore(docs))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"vocab join must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the token-stats join must never sort-merge the exploded stream")
+  }
+
+  test("bm25 keeps idf/globals broadcast and never plans a real cartesian") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Scoring.bm25(docs, Seq("spark", "merge")))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    // the only nested-loop joins allowed are the deliberate one-row
+    // globals crossJoins (broadcast side = single-row aggregate)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("contamination audit pre-aggregates distinct before the shuffle") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(
+      graft.operators.Decontaminate.contamination(docs, col("source") === "src0"))
+    // distinct on (doc, shingle) must run as partial+final hash aggregate
+    // (map-side collapse before the exchange), not a bare global shuffle
+    // (string count: AQE's adaptive root hides children from foreach)
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 4, s"expected partial+final aggregates on both distincts: $aggs")
+  }
+
+  test("exact group quantiles plan two-phase (partial + final) aggregation") {
+    val events = Tables.table(spark, sf0001, "events")
+    val plan = physical(graft.operators.Quantiles.groupQuantilesExact(
+      events, Seq("event_type"), col("value")))
+    val aggs = "Aggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"percentile must combine map-side partials:\n${plan.take(600)}")
+  }
 }

@@ -67,6 +67,20 @@ class QuantilesSamplingSpec extends SparkSpec {
       Sampling.stratifiedDeterministic(docs, col("lang"), col("doc_id"), 21, 20))
   }
 
+  test("approx_count_distinct tracks exact distinct counts within its rsd bound") {
+    val events = Tables.table(spark, sf0001, "events")
+    val both = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    both.foreach { case (k, exact, approx) =>
+      // 0.02 rsd → allow 5 sigma before calling it broken
+      assert(math.abs(approx - exact) <= math.max(3, exact * 0.10),
+        s"$k: approx $approx vs exact $exact")
+    }
+  }
+
   test("url helpers: domain, tld, path; non-URLs give empty strings") {
     val vectors = Seq(
       ("https://cdn3.example-en.org/p/42?ref=r1", "cdn3.example-en.org", "org", "/p/42"),

@@ -892,7 +892,62 @@ object Queries {
           count(lit(1)).as("events")),
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users,
              |       COUNT(*) AS events
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ── Q52: within-document repetition score (Gopher-style quality
+    //         signal): 1 − distinct/total over the doc's own trigram
+    //         multiset. Pure expression work in the scan — no joins, no
+    //         shuffle beyond none at all. ──────────────────────────────────
+    QueryDef("q52_repetition",
+      (s, dir) => {
+        val sh = TextFunctions.shingles(col("text"), 3)
+        t(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), size(sh).as("n_shingles"),
+            size(array_distinct(sh)).as("uniq"),
+            round(lit(1.0) - size(array_distinct(sh)) / size(sh), 6).as("rep"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |)
+             |SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS uniq,
+             |       round(1.0 - COUNT(DISTINCT s) / COUNT(*), 6) AS rep
+             |FROM sh GROUP BY 1""".stripMargin)),
+
+    // ── Q53: top-k per group (row_number over a keyed window) — the
+    //         PARTITIONED counterpart of the global top-k q07; ties broken
+    //         on event_id so the result set is deterministic. ─────────────
+    QueryDef("q53_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT event_type, event_id, value, rn FROM (
+             |  SELECT event_type, event_id, value,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY value DESC, event_id ASC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3""".stripMargin)),
+
+    // ── Q54: fixed-width value histogram per event type — distribution
+    //         shape at a glance; floor(value/width) is the same IEEE
+    //         divide+floor in both engines. ────────────────────────────────
+    QueryDef("q54_histogram",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") / lit(50.0)).cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt")),
+      Some("""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             |       COUNT(*) AS cnt
+             |FROM events GROUP BY 1, 2""".stripMargin))
   )
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

@@ -346,6 +346,16 @@ object Dedup {
     def dropCheckpoint(df: DataFrame): Unit = if (reliable)
       checkpointDirOf(df).foreach(p =>
         p.getFileSystem(sc.hadoopConfiguration).delete(p, true))
+    // Free a superseded label generation. Reliable path: delete its
+    // checkpoint files. Local path: unpersist the checkpointed RDD's
+    // blocks directly — localCheckpoint storage is RDD-level, which
+    // Dataset.unpersist (cache-manager-only) never sees, so without this
+    // every generation's executor blocks linger until GC-driven cleanup.
+    def freeGeneration(df: DataFrame): Unit =
+      if (reliable) dropCheckpoint(df)
+      else df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -380,10 +390,9 @@ object Dedup {
       // same job; count (not sum) so an empty frame still yields 0
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       // the new label table is materialized; the previous round's copy
-      // (executor-local storage or reliable checkpoint files) is dead
+      // (executor-local blocks or reliable checkpoint files) is dead
       // weight from here on
-      prev.unpersist(false)
-      dropCheckpoint(prev)
+      freeGeneration(prev)
       iter += 1
     }
     // loud, not wrong: stopping early would silently report split clusters

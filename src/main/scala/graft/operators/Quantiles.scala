@@ -63,12 +63,17 @@ object Quantiles {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** `0.25 -> p25`, `0.5 -> p50`; percent is exact for the supported
-    * quarter/eighth ladder (no float-format surprises in column names).
+  /** `0.25 -> p25`, `0.5 -> p50`, `0.125 -> p12_5`, `0.0625 -> p6_25`.
+    * Binary-exact fractions have terminating (and short) decimal
+    * expansions, so the name is exact — the fractional part, when present,
+    * joins with `_` to stay a legal column identifier. Anything that needs
+    * more than a few decimal digits is not a binary-exact prob and is
+    * rejected, keeping the bitwise contract visible at the naming layer.
     */
   private def probName(p: Double): String = {
-    val pct = p * 100
-    require(pct == pct.floor, s"prob $p must be a whole percent")
-    s"p${pct.toInt}"
+    val dec = java.math.BigDecimal.valueOf(p * 100).stripTrailingZeros
+    require(dec.scale <= 4,
+      s"prob $p is not a binary-exact fraction (quarters, eighths, …)")
+    s"p${dec.toPlainString.replace('.', '_')}"
   }
 }

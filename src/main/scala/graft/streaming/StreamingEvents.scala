@@ -125,9 +125,22 @@ object StreamingEvents {
     * emitting candidate pairs with their estimated Jaccard immediately —
     * no batch boundary, no full-corpus join.
     *
-    * State is bounded by construction: buckets × maxPerBucket signatures
-    * (first-in evicted), the streaming analog of the df cap — a degenerate
-    * hot bucket cannot grow state without bound. Candidates are estimates
+    * State bounds, precisely: PER BUCKET, at most `maxPerBucket`
+    * signatures (first-in evicted) — the streaming analog of the df cap, so
+    * a degenerate hot bucket cannot grow without bound. The bucket
+    * POPULATION, however, grows with the distinct content seen — O(docs ×
+    * bands) over the stream's lifetime — so a long-running deployment
+    * should pass `idleTimeout`: a processing-time timeout that removes any
+    * bucket with no arrivals for that long, making total state track the
+    * recently-active content space instead. An evicted bucket that later
+    * sees a new document restarts empty; the cost is missed pairs against
+    * documents older than the idle horizon — the same recall trade
+    * `dropDuplicatesWithinWatermark` makes. `idleTimeout` is OPT-IN
+    * because processing-time timeouts make the engine schedule extra
+    * no-data micro-batches to fire expirations — with the default
+    * as-fast-as-possible trigger that is a busy loop; pair it with a real
+    * `Trigger.ProcessingTime(...)` interval so expiry batches arrive on
+    * the trigger cadence. Candidates are estimates
     * by design (banding recall semantics, matching-lane Jaccard estimate);
     * route them through an exact verify (join back to texts) or dedup them
     * with `dropDuplicatesWithinWatermark("i", "j")` downstream — the same
@@ -139,7 +152,8 @@ object StreamingEvents {
     */
   def streamingNearDupCandidates(docs: DataFrame, n: Int = 3,
       numPerms: Int = 16, bands: Int = 4,
-      maxPerBucket: Int = 64): Dataset[CandPair] = {
+      maxPerBucket: Int = 64,
+      idleTimeout: Option[String] = None): Dataset[CandPair] = {
     require(numPerms % bands == 0,
       s"numPerms ($numPerms) must divide evenly into bands ($bands)")
     val spark = docs.sparkSession
@@ -155,21 +169,32 @@ object StreamingEvents {
       .as[BandRow]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[Seq[SigEntry], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
-        var entries = state.getOption.getOrElse(Seq.empty)
-        val out = Seq.newBuilder[CandPair]
-        // intra-batch arrival order within a group is not deterministic —
-        // process by ascending id so emissions are replay-stable
-        rows.toSeq.sortBy(_.id).foreach { r =>
-          entries.foreach { e =>
-            if (e.id != r.id)
-              out += CandPair(math.min(e.id, r.id), math.max(e.id, r.id),
-                e.sig.zip(r.sig).count { case (a, b) => a == b }.toDouble / numPerms)
+        OutputMode.Append,
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          // idle bucket: no arrivals within idleTimeout — free its state
+          state.remove()
+          Iterator.empty
+        } else {
+          var entries = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandPair]
+          // intra-batch arrival order within a group is not deterministic —
+          // process by ascending id so emissions are replay-stable
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            entries.foreach { e =>
+              if (e.id != r.id)
+                out += CandPair(math.min(e.id, r.id), math.max(e.id, r.id),
+                  e.sig.zip(r.sig).count { case (a, b) => a == b }.toDouble / numPerms)
+            }
+            entries = (entries :+ SigEntry(r.id, r.sig)).takeRight(maxPerBucket)
           }
-          entries = (entries :+ SigEntry(r.id, r.sig)).takeRight(maxPerBucket)
+          state.update(entries)
+          // the timeout clock restarts on every batch that touches the
+          // bucket, so only genuinely idle buckets expire
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.result().iterator
         }
-        state.update(entries)
-        out.result().iterator
       }
   }
 

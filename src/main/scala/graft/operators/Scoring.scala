@@ -135,4 +135,58 @@ object Scoring {
        |SELECT doc_id, SUM(s6) / 1000000.0 AS score FROM per_term
        |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
   }
+
+  /** Top-`k` TF-IDF keywords per document — the cheap topic signal a
+    * curation pipeline uses for domain mixing and per-bucket sampling
+    * quotas. idf = ln(N/df), quantized to a 1e-6 integer BEFORE the
+    * tf multiply, so the per-term score is an exact integer product
+    * (`tf * idf6`) in both engines and the only float op left is the final
+    * display division. Ties (same score within a doc) break by term text
+    * ascending, so the emitted set is deterministic.
+    *
+    * 100 TB plan shape: one map-side-combined (doc, term) count over the
+    * exploded scan; the per-TERM df table is vocabulary-sized (Heaps' law)
+    * and joins back by BROADCAST; the top-k is a per-doc window over the
+    * (doc, distinct-term) rows — partitioned by doc_id, never global.
+    * Output: (doc_id, term, tf, score), k rows per doc (fewer for short
+    * docs).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, text: String = "text"): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms needs k >= 1, got $k")
+    val toks = tokens(docs, text)
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t"), round(log(col("n_docs") / col("df")) * 1e6).as("idf6"))
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("s6").desc, col("t").asc)
+    tf.join(broadcast(idf), "t")
+      .select(col("doc_id"), col("t"), col("tf"), (col("tf") * col("idf6")).as("s6"))
+      .withColumn("rank", row_number().over(perDoc))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tf"),
+        (col("s6") / 1e6).as("score"))
+  }
+
+  /** DuckDB replay of [[tfidfTopTerms]] over table `documents`. */
+  def tfidfOracleSql(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), n AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+       |), idf AS (
+       |  SELECT t, round(ln(n_docs / COUNT(*)) * 1000000.0) AS idf6
+       |  FROM tf, n GROUP BY t, n_docs
+       |), scored AS (
+       |  SELECT doc_id, t, tf, tf * idf6 AS s6,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tf * idf6 DESC, t ASC) AS rank
+       |  FROM tf JOIN idf USING (t)
+       |)
+       |SELECT doc_id, t AS term, tf, s6 / 1000000.0 AS score
+       |FROM scored WHERE rank <= $k""".stripMargin
 }

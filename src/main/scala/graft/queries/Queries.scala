@@ -849,7 +849,7 @@ object Queries {
              |SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS domain,
              |       regexp_extract(regexp_extract(url, 'https?://([^/?#]+)', 1),
              |                      '\.([A-Za-z]+)$', 1) AS tld,
-             |       COUNT(*) AS docs, SUM(n_chars) AS chars
+             |       COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
              |FROM urled
              |GROUP BY 1, 2""".stripMargin)),
 
@@ -947,7 +947,38 @@ object Queries {
         .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt")),
       Some("""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
              |       COUNT(*) AS cnt
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q55: sliding token-window chunking (training-example packing) —
+    //         64-token windows on a 48-token stride; pure narrow plan, no
+    //         shuffle. ─────────────────────────────────────────────────────
+    QueryDef("q55_token_chunks",
+      (s, dir) => graft.operators.Chunking.tokenChunks(
+        t(s, dir, "documents"), chunkSize = 64, stride = 48),
+      Some(graft.operators.Chunking.tokenChunksOracleSql(64, 48))),
+
+    // ── Q56: corpus-wide passage dedup — non-overlapping 32-token windows,
+    //         each distinct passage kept only at its globally first
+    //         (doc_id, chunk_idx); documents reassembled from survivors. ──
+    QueryDef("q56_chunk_dedup",
+      (s, dir) => graft.operators.Chunking.dedupChunks(
+        t(s, dir, "documents"), chunkSize = 32),
+      Some(graft.operators.Chunking.dedupChunksOracleSql(32))),
+
+    // ── Q57: top-3 TF-IDF keywords per doc — idf 1e-6-quantized before the
+    //         tf multiply so the score is an exact integer product; ties on
+    //         term text. ────────────────────────────────────────────────────
+    QueryDef("q57_tfidf_keywords",
+      (s, dir) => Scoring.tfidfTopTerms(t(s, dir, "documents"), k = 3),
+      Some(Scoring.tfidfOracleSql(3))),
+
+    // ── Q58: concatenate-and-chunk packing index — per-source exclusive
+    //         prefix sums place every doc in its 2048-token training
+    //         sequence; the window is keyed by source, never global. ──────
+    QueryDef("q58_sequence_packing",
+      (s, dir) => graft.operators.Chunking.packOffsets(
+        t(s, dir, "documents"), capacity = 2048),
+      Some(graft.operators.Chunking.packOffsetsOracleSql(2048)))
   )
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

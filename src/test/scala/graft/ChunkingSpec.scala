@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Chunking
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks: sliding windows cover every token, tail may be short") {
+    // 7 tokens, size 3, stride 2 → starts 0,2,4,6
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val r = Chunking.tokenChunks(docs, chunkSize = 3, stride = 2).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getString(3))).sortBy(_._1)
+    assert(r === Array(
+      (0L, 3L, "t0 t1 t2"),
+      (1L, 3L, "t2 t3 t4"),
+      (2L, 3L, "t4 t5 t6"),
+      (3L, 1L, "t6")))
+    intercept[IllegalArgumentException](Chunking.tokenChunks(docs, 0, 1))
+    intercept[IllegalArgumentException](Chunking.tokenChunks(docs, 1, 0))
+  }
+
+  test("tokenChunks: non-overlapping windows partition the token stream") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val r = Chunking.tokenChunks(docs, chunkSize = 2, stride = 2).collect()
+      .map(x => x.getString(3)).sorted
+    assert(r === Array("a b", "c d", "e"))
+  }
+
+  test("dedupChunks: later copies of a passage drop, text reassembles in order") {
+    // passage "x y" first appears in doc 1 chunk 0; doc 2 repeats it twice
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "x y x y"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val r = Chunking.dedupChunks(docs, chunkSize = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(1L) === ((2L, 2L, "x y a b")), "first occurrences all survive")
+    assert(r(2L) === ((2L, 0L, "")), "fully-duplicated doc reassembles empty")
+    assert(r(3L) === ((1L, 1L, "c d")))
+  }
+
+  test("packOffsets: per-group prefix sums place docs in capacity-sized bins") {
+    val docs = Seq(
+      (1L, "a b c", "s0"),     // start 0, bin 0, off 0
+      (2L, "d e", "s0"),       // start 3, bin 0, off 3
+      (3L, "f g h i", "s0"),   // start 5, bin 1, off 1
+      (10L, "x y", "s1"))      // independent group: start 0
+      .toDF("doc_id", "text", "source")
+    val r = Chunking.packOffsets(docs, capacity = 4).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r(1L) === ((3L, 0L, 0L, 0L)))
+    assert(r(2L) === ((2L, 3L, 0L, 3L)))
+    assert(r(3L) === ((4L, 5L, 1L, 1L)))
+    assert(r(10L) === ((2L, 0L, 0L, 0L)), "groups pack independently")
+    intercept[IllegalArgumentException](Chunking.packOffsets(docs, 0))
+  }
+
+  test("dedupChunks: hashed production path agrees with the string-keyed path") {
+    val docs = graft.sources.Tables.table(spark, sf0001, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .toSet
+    assert(key(Chunking.dedupChunks(docs, 32)) ===
+      key(Chunking.dedupChunks(docs, 32, hashKey = true)))
+  }
+}

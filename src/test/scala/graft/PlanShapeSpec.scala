@@ -183,4 +183,34 @@ class PlanShapeSpec extends SparkSpec {
     val aggs = "Aggregate".r.findAllIn(plan).size
     assert(aggs >= 2, s"percentile must combine map-side partials:\n${plan.take(600)}")
   }
+
+  test("token chunking is a pure narrow plan: zero Exchanges, codegen'd") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Chunking.tokenChunks(docs, 64, 48))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(600)}")
+    // "*(1) " is the plan-string marker for a whole-stage-codegen span
+    assert(plan.contains("*(1) "), plan.take(600))
+  }
+
+  test("tfidf joins the vocabulary-sized idf table by BROADCAST") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Scoring.tfidfTopTerms(docs))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("bloom contamination probes inside the scan stage: no join nodes at all") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val df = graft.operators.Decontaminate.contaminationBloom(
+      docs, col("source") === "src0", expectedTrainShingles = 100000L)
+    val plan = physical(df)
+    assert(!plan.toLowerCase.contains("join"),
+      s"the bloom path must replace the train join:\n${plan.take(800)}")
+    // the sketch must arrive via a scalar subquery (one query, sketch
+    // bytes never a driver-side literal), and the probe must reference it
+    assert(plan.contains("Subquery") && plan.contains("bloom_filter_agg"),
+      plan.take(1200))
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain"), analyzed.take(1200))
+  }
 }

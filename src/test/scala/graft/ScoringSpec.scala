@@ -59,6 +59,45 @@ class ScoringSpec extends SparkSpec {
       key(Decontaminate.contaminationHashed(docs, isEval)))
   }
 
+  test("bloom scale path: pointwise upper bound with no false negatives, " +
+      "exact at generous sizing") {
+    val docs = Tables("documents")
+    val isEval = col("source") === "src0"
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = m(Decontaminate.contamination(docs, isEval))
+    // generously sized: fpp is tiny, so the probe should match the join
+    val bloom = m(Decontaminate.contaminationBloom(docs, isEval,
+      expectedTrainShingles = 1000000L))
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (doc, (nSh, cont)) =>
+      assert(bloom(doc)._1 === nSh, s"doc $doc n_shingles")
+      assert(bloom(doc)._2 >= cont,
+        s"doc $doc: bloom must never under-report ($cont -> ${bloom(doc)._2})")
+    }
+    assert(bloom === exact, "at ~1e-26 fpp the bloom audit equals the join audit")
+    intercept[IllegalArgumentException](
+      Decontaminate.contaminationBloom(docs, isEval, 0L))
+  }
+
+  test("tfidf keywords: corpus-common terms score zero, distinctive terms win") {
+    val docs = Seq(
+      (1L, "shared shared alpha alpha alpha"),
+      (2L, "shared beta"),
+      (3L, "shared gamma gamma")).toDF("doc_id", "text")
+    val r = Scoring.tfidfTopTerms(docs, k = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    val byDoc = r.groupBy(_._1)
+    // idf("shared") = ln(3/3) = 0 → never the top keyword; idf(unique) = ln 3
+    val ln3q = math.round(math.log(3.0) * 1e6).toDouble
+    assert(byDoc(1L).head === ((1L, "alpha", 3L, 3 * ln3q / 1e6)))
+    assert(byDoc(2L).head === ((2L, "beta", 1L, ln3q / 1e6)))
+    assert(byDoc(3L).head === ((3L, "gamma", 2L, 2 * ln3q / 1e6)))
+    // k=2 emits the zero-scoring shared term second, tie-broken by text
+    assert(byDoc(1L).map(_._2).toSet === Set("alpha", "shared"))
+    assert(r.forall(x => byDoc(x._1).length <= 2))
+  }
+
   private object Tables {
     def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)
   }

@@ -54,4 +54,57 @@ object Sampling {
       s"keep must be in [0, buckets]: keep=$keep buckets=$buckets")
     df.filter(hashBucket(concat(stratum, lit(":"), key.cast("string")), buckets) < keep)
   }
+
+  /** Domain-mixture resampling: downsample each stratum so the kept corpus
+    * hits the `targets` proportions while retaining as much data as
+    * possible — the mixing step a training-data pipeline runs when one
+    * domain dwarfs the rest. The binding stratum (smallest `count/share`)
+    * keeps everything; every other stratum is hash-downsampled to match.
+    * Strata absent from `targets` are dropped (share zero). Per-row
+    * decisions are the same partitioning-invariant hash as
+    * [[stratifiedDeterministic]], so the sample is reproducible anywhere.
+    *
+    * 100 TB plan shape: one map-side-combined count per stratum (a
+    * handful of rows), a one-row min for the scale factor, and the
+    * per-stratum keep-rates broadcast back onto the scan — the fact table
+    * never shuffles; sampling is a pushed-down filter against a broadcast
+    * lookup. Rates quantize to integer buckets, so the comparison is
+    * integer-exact in any engine.
+    */
+  def mixtureResample(df: DataFrame, targets: Seq[(String, Double)],
+                      stratum: Column, key: Column,
+                      buckets: Int = 10000): DataFrame = {
+    require(targets.nonEmpty, "mixtureResample needs at least one target share")
+    require(targets.forall(_._2 > 0), s"target shares must be positive: $targets")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(targets).toDF("stratum", "share")
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(t), "stratum")
+    val scale = counts.agg(min(col("cnt") / col("share")).as("scale"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col("stratum"),
+        round(col("share") * col("scale") / col("cnt") * buckets)
+          .cast("long").as("keep_buckets"))
+    df.join(broadcast(rates), stratum === rates("stratum"))
+      .filter(hashBucket(concat(stratum, lit(":"), key.cast("string")), buckets)
+        < col("keep_buckets"))
+      .drop("stratum", "keep_buckets")
+  }
+
+  /** Per-group document cap: keep at most `n` rows of each group, chosen
+    * in deterministic hash order (md5 of the key, key tie-break) — the
+    * "no single domain exceeds N documents" guard, with a selection that
+    * is a pure function of the data (reruns and engines agree), unlike a
+    * head-of-partition take. One keyed window — partitions by group,
+    * never global; a hot group costs one task sorting its own rows.
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    require(n >= 0, s"cap must be non-negative, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_rn")
+  }
 }

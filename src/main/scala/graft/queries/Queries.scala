@@ -53,6 +53,38 @@ object Queries {
   private def centSum(c: org.apache.spark.sql.Column, scale: Double = 100.0) =
     sum(round(c * scale)) / scale
 
+  /** q59's target language mix — deliberately non-uniform so every
+    * non-binding stratum really downsamples. Shared by the Spark plan and
+    * the oracle (interpolated literals).
+    */
+  private val MixtureTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+
+  /** q59's oracle: identical arithmetic, identical operand order; shares
+    * CAST to DOUBLE (DuckDB would otherwise type bare decimals as DECIMAL,
+    * whose division truncates differently).
+    */
+  private lazy val mixtureOracleSql: String = {
+    val values = MixtureTargets
+      .map { case (s, p) => s"('$s', CAST($p AS DOUBLE))" }.mkString(", ")
+    s"""WITH targets(stratum, share) AS (VALUES $values),
+       |counts AS (
+       |  SELECT lang AS stratum, COUNT(*) AS cnt FROM documents GROUP BY 1
+       |), j AS (
+       |  SELECT c.stratum, c.cnt, t.share FROM counts c JOIN targets t USING (stratum)
+       |), s AS (
+       |  SELECT MIN(cnt / share) AS scale FROM j
+       |), rates AS (
+       |  SELECT stratum, CAST(round(share * scale / cnt * 10000) AS BIGINT)
+       |           AS keep_buckets
+       |  FROM j, s
+       |)
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN rates r ON d.lang = r.stratum
+       |WHERE CAST(('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.keep_buckets""".stripMargin
+  }
+
   /** q49's fixed query — high-frequency corpus terms so tf spread is real.
     * Defined BEFORE `all`: the QueryDef seq evaluates eagerly at object
     * init, and a forward val reference would still be null there.
@@ -978,8 +1010,35 @@ object Queries {
     QueryDef("q58_sequence_packing",
       (s, dir) => graft.operators.Chunking.packOffsets(
         t(s, dir, "documents"), capacity = 2048),
-      Some(graft.operators.Chunking.packOffsetsOracleSql(2048)))
+      Some(graft.operators.Chunking.packOffsetsOracleSql(2048))),
+
+    // ── Q59: domain-mixture resampling — downsample each language to hit
+    //         the target mix with maximum retention; the binding stratum
+    //         keeps everything. Keep-rates quantize to integer buckets, so
+    //         both engines compare the same integers; the share literals
+    //         interpolate from the same Scala doubles into the oracle. ────
+    QueryDef("q59_mixture_resample",
+      (s, dir) => Sampling.mixtureResample(
+          t(s, dir, "documents"), MixtureTargets, col("lang"), col("doc_id"))
+        .select("doc_id", "lang", "source"),
+      Some(mixtureOracleSql)),
+
+    // ── Q60: per-source document cap — at most 10 docs per source, chosen
+    //         in deterministic md5 order (partitioning-invariant, unlike a
+    //         head-of-partition take); keyed window, never global. ────────
+    QueryDef("q60_source_cap",
+      (s, dir) => Sampling.capPerGroup(
+          t(s, dir, "documents"), col("source"), col("doc_id"), n = 10)
+        .select("doc_id", "source", "lang"),
+      Some("""SELECT doc_id, source, lang FROM (
+             |  SELECT doc_id, source, lang,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+             |                                     doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10""".stripMargin))
   )
+
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical
     * replace chain — generated from [[TextFunctions.PiiPatterns]] so both

@@ -81,6 +81,47 @@ class QuantilesSamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture resample: binding stratum keeps all, others hit the mix") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val targets = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.mixtureResample(docs, targets, col("lang"), col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (min count/share) must keep ~everything
+    val binding = targets.minBy { case (l, p) => before(l) / p }._1
+    assert(after(binding).toDouble / before(binding) > 0.95,
+      s"binding stratum $binding lost data: $before -> $after")
+    // kept proportions track the targets (hash-quantization noise allowed)
+    val total = after.values.sum.toDouble
+    targets.foreach { case (l, p) =>
+      assert(math.abs(after(l) / total - p) < 0.08,
+        s"$l share ${after(l) / total} vs target $p (after=$after)")
+    }
+    // determinism: same input, same rows
+    val again = Sampling.mixtureResample(docs.repartition(7), targets,
+      col("lang"), col("doc_id")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.mixtureResample(docs, targets, col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first, "sample must be partitioning-invariant")
+    intercept[IllegalArgumentException](
+      Sampling.mixtureResample(docs, Seq.empty, col("lang"), col("doc_id")))
+  }
+
+  test("capPerGroup: at most n per group, deterministic across partitionings") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val capped = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 3)
+    val counts = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 3) && counts.nonEmpty)
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerGroup(docs.repartition(5), col("source"), col("doc_id"), 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "cap selection must be a pure function of the data")
+    assert(Sampling.capPerGroup(docs, col("source"), col("doc_id"), 0).count() === 0L)
+  }
+
   test("url helpers: domain, tld, path; non-URLs give empty strings") {
     val vectors = Seq(
       ("https://cdn3.example-en.org/p/42?ref=r1", "cdn3.example-en.org", "org", "/p/42"),

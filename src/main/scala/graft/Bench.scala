@@ -83,6 +83,13 @@ object Bench {
       "decontaminate_xxhash64" -> (() => graft.operators.Decontaminate.contaminationHashed(
         graft.sources.Tables.table(spark, sfDir, "documents"),
         org.apache.spark.sql.functions.col("source") === "src0")),
+      "incremental_dedup_xxhash64" -> (() => {
+        import org.apache.spark.sql.functions.col
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.operators.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300))
+      }),
       "decontaminate_bloom" -> (() => graft.operators.Decontaminate.contaminationBloom(
         graft.sources.Tables.table(spark, sfDir, "documents"),
         org.apache.spark.sql.functions.col("source") === "src0",

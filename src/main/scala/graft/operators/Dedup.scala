@@ -490,4 +490,103 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Incremental near-dup detection: MinHash+LSH pairs that TOUCH a fresh
+    * batch — (corpus doc, fresh doc) and (fresh, fresh) pairs, never
+    * corpus × corpus. This is the shape a production pipeline actually
+    * runs daily: the standing corpus is already deduplicated, so re-pairing
+    * it against itself is pure waste, and at 100 TB it is THE dominant
+    * cost of a from-scratch re-run. Here only band buckets containing a
+    * fresh document generate candidates, and verification fans out fresh
+    * docs only — the corpus side contributes one linear signature pass
+    * (which a deployment amortizes further by persisting signatures and
+    * posting lists between runs; [[minhashSignaturesFrom]] is the hook).
+    *
+    * Output: (i, j, jac) with `j` ALWAYS the fresh doc; for fresh-fresh
+    * pairs i < j. Caller contract: corpus and fresh doc_ids are disjoint.
+    * Pairs touching fresh docs are computed over the UNION's df-capped
+    * posting list, so they equal exactly the fresh-touching subset of a
+    * full [[minhashNearDups]] re-run (spec-pinned).
+    */
+  def incrementalNearDups(corpus: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      maxDf: Int = DefaultMaxShingleDf,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+      : DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands)")
+    val union = corpus.select(col("doc_id"), col("text"), lit(false).as("is_new"))
+      .unionByName(fresh.select(col("doc_id"), col("text"), lit(true).as("is_new")))
+    val sh = postingList(union.select(col("doc_id"), col("text")), n, maxDf)
+    val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+      .join(union.select(col("doc_id"), col("is_new")), "doc_id")
+    val rowsPerBand = numPerms / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: cols: _*)
+    }
+    val banded = sigs.select(col("doc_id"), col("sz"), col("is_new"),
+      explode(array(bandStructs: _*)).as("bk"))
+    // the RIGHT side is fresh-only: a bucket with no fresh member joins to
+    // nothing, which is precisely the incremental saving; the left side
+    // admits corpus docs unconditionally and fresh docs only as the
+    // smaller id (fresh-fresh pairs stay canonical i < j)
+    val cands = banded.as("a")
+      .join(banded.filter(col("is_new")).as("b"),
+        col("a.bk") === col("b.bk") &&
+          (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")) &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          sizeCompatible(col("a.sz"), col("b.sz"), threshold))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("ni"), col("b.sz").as("nj"))
+      .distinct()
+    val common = cands
+      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
+      .agg(count(lit(1)).as("common"))
+    jaccardInline(common, threshold)
+  }
+
+  /** Incremental corpus dedup — admit only the fresh documents that
+    * survive against the standing corpus, which itself never changes
+    * (append-only corpora keep every past training run reproducible):
+    *
+    *  1. collapse exact duplicates WITHIN the fresh batch to min-id
+    *     representatives (`dup_count` preserved);
+    *  2. drop representatives whose exact text already exists in the
+    *     corpus (fingerprint anti-join — no text shuffle);
+    *  3. drop representatives near-dup to a corpus doc or to a smaller-id
+    *     fresh representative ([[incrementalNearDups]]'s `j` side).
+    *
+    * Policy note (spec-pinned): with fresh ids above corpus ids, every
+    * fresh doc a from-scratch [[dedupCorpus]] over the union would admit
+    * is admitted here too. The incremental run may additionally admit a
+    * fresh doc whose only near-dup partner was itself dropped when the
+    * corpus was deduplicated — the from-scratch greedy pass drops against
+    * ghosts; the incremental pass, deliberately, dedups against what the
+    * corpus actually CONTAINS. Returns kept fresh rows:
+    * (doc_id, text, dup_count).
+    */
+  def incrementalDedup(corpus: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      maxDf: Int = DefaultMaxShingleDf,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
+      : DataFrame = {
+    val freshReps = fresh.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("text"), col("dup_count"))
+    val unseen = freshReps
+      .withColumn("h", TextFunctions.md5Fingerprint(col("text")))
+      .join(corpus.select(TextFunctions.md5Fingerprint(col("text")).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      .drop("h")
+    val dupOfExisting = incrementalNearDups(corpus, unseen, threshold, n,
+      numPerms, bands, maxDf, permHash)
+      .select(col("j").as("doc_id")).distinct()
+    unseen.join(dupOfExisting, Seq("doc_id"), "left_anti")
+  }
 }

@@ -1036,7 +1036,24 @@ object Queries {
              |                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
              |                                     doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 10""".stripMargin))
+             |WHERE rn <= 10""".stripMargin)),
+
+    // ── Q61: incremental near-dup — the daily-batch shape: docs ≥ 300 are
+    //         the fresh batch, pairs touch fresh only, corpus × corpus is
+    //         never generated. The oracle replays the FULL md5 pipeline and
+    //         filters to fresh-touching pairs — equal by construction
+    //         because the incremental plan computes over the union's
+    //         posting list (and also spec-pinned on the xxhash64 path). ───
+    QueryDef("q61_incremental_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300),
+          permHash = Dedup.Md5PermHash)
+      },
+      Some(s"""WITH ${minhashPairCtes("documents", 0.8)}
+              |SELECT i, j, jac FROM verified
+              |WHERE i >= 300 OR j >= 300""".stripMargin))
   )
 
 

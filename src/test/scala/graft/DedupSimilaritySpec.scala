@@ -271,6 +271,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("incremental near-dups equal the fresh-touching subset of a full re-run") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        val (i, j) = (r.getLong(0), r.getLong(1))
+        (math.min(i, j), math.max(i, j),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      }.toSet
+    val inc = Dedup.incrementalNearDups(corpus, fresh)
+    graft.CacheRegistry.releaseAll()
+    val full = Dedup.minhashNearDups(docs)
+      .filter(col("i") >= 300 || col("j") >= 300)
+    val (incPairs, fullPairs) = (key(inc), key(full))
+    graft.CacheRegistry.releaseAll()
+    assert(incPairs === fullPairs,
+      s"incremental diverged: only-inc=${incPairs -- fullPairs} only-full=${fullPairs -- incPairs}")
+    // j is always the fresh doc; no corpus x corpus pair may appear
+    assert(inc.collect().forall(_.getLong(1) >= 300))
+  }
+
+  test("incrementalDedup: exact matches and corpus near-dups are rejected, " +
+      "from-scratch admits nothing more") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpusRaw = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val corpusKept = Dedup.dedupCorpus(corpusRaw).select("doc_id", "text")
+    val corpusTexts = corpusKept.select("text").collect().map(_.getString(0)).toSet
+    graft.CacheRegistry.releaseAll()
+    val kept = Dedup.incrementalDedup(corpusKept, fresh).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    // no admitted doc duplicates the corpus verbatim
+    assert(kept.values.forall(t => !corpusTexts.contains(t)))
+    // superset guarantee: everything a from-scratch union dedup admits
+    // from the batch is admitted incrementally too
+    val fullKeptFresh = Dedup.dedupCorpus(docs).filter(col("doc_id") >= 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(fullKeptFresh.subsetOf(kept.keySet),
+      s"from-scratch admitted ids the incremental run rejected: ${fullKeptFresh -- kept.keySet}")
+    assert(kept.nonEmpty && kept.keySet.forall(_ >= 300))
+  }
+
   test("hyperplanes are deterministic across invocations (executor-safe)") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)

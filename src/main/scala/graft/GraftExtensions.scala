@@ -5,12 +5,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr, MisraGries, WordShingles}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, MisraGries, NfcNormalize, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
-  * `array_dot(a, b)`, `l2_norm(a)`, and `word_shingles(text[, n])` become
-  * callable from `spark.sql(...)` — the same codegen'd expressions the
-  * DataFrame API uses, registered rather than wrapped in UDFs.
+  * `array_dot(a, b)`, `l2_norm(a)`, `word_shingles(text[, n])`, and
+  * `nfc_normalize(str)` become callable from `spark.sql(...)` — the same
+  * codegen'd expressions the DataFrame API uses, registered rather than
+  * wrapped in UDFs.
   *
   * Two entry points for the two deployment shapes:
   *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
@@ -103,6 +104,9 @@ object GraftExtensions {
       (FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
         heavyHittersBuilder _),
+      (FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        unary("nfc_normalize", NfcNormalize.apply) _),
       (FunctionIdentifier("scrub_pii"),
         new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
         unary("scrub_pii", scrubPiiExpr) _),

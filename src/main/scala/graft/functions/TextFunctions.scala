@@ -49,6 +49,29 @@ object TextFunctions {
       size(t).cast("double")
   }
 
+  /** Unicode NFC canonical composition — the native [[NfcNormalize]]
+    * kernel (ASCII rows short-circuit byte-scan-only). Run BEFORE exact
+    * dedup and token statistics: decomposed and precomposed encodings of
+    * the same text otherwise count as distinct documents.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      NfcNormalize(org.apache.spark.sql.GraftShim.expression(text)))
+
+  /** The standard pre-dedup text cleanup composition: strip C0/C1 control
+    * characters (keeping \n and \t), collapse horizontal whitespace runs
+    * to one space, trim, then NFC-normalize. Everything but the NFC step
+    * is built-in regexp (codegen'd); the whole pipeline is scan-side.
+    * Pattern notes: `\p{Cc}` covers C0+DEL+C1; the keep-set is subtracted
+    * with character-class intersection available in both Java regex and
+    * RE2-style engines via explicit ranges (no lookarounds).
+    */
+  def cleanText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    nfcNormalize(trim(oneSpace))
+  }
+
   /** MD5 content fingerprint (exact-dup key), lowercase hex. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -280,10 +280,58 @@ object Dedup {
     reps.join(nearDupJ, Seq("doc_id"), "left_anti")
   }
 
+  /** Edge count at or below which [[connectedComponents]] solves the
+    * graph on the driver instead of iterating distributed label
+    * propagation. Near-dup pair graphs are SPARSE by construction — the
+    * corpus being deduplicated means most documents pair with nothing —
+    * so even at 100 TB the pair set is usually million-scale, and a
+    * driver union-find over ≤1M edges (≤2M nodes, tens of MB of hash
+    * map) beats 3–6 rounds of join+checkpoint jobs by an order of
+    * magnitude. Same reasoning as a broadcast join: a bounded small side
+    * is cheaper to ship than to shuffle. Above the bound the distributed
+    * path takes over unchanged.
+    */
+  val DefaultDriverEdgeThreshold: Long = 1L << 20
+
+  /** Exact union-find (path compression + union-to-min) over collected
+    * edges: cluster = min node id of the component — identical output to
+    * the distributed fixpoint.
+    */
+  private def driverComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (i, j) =>
+      parent.putIfAbsent(i, i)
+      parent.putIfAbsent(j, j)
+      val (ri, rj) = (find(i), find(j))
+      // roots are node ids: pointing the larger root at the smaller keeps
+      // every root the minimum of its component, so the final find IS the
+      // cluster label — no second labeling pass
+      if (ri < rj) parent.put(rj, ri)
+      else if (rj < ri) parent.put(ri, rj)
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    var k = 0
+    parent.keySet().forEach { n => out(k) = (n, find(n)); k += 1 }
+    out
+  }
+
   /** Connected components over near-dup pairs — exact transitive
     * clustering, the alternative to [[dedupCorpus]]'s greedy keep-first
     * when chains matter (A~B, B~C, A≁C must still collapse to one
     * cluster).
+    *
+    * Small graphs (≤ `driverEdgeThreshold` edges, integral ids) are
+    * solved in one collect + union-find on the driver — the count is
+    * read off the already-persisted edge frame, so choosing the path
+    * costs one cheap action. Set `driverEdgeThreshold = 0` to force the
+    * distributed path.
     *
     * Iterative min-label propagation with pointer jumping: every node
     * starts labeled with its own id; each round every node adopts the
@@ -317,9 +365,14 @@ object Dedup {
     * component. Only nodes appearing in `pairs` are returned — isolated
     * documents are their own cluster by definition.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeThreshold: Long = DefaultDriverEdgeThreshold): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+    val idType = pairs.schema("i").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
     def cut(df: DataFrame): DataFrame =
       if (reliable) {
         // persist before the reliable cut: an eager checkpoint computes the
@@ -360,6 +413,20 @@ object Dedup {
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // fast path: the count materializes the persisted edge frame (the
+    // distributed path's first round would have anyway); the collect then
+    // reads cached blocks, never recomputing the upstream near-dup plan
+    if (integral && driverEdgeThreshold > 0 &&
+        edges.count() / 2 <= driverEdgeThreshold) {
+      val collected = edges
+        .select(col("i").cast("long"), col("j").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = driverComponents(collected)
+      import spark.implicits._
+      return comp.toSeq.toDF("doc_id", "cluster")
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     var labels = cut(edges.select(col("i").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")))
     var converged = false

@@ -84,6 +84,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("connectedComponents: chains collapse transitively, islands stay apart") {
+    // default threshold → exercises the driver union-find fast path
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))
       .toDF("i", "j")
     val cc = Dedup.connectedComponents(pairs)
@@ -92,11 +93,25 @@ class DedupSimilaritySpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents: driver fast path equals the distributed fixpoint") {
+    // random sparse graph; both paths must emit the identical labeling
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).map(p => (p._1 min p._2, p._1 max p._2))
+      .distinct.toDF("i", "j")
+    val driver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === dist)
+  }
+
   test("connectedComponents collapses a DEEP chain within the iteration cap") {
     // a 60-node path has diameter 59: neighbor-min alone would need ~59
-    // rounds and blow maxIter = 20; pointer jumping must finish in O(log)
+    // rounds and blow maxIter = 20; pointer jumping must finish in O(log).
+    // driverEdgeThreshold = 0 forces the distributed path under test.
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("i", "j")
-    val cc = Dedup.connectedComponents(pairs)
+    val cc = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.keySet === (1L to 60L).toSet)
     assert(cc.values.forall(_ == 1L), "entire chain must collapse to node 1")
@@ -105,7 +120,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("connectedComponents fails loudly when the iteration cap is hit") {
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("i", "j")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIter = 1)
+      Dedup.connectedComponents(pairs, maxIter = 1, driverEdgeThreshold = 0)
     }
     assert(e.getMessage.contains("did not converge"),
       "stopping early must throw, not silently report split clusters")
@@ -117,7 +132,7 @@ class DedupSimilaritySpec extends SparkSpec {
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))
         .toDF("i", "j")
-      val cc = Dedup.connectedComponents(pairs)
+      val cc = Dedup.connectedComponents(pairs, driverEdgeThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
         4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))

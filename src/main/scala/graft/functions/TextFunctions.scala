@@ -67,10 +67,16 @@ object TextFunctions {
     * RE2-style engines via explicit ranges (no lookarounds).
     */
   def cleanText(text: Column): Column = {
-    val noCtl = regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val noCtl = regexp_replace(text, CtlPattern, "")
+    val oneSpace = regexp_replace(noCtl, HSpacePattern, " ")
     nfcNormalize(trim(oneSpace))
   }
+
+  /** [[cleanText]]'s patterns, shared with the q62 oracle so both engines
+    * run the identical regex (RE2-safe: ranges only, no lookarounds).
+    */
+  private[graft] val CtlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private[graft] val HSpacePattern = "[ \\t]+"
 
   /** MD5 content fingerprint (exact-dup key), lowercase hex. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over event streams: densify an irregular
+  * series onto a fixed hourly grid (gap fill + forward fill) and compute
+  * day-over-day deltas — the standard pre-processing between raw event
+  * ingestion and forecasting/MAPE pipelines like [[Mape]], which assume a
+  * dense time axis.
+  *
+  * Scale shape: the spine is built from ONE aggregated (min, max) row and
+  * the distinct series keys — never from the fact table — and the dense
+  * grid is a broadcast cross join (hours are bounded by the time range:
+  * a decade is &lt; 90k rows). The forward-fill window is keyed by series,
+  * so parallelism follows series cardinality; a deployment with FEW huge
+  * series should range-bucket the time axis first (the window is the
+  * inherently sequential part of forward fill).
+  *
+  * Float determinism: hourly/daily values are cent-quantized per row
+  * before summing (integer-valued double sums are order-exact), matching
+  * the engine-wide contract in [[graft.queries.Queries]].
+  */
+object TimeSeries {
+
+  /** Dense hourly grid per series over the observed [min, max] hour range,
+    * with `v` = the hour's cent-quantized sum (null on gap hours) and
+    * `filled` = forward fill (last non-null `v` at or before the hour;
+    * null until the series' first observation). Returns
+    * (series, h: timestamp, v, filled).
+    */
+  def gapFillHourly(df: DataFrame, series: Column, ts: Column,
+                    value: Column): DataFrame = {
+    val obs = df.groupBy(series.as("series"), date_trunc("hour", ts).as("h"))
+      .agg((sum(round(value * 100)) / 100).as("v"))
+    // one row (two timestamps) — the spine's bounds, like a broadcast
+    // join's small side; computed once off the aggregated frame
+    val hours = obs.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val spine = obs.select(col("series")).distinct()
+      .crossJoin(broadcast(hours))
+    val w = Window.partitionBy(col("series")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("series", "h"), "left")
+      .select(col("series"), col("h"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+  }
+
+  /** Daily totals per series with day-over-day delta and percent change
+    * (null on each series' first day; pct additionally null when the
+    * previous day is 0). Returns (series, d: date, v, delta, pct) — pct
+    * rounded to 4 decimals, computed from the exact cent-quantized
+    * dailies so both operands are engine-portable.
+    */
+  def dayOverDay(df: DataFrame, series: Column, ts: Column,
+                 value: Column): DataFrame = {
+    val daily = df.groupBy(series.as("series"), to_date(ts).as("d"))
+      .agg((sum(round(value * 100)) / 100).as("v"))
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val prev = lag(col("v"), 1).over(w)
+    daily.select(col("series"), col("d"), col("v"),
+      (col("v") - prev).as("delta"),
+      round((col("v") - prev) / when(prev =!= 0, prev) * 100, 4).as("pct"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Anonymize, AsofJoin, Decontaminate, Dedup, Mape, Multimodal, Quantiles, RangeJoin, Sampling, Scoring, Similarity}
+import graft.operators.{Anonymize, AsofJoin, Decontaminate, Dedup, Embeddings, Mape, Multimodal, Quantiles, RangeJoin, Sampling, Scoring, Similarity, TimeSeries}
 import graft.functions.TextFunctions
 
 /** The engine's declared query inventory (SURVEY.md §2.9 Q1–Q20 plus the
@@ -1053,7 +1053,115 @@ object Queries {
       },
       Some(s"""WITH ${minhashPairCtes("documents", 0.8)}
               |SELECT i, j, jac FROM verified
-              |WHERE i >= 300 OR j >= 300""".stripMargin))
+              |WHERE i >= 300 OR j >= 300""".stripMargin)),
+
+    // ── Q62: unicode text normalization — a deterministic "messy web
+    //         text" suffix (decomposed accents, a BEL control char, space
+    //         runs, trailing space) is appended to every doc, then cleaned:
+    //         control strip → whitespace collapse → trim → NFC compose via
+    //         the native NfcNormalize kernel. DuckDB's nfc_normalize is the
+    //         same Unicode canonical composition; the regexes interpolate
+    //         from the shared TextFunctions constants. ────────────────────
+    QueryDef("q62_text_normalize",
+      (s, dir) => {
+        val messy = concat(col("text"),
+          lit("  naïve caffè   über "))
+        t(s, dir, "documents").select(col("doc_id"),
+            length(messy).as("len_raw"),
+            TextFunctions.cleanText(messy).as("clean"))
+          .withColumn("len_clean", length(col("clean")))
+      },
+      Some(s"""WITH messy AS (
+              |  SELECT doc_id, text || '  nai' || chr(776) || 've' || chr(7)
+              |         || ' caffe' || chr(768) || '   u' || chr(776) || 'ber ' AS raw
+              |  FROM documents
+              |), c AS (
+              |  SELECT doc_id, LENGTH(raw) AS len_raw,
+              |         nfc_normalize(trim(regexp_replace(regexp_replace(raw,
+              |           '${TextFunctions.CtlPattern}', '', 'g'),
+              |           '${TextFunctions.HSpacePattern}', ' ', 'g'))) AS clean
+              |  FROM messy)
+              |SELECT doc_id, len_raw, clean, LENGTH(clean) AS len_clean FROM c""".stripMargin)),
+
+    // ── Q63: hourly gap fill + forward fill — sparse observations
+    //         (value > 100 keeps ~31% of spine hours) densified onto the
+    //         observed [min, max] hourly grid per event type; `v` null on
+    //         gap hours, `filled` carries the last observation forward. ───
+    QueryDef("q63_gap_fill",
+      (s, dir) => TimeSeries.gapFillHourly(
+          t(s, dir, "events").filter(col("value") > 100),
+          col("event_type"), col("ts"), col("value"))
+        .select(col("series"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("v"), col("filled")),
+      Some("""WITH obs AS (
+             |  SELECT event_type AS series, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |         SUM(round(value * 100)) / 100 AS v
+             |  FROM events WHERE value > 100 GROUP BY 1, 2
+             |), b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs),
+             |spine AS (
+             |  SELECT s.series, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+             |  FROM (SELECT DISTINCT series FROM obs) s, b
+             |), j AS (SELECT series, h, v FROM spine LEFT JOIN obs USING (series, h))
+             |SELECT series, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, v,
+             |       last_value(v IGNORE NULLS) OVER (PARTITION BY series ORDER BY h
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM j""".stripMargin)),
+
+    // ── Q64: day-over-day deltas — lag window per series over the exact
+    //         cent-quantized dailies; pct change null on first days and
+    //         zero-previous days (NULLIF guard on both engines). ──────────
+    QueryDef("q64_day_over_day",
+      (s, dir) => TimeSeries.dayOverDay(
+          t(s, dir, "events"), col("event_type"), col("ts"), col("value"))
+        .select(col("series"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("v"), col("delta"), col("pct")),
+      Some("""WITH daily AS (
+             |  SELECT event_type AS series, CAST(ts AS DATE) AS d,
+             |         SUM(round(value * 100)) / 100 AS v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT series, strftime(d, '%Y-%m-%d') AS d, v,
+             |       v - lag(v) OVER w AS delta,
+             |       round((v - lag(v) OVER w) / NULLIF(lag(v) OVER w, 0) * 100, 4) AS pct
+             |FROM daily WINDOW w AS (PARTITION BY series ORDER BY d)""".stripMargin)),
+
+    // ── Q65: symmetric int8 embedding quantization — per-vector
+    //         scale = max|x|/127, elements rounded into [-127, 127];
+    //         scan-side only, zero shuffles. The quantized vector rides a
+    //         CSV string so the comparator sees scalar columns; identical
+    //         IEEE divides and away-from-zero rounding on both engines. ───
+    QueryDef("q65_embed_quantize",
+      (s, dir) => Embeddings.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv")),
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             |  FROM embeddings
+             |), s AS (
+             |  SELECT vec_id, e,
+             |         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             |  FROM v)
+             |SELECT vec_id, scale,
+             |       array_to_string(list_transform(e, x ->
+             |         CASE WHEN scale = 0 THEN 0
+             |              ELSE CAST(round(x / scale) AS INTEGER) END), ',') AS q_csv
+             |FROM s""".stripMargin)),
+
+    // ── Q66: per-group embedding centroids — element-wise means over
+    //         vec_id % 8 groups, one keyed (grp, pos) aggregation with
+    //         1e-6-quantized order-exact sums; class prototypes / cluster
+    //         summaries for quality classifiers. ──────────────────────────
+    QueryDef("q66_group_centroids",
+      (s, dir) => Embeddings.groupCentroids(
+        t(s, dir, "embeddings"), col("vec_id") % 8),
+      Some("""WITH e AS (
+             |  SELECT vec_id % 8 AS grp,
+             |         generate_subscripts(embedding, 1) - 1 AS pos,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings)
+             |SELECT grp, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+             |       round(SUM(round(x * 1000000)) / 1000000 / COUNT(*), 9) AS mean
+             |FROM e GROUP BY 1, 2""".stripMargin))
   )
 
 

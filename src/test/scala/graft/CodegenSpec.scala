@@ -45,6 +45,11 @@ class CodegenSpec extends SparkSpec {
         GraftFunctions.dot_product(col("v"), col("v"))).as("d"))
         .as[Double].collect().sorted
       assert(sd === Array(10.0, 50.0))
+      // NfcNormalize (decomposed e + U+0301 must compose to é)
+      val deco = Seq("café", "ascii only").toDF("c").repartition(2)
+      val nfc = deco.select(TextFunctions.nfcNormalize(col("c")))
+        .as[String].collect().toSet
+      assert(nfc === Set("café", "ascii only"))
     }
   }
 

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Embeddings, TimeSeries}
+
+/** Unit semantics for the time-series regularization and embedding
+  * utility operators (q63–q66); cross-engine correctness is pinned by
+  * their DuckDB oracle rows at sf0.01.
+  */
+class TimeSeriesEmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillHourly: dense spine, nulls on gaps, forward fill per series") {
+    val df = Seq(
+      ("a", "2024-01-01 00:15:00", 1.0),
+      ("a", "2024-01-01 00:45:00", 2.0), // same hour → sums
+      ("a", "2024-01-01 03:10:00", 5.0), // two-hour gap before
+      ("b", "2024-01-01 01:30:00", 7.0))
+      .toDF("series", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TimeSeries.gapFillHourly(df, col("series"), col("ts"), col("value"))
+      .withColumn("h", date_format(col("h"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out === Set(
+      ("a", "2024-01-01 00:00:00", Some(3.0), Some(3.0)),
+      ("a", "2024-01-01 01:00:00", None, Some(3.0)),
+      ("a", "2024-01-01 02:00:00", None, Some(3.0)),
+      ("a", "2024-01-01 03:00:00", Some(5.0), Some(5.0)),
+      ("b", "2024-01-01 00:00:00", None, None), // before b's first observation
+      ("b", "2024-01-01 01:00:00", Some(7.0), Some(7.0)),
+      ("b", "2024-01-01 02:00:00", None, Some(7.0)),
+      ("b", "2024-01-01 03:00:00", None, Some(7.0))))
+  }
+
+  test("dayOverDay: per-series deltas; first day and zero-previous give null pct") {
+    val df = Seq(
+      ("a", "2024-01-01 05:00:00", 10.0),
+      ("a", "2024-01-02 06:00:00", 15.0),
+      ("a", "2024-01-03 07:00:00", 12.0),
+      ("b", "2024-01-01 08:00:00", 0.0),
+      ("b", "2024-01-02 09:00:00", 4.0))
+      .toDF("series", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = TimeSeries.dayOverDay(df, col("series"), col("ts"), col("value"))
+      .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(out === Set(
+      ("a", "2024-01-01", 10.0, None, None),
+      ("a", "2024-01-02", 15.0, Some(5.0), Some(50.0)),
+      ("a", "2024-01-03", 12.0, Some(-3.0), Some(-20.0)),
+      ("b", "2024-01-01", 0.0, None, None),
+      ("b", "2024-01-02", 4.0, Some(4.0), None))) // previous day 0 → pct null
+  }
+
+  test("quantizeInt8: max hits ±127, dequant error ≤ scale/2, zero vector safe") {
+    val emb = Seq(
+      (1L, Array(0.6f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Embeddings.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val (s1, q1) = rows(1L)
+    assert(s1 === 1.0 / 127.0)
+    assert(q1 === Seq(76, -127, 32))
+    val (s2, q2) = rows(2L)
+    assert(s2 === 0.0)
+    assert(q2 === Seq(0, 0, 0)) // guarded: never a 0/0
+    // symmetric-quantization contract: |q·scale − x| ≤ scale/2
+    q1.zip(Seq(0.6f, -1.0f, 0.25f)).foreach { case (q, x) =>
+      assert(math.abs(q * s1 - x.toDouble) <= s1 / 2 + 1e-12)
+    }
+  }
+
+  test("groupCentroids: hand-computed element-wise means per group") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 4.0f)), // grp 0 together with vec 0
+      (1L, Array(10.0f, 20.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.groupCentroids(emb, col("vec_id") % 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      (0L, 0L) -> ((2L, 2.0)), (0L, 1L) -> ((2L, 3.0)),
+      (1L, 0L) -> ((1L, 10.0)), (1L, 1L) -> ((1L, 20.0))))
+  }
+
+  test("nfc_normalize and cleanText: composition, control strip, idempotence") {
+    import graft.functions.TextFunctions
+    val messy = Seq("  ab   café\tx ").toDF("c")
+    val cleaned = messy.select(TextFunctions.cleanText(col("c")))
+      .as[String].head()
+    assert(cleaned === "ab café x")
+    // idempotent: cleaning clean text changes nothing
+    val again = Seq(cleaned).toDF("c")
+      .select(TextFunctions.cleanText(col("c"))).as[String].head()
+    assert(again === cleaned)
+    // SQL registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('café') AS c")
+      .as[String].head()
+    assert(viaSql === "café")
+  }
+}

@@ -19,6 +19,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen class cache thrashes once an
+      // inventory this size (70 queries × several stages × 2 passes) runs
+      // in one JVM: by pass 2 every pass-1 class is evicted and janino
+      // recompiles whole stages inside the measurement — ~2s artifacts on
+      // the biggest generated stage (q38's k×dim assignment). Any
+      // production session serving a large query library wants this
+      // raised; it is a static conf, so it must be set before the session
+      // exists.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // q14 (label enum) and q16 (moving average) run global-order windows

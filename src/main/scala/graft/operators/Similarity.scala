@@ -105,6 +105,36 @@ object Similarity {
           (col("na") * col("nb")), 6).as("cos"))
   }
 
+  /** Cross-corpus embedding near-duplicates: every (left i, right j) pair
+    * with exact cosine at or above `threshold` — the embedding-space
+    * analog of the trigram contamination audit in [[Decontaminate]]:
+    * right = the bounded eval/benchmark set, left = the training corpus.
+    *
+    * Contract and plan shape: the RIGHT side must be the bounded one (an
+    * eval set is thousands of vectors, not billions). It is broadcast, so
+    * the training side streams through one scan with zero shuffles — the
+    * deliberate exception to the engine's no-nested-loop rule, because no
+    * equi-join key exists for exact threshold cosine and a bounded
+    * broadcast build side is exactly what BNLJ is for (same reasoning as
+    * a broadcast hash join's small side; the per-pair work is the native
+    * dot kernel). For two UNBOUNDED sides, near-dup semantics should come
+    * from [[lshNeighbors]]-style bucketing or [[IVF]], not exact
+    * all-pairs.
+    */
+  def crossNearDups(left: DataFrame, right: DataFrame,
+                    threshold: Double): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col("vec_id").as(id),
+          col("embedding").cast("array<double>").as(v))
+        .withColumn(n, GraftFunctions.l2_norm(col(v)))
+    prep(left, "i", "vi", "ni")
+      .crossJoin(broadcast(prep(right, "j", "vj", "nj")))
+      .select(col("i"), col("j"),
+        round(GraftFunctions.dot_product(col("vi"), col("vj")) /
+          (col("ni") * col("nj")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes for LSH signatures:
     * a fixed linear-congruential stream, so every run (and every executor)
     * derives the identical planes with no driver→executor state.

@@ -32,8 +32,13 @@ object TimeSeries {
     */
   def gapFillHourly(df: DataFrame, series: Column, ts: Column,
                     value: Column): DataFrame = {
-    val obs = df.groupBy(series.as("series"), date_trunc("hour", ts).as("h"))
-      .agg((sum(round(value * 100)) / 100).as("v"))
+    // persisted: three consumers (spine bounds, distinct series, the grid
+    // join) would otherwise each re-run the fact scan + aggregation — at
+    // 100 TB that is three full passes for one; the aggregated frame is
+    // series × observed-hours, orders of magnitude smaller than the facts
+    val obs = graft.CacheRegistry.persist(
+      df.groupBy(series.as("series"), date_trunc("hour", ts).as("h"))
+        .agg((sum(round(value * 100)) / 100).as("v")))
     // one row (two timestamps) — the spine's bounds, like a broadcast
     // join's small side; computed once off the aggregated frame
     val hours = obs.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))

@@ -1161,7 +1161,107 @@ object Queries {
              |  FROM embeddings)
              |SELECT grp, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
              |       round(SUM(round(x * 1000000)) / 1000000 / COUNT(*), 9) AS mean
-             |FROM e GROUP BY 1, 2""".stripMargin))
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q67: cross-corpus embedding contamination — train (vec_id < 400)
+    //         × eval (vec_id ≥ 400) pairs with exact cosine ≥ 0.35; the
+    //         eval side broadcasts, the train side never shuffles (the
+    //         embedding-space analog of q50's trigram audit). ─────────────
+    QueryDef("q67_embed_contamination",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.crossNearDups(
+          emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400),
+          threshold = 0.35)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a, e b
+             |WHERE a.vec_id < 400 AND b.vec_id >= 400
+             |  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q68: unpivot/melt — q06's wide daily pivot back to long form
+    //         (the reshape inverse the reference's pandas pipelines round-
+    //         trip through); Spark `unpivot` keeps every (id, column) cell,
+    //         mirrored by the UNION ALL stack. ────────────────────────────
+    QueryDef("q68_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+          .pivot("event_type", types)
+          .agg(centSum(col("value")))
+          .unpivot(Array(col("d")), types.map(col).toArray, "event_type", "v")
+      },
+      Some("""WITH wide AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS d,
+             |    SUM(CASE WHEN event_type='click' THEN ROUND(value*100) END)/100.0 AS click,
+             |    SUM(CASE WHEN event_type='error' THEN ROUND(value*100) END)/100.0 AS error,
+             |    SUM(CASE WHEN event_type='purchase' THEN ROUND(value*100) END)/100.0 AS purchase,
+             |    SUM(CASE WHEN event_type='signup' THEN ROUND(value*100) END)/100.0 AS signup,
+             |    SUM(CASE WHEN event_type='view' THEN ROUND(value*100) END)/100.0 AS view
+             |  FROM events GROUP BY 1)
+             |SELECT d, 'click' AS event_type, click AS v FROM wide UNION ALL
+             |SELECT d, 'error', error FROM wide UNION ALL
+             |SELECT d, 'purchase', purchase FROM wide UNION ALL
+             |SELECT d, 'signup', signup FROM wide UNION ALL
+             |SELECT d, 'view', view FROM wide""".stripMargin)),
+
+    // ── Q69: distribution-rank windows — percent_rank / cume_dist /
+    //         ntile(4) of each day within its event type's daily-sum
+    //         distribution; keyed windows, standard SQL definitions on
+    //         both engines, deterministic (v, d) ordering. ────────────────
+    QueryDef("q69_rank_windows",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+          .agg(centSum(col("value")).as("v"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("v"), col("d"))
+        daily.select(col("event_type"), col("d"), col("v"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             |         SUM(round(value*100))/100 AS v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, d, v,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd,
+             |       ntile(4) OVER w AS quartile
+             |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY v, d)""".stripMargin)),
+
+    // ── Q70: 7-day retention cohorts — of each day's active users, how
+    //         many return exactly a week later; the (user, day+7) pair is
+    //         a full equi-join key (both columns), so the self-join hash-
+    //         partitions on it — no inequality scan. ──────────────────────
+    QueryDef("q70_retention",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val base = du.groupBy(col("d")).agg(count(lit(1)).as("actives"))
+        val ret = du.as("a").join(du.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              date_add(col("a.d"), 7) === col("b.d"))
+          .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("retained"))
+        base.join(ret, Seq("d"), "left")
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("actives"),
+            coalesce(col("retained"), lit(0L)).as("retained"),
+            round(coalesce(col("retained"), lit(0L)) / col("actives") * 100, 4)
+              .as("rate"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |base AS (SELECT d, COUNT(*) AS actives FROM du GROUP BY 1),
+             |ret AS (
+             |  SELECT a.d, COUNT(*) AS retained
+             |  FROM du a JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 7
+             |  GROUP BY 1)
+             |SELECT strftime(d, '%Y-%m-%d') AS d, actives,
+             |       COALESCE(retained, 0) AS retained,
+             |       round(COALESCE(retained, 0) / actives * 100, 4) AS rate
+             |FROM base LEFT JOIN ret USING (d)""".stripMargin))
   )
 
 

@@ -198,6 +198,54 @@ object StreamingEvents {
       }
   }
 
+  /** A series-silence alert: `series` produced no event for the configured
+    * gap (in EVENT time); `last_seen` is its final event before going dark.
+    */
+  case class GapAlert(series: String, last_seen: java.sql.Timestamp)
+
+  /** Streaming gap DETECTION — the monitoring counterpart of the batch
+    * [[graft.operators.TimeSeries.gapFillHourly]]: instead of materializing
+    * null rows on a dense spine after the fact, emit an alert the moment a
+    * series has been silent for `gap` of event time. The piece only a
+    * custom-state operator can express: windows aggregate data that IS
+    * there; this fires on data that ISN'T.
+    *
+    * Mechanics: state per live series is ONE long (its max event time).
+    * Each arrival re-arms an event-time timeout at `last_seen + gap`; the
+    * timeout fires when the WATERMARK (derived from other series' arrivals)
+    * passes that mark — event-time semantics, so replays produce identical
+    * alerts and wall-clock stalls of the whole stream alert nothing (no
+    * data, no watermark movement — correct: the pipeline is down, not the
+    * series). On firing, the alert is emitted once and state is removed; a
+    * later arrival restarts the series fresh. Total state = one entry per
+    * live series, self-cleaning on silence — strictly bounded.
+    */
+  def streamingGapAlerts(events: DataFrame, seriesCol: String, gap: String,
+                         watermark: String = "10 minutes"): Dataset[GapAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col(seriesCol).cast("string").as("series"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, GapAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (series, rows, state) =>
+          if (state.hasTimedOut) {
+            val lastSeen = state.get
+            state.remove()
+            Iterator.single(GapAlert(series, new java.sql.Timestamp(lastSeen)))
+          } else {
+            val maxTs = rows.map(_._2.getTime).max
+            val last = math.max(state.getOption.getOrElse(Long.MinValue), maxTs)
+            state.update(last)
+            // re-arm: silent until the watermark passes last_seen + gap
+            state.setTimeoutTimestamp(last, gap)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One tracked counter of a group's Misra–Gries summary. */
   case class MGEntry(item: String, count: Long)
   /** A group's rolling heavy-hitters summary: at most k counters plus the

@@ -242,6 +242,36 @@ class StreamingSpec extends SparkSpec {
     assert(est13.nonEmpty && est13.forall(_ === 1.0))
   }
 
+  test("gap alerts: a silent series alerts once in event time; active series stay quiet") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingEvents.streamingGapAlerts(
+        stream.toDF().toDF("ts", "series"),
+        seriesCol = "series", gap = "15 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("gap_alerts")
+      .outputMode("append").start()
+    try {
+      // batch 1: both series alive at 10:00
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:00:00"), "b")))
+      q.processAllAvailable()
+      // batch 2: only b keeps flowing; its 10:40 event moves the watermark
+      // to 10:30, past a's 10:15 timeout
+      stream.addData(Seq((ts("2024-01-01 10:40:00"), "b")))
+      q.processAllAvailable()
+      // batch 3: timeouts fire against the watermark computed at the END of
+      // the previous batch — one more tick delivers a's alert; b re-armed
+      // at 10:55 stays quiet (watermark 10:50)
+      stream.addData(Seq((ts("2024-01-01 11:00:00"), "b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("gap_alerts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    assert(alerts === Set(("a", "2024-01-01 10:00:00.0")),
+      s"expected exactly one alert for the silent series, got $alerts")
+  }
+
   test("near-dup idleTimeout evicts idle band buckets (opt-in state expiry)") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]

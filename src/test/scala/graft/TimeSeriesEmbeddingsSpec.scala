@@ -87,6 +87,26 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
       (1L, 0L) -> ((1L, 10.0)), (1L, 1L) -> ((1L, 20.0))))
   }
 
+  test("unpivot keeps null cells (melt semantics) — pins the q68 oracle shape") {
+    val wide = Seq(("d1", Some(1.0), Option.empty[Double]), ("d2", Some(2.0), Some(3.0)))
+      .toDF("d", "a", "b")
+    val long = wide.unpivot(Array(col("d")), Array(col("a"), col("b")), "k", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(long === Set(
+      ("d1", "a", Some(1.0)), ("d1", "b", None),
+      ("d2", "a", Some(2.0)), ("d2", "b", Some(3.0))))
+  }
+
+  test("crossNearDups: only left×right pairs, threshold respected, i=left j=right") {
+    val left = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((10L, Array(1.0f, 0.01f)), (11L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity.crossNearDups(left, right, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L))) // cos(e1, (1,0.01)) ≈ 0.99995; all others below
+  }
+
   test("nfc_normalize and cleanText: composition, control strip, idempotence") {
     import graft.functions.TextFunctions
     val messy = Seq("  ab   café\tx ").toDF("c")

@@ -264,4 +264,21 @@ object Anonymize {
       .foldLeft(labeled)((d, c) => uidAnonymization(spark, d, c, keyDir))
     pseudonymized.toDF(pseudonymized.columns.map(_.toLowerCase).toIndexedSeq: _*)
   }
+
+  /** k-anonymity audit — the check an anonymized dataset still owes its
+    * subjects: pseudonymizing direct identifiers ([[uidAnonymization]])
+    * does nothing about QUASI-identifier combinations (nation × market
+    * segment × birth year …) that single out fewer than k rows; those
+    * groups re-identify by linkage (Sweeney's k-anonymity). Returns every
+    * violating combination with its size, ready for suppression or
+    * generalization upstream. One hash aggregation (map-side partial) —
+    * the audit costs one shuffle of the group keys at any scale.
+    */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "k-anonymity needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous), got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

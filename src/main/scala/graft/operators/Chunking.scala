@@ -55,6 +55,57 @@ object Chunking {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall where a rolling hash
+    * of the last `window` tokens hits ≡ 0 (mod `divisor`) — so boundaries
+    * are anchored to CONTENT, not offsets, and an insertion near a
+    * document's head shifts only the chunk it lands in (fixed windows like
+    * [[tokenChunks]] shift every downstream chunk, defeating chunk-level
+    * dedup between document revisions; this is rsync/LBFS-style CDC at
+    * token granularity). Mean chunk length ≈ `divisor` tokens.
+    *
+    * Shape: boundary flags are pure expressions on the shingle array (one
+    * zipped posexplode — no self-join to align tokens with their window
+    * hash), then the running boundary count (= chunk id) is one keyed
+    * window over (doc_id, pos), then one groupBy reassembles chunks. Two
+    * shuffles of token-grain rows, both linear; parallelism follows
+    * documents.
+    *
+    * `boundaryHash` defaults to seeded xxhash64 (scale path); pass
+    * [[Dedup.Md5TokenHash]] for the engine-portable form the q71 oracle
+    * replays. Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 4, divisor: Int = 8,
+                text: String = "text",
+                boundaryHash: Column => Column = Dedup.XxTokenHash): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val toks = graft.functions.TextFunctions.tokens(col(text))
+    val sh = graft.functions.TextFunctions.shingles(col(text), window)
+    // flag(i) = 1 when the window ENDING at token i (0-based) hashes to a
+    // boundary; tokens before the first full window can't be boundaries
+    val flags = transform(sequence(lit(0), size(col("t")) - 1), i =>
+      when(i >= window - 1 &&
+        pmod(boundaryHash(element_at(col("sh"), i - (window - 2))),
+          lit(divisor.toLong)) === 0, 1).otherwise(0))
+    val flagged = graft.sources.Tables.ensureParallelism(docs)
+      .select(col("doc_id"), toks.as("t"), sh.as("sh"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("t"), flags.as("b"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos"),
+        col("z").getField("t").as("tok"), col("z").getField("b").as("b"))
+    // chunk id of a token = boundaries strictly BEFORE it (a boundary
+    // token is the last of its chunk); running count via a keyed window
+    val wsum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(wsum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
   /** Corpus-wide passage dedup over NON-overlapping windows: each distinct
     * `chunk_text` survives only at its globally first occurrence (ordered
     * by doc_id, then chunk_idx); every later copy is dropped and each

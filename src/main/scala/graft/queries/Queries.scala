@@ -1261,7 +1261,44 @@ object Queries {
              |SELECT strftime(d, '%Y-%m-%d') AS d, actives,
              |       COALESCE(retained, 0) AS retained,
              |       round(COALESCE(retained, 0) / actives * 100, 4) AS rate
-             |FROM base LEFT JOIN ret USING (d)""".stripMargin))
+             |FROM base LEFT JOIN ret USING (d)""".stripMargin)),
+
+    // ── Q71: content-defined chunking — boundaries where the rolling
+    //         4-token window hash ≡ 0 (mod 8), so chunk edges anchor to
+    //         content and survive insertions (rsync/LBFS-style CDC at
+    //         token grain; mean chunk ≈ 8 tokens). The md5 token hash is
+    //         the oracle-portable form; xxhash64 is the scale default. ────
+    QueryDef("q71_cdc_chunks",
+      (s, dir) => graft.operators.Chunking.cdcChunks(
+        t(s, dir, "documents"), window = 4, divisor = 8,
+        boundaryHash = Dedup.Md5TokenHash),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), tok AS (
+             |  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+             |         CASE WHEN i >= 4 AND
+             |           CAST(('0x' || substring(md5(t[i-3] || ' ' || t[i-2] || ' '
+             |             || t[i-1] || ' ' || t[i]), 1, 15)) AS BIGINT) % 8 = 0
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+             |), cid AS (
+             |  SELECT doc_id, pos, tok,
+             |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+             |  FROM tok)
+             |SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+             |       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+             |FROM cid GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q72: k-anonymity audit — quasi-identifier combinations (nation ×
+    //         market segment) held by fewer than k=10 customers; the
+    //         linkage-risk check that pseudonymizing direct identifiers
+    //         doesn't cover. One map-side-partial hash aggregation. ───────
+    QueryDef("q72_k_anonymity",
+      (s, dir) => Anonymize.kAnonymityAudit(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+             |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10""".stripMargin))
   )
 
 

@@ -170,4 +170,19 @@ class AnonymizeSpec extends SparkSpec {
     assert(new java.io.File(s"$keyDir/key_meter.snappy.parquet").exists())
     assert(new java.io.File(s"$keyDir/key_uid.snappy.parquet").exists())
   }
+
+  test("kAnonymityAudit: flags quasi-identifier groups below k, exact sizes") {
+    val df = Seq(
+      ("us", "auto"), ("us", "auto"), ("us", "auto"),
+      ("us", "bike"),
+      ("de", "auto"), ("de", "auto")).toDF("nation", "segment")
+    val bad = Anonymize.kAnonymityAudit(df, Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ("us","auto") has 3 rows = k → safe; the two smaller groups violate
+    assert(bad === Map(("us", "bike") -> 1L, ("de", "auto") -> 2L))
+    intercept[IllegalArgumentException](
+      Anonymize.kAnonymityAudit(df, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Anonymize.kAnonymityAudit(df, Seq("nation"), 1))
+  }
 }

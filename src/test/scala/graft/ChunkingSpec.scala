@@ -26,6 +26,37 @@ class ChunkingSpec extends SparkSpec {
     assert(r === Array("a b", "c d", "e"))
   }
 
+  test("cdcChunks: chunks reassemble to the document; boundaries anchor to content") {
+    val tokens = (0 until 60).map(i => s"t$i")
+    val text = tokens.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    // invariants: in-order reassembly is lossless, token counts add up,
+    // chunk ids are dense from 0
+    assert(chunks.map(_._3).mkString(" ") === text)
+    assert(chunks.map(_._2).sum === 60L)
+    assert(chunks.map(_._1).toSeq === chunks.indices.map(_.toLong))
+
+    // content anchoring: a head insertion disturbs only the head chunk(s) —
+    // every boundary after the first shared window realigns exactly
+    val shifted = Seq((2L, "inserted " + text)).toDF("doc_id", "text")
+    val sChunks = Chunking.cdcChunks(shifted).collect().map(_.getString(3)).toSet
+    val oChunks = chunks.map(_._3).toSet
+    assert((oChunks -- sChunks).size <= 2,
+      s"fixed-offset drift: original-only chunks ${oChunks -- sChunks}")
+    assert((sChunks -- oChunks).size <= 2,
+      s"fixed-offset drift: shifted-only chunks ${sChunks -- oChunks}")
+    assert((oChunks & sChunks).nonEmpty)
+
+    // md5 (oracle) and xxhash64 (scale) paths share every structural
+    // invariant; boundary SETS differ by hash design
+    val md5Chunks = Chunking.cdcChunks(docs,
+        boundaryHash = graft.operators.Dedup.Md5TokenHash)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+    assert(md5Chunks.map(_._2).mkString(" ") === text)
+  }
+
   test("dedupChunks: later copies of a passage drop, text reassembles in order") {
     // passage "x y" first appears in doc 1 chunk 0; doc 2 repeats it twice
     val docs = Seq(

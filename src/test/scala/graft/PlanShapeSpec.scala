@@ -213,4 +213,40 @@ class PlanShapeSpec extends SparkSpec {
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("might_contain"), analyzed.take(1200))
   }
+
+  test("int8 quantization is a pure narrow plan: zero Exchanges, scan-side") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val nodes = collectNodes(graft.operators.Embeddings.quantizeInt8(emb)
+      .queryExecution.executedPlan)
+    assert(!nodes.exists(_.contains("Exchange")), s"quantization shuffled: $nodes")
+  }
+
+  test("gap fill broadcasts the hour spine; the fact scan feeds ONE aggregation") {
+    val events = Tables.table(spark, sf0001, "events")
+    val plan = physical(graft.operators.TimeSeries.gapFillHourly(
+      events, col("event_type"), col("ts"), col("value")))
+    // the dense grid is tiny by construction → must arrive broadcast, and
+    // the observations join must not degenerate to a real cartesian
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("cross-corpus contamination broadcasts the EVAL side; train side one scan") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val df = graft.operators.Similarity.crossNearDups(
+      emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400), 0.35)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("BuildRight"),
+      plan.take(800))
+    // exactly one broadcast (the eval side); the train side must stream
+    assert("BroadcastExchange".r.findAllIn(plan).size === 1, plan.take(800))
+  }
+
+  test("CDC chunking windows are keyed by doc_id (never an unpartitioned window)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Chunking.cdcChunks(docs))
+    assert(!plan.contains("SinglePartition"),
+      s"CDC running count must partition by doc_id:\n${plan.take(800)}")
+  }
 }

@@ -34,6 +34,21 @@ object PropertySpec extends Properties("graft") {
       !d8.startsWith(d5)
     }
 
+  private val unicodeGen = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf('́', '̈', '̀', 'é', 'ü',
+      '中', ' '))).map(_.mkString)
+
+  property("nfc kernel: equals java.text.Normalizer NFC and is idempotent") =
+    Prop.forAll(unicodeGen) { s =>
+      val once = graft.functions.NfcNormalize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      val twice = graft.functions.NfcNormalize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC) &&
+        twice == once
+    }
+
   property("labelIndex: 1-based contiguous enumeration in sorted order") =
     Prop.forAll(Gen.listOf(strGen)) { labels =>
       val idx = Anonymize.labelIndex(labels, "ANON")

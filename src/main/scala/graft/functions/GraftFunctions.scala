@@ -167,6 +167,15 @@ object GraftFunctions {
   /** L2 norm of an array column (sqrt of the self dot product). */
   def l2_norm(a: Column): Column = sqrt(dot_product(a, a))
 
+  /** MD5 digest as four unsigned 32-bit lanes (`array<long>`) — the native
+    * form of `conv(substring(md5(x), 8i+1, 8), 16, 10)` with one digest
+    * and zero hex-string work; see [[Md5Lanes]]. Strings are hashed as
+    * their UTF-8 bytes (same as `md5(x.cast("binary"))`).
+    */
+  def md5_lanes(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      Md5Lanes(expression(c.cast("binary"))))
+
   /** Misra–Gries heavy hitters AGGREGATE over a string column: at most `k`
     * counters per group, mergeable across partitions, exact when the
     * group's distinct count stays within `k` (see [[MisraGries]]).

@@ -142,18 +142,22 @@ object Dedup {
 
   /** Portable permutation hash: perm `p` reads the 8-hex (32-bit) lane
     * `p % 4` of `md5("${p / 4}|" || shingle)` — one md5 digest feeds FOUR
-    * permutations, so 16 perms cost 4 md5 calls per posting row instead of
+    * permutations, so 16 perms cost 4 digests per posting row instead of
     * 16 (md5 dominates the portable path's cost; codegen's subexpression
-    * elimination shares each digest across its lanes). 32-bit minima are
-    * ample for MinHash — banding compares 4-lane tuples (128 bits) and the
-    * verify stage is exact regardless. Heavier than xxhash64 but computable
-    * identically by any engine with md5 — used by the oracle-checked q23 so
-    * the whole MinHash+LSH pipeline is verifiable cross-engine.
+    * elimination shares each [[graft.functions.Md5Lanes]] call across its
+    * lanes, and the native kernel skips the hex-string round-trip the
+    * definition is written in). 32-bit minima are ample for MinHash —
+    * banding compares 4-lane tuples (128 bits) and the verify stage is
+    * exact regardless. Heavier than xxhash64 but computable identically by
+    * any engine with md5 — used by the oracle-checked q23 so the whole
+    * MinHash+LSH pipeline is verifiable cross-engine (the oracle replays
+    * the equivalent `conv(substring(md5(...)))` form; equality is
+    * spec-pinned).
     */
   val Md5PermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-    (s, p) => conv(substring(
-      md5(concat(lit(s"${p / 4}|"), s).cast("binary")), 1 + 8 * (p % 4), 8),
-      16, 10).cast("long")
+    (s, p) => element_at(
+      graft.functions.GraftFunctions.md5_lanes(concat(lit(s"${p / 4}|"), s)),
+      p % 4 + 1)
 
   /** MinHash signature per document: numPerms column-wise minima of the
     * seeded permutation hash over the shingle set, in one aggregation pass
@@ -497,12 +501,19 @@ object Dedup {
     tok => xxhash64(tok)
 
   /** Portable 60-bit token hash: the top 15 hex chars of md5, decoded
-    * base-16. ~3× the cost of xxhash64 but computable identically by any
-    * engine with md5 — chosen for the oracle-checked q24 so the whole
-    * sign-vote algorithm is verifiable cross-engine.
+    * base-16 — computed natively as `(lane0 << 28) | (lane1 >>> 4)` over
+    * the [[graft.functions.Md5Lanes]] digest (bit-identical to the hex
+    * form, spec-pinned). ~3× the cost of xxhash64 but computable
+    * identically by any engine with md5 — chosen for the oracle-checked
+    * q24/q71 so sign-vote SimHash and CDC chunking are verifiable
+    * cross-engine.
     */
   val Md5TokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    tok => conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+    tok => {
+      val lanes = graft.functions.GraftFunctions.md5_lanes(tok)
+      shiftleft(element_at(lanes, 1), 28)
+        .bitwiseOR(shiftright(element_at(lanes, 2), 4))
+    }
 
   /** `bits`-bit SimHash per document: each token hash votes ±1 on every
     * bit; the signature takes the sign of each bit's tally. One explode +

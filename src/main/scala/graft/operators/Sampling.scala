@@ -25,12 +25,14 @@ object Sampling {
 
   /** Uniform hash bucket in `[0, buckets)` from the first 8 md5 hex chars
     * (32 bits — unbiased for any `buckets` ≪ 2^32 for practical purposes;
-    * bias is ≤ buckets/2^32). Engine-portable: DuckDB expresses the same
-    * value as `CAST('0x' || substr(md5(key),1,8) AS BIGINT) % buckets`.
+    * bias is ≤ buckets/2^32), computed natively as md5 lane 0
+    * ([[graft.functions.Md5Lanes]] — no hex round-trip, bit-identical).
+    * Engine-portable: DuckDB expresses the same value as
+    * `CAST('0x' || substr(md5(key),1,8) AS BIGINT) % buckets`.
     */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % buckets
+    element_at(graft.functions.GraftFunctions.md5_lanes(key), 1) % buckets
   }
 
   /** xxhash64 flavor of [[hashBucket]] for the at-scale path: one codegen'd

@@ -45,6 +45,11 @@ class CodegenSpec extends SparkSpec {
         GraftFunctions.dot_product(col("v"), col("v"))).as("d"))
         .as[Double].collect().sorted
       assert(sd === Array(10.0, 50.0))
+      // Md5Lanes (digest lane 0 of "a" = 0x0cc175b9, per hashlib)
+      val lanes = docs.select(element_at(
+          GraftFunctions.md5_lanes(lit("a")), 1).as("l"))
+        .as[Long].collect()
+      assert(lanes.forall(_ === 0x0cc175b9L))
       // NfcNormalize (decomposed e + U+0301 must compose to é)
       val deco = Seq("café", "ascii only").toDF("c").repartition(2)
       val nfc = deco.select(TextFunctions.nfcNormalize(col("c")))

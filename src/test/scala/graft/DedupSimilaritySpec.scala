@@ -83,6 +83,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("Md5Lanes kernel is bit-identical to the conv/substring hex definition") {
+    val df = Seq("alpha beta", "", "中文 text", "x", "the quick brown fox")
+      .toDF("s")
+    for (p <- 0 until 16) {
+      df.select(Dedup.Md5PermHash(col("s"), p).as("fast"),
+          conv(substring(md5(concat(lit(s"${p / 4}|"), col("s")).cast("binary")),
+            1 + 8 * (p % 4), 8), 16, 10).cast("long").as("ref"))
+        .collect().foreach(r => assert(r.getLong(0) === r.getLong(1), s"perm $p"))
+    }
+    df.select(Dedup.Md5TokenHash(col("s")).as("fast"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("ref"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1), "token hash"))
+    df.select(graft.operators.Sampling.hashBucket(col("s"), 20).as("fast"),
+        (conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % 20).as("ref"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1), "bucket"))
+  }
+
   test("connectedComponents: chains collapse transitively, islands stay apart") {
     // default threshold → exercises the driver union-find fast path
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr, MisraGries, NfcNormalize, WordShingles}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
   * `array_dot(a, b)`, `l2_norm(a)`, `word_shingles(text[, n])`, and
@@ -104,6 +104,9 @@ object GraftExtensions {
       (FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
         heavyHittersBuilder _),
+      (FunctionIdentifier("md5_lanes"),
+        new ExpressionInfo(classOf[Md5Lanes].getName, "md5_lanes"),
+        unary("md5_lanes", (c: Expression) => Md5Lanes(Cast(c, BinaryType))) _),
       (FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         unary("nfc_normalize", NfcNormalize.apply) _),

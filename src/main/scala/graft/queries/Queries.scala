@@ -1298,7 +1298,54 @@ object Queries {
       (s, dir) => Anonymize.kAnonymityAudit(
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10),
       Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
-             |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10""".stripMargin))
+             |FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10""".stripMargin)),
+
+    // ── Q73: semi join — customers with at least one early high-value
+    //         order; left_semi never duplicates the probe side (the
+    //         EXISTS shape), completing the join-type surface next to
+    //         q04 (left) and q05 (anti). ──────────────────────────────────
+    QueryDef("q73_semi_join",
+      (s, dir) => {
+        val hot = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
+            col("o_totalprice") > 450000)
+        t(s, dir, "customer").as("c")
+          .join(hot, col("c.c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+             |WHERE c_custkey IN (
+             |  SELECT o_custkey FROM orders
+             |  WHERE o_orderdate < TIMESTAMP '1996-01-01'
+             |    AND o_totalprice > 450000)""".stripMargin)),
+
+    // ── Q74: full outer join — align two SPARSE hourly series (high-value
+    //         click vs error sums) keeping one-sided hours from both; the
+    //         union-of-keys alignment gap fill (q63) can't express with a
+    //         left join. 32 click-only + 39 error-only + 1 shared hour at
+    //         sf0.01, so all three arms are really exercised. ─────────────
+    QueryDef("q74_full_outer",
+      (s, dir) => {
+        def hourly(typ: String, out: String) = t(s, dir, "events")
+          .filter(col("event_type") === typ && col("value") > 200)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(centSum(col("value")).as(out))
+        hourly("click", "click_v").join(hourly("error", "error_v"),
+            Seq("h"), "full_outer")
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+            col("click_v"), col("error_v"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |         SUM(round(value*100))/100 AS click_v
+             |  FROM events WHERE event_type = 'click' AND value > 200 GROUP BY 1
+             |), e AS (
+             |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             |         SUM(round(value*100))/100 AS error_v
+             |  FROM events WHERE event_type = 'error' AND value > 200 GROUP BY 1
+             |)
+             |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, click_v, error_v
+             |FROM c FULL JOIN e USING (h)""".stripMargin))
   )
 
 

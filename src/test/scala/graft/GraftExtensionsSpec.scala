@@ -27,6 +27,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
   }
 
+  test("md5_lanes is callable from spark.sql and matches the hex definition") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT md5_lanes('a'), " +
+        "CAST(conv(substring(md5(CAST('a' AS BINARY)), 1, 8), 16, 10) AS BIGINT)").head()
+    assert(r.getSeq[Long](0).head === r.getLong(1))
+    assert(r.getSeq[Long](0) === Seq(0x0cc175b9L, 0xc0f1b6a8L, 0x31c399e2L, 0x69772661L))
+  }
+
   test("heavy_hitters aggregate is callable from spark.sql") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -189,4 +189,43 @@ object Scoring {
        |)
        |SELECT doc_id, t AS term, tf, s6 / 1000000.0 AS score
        |FROM scored WHERE rank <= $k""".stripMargin
+
+  /** Per-group feature standardization: z-score and min-max of `value`
+    * within its `group` — the normalization pass between raw quality
+    * signals and a global threshold (per-language/per-source score
+    * distributions differ; thresholding unnormalized scores biases the
+    * corpus mix).
+    *
+    * One stats aggregation (map-side partial) joined back to the facts —
+    * the group-stats frame is dimension-sized, so AQE broadcasts it and
+    * the fact side never reshuffles. Cross-engine exactness: moments are
+    * computed from cent-quantized sums (integer-valued double sums are
+    * order-exact; variance = (Σx² − (Σx)²/n)/(n−1) over identical
+    * operands), not `stddev` (whose merge order is engine-dependent).
+    * Outputs round to 6 decimals; min-max is null for a constant group
+    * (max = min), z null for a single-row group (n = 1).
+    */
+  def standardizeByGroup(df: DataFrame, group: Column, value: Column,
+                         keep: Seq[String]): DataFrame = {
+    val cents = round(value * 100)
+    val stats = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      (sum(cents) / 100).as("s1"),
+      (sum(cents * cents) / 10000).as("s2"),
+      min(value).as("mn"), max(value).as("mx"))
+    // ANSI-safe degenerate guards (Spark 4 throws on ÷0): a single-row
+    // group has no sample variance (n−1 = 0), a constant group has sd 0 —
+    // both yield null z via null-propagating `when` divisors, never a
+    // DIVIDE_BY_ZERO
+    val mean = col("s1") / col("n")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+      when(col("n") > 1, col("n") - 1))
+    df.select((keep.map(col) :+ group.as("grp") :+ value.as("v")): _*)
+      .join(stats, "grp")
+      .select(keep.map(col) :+ col("grp") :+ col("v") :+
+        round((col("v") - mean) / when(sd > 0, sd), 6).as("z") :+
+        round((col("v") - col("mn")) /
+          when(col("mx") =!= col("mn"), col("mx") - col("mn")), 6)
+          .as("minmax"): _*)
+  }
 }

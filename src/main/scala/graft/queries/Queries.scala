@@ -1345,7 +1345,29 @@ object Queries {
              |  FROM events WHERE event_type = 'error' AND value > 200 GROUP BY 1
              |)
              |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, click_v, error_v
-             |FROM c FULL JOIN e USING (h)""".stripMargin))
+             |FROM c FULL JOIN e USING (h)""".stripMargin)),
+
+    // ── Q75: per-group feature standardization — z-score + min-max of
+    //         value within its event type, from cent-quantized moments
+    //         (order-exact sums; never engine-dependent `stddev` merges);
+    //         the normalization pass before thresholding quality scores
+    //         across heterogeneous groups. ─────────────────────────────────
+    QueryDef("q75_standardize",
+      (s, dir) => Scoring.standardizeByGroup(
+          t(s, dir, "events"), col("event_type"), col("value"),
+          keep = Seq("event_id"))
+        .select(col("event_id"), col("grp").as("event_type"), col("v").as("value"),
+          col("z"), col("minmax")),
+      Some("""WITH stats AS (
+             |  SELECT event_type AS grp, COUNT(*) AS n,
+             |         SUM(round(value*100))/100 AS s1,
+             |         SUM(round(value*100)*round(value*100))/10000 AS s2,
+             |         MIN(value) AS mn, MAX(value) AS mx
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |       round((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z,
+             |       round((e.value - mn) / NULLIF(mx - mn, 0), 6) AS minmax
+             |FROM events e JOIN stats ON e.event_type = stats.grp""".stripMargin))
   )
 
 

@@ -98,6 +98,24 @@ class ScoringSpec extends SparkSpec {
     assert(r.forall(x => byDoc(x._1).length <= 2))
   }
 
+  test("standardizeByGroup: hand-computed z/minmax; degenerate groups go null") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 5.0),                 // single row: n−1 = 0 → z null; mx = mn → minmax null
+      ("c", 5L, 7.0), ("c", 6L, 7.0)) // constant group: sd 0 → 0/0 → z null
+      .toDF("g", "id", "v")
+    val out = Scoring.standardizeByGroup(df, col("g"), col("v"), Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    // group a: mean 2, var ((1+4+9) − 36/3)/2 = 1 → sd 1
+    assert(out(1L) === ((Some(-1.0), Some(0.0))))
+    assert(out(2L) === ((Some(0.0), Some(0.5))))
+    assert(out(3L) === ((Some(1.0), Some(1.0))))
+    assert(out(4L) === ((None, None)))
+    assert(out(5L) === ((None, None)))
+    assert(out(6L) === ((None, None)))
+  }
+
   private object Tables {
     def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)
   }

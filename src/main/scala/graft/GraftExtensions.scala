@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, StringType}
 import graft.functions.{ArrayDotProduct, Blake2bExpr, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
@@ -109,7 +109,8 @@ object GraftExtensions {
         unary("md5_lanes", (c: Expression) => Md5Lanes(Cast(c, BinaryType))) _),
       (FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-        unary("nfc_normalize", NfcNormalize.apply) _),
+        unary("nfc_normalize",
+          (c: Expression) => NfcNormalize(Cast(c, StringType))) _),
       (FunctionIdentifier("scrub_pii"),
         new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
         unary("scrub_pii", scrubPiiExpr) _),

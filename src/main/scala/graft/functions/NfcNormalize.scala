@@ -30,6 +30,14 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nfc_normalize"
 
+  // reject non-string children at ANALYSIS time: without this, a
+  // mis-typed call passes planning and dies mid-job in codegen/eval
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string child, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(v: Any): Any =
     NfcNormalize.compute(v.asInstanceOf[UTF8String])
 

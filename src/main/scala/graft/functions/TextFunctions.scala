@@ -74,8 +74,13 @@ object TextFunctions {
 
   /** [[cleanText]]'s patterns, shared with the q62 oracle so both engines
     * run the identical regex (RE2-safe: ranges only, no lookarounds).
+    * CtlPattern = C0 controls + DEL + C1 controls (U+0080–U+009F — NEL and
+    * friends are common in scraped text), KEEPING \t (collapsed next) and
+    * \n. \r is stripped, so CRLF and LF renderings of the same text
+    * normalize to identical bytes — which is what lets exact dedup see
+    * them as one document.
     */
-  private[graft] val CtlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private[graft] val CtlPattern = "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]"
   private[graft] val HSpacePattern = "[ \\t]+"
 
   /** MD5 content fingerprint (exact-dup key), lowercase hex. */

@@ -62,9 +62,12 @@ object Decontaminate {
     * train side collapses to one `numBits`-bit sketch built by a single
     * map-side-combined aggregation (Spark's own `BloomFilterAggregate`,
     * the expression behind runtime row-level join filters), and the eval
-    * side never shuffles at all — `might_contain` is a scalar probe inside
-    * the scan's codegen stage, so the whole audit is one pass over eval
-    * plus one sketch-sized reduce over train. The sketch rides the plan as
+    * side never joins the train side — `might_contain` is a scalar probe
+    * inside the scan's codegen stage. (The eval side still pays its OWN
+    * two keyed shuffles — the (doc, shingle) distinct and the per-doc
+    * aggregation, same as every contamination variant; what the sketch
+    * removes is the train-side join, which dominates at 100 TB.) The
+    * sketch rides the plan as
     * a literal (the closed form of a broadcast); size it by
     * `expectedTrainShingles` — ~1.2 GB of bits covers 1e9 distinct
     * n-grams at the default 1% fpp, far under a 100 TB train slice's

@@ -175,6 +175,51 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerms: Int = 16): DataFrame =
     minhashSignaturesFrom(docShingles(docs, n), numPerms)
 
+  /** (bandId, band minhash tuple) structs over mh0..mh{numPerms−1} — the
+    * LSH bucket keys every banded consumer explodes on. ONE definition so
+    * a change to banding (key shape, hashing) cannot silently diverge
+    * between the full, incremental, and candidate-only paths.
+    */
+  private def bandKeys(numPerms: Int, bands: Int): Seq[org.apache.spark.sql.Column] = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
+        "remainder would silently drop trailing permutations and change recall")
+    val rowsPerBand = numPerms / bands
+    (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: cols: _*)
+    }
+  }
+
+  /** Signatures + capped set size in ONE aggregation pass over a posting
+    * list: a posting row count per doc IS the capped set size, so `sz`
+    * rides the signature frame for free and the size bound can prune
+    * candidates before any verify join.
+    */
+  private def sizedSignatures(sh: DataFrame, numPerms: Int,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (i, j, ni, nj) against
+    * the posting list: fan each candidate out by i's shingles, equi-join
+    * on the composite (j, shingle) key — the intersection count, never a
+    * posting-list × posting-list join.
+    */
+  private def verifyPairs(cands: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame = {
+    val common = cands
+      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
+      .agg(count(lit(1)).as("common"))
+    jaccardInline(common, threshold)
+  }
+
   /** LSH candidate pairs from banded MinHash signatures: documents agreeing
     * on ALL rows of any band land in the same bucket and pair up there.
     * (bandId, band minhash tuple) is the join key — bucketed, never
@@ -182,17 +227,8 @@ object Dedup {
     */
   def minhashCandidates(signatures: DataFrame, numPerms: Int = 16,
                         bands: Int = 4): DataFrame = {
-    require(numPerms % bands == 0,
-      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
-        "remainder would silently drop trailing permutations and change recall")
-    val rowsPerBand = numPerms / bands
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r =>
-        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
-      struct(lit(b).as("band") +: cols: _*)
-    }
     val banded = signatures.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
+      explode(array(bandKeys(numPerms, bands): _*)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -215,40 +251,21 @@ object Dedup {
                       maxDf: Int = DefaultMaxShingleDf,
                       permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
                       : DataFrame = {
-    require(numPerms % bands == 0,
-      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
-        "remainder would silently drop trailing permutations and change recall")
     // the PLAIN posting list: sz falls out of the signature aggregation
-    // below for free, so the sized variant's extra groupBy+join+persist
-    // would be pure overhead here (q22's self-join is the consumer that
-    // needs sz ON the posting rows)
+    // for free ([[sizedSignatures]]), so the sized variant's extra
+    // groupBy+join+persist would be pure overhead here (q22's self-join is
+    // the consumer that needs sz ON the posting rows)
     val sh = postingList(docs, n, maxDf)
-    // signatures + set size in ONE aggregation pass: a posting row count
-    // per doc IS the capped set size, so sz rides the signature frame for
-    // free and the size bound prunes candidates before the verify join
-    val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
-    val rowsPerBand = numPerms / bands
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r =>
-        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
-      struct(lit(b).as("band") +: cols: _*)
-    }
-    val banded = sigs.select(col("doc_id"), col("sz"),
-      explode(array(bandStructs: _*)).as("bk"))
+    val banded = sizedSignatures(sh, numPerms, permHash)
+      .select(col("doc_id"), col("sz"),
+        explode(array(bandKeys(numPerms, bands): _*)).as("bk"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id") &&
           sizeCompatible(col("a.sz"), col("b.sz"), threshold))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.sz").as("ni"), col("b.sz").as("nj"))
       .distinct()
-    val common = cands
-      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
-      .agg(count(lit(1)).as("common"))
-    jaccardInline(common, threshold)
+    verifyPairs(cands, sh, threshold)
   }
 
   /** Full corpus deduplication — the composition a training-data pipeline
@@ -591,23 +608,13 @@ object Dedup {
       maxDf: Int = DefaultMaxShingleDf,
       permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = XxPermHash)
       : DataFrame = {
-    require(numPerms % bands == 0,
-      s"numPerms ($numPerms) must divide evenly into bands ($bands)")
     val union = corpus.select(col("doc_id"), col("text"), lit(false).as("is_new"))
       .unionByName(fresh.select(col("doc_id"), col("text"), lit(true).as("is_new")))
     val sh = postingList(union.select(col("doc_id"), col("text")), n, maxDf)
-    val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
+    val banded = sizedSignatures(sh, numPerms, permHash)
       .join(union.select(col("doc_id"), col("is_new")), "doc_id")
-    val rowsPerBand = numPerms / bands
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r =>
-        col(s"mh${b * rowsPerBand + r}").as(s"r$r"))
-      struct(lit(b).as("band") +: cols: _*)
-    }
-    val banded = sigs.select(col("doc_id"), col("sz"), col("is_new"),
-      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sz"), col("is_new"),
+        explode(array(bandKeys(numPerms, bands): _*)).as("bk"))
     // the RIGHT side is fresh-only: a bucket with no fresh member joins to
     // nothing, which is precisely the incremental saving; the left side
     // admits corpus docs unconditionally and fresh docs only as the
@@ -621,12 +628,7 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.sz").as("ni"), col("b.sz").as("nj"))
       .distinct()
-    val common = cands
-      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
-      .agg(count(lit(1)).as("common"))
-    jaccardInline(common, threshold)
+    verifyPairs(cands, sh, threshold)
   }
 
   /** Incremental corpus dedup — admit only the fresh documents that

@@ -224,6 +224,12 @@ object StreamingEvents {
                          watermark: String = "10 minutes"): Dataset[GapAlert] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // parse once at plan build; months are calendar-dependent, reject them
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"gap must be a fixed duration (days/time), got '$gap'")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+    require(gapMs > 0, s"gap must be positive, got '$gap'")
     events.withWatermark("ts", watermark)
       .select(col(seriesCol).cast("string").as("series"), col("ts"))
       .as[(String, java.sql.Timestamp)]
@@ -239,8 +245,18 @@ object StreamingEvents {
             val maxTs = rows.map(_._2.getTime).max
             val last = math.max(state.getOption.getOrElse(Long.MinValue), maxTs)
             state.update(last)
-            // re-arm: silent until the watermark passes last_seen + gap
-            state.setTimeoutTimestamp(last, gap)
+            // re-arm: silent until the watermark passes last_seen + gap.
+            // Clamped above the CURRENT watermark, defensively: whether a
+            // row older than the eviction watermark can reach this branch
+            // depends on how far the operator's late-row filter lags the
+            // eviction watermark, which has shifted across Spark versions.
+            // If one ever does, an unclamped setTimeoutTimestamp THROWS
+            // ("timestamp cannot be earlier than watermark") and kills the
+            // query; the clamp fires the already-overdue alert on the next
+            // watermark advance instead. Spark 4.1 filters with the current
+            // watermark (spec-pinned), so the clamp is inert today.
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -272,6 +272,42 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly one alert for the silent series, got $alerts")
   }
 
+  test("gap alerts: late rows behind the watermark are dropped; the query survives") {
+    // Spark 4.1 filters flatMapGroupsWithState input with the CURRENT
+    // watermark, so a 12:00 row arriving after the watermark reached 13:50
+    // is dropped — the silent series still alerts once, with its last
+    // ACCEPTED event, and the (defensively clamped — see the operator's
+    // re-arm comment) query keeps running through the whole sequence
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = StreamingEvents.streamingGapAlerts(
+        stream.toDF().toDF("ts", "series"),
+        seriesCol = "series", gap = "15 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("gap_alerts_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:00:00"), "b")))
+      q.processAllAvailable()
+      // b catches up to 14:00 → watermark 13:50 next batch
+      stream.addData(Seq((ts("2024-01-01 14:00:00"), "b")))
+      q.processAllAvailable()
+      // a's 12:00 row is now behind the 13:50 watermark → dropped as late;
+      // a's 10:15 timeout is also past due → alert fires this batch
+      stream.addData(Seq((ts("2024-01-01 12:00:00"), "a")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-01 16:00:00"), "b")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-01 17:00:00"), "b")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("gap_alerts_late")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toList
+    assert(alerts === List(("a", "2024-01-01 10:00:00.0")),
+      s"dropped late row must not resurrect the series; one alert at its " +
+        s"last accepted event, got $alerts")
+  }
+
   test("near-dup idleTimeout evicts idle band buckets (opt-in state expiry)") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]

@@ -105,6 +105,8 @@ object Bench {
         expectedTrainShingles = 1000000L)),
       "chunk_dedup_xxhash64" -> (() => graft.operators.Chunking.dedupChunks(
         graft.sources.Tables.table(spark, sfDir, "documents"), 32, hashKey = true)),
+      "cdc_chunks_xxhash64" -> (() => graft.operators.Chunking.cdcChunks(
+        graft.sources.Tables.table(spark, sfDir, "documents"))),
       "sample_xxhash64" -> (() => {
         import org.apache.spark.sql.functions._
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")

@@ -23,13 +23,20 @@ import graft.operators.Dedup
   */
 object CorpusPipeline {
 
-  /** Tunable curation thresholds (defaults are conventional, not sacred). */
+  /** Tunable curation thresholds (defaults are conventional, not sacred).
+    * `normalizeText = true` prepends [[TextFunctions.cleanText]] (control
+    * strip → whitespace collapse → NFC) so decomposed/precomposed
+    * renderings of the same text collapse BEFORE exact dedup hashes them —
+    * the right default for scraped corpora; opt-in here so existing
+    * pipelines keep byte-stable outputs.
+    */
   case class Config(
       minTokens: Int = 10,
       maxMeanTokenLength: Double = 15.0,
       minStopwordRatio: Double = 0.0,
       languages: Seq[String] = Seq("en"),
-      dedupThreshold: Double = 0.8)
+      dedupThreshold: Double = 0.8,
+      normalizeText: Boolean = false)
 
   /** Curate `docs(doc_id, text, ...)` → kept rows with feature columns
     * (`n_tokens`, `subword_tokens`, `fingerprint`, `dup_count`,
@@ -40,10 +47,14 @@ object CorpusPipeline {
     * call `CacheRegistry.releaseAll()` to free them.
     */
   def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
+    val normalized =
+      if (config.normalizeText)
+        docs.withColumn("text", TextFunctions.cleanText(col("text")))
+      else docs
     // persisted: consumed by the dedup pass AND re-joined for the feature
     // columns — without it the 25-regex langId and quality projections
     // (the most expensive per-row work here) would run once per consumer
-    val quality = graft.CacheRegistry.persist(docs
+    val quality = graft.CacheRegistry.persist(normalized
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("mean_tok_len", TextFunctions.meanTokenLength(col("text")))
       .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))

@@ -133,6 +133,28 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter(col("predicted_lang") =!= "en").count() === 0)
   }
 
+  test("CorpusPipeline.curate normalizeText: decomposed rendering collapses into its dup") {
+    val base = "the quick brown fox jumps over the lazy dog cafe" +
+      " and then the dog sleeps in the sun for a while longer"
+    // same text with the accent DECOMPOSED (e + U+0301) and doubled spaces:
+    // byte-distinct, rendering-identical
+    val decomposed = base.replace("cafe", "café")
+      .replace(" and ", "  and ")
+    val precomposed = base.replace("cafe", "café")
+    val corpus = Seq((1L, precomposed), (2L, decomposed)).toDF("doc_id", "text")
+    // without normalization the two renderings stay distinct documents
+    val raw = graft.pipelines.CorpusPipeline.curate(corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(raw === Set(1L, 2L))
+    // with it, exact dedup sees one document carrying both copies
+    val normed = graft.pipelines.CorpusPipeline.curate(corpus,
+        graft.pipelines.CorpusPipeline.Config(normalizeText = true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_count"))
+    graft.CacheRegistry.releaseAll()
+    assert(normed.toSeq === Seq(1L -> 2L))
+  }
+
   // ── E2: anonymizer directory walk ──────────────────────────────────────
 
   private def writeAnonFixture(): (String, String, String) = {

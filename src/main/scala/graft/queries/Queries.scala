@@ -1367,7 +1367,29 @@ object Queries {
              |SELECT e.event_id, e.event_type, e.value,
              |       round((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z,
              |       round((e.value - mn) / NULLIF(mx - mn, 0), 6) AS minmax
-             |FROM events e JOIN stats ON e.event_type = stats.grp""".stripMargin))
+             |FROM events e JOIN stats ON e.event_type = stats.grp""".stripMargin)),
+
+    // ── Q76: media frame sampling — every 24-byte-strided 32-byte window
+    //         of an opaque payload (doc text bytes stand in; all-ASCII,
+    //         verified, so DuckDB's char offsets equal Spark's byte
+    //         offsets). The video/audio clip plumbing of Multimodal,
+    //         scan-side only. ──────────────────────────────────────────────
+    QueryDef("q76_frame_sample",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Multimodal.sampleFrames(col("text").cast("binary"), 32, 24))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          col("frame").cast("string").as("frame")),
+      Some("""WITH f AS (
+             |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+             |         substring(text, CAST(k * 24 + 1 AS INTEGER), 32) AS frame
+             |  FROM documents,
+             |       UNNEST(range(0, CAST(ceil(length(text) / 24.0) AS BIGINT))) AS r(k)
+             |)
+             |SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS n_bytes, frame
+             |FROM f""".stripMargin))
   )
 
 

@@ -1389,7 +1389,61 @@ object Queries {
              |       UNNEST(range(0, CAST(ceil(length(text) / 24.0) AS BIGINT))) AS r(k)
              |)
              |SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS n_bytes, frame
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // ── Q77: session attribution — gaps-and-islands sessionization (the
+    //         DataFrame form of q36's session_window) with deterministic
+    //         first-touch / last-touch event types per session; ties on
+    //         equal timestamps break by event_id on both engines. All
+    //         windows keyed by user (and session) — one shuffle, reused
+    //         across the lag, running-sum, and ranking windows. ───────────
+    QueryDef("q77_session_attribution",
+      (s, dir) => {
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val lagTs = lag(col("ts"), 1).over(wu)
+        val sess = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("new_s", when(lagTs.isNull ||
+            col("ts") >= lagTs + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy(col("user_id"), col("sid"))
+        sess
+          .withColumn("rf", row_number().over(
+            ws.orderBy(col("ts"), col("event_id"))))
+          .withColumn("rl", row_number().over(
+            ws.orderBy(col("ts").desc, col("event_id").desc)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(date_format(min(col("ts")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            count(lit(1)).as("n_events"),
+            max(when(col("rf") === 1, col("event_type"))).as("first_touch"),
+            max(when(col("rl") === 1, col("event_type"))).as("last_touch"))
+          .select(col("user_id"), col("session_start"), col("n_events"),
+            col("first_touch"), col("last_touch"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN LAG(ts) OVER w IS NULL
+             |                OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sess AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged
+             |), ranked AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rf,
+             |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM sess
+             |)
+             |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |       COUNT(*) AS n_events,
+             |       MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+             |       MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch
+             |FROM ranked GROUP BY user_id, sid""".stripMargin))
   )
 
 

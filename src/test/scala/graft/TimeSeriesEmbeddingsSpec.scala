@@ -107,6 +107,33 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     assert(pairs === Set((1L, 10L))) // cos(e1, (1,0.01)) ≈ 0.99995; all others below
   }
 
+  test("round-6 operators tolerate empty inputs (no crash, empty output)") {
+    import org.apache.spark.sql.types._
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("series", StringType), StructField("ts", TimestampType),
+        StructField("value", DoubleType), StructField("id", LongType))))
+    assert(TimeSeries.gapFillHourly(emptyEvents, col("series"), col("ts"),
+      col("value")).count() === 0)
+    assert(TimeSeries.dayOverDay(emptyEvents, col("series"), col("ts"),
+      col("value")).count() === 0)
+    assert(graft.operators.Scoring.standardizeByGroup(emptyEvents,
+      col("series"), col("value"), Seq("id")).count() === 0)
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Embeddings.quantizeInt8(emptyEmb).count() === 0)
+    assert(Embeddings.groupCentroids(emptyEmb, col("vec_id") % 2).count() === 0)
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(graft.operators.Chunking.cdcChunks(emptyDocs).count() === 0)
+    assert(graft.operators.Anonymize.kAnonymityAudit(emptyDocs,
+      Seq("text"), 3).count() === 0)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("nfc_normalize and cleanText: composition, control strip, idempotence") {
     import graft.functions.TextFunctions
     val messy = Seq("  ab   café\tx ").toDF("c")

@@ -1443,7 +1443,29 @@ object Queries {
              |       COUNT(*) AS n_events,
              |       MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
              |       MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch
-             |FROM ranked GROUP BY user_id, sid""".stripMargin))
+             |FROM ranked GROUP BY user_id, sid""".stripMargin)),
+
+    // ── Q78: ratio-to-report — each event type's share of its day's total
+    //         via an UNORDERED partition window (full-frame aggregate, the
+    //         window class q16/q69's ordered frames don't cover). The
+    //         window sums integer cents, so accumulation order can't move
+    //         a ulp; division to units happens after. ─────────────────────
+    QueryDef("q78_share_of_day",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+          .agg(sum(round(col("value") * 100)).as("vc"))
+        val wd = Window.partitionBy(col("d"))
+        daily.select(col("d"), col("event_type"), (col("vc") / 100).as("v"),
+          round(col("vc") / sum(col("vc")).over(wd) * 100, 4).as("share"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+             |         SUM(round(value * 100)) AS vc
+             |  FROM events GROUP BY 1, 2)
+             |SELECT d, event_type, vc / 100 AS v,
+             |       round(vc / SUM(vc) OVER (PARTITION BY d) * 100, 4) AS share
+             |FROM daily""".stripMargin))
   )
 
 

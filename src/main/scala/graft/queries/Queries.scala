@@ -1465,7 +1465,30 @@ object Queries {
              |  FROM events GROUP BY 1, 2)
              |SELECT d, event_type, vc / 100 AS v,
              |       round(vc / SUM(vc) OVER (PARTITION BY d) * 100, 4) AS share
-             |FROM daily""".stripMargin))
+             |FROM daily""".stripMargin)),
+
+    // ── Q79: rollup with GROUPING markers — year × priority order totals
+    //         with per-year subtotals and a grand total in one pass
+    //         (Catalyst Expand; q15's grouping-sets cousin with subtotal
+    //         levels); GROUPING() flags disambiguate real nulls from
+    //         subtotal rows. ───────────────────────────────────────────────
+    QueryDef("q79_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr0"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .rollup(col("yr0"), col("o_orderpriority"))
+        .agg(grouping(col("yr0")).cast("long").as("g_yr"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100)) / 100).as("total"))
+        .select(col("yr0").cast("long").as("yr"), col("o_orderpriority"),
+          col("g_yr"), col("g_pri"), col("n"), col("total")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+             |       CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+             |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+             |       COUNT(*) AS n, SUM(round(o_totalprice * 100)) / 100 AS total
+             |FROM orders
+             |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin))
   )
 
 

@@ -130,12 +130,26 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    // 4-decimal timings: 0.1 ms grain is below host noise, and the full
+    // unrounded doubles made the 79-query line long enough that the
+    // driver's tail capture truncated it mid-JSON in round 6 (BENCH_r06
+    // parsed: null). Compactness is a contract here, not cosmetics.
+    def num(v: Double): String = f"$v%.4f"
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val sp = scaleTimings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val sp = scaleTimings.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale_path":$sp,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    // Stop Spark BEFORE printing so no shutdown log line can land after
+    // (or interleave with) the JSON in captured output.
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"scale_path":$sp,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    // Compact summary LAST: even if a bounded tail capture truncates the
+    // full line above, the final short line still carries the headline
+    // total and the slowest queries, and is valid JSON on its own.
+    val slowest = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s""""${esc(k)}":${num(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_count":${timings.size},"errors_count":${errors.size},"slowest":$slowest,"sf":"${esc(sfDir)}"}""")
   }
 }

@@ -172,14 +172,16 @@ object Chunking {
        |  FROM documents
        |), o AS (
        |  SELECT $groupCol, doc_id, n_tokens,
-       |         SUM(n_tokens) OVER (PARTITION BY $groupCol ORDER BY doc_id
-       |                             ROWS UNBOUNDED PRECEDING) - n_tokens
-       |           AS start_offset
+       |         -- window SUM(BIGINT) widens to HUGEINT in DuckDB; cast back
+       |         -- so the driver's typed hash matches Spark's BIGINT
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY $groupCol ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+       |              AS BIGINT) AS start_offset
        |  FROM n
        |)
        |SELECT $groupCol, doc_id, n_tokens, start_offset,
        |       CAST(floor(start_offset / $capacity) AS BIGINT) AS bin,
-       |       start_offset % $capacity AS bin_offset
+       |       CAST(start_offset % $capacity AS BIGINT) AS bin_offset
        |FROM o""".stripMargin
 
   /** DuckDB replay of [[tokenChunks]] over table `documents`. */

@@ -99,7 +99,7 @@ object Dedup {
     * verification downstream. Applied inside join conditions to cut
     * candidates before they shuffle.
     */
-  private def sizeCompatible(ni: org.apache.spark.sql.Column,
+  private[operators] def sizeCompatible(ni: org.apache.spark.sql.Column,
                              nj: org.apache.spark.sql.Column,
                              threshold: Double): org.apache.spark.sql.Column =
     ni.cast("double") >= lit(threshold) * nj - lit(1e-9) &&
@@ -180,7 +180,7 @@ object Dedup {
     * a change to banding (key shape, hashing) cannot silently diverge
     * between the full, incremental, and candidate-only paths.
     */
-  private def bandKeys(numPerms: Int, bands: Int): Seq[org.apache.spark.sql.Column] = {
+  private[operators] def bandKeys(numPerms: Int, bands: Int): Seq[org.apache.spark.sql.Column] = {
     require(numPerms % bands == 0,
       s"numPerms ($numPerms) must divide evenly into bands ($bands) — a " +
         "remainder would silently drop trailing permutations and change recall")
@@ -197,7 +197,7 @@ object Dedup {
     * rides the signature frame for free and the size bound can prune
     * candidates before any verify join.
     */
-  private def sizedSignatures(sh: DataFrame, numPerms: Int,
+  private[operators] def sizedSignatures(sh: DataFrame, numPerms: Int,
       permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column)
       : DataFrame = {
     val mins = (0 until numPerms).map(p => min(permHash(col("s"), p)).as(s"mh$p"))
@@ -210,7 +210,7 @@ object Dedup {
     * on the composite (j, shingle) key — the intersection count, never a
     * posting-list × posting-list join.
     */
-  private def verifyPairs(cands: DataFrame, sh: DataFrame,
+  private[operators] def verifyPairs(cands: DataFrame, sh: DataFrame,
                           threshold: Double): DataFrame = {
     val common = cands
       .join(sh.select(col("doc_id").as("i"), col("s")), "i")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -31,6 +31,39 @@ object IVF {
   /** A trained index: row-major centroids. */
   case class Index(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
+  }
+
+  /** Persist a trained index: one parquet row per centroid,
+    * (cid, centroid). Training is the expensive part — at 100 TB it runs
+    * on a sample once and the index is reused across sessions for weeks —
+    * so the index must outlive the session that trained it. Centroid
+    * coordinates are already 1e-9-quantized ([[q9]]), so the parquet
+    * round-trip is bit-exact and a reloaded index assigns every vector to
+    * the same cell as the original (spec-pinned).
+    */
+  def save(spark: SparkSession, index: Index, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1) // k×dim doubles — centroid-sized, never data-sized
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an index persisted by [[save]]. Fails fast on a corrupt store
+    * (missing/duplicated cids or ragged dims) rather than mis-assigning.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(path).select(col("cid"), col("centroid"))
+      .orderBy(col("cid")).collect()
+    require(rows.nonEmpty, s"index at $path is empty")
+    val cids = rows.map(_.getInt(0))
+    require(cids.sameElements(cids.indices),
+      s"index at $path has non-contiguous cids: ${cids.take(10).mkString(",")}")
+    val centroids = rows.map(_.getSeq[Double](1).toArray)
+    require(centroids.forall(_.length == centroids.head.length),
+      s"index at $path has ragged centroid dims")
+    Index(centroids)
   }
 
   /** Per-centroid score whose argmin equals the dist² argmin: the

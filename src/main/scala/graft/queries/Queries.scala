@@ -1283,8 +1283,10 @@ object Queries {
              |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
              |), cid AS (
              |  SELECT doc_id, pos, tok,
-             |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+             |         -- cast: DuckDB widens window SUM(int) to HUGEINT
+             |         CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |              AS BIGINT) AS chunk_idx
              |  FROM tok)
              |SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
              |       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
@@ -1488,7 +1490,28 @@ object Queries {
              |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
              |       COUNT(*) AS n, SUM(round(o_totalprice * 100)) / 100 AS total
              |FROM orders
-             |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin))
+             |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin)),
+
+    // ── Q80: incremental near-dup over PERSISTED state — q61's semantics
+    //         answered without touching corpus text: the store (uncapped
+    //         posting list + dfs + signatures, built once, parquet) serves
+    //         the corpus side; only the fresh batch is shingled, and
+    //         cap-flip repair keeps results bit-equal to recompute-from-
+    //         union (DedupStateSpec). Same oracle as q61 — the equality IS
+    //         the claim. Store build is inside the measurement (as q38's
+    //         training); a deployment builds once and amortizes. ───────────
+    QueryDef("q80_incremental_store",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-state-q80"
+        val store = graft.operators.DedupState.build(
+          s, docs.filter(col("doc_id") < 300), path, hashTag = "md5")
+        graft.operators.DedupState.incrementalNearDups(
+          store, docs.filter(col("doc_id") >= 300))
+      },
+      Some(s"""WITH ${minhashPairCtes("documents", 0.8)}
+              |SELECT i, j, jac FROM verified
+              |WHERE i >= 300 OR j >= 300""".stripMargin))
   )
 
 

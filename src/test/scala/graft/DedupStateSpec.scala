@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupState, IVF, Similarity}
+import graft.sources.Tables
+
+/** Persistent dedup state ([[graft.operators.DedupState]]) and IVF index
+  * persistence ([[graft.operators.IVF.save]]/load): state on disk must be
+  * indistinguishable from recomputing — batch-over-store ≡
+  * recompute-from-union, reloaded index ≡ trained index.
+  */
+class DedupStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def pairKey(df: DataFrame): Set[(Long, Long, BigDecimal)] =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    }.toSet
+
+  test("batch over the store equals recompute-from-union (sf0.001 documents)") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val store = DedupState.build(spark, corpus, tmpDir("dstate"))
+    val overStore = pairKey(DedupState.incrementalNearDups(store, fresh))
+    CacheRegistry.releaseAll()
+    val fromScratch = pairKey(Dedup.incrementalNearDups(corpus, fresh))
+    CacheRegistry.releaseAll()
+    assert(overStore === fromScratch,
+      s"only-store=${overStore -- fromScratch} only-scratch=${fromScratch -- overStore}")
+    assert(overStore.nonEmpty, "test data produced no near-dup pairs — vacuous")
+  }
+
+  test("df-cap flip: a shingle crossing maxDf once the batch arrives " +
+       "repairs affected stored signatures exactly") {
+    // maxDf = 2; trigram "a b c d e" prefix shingles sit AT the cap in the
+    // corpus (docs 1,2) and cross it when fresh doc 10 arrives — the
+    // from-scratch run drops them for everyone, so the store must repair
+    // docs 1 and 2 before banding or its signatures disagree.
+    val corpus = docsDf(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i k",
+      3L -> "p q r s t u v w x y")
+    val fresh = docsDf(
+      10L -> "a b c d e f g h i j",
+      11L -> "p q r s t u v w x z")
+    val store = DedupState.build(spark, corpus, tmpDir("dflip"),
+      n = 3, numPerms = 16, bands = 4, maxDf = 2)
+    val overStore = pairKey(
+      DedupState.incrementalNearDups(store, fresh, threshold = 0.5))
+    CacheRegistry.releaseAll()
+    val fromScratch = pairKey(Dedup.incrementalNearDups(corpus, fresh,
+      threshold = 0.5, maxDf = 2))
+    CacheRegistry.releaseAll()
+    assert(overStore === fromScratch,
+      s"only-store=${overStore -- fromScratch} only-scratch=${fromScratch -- overStore}")
+    // the flip genuinely fired: stored signatures were built BEFORE the
+    // cap crossed, so the repair set (docs containing a flipped shingle)
+    // must be non-empty for this construction
+    val flipped = store.shingleDf.filter(col("df") === 2).count()
+    assert(flipped > 0, "construction error: no shingle at the cap boundary")
+  }
+
+  test("append preserves the storage invariant: append(store, batch) ≡ " +
+       "build(corpus ∪ batch), bit-for-bit") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 200)
+    val batch1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val batch2 = docs.filter(col("doc_id") >= 350)
+    val appended = DedupState.append(spark,
+      DedupState.build(spark, corpus, tmpDir("dappA")), batch1, tmpDir("dappB"))
+    CacheRegistry.releaseAll()
+    val rebuilt = DedupState.build(spark,
+      corpus.unionByName(batch1), tmpDir("dappC"))
+    CacheRegistry.releaseAll()
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(r => r.toSeq.map {
+        case null => "NULL"; case x => x.toString
+      }).toSet
+    assert(rows(appended.shingleDf) === rows(rebuilt.shingleDf))
+    assert(rows(appended.posting) === rows(rebuilt.posting))
+    assert(rows(appended.signatures.select(rebuilt.signatures.columns.map(col): _*))
+      === rows(rebuilt.signatures))
+    // and a second batch answered over the appended store still equals a
+    // from-scratch incremental run over everything admitted so far
+    val overStore = pairKey(DedupState.incrementalNearDups(appended, batch2))
+    CacheRegistry.releaseAll()
+    val fromScratch = pairKey(
+      Dedup.incrementalNearDups(corpus.unionByName(batch1), batch2))
+    CacheRegistry.releaseAll()
+    assert(overStore === fromScratch)
+  }
+
+  test("bucketed catalog layout answers identically to plain parquet") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val plain = DedupState.build(spark, corpus, tmpDir("dplain"))
+    val bucketed = DedupState.build(spark, corpus, tmpDir("dbuck"),
+      catalog = Some(("dedupstate_spec", 4)))
+    val a = pairKey(DedupState.incrementalNearDups(plain, fresh))
+    CacheRegistry.releaseAll()
+    val b = pairKey(DedupState.incrementalNearDups(bucketed, fresh))
+    CacheRegistry.releaseAll()
+    assert(a === b)
+  }
+
+  test("IVF index round-trips through parquet: same centroids, same neighbors") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = IVF.train(emb, k = 8, iters = 3)
+    val dir = tmpDir("ivfidx")
+    IVF.save(spark, idx, dir)
+    val reloaded = IVF.load(spark, dir)
+    // q9-quantized coordinates round-trip bit-exact through parquet
+    assert(reloaded.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq)
+    def nn(i: IVF.Index) = IVF.neighbors(emb, i, q, 10, nProbe = 4,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nn(reloaded) === nn(idx))
+  }
+
+  test("IVF.load fails fast on a corrupt (non-contiguous) store") {
+    val dir = tmpDir("ivfbad")
+    Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0)))
+      .toDF("cid", "centroid").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](IVF.load(spark, dir))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+}

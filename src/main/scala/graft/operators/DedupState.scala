@@ -48,10 +48,14 @@ object DedupState {
 
   /** A loaded store. `posting` is UNCAPPED (doc_id, s); `shingleDf` is
     * (s, df) over the whole stored corpus; `signatures` is
-    * (doc_id, mh0..mh{numPerms−1}, sz) at the stored-df cap.
+    * (doc_id, mh0..mh{numPerms−1}, sz) at the stored-df cap;
+    * `fingerprints` is the DISTINCT md5 text fingerprints (h) of the
+    * corpus — what exact-duplicate admission anti-joins against, so the
+    * store needs no corpus TEXT at all.
     */
   case class Store(posting: DataFrame, shingleDf: DataFrame,
-                   signatures: DataFrame, params: Params)
+                   signatures: DataFrame, fingerprints: DataFrame,
+                   params: Params)
 
   /** Build a store from a corpus (doc_id, text) and write it under
     * `path` (subdirs posting/ shingle_df/ signatures/ params/). With
@@ -70,7 +74,10 @@ object DedupState {
     val capped = posting.join(
       dfs.filter(col("df") <= maxDf).select(col("s")), "s")
     val sigs = Dedup.sizedSignatures(capped, numPerms, permHash)
-    write(spark, path, posting, dfs, sigs,
+    val fps = corpus.select(
+      graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
+      .distinct()
+    write(spark, path, posting, dfs, sigs, fps,
       Params(n, numPerms, bands, maxDf, hashTag), catalog)
     load(spark, path)
   }
@@ -87,6 +94,7 @@ object DedupState {
       posting = spark.read.parquet(s"$path/posting"),
       shingleDf = spark.read.parquet(s"$path/shingle_df"),
       signatures = spark.read.parquet(s"$path/signatures"),
+      fingerprints = spark.read.parquet(s"$path/fingerprints"),
       params = params)
   }
 
@@ -156,8 +164,50 @@ object DedupState {
       posting = store.posting.unionByName(freshPosting),
       dfs = merged.select(col("s"), (col("cdf") + col("fdf")).as("df")),
       sigs = corpusSigs.unionByName(freshSigs),
+      fps = store.fingerprints.unionByName(fresh.select(
+        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h")))
+        .distinct(),
       params = p, catalog = catalog)
     load(spark, newPath)
+  }
+
+  /** Admission filter over the store — [[Dedup.incrementalDedup]] without
+    * corpus text: collapse exact duplicates WITHIN the batch to min-id
+    * representatives, drop texts the corpus already holds (fingerprint
+    * anti-join against the stored distinct hashes), drop representatives
+    * near-dup to a stored doc or to a smaller-id batch representative.
+    * Returns kept rows (doc_id, text, dup_count). Equality with the
+    * from-scratch run is spec-pinned.
+    */
+  def incrementalDedup(store: Store, fresh: DataFrame,
+                       threshold: Double = 0.8): DataFrame = {
+    val freshReps = fresh.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("text"), col("dup_count"))
+    val unseen = freshReps
+      .withColumn("h", graft.functions.TextFunctions.md5Fingerprint(col("text")))
+      .join(store.fingerprints, Seq("h"), "left_anti")
+      .drop("h")
+    val dupOfExisting = incrementalNearDups(store, unseen, threshold)
+      .select(col("j").as("doc_id")).distinct()
+    unseen.join(dupOfExisting, Seq("doc_id"), "left_anti")
+  }
+
+  /** One corpus-admission step: dedup the batch against the store, fold
+    * the survivors in at `newPath`, return (kept, new store). The batch
+    * loop a training-data pipeline actually runs — and exactly what the
+    * streaming admission sink replays per micro-batch.
+    */
+  def admit(spark: SparkSession, store: Store, fresh: DataFrame,
+            newPath: String, threshold: Double = 0.8,
+            catalog: Option[(String, Int)] = None): (DataFrame, Store) = {
+    // materialize the kept set before append re-derives state from it —
+    // both consumers otherwise recompute the whole admission plan
+    val kept = graft.CacheRegistry.persist(
+      incrementalDedup(store, fresh, threshold))
+    val next = append(spark, store, kept.select(col("doc_id"), col("text")),
+      newPath, catalog)
+    (kept, next)
   }
 
   /** Stored dfs full-outer-merged with the batch's: (s, cdf, fdf).
@@ -194,7 +244,8 @@ object DedupState {
   }
 
   private def write(spark: SparkSession, path: String, posting: DataFrame,
-                    dfs: DataFrame, sigs: DataFrame, params: Params,
+                    dfs: DataFrame, sigs: DataFrame, fps: DataFrame,
+                    params: Params,
                     catalog: Option[(String, Int)]): Unit = {
     import spark.implicits._
     catalog match {
@@ -206,10 +257,14 @@ object DedupState {
         graft.sources.Bucketing.writeBucketed(
           sigs, s"${prefix}_signatures", s"$path/signatures",
           Seq("doc_id"), buckets)
+        graft.sources.Bucketing.writeBucketed(
+          fps, s"${prefix}_fingerprints", s"$path/fingerprints",
+          Seq("h"), buckets)
       case None =>
         posting.write.mode("overwrite").parquet(s"$path/posting")
         dfs.write.mode("overwrite").parquet(s"$path/shingle_df")
         sigs.write.mode("overwrite").parquet(s"$path/signatures")
+        fps.write.mode("overwrite").parquet(s"$path/fingerprints")
     }
     Seq(params).toDS().coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")

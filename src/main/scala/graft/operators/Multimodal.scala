@@ -131,7 +131,119 @@ object Multimodal {
     when(isPng(payload), lit("png"))
       .when(isGif(payload), lit("gif"))
       .when(isJpeg(payload), lit("jpeg"))
+      .when(isWav(payload), lit("wav"))
       .otherwise(lit("unknown"))
+
+  // ── WAV/RIFF (audio) ──────────────────────────────────────────────────
+
+  /** RIFF container holding a WAVE form: "RIFF" at 1, "WAVE" at 9. */
+  def isWav(payload: Column): Column =
+    substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WAVE"
+
+  /** Little-endian unsigned short / int at DYNAMIC 1-based `pos` — the
+    * RIFF walk's chunk offsets are data-dependent, like the JPEG walk's.
+    */
+  private def leUshortAt(payload: Column, pos: Column): Column =
+    beUintAt(payload, pos, 1) + beUintAt(payload, pos + 1, 1) * 256L
+  private def leUintAt(payload: Column, pos: Column): Column =
+    beUintAt(payload, pos, 1) + beUintAt(payload, pos + 1, 1) * 256L +
+      beUintAt(payload, pos + 2, 1) * 65536L +
+      beUintAt(payload, pos + 3, 1) * 16777216L
+
+  /** Chunks to walk before giving up: fmt sits first or behind a handful
+    * of JUNK/LIST/bext metadata chunks in every real WAV.
+    */
+  private val MaxRiffChunks = 16
+
+  /** WAV audio metadata via a bounded RIFF chunk walk, as a pure
+    * expression (the audio counterpart of [[jpegDims]]): `aggregate` over
+    * up to [[MaxRiffChunks]] steps carrying (off, channels, sample_rate,
+    * bits_per_sample, data_bytes) state. Each step at 1-based chunk
+    * offset `off` reads the 4-byte ASCII tag and little-endian uint32
+    * size:
+    *
+    *  - "fmt " → record channels / sample_rate / bits_per_sample from the
+    *    canonical PCM field offsets (LE u16 @ off+10, LE u32 @ off+12,
+    *    LE u16 @ off+22);
+    *  - "data" → record the payload size (duration = data_bytes /
+    *    byte-rate, all fields the caller needs to derive it are here);
+    *  - both found → stop; any other tag → skip 8 + size (+ pad byte:
+    *    RIFF chunks are word-aligned);
+    *  - a read past the payload end (null size) → stop with whatever was
+    *    found — a truncated header fixture still yields its fmt fields.
+    *
+    * Returns struct(channels, sample_rate, bits_per_sample, data_bytes),
+    * each -1 when not found. Non-WAV payloads return all -1.
+    */
+  def wavMeta(payload: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), lit(MaxRiffChunks)),
+      struct(lit(13L).as("off"), lit(-1L).as("ch"), lit(-1L).as("sr"),
+        lit(-1L).as("bps"), lit(-1L).as("dsz")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val ch = acc.getField("ch")
+        val sr = acc.getField("sr")
+        val bps = acc.getField("bps")
+        val dsz = acc.getField("dsz")
+        val tag = payload.substr(off.cast("int"), lit(4)).cast("string")
+        val size = leUintAt(payload, off + 4)
+        val next = off + 8L + size + size % 2L
+        def rec(c: Column, s: Column, b: Column, d: Column) =
+          struct(next.as("off"), c.as("ch"), s.as("sr"), b.as("bps"), d.as("dsz"))
+        when(off < 0 || (sr >= 0 && dsz >= 0), acc)
+          .when(size.isNull, struct(lit(-1L).as("off"), ch.as("ch"),
+            sr.as("sr"), bps.as("bps"), dsz.as("dsz")))
+          .when(tag === "fmt ", rec(
+            leUshortAt(payload, off + 10), leUintAt(payload, off + 12),
+            leUshortAt(payload, off + 22), dsz))
+          .when(tag === "data", rec(ch, sr, bps, size))
+          .otherwise(rec(ch, sr, bps, dsz))
+      })
+    when(isWav(payload),
+      struct(walked.getField("ch").as("channels"),
+        walked.getField("sr").as("sample_rate"),
+        walked.getField("bps").as("bits_per_sample"),
+        walked.getField("dsz").as("data_bytes")))
+      .otherwise(struct(lit(-1L).as("channels"), lit(-1L).as("sample_rate"),
+        lit(-1L).as("bits_per_sample"), lit(-1L).as("data_bytes")))
+  }
+
+  /** Hex of `v` as `bytes` little-endian bytes (byte-reversed big-endian
+    * hex) — the fixture builders write RIFF's LE fields with it.
+    */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = lpad(hex(v), bytes * 2, "0")
+    concat((bytes to 1 by -1).map(b => substring(be, b * 2 - 1, 2)): _*)
+  }
+
+  /** Synthesize a canonical PCM WAV header (RIFF/WAVE, an optional
+    * 12-byte JUNK chunk so the walk has something to skip, the 16-byte
+    * "fmt " chunk, and a "data" chunk header with no payload) as a binary
+    * column — the audio counterpart of [[pngHeaderPayload]]. byte-rate
+    * and block-align are derived (PCM: sr·ch·bps/8, ch·bps/8), so the
+    * fixture is a valid header any tool would parse.
+    */
+  def wavHeaderPayload(sampleRate: Column, channels: Column,
+                       bitsPerSample: Column, dataBytes: Column,
+                       withJunk: Column): Column = {
+    // bits_per_sample is a multiple of 8, so the division is exact; cast
+    // back to long because Column `/` is double division and hex() of a
+    // double would not render the field bytes
+    val blockAlign = (channels * bitsPerSample / 8).cast("long")
+    val byteRate = (sampleRate * blockAlign).cast("long")
+    val junkHex = lit("4A554E4B0C000000" + "00" * 12) // "JUNK", len 12
+    val fmtHex = concat(
+      lit("666D742010000000" + "0100"), // "fmt ", len 16, PCM
+      leHex(channels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(bitsPerSample, 2))
+    val dataHex = concat(lit("64617461"), leHex(dataBytes, 4)) // "data"
+    val body = concat(lit("57415645"), // "WAVE"
+      when(withJunk, junkHex).otherwise(lit("")), fmtHex, dataHex)
+    unhex(concat(lit("52494646"), // "RIFF"
+      leHex((length(body) / 2).cast("long"), 4), body))
+  }
 
   /** Typed image metadata struct (format, width, height) decoded from the
     * payload bytes; null dimensions when the header is not decodable.

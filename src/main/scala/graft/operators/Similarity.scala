@@ -122,10 +122,17 @@ object Similarity {
     * all-pairs.
     */
   def crossNearDups(left: DataFrame, right: DataFrame,
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    Seq(left, right).foreach { df =>
+      require(Seq(idCol, vecCol).forall(df.columns.contains),
+        s"crossNearDups needs ($idCol, $vecCol) columns; " +
+          s"got [${df.columns.mkString(", ")}] — pass idCol/vecCol to rename")
+    }
     def prep(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col("vec_id").as(id),
-          col("embedding").cast("array<double>").as(v))
+      df.select(col(idCol).as(id),
+          col(vecCol).cast("array<double>").as(v))
         .withColumn(n, GraftFunctions.l2_norm(col(v)))
     prep(left, "i", "vi", "ni")
       .crossJoin(broadcast(prep(right, "j", "vj", "nj")))

@@ -1511,8 +1511,81 @@ object Queries {
       },
       Some(s"""WITH ${minhashPairCtes("documents", 0.8)}
               |SELECT i, j, jac FROM verified
-              |WHERE i >= 300 OR j >= 300""".stripMargin))
+              |WHERE i >= 300 OR j >= 300""".stripMargin)),
+
+    // ── Q81: WAV/RIFF audio header decode — synthesize a canonical PCM
+    //         WAV header per doc (sample rate / channels / bit depth /
+    //         data size derived from doc metadata; every 4th doc gets a
+    //         JUNK chunk the walk must skip), then DECODE the fields back
+    //         from the payload BYTES via the bounded RIFF chunk walk (the
+    //         audio counterpart of q34's JPEG SOF walk). The oracle
+    //         reconstructs the identical byte layout with LE hex
+    //         arithmetic — construction is checked via payload_hex,
+    //         decode via the field columns; walk generality over
+    //         truncated/foreign payloads is pinned by MultimodalSpec. ─────
+    QueryDef("q81_wav_meta",
+      (s, dir) => {
+        val sr = element_at(array(lit(8000L), lit(16000L), lit(22050L),
+          lit(44100L), lit(48000L)), (col("doc_id") % 5 + 1).cast("int"))
+        val ch = col("doc_id") % 2 + 1
+        val bits = (col("doc_id") % 3 + 1) * 8
+        val dsz = col("n_chars").cast("long") * 50 + col("doc_id")
+        val junk = col("doc_id") % 4 === 0
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Multimodal.wavHeaderPayload(sr, ch, bits, dsz, junk).as("payload"))
+          .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
+            Multimodal.format(col("payload")).as("format"),
+            Multimodal.wavMeta(col("payload")).as("m"))
+          .select(col("doc_id"), col("payload_hex"), col("format"),
+            col("m.channels").as("channels"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.bits_per_sample").as("bits_per_sample"),
+            col("m.data_bytes").as("data_bytes"))
+      },
+      Some(wavOracleSql))
   )
+
+  /** q81's oracle: the WAV fixture layout rebuilt with DuckDB LE-hex
+    * arithmetic (construction checked via payload_hex, decode via the
+    * field columns). `leHexSql` mirrors [[Multimodal]]'s little-endian
+    * field writer; `//` keeps DuckDB arithmetic integral (BIGINT, the
+    * type Spark emits — enforced by OracleLintSpec).
+    */
+  private lazy val wavOracleSql: String = {
+    def leHexSql(e: String, bytes: Int): String =
+      (bytes to 1 by -1).map(b =>
+        s"substring(lpad(upper(to_hex($e)), ${bytes * 2}, '0'), ${b * 2 - 1}, 2)")
+        .mkString(" || ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(([8000,16000,22050,44100,48000])[CAST(doc_id % 5 + 1 AS INT)]
+       |              AS BIGINT) AS sr,
+       |         doc_id % 2 + 1 AS ch,
+       |         (doc_id % 3 + 1) * 8 AS bps,
+       |         n_chars * 50 + doc_id AS dsz,
+       |         doc_id % 4 = 0 AS junk
+       |  FROM documents
+       |), g AS (
+       |  SELECT *, ch * bps // 8 AS ba, sr * (ch * bps // 8) AS br FROM f
+       |), b AS (
+       |  SELECT doc_id, sr, ch, bps, dsz,
+       |         '57415645'
+       |         || CASE WHEN junk THEN '4A554E4B0C000000' || repeat('00', 12)
+       |                 ELSE '' END
+       |         || '666D7420100000000100' || ${leHexSql("ch", 2)}
+       |         || ${leHexSql("sr", 4)} || ${leHexSql("br", 4)}
+       |         || ${leHexSql("ba", 2)} || ${leHexSql("bps", 2)}
+       |         || '64617461' || ${leHexSql("dsz", 4)} AS body
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |       '52494646' || ${leHexSql("length(body) // 2", 4)} || body
+       |         AS payload_hex,
+       |       'wav' AS format, ch AS channels, sr AS sample_rate,
+       |       bps AS bits_per_sample, dsz AS data_bytes
+       |FROM b""".stripMargin
+  }
 
 
   /** q44's oracle: the identical seeded text, scrubbed by the identical

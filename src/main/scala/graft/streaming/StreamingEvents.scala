@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.functions.TextFunctions
-import graft.operators.{Anonymize, Mape, MetricFamily}
+import graft.operators.{Anonymize, DedupState, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
   * counterpart; the reference's only cross-run state, the uid→pseudonym
@@ -341,6 +341,42 @@ object StreamingEvents {
         Anonymize.uidAnonymization(batch.sparkSession, batch, column, keyDir)
           .write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** Continuous corpus admission over PERSISTED dedup state: each
+    * micro-batch of documents (doc_id, text) is deduplicated against the
+    * standing corpus STORE ([[DedupState]] — exact-fingerprint anti-join
+    * + incremental near-dup, corpus text never re-shingled), survivors
+    * land in `outDir/batch_id=N`, and the store folds forward so the NEXT
+    * batch dedups against everything admitted so far. The streaming form
+    * of the reference's persist-state/upsert-per-run key-table pattern
+    * applied to corpus curation.
+    *
+    * State versioning makes at-least-once replay idempotent: batch `b`
+    * always READS `stateDir/v{b}` and WRITES `stateDir/v{b+1}` + its own
+    * `batch_id=b` partition (both overwrite). A replayed epoch re-derives
+    * identical output from the unchanged v{b} instead of double-admitting.
+    * Caller seeds `stateDir/v0` with [[DedupState.build]] (empty corpus
+    * works) before starting the stream; superseded versions are left for
+    * the caller's retention policy — each is a complete, consistent store.
+    */
+  def dedupAdmissionStream(stream: DataFrame, stateDir: String,
+                           outDir: String, checkpointDir: String,
+                           threshold: Double = 0.8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = DedupState.load(spark, s"$stateDir/v$batchId")
+        val (kept, _) = DedupState.admit(spark, store, batch,
+          s"$stateDir/v${batchId + 1}", threshold)
+        kept.write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        // drop the admission's persisted intermediates (posting lists,
+        // merged dfs) — state lives on disk between batches, not in cache
+        graft.CacheRegistry.releaseAll()
       }
       .start()
 }

@@ -84,6 +84,7 @@ class DedupStateSpec extends SparkSpec {
       }).toSet
     assert(rows(appended.shingleDf) === rows(rebuilt.shingleDf))
     assert(rows(appended.posting) === rows(rebuilt.posting))
+    assert(rows(appended.fingerprints) === rows(rebuilt.fingerprints))
     assert(rows(appended.signatures.select(rebuilt.signatures.columns.map(col): _*))
       === rows(rebuilt.signatures))
     // and a second batch answered over the appended store still equals a
@@ -94,6 +95,22 @@ class DedupStateSpec extends SparkSpec {
       Dedup.incrementalNearDups(corpus.unionByName(batch1), batch2))
     CacheRegistry.releaseAll()
     assert(overStore === fromScratch)
+  }
+
+  test("incrementalDedup over the store equals the from-scratch admission " +
+       "(exact anti-join + near-dup drop), without corpus text") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val store = DedupState.build(spark, corpus, tmpDir("dadm"))
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val overStore = key(DedupState.incrementalDedup(store, fresh))
+    CacheRegistry.releaseAll()
+    val fromScratch = key(Dedup.incrementalDedup(corpus, fresh))
+    CacheRegistry.releaseAll()
+    assert(overStore === fromScratch)
+    assert(overStore.nonEmpty)
   }
 
   test("bucketed catalog layout answers identically to plain parquet") {

@@ -191,4 +191,56 @@ class MultimodalSpec extends SparkSpec {
       .head().getSeq[Array[Byte]](0)
     assert(frames.isEmpty, "no phantom zero-byte frame for empty media")
   }
+
+  test("WAV header round-trip: RIFF chunk walk decodes fmt + data fields, " +
+       "with and without a JUNK chunk in the way") {
+    val df = Seq(
+      (1L, 44100L, 2L, 16L, 1000000L, false),
+      (2L, 8000L, 1L, 8L, 123L, true),   // walk must skip JUNK to reach fmt
+      (3L, 48000L, 2L, 24L, 7L, true))
+      .toDF("id", "sr", "ch", "bps", "dsz", "junk")
+      .select(col("id"), Multimodal.wavHeaderPayload(col("sr"), col("ch"),
+        col("bps"), col("dsz"), col("junk")).as("payload"))
+    val rows = df.select(col("id"), Multimodal.format(col("payload")).as("f"),
+        Multimodal.wavMeta(col("payload")).as("m"))
+      .select(col("id"), col("f"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits_per_sample"), col("m.data_bytes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows === Set(
+      (1L, "wav", 2L, 44100L, 16L, 1000000L),
+      (2L, "wav", 1L, 8000L, 8L, 123L),
+      (3L, "wav", 2L, 48000L, 24L, 7L)))
+  }
+
+  test("WAV walk: truncated payload keeps the fields found before the end; " +
+       "non-RIFF and RIFF-non-WAVE payloads yield -1s") {
+    val full = Multimodal.wavHeaderPayload(lit(16000L), lit(1L), lit(16L),
+      lit(999L), lit(false))
+    val df = Seq(Tuple1(1L)).toDF("id").select(
+      // cut inside the data chunk header: fmt decoded, data size lost
+      Multimodal.wavMeta(full.substr(lit(1), lit(40))).as("trunc"),
+      Multimodal.wavMeta(lit("not media at all").cast("binary")).as("junk"),
+      // "RIFF" + size + "AVI " — a RIFF container that is not WAVE
+      Multimodal.wavMeta(unhex(lit("524946460400000041564920"))).as("avi"))
+    val r = df.head()
+    val trunc = r.getStruct(0)
+    assert((trunc.getLong(0), trunc.getLong(1), trunc.getLong(2), trunc.getLong(3))
+      === ((1L, 16000L, 16L, -1L)), "fmt fields survive a truncated data chunk")
+    assert(r.getStruct(1).getLong(1) === -1L)
+    assert(r.getStruct(2).getLong(1) === -1L)
+  }
+
+  test("WAV fixture is a byte-faithful canonical header (pinned hex)") {
+    // 8000 Hz mono 8-bit, 4 data bytes, no JUNK: every field hand-computed
+    // (byte-rate 8000 = 0x1F40 → LE 401F0000, block align 1)
+    val hx = Seq(Tuple1(1L)).toDF("id")
+      .select(hex(Multimodal.wavHeaderPayload(lit(8000L), lit(1L), lit(8L),
+        lit(4L), lit(false))).as("h")).head().getString(0)
+    assert(hx ===
+      "52494646" + "24000000" + "57415645" +          // RIFF, size 36, WAVE
+      "666D7420" + "10000000" + "0100" + "0100" +     // fmt , 16, PCM, 1 ch
+      "401F0000" + "401F0000" + "0100" + "0800" +     // 8000, 8000 B/s, 1, 8
+      "64617461" + "04000000")                        // data, 4
+  }
 }

@@ -403,4 +403,62 @@ class StreamingSpec extends SparkSpec {
     assert(hitters.size <= 2, s"state must stay bounded by k: $hitters")
     assert(hitters.exists(_._1 === "hot"), s"guaranteed hitter evicted: $hitters")
   }
+
+  test("dedupAdmissionStream: streamed admission equals the batch-wise " +
+       "incrementalDedup chain, with state folding forward per batch") {
+    implicit val ctx = spark.sqlContext
+    val stateDir = tmpDir("graft-admit-state")
+    val outDir = s"${tmpDir("graft-admit-out")}/rows"
+    val ckpt = tmpDir("graft-admit-ckpt")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    graft.operators.DedupState.build(spark, corpus, s"$stateDir/v0")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of corpus doc 1
+      (12L, "six seven eight nine ten"))       // novel → admitted
+    val batch2 = Seq(
+      (20L, "six seven eight nine ten eleven"), // near-dup of ADMITTED 12
+      (21L, "totally different words here now"),
+      (22L, "totally different words here now")) // exact dup inside batch
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingEvents.dedupAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), stateDir, outDir, ckpt,
+      threshold = 0.5)
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = key(spark.read.parquet(outDir)
+      .select("doc_id", "text", "dup_count"))
+    // batch oracle: admit batch 1 against the corpus, fold survivors in,
+    // admit batch 2 against the grown corpus
+    val b1 = batch1.toDF("doc_id", "text")
+    val b2 = batch2.toDF("doc_id", "text")
+    val kept1 = graft.operators.Dedup.incrementalDedup(corpus, b1, threshold = 0.5)
+    val corpus2 = corpus.unionByName(kept1.select("doc_id", "text"))
+    val kept2 = graft.operators.Dedup.incrementalDedup(corpus2, b2, threshold = 0.5)
+    val expected = key(kept1) ++ key(kept2)
+    CacheRegistry.releaseAll()
+    assert(streamed === expected)
+    // the construction exercised every admission arm
+    assert(expected.map(_._1) === Set(12L, 21L),
+      "exact dup, near-dup-of-admitted, and in-batch dup must all drop")
+    assert(expected.exists(e => e._1 === 21L && e._3 === 2L),
+      "in-batch exact dups collapse into the representative's dup_count")
+    // the folded store now holds everything admitted: doc 20 still
+    // near-dups against it from a COLD load of the final version
+    val finalStore = graft.operators.DedupState.load(spark, s"$stateDir/v2")
+    val again = graft.operators.DedupState.incrementalDedup(
+      finalStore, Seq((30L, "six seven eight nine ten eleven"))
+        .toDF("doc_id", "text"), threshold = 0.5)
+    val againKept = again.collect()
+    CacheRegistry.releaseAll()
+    assert(againKept.isEmpty, "admitted docs must block future near-dups")
+  }
 }

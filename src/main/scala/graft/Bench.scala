@@ -77,6 +77,26 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache()
     }
+    // Pre-build the persistent dedup store OUTSIDE the timing: q80 pays
+    // its store build inside the measurement for honest attribution (as
+    // q38 pays its training), but a deployment builds once and amortizes —
+    // the incremental_store_batch scale line below measures what a
+    // production batch actually costs. 90/10 corpus/batch split: the
+    // corpus side is the big one, which is the whole point of the store.
+    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-state-bench"
+    val storeSplit = try {
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cut = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+      graft.operators.DedupState.build(spark, docs.filter(col("doc_id") <= cut),
+        storeDir)
+      CacheRegistry.releaseAll()
+      Some((docs, cut))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] store pre-build failed: ${e.getMessage}")
+      None
+    }
     // Scale-path dedup variants: the seeded-xxhash64 defaults a production
     // user runs. The inventory's q23/q24 use the md5 oracle-portable hashes
     // (~3x the hash cost) so DuckDB can replay them; these lines measure
@@ -112,7 +132,14 @@ object Bench {
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")
         docs.filter(graft.operators.Sampling.hashBucketXx(
           concat(col("lang"), lit(":"), col("doc_id").cast("string")), 20) < 3)
-      }))
+      })) ++ storeSplit.map { case (docs, cut) =>
+        "incremental_store_batch_xxhash64" -> (() => {
+          import org.apache.spark.sql.functions.col
+          graft.operators.DedupState.incrementalNearDups(
+            graft.operators.DedupState.load(spark, storeDir),
+            docs.filter(col("doc_id") > cut))
+        })
+      }
     val scaleTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 1 to passes) scaleDefs.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

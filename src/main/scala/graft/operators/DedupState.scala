@@ -82,10 +82,26 @@ object DedupState {
     load(spark, path)
   }
 
+  /** Load a store written with a `catalog` prefix through its bucketed
+    * catalog tables: joins against the store's `s` / `doc_id` / `h` keys
+    * then need no store-side Exchange (pinned in `ScaleShapeSpec`) — at
+    * 100 TB only the BATCH shuffles, never the corpus state. Results are
+    * identical to [[load]]; only the plan differs.
+    */
+  def loadCatalog(spark: SparkSession, prefix: String, path: String): Store = {
+    import spark.implicits._
+    Store(
+      posting = spark.table(s"${prefix}_posting"),
+      shingleDf = spark.table(s"${prefix}_shingle_df"),
+      signatures = spark.table(s"${prefix}_signatures"),
+      fingerprints = spark.table(s"${prefix}_fingerprints"),
+      params = spark.read.parquet(s"$path/params").as[Params].head())
+  }
+
   /** Load a store written by [[build]]/[[append]]. Plain parquet reads —
     * portable across sessions; in a deployment with a persistent
-    * metastore, read the bucketed catalog tables instead to get
-    * shuffle-free joins (the data files are the same).
+    * metastore, [[loadCatalog]] reads the bucketed tables instead for
+    * shuffle-free store-side joins (the data files are the same).
     */
   def load(spark: SparkSession, path: String): Store = {
     import spark.implicits._

@@ -35,6 +35,48 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed DedupState store: intra-store capped-posting join runs " +
+       "with zero Exchange, and loadCatalog answers equal load") {
+    val docs = graft.sources.Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val dir = tmpDir("dstate-bucket")
+    graft.operators.DedupState.build(spark, corpus, dir,
+      catalog = Some(("graft_dstate_shape", 4)))
+    val store = graft.operators.DedupState.loadCatalog(
+      spark, "graft_dstate_shape", dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the store-resident half of every batch: capping the stored posting
+      // list by the stored dfs — both bucketed+sorted on s, so the whole
+      // corpus-side prepare is Exchange-free at any corpus size
+      val capped = store.posting.join(
+        store.shingleDf.filter(col("df") <= store.params.maxDf).select("s"), "s")
+      val plan = capped.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"store-side capped-posting join must not shuffle: ${plan.take(600)}")
+      assert(capped.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+    // and the bucketed layout answers the full batch identically
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val viaCatalog = key(
+      graft.operators.DedupState.incrementalNearDups(store, fresh))
+    CacheRegistry.releaseAll()
+    val viaParquet = key(graft.operators.DedupState.incrementalNearDups(
+      graft.operators.DedupState.load(spark, dir), fresh))
+    CacheRegistry.releaseAll()
+    Seq("posting", "shingle_df", "signatures", "fingerprints").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_dstate_shape_$t"))
+    assert(viaCatalog === viaParquet)
+  }
+
   test("saltedJoin equals the plain join on skewed data (inner and left)") {
     // hot key 1 carries 80% of the big side
     val big = ((1 to 800).map(_ => 1L) ++ (1 to 200).map(i => (i % 50 + 2).toLong))

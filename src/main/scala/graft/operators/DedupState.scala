@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 /** Persistent near-dup state — the reference's key-table pattern
   * (anonymize_datasets.py:37-66: persist derived state once, upsert per
   * run) applied to dedup: store the standing corpus's shingle posting
-  * list, per-shingle document frequencies, and MinHash signatures as
-  * parquet (optionally bucketed catalog tables), and let every fresh
-  * batch join against the STORE instead of re-tokenizing and re-shingling
-  * the whole corpus per batch. At 100 TB the corpus-side shingle pass is
-  * the dominant cost of [[Dedup.incrementalNearDups]]; here it is paid
-  * once at build time and amortized over every subsequent batch.
+  * list, per-shingle document frequencies, MinHash signatures, and text
+  * fingerprints, and let every fresh batch join against the STORE instead
+  * of re-tokenizing and re-shingling the whole corpus per batch. At
+  * 100 TB the corpus-side shingle pass is the dominant cost of
+  * [[Dedup.incrementalNearDups]]; here it is paid once at build time and
+  * amortized over every subsequent batch.
   *
   * Exactness contract (spec-pinned): a batch answered over the store
   * equals bit-for-bit a from-scratch [[Dedup.incrementalNearDups]] over
@@ -26,9 +26,32 @@ import org.apache.spark.sql.functions._
   * path touches the store only through equi-joins on `s` / `doc_id`,
   * which is what the bucketed layout co-locates.
   *
-  * Storage invariant: `signatures` always equals the signatures computed
-  * over the stored posting list capped at the STORED dfs. [[append]]
-  * preserves it by running the same repair against the merged dfs.
+  * ## Generational layout (the 100 TB append story)
+  *
+  * The default (parquet) layout is GENERATIONAL so that [[append]] never
+  * rewrites the corpus-scale tables: the posting list and fingerprints —
+  * the tables that grow with the corpus (shingle-rows × corpus) — are
+  * append-only `gen=G` partitions holding only each generation's NEW
+  * rows, while the dfs and signature snapshots (distinct-shingle- and
+  * doc-count-sized, orders of magnitude smaller than the posting list)
+  * are rewritten per generation. A one-row commit marker under
+  * `commits/gen=G`, written LAST, makes a generation visible: readers
+  * take the max committed generation and partition-prune everything
+  * newer, so a crashed half-written append is invisible and re-running
+  * it (same generation number, overwrite) is idempotent — the property
+  * the streaming admission sink leans on for at-least-once `foreachBatch`
+  * replay.
+  *
+  * Storage invariant: the committed generation G's signatures always
+  * equal the signatures computed over the gen ≤ G posting rows capped at
+  * the gen-G dfs. [[append]] preserves it by running the same cap-flip
+  * repair against the merged dfs.
+  *
+  * The optional `catalog` layout is a bucketed SNAPSHOT instead (one
+  * co-located copy per table, no generations): Exchange-free store-side
+  * joins for the hottest read path ([[loadCatalog]], pinned in
+  * `ScaleShapeSpec`), at full-rewrite append cost — the classic
+  * read-optimized vs write-optimized trade, chosen per deployment.
   */
 object DedupState {
 
@@ -46,23 +69,25 @@ object DedupState {
     "xx" -> Dedup.XxPermHash,
     "md5" -> Dedup.Md5PermHash)
 
-  /** A loaded store. `posting` is UNCAPPED (doc_id, s); `shingleDf` is
-    * (s, df) over the whole stored corpus; `signatures` is
-    * (doc_id, mh0..mh{numPerms−1}, sz) at the stored-df cap;
-    * `fingerprints` is the DISTINCT md5 text fingerprints (h) of the
-    * corpus — what exact-duplicate admission anti-joins against, so the
-    * store needs no corpus TEXT at all.
+  /** A loaded store view as of generation `gen`. `posting` is UNCAPPED
+    * (doc_id, s); `shingleDf` is (s, df) over the whole stored corpus;
+    * `signatures` is (doc_id, mh0..mh{numPerms−1}, sz) at the stored-df
+    * cap; `fingerprints` is the md5 text fingerprints (h) of the corpus
+    * (a SET — generational appends may repeat an h, consumers anti-join)
+    * — so the store needs no corpus TEXT at all. `gen` is -1 for catalog
+    * snapshots, which cannot [[append]].
     */
   case class Store(posting: DataFrame, shingleDf: DataFrame,
                    signatures: DataFrame, fingerprints: DataFrame,
-                   params: Params)
+                   params: Params, path: String, gen: Long)
 
-  /** Build a store from a corpus (doc_id, text) and write it under
-    * `path` (subdirs posting/ shingle_df/ signatures/ params/). With
-    * `catalog = Some((prefix, buckets))` the three relations are written
-    * as bucketed+sorted catalog tables (posting and dfs on `s`,
-    * signatures on `doc_id`) so batch joins against the store need no
-    * corpus-side shuffle. Returns the store read back from disk.
+  /** Build a store from a corpus (doc_id, text) at `path` as generation
+    * 0 (any stale contents of `path` are cleared first). With
+    * `catalog = Some((prefix, buckets))` the relations are instead
+    * written once as bucketed+sorted catalog tables (posting/dfs on `s`,
+    * signatures on `doc_id`, fingerprints on `h`) so batch joins against
+    * the store need no corpus-side shuffle. Returns the store read back
+    * from disk.
     */
   def build(spark: SparkSession, corpus: DataFrame, path: String,
             n: Int = 3, numPerms: Int = 16, bands: Int = 4,
@@ -77,16 +102,27 @@ object DedupState {
     val fps = corpus.select(
       graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
       .distinct()
-    write(spark, path, posting, dfs, sigs, fps,
-      Params(n, numPerms, bands, maxDf, hashTag), catalog)
-    load(spark, path)
+    val params = Params(n, numPerms, bands, maxDf, hashTag)
+    catalog match {
+      case Some((prefix, buckets)) =>
+        writeSnapshot(spark, path, posting, dfs, sigs, fps, params,
+          prefix, buckets)
+        loadCatalog(spark, prefix, path)
+      case None =>
+        cleanDir(spark, path)
+        writeParams(spark, path, params)
+        writeGeneration(spark, path, gen = 0L,
+          newPosting = posting, dfs = dfs, sigs = sigs, newFps = fps)
+        load(spark, path)
+    }
   }
 
-  /** Load a store written with a `catalog` prefix through its bucketed
-    * catalog tables: joins against the store's `s` / `doc_id` / `h` keys
-    * then need no store-side Exchange (pinned in `ScaleShapeSpec`) — at
-    * 100 TB only the BATCH shuffles, never the corpus state. Results are
-    * identical to [[load]]; only the plan differs.
+  /** Load a snapshot store written with a `catalog` prefix through its
+    * bucketed catalog tables: joins against the store's `s` / `doc_id` /
+    * `h` keys then need no store-side Exchange (pinned in
+    * `ScaleShapeSpec`) — at 100 TB only the BATCH shuffles, never the
+    * corpus state. Results are identical to [[load]] on an equivalent
+    * generational store; only the plan differs.
     */
   def loadCatalog(spark: SparkSession, prefix: String, path: String): Store = {
     import spark.implicits._
@@ -95,23 +131,35 @@ object DedupState {
       shingleDf = spark.table(s"${prefix}_shingle_df"),
       signatures = spark.table(s"${prefix}_signatures"),
       fingerprints = spark.table(s"${prefix}_fingerprints"),
-      params = spark.read.parquet(s"$path/params").as[Params].head())
+      params = spark.read.parquet(s"$path/params").as[Params].head(),
+      path = path, gen = -1L)
   }
 
-  /** Load a store written by [[build]]/[[append]]. Plain parquet reads —
-    * portable across sessions; in a deployment with a persistent
-    * metastore, [[loadCatalog]] reads the bucketed tables instead for
-    * shuffle-free store-side joins (the data files are the same).
-    */
+  /** Load the latest COMMITTED generation of a generational store. */
   def load(spark: SparkSession, path: String): Store = {
+    val latest = spark.read.parquet(s"$path/commits")
+      .agg(max(col("gen"))).head().getInt(0).toLong
+    loadAt(spark, path, latest)
+  }
+
+  /** Load the store AS OF a specific committed generation — partition
+    * pruning hides every newer (or uncommitted) generation, which is what
+    * lets an at-least-once replay of batch `b` deterministically re-read
+    * the exact state it saw the first time.
+    */
+  def loadAt(spark: SparkSession, path: String, gen: Long): Store = {
     import spark.implicits._
     val params = spark.read.parquet(s"$path/params").as[Params].head()
+    def upTo(dir: String): DataFrame =
+      spark.read.parquet(s"$path/$dir").filter(col("gen") <= gen).drop("gen")
+    def at(dir: String): DataFrame =
+      spark.read.parquet(s"$path/$dir").filter(col("gen") === gen).drop("gen")
     Store(
-      posting = spark.read.parquet(s"$path/posting"),
-      shingleDf = spark.read.parquet(s"$path/shingle_df"),
-      signatures = spark.read.parquet(s"$path/signatures"),
-      fingerprints = spark.read.parquet(s"$path/fingerprints"),
-      params = params)
+      posting = upTo("posting"),       // append-only: union of generations
+      shingleDf = at("shingle_df"),    // per-generation snapshot
+      signatures = at("signatures"),   // per-generation snapshot
+      fingerprints = upTo("fingerprints"),
+      params = params, path = path, gen = gen)
   }
 
   /** Near-dup pairs between a fresh batch and the stored corpus (plus
@@ -156,15 +204,18 @@ object DedupState {
     Dedup.verifyPairs(cands, sh, threshold)
   }
 
-  /** Fold a fresh batch into the store at `newPath` (must differ from the
-    * source path — parquet can't overwrite a directory it is reading),
-    * preserving the storage invariant: the result is indistinguishable
-    * from [[build]] over (corpus ∪ fresh) but shingles only the batch.
-    * Stored signatures are reused except for the cap-flip repair set.
+  /** Fold a fresh batch into the store as generation `store.gen + 1`,
+    * preserving the storage invariant: the committed result is
+    * indistinguishable from [[build]] over (corpus ∪ fresh) but shingles
+    * only the batch and WRITES only the batch's posting/fingerprint rows
+    * plus the small dfs/signature snapshots — the corpus-scale tables are
+    * never rewritten. Re-running a crashed append (same source
+    * generation) overwrites the same target generation: idempotent.
     */
-  def append(spark: SparkSession, store: Store, fresh: DataFrame,
-             newPath: String,
-             catalog: Option[(String, Int)] = None): Store = {
+  def append(spark: SparkSession, store: Store, fresh: DataFrame): Store = {
+    require(store.gen >= 0,
+      "append needs a generational store; catalog snapshots are " +
+        "read-optimized and rebuilt, not appended (see class doc)")
     val p = store.params
     val permHash = PermHashes(p.hashTag)
     val freshPosting = graft.CacheRegistry.persist(
@@ -176,24 +227,23 @@ object DedupState {
       store, merged, store.posting.join(keep, "s"), permHash)
     val freshSigs = Dedup.sizedSignatures(
       freshPosting.join(keep, "s"), p.numPerms, permHash)
-    write(spark, newPath,
-      posting = store.posting.unionByName(freshPosting),
+    writeGeneration(spark, store.path, gen = store.gen + 1,
+      newPosting = freshPosting,
       dfs = merged.select(col("s"), (col("cdf") + col("fdf")).as("df")),
       sigs = corpusSigs.unionByName(freshSigs),
-      fps = store.fingerprints.unionByName(fresh.select(
-        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h")))
-        .distinct(),
-      params = p, catalog = catalog)
-    load(spark, newPath)
+      newFps = fresh.select(
+        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
+        .distinct())
+    loadAt(spark, store.path, store.gen + 1)
   }
 
   /** Admission filter over the store — [[Dedup.incrementalDedup]] without
     * corpus text: collapse exact duplicates WITHIN the batch to min-id
     * representatives, drop texts the corpus already holds (fingerprint
-    * anti-join against the stored distinct hashes), drop representatives
-    * near-dup to a stored doc or to a smaller-id batch representative.
-    * Returns kept rows (doc_id, text, dup_count). Equality with the
-    * from-scratch run is spec-pinned.
+    * anti-join against the stored hashes), drop representatives near-dup
+    * to a stored doc or to a smaller-id batch representative. Returns
+    * kept rows (doc_id, text, dup_count). Equality with the from-scratch
+    * run is spec-pinned.
     */
   def incrementalDedup(store: Store, fresh: DataFrame,
                        threshold: Double = 0.8): DataFrame = {
@@ -210,19 +260,17 @@ object DedupState {
   }
 
   /** One corpus-admission step: dedup the batch against the store, fold
-    * the survivors in at `newPath`, return (kept, new store). The batch
-    * loop a training-data pipeline actually runs — and exactly what the
-    * streaming admission sink replays per micro-batch.
+    * the survivors in as the next generation, return (kept, new store).
+    * The batch loop a training-data pipeline actually runs — and exactly
+    * what the streaming admission sink replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            newPath: String, threshold: Double = 0.8,
-            catalog: Option[(String, Int)] = None): (DataFrame, Store) = {
+            threshold: Double = 0.8): (DataFrame, Store) = {
     // materialize the kept set before append re-derives state from it —
     // both consumers otherwise recompute the whole admission plan
     val kept = graft.CacheRegistry.persist(
       incrementalDedup(store, fresh, threshold))
-    val next = append(spark, store, kept.select(col("doc_id"), col("text")),
-      newPath, catalog)
+    val next = append(spark, store, kept.select(col("doc_id"), col("text")))
     (kept, next)
   }
 
@@ -259,30 +307,53 @@ object DedupState {
       .unionByName(repaired)
   }
 
-  private def write(spark: SparkSession, path: String, posting: DataFrame,
-                    dfs: DataFrame, sigs: DataFrame, fps: DataFrame,
-                    params: Params,
-                    catalog: Option[(String, Int)]): Unit = {
+  /** Write one generation: the batch's NEW posting/fingerprint rows into
+    * their `gen=G` partitions, the full (small) dfs/signature snapshots
+    * into theirs, and the commit marker LAST — a crash before the marker
+    * leaves the generation invisible to every reader.
+    */
+  private def writeGeneration(spark: SparkSession, path: String, gen: Long,
+                              newPosting: DataFrame, dfs: DataFrame,
+                              sigs: DataFrame, newFps: DataFrame): Unit = {
     import spark.implicits._
-    catalog match {
-      case Some((prefix, buckets)) =>
-        graft.sources.Bucketing.writeBucketed(
-          posting, s"${prefix}_posting", s"$path/posting", Seq("s"), buckets)
-        graft.sources.Bucketing.writeBucketed(
-          dfs, s"${prefix}_shingle_df", s"$path/shingle_df", Seq("s"), buckets)
-        graft.sources.Bucketing.writeBucketed(
-          sigs, s"${prefix}_signatures", s"$path/signatures",
-          Seq("doc_id"), buckets)
-        graft.sources.Bucketing.writeBucketed(
-          fps, s"${prefix}_fingerprints", s"$path/fingerprints",
-          Seq("h"), buckets)
-      case None =>
-        posting.write.mode("overwrite").parquet(s"$path/posting")
-        dfs.write.mode("overwrite").parquet(s"$path/shingle_df")
-        sigs.write.mode("overwrite").parquet(s"$path/signatures")
-        fps.write.mode("overwrite").parquet(s"$path/fingerprints")
-    }
+    newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
+    newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
+    dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
+    sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
+    Seq(Tuple1(gen)).toDF("committed_gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/commits/gen=$gen")
+  }
+
+  private def writeParams(spark: SparkSession, path: String,
+                          params: Params): Unit = {
+    import spark.implicits._
     Seq(params).toDS().coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Bucketed snapshot layout (the `catalog` option): one co-located copy
+    * per table, overwritten wholesale — read-optimized, not appendable.
+    */
+  private def writeSnapshot(spark: SparkSession, path: String,
+                            posting: DataFrame, dfs: DataFrame,
+                            sigs: DataFrame, fps: DataFrame, params: Params,
+                            prefix: String, buckets: Int): Unit = {
+    graft.sources.Bucketing.writeBucketed(
+      posting, s"${prefix}_posting", s"$path/posting", Seq("s"), buckets)
+    graft.sources.Bucketing.writeBucketed(
+      dfs, s"${prefix}_shingle_df", s"$path/shingle_df", Seq("s"), buckets)
+    graft.sources.Bucketing.writeBucketed(
+      sigs, s"${prefix}_signatures", s"$path/signatures",
+      Seq("doc_id"), buckets)
+    graft.sources.Bucketing.writeBucketed(
+      fps, s"${prefix}_fingerprints", s"$path/fingerprints",
+      Seq("h"), buckets)
+    writeParams(spark, path, params)
+  }
+
+  private def cleanDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -353,13 +353,17 @@ object StreamingEvents {
     * of the reference's persist-state/upsert-per-run key-table pattern
     * applied to corpus curation.
     *
-    * State versioning makes at-least-once replay idempotent: batch `b`
-    * always READS `stateDir/v{b}` and WRITES `stateDir/v{b+1}` + its own
-    * `batch_id=b` partition (both overwrite). A replayed epoch re-derives
-    * identical output from the unchanged v{b} instead of double-admitting.
-    * Caller seeds `stateDir/v0` with [[DedupState.build]] (empty corpus
-    * works) before starting the stream; superseded versions are left for
-    * the caller's retention policy — each is a complete, consistent store.
+    * The store is GENERATIONAL ([[DedupState]] class doc): batch `b`
+    * reads the state AS OF generation `b` (`loadAt` — partition pruning
+    * hides anything newer) and commits generation `b+1`, which writes
+    * only the batch's own posting/fingerprint rows plus the small
+    * dfs/signature snapshots — the corpus-scale tables are never
+    * rewritten, so per-batch state cost stays batch-sized at any corpus
+    * size. At-least-once replay is idempotent: a replayed epoch re-reads
+    * its unchanged source generation and overwrites the same target
+    * generation + `batch_id=b` output partition. Caller seeds the store
+    * with [[DedupState.build]] (generation 0; empty corpus works) before
+    * starting the stream.
     */
   def dedupAdmissionStream(stream: DataFrame, stateDir: String,
                            outDir: String, checkpointDir: String,
@@ -369,9 +373,8 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store = DedupState.load(spark, s"$stateDir/v$batchId")
-        val (kept, _) = DedupState.admit(spark, store, batch,
-          s"$stateDir/v${batchId + 1}", threshold)
+        val store = DedupState.loadAt(spark, stateDir, batchId)
+        val (kept, _) = DedupState.admit(spark, store, batch, threshold)
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
         // drop the admission's persisted intermediates (posting lists,

@@ -73,7 +73,7 @@ class DedupStateSpec extends SparkSpec {
     val batch1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
     val batch2 = docs.filter(col("doc_id") >= 350)
     val appended = DedupState.append(spark,
-      DedupState.build(spark, corpus, tmpDir("dappA")), batch1, tmpDir("dappB"))
+      DedupState.build(spark, corpus, tmpDir("dappA")), batch1)
     CacheRegistry.releaseAll()
     val rebuilt = DedupState.build(spark,
       corpus.unionByName(batch1), tmpDir("dappC"))
@@ -82,11 +82,19 @@ class DedupStateSpec extends SparkSpec {
       df.collect().map(r => r.toSeq.map {
         case null => "NULL"; case x => x.toString
       }).toSet
+    assert(appended.gen === 1L, "append must commit generation 1")
     assert(rows(appended.shingleDf) === rows(rebuilt.shingleDf))
     assert(rows(appended.posting) === rows(rebuilt.posting))
     assert(rows(appended.fingerprints) === rows(rebuilt.fingerprints))
     assert(rows(appended.signatures.select(rebuilt.signatures.columns.map(col): _*))
       === rows(rebuilt.signatures))
+    // generational reads: loadAt(0) still sees EXACTLY the pre-append
+    // store — the replay-determinism contract the streaming sink uses
+    val asOf0 = DedupState.loadAt(spark, appended.path, 0L)
+    val fresh0 = DedupState.build(spark, corpus, tmpDir("dappD"))
+    assert(rows(asOf0.posting) === rows(fresh0.posting))
+    assert(rows(asOf0.shingleDf) === rows(fresh0.shingleDf))
+    CacheRegistry.releaseAll()
     // and a second batch answered over the appended store still equals a
     // from-scratch incremental run over everything admitted so far
     val overStore = pairKey(DedupState.incrementalNearDups(appended, batch2))
@@ -95,6 +103,24 @@ class DedupStateSpec extends SparkSpec {
       Dedup.incrementalNearDups(corpus.unionByName(batch1), batch2))
     CacheRegistry.releaseAll()
     assert(overStore === fromScratch)
+  }
+
+  test("a crashed (uncommitted) generation is invisible: readers take the " +
+       "last COMMITTED generation and prune everything newer") {
+    val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")
+    val store = DedupState.build(spark, corpus, tmpDir("dcrash"))
+    val grown = DedupState.append(spark, store,
+      docsDf(10L -> "m n o p q r"))
+    CacheRegistry.releaseAll()
+    // simulate an append that died after writing posting rows but before
+    // its commit marker: the junk generation must never surface
+    Seq((999L, "x y z")).toDF("doc_id", "s")
+      .write.parquet(s"${grown.path}/posting/gen=7")
+    val re = DedupState.load(spark, grown.path)
+    assert(re.gen === 1L, "uncommitted gen 7 must not advance the store")
+    assert(re.posting.filter(col("doc_id") === 999L).count() === 0L,
+      "uncommitted posting rows must be partition-pruned away")
+    CacheRegistry.releaseAll()
   }
 
   test("incrementalDedup over the store equals the from-scratch admission " +

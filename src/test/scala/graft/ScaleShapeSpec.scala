@@ -61,7 +61,8 @@ class ScaleShapeSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
-    // and the bucketed layout answers the full batch identically
+    // and the bucketed snapshot answers the full batch identically to a
+    // generational (parquet) store built from the same corpus
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1),
         BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
@@ -70,7 +71,8 @@ class ScaleShapeSpec extends SparkSpec {
       graft.operators.DedupState.incrementalNearDups(store, fresh))
     CacheRegistry.releaseAll()
     val viaParquet = key(graft.operators.DedupState.incrementalNearDups(
-      graft.operators.DedupState.load(spark, dir), fresh))
+      graft.operators.DedupState.build(spark, corpus, tmpDir("dstate-gen")),
+      fresh))
     CacheRegistry.releaseAll()
     Seq("posting", "shingle_df", "signatures", "fingerprints").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_dstate_shape_$t"))

@@ -413,7 +413,7 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
       (2L, "one two three four five")).toDF("doc_id", "text")
-    graft.operators.DedupState.build(spark, corpus, s"$stateDir/v0")
+    graft.operators.DedupState.build(spark, corpus, stateDir)
     val batch1 = Seq(
       (10L, "alpha beta gamma delta epsilon"), // exact dup of corpus doc 1
       (12L, "six seven eight nine ten"))       // novel → admitted
@@ -452,8 +452,9 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exists(e => e._1 === 21L && e._3 === 2L),
       "in-batch exact dups collapse into the representative's dup_count")
     // the folded store now holds everything admitted: doc 20 still
-    // near-dups against it from a COLD load of the final version
-    val finalStore = graft.operators.DedupState.load(spark, s"$stateDir/v2")
+    // near-dups against it from a COLD load of the latest generation
+    val finalStore = graft.operators.DedupState.load(spark, stateDir)
+    assert(finalStore.gen === 2L, "two admitted batches = generation 2")
     val again = graft.operators.DedupState.incrementalDedup(
       finalStore, Seq((30L, "six seven eight nine ten eleven"))
         .toDF("doc_id", "text"), threshold = 0.5)

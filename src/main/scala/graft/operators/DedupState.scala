@@ -112,7 +112,8 @@ object DedupState {
         cleanDir(spark, path)
         writeParams(spark, path, params)
         writeGeneration(spark, path, gen = 0L,
-          newPosting = posting, dfs = dfs, sigs = sigs, newFps = fps)
+          newPosting = posting, dfs = dfs, sigs = sigs, newFps = fps,
+          isBase = true)
         load(spark, path)
     }
   }
@@ -135,31 +136,86 @@ object DedupState {
       path = path, gen = -1L)
   }
 
+  /** Committed generations at `path`: gen → is_base. One tiny parquet row
+    * per generation; collected on the driver (generation-count-sized).
+    */
+  private def committedGens(spark: SparkSession,
+                            path: String): Map[Long, Boolean] =
+    spark.read.parquet(s"$path/commits")
+      .select(col("gen").cast("long"), col("is_base"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
   /** Load the latest COMMITTED generation of a generational store. */
-  def load(spark: SparkSession, path: String): Store = {
-    val latest = spark.read.parquet(s"$path/commits")
-      .agg(max(col("gen"))).head().getInt(0).toLong
-    loadAt(spark, path, latest)
-  }
+  def load(spark: SparkSession, path: String): Store =
+    loadAt(spark, path, committedGens(spark, path).keys.max)
 
   /** Load the store AS OF a specific committed generation — partition
     * pruning hides every newer (or uncommitted) generation, which is what
     * lets an at-least-once replay of batch `b` deterministically re-read
-    * the exact state it saw the first time.
+    * the exact state it saw the first time. The append-only tables read
+    * the [latest base ≤ gen, gen] range: a base generation ([[build]],
+    * [[compact]]) contains everything before it.
     */
   def loadAt(spark: SparkSession, path: String, gen: Long): Store = {
     import spark.implicits._
+    val commits = committedGens(spark, path)
+    require(commits.contains(gen),
+      s"generation $gen is not committed at $path " +
+        s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
+    val base = commits.collect { case (g, true) if g <= gen => g }.max
     val params = spark.read.parquet(s"$path/params").as[Params].head()
-    def upTo(dir: String): DataFrame =
-      spark.read.parquet(s"$path/$dir").filter(col("gen") <= gen).drop("gen")
+    def live(dir: String): DataFrame =
+      spark.read.parquet(s"$path/$dir")
+        .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
     def at(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir").filter(col("gen") === gen).drop("gen")
     Store(
-      posting = upTo("posting"),       // append-only: union of generations
+      posting = live("posting"),       // append-only: union of generations
       shingleDf = at("shingle_df"),    // per-generation snapshot
       signatures = at("signatures"),   // per-generation snapshot
-      fingerprints = upTo("fingerprints"),
+      fingerprints = live("fingerprints"),
       params = params, path = path, gen = gen)
+  }
+
+  /** Collapse the live generation range into one new BASE generation:
+    * every posting/fingerprint row lands in a single `gen=G+1` partition
+    * (fingerprints deduplicated), the current snapshots are carried
+    * forward, and the commit marker flags a base so readers stop at it.
+    * The small-files antidote for long-running admission streams — one
+    * partition dir accrues per micro-batch, so a deployment compacts
+    * every K batches and then [[vacuum]]s. As-of reads BETWEEN the old
+    * base and the compaction keep working until vacuumed; answers are
+    * identical before and after (spec-pinned).
+    */
+  def compact(spark: SparkSession, store: Store): Store = {
+    require(store.gen >= 0,
+      "compact needs a generational store; catalog snapshots have no generations")
+    writeGeneration(spark, store.path, gen = store.gen + 1,
+      newPosting = store.posting,
+      dfs = store.shingleDf,
+      sigs = store.signatures,
+      newFps = store.fingerprints.distinct(),
+      isBase = true)
+    loadAt(spark, store.path, store.gen + 1)
+  }
+
+  /** Delete generation directories strictly older than the latest base ≤
+    * `store.gen` — they are fully contained in that base. After a vacuum,
+    * as-of reads at the deleted generations fail fast (their commit
+    * markers are removed too); reads at or after the base are untouched.
+    */
+  def vacuum(spark: SparkSession, store: Store): Unit = {
+    require(store.gen >= 0, "vacuum needs a generational store")
+    val commits = committedGens(spark, store.path)
+    val base = commits.collect { case (g, true) if g <= store.gen => g }.max
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (g <- commits.keys if g < base;
+         dir <- Seq("posting", "fingerprints", "shingle_df", "signatures",
+                    "commits")) {
+      val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/gen=$g")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Near-dup pairs between a fresh batch and the stored corpus (plus
@@ -314,13 +370,14 @@ object DedupState {
     */
   private def writeGeneration(spark: SparkSession, path: String, gen: Long,
                               newPosting: DataFrame, dfs: DataFrame,
-                              sigs: DataFrame, newFps: DataFrame): Unit = {
+                              sigs: DataFrame, newFps: DataFrame,
+                              isBase: Boolean = false): Unit = {
     import spark.implicits._
     newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
     newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
     dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
     sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
-    Seq(Tuple1(gen)).toDF("committed_gen").coalesce(1)
+    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/gen=$gen")
   }
 

@@ -123,6 +123,58 @@ class DedupStateSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("replaying an append is idempotent: same source generation, same " +
+       "batch → identical committed generation, no double rows") {
+    val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")
+    val dir = tmpDir("dreplay")
+    val s0 = DedupState.build(spark, corpus, dir)
+    val batch = docsDf(10L -> "m n o p q r")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.map(_.toString)).toSet
+    val first = DedupState.append(spark, s0, batch)
+    val firstRows = (rows(first.posting), rows(first.shingleDf),
+      rows(first.signatures), rows(first.fingerprints))
+    CacheRegistry.releaseAll()
+    // the at-least-once case: the epoch re-runs from the SAME source view
+    val replay = DedupState.append(spark, DedupState.loadAt(spark, dir, 0L),
+      batch)
+    assert(replay.gen === first.gen)
+    assert((rows(replay.posting), rows(replay.shingleDf),
+      rows(replay.signatures), rows(replay.fingerprints)) === firstRows)
+    CacheRegistry.releaseAll()
+  }
+
+  test("compact collapses generations into a base and vacuum drops " +
+       "superseded dirs — answers unchanged throughout") {
+    val corpus = docsDf(1L -> "a b c d e f g", 2L -> "h i j k l m n")
+    val dir = tmpDir("dcompact")
+    val s0 = DedupState.build(spark, corpus, dir)
+    val s1 = DedupState.append(spark, s0, docsDf(10L -> "o p q r s t u"))
+    val s2 = DedupState.append(spark, s1, docsDf(20L -> "v w x y z aa bb"))
+    val probe = docsDf(30L -> "a b c d e f zz", 31L -> "o p q r s t u")
+    val pre = pairKey(DedupState.incrementalNearDups(s2, probe, threshold = 0.5))
+    CacheRegistry.releaseAll()
+    assert(pre.nonEmpty, "probe must near-dup against stored docs")
+    val compacted = DedupState.compact(spark, s2)
+    assert(compacted.gen === 3L)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.map(_.toString)).toSet
+    assert(rows(compacted.posting) === rows(s2.posting))
+    assert(pairKey(DedupState.incrementalNearDups(compacted, probe,
+      threshold = 0.5)) === pre)
+    CacheRegistry.releaseAll()
+    // pre-vacuum, as-of reads behind the new base still resolve
+    assert(DedupState.loadAt(spark, dir, 1L).gen === 1L)
+    DedupState.vacuum(spark, compacted)
+    // superseded generations are gone: their markers fail fast, the
+    // posting dirs are physically deleted, and the base still answers
+    intercept[IllegalArgumentException](DedupState.loadAt(spark, dir, 1L))
+    assert(!new java.io.File(s"$dir/posting/gen=0").exists)
+    val after = DedupState.load(spark, dir)
+    assert(after.gen === 3L)
+    assert(pairKey(DedupState.incrementalNearDups(after, probe,
+      threshold = 0.5)) === pre)
+    CacheRegistry.releaseAll()
+  }
+
   test("incrementalDedup over the store equals the from-scratch admission " +
        "(exact anti-join + near-dup drop), without corpus text") {
     val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")

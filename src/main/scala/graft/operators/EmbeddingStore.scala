@@ -23,51 +23,114 @@ import graft.functions.GraftFunctions
   */
 object EmbeddingStore {
 
-  /** A loaded store: the trained index plus the cell-partitioned corpus
-    * vectors (vec_id, embedding, cid).
+  /** A loaded store view as of `epoch`: the trained index plus the
+    * epoch-and-cell-partitioned corpus vectors (vec_id, embedding, cid),
+    * already restricted to committed epochs ≤ `epoch`.
     */
-  case class Store(path: String, index: IVF.Index, vectors: DataFrame)
+  case class Store(path: String, index: IVF.Index, vectors: DataFrame,
+                   epoch: Long)
 
   /** Train (or reuse) an index, assign every corpus vector in one scan,
-    * and write `path/index` + `path/vectors/cid=K/`. Pass a pre-trained
-    * `index` to share one geometry across stores (train on a sample at
-    * scale — see [[IVF.train]]).
+    * and write `path/index` + `path/vectors/epoch=0/cid=K/` + the epoch-0
+    * commit marker (any stale contents of `path` are cleared first). Pass
+    * a pre-trained `index` to share one geometry across stores (train on
+    * a sample at scale — see [[IVF.train]]).
     */
   def build(spark: SparkSession, emb: DataFrame, path: String, k: Int = 16,
             iters: Int = 3, index: Option[IVF.Index] = None): Store = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val idx = index.getOrElse(IVF.train(emb, k, iters))
     IVF.save(spark, idx, s"$path/index")
-    emb.select(col("vec_id"), col("embedding"),
-        IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path/vectors")
+    writeEpoch(spark, path, idx, emb, epoch = 0L)
     load(spark, path)
   }
 
-  def load(spark: SparkSession, path: String): Store =
-    Store(path, IVF.load(spark, s"$path/index"),
-      spark.read.parquet(s"$path/vectors"))
+  private def committedEpochs(spark: SparkSession, path: String): Set[Long] =
+    spark.read.parquet(s"$path/commits")
+      .select(col("epoch").cast("long")).collect().map(_.getLong(0)).toSet
 
-  /** Fold new vectors into the store: assign them under the EXISTING
-    * index (the geometry is frozen at build time — cells never move, so
-    * unlike [[DedupState.append]] there is no repair set) and append
-    * their rows into the matching `cid=` partitions. Write cost is
-    * batch-sized at any corpus size. Caller contract: vec_ids disjoint
-    * from the store's. Re-training is a [[build]], not an append — a new
-    * index re-cells every vector by design.
-    *
-    * This is a plain parquet append: NOT idempotent under blind
-    * re-execution (a replayed epoch would double its rows). Where
-    * at-least-once replay is possible, gate it behind the caller's commit
-    * protocol — [[DedupState]]'s generational markers are the pattern.
+  /** Assign + write one epoch's vectors, commit marker LAST — the same
+    * crash-invisibility protocol as [[DedupState]]: a half-written epoch
+    * has no marker and is pruned away by every reader.
+    */
+  private def writeEpoch(spark: SparkSession, path: String, idx: IVF.Index,
+                         vectors: DataFrame, epoch: Long): Unit = {
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding"),
+        IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/vectors/epoch=$epoch")
+    Seq(Tuple1(true)).toDF("committed").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** Load the latest committed epoch. */
+  def load(spark: SparkSession, path: String): Store =
+    loadAt(spark, path, committedEpochs(spark, path).max)
+
+  /** Load the store AS OF a committed epoch — deterministic re-reads for
+    * at-least-once replay, exactly as [[DedupState.loadAt]].
+    */
+  def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
+    val commits = committedEpochs(spark, path)
+    require(commits.contains(epoch),
+      s"epoch $epoch is not committed at $path " +
+        s"(committed: ${commits.toSeq.sorted.mkString(",")})")
+    Store(path, IVF.load(spark, s"$path/index"),
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("epoch") <= epoch).drop("epoch"),
+      epoch)
+  }
+
+  /** Fold new vectors into the store as epoch `store.epoch + 1`: assign
+    * them under the EXISTING index (the geometry is frozen at build time
+    * — cells never move, so unlike [[DedupState.append]] there is no
+    * repair set) into their own epoch/cid partitions. Write cost is
+    * batch-sized at any corpus size, and a replayed epoch overwrites the
+    * same partition dirs behind the marker — idempotent. Caller contract:
+    * vec_ids disjoint from the store's. Re-training is a [[build]], not
+    * an append — a new index re-cells every vector by design.
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame): Store = {
-    fresh.select(col("vec_id"), col("embedding"),
-        IVF.assignExpr(col("embedding").cast("array<double>"), store.index)
-          .as("cid"))
-      .write.mode("append").partitionBy("cid")
-      .parquet(s"${store.path}/vectors")
-    load(spark, store.path)
+    writeEpoch(spark, store.path, store.index, fresh, store.epoch + 1)
+    loadAt(spark, store.path, store.epoch + 1)
+  }
+
+  /** Admission filter: batch vectors near-dup (same stored cell, cosine ≥
+    * `threshold`) to a STORED vector, or to a smaller-id batch vector in
+    * the same cell, are dropped; the rest are kept. The embedding
+    * counterpart of [[DedupState.incrementalDedup]]'s near-dup arm.
+    * Returns the kept rows of `fresh` unchanged.
+    */
+  def incrementalAdmit(store: Store, fresh: DataFrame,
+                       threshold: Double): DataFrame = {
+    val f = graft.CacheRegistry.persist(fresh.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      IVF.assignExpr(col("embedding").cast("array<double>"), store.index)
+        .as("cid")))
+    val vsCorpus = nearDupsAgainst(store, fresh, threshold)
+      .select(col("j").as("vec_id"))
+    val vsBatch = f.as("a").join(f.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(GraftFunctions.dot_product(col("a.v"), col("b.v")) /
+        (GraftFunctions.l2_norm(col("a.v")) * GraftFunctions.l2_norm(col("b.v"))),
+        6) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+    fresh.join(vsCorpus.unionByName(vsBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** One admission step: filter the batch against the store, fold the
+    * survivors in as the next epoch, return (kept, new store) — what the
+    * streaming embedding-admission sink replays per micro-batch.
+    */
+  def admit(spark: SparkSession, store: Store, fresh: DataFrame,
+            threshold: Double): (DataFrame, Store) = {
+    val kept = graft.CacheRegistry.persist(
+      incrementalAdmit(store, fresh, threshold))
+    (kept, append(spark, store, kept.select(col("vec_id"), col("embedding"))))
   }
 
   /** Same-cell near-dup pairs between the stored corpus and a fresh

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.functions.TextFunctions
-import graft.operators.{Anonymize, DedupState, Mape, MetricFamily}
+import graft.operators.{Anonymize, DedupState, EmbeddingStore, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
   * counterpart; the reference's only cross-run state, the uid→pseudonym
@@ -379,6 +379,35 @@ object StreamingEvents {
           .parquet(s"$outDir/batch_id=$batchId")
         // drop the admission's persisted intermediates (posting lists,
         // merged dfs) — state lives on disk between batches, not in cache
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
+  /** Continuous EMBEDDING admission over the persisted similarity store —
+    * the vector counterpart of [[dedupAdmissionStream]]: each micro-batch
+    * of (vec_id, embedding) rows is filtered against everything admitted
+    * so far ([[EmbeddingStore.incrementalAdmit]] — same-cell cosine vs
+    * the stored corpus and vs smaller-id batch peers, corpus read
+    * partition-pruned to the batch's cells), survivors land in
+    * `outDir/batch_id=N`, and the store folds forward as epoch `b+1`.
+    * Same replay protocol: batch `b` reads epoch `b`, overwrites epoch
+    * `b+1` behind its commit marker — at-least-once-safe. Caller seeds
+    * the store with [[EmbeddingStore.build]] (epoch 0) before starting;
+    * the index is frozen there, so every batch assigns against the same
+    * geometry.
+    */
+  def embeddingAdmissionStream(stream: DataFrame, stateDir: String,
+                               outDir: String, checkpointDir: String,
+                               threshold: Double): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = EmbeddingStore.loadAt(spark, stateDir, batchId)
+        val (kept, _) = EmbeddingStore.admit(spark, store, batch, threshold)
+        kept.write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
         graft.CacheRegistry.releaseAll()
       }
       .start()

@@ -51,9 +51,19 @@ class EmbeddingStoreSpec extends SparkSpec {
     val b = key(EmbeddingStore.nearDupsAgainst(rebuilt, fresh, threshold = 0.2))
     assert(a === b)
     assert(a.nonEmpty)
+    assert(appended.epoch === 1L)
     // appended rows really landed in cell partitions, not a flat dir
     assert(appended.vectors.filter(col("vec_id") >= 300).count() ===
       half2.count())
+    // replay: re-appending from the same source epoch overwrites the same
+    // target epoch — no double rows (the streaming sink's crash contract).
+    // Count BEFORE the replay: the overwrite replaces the physical files
+    // behind the earlier DataFrame's cached file listing.
+    val rowsBefore = appended.vectors.count()
+    val replay = EmbeddingStore.append(spark,
+      EmbeddingStore.loadAt(spark, appended.path, 0L), half2)
+    assert(replay.epoch === 1L)
+    assert(replay.vectors.count() === rowsBefore)
   }
 
   test("an empty batch yields an empty result without touching the store") {

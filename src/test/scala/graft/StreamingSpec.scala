@@ -462,4 +462,56 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
     assert(againKept.isEmpty, "admitted docs must block future near-dups")
   }
+
+  test("embeddingAdmissionStream: streamed vector admission equals the " +
+       "batch-wise incrementalAdmit chain over the epoch store") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.EmbeddingStore
+    val stateDir = tmpDir("graft-eadmit-state")
+    val outDir = s"${tmpDir("graft-eadmit-out")}/rows"
+    val ckpt = tmpDir("graft-eadmit-ckpt")
+    def vecsDf(rows: (Long, Array[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val corpus = vecsDf(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f))
+    EmbeddingStore.build(spark, corpus, stateDir, k = 2, iters = 2)
+    val batch1 = Seq(
+      10L -> Array(0.98f, 0.1f, 0f, 0f), // same cell + cos≈0.995 vs corpus 1
+      11L -> Array(0f, 0f, 1f, 0f))      // novel direction
+    val batch2 = Seq(
+      20L -> Array(0f, 0f, 0f, 1f),      // novel
+      21L -> Array(0f, 0f, 0f, 0.99f))   // same-cell near-dup of 20 in-batch
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.embeddingAdmissionStream(
+      stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+      threshold = 0.9)
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch oracle: the same chain, batch-wise
+    val s0 = EmbeddingStore.loadAt(spark, stateDir, 0L)
+    val kept1 = EmbeddingStore.incrementalAdmit(s0, vecsDf(batch1: _*), 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    CacheRegistry.releaseAll()
+    val s1 = EmbeddingStore.loadAt(spark, stateDir, 1L)
+    val kept2 = EmbeddingStore.incrementalAdmit(s1, vecsDf(batch2: _*), 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    CacheRegistry.releaseAll()
+    assert(streamed === (kept1 ++ kept2))
+    // the construction's hand-checkable arms: the corpus near-dup dropped,
+    // the novel direction admitted, the in-batch near-dup collapsed
+    assert(!streamed.contains(10L), "corpus near-dup must be dropped")
+    assert(streamed.contains(11L))
+    assert(streamed.contains(20L) && !streamed.contains(21L),
+      "smaller-id batch vector wins its cell")
+    // final epoch holds everything admitted
+    assert(EmbeddingStore.load(spark, stateDir).epoch === 2L)
+  }
 }

@@ -43,45 +43,82 @@ object EmbeddingStore {
     if (fs.exists(p)) fs.delete(p, true)
     val idx = index.getOrElse(IVF.train(emb, k, iters))
     IVF.save(spark, idx, s"$path/index")
-    writeEpoch(spark, path, idx, emb, epoch = 0L)
+    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true)
     load(spark, path)
   }
 
-  private def committedEpochs(spark: SparkSession, path: String): Set[Long] =
+  /** Committed epochs at `path`: epoch → is_base (base = contains every
+    * earlier epoch; [[build]] and [[compact]] write bases).
+    */
+  private def committedEpochs(spark: SparkSession,
+                              path: String): Map[Long, Boolean] =
     spark.read.parquet(s"$path/commits")
-      .select(col("epoch").cast("long")).collect().map(_.getLong(0)).toSet
+      .select(col("epoch").cast("long"), col("is_base"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
 
   /** Assign + write one epoch's vectors, commit marker LAST — the same
     * crash-invisibility protocol as [[DedupState]]: a half-written epoch
     * has no marker and is pruned away by every reader.
     */
   private def writeEpoch(spark: SparkSession, path: String, idx: IVF.Index,
-                         vectors: DataFrame, epoch: Long): Unit = {
+                         vectors: DataFrame, epoch: Long,
+                         isBase: Boolean = false): Unit = {
     import spark.implicits._
     vectors.select(col("vec_id"), col("embedding"),
         IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/vectors/epoch=$epoch")
-    Seq(Tuple1(true)).toDF("committed").coalesce(1)
+    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
   }
 
   /** Load the latest committed epoch. */
   def load(spark: SparkSession, path: String): Store =
-    loadAt(spark, path, committedEpochs(spark, path).max)
+    loadAt(spark, path, committedEpochs(spark, path).keys.max)
 
   /** Load the store AS OF a committed epoch — deterministic re-reads for
-    * at-least-once replay, exactly as [[DedupState.loadAt]].
+    * at-least-once replay, exactly as [[DedupState.loadAt]]. Reads the
+    * [latest base ≤ epoch, epoch] range.
     */
   def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
     val commits = committedEpochs(spark, path)
     require(commits.contains(epoch),
       s"epoch $epoch is not committed at $path " +
-        s"(committed: ${commits.toSeq.sorted.mkString(",")})")
+        s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
+    val base = commits.collect { case (e, true) if e <= epoch => e }.max
     Store(path, IVF.load(spark, s"$path/index"),
       spark.read.parquet(s"$path/vectors")
-        .filter(col("epoch") <= epoch).drop("epoch"),
+        .filter(col("epoch") >= base && col("epoch") <= epoch).drop("epoch"),
       epoch)
+  }
+
+  /** Collapse the live epoch range into one new BASE epoch — the
+    * small-files antidote for long admission streams, mirroring
+    * [[DedupState.compact]]. The frozen index re-assigns identically, so
+    * answers are unchanged (spec-pinned); [[vacuum]] then reclaims the
+    * superseded epoch directories.
+    */
+  def compact(spark: SparkSession, store: Store): Store = {
+    writeEpoch(spark, store.path, store.index,
+      store.vectors.select(col("vec_id"), col("embedding")),
+      store.epoch + 1, isBase = true)
+    loadAt(spark, store.path, store.epoch + 1)
+  }
+
+  /** Delete epoch directories strictly older than the latest base ≤
+    * `store.epoch` — fully contained in that base. Vacuumed epochs'
+    * markers go too, so stale as-of reads fail fast.
+    */
+  def vacuum(spark: SparkSession, store: Store): Unit = {
+    val commits = committedEpochs(spark, store.path)
+    val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (e <- commits.keys if e < base;
+         dir <- Seq("vectors", "commits")) {
+      val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Fold new vectors into the store as epoch `store.epoch + 1`: assign

@@ -66,6 +66,28 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(replay.vectors.count() === rowsBefore)
   }
 
+  test("compact collapses epochs into a base and vacuum reclaims them — " +
+       "answers unchanged, stale as-of reads fail fast") {
+    val dir = tmpDir("estore-compact")
+    val s0 = EmbeddingStore.build(spark, corpus, dir, k = 8)
+    val s1 = EmbeddingStore.append(spark, s0,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100))
+    val probe = emb.filter(col("vec_id") < 50)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pre = key(EmbeddingStore.nearDupsAgainst(s1, probe, threshold = 0.2))
+    assert(pre.nonEmpty)
+    val compacted = EmbeddingStore.compact(spark, s1)
+    assert(compacted.epoch === 2L)
+    assert(key(EmbeddingStore.nearDupsAgainst(compacted, probe,
+      threshold = 0.2)) === pre)
+    EmbeddingStore.vacuum(spark, compacted)
+    intercept[IllegalArgumentException](EmbeddingStore.loadAt(spark, dir, 0L))
+    assert(!new java.io.File(s"$dir/vectors/epoch=0").exists)
+    assert(key(EmbeddingStore.nearDupsAgainst(
+      EmbeddingStore.load(spark, dir), probe, threshold = 0.2)) === pre)
+  }
+
   test("an empty batch yields an empty result without touching the store") {
     val store = EmbeddingStore.build(spark, corpus, tmpDir("estore-empty"), k = 8)
     val none = fresh.filter(col("vec_id") < 0)

@@ -268,7 +268,14 @@ object DedupState {
     * never rewritten. Re-running a crashed append (same source
     * generation) overwrites the same target generation: idempotent.
     */
-  def append(spark: SparkSession, store: Store, fresh: DataFrame): Store = {
+  /** With `asBase = true` the new generation is written as a BASE — the
+    * batch's rows PLUS everything live, exactly [[compact]] fused into
+    * the append, so a periodic caller (the admission sinks' `compactEvery`)
+    * amortizes compaction without disturbing the one-generation-per-batch
+    * numbering that replay determinism depends on.
+    */
+  def append(spark: SparkSession, store: Store, fresh: DataFrame,
+             asBase: Boolean = false): Store = {
     require(store.gen >= 0,
       "append needs a generational store; catalog snapshots are " +
         "read-optimized and rebuilt, not appended (see class doc)")
@@ -283,13 +290,18 @@ object DedupState {
       store, merged, store.posting.join(keep, "s"), permHash)
     val freshSigs = Dedup.sizedSignatures(
       freshPosting.join(keep, "s"), p.numPerms, permHash)
+    val freshFps = fresh.select(
+      graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
+      .distinct()
     writeGeneration(spark, store.path, gen = store.gen + 1,
-      newPosting = freshPosting,
+      newPosting =
+        if (asBase) store.posting.unionByName(freshPosting) else freshPosting,
       dfs = merged.select(col("s"), (col("cdf") + col("fdf")).as("df")),
       sigs = corpusSigs.unionByName(freshSigs),
-      newFps = fresh.select(
-        graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
-        .distinct())
+      newFps =
+        if (asBase) store.fingerprints.unionByName(freshFps).distinct()
+        else freshFps,
+      isBase = asBase)
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -321,12 +333,14 @@ object DedupState {
     * what the streaming admission sink replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            threshold: Double = 0.8): (DataFrame, Store) = {
+            threshold: Double = 0.8,
+            asBase: Boolean = false): (DataFrame, Store) = {
     // materialize the kept set before append re-derives state from it —
     // both consumers otherwise recompute the whole admission plan
     val kept = graft.CacheRegistry.persist(
       incrementalDedup(store, fresh, threshold))
-    val next = append(spark, store, kept.select(col("doc_id"), col("text")))
+    val next = append(spark, store, kept.select(col("doc_id"), col("text")),
+      asBase)
     (kept, next)
   }
 

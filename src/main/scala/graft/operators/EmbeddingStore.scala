@@ -130,8 +130,14 @@ object EmbeddingStore {
     * vec_ids disjoint from the store's. Re-training is a [[build]], not
     * an append — a new index re-cells every vector by design.
     */
-  def append(spark: SparkSession, store: Store, fresh: DataFrame): Store = {
-    writeEpoch(spark, store.path, store.index, fresh, store.epoch + 1)
+  def append(spark: SparkSession, store: Store, fresh: DataFrame,
+             asBase: Boolean = false): Store = {
+    val rows =
+      if (asBase)
+        store.vectors.select(col("vec_id"), col("embedding"))
+          .unionByName(fresh.select(col("vec_id"), col("embedding")))
+      else fresh
+    writeEpoch(spark, store.path, store.index, rows, store.epoch + 1, asBase)
     loadAt(spark, store.path, store.epoch + 1)
   }
 
@@ -164,10 +170,11 @@ object EmbeddingStore {
     * streaming embedding-admission sink replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            threshold: Double): (DataFrame, Store) = {
+            threshold: Double, asBase: Boolean = false): (DataFrame, Store) = {
     val kept = graft.CacheRegistry.persist(
       incrementalAdmit(store, fresh, threshold))
-    (kept, append(spark, store, kept.select(col("vec_id"), col("embedding"))))
+    (kept, append(spark, store,
+      kept.select(col("vec_id"), col("embedding")), asBase))
   }
 
   /** Same-cell near-dup pairs between the stored corpus and a fresh

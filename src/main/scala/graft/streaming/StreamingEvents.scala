@@ -364,19 +364,32 @@ object StreamingEvents {
     * generation + `batch_id=b` output partition. Caller seeds the store
     * with [[DedupState.build]] (generation 0; empty corpus works) before
     * starting the stream.
+    *
+    * With `compactEvery = K > 0`, every K-th epoch is written as a full
+    * BASE generation (append-with-compaction fused — the
+    * one-generation-per-batch numbering replay depends on is preserved)
+    * and generations before the PREVIOUS base are vacuumed. Vacuuming
+    * only up to the previous base is the crash-safety margin: a replay of
+    * the current batch still finds its complete source range on disk.
     */
   def dedupAdmissionStream(stream: DataFrame, stateDir: String,
                            outDir: String, checkpointDir: String,
-                           threshold: Double = 0.8): StreamingQuery =
+                           threshold: Double = 0.8,
+                           compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = DedupState.loadAt(spark, stateDir, batchId)
-        val (kept, _) = DedupState.admit(spark, store, batch, threshold)
+        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        val (kept, _) = DedupState.admit(spark, store, batch, threshold, asBase)
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
+        // reclaim generations superseded by the PREVIOUS base (the
+        // pre-admit store view's latest base) — never the range a replay
+        // of THIS batch would re-read
+        if (asBase) DedupState.vacuum(spark, store)
         // drop the admission's persisted intermediates (posting lists,
         // merged dfs) — state lives on disk between batches, not in cache
         graft.CacheRegistry.releaseAll()
@@ -398,16 +411,23 @@ object StreamingEvents {
     */
   def embeddingAdmissionStream(stream: DataFrame, stateDir: String,
                                outDir: String, checkpointDir: String,
-                               threshold: Double): StreamingQuery =
+                               threshold: Double,
+                               compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = EmbeddingStore.loadAt(spark, stateDir, batchId)
-        val (kept, _) = EmbeddingStore.admit(spark, store, batch, threshold)
+        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        val (kept, _) =
+          EmbeddingStore.admit(spark, store, batch, threshold, asBase)
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
+        // reclaim epochs superseded by the PREVIOUS base only — a replay
+        // of this batch must still find its source range (see
+        // dedupAdmissionStream)
+        if (asBase) EmbeddingStore.vacuum(spark, store)
         graft.CacheRegistry.releaseAll()
       }
       .start()

@@ -200,6 +200,34 @@ class DedupStateSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("append(asBase) fuses compaction into the append: one base " +
+       "generation, same answers as append-then-compact") {
+    val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")
+    val batch = docsDf(10L -> "m n o p q r")
+    val probe = docsDf(30L -> "a b c d e zz", 31L -> "m n o p q zz")
+    val fused = DedupState.append(spark,
+      DedupState.build(spark, corpus, tmpDir("dfuseA")), batch, asBase = true)
+    CacheRegistry.releaseAll()
+    val twoStep = DedupState.compact(spark, DedupState.append(spark,
+      DedupState.build(spark, corpus, tmpDir("dfuseB")), batch))
+    CacheRegistry.releaseAll()
+    assert(fused.gen === 1L, "fused base must keep one-generation-per-batch")
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.map(_.toString)).toSet
+    assert(rows(fused.posting) === rows(twoStep.posting))
+    assert(rows(fused.fingerprints) === rows(twoStep.fingerprints))
+    val a = pairKey(DedupState.incrementalNearDups(fused, probe, threshold = 0.5))
+    CacheRegistry.releaseAll()
+    val b = pairKey(DedupState.incrementalNearDups(twoStep, probe, threshold = 0.5))
+    CacheRegistry.releaseAll()
+    assert(a === b)
+    // the fused base supersedes gen 0: vacuum from a LATER view reclaims it
+    val after = DedupState.append(spark, fused, docsDf(40L -> "s t u v w x"))
+    DedupState.vacuum(spark, after)
+    assert(!new java.io.File(s"${fused.path}/posting/gen=0").exists)
+    assert(DedupState.load(spark, fused.path).gen === 2L)
+    CacheRegistry.releaseAll()
+  }
+
   test("incrementalDedup over the store equals the from-scratch admission " +
        "(exact anti-join + near-dup drop), without corpus text") {
     val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")

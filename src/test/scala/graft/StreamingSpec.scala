@@ -514,4 +514,43 @@ class StreamingSpec extends SparkSpec {
     // final epoch holds everything admitted
     assert(EmbeddingStore.load(spark, stateDir).epoch === 2L)
   }
+
+  test("admission sink with compactEvery: every K-th epoch is a base, " +
+       "older generations are vacuumed, results unchanged") {
+    implicit val ctx = spark.sqlContext
+    val stateDir = tmpDir("graft-compact-state")
+    val outDir = s"${tmpDir("graft-compact-out")}/rows"
+    val ckpt = tmpDir("graft-compact-ckpt")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    graft.operators.DedupState.build(spark, corpus, stateDir)
+    val batch1 = Seq((10L, "one two three four five"))
+    val batch2 = Seq((20L, "six seven eight nine ten"),
+      (21L, "alpha beta gamma delta epsilon")) // exact dup of corpus
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingEvents.dedupAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), stateDir, outDir, ckpt,
+      threshold = 0.5, compactEvery = 1)
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(10L, 20L),
+      "admission semantics must survive in-stream compaction")
+    // every epoch was a base; the second compaction vacuumed gen 0
+    val fin = graft.operators.DedupState.load(spark, stateDir)
+    assert(fin.gen === 2L)
+    assert(!new java.io.File(s"$stateDir/posting/gen=0").exists,
+      "generations behind the previous base must be reclaimed")
+    // the surviving base range still answers: corpus + both admissions
+    assert(graft.operators.DedupState.incrementalDedup(fin,
+      Seq((30L, "six seven eight nine ten")).toDF("doc_id", "text"),
+      threshold = 0.5).count() === 0L,
+      "docs admitted before compaction must still block dups")
+    CacheRegistry.releaseAll()
+  }
 }

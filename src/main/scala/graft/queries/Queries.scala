@@ -1591,8 +1591,52 @@ object Queries {
           store, emb.filter(col("vec_id") < 100), threshold = 0.2)
       },
       None,
-      dynamicOracle = Some(embeddingStoreOracleSql))
+      dynamicOracle = Some(embeddingStoreOracleSql)),
+
+    // ── Q84: corpus ADMISSION over the persisted store — the full
+    //         composite a batch pipeline runs per increment: collapse
+    //         exact duplicates within the batch, drop texts the stored
+    //         corpus already holds (fingerprint anti-join — no corpus
+    //         text), drop representatives near-dup to a stored doc or a
+    //         smaller-id batch representative. The oracle replays every
+    //         arm: reps → md5 anti-join → the md5 MinHash pipeline over
+    //         (corpus ∪ unseen) filtered to admitted survivors. ───────────
+    QueryDef("q84_incremental_admission",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-state-q84"
+        val store = graft.operators.DedupState.build(
+          s, docs.filter(col("doc_id") < 300), path, hashTag = "md5")
+        graft.operators.DedupState.incrementalDedup(
+          store, docs.filter(col("doc_id") >= 300))
+      },
+      Some(admissionOracleSql))
   )
+
+  /** q84's oracle: admission replayed arm by arm. `verified` comes from
+    * the shared MinHash CTE chain over (corpus ∪ unseen) — the same
+    * relation [[graft.operators.DedupState.incrementalDedup]] shingles —
+    * and a batch rep is dropped when it appears as the LARGER side of a
+    * verified pair (corpus ids all sort below batch ids here, and
+    * fresh-fresh pairs keep the smaller id, so `j >= 300` is exactly the
+    * drop set). No NULL hazard in the NOT IN: j is a join key.
+    */
+  private lazy val admissionOracleSql: String =
+    s"""WITH reps AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+       |  FROM documents WHERE doc_id >= 300 GROUP BY text
+       |), corpus_h AS (
+       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300
+       |), unseen AS (
+       |  SELECT r.doc_id, r.text, r.dup_count FROM reps r
+       |  WHERE md5(r.text) NOT IN (SELECT h FROM corpus_h)
+       |), adm_src AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL
+       |  SELECT doc_id, text FROM unseen
+       |), ${minhashPairCtes("adm_src", 0.8)}
+       |SELECT doc_id, text, dup_count FROM unseen
+       |WHERE doc_id NOT IN (SELECT j FROM verified WHERE j >= 300)""".stripMargin
 
   /** q81's oracle: the WAV fixture layout rebuilt with DuckDB LE-hex
     * arithmetic (construction checked via payload_hex, decode via the

@@ -28,7 +28,9 @@ object CorpusPipeline {
     * strip → whitespace collapse → NFC) so decomposed/precomposed
     * renderings of the same text collapse BEFORE exact dedup hashes them —
     * the right default for scraped corpora; opt-in here so existing
-    * pipelines keep byte-stable outputs.
+    * pipelines keep byte-stable outputs. `permHash` selects the MinHash
+    * permutation hash: seeded xxhash64 by default, [[Dedup.Md5PermHash]]
+    * for oracle-replayable runs (q85 pins the full composition bitwise).
     */
   case class Config(
       minTokens: Int = 10,
@@ -36,7 +38,9 @@ object CorpusPipeline {
       minStopwordRatio: Double = 0.0,
       languages: Seq[String] = Seq("en"),
       dedupThreshold: Double = 0.8,
-      normalizeText: Boolean = false)
+      normalizeText: Boolean = false,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        Dedup.XxPermHash)
 
   /** Curate `docs(doc_id, text, ...)` → kept rows with feature columns
     * (`n_tokens`, `subword_tokens`, `fingerprint`, `dup_count`,
@@ -64,7 +68,8 @@ object CorpusPipeline {
       .withColumn("predicted_lang", TextFunctions.langId(col("text")))
       .filter(col("predicted_lang").isin(config.languages: _*)))
     val deduped = Dedup.dedupCorpus(
-      quality.select(col("doc_id"), col("text")), config.dedupThreshold)
+      quality.select(col("doc_id"), col("text")), config.dedupThreshold,
+      permHash = config.permHash)
     deduped
       .join(quality.drop("text"), Seq("doc_id"))
       .withColumn("subword_tokens", TextFunctions.subwordCount(col("text")))

@@ -1610,8 +1610,67 @@ object Queries {
         graft.operators.DedupState.incrementalDedup(
           store, docs.filter(col("doc_id") >= 300))
       },
-      Some(admissionOracleSql))
+      Some(admissionOracleSql)),
+
+    // ── Q85: the FULL curation pipeline ([[pipelines.CorpusPipeline]])
+    //         under one oracle — quality filter → langid filter → exact +
+    //         near dedup → per-doc features, every arm replayed in DuckDB
+    //         over the same documents scan. The one flag off default:
+    //         Md5PermHash, so the MinHash arm is oracle-portable (q40's
+    //         convention; xxhash64 stays the production default and is
+    //         benched as dedup_corpus_xxhash64). ────────────────────────────
+    QueryDef("q85_corpus_curate",
+      (s, dir) => graft.pipelines.CorpusPipeline.curate(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          graft.pipelines.CorpusPipeline.Config(
+            permHash = Dedup.Md5PermHash))
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("stop_ratio"), col("predicted_lang"), col("dup_count"),
+          col("subword_tokens"), col("fingerprint")),
+      Some(curateOracleSql))
   )
+
+  /** q85's oracle: CorpusPipeline.curate replayed stage by stage. `feat`
+    * computes the q27 quality features + the q30 langid argmax off one
+    * lowercased scan; `qual` applies the Config-default thresholds
+    * (minTokens=10, maxMeanTokenLength=15.0, minStopwordRatio=0.0,
+    * languages=['en']); exact collapse + the md5 MinHash chain + keep-first
+    * replay q40 over the SURVIVORS; the outer SELECT re-joins the feature
+    * columns and adds the q28/q29 subword count and fingerprint.
+    */
+  private lazy val curateOracleSql: String =
+    s"""WITH feat AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |    list_max([
+       |    ${langIdEntriesSql("lower(text)")}
+       |  ]) AS best
+       |  FROM documents
+       |), qual AS (
+       |  SELECT doc_id, text, n_tokens, mean_tok_len, stop_ratio,
+       |         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+       |  FROM feat
+       |  WHERE n_tokens >= 10 AND mean_tok_len <= 15.0 AND stop_ratio >= 0.0
+       |), lang AS (
+       |  SELECT * FROM qual WHERE predicted_lang IN ('en')
+       |), reps AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+       |  FROM lang GROUP BY text
+       |), ${minhashPairCtes("reps", 0.8)},
+       |kept AS (
+       |  SELECT r.doc_id, r.text, r.dup_count FROM reps r
+       |  WHERE r.doc_id NOT IN (SELECT j FROM verified)
+       |)
+       |SELECT k.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio,
+       |       q.predicted_lang, k.dup_count,
+       |       CAST(len(regexp_extract_all(k.text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+       |         AS subword_tokens,
+       |       md5(k.text) AS fingerprint
+       |FROM kept k JOIN lang q USING (doc_id)""".stripMargin
 
   /** q84's oracle: admission replayed arm by arm. `verified` comes from
     * the shared MinHash CTE chain over (corpus ∪ unseen) — the same
@@ -1856,14 +1915,23 @@ object Queries {
     * list_max over (score, lang) structs. Generated from
     * [[TextFunctions.langProfiles]] so both sides share one marker table.
     */
-  private lazy val langIdOracleSql: String = {
+  /** The langid marker-argmax as a DuckDB `list_max` struct list over a
+    * lowercased text column `lowCol` — shared by q30 and q85. Marker
+    * occurrences via replace-length arithmetic (= non-overlapping count);
+    * Spark's struct-max tie-break is list_max over (score, lang) structs.
+    */
+  private def langIdEntriesSql(lowCol: String): String = {
     def cnt(m: String): String = {
       val esc = m.replace("'", "''")
-      s"(length(low) - length(replace(low, '$esc', ''))) // ${m.length}"
+      s"(length($lowCol) - length(replace($lowCol, '$esc', ''))) // ${m.length}"
     }
-    val entries = TextFunctions.langProfiles.map { case (lang, markers) =>
+    TextFunctions.langProfiles.map { case (lang, markers) =>
       s"{'score': ${markers.map(cnt).mkString(" + ")}, 'lang': '$lang'}"
     }.mkString(",\n    ")
+  }
+
+  private lazy val langIdOracleSql: String = {
+    val entries = langIdEntriesSql("low")
     s"""WITH scored AS (
        |  SELECT lang,
        |         list_max([

@@ -148,6 +148,14 @@ object Bench {
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")
         docs.filter(graft.operators.Sampling.hashBucketXx(
           concat(col("lang"), lit(":"), col("doc_id").cast("string")), 20) < 3)
+      }),
+      "boilerplate_xxhash64" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Boilerplate.stripCommonLines(
+          graft.sources.Tables.table(spark, sfDir, "documents")
+            .select(col("doc_id"), regexp_replace(col("text"),
+              "((?:\\S+ ){7}\\S+) ", "$1\n").as("text")),
+          minDocs = 50, hashLines = true)
       })) ++ storeSplit.toSeq.flatMap { case (docs, cut) =>
         Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "incremental_store_batch_xxhash64" -> (() => {

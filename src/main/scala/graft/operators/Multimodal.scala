@@ -132,7 +132,113 @@ object Multimodal {
       .when(isGif(payload), lit("gif"))
       .when(isJpeg(payload), lit("jpeg"))
       .when(isWav(payload), lit("wav"))
+      .when(isMp4(payload), lit("mp4"))
       .otherwise(lit("unknown"))
+
+  // ── MP4 / ISO-BMFF (video) ────────────────────────────────────────────
+
+  /** ISO base-media file: the first box is `ftyp` (its 4-byte type tag at
+    * offset 5, after the box's own 4-byte big-endian size).
+    */
+  def isMp4(payload: Column): Column =
+    substring(payload, 5, 4).cast("string") === "ftyp"
+
+  /** Top-level boxes to walk: real files put ftyp/moov/mdat (plus a few
+    * free/skip/wide/meta boxes) at the top level.
+    */
+  private val MaxMp4Boxes = 16
+
+  /** MP4/ISO-BMFF container metadata via a bounded top-level box walk, as
+    * a pure expression (the video counterpart of [[wavMeta]]'s RIFF walk):
+    * `aggregate` over up to [[MaxMp4Boxes]] steps carrying
+    * (off, brand, minor, mdat, moov, n) state. Each step at 1-based box
+    * offset `off` reads the big-endian uint32 size and the 4-byte ASCII
+    * type:
+    *
+    *  - size == 1 → the real size is the 64-bit `largesize` following the
+    *    type (header 16 bytes) — the large-`mdat` form every >4 GiB video
+    *    file uses;
+    *  - size == 0 → the box runs to end-of-file (legal only for the last
+    *    box);
+    *  - "ftyp" → record `major_brand` (ASCII at off+8) and `minor_version`
+    *    (BE u32 at off+12); "moov" → flag presence; "mdat" → record the
+    *    payload size (declared size minus header — the header is enough,
+    *    the sample data itself may be truncated away);
+    *  - any other type → skip; a declared size smaller than its own header
+    *    or a read past the payload end → stop with whatever was found.
+    *
+    * Returns struct(major_brand, minor_version, n_boxes, mdat_bytes,
+    * has_moov); brand null / -1 / 0 when absent. Non-MP4 payloads return
+    * the empty struct.
+    */
+  def mp4Meta(payload: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), lit(MaxMp4Boxes)),
+      struct(lit(1L).as("off"), lit(null).cast("string").as("brand"),
+        lit(-1L).as("minor"), lit(-1L).as("mdat"), lit(0L).as("moov"),
+        lit(0L).as("n")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val brand = acc.getField("brand")
+        val minor = acc.getField("minor")
+        val mdat = acc.getField("mdat")
+        val moov = acc.getField("moov")
+        val n = acc.getField("n")
+        val size32 = beUintAt(payload, off, 4)
+        val tag = payload.substr((off + 4).cast("int"), lit(4)).cast("string")
+        val hdr = when(size32 === 1L, lit(16L)).otherwise(lit(8L))
+        val size = when(size32 === 1L, beUintAt(payload, off + 8, 8))
+          .when(size32 === 0L, length(payload) - off + 1L)
+          .otherwise(size32)
+        def step(b: Column, mi: Column, md: Column, mv: Column) =
+          struct((off + size).as("off"), b.as("brand"), mi.as("minor"),
+            md.as("mdat"), mv.as("moov"), (n + 1L).as("n"))
+        def stop = struct(lit(-1L).as("off"), brand.as("brand"),
+          minor.as("minor"), mdat.as("mdat"), moov.as("moov"), n.as("n"))
+        when(off < 0 || off > length(payload), acc)
+          .when(size.isNull || size < hdr, stop)
+          .when(tag === "ftyp", step(
+            payload.substr((off + 8).cast("int"), lit(4)).cast("string"),
+            beUintAt(payload, off + 12, 4), mdat, moov))
+          .when(tag === "mdat", step(brand, minor, size - hdr, moov))
+          .when(tag === "moov", step(brand, minor, mdat, lit(1L)))
+          .otherwise(step(brand, minor, mdat, moov))
+      })
+    when(isMp4(payload),
+      struct(walked.getField("brand").as("major_brand"),
+        walked.getField("minor").as("minor_version"),
+        walked.getField("n").as("n_boxes"),
+        walked.getField("mdat").as("mdat_bytes"),
+        walked.getField("moov").as("has_moov")))
+      .otherwise(struct(lit(null).cast("string").as("major_brand"),
+        lit(-1L).as("minor_version"), lit(0L).as("n_boxes"),
+        lit(-1L).as("mdat_bytes"), lit(0L).as("has_moov")))
+  }
+
+  /** Big-endian hex of `v` as `bytes` bytes. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(v), bytes * 2, "0")
+
+  /** Synthesize a minimal ISO-BMFF header (an `ftyp` box with the given
+    * major brand / minor version and [brand, "isom"] compatible brands, an
+    * optional 16-byte `free` box the walk must skip, a stub `moov`, and an
+    * `mdat` box header DECLARING `mdatBytes` of truncated-away sample
+    * data — via the 64-bit largesize form when `largeMdat`) as a binary
+    * column. The video counterpart of [[wavHeaderPayload]].
+    */
+  def mp4HeaderPayload(brand: Column, minorVersion: Column,
+                       mdatBytes: Column, withFree: Column,
+                       largeMdat: Column): Column = {
+    val brandHex = hex(brand.cast("binary"))
+    val ftyp = concat(lit("0000001866747970"), brandHex,
+      beHex(minorVersion, 4), brandHex, lit("69736F6D"))
+    val free = lit("0000001066726565" + "00" * 8)
+    val moov = lit("000000106D6F6F76" + "00" * 8)
+    val mdatSmall = concat(beHex(mdatBytes + 8L, 4), lit("6D646174"))
+    val mdatLarge = concat(lit("000000016D646174"), beHex(mdatBytes + 16L, 8))
+    unhex(concat(ftyp, when(withFree, free).otherwise(lit("")), moov,
+      when(largeMdat, mdatLarge).otherwise(mdatSmall)))
+  }
 
   // ── WAV/RIFF (audio) ──────────────────────────────────────────────────
 

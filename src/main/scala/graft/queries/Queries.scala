@@ -91,6 +91,23 @@ object Queries {
     */
   private val Bm25Terms = Seq("spark", "window", "merge")
 
+  /** q89's brand rotation — shared by the Spark fixture and the oracle
+    * (which embeds each brand's UTF-8 hex). Real registered brands, one
+    * with a trailing space to exercise non-alphanumeric tag bytes.
+    */
+  private val Mp4Brands = Seq("isom", "mp42", "avc1", "M4A ")
+
+  /** q90's phrase — two mid-frequency corpus terms (the oracle replays the
+    * same token-window scan the index joins must equal).
+    */
+  private val SearchPhrase = "table value"
+
+  /** q91's column set — types chosen so min/max render identically as
+    * strings in both engines (integers, integral doubles, dates, chars).
+    */
+  private val StatsCols = Seq("l_orderkey", "l_quantity", "l_shipdate",
+    "l_returnflag")
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Q1: scan + filter + per-row projection (S2, F, P9) ────────────────
@@ -1627,8 +1644,220 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
           col("stop_ratio"), col("predicted_lang"), col("dup_count"),
           col("subword_tokens"), col("fingerprint")),
-      Some(curateOracleSql))
+      Some(curateOracleSql)),
+
+    // ── Q86: CUBE with GROUPING markers — event_type × day totals with
+    //         BOTH one-dimension subtotal planes and the grand total in a
+    //         single Expand pass (q79's rollup plus the day-only plane);
+    //         completes the grouping surface: GROUPING SETS (q15), ROLLUP
+    //         (q79), CUBE. ─────────────────────────────────────────────────
+    QueryDef("q86_cube",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"), col("value"))
+        .cube(col("event_type"), col("d"))
+        .agg(grouping(col("event_type")).cast("long").as("g_et"),
+          grouping(col("d")).cast("long").as("g_d"),
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100)) / 100).as("total")),
+      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             |       CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+             |       CAST(GROUPING(strftime(ts, '%Y-%m-%d')) AS BIGINT) AS g_d,
+             |       COUNT(*) AS n, SUM(round(value * 100)) / 100 AS total
+             |FROM events
+             |GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin)),
+
+    // ── Q87: line-level boilerplate removal ([[Boilerplate]]) — the
+    //         CCNet/RefinedWeb curation step: synthesize multi-line docs
+    //         (every doc gets a copyright header; every 3rd a newsletter
+    //         footer, every 7th a rights line; the body reflows the word
+    //         stream 8 tokens per line), then strip lines appearing in
+    //         ≥ 50 distinct docs and reassemble the survivors in order.
+    //         The headers/footers cross the threshold, body lines don't —
+    //         but both engines compute the SAME df, so the replay is exact
+    //         by construction, not by luck. ────────────────────────────────
+    QueryDef("q87_boilerplate_lines",
+      (s, dir) => {
+        val ml = concat(lit("copyright acme corp\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n"),
+          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nall rights reserved"))
+            .otherwise(lit("")))
+        graft.operators.Boilerplate.stripCommonLines(
+          t(s, dir, "documents").select(col("doc_id"), ml.as("text")),
+          minDocs = 50)
+      },
+      Some(boilerplateOracleSql)),
+
+    // ── Q88: fuzzy self-join ([[FuzzyJoin]]) — record linkage within edit
+    //         distance 1 over customer names via SymSpell deletion-variant
+    //         blocking + exact levenshtein verify; the oracle is the O(n²)
+    //         cartesian form the blocking provably equals. ─────────────────
+    QueryDef("q88_fuzzy_join",
+      (s, dir) => graft.operators.FuzzyJoin.selfPairsWithin(
+        t(s, dir, "customer").filter(col("c_custkey") < 500),
+        maxDist = 1, idCol = "c_custkey", strCol = "c_name"),
+      Some("""SELECT a.c_custkey AS i, b.c_custkey AS j,
+             |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE a.c_custkey < 500 AND b.c_custkey < 500
+             |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
+    // ── Q89: MP4/ISO-BMFF container decode — synthesize a canonical video
+    //         container header per doc (ftyp brand/minor from doc metadata;
+    //         every 4th doc gets a free box the walk must skip; every 5th
+    //         declares its mdat via the 64-bit largesize form), then DECODE
+    //         the fields back from the payload BYTES via the bounded
+    //         top-level box walk (the video counterpart of q81's RIFF
+    //         walk). Construction is checked via payload_hex, decode via
+    //         the field columns; walk generality (foreign payloads,
+    //         truncation, EOF-sized boxes) is pinned by MultimodalSpec. ────
+    QueryDef("q89_mp4_meta",
+      (s, dir) => {
+        val brand = element_at(array(Mp4Brands.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int"))
+        val minor = col("doc_id") % 512
+        val msz = col("n_chars").cast("long") * 100 + col("doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Multimodal.mp4HeaderPayload(brand, minor, msz,
+              col("doc_id") % 4 === 0, col("doc_id") % 5 === 0).as("payload"))
+          .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
+            Multimodal.format(col("payload")).as("format"),
+            Multimodal.mp4Meta(col("payload")).as("m"))
+          .select(col("doc_id"), col("payload_hex"), col("format"),
+            col("m.major_brand").as("major_brand"),
+            col("m.minor_version").as("minor_version"),
+            col("m.n_boxes").as("n_boxes"),
+            col("m.mdat_bytes").as("mdat_bytes"),
+            col("m.has_moov").as("has_moov"))
+      },
+      Some(mp4OracleSql)),
+
+    // ── Q90: exact phrase search ([[TextSearch]]) — the positional
+    //         inverted-index query pattern: postings aligned by
+    //         (doc, pos - offset) equi-joins, rarest term first; the
+    //         oracle is the naive token-window scan the index joins
+    //         provably equal. ──────────────────────────────────────────────
+    QueryDef("q90_phrase_search",
+      (s, dir) => graft.operators.TextSearch.phraseMatches(
+        t(s, dir, "documents"), SearchPhrase),
+      Some(phraseOracleSql)),
+
+    // ── Q91: table statistics collection ([[ColumnStats]]) — per-column
+    //         nulls / exact NDV / min / max in ONE pass (multi-distinct
+    //         Expand plan), unpivoted to a tidy catalog frame; the numbers
+    //         a CBO or data-quality gate consumes. `exact=false` flips to
+    //         mergeable HLL++ sketches at corpus scale. ────────────────────
+    QueryDef("q91_column_stats",
+      (s, dir) => graft.operators.ColumnStats.collect(
+        t(s, dir, "lineitem"), StatsCols),
+      Some(columnStatsOracleSql))
   )
+
+  /** q90's oracle: the naive window scan — every token position where the
+    * phrase's terms line up, counted per doc.
+    */
+  private lazy val phraseOracleSql: String = {
+    val terms = SearchPhrase.split(" ")
+    val arms = terms.zipWithIndex
+      .map { case (w, i) => s"t[i${if (i == 0) "" else s"+$i"}] = '$w'" }
+      .mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |)
+       |SELECT doc_id, COUNT(*) AS n_occurrences
+       |FROM toks, UNNEST(range(1, len(t) - ${terms.length - 2})) AS r(i)
+       |WHERE $arms
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** q91's oracle: one UNION ALL arm per column from the same
+    * [[StatsCols]] list; n_nulls via COUNT(*) − COUNT(col) so every count
+    * stays BIGINT (a SUM(CASE...) would widen to HUGEINT and trip the
+    * oracle-typing lint).
+    */
+  private lazy val columnStatsOracleSql: String =
+    StatsCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |       COUNT(*) - COUNT($c) AS n_nulls,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       CAST(MIN($c) AS VARCHAR) AS min_str,
+         |       CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
+  /** q89's oracle: the identical ISO-BMFF byte layout reconstructed with
+    * big-endian hex arithmetic (brand hex embedded from [[Mp4Brands]]),
+    * and the decoded fields derived from the same doc-metadata formulas
+    * the fixture used — construction and decode check each other.
+    */
+  private lazy val mp4OracleSql: String = {
+    def beHexSql(e: String, bytes: Int): String =
+      s"lpad(upper(to_hex($e)), ${bytes * 2}, '0')"
+    val brandArms = Mp4Brands.map(b => s"'$b'").mkString(", ")
+    val brandHexArms = Mp4Brands
+      .map(b => "'" + b.getBytes("UTF-8").map(c => f"$c%02X").mkString + "'")
+      .mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         ([$brandArms])[CAST(doc_id % 4 + 1 AS INT)] AS brand,
+       |         ([$brandHexArms])[CAST(doc_id % 4 + 1 AS INT)] AS bhex,
+       |         doc_id % 512 AS minor,
+       |         n_chars * 100 + doc_id AS msz,
+       |         doc_id % 4 = 0 AS wfree,
+       |         doc_id % 5 = 0 AS lg
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, brand, minor, msz, wfree,
+       |         '0000001866747970' || bhex || ${beHexSql("minor", 4)}
+       |         || bhex || '69736F6D'
+       |         || CASE WHEN wfree THEN '0000001066726565' || repeat('00', 8)
+       |                 ELSE '' END
+       |         || '000000106D6F6F76' || repeat('00', 8)
+       |         || CASE WHEN lg THEN '000000016D646174' || ${beHexSql("msz + 16", 8)}
+       |                 ELSE ${beHexSql("msz + 8", 4)} || '6D646174' END AS ph
+       |  FROM f
+       |)
+       |SELECT doc_id, ph AS payload_hex, 'mp4' AS format, brand AS major_brand,
+       |       CAST(minor AS BIGINT) AS minor_version,
+       |       CAST(CASE WHEN wfree THEN 4 ELSE 3 END AS BIGINT) AS n_boxes,
+       |       CAST(msz AS BIGINT) AS mdat_bytes,
+       |       CAST(1 AS BIGINT) AS has_moov
+       |FROM b""".stripMargin
+  }
+
+  /** q87's oracle: the identical multi-line synthesis (header/body/footer),
+    * the identical df pass (distinct docs per non-blank line, threshold
+    * 50), and the strip/reassemble replayed with DuckDB list lambdas — the
+    * boilerplate set rides in as a captured list scalar.
+    */
+  private lazy val boilerplateOracleSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |         'copyright acme corp' || chr(10) ||
+       |         regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') ||
+       |         CASE WHEN doc_id % 3 = 0
+       |              THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+       |         CASE WHEN doc_id % 7 = 0
+       |              THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+       |  FROM documents
+       |), lined AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+       |), boiler AS (
+       |  SELECT line FROM (
+       |    SELECT line, COUNT(DISTINCT doc_id) AS line_df
+       |    FROM (SELECT doc_id, unnest(ls) AS line FROM lined)
+       |    WHERE trim(line) <> '' GROUP BY 1)
+       |  WHERE line_df >= 50
+       |), bl AS (SELECT coalesce(list(line), []) AS b FROM boiler)
+       |SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+       |       CAST(len(list_filter(ls, x -> list_contains(bl.b, x))) AS BIGINT)
+       |         AS n_removed,
+       |       array_to_string(list_filter(ls, x -> NOT list_contains(bl.b, x)),
+       |         chr(10)) AS clean_text
+       |FROM lined l, bl""".stripMargin
 
   /** q85's oracle: CorpusPipeline.curate replayed stage by stage. `feat`
     * computes the q27 quality features + the q30 langid argmax off one

@@ -112,6 +112,39 @@ object StreamingEvents {
     * what lets a stream compute signatures without a groupBy that would
     * need watermark gymnastics before any stateful logic.
     */
+  /** Stream-stream interval join — correlate two live event streams on a
+    * key within a bounded time window (click→impression attribution,
+    * request→response pairing, sensor cross-correlation). Right-side rows
+    * match a left row when they carry the same `keyCol` and land in
+    * `[l_ts, l_ts + within]`.
+    *
+    * Both sides are watermarked, and the range condition is what makes the
+    * state BOUNDED: Spark derives from it how long each side's rows can
+    * still find a partner (left rows expire `within` + watermark after
+    * their event time, right rows watermark-only), and evicts buffered
+    * state past that horizon. Without the interval bound a stream-stream
+    * inner join would buffer both streams forever. State scales with rows
+    * per (watermark + within) horizon × shuffle partitions, not with
+    * stream lifetime.
+    *
+    * Output: (keyCol, every other left column `l_`-prefixed, every other
+    * right column `r_`-prefixed). Replaying bounded streams equals the
+    * batch interval join of the same frames (StreamingSpec).
+    */
+  def correlateStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String = "ts", within: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) =>
+        if (c == keyCol) d else d.withColumnRenamed(c, s"$p$c"))
+    val l = prefixed(left, "l_").withWatermark(s"l_$tsCol", watermark)
+    val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
+    l.join(r, l(keyCol) === r(keyCol) &&
+      col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $within"))
+      .drop(r(keyCol))
+  }
+
   def rowMinhashSignature(text: Column, n: Int = 3, numPerms: Int = 16): Column =
     array((0 until numPerms).map(p =>
       array_min(transform(TextFunctions.shingles(text, n),

@@ -231,6 +231,61 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getStruct(2).getLong(1) === -1L)
   }
 
+  test("MP4 header round-trip: box walk decodes ftyp/moov/mdat, skips free, " +
+       "and follows the 64-bit largesize form") {
+    val df = Seq(
+      (1L, "isom", 77L, 5000L, false, false),
+      (2L, "mp42", 0L, 123L, true, false),   // walk must skip `free`
+      (3L, "M4A ", 511L, 7L, true, true))    // largesize mdat
+      .toDF("id", "brand", "minor", "msz", "free", "lg")
+      .select(col("id"), Multimodal.mp4HeaderPayload(col("brand"), col("minor"),
+        col("msz"), col("free"), col("lg")).as("payload"))
+    val rows = df.select(col("id"), Multimodal.format(col("payload")).as("f"),
+        Multimodal.mp4Meta(col("payload")).as("m"))
+      .select(col("id"), col("f"), col("m.major_brand"), col("m.minor_version"),
+        col("m.n_boxes"), col("m.mdat_bytes"), col("m.has_moov"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows === Set(
+      (1L, "mp4", "isom", 77L, 3L, 5000L, 1L),
+      (2L, "mp4", "mp42", 0L, 4L, 123L, 1L),
+      (3L, "mp4", "M4A ", 511L, 4L, 7L, 1L)))
+  }
+
+  test("MP4 walk: EOF-sized box, truncation, undersized box, and foreign " +
+       "payloads stop cleanly with whatever was found") {
+    val ftypHex = "0000001866747970" + "69736F6D" + "00000000" +
+      "69736F6D" + "69736F6D"                       // ftyp isom, minor 0
+    val df = Seq(Tuple1(1L)).toDF("id").select(
+      // mdat with size32=0: runs to end-of-payload (8 header + 4 data)
+      Multimodal.mp4Meta(unhex(lit(ftypHex + "000000006D646174" + "AABBCCDD")))
+        .as("eof"),
+      // declared size 4 < header 8: malformed → stop, ftyp fields kept
+      Multimodal.mp4Meta(unhex(lit(ftypHex + "000000046D646174"))).as("bad"),
+      Multimodal.mp4Meta(lit("not media at all").cast("binary")).as("junk"))
+    val r = df.head()
+    val eof = r.getStruct(0)
+    assert((eof.getString(0), eof.getLong(2), eof.getLong(3)) === (("isom", 2L, 4L)),
+      "size-0 mdat box spans to EOF")
+    val bad = r.getStruct(1)
+    assert((bad.getString(0), bad.getLong(2), bad.getLong(3)) === (("isom", 1L, -1L)),
+      "undersized box stops the walk after ftyp")
+    assert(r.getStruct(2).isNullAt(0) && r.getStruct(2).getLong(2) === 0L)
+  }
+
+  test("MP4 fixture is a byte-faithful canonical header (pinned hex)") {
+    // isom minor 1, 4-byte mdat, free box, small-size form: hand-computed
+    val hx = Seq(Tuple1(1L)).toDF("id")
+      .select(hex(Multimodal.mp4HeaderPayload(lit("isom"), lit(1L), lit(4L),
+        lit(true), lit(false))).as("h")).head().getString(0)
+    assert(hx ===
+      "00000018" + "66747970" + "69736F6D" + "00000001" +  // ftyp, 24, isom, 1
+        "69736F6D" + "69736F6D" +                          // compat isom, isom
+      "00000010" + "66726565" + "00" * 8 +                 // free, 16
+      "00000010" + "6D6F6F76" + "00" * 8 +                 // moov stub, 16
+      "0000000C" + "6D646174")                             // mdat, 8+4
+  }
+
   test("WAV fixture is a byte-faithful canonical header (pinned hex)") {
     // 8000 Hz mono 8-bit, 4 data bytes, no JUNK: every field hand-computed
     // (byte-rate 8000 = 0x1F40 → LE 401F0000, block align 1)

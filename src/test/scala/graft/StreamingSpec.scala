@@ -272,6 +272,42 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly one alert for the silent series, got $alerts")
   }
 
+  test("stream-stream interval join equals the batch interval join on replay") {
+    implicit val ctx = spark.sqlContext
+    val imps = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", "i1"),
+      (ts("2024-01-01 10:40:00"), "u1", "i2"),
+      (ts("2024-01-01 10:00:00"), "u2", "i3"),
+      (ts("2024-01-01 12:00:00"), "u3", "i4"))
+    val clicks = Seq(
+      (ts("2024-01-01 10:10:00"), "u1", "c1"), // i1 +10m (and NOT i2: before it)
+      (ts("2024-01-01 10:50:00"), "u1", "c2"), // i2 +10m; i1 +50m > 30m bound
+      (ts("2024-01-01 11:00:00"), "u2", "c3"), // i3 +60m → no partner
+      (ts("2024-01-01 12:05:00"), "u3", "c4")) // i4 +5m
+    val li = MemoryStream[(Timestamp, String, String)]
+    val rc = MemoryStream[(Timestamp, String, String)]
+    li.addData(imps); rc.addData(clicks)
+    val q = StreamingEvents.correlateStreams(
+        li.toDF().toDF("ts", "user", "imp_id"),
+        rc.toDF().toDF("ts", "user", "click_id"), keyCol = "user")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join")
+      .select("user", "l_imp_id", "r_click_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // the batch interval join of the same bounded frames is the oracle
+    val batch = imps.toDF("lts", "user", "imp").join(
+        clicks.toDF("rts", "cu", "click"),
+        col("user") === col("cu") && col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 30 minutes"))
+      .select("user", "imp", "click")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set(("u1", "i1", "c1"), ("u1", "i2", "c2"),
+      ("u3", "i4", "c4")))
+  }
+
   test("gap alerts: late rows behind the watermark are dropped; the query survives") {
     // Spark 4.1 filters flatMapGroupsWithState input with the CURRENT
     // watermark, so a 12:00 row arriving after the watermark reached 13:50

@@ -64,4 +64,29 @@ object FuzzyJoin {
       .select(col("i"), col("j"),
         levenshtein(col("si"), col("sj")).cast("long").as("dist"))
   }
+
+  /** Two-table record linkage: all (left id, right id, dist) with
+    * `levenshtein(left str, right str) <= maxDist` — exactly the cartesian
+    * `left × right` filter's answer, via the same lossless blocking. The
+    * everyday shape: link a fresh batch's names against a standing
+    * reference table (both sides explode to variants; the candidate join
+    * is keyed on the variant string).
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, maxDist: Int,
+                 leftId: String = "id", leftStr: String = "name",
+                 rightId: String = "id", rightStr: String = "name")
+      : DataFrame = {
+    def variants(df: DataFrame, id: String, s: String) =
+      df.select(col(id).as("fj_id"), col(s).as("fj_s"),
+        explode(deletionVariants(col(s), maxDist)).as("fj_v"))
+    variants(left, leftId, leftStr).as("a")
+      .join(variants(right, rightId, rightStr).as("b"),
+        col("a.fj_v") === col("b.fj_v"))
+      .select(col("a.fj_id").as("left_id"), col("b.fj_id").as("right_id"),
+        col("a.fj_s").as("si"), col("b.fj_s").as("sj"))
+      .distinct()
+      .filter(levenshtein(col("si"), col("sj")) <= maxDist)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("si"), col("sj")).cast("long").as("dist"))
+  }
 }

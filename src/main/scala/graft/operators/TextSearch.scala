@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -14,8 +14,9 @@ import graft.functions.TextFunctions
   * uses — then, for a k-term phrase, align the k posting sets by joining on
   * (doc, pos - offset). Every join is a plain shuffled equi-join on
   * (doc_id, adjusted position); each term's postings are filtered AT THE
-  * SCAN (`term = 'x'` pushes into the explode-side projection), so the join
-  * inputs are term-selective slivers of the corpus, not the corpus.
+  * SCAN (`term = 'x'` pushes into the explode-side projection, or into
+  * parquet row groups when querying a stored index), so the join inputs
+  * are term-selective slivers of the corpus, not the corpus.
   *
   * Join order follows the index playbook: terms are joined RAREST FIRST
   * (corpus df of the phrase terms — k numbers — is computed up front), so
@@ -27,9 +28,7 @@ import graft.functions.TextFunctions
 object TextSearch {
 
   /** Positional posting list for the corpus: (term, idCol, pos), one row
-    * per token occurrence. Write this once with
-    * [[graft.sources.Bucketing.writeBucketed]] on `term` and phrase
-    * queries against the stored index skip the explode entirely.
+    * per token occurrence.
     */
   def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame =
@@ -43,19 +42,55 @@ object TextSearch {
     */
   def phraseMatches(docs: DataFrame, phrase: String,
                     idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    alignPhrase(docs.sparkSession, positionalPostings(docs, idCol, textCol),
+      phrase, idCol)
+
+  /** Persist the positional index partitioned by a term hash bucket, so a
+    * phrase query reads only its terms' buckets (directory-level partition
+    * pruning — the [[EmbeddingStore]] cell trick applied to text). Raw
+    * terms would make one directory per vocabulary word (millions at
+    * corpus scale); `buckets` bounds the directory count while a k-term
+    * phrase still prunes to ≤ k buckets.
+    */
+  def writeIndex(docs: DataFrame, path: String, buckets: Int = 256,
+                 idCol: String = "doc_id", textCol: String = "text"): Unit =
+    positionalPostings(docs, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+
+  /** [[phraseMatches]] against a stored index: same joins, same answer
+    * (spec-pinned), but the corpus is never re-tokenized and the scan is
+    * partition-pruned to the phrase terms' buckets before any IO.
+    */
+  def phraseMatchesIndexed(spark: SparkSession, path: String, phrase: String,
+                           buckets: Int = 256, idCol: String = "doc_id")
       : DataFrame = {
+    val wanted = phrase.split(" ").filter(_.nonEmpty).distinct
+    val wantedBuckets = wanted
+      .map(t => ((xxHash(t) % buckets) + buckets) % buckets).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("tb").isin(wantedBuckets.toSeq: _*))
+      .filter(col("term").isin(wanted.toSeq: _*))
+    alignPhrase(spark, postings, phrase, idCol)
+  }
+
+  /** The shared alignment plan: df-order the terms (k driver-side numbers
+    * — the statistic a deployment reads from its term dictionary), seed
+    * with the rarest term's postings shifted to phrase start, and join the
+    * rest on (doc, start).
+    */
+  private def alignPhrase(spark: SparkSession, postings: DataFrame,
+                          phrase: String, idCol: String): DataFrame = {
     val terms = phrase.split(" ").filter(_.nonEmpty)
-    require(terms.nonEmpty, "phraseMatches needs a non-empty phrase")
-    val postings = positionalPostings(docs, idCol, textCol)
-    // k driver-side numbers (k = phrase length), the classic index
-    // statistic a real deployment reads from the stored term dictionary
+    require(terms.nonEmpty, "phrase search needs a non-empty phrase")
     val dfByTerm: Map[String, Long] = postings
-      .filter(col("term").isin(terms.distinct: _*))
+      .filter(col("term").isin(terms.distinct.toSeq: _*))
       .groupBy("term").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a phrase term absent from the corpus → empty result, skip the joins
     if (terms.exists(t => !dfByTerm.contains(t)))
-      return docs.sparkSession.emptyDataFrame
+      return spark.emptyDataFrame
         .withColumn(idCol, lit(null).cast("long"))
         .withColumn("n_occurrences", lit(null).cast("long"))
         .limit(0)
@@ -72,5 +107,16 @@ object TextSearch {
     }
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Driver-side xxhash64 of a UTF-8 string with Spark's seed (42) — must
+    * equal the `xxhash64` Column function so [[phraseMatchesIndexed]]
+    * prunes to exactly the buckets [[writeIndex]] wrote.
+    */
+  private def xxHash(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
   }
 }

@@ -1753,7 +1753,180 @@ object Queries {
     QueryDef("q91_column_stats",
       (s, dir) => graft.operators.ColumnStats.collect(
         t(s, dir, "lineitem"), StatsCols),
-      Some(columnStatsOracleSql))
+      Some(columnStatsOracleSql)),
+
+    // ── Q92: ordered conversion funnel — users reaching view → click-
+    //         after-view → purchase-after-that-chain, via stacked
+    //         strictly-earlier running windows (RANGE … AND 1 PRECEDING on
+    //         epoch micros, so same-timestamp ties can NEVER satisfy
+    //         "after" — deterministic under any row order, which a
+    //         ROWS-frame would not be). One shuffle: both windows and the
+    //         per-user rollup share the user_id partitioning. ──────────────
+    QueryDef("q92_funnel",
+      (s, dir) => {
+        val uts = unix_micros(col("ts").cast("timestamp"))
+        val before = Window.partitionBy(col("user_id")).orderBy(col("uts"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val staged = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), uts.as("uts"))
+          .withColumn("mv",
+            min(when(col("event_type") === "view", col("uts"))).over(before))
+          .withColumn("vc", min(when(col("event_type") === "click" &&
+            col("mv").isNotNull, col("uts"))).over(before))
+        val perUser = staged.groupBy("user_id").agg(
+          max((col("event_type") === "view").cast("int")).as("s1"),
+          max((col("event_type") === "click" && col("mv").isNotNull)
+            .cast("int")).as("s2"),
+          max((col("event_type") === "purchase" && col("vc").isNotNull)
+            .cast("int")).as("s3"))
+        perUser.agg(
+          count(when(col("s1") === 1, 1)).as("n1"),
+          count(when(col("s2") === 1, 1)).as("n2"),
+          count(when(col("s3") === 1, 1)).as("n3"))
+          .select(expr("stack(3, 1L, 'view', n1, 2L, 'click_after_view', n2, " +
+            "3L, 'purchase_after_chain', n3) AS (stage_idx, stage, n_users)"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS uts FROM events
+             |), w1 AS (
+             |  SELECT user_id, event_type, uts,
+             |         MIN(CASE WHEN event_type = 'view' THEN uts END) OVER
+             |           (PARTITION BY user_id ORDER BY uts
+             |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mv
+             |  FROM e
+             |), w2 AS (
+             |  SELECT *,
+             |         MIN(CASE WHEN event_type = 'click' AND mv IS NOT NULL
+             |                  THEN uts END) OVER
+             |           (PARTITION BY user_id ORDER BY uts
+             |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vc
+             |  FROM w1
+             |), u AS (
+             |  SELECT user_id,
+             |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             |         MAX(CASE WHEN event_type = 'click' AND mv IS NOT NULL
+             |                  THEN 1 ELSE 0 END) AS s2,
+             |         MAX(CASE WHEN event_type = 'purchase' AND vc IS NOT NULL
+             |                  THEN 1 ELSE 0 END) AS s3
+             |  FROM w2 GROUP BY 1
+             |), c AS (
+             |  SELECT COUNT(CASE WHEN s1 = 1 THEN 1 END) AS n1,
+             |         COUNT(CASE WHEN s2 = 1 THEN 1 END) AS n2,
+             |         COUNT(CASE WHEN s3 = 1 THEN 1 END) AS n3
+             |  FROM u
+             |)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+             |       n1 AS n_users FROM c
+             |UNION ALL
+             |SELECT 2, 'click_after_view', n2 FROM c
+             |UNION ALL
+             |SELECT 3, 'purchase_after_chain', n3 FROM c""".stripMargin)),
+
+    // ── Q93: robust outlier audit — per-group median/MAD (the
+    //         estimator outliers can't poison, unlike mean/stddev) and the
+    //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).
+    //         Exact percentiles over 1e-3-quantized values with the
+    //         binary-exact 0.5 prob, so Spark's `percentile` and DuckDB's
+    //         `quantile_cont` — different interpolation algebras — are
+    //         BITWISE equal (q45's trick, pushed through two percentile
+    //         levels: deviations of exact quarters are exact quarters).
+    //         Group medians join back by BROADCAST (5 groups ≪ facts). ─────
+    QueryDef("q93_robust_outliers",
+      (s, dir) => {
+        val v = t(s, dir, "events")
+          .select(col("event_type"), round(col("value") * 1000).as("v"))
+        val m = v.groupBy("event_type")
+          .agg(percentile(col("v"), lit(0.5)).as("med"),
+            count(lit(1)).as("n"))
+        val d = v.join(broadcast(m), "event_type")
+          .select(col("event_type"), col("n"), col("med"),
+            abs(col("v") - col("med")).as("dev"))
+        val md = d.groupBy("event_type")
+          .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+        d.join(broadcast(md), "event_type")
+          .groupBy(col("event_type"))
+          .agg(first(col("n")).as("n"),
+            (first(col("med")) / 1000.0).as("median"),
+            (first(col("mad")) / 1000.0).as("mad_val"),
+            count(when(col("dev") * 0.6745 > col("mad") * 3.5, 1))
+              .as("n_outliers"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, round(value * 1000) AS v FROM events
+             |), m AS (
+             |  SELECT event_type, quantile_cont(v, 0.5) AS med,
+             |         COUNT(*) AS n
+             |  FROM v GROUP BY 1
+             |), d AS (
+             |  SELECT v.event_type, m.n, m.med, abs(v.v - m.med) AS dev
+             |  FROM v JOIN m USING (event_type)
+             |), md AS (
+             |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             |  FROM d GROUP BY 1
+             |)
+             |SELECT d.event_type, ANY_VALUE(d.n) AS n,
+             |       ANY_VALUE(d.med) / 1000.0 AS median,
+             |       ANY_VALUE(md.mad) / 1000.0 AS mad_val,
+             |       COUNT(CASE WHEN d.dev * 0.6745 > md.mad * 3.5
+             |                  THEN 1 END) AS n_outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Q94: bigram collocation mining (PMI) — the phrase-discovery pass
+    //         of corpus analysis: adjacent-token bigrams with count ≥ 5,
+    //         scored by pointwise mutual information against the unigram
+    //         margins, top 20. Bigrams come straight off the token array
+    //         (narrow transform, no self-join); margins join back by
+    //         BROADCAST (vocabulary ≪ corpus); ln is quantized to 1e-6
+    //         (q48's replay contract). Deterministic ties: (pmi, w1, w2)
+    //         total order on both sides. ───────────────────────────────────
+    QueryDef("q94_collocations",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val bigrams = toks
+          .filter(size(col("t")) >= 2) // sequence(0, -2) would run DOWNWARD
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val nTotal = toks.agg(
+          sum(greatest(size(col("t")) - 1, lit(0))).cast("double").as("nb"))
+        bigrams
+          .join(broadcast(uni.select(col("w").as("w1"), col("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c2"))), "w2")
+          .crossJoin(broadcast(nTotal))
+          .select(col("w1"), col("w2"), col("c12"),
+            (round(log(col("c12") * col("nb") / (col("c1") * col("c2"))) * 1e6)
+              / 1e6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), bigrams AS (
+             |  SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c12
+             |  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+             |  GROUP BY 1, 2
+             |  HAVING COUNT(*) >= 5
+             |), uni AS (
+             |  SELECT w, COUNT(*) AS c1
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+             |), nt AS (
+             |  SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS nb
+             |  FROM toks
+             |)
+             |SELECT b.w1, b.w2, b.c12,
+             |       round(ln(b.c12 * nt.nb / (u1.c1 * u2.c1)) * 1e6) / 1e6
+             |         AS pmi
+             |FROM bigrams b
+             |JOIN uni u1 ON b.w1 = u1.w
+             |JOIN uni u2 ON b.w2 = u2.w, nt
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
   )
 
   /** q90's oracle: the naive window scan — every token position where the

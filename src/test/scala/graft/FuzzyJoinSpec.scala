@@ -44,6 +44,28 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("selfPairsWithin equals brute force on 60 random abc-strings (seeded)") {
+    // tiny alphabet + short strings maximize near-pair density and
+    // duplicate words (distance-0 pairs), the regimes blocking can miss
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "name")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.selfPairsWithin(df, maxDist = d)
+        .sort("i", "j").as[(Long, Long, Long)].collect().toSeq
+      val brute = for {
+        (a, i) <- words.zipWithIndex
+        (b, j) <- words.zipWithIndex
+        if i < j
+        dist = levDist(a, b)
+        if dist <= d
+      } yield (i.toLong, j.toLong, dist.toLong)
+      assert(got == brute, s"maxDist=$d")
+    }
+  }
+
   test("identical strings pair at distance 0") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "off")).toDF("id", "name")
     val got = FuzzyJoin.selfPairsWithin(df, maxDist = 1)

@@ -18,9 +18,20 @@ class PlanShapeSpec extends SparkSpec {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Node names of the plan, UNWRAPPING AdaptiveSparkPlanExec: with AQE
+    * on, `executedPlan` of any shuffling query is a bare AQE root whose
+    * children hide behind `.executedPlan` — a `foreach` sees one node and
+    * every negative assertion passes vacuously. (Caught in round 7 when a
+    * positive node-count assertion returned List(AdaptiveSparkPlan).)
+    */
   private def collectNodes(p: SparkPlan): Seq[String] = {
     val b = Seq.newBuilder[String]
-    p.foreach(n => b += n.nodeName)
+    def walk(n: SparkPlan): Unit = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case _ => b += n.nodeName; n.children.foreach(walk)
+    }
+    walk(p)
     b.result()
   }
 
@@ -125,6 +136,58 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(graft.operators.RangeJoin.intervalJoin(probes, intervals))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must bucketize to an equi-join: ${plan.take(400)}")
+  }
+
+  test("fuzzy join blocks on deletion variants: equi-join, never a " +
+       "cartesian/nested loop") {
+    val df = Seq((1L, "cat"), (2L, "cut"), (3L, "dog")).toDF("id", "name")
+    val plan = physical(graft.operators.FuzzyJoin.selfPairsWithin(df, 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("phrase search pushes each term filter into its posting scan and " +
+       "plans only equi-joins") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val q = graft.operators.TextSearch.phraseMatches(docs, "table value")
+    val plan = physical(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // a k-term phrase is exactly k−1 keyed joins over term-filtered
+    // posting slivers — one join here, each input pre-filtered (the term
+    // predicates appear below the join in the plan tree)
+    val nodes = collectNodes(q.queryExecution.executedPlan)
+    assert(nodes.count(_.toLowerCase.contains("join")) == 1, nodes.toString)
+  }
+
+  test("column stats exact path: per-column hash-agg branches — no Expand " +
+       "blow-up, no sort-based aggregation, no joins") {
+    val plan = graft.operators.ColumnStats.collect(
+      Tables.table(spark, sf0001, "lineitem"),
+      Seq("l_orderkey", "l_returnflag")).queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(_.toLowerCase.contains("join")), nodes.toString)
+    // the single multi-distinct aggregate LOOKS one-pass but rewrites to
+    // an Expand (scan × k+1) + aggregates keyed on every distinct column
+    // at once, sorting the whole expanded stream; the dedupe-then-keyless
+    // branch shape must keep Expand AND every Sort out of the plan (a
+    // keyless sort-aggregate for var-length min/max buffers is fine — it
+    // streams ndv rows without sorting)
+    assert(!nodes.contains("Expand"), nodes.toString)
+    assert(!nodes.contains("Sort"), nodes.toString)
+    assert(nodes.contains("Union"), nodes.toString)
+  }
+
+  test("column stats HLL path is genuinely one pass: single scan, " +
+       "no Expand, no Union") {
+    val plan = graft.operators.ColumnStats.collect(
+      Tables.table(spark, sf0001, "lineitem"),
+      Seq("l_orderkey", "l_returnflag"), exact = false)
+      .queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(!nodes.contains("Expand") && !nodes.contains("Union"),
+      nodes.toString)
+    assert(nodes.count(_.contains("Scan")) == 1, nodes.toString)
   }
 
   test("large-label enumeration plans no unpartitioned window") {

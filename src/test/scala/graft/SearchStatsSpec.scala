@@ -49,6 +49,25 @@ class SearchStatsSpec extends SparkSpec {
     assert(got === naive && got === Set((3L, 1L)))
   }
 
+  test("stored phrase index equals the direct scan, partition-pruned to " +
+       "the phrase terms' buckets") {
+    val dir = tmpDir("phrase-index")
+    TextSearch.writeIndex(docs, dir, buckets = 16)
+    for (phrase <- Seq("cat sat", "a a", "the dog", "cat zebra")) {
+      val direct = TextSearch.phraseMatches(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val indexed = TextSearch.phraseMatchesIndexed(spark, dir, phrase, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(indexed === direct, s"phrase '$phrase'")
+    }
+    // the index scan must carry a tb partition filter — without it every
+    // term bucket of a corpus-scale index would be read
+    val plan = TextSearch.phraseMatchesIndexed(spark, dir, "cat sat", 16)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      s"index scan lost its partition filter:\n${plan.take(800)}")
+  }
+
   test("columnStats: one pass yields exact nulls/ndv/min/max per column") {
     val df = Seq(
       (Some(1L), Some("b"), Some(2.0)),
@@ -63,6 +82,37 @@ class SearchStatsSpec extends SparkSpec {
       ("k", 4L, 1L, 2L, "1", "2"),
       ("s", 4L, 1L, 2L, "a", "b"),
       ("v", 4L, 1L, 3L, "2.0", "8.0")))
+  }
+
+  test("ndv sketches: per-batch sketches union to the whole-table answer") {
+    val a = (1 to 1000).map(i => (i.toLong, (i % 100).toString))
+      .toDF("id", "bucket")
+    val b = (500 to 1500).map(i => (i.toLong, (i % 150).toString))
+      .toDF("id", "bucket")
+    val whole = ColumnStats.mergeNdvEstimates(
+      Seq(ColumnStats.ndvSketches(a.unionAll(b), Seq("id", "bucket"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = ColumnStats.mergeNdvEstimates(
+      Seq(ColumnStats.ndvSketches(a, Seq("id", "bucket")),
+        ColumnStats.ndvSketches(b, Seq("id", "bucket"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the union of sketches carries the same register state modulo the
+    // HIP estimator (order-dependent, dropped on union), so estimates
+    // agree tightly but not bit-for-bit
+    for (k <- whole.keys)
+      assert(math.abs(merged(k) - whole(k)).toDouble /
+        whole(k).max(1L) < 0.02, s"$k: merged=${merged(k)} whole=${whole(k)}")
+    // and the estimate tracks the exact distinct count (1500 ids)
+    assert(math.abs(merged("id") - 1500.0) / 1500.0 < 0.1)
+    assert(math.abs(merged("bucket") - 150.0) / 150.0 < 0.1)
+  }
+
+  test("fuzzy joinWithin links two tables exactly like the cartesian filter") {
+    val left = Seq((1L, "cat"), (2L, "spark"), (3L, "zzz")).toDF("id", "name")
+    val right = Seq((10L, "cut"), (11L, "spork"), (12L, "cat")).toDF("id", "name")
+    val got = graft.operators.FuzzyJoin.joinWithin(left, right, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 1L), (1L, 12L, 0L), (2L, 11L, 1L)))
   }
 
   test("columnStats exact=false tracks exact NDV within HLL error") {

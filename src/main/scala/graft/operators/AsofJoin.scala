@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -31,19 +31,27 @@ import org.apache.spark.sql.types.StructType
   * deterministic output.
   *
   * `tolerance` (an interval literal body, e.g. "2 hours") bounds staleness
-  * the way pandas merge_asof's tolerance does: state older than
-  * `probe ts − tolerance` is treated as absent (nulls), not matched.
+  * the way pandas merge_asof's tolerance does: state further from the
+  * probe than `tolerance` (in the match direction) is treated as absent
+  * (nulls), not matched.
+  *
+  * `direction`: "backward" (default — state at or before the probe) or
+  * "forward" (state at or after — the next scheduled price, the following
+  * maintenance window); [[asofJoinNearest]] picks whichever side is
+  * closer, pandas `merge_asof(direction="nearest")`, still in one shuffle.
   *
   * Returns every probe column plus `prefix + stateTs` and `prefix + v` for
-  * each requested state column (null when no state row precedes the probe).
+  * each requested state column (null when no state row matches).
   */
 object AsofJoin {
 
-  def asofJoin(probes: DataFrame, state: DataFrame, keys: Seq[String],
-               probeTs: String = "ts", stateTs: String = "ts",
-               stateVals: Seq[String] = Seq("value"),
-               prefix: String = "asof_",
-               tolerance: Option[String] = None): DataFrame = {
+  /** Union-tagged frame: probes (side 1, original row as `__probe`) and
+    * state (side 0, its ts/values under `prefix`) share one schema, ready
+    * for directional window fills. Returns (frame, filled column names).
+    */
+  private def tagged(probes: DataFrame, state: DataFrame, keys: Seq[String],
+                     probeTs: String, stateTs: String, stateVals: Seq[String],
+                     prefix: String): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val reserved = Set("__ts", "__side", "__probe", "__stale") ++
       ((prefix + stateTs) +: stateVals.map(prefix + _))
@@ -65,11 +73,38 @@ object AsofJoin {
         lit(null).cast(probeStruct).as("__probe"),
         col(stateTs).as(prefix + stateTs)) ++
         stateVals.map(v => col(v).as(prefix + v)): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+    (p.unionByName(s), (prefix + stateTs) +: stateVals.map(prefix + _))
+  }
+
+  /** Directional keyed window: backward scans time ascending (carry the
+    * last state at-or-before), forward scans DESCENDING (carry the last
+    * state at-or-after). `__side` stays ascending so a state row stamped
+    * exactly at probe time is visible either way (inclusive).
+    */
+  private def dirWindow(keys: Seq[String], backward: Boolean) =
+    Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (backward) col("__ts").asc else col("__ts").desc,
+        col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filledCols = (prefix + stateTs) +: stateVals.map(prefix + _)
-    val filled = p.unionByName(s)
+
+  /** Out-of-tolerance predicate for a filled state-ts column. */
+  private def staleCheck(filledTs: Column, backward: Boolean, t: String): Column =
+    if (backward) filledTs < col("__ts") - expr(s"INTERVAL $t")
+    else filledTs > col("__ts") + expr(s"INTERVAL $t")
+
+  def asofJoin(probes: DataFrame, state: DataFrame, keys: Seq[String],
+               probeTs: String = "ts", stateTs: String = "ts",
+               stateVals: Seq[String] = Seq("value"),
+               prefix: String = "asof_",
+               tolerance: Option[String] = None,
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"direction=$direction: backward | forward (nearest = asofJoinNearest)")
+    val backward = direction == "backward"
+    val (u, filledCols) =
+      tagged(probes, state, keys, probeTs, stateTs, stateVals, prefix)
+    val w = dirWindow(keys, backward)
+    val filled = u
       .select(col("__ts") +: col("__side") +: col("__probe") +:
         filledCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__side") === 1)
@@ -77,10 +112,58 @@ object AsofJoin {
       // staleness must be decided BEFORE any filled column is overwritten:
       // nulling asof_ts first would blind the check for the value columns
       val withStale = filled.withColumn("__stale",
-        col(prefix + stateTs) < col("__ts") - expr(s"INTERVAL $t"))
+        staleCheck(col(prefix + stateTs), backward, t))
       filledCols.foldLeft(withStale)((df, c) =>
         df.withColumn(c, when(col("__stale"), lit(null)).otherwise(col(c))))
     }
     bounded.select(col("__probe.*") +: filledCols.map(col): _*)
+  }
+
+  /** Nearest as-of: each probe takes whichever state row — latest before
+    * or earliest after — sits closer in time (ties go backward, matching
+    * pandas). Both directional fills run over the SAME union-tagged frame
+    * and key partitioning, so the plan is still one Exchange (two sorts,
+    * no join nodes). `tolerance` bounds distance on each side before the
+    * choice, so a near-but-out-of-tolerance side never wins.
+    */
+  def asofJoinNearest(probes: DataFrame, state: DataFrame, keys: Seq[String],
+                      probeTs: String = "ts", stateTs: String = "ts",
+                      stateVals: Seq[String] = Seq("value"),
+                      prefix: String = "asof_",
+                      tolerance: Option[String] = None): DataFrame = {
+    val (u, filledCols) =
+      tagged(probes, state, keys, probeTs, stateTs, stateVals, prefix)
+    val (wB, wF) = (dirWindow(keys, backward = true),
+      dirWindow(keys, backward = false))
+    val both = u
+      .select(col("__ts") +: col("__side") +: col("__probe") +:
+        (filledCols.map(c =>
+          last(col(c), ignoreNulls = true).over(wB).as(s"__b_$c")) ++
+         filledCols.map(c =>
+          last(col(c), ignoreNulls = true).over(wF).as(s"__f_$c"))): _*)
+      .filter(col("__side") === 1)
+    val bounded = tolerance.fold(both) { t =>
+      // materialize both stale flags BEFORE any null-out: the first nulled
+      // column is the filled ts itself, which the predicates read
+      val flagged = both
+        .withColumn("__b_stale",
+          staleCheck(col(s"__b_$prefix$stateTs"), backward = true, t))
+        .withColumn("__f_stale",
+          staleCheck(col(s"__f_$prefix$stateTs"), backward = false, t))
+      val nb = filledCols.foldLeft(flagged)((df, c) => df.withColumn(s"__b_$c",
+        when(col("__b_stale"), lit(null)).otherwise(col(s"__b_$c"))))
+      filledCols.foldLeft(nb)((df, c) => df.withColumn(s"__f_$c",
+        when(col("__f_stale"), lit(null)).otherwise(col(s"__f_$c"))))
+    }
+    val bTs = col(s"__b_$prefix$stateTs")
+    val fTs = col(s"__f_$prefix$stateTs")
+    // epoch-seconds distance works for timestamp and numeric ts alike;
+    // ties choose backward (pandas' nearest contract)
+    val chooseB = fTs.isNull || (bTs.isNotNull &&
+      (col("__ts").cast("double") - bTs.cast("double") <=
+        fTs.cast("double") - col("__ts").cast("double")))
+    bounded.select(col("__probe.*") +:
+      filledCols.map(c =>
+        when(chooseB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)): _*)
   }
 }

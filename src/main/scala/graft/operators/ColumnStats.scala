@@ -96,4 +96,53 @@ object ColumnStats {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("n_distinct"))
   }
+
+  /** Pairwise Pearson correlation matrix in ONE aggregation pass — the
+    * feature-redundancy screen of dataset analysis, built from raw moment
+    * sums instead of the `corr` aggregate because streaming double sums
+    * are accumulation-order-dependent (not reproducible run to run, let
+    * alone engine to engine). Each column is quantized to integers by its
+    * `scale` (pick it so `Σx²` stays under 2^63: values·scale ≤ ~10^6 at
+    * ~10^9 rows), every moment (Σx, Σx², Σxy) is an EXACT long sum, and
+    * the textbook formula runs over the moments cast to double — so the
+    * result is deterministic bit-for-bit under any partitioning, and an
+    * engine replaying the same formula over the same parquet agrees
+    * exactly (q95's oracle does).
+    *
+    * Output: (col_a, col_b, n, corr) for every pair a < b in `cols`
+    * order; corr is null for a zero-variance side (ANSI-safe: guarded,
+    * not a division error).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Double)])
+      : DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val names = cols.map(_._1)
+    val q = df.select(cols.map { case (c, s) =>
+      round(col(c) * s).cast("long").as(c) }: _*)
+    val sums = names.flatMap(c => Seq(
+      sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c")))
+    val prods = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield sum(col(names(i)) * col(names(j)))
+      .as(s"sp_${names(i)}__${names(j)}")
+    val one = q.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    val pairRows = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield {
+      val (a, b) = (names(i), names(j))
+      val n = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      val sxx = col(s"ss_$a").cast("double")
+      val syy = col(s"ss_$b").cast("double")
+      val sxy = col(s"sp_${a}__$b").cast("double")
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        when(varx > 0 && vary > 0,
+          (n * sxy - sx * sy) / (sqrt(varx) * sqrt(vary))).as("corr"))
+    }
+    one.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr"))
+  }
 }

@@ -108,6 +108,13 @@ object Queries {
   private val StatsCols = Seq("l_orderkey", "l_quantity", "l_shipdate",
     "l_returnflag")
 
+  /** q95's (column, quantization scale) set — scales sized so every
+    * moment sum (Σx², Σxy) stays inside a 64-bit long at sf levels and
+    * beyond (see [[graft.operators.ColumnStats.correlationMatrix]]).
+    */
+  private val CorrCols = Seq(("l_quantity", 1.0), ("l_extendedprice", 1.0),
+    ("l_discount", 100.0))
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Q1: scan + filter + per-row projection (S2, F, P9) ────────────────
@@ -1822,6 +1829,17 @@ object Queries {
              |UNION ALL
              |SELECT 3, 'purchase_after_chain', n3 FROM c""".stripMargin)),
 
+    // ── Q95: pairwise Pearson correlation matrix
+    //         ([[graft.operators.ColumnStats.correlationMatrix]]) — raw
+    //         moment sums as EXACT longs (the `corr` aggregate's streaming
+    //         double sums are accumulation-order-dependent and can never
+    //         hash-match), textbook formula over the moments cast to
+    //         double; one aggregation pass for all pairs. ──────────────────
+    QueryDef("q95_correlation",
+      (s, dir) => graft.operators.ColumnStats.correlationMatrix(
+        t(s, dir, "lineitem"), CorrCols),
+      Some(corrOracleSql)),
+
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the
     //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).
@@ -1960,6 +1978,50 @@ object Queries {
          |       CAST(MAX($c) AS VARCHAR) AS max_str
          |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n")
+
+  /** q95's oracle: generated from the same [[CorrCols]] list — identical
+    * quantization, exact BIGINT moment sums (DuckDB widens to HUGEINT
+    * internally; every sum is CAST to DOUBLE before the formula, so the
+    * output schema stays Spark-emittable), and the identically-
+    * parenthesized textbook formula.
+    */
+  private lazy val corrOracleSql: String = {
+    val quant = CorrCols.map { case (c, s) =>
+      s"CAST(round($c * $s) AS BIGINT) AS $c" }.mkString(",\n         ")
+    val names = CorrCols.map(_._1)
+    val moments = (names.flatMap(c =>
+      Seq(s"SUM($c) AS s_$c", s"SUM($c * $c) AS ss_$c")) ++ (for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield s"SUM(${names(i)} * ${names(j)}) AS sp_${names(i)}__${names(j)}"))
+      .mkString(",\n         ")
+    val arms = (for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |       CASE WHEN (CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |                  - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0
+         |             AND (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |                  - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0
+         |            THEN (CAST(n AS DOUBLE) * CAST(sp_${a}__$b AS DOUBLE)
+         |                  - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |                 / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+         |                         - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |                    * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+         |                           - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |       END AS corr
+         |FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT $quant
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT COUNT(*) AS n,
+       |         $moments
+       |  FROM q
+       |)
+       |$arms""".stripMargin
+  }
 
   /** q89's oracle: the identical ISO-BMFF byte layout reconstructed with
     * big-endian hex arithmetic (brand hex embedded from [[Mp4Brands]]),

@@ -130,10 +130,19 @@ object StreamingEvents {
     * Output: (keyCol, every other left column `l_`-prefixed, every other
     * right column `r_`-prefixed). Replaying bounded streams equals the
     * batch interval join of the same frames (StreamingSpec).
+    *
+    * `joinType` "left_outer" additionally emits every UNMATCHED left row
+    * (null right columns) once the watermark proves no partner can still
+    * arrive — the abandoned-impression / unanswered-request feed. Outer
+    * results are therefore watermark-delayed by construction; inner
+    * matches still emit immediately.
     */
   def correlateStreams(left: DataFrame, right: DataFrame, keyCol: String,
                        tsCol: String = "ts", within: String = "30 minutes",
-                       watermark: String = "10 minutes"): DataFrame = {
+                       watermark: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType=$joinType: inner | left_outer (right_outer = swap the sides)")
     def prefixed(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) =>
         if (c == keyCol) d else d.withColumnRenamed(c, s"$p$c"))
@@ -141,7 +150,8 @@ object StreamingEvents {
     val r = prefixed(right, "r_").withWatermark(s"r_$tsCol", watermark)
     l.join(r, l(keyCol) === r(keyCol) &&
       col(s"r_$tsCol") >= col(s"l_$tsCol") &&
-      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $within"))
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $within"),
+      joinType)
       .drop(r(keyCol))
   }
 

@@ -212,6 +212,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bounded === Map(1L -> null, 2L -> 10.0, 3L -> 10.0, 4L -> 20.0, 5L -> null))
   }
 
+  test("asofJoin forward + asofJoinNearest: direction symmetry, tie to " +
+       "backward, per-side tolerance") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00"), 0.0), // before s1: fwd→s1, bwd→null
+      (2L, "k1", ts("2024-01-01 12:00:00"), 0.0), // midpoint s1/s2: tie → bwd s1
+      (3L, "k1", ts("2024-01-01 12:45:00"), 0.0), // closer to s2 → s2
+      (4L, "k1", ts("2024-01-01 15:00:00"), 0.0)) // after s2: fwd→null, bwd→s2
+      .toDF("id", "k", "ts", "v")
+    val state = Seq(
+      ("k1", ts("2024-01-01 11:00:00"), 10.0),    // s1
+      ("k1", ts("2024-01-01 13:00:00"), 20.0))    // s2
+      .toDF("k", "ts", "sv")
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) null else r.getDouble(5).asInstanceOf[Any])).toMap
+    val fwd = vals(graft.operators.AsofJoin.asofJoin(probes, state,
+      keys = Seq("k"), stateVals = Seq("sv"), direction = "forward"))
+    assert(fwd === Map(1L -> 10.0, 2L -> 20.0, 3L -> 20.0, 4L -> null))
+    val near = vals(graft.operators.AsofJoin.asofJoinNearest(probes, state,
+      keys = Seq("k"), stateVals = Seq("sv")))
+    assert(near === Map(1L -> 10.0, 2L -> 10.0, 3L -> 20.0, 4L -> 20.0))
+    // tolerance 30 min: probe 1 is 60 min from s1 → both sides out → null;
+    // probe 3 keeps s2 (15 min); probe 4 is 120 min past s2 → null
+    val nearTol = vals(graft.operators.AsofJoin.asofJoinNearest(probes, state,
+      keys = Seq("k"), stateVals = Seq("sv"), tolerance = Some("30 minutes")))
+    assert(nearTol === Map(1L -> null, 2L -> null, 3L -> 20.0, 4L -> null))
+  }
+
   test("intervalJoin: [start, end) boundaries, bucket-crossing, empty windows") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -115,6 +115,49 @@ class SearchStatsSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 1L), (1L, 12L, 0L), (2L, 11L, 1L)))
   }
 
+  test("correlationMatrix equals the textbook formula; zero variance → null") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val ys = Seq(2.0, 1.0, 4.0, 3.0, 6.0)
+    val df = xs.zip(ys).map { case (x, y) => (x, y, 7.0) }
+      .toDF("x", "y", "const")
+    val got = ColumnStats.correlationMatrix(df,
+      Seq(("x", 1.0), ("y", 1.0), ("const", 1.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    def ref(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size
+      val (sx, sy) = (a.sum, b.sum)
+      val (sxx, syy) = (a.map(v => v * v).sum, b.map(v => v * v).sum)
+      val sxy = a.zip(b).map { case (u, v) => u * v }.sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    assert(math.abs(got(("x", "y")).get - ref(xs, ys)) < 1e-12)
+    assert(got(("x", "const")).isEmpty, "zero-variance side must be null")
+    assert(got(("y", "const")).isEmpty)
+  }
+
+  test("round-7 operators survive empty inputs with their declared schemas") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bp = graft.operators.Boilerplate.stripCommonLines(emptyDocs, minDocs = 2)
+    assert(bp.count() === 0L && bp.columns.toSeq ===
+      Seq("doc_id", "n_lines", "n_removed", "clean_text"))
+    val fj = graft.operators.FuzzyJoin.selfPairsWithin(
+      Seq.empty[(Long, String)].toDF("id", "name"), maxDist = 1)
+    assert(fj.count() === 0L && fj.columns.toSeq === Seq("i", "j", "dist"))
+    val ps = TextSearch.phraseMatches(emptyDocs, "cat sat")
+    assert(ps.count() === 0L)
+    val cs = ColumnStats.collect(emptyDocs, Seq("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.isNullAt(4))).toSet
+    assert(cs === Set(("doc_id", 0L, 0L, true), ("text", 0L, 0L, true)))
+    val cm = ColumnStats.correlationMatrix(
+      Seq.empty[(Double, Double)].toDF("x", "y"),
+      Seq(("x", 1.0), ("y", 1.0))).collect()
+    assert(cm.length === 1 && cm(0).isNullAt(3),
+      "empty input → one pair row with null corr")
+  }
+
   test("columnStats exact=false tracks exact NDV within HLL error") {
     val df = (1 to 2000).map(i => (i.toLong, (i % 500).toString))
       .toDF("id", "bucket")

@@ -308,6 +308,40 @@ class StreamingSpec extends SparkSpec {
       ("u3", "i4", "c4")))
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched lefts after " +
+       "the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val li = MemoryStream[(Timestamp, String, String)]
+    val rc = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingEvents.correlateStreams(
+        li.toDF().toDF("ts", "user", "imp_id"),
+        rc.toDF().toDF("ts", "user", "click_id"),
+        keyCol = "user", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ss_left")
+      .outputMode("append").start()
+    try {
+      li.addData(Seq(
+        (ts("2024-01-01 10:00:00"), "u1", "i1"),   // will match
+        (ts("2024-01-01 10:00:00"), "u2", "i2")))  // never matches
+      rc.addData(Seq((ts("2024-01-01 10:10:00"), "u1", "c1")))
+      q.processAllAvailable()
+      // push both watermarks far past 10:30 so u2's window provably closed
+      li.addData(Seq((ts("2024-01-01 13:00:00"), "u9", "i9")))
+      rc.addData(Seq((ts("2024-01-01 13:00:00"), "u9", "c9")))
+      q.processAllAvailable()
+      li.addData(Seq((ts("2024-01-01 15:00:00"), "u9", "i10")))
+      rc.addData(Seq((ts("2024-01-01 15:00:00"), "u9", "c10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_left")
+      .select("user", "l_imp_id", "r_click_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull)).toSet
+    assert(rows.contains(("u1", "i1", "c1")), s"inner match missing: $rows")
+    assert(rows.contains(("u2", "i2", null)),
+      s"unmatched left must emit with null right after watermark: $rows")
+  }
+
   test("gap alerts: late rows behind the watermark are dropped; the query survives") {
     // Spark 4.1 filters flatMapGroupsWithState input with the CURRENT
     // watermark, so a 12:00 row arriving after the watermark reached 13:50

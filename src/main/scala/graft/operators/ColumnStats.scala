@@ -145,4 +145,50 @@ object ColumnStats {
     one.select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr"))
   }
+
+  /** Per-group ordinary-least-squares fit of `y` on `x` — the trend
+    * detector of monitoring pipelines (is this series drifting, and how
+    * fast?). Same exact-moment discipline as [[correlationMatrix]]: both
+    * sides quantized to integer longs, moments summed exactly, slope /
+    * intercept / r² computed from the moments cast to double — so the fit
+    * replays bit-for-bit under any partitioning. One hash aggregation.
+    *
+    * Output per group: (groupCols*, n, slope, intercept, r2) in ORIGINAL
+    * units (the quantization scales divide back out); slope/intercept
+    * null for degenerate groups (no x variance), r2 additionally null
+    * when y has no variance.
+    */
+  def groupRegression(df: DataFrame, groupCols: Seq[String],
+                      x: String, y: String,
+                      xScale: Double = 1.0, yScale: Double = 1.0)
+      : DataFrame = {
+    val q = df.select(
+      groupCols.map(col) ++ Seq(
+        round(col(x) * xScale).cast("long").as("__x"),
+        round(col(y) * yScale).cast("long").as("__y")): _*)
+    val m = q.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"),
+      sum(col("__x") * col("__y")).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    // quantized-unit slope = cov/varx; original units multiply by the
+    // scale ratio (x was scaled up by xScale → slope scales down)
+    val slopeQ = cov / varx
+    val slope = when(varx > 0, slopeQ * (xScale / yScale))
+    val intercept = when(varx > 0,
+      ((sy - slopeQ * sx) / n) / yScale)
+    val r2 = when(varx > 0 && vary > 0, (cov * cov) / (varx * vary))
+    m.select(groupCols.map(col) ++ Seq(col("n"), slope.as("slope"),
+      intercept.as("intercept"), r2.as("r2")): _*)
+  }
 }

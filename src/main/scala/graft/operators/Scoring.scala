@@ -37,6 +37,43 @@ object Scoring {
   private def tokens(docs: DataFrame, text: String): DataFrame =
     docs.select(col("doc_id"), explode(split(col(text), " ")).as("t"))
 
+  /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) over the
+    * unigram distributions — the mixture-drift monitor of a curation
+    * pipeline (a source whose token mix diverges from the corpus gets
+    * flagged before it skews training).
+    *
+    * Replay discipline (q48's contract, pushed through a weighted sum):
+    * each token's log-ratio is quantized to a 1e-6 integer and weighted
+    * by the INTEGER group count — the per-group sum is exact long
+    * arithmetic, order-independent — and only the final division returns
+    * to doubles. Plan: one explode → (group, token) counts; token totals
+    * and group totals derive from THAT aggregate (no second pass over the
+    * corpus); both side tables broadcast (vocabulary- and group-sized).
+    *
+    * Output: (groupCol, n_tokens, kl); kl ≥ 0 up to quantization, 0 for a
+    * group that matches the corpus mix exactly.
+    */
+  def tokenKlDivergence(docs: DataFrame, groupCol: String = "source",
+                        text: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(split(col(text), " ")).as("t"))
+    val cst = toks.groupBy("g", "t").agg(count(lit(1)).as("cst"))
+    val ct = cst.groupBy("t").agg(sum(col("cst")).as("ct"))
+    val ns = cst.groupBy("g").agg(sum(col("cst")).as("ns"))
+    val n = ns.agg(sum(col("ns")).as("n"))
+    cst.join(broadcast(ct), "t")
+      .join(broadcast(ns), "g")
+      .crossJoin(broadcast(n))
+      .select(col("g"), col("ns"),
+        (col("cst") *
+          round(log((col("cst") * col("n")) / (col("ns") * col("ct"))) * 1e6)
+            .cast("long")).as("term"))
+      .groupBy(col("g"))
+      .agg(first(col("ns")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("g").as(groupCol), col("n_tokens"),
+        (col("s") / 1e6 / col("n_tokens")).as("kl"))
+  }
+
   /** Per-document mean token log-probability under the corpus unigram
     * model, `round`-stabilized for cross-engine replay. Output:
     * (doc_id, n_tokens, lp) with lp = mean over tokens of

@@ -115,6 +115,14 @@ object Queries {
   private val CorrCols = Seq(("l_quantity", 1.0), ("l_extendedprice", 1.0),
     ("l_discount", 100.0))
 
+  /** q96's fixed dictionary — mid-frequency corpus words plus one token
+    * ("zeppelin") the corpus never contains, so the OOV path is exercised
+    * on BOTH kinds of misses. Ids are 1-based list positions, OOV = 0.
+    */
+  private val EncodeVocab = Seq("table", "value", "part", "key", "agg",
+    "row", "scan", "slow", "fast", "hash", "merge", "batch", "spark",
+    "line", "sort", "window", "data", "column", "join", "zeppelin")
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Q1: scan + filter + per-row projection (S2, F, P9) ────────────────
@@ -1840,6 +1848,28 @@ object Queries {
         t(s, dir, "lineitem"), CorrCols),
       Some(corrOracleSql)),
 
+    // ── Q96: vocabulary encoding ([[graft.operators.Vocabulary]]) — the
+    //         tokenize-to-ids step training consumes: broadcast
+    //         dictionary join over the exploded token stream, order-
+    //         preserving reassembly, OOV → 0 (the oracle replays the id
+    //         map as a CASE chain from the same vocab list). ───────────────
+    QueryDef("q96_vocab_encode",
+      (s, dir) => graft.operators.Vocabulary.encode(
+        t(s, dir, "documents"), EncodeVocab),
+      Some(vocabOracleSql)),
+
+    // ── Q97: per-group OLS trend
+    //         ([[graft.operators.ColumnStats.groupRegression]]) — value
+    //         regressed on hour-of-day per event type; q95's exact-moment
+    //         discipline applied to the fit, so slope/intercept/r² replay
+    //         bit-for-bit. One hash aggregation. ───────────────────────────
+    QueryDef("q97_group_regression",
+      (s, dir) => graft.operators.ColumnStats.groupRegression(
+        t(s, dir, "events")
+          .select(col("event_type"), hour(col("ts")).as("hx"), col("value")),
+        Seq("event_type"), "hx", "value", xScale = 1.0, yScale = 1000.0),
+      Some(regressionOracleSql)),
+
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the
     //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).
@@ -1978,6 +2008,59 @@ object Queries {
          |       CAST(MAX($c) AS VARCHAR) AS max_str
          |FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n")
+
+  /** q96's oracle: the id map replayed as a CASE chain generated from the
+    * same [[EncodeVocab]] list (1-based list positions, ELSE 0 for OOV).
+    */
+  private lazy val vocabOracleSql: String = {
+    val arms = EncodeVocab.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }.mkString(" ")
+    s"""WITH enc AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '),
+       |           x -> CASE x $arms ELSE 0 END) AS ids
+       |  FROM documents
+       |)
+       |SELECT doc_id, ids,
+       |       CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_oov
+       |FROM enc""".stripMargin
+  }
+
+  /** q97's oracle: the identical moment sums and the identically-
+    * parenthesized fit formulas (slopeQ is textually repeated — SQL has
+    * no lets — but it is the SAME expression over the same doubles, so
+    * every occurrence evaluates identically).
+    */
+  private lazy val regressionOracleSql: String = {
+    val n = "CAST(n AS DOUBLE)"
+    val sx = "CAST(sx AS DOUBLE)"
+    val sy = "CAST(sy AS DOUBLE)"
+    val sxx = "CAST(sxx AS DOUBLE)"
+    val syy = "CAST(syy AS DOUBLE)"
+    val sxy = "CAST(sxy AS DOUBLE)"
+    val varx = s"$n * $sxx - $sx * $sx"
+    val vary = s"$n * $syy - $sy * $sy"
+    val cov = s"$n * $sxy - $sx * $sy"
+    val slopeQ = s"($cov) / ($varx)"
+    s"""WITH q AS (
+       |  SELECT event_type,
+       |         CAST(round(hour(ts) * 1.0) AS BIGINT) AS x,
+       |         CAST(round(value * 1000.0) AS BIGINT) AS y
+       |  FROM events
+       |), m AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |       CASE WHEN ($varx) > 0
+       |            THEN ($slopeQ) * (1.0 / 1000.0) END AS slope,
+       |       CASE WHEN ($varx) > 0
+       |            THEN (($sy - ($slopeQ) * $sx) / $n) / 1000.0 END AS intercept,
+       |       CASE WHEN ($varx) > 0 AND ($vary) > 0
+       |            THEN (($cov) * ($cov)) / (($varx) * ($vary)) END AS r2
+       |FROM m""".stripMargin
+  }
 
   /** q95's oracle: generated from the same [[CorrCols]] list — identical
     * quantization, exact BIGINT moment sums (DuckDB widens to HUGEINT

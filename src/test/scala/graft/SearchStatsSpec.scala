@@ -158,6 +158,59 @@ class SearchStatsSpec extends SparkSpec {
       "empty input → one pair row with null corr")
   }
 
+  test("vocabulary: join encode ≡ expression encode; decode round-trips; " +
+       "OOV counted") {
+    val vocab = Seq("the", "cat", "sat", "dog")
+    val d = Seq((1L, "the cat sat"), (2L, "a cat barked"), (3L, "dog"))
+      .toDF("doc_id", "text")
+    val joined = graft.operators.Vocabulary.encode(d, vocab)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getLong(2)))
+      .toSet
+    assert(joined === Set(
+      (1L, Seq(1, 2, 3), 0L),
+      (2L, Seq(0, 2, 0), 2L),   // "a" and "barked" are OOV
+      (3L, Seq(4), 0L)))
+    val viaExpr = d.select(col("doc_id"),
+        graft.operators.Vocabulary.encodeExpr(split(col("text"), " "), vocab)
+          .as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(joined.map(t => t._1 -> t._2).toMap === viaExpr,
+      "broadcast-join and literal-map paths must agree")
+    val decoded = d.select(col("doc_id"),
+        array_join(graft.operators.Vocabulary.decodeExpr(
+          graft.operators.Vocabulary.encodeExpr(split(col("text"), " "), vocab),
+          vocab), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded === Map(1L -> "the cat sat", 2L -> "<unk> cat <unk>",
+      3L -> "dog"))
+  }
+
+  test("groupRegression recovers a known line per group; degenerate x → null") {
+    // group a: y = 3x + 5 exactly (r² = 1); group b: noisy line;
+    // group c: constant x (no fit possible)
+    val rows =
+      (0 to 10).map(x => ("a", x.toDouble, 3.0 * x + 5.0)) ++
+      Seq(("b", 0.0, 1.0), ("b", 1.0, 2.9), ("b", 2.0, 5.1), ("b", 3.0, 7.0)) ++
+      Seq(("c", 2.0, 1.0), ("c", 2.0, 9.0))
+    val df = rows.toDF("g", "x", "y")
+    val got = ColumnStats.groupRegression(df, Seq("g"), "x", "y",
+      xScale = 10.0, yScale = 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("a").getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(got("a").getDouble(3) - 5.0) < 1e-9)
+    assert(math.abs(got("a").getDouble(4) - 1.0) < 1e-9)
+    // driver-side OLS for the noisy group
+    val b = rows.filter(_._1 == "b").map(t => (t._2, t._3))
+    val n = b.size.toDouble
+    val (sx, sy) = (b.map(_._1).sum, b.map(_._2).sum)
+    val sxx = b.map(t => t._1 * t._1).sum
+    val sxy = b.map(t => t._1 * t._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(got("b").getDouble(2) - slope) < 1e-9)
+    assert(got("c").isNullAt(2) && got("c").isNullAt(3) && got("c").isNullAt(4),
+      "zero x-variance group must yield nulls")
+  }
+
   test("columnStats exact=false tracks exact NDV within HLL error") {
     val df = (1 to 2000).map(i => (i.toLong, (i % 500).toString))
       .toDF("id", "bucket")

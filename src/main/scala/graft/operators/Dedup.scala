@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -669,4 +670,94 @@ object Dedup {
       .select(col("j").as("doc_id")).distinct()
     unseen.join(dupOfExisting, Seq("doc_id"), "left_anti")
   }
+
+  /** Duplicated n-gram SPANS — the token-level view of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": memorized text recurs as long verbatim substrings,
+    * not whole-document copies). Every n-token shingle occurring at least
+    * `minCount` times ACROSS THE CORPUS (within-doc repeats included)
+    * marks its token range; overlapping or adjacent ranges merge into
+    * maximal spans per document — the regions a curation pipeline would
+    * cut or down-weight.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) with 0-based
+    * inclusive token indexes, ordered within a doc by span_start (starts
+    * are distinct per doc, so the merge windows are total-ordered and the
+    * result is partitioning-invariant).
+    *
+    * Scale shape: one scan builds (doc, pos, shingle) via the native
+    * [[graft.functions.WordShingles]] kernel; the duplicate-shingle set
+    * is one keyed aggregation; the hit join is a keyed equi-join on the
+    * shingle (`hashed = true` joins on `xxhash64` of the shingle instead
+    * of the string — the 100 TB path: 8-byte shuffle keys, collisions
+    * only ADD span coverage at ~2⁻⁶⁴); the merge windows are keyed by
+    * doc. Nothing global, nothing quadratic.
+    */
+  def duplicatedNgramSpans(docs: DataFrame, n: Int = 8, minCount: Int = 2,
+                           hashed: Boolean = false): DataFrame = {
+    require(n >= 1 && minCount >= 2,
+      s"need n >= 1 and minCount >= 2, got n=$n minCount=$minCount")
+    val shingle = TextFunctions.shingles(col("text"), n)
+    val occ = docs.select(col("doc_id"),
+      posexplode(shingle).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        (if (hashed) xxhash64(col("sh")) else col("sh")).as("k"))
+    val dup = occ.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("k"))
+    val hits = occ.join(dup, "k")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + n - 1).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("maxe", max(col("e")).over(prior))
+      .withColumn("fresh",
+        (col("maxe").isNull || col("s") > col("maxe") + 1).cast("long"))
+      .withColumn("island", sum(col("fresh")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** [[duplicatedNgramSpans]] as ANSI SQL for a DuckDB oracle (same
+    * shingling contract as [[graft.functions.WordShingles]], same window
+    * algebra; `n`/`minCount` interpolate from the Spark call's values).
+    */
+  def duplicatedNgramSpansOracleSql(table: String, n: Int = 8,
+                                    minCount: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM $table
+       |), occ AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, len(ts) - ${n - 2})) AS i,
+       |         ts
+       |  FROM toks
+       |), keyed AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(ts[i:i + ${n - 1}], ' ') AS sh
+       |  FROM occ
+       |), dup AS (
+       |  SELECT sh FROM keyed GROUP BY sh HAVING COUNT(*) >= $minCount
+       |), hits AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS s,
+       |         CAST(pos + ${n - 1} AS BIGINT) AS e
+       |  FROM keyed JOIN dup USING (sh)
+       |), marked AS (
+       |  SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS maxe
+       |  FROM hits
+       |), islands AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(CASE WHEN maxe IS NULL OR s > maxe + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked
+       |)
+       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       |       MAX(e) - MIN(s) + 1 AS span_tokens
+       |FROM islands GROUP BY doc_id, island""".stripMargin
 }

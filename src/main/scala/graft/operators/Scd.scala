@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (Type 2) history build from a change feed —
+  * the warehouse step that turns an event/CDC stream into validity
+  * intervals: one row per (key, attribute state) with
+  * `[valid_from, valid_to)` bounds and an `is_current` flag. Downstream
+  * as-of joins ([[AsOf]]) and point-in-time training-feature lookups
+  * consume exactly this shape (Kimball, The Data Warehouse Toolkit,
+  * ch. 5 — public methodology).
+  *
+  * Semantics:
+  *  - Changes order per key by (`orderCol`, `tieBreak`) — the tie-break
+  *    makes the build partitioning-invariant when two changes share a
+  *    timestamp (last writer in tie-break order wins the instant).
+  *  - Consecutive rows whose tracked attributes are UNCHANGED collapse
+  *    into one interval (a CDC feed re-stating the same value is a
+  *    no-op, not a new version).
+  *  - `valid_to` = next change's `valid_from`; null on the current row.
+  *
+  * Scale shape: two keyed windows over the same (key, order) partitioning
+  * — Catalyst plans ONE Exchange + ONE sort for both — then a filter.
+  * No joins, no global window; parallelism follows key cardinality.
+  */
+object Scd {
+
+  /** Build the Type-2 history. Output: keyCols*, attrCols*,
+    * (valid_from, valid_to, is_current) — one row per retained version.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], orderCol: String,
+           tieBreak: String, attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs at least one key column and one tracked attribute")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).asc, col(tieBreak).asc)
+    val state = struct(attrCols.map(col): _*)
+    // a version row survives iff its state differs from the previous
+    // change's state (the first change per key always survives)
+    val versioned = changes
+      .withColumn("__changed", !(lag(state, 1).over(w) <=> state))
+      .filter(col("__changed"))
+    // valid_to comes from the NEXT retained version — same partitioning,
+    // so the second window reuses the first's Exchange
+    versioned
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .select(keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+        col(orderCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** The same build as ANSI SQL for a DuckDB oracle (identical window
+    * algebra; interpolated column lists must match the Spark call).
+    */
+  def scd2OracleSql(table: String, keyCols: Seq[String], orderCol: String,
+                    tieBreak: String, attrCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    val attrs = attrCols.mkString(", ")
+    val state = if (attrCols.size == 1) attrCols.head
+                else s"ROW(${attrCols.mkString(", ")})"
+    s"""WITH ordered AS (
+       |  SELECT $keys, $attrs, $orderCol, $tieBreak,
+       |         LAG($state) OVER (PARTITION BY $keys
+       |                           ORDER BY $orderCol, $tieBreak) AS prev
+       |  FROM $table
+       |), versioned AS (
+       |  SELECT $keys, $attrs, $orderCol, $tieBreak FROM ordered
+       |  WHERE prev IS DISTINCT FROM $state
+       |)
+       |SELECT $keys, $attrs, $orderCol AS valid_from,
+       |       LEAD($orderCol) OVER (PARTITION BY $keys
+       |                             ORDER BY $orderCol, $tieBreak) AS valid_to,
+       |       LEAD($orderCol) OVER (PARTITION BY $keys
+       |                             ORDER BY $orderCol, $tieBreak) IS NULL
+       |         AS is_current
+       |FROM versioned""".stripMargin
+  }
+}

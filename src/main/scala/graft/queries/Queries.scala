@@ -978,7 +978,8 @@ object Queries {
              |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
              |  WHERE len(t) >= 3
              |)
-             |SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS uniq,
+             |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shingles,
+             |       CAST(COUNT(DISTINCT s) AS INTEGER) AS uniq,
              |       round(1.0 - COUNT(DISTINCT s) / COUNT(*), 6) AS rep
              |FROM sh GROUP BY 1""".stripMargin)),
 
@@ -994,7 +995,8 @@ object Queries {
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 3)
       },
-      Some("""SELECT event_type, event_id, value, rn FROM (
+      Some("""SELECT event_type, event_id, value, CAST(rn AS INTEGER) AS rn
+             |FROM (
              |  SELECT event_type, event_id, value,
              |         row_number() OVER (PARTITION BY event_type
              |                            ORDER BY value DESC, event_id ASC) AS rn
@@ -1108,12 +1110,13 @@ object Queries {
               |         || ' caffe' || chr(768) || '   u' || chr(776) || 'ber ' AS raw
               |  FROM documents
               |), c AS (
-              |  SELECT doc_id, LENGTH(raw) AS len_raw,
+              |  SELECT doc_id, CAST(LENGTH(raw) AS INTEGER) AS len_raw,
               |         nfc_normalize(trim(regexp_replace(regexp_replace(raw,
               |           '${TextFunctions.CtlPattern}', '', 'g'),
               |           '${TextFunctions.HSpacePattern}', ' ', 'g'))) AS clean
               |  FROM messy)
-              |SELECT doc_id, len_raw, clean, LENGTH(clean) AS len_clean FROM c""".stripMargin)),
+              |SELECT doc_id, len_raw, clean,
+              |       CAST(LENGTH(clean) AS INTEGER) AS len_clean FROM c""".stripMargin)),
 
     // ── Q63: hourly gap fill + forward fill — sparse observations
     //         (value > 100 keeps ~31% of spine hours) densified onto the
@@ -1262,7 +1265,7 @@ object Queries {
              |SELECT event_type, d, v,
              |       round(percent_rank() OVER w, 6) AS pr,
              |       round(cume_dist() OVER w, 6) AS cd,
-             |       ntile(4) OVER w AS quartile
+             |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
              |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY v, d)""".stripMargin)),
 
     // ── Q70: 7-day retention cohorts — of each day's active users, how
@@ -1869,6 +1872,85 @@ object Queries {
           .select(col("event_type"), hour(col("ts")).as("hx"), col("value")),
         Seq("event_type"), "hx", "value", xScale = 1.0, yScale = 1000.0),
       Some(regressionOracleSql)),
+
+    // ── Q98: per-source token-distribution drift
+    //         ([[graft.operators.Scoring.tokenKlDivergence]]) — KL(source
+    //         ‖ corpus) over unigram mixes, the drift monitor that flags a
+    //         source before it skews training. Log-ratio terms quantize to
+    //         1e-6 longs and weight by INTEGER counts, so the per-group
+    //         sum is exact and order-free; one explode feeds every
+    //         aggregate (corpus totals derive from the same counts). ──────
+    QueryDef("q98_token_kl",
+      (s, dir) => graft.operators.Scoring.tokenKlDivergence(
+        t(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+             |  FROM documents
+             |), cst AS (
+             |  SELECT g, t, COUNT(*) AS cst FROM toks GROUP BY 1, 2
+             |), ct AS (
+             |  SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM cst GROUP BY 1
+             |), ns AS (
+             |  SELECT g, CAST(SUM(cst) AS BIGINT) AS ns FROM cst GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns
+             |)
+             |SELECT g AS source, ns AS n_tokens,
+             |       CAST(SUM(cst * CAST(round(ln((cst * n) / (ns * ct)) * 1e6)
+             |                           AS BIGINT)) AS BIGINT)
+             |         / 1e6 / ns AS kl
+             |FROM cst JOIN ct USING (t) JOIN ns USING (g) CROSS JOIN tot
+             |GROUP BY g, ns""".stripMargin)),
+
+    // ── Q99: SCD Type-2 history build ([[graft.operators.Scd.scd2]]) —
+    //         the event feed becomes per-user validity intervals over the
+    //         tracked attribute (event_type), no-op re-statements
+    //         collapsed, ties broken by event_id so the build is
+    //         partitioning-invariant. Both windows share one Exchange. ────
+    QueryDef("q99_scd2_history",
+      (s, dir) => graft.operators.Scd.scd2(
+        t(s, dir, "events"), Seq("user_id"), "ts", "event_id",
+        Seq("event_type")),
+      Some(graft.operators.Scd.scd2OracleSql(
+        "events", Seq("user_id"), "ts", "event_id", Seq("event_type")))),
+
+    // ── Q100: duplicated n-gram spans
+    //          ([[graft.operators.Dedup.duplicatedNgramSpans]]) — exact
+    //          substring dedup's token-level output: every 5-gram seen
+    //          twice anywhere in the corpus marks its range; ranges merge
+    //          to maximal per-doc spans. Keyed joins + keyed windows. ─────
+    QueryDef("q100_dup_ngram_spans",
+      (s, dir) => graft.operators.Dedup.duplicatedNgramSpans(
+        t(s, dir, "documents"), n = 5, minCount = 2),
+      Some(graft.operators.Dedup.duplicatedNgramSpansOracleSql(
+        "documents", n = 5, minCount = 2))),
+
+    // ── Q101: balanced training-shard assignment
+    //          ([[graft.operators.Sharding.assignShards]]) — serpentine
+    //          deal over token-weight-descending global rank; the rank is
+    //          the distributed two-pass kind (range partition + keyed
+    //          row_number + per-partition offsets), never a one-partition
+    //          window. The oracle replays the same total order, so the
+    //          assignment matches rank-for-rank. ──────────────────────────
+    QueryDef("q101_shard_assign",
+      (s, dir) => graft.operators.Sharding.assignShards(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          numShards = 8, weight = col("n_tokens"), key = col("doc_id")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT doc_id, n_tokens,
+             |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+             |           AS r0
+             |  FROM w
+             |)
+             |SELECT doc_id, n_tokens,
+             |       CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 16
+             |                 ELSE 15 - (r0 % 16) END AS INTEGER) AS shard
+             |FROM ranked""".stripMargin)),
 
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the

@@ -116,6 +116,33 @@ class ScoringSpec extends SparkSpec {
     assert(out(6L) === ((None, None)))
   }
 
+  test("tokenKlDivergence: corpus-matching group scores 0; skewed group " +
+       "matches the hand formula; kl never negative") {
+    // corpus mix: x=10, y=2. Group a runs 3:1, group b all-x — both
+    // diverge from the 5:1 corpus, so both KLs are positive and equal
+    // the hand-quantized formula below.
+    val docs = Seq(
+      ("a", "x x x y"), ("a", "x x x y"),
+      ("b", "x x x x")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val r = Scoring.tokenKlDivergence(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // replicate the operator's quantized arithmetic exactly
+    def q(v: Double) = math.round(v * 1e6)
+    // corpus: 12 tokens, x=10, y=2. group a: 8 tokens, x=6, y=2.
+    val aTerm = 6 * q(math.log(6.0 * 12 / (8 * 10))) +
+                2 * q(math.log(2.0 * 12 / (8 * 2)))
+    val bTerm = 4 * q(math.log(4.0 * 12 / (4 * 10)))
+    assert(r("a") === ((8L, aTerm / 1e6 / 8)))
+    assert(r("b") === ((4L, bTerm / 1e6 / 4)))
+    assert(r("b")._2 > 0.0, "divergent group must have positive KL")
+    // identical-mix group is 0 up to quantization of exact log ratios
+    val uniform = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    Scoring.tokenKlDivergence(uniform).collect()
+      .foreach(x => assert(x.getDouble(2) === 0.0,
+        "group matching the corpus mix exactly must score 0"))
+  }
+
   private object Tables {
     def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)
   }

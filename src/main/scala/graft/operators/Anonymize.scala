@@ -281,4 +281,52 @@ object Anonymize {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
+
+  /** l-diversity audit — k-anonymity's follow-up (Machanavajjhala et al.
+    * 2007): a quasi-identifier group can be large (k-safe) yet leak the
+    * sensitive attribute anyway when every member shares the same value
+    * (homogeneity attack: "all 12 people in that group have the same
+    * diagnosis"). Flags every quasi group whose sensitive column carries
+    * fewer than `l` distinct values, with its size and diversity — the
+    * suppression/generalization worklist. One exact distinct-per-group
+    * aggregation: Catalyst expands to a two-phase partial-count plan, so
+    * the shuffle carries (quasi, sensitive) pairs, never rows.
+    */
+  def lDiversityAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
+                      l: Int): DataFrame = {
+    require(quasi.nonEmpty, "l-diversity needs at least one quasi-identifier column")
+    require(!quasi.contains(sensitive),
+      s"sensitive column '$sensitive' cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous), got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitive)).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
+
+  /** k-anonymity by suppression: drop every row whose (already
+    * generalized) quasi-identifier combination occurs fewer than `k`
+    * times, so the released table is k-anonymous by construction — the
+    * enforcement step downstream of [[kAnonymityAudit]]'s report. Callers
+    * generalize first (bin numerics, truncate codes) and pass the
+    * generalized columns as `quasi`; suppression is the residual for
+    * groups generalization could not rescue.
+    *
+    * Plan shape: one map-side-combined count keyed by the quasi columns,
+    * then an inner equi-join back on the same keys — both hash-partition
+    * identically, and AQE turns the join side into a broadcast when the
+    * surviving group list is small. Deliberately NOT a windowed count:
+    * a partition-only window buffers whole groups per task (a hot quasi
+    * combination becomes one giant task), while the agg+join shape keeps
+    * skew handling in AQE's hands.
+    */
+  def kAnonymizeSuppress(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "k-anonymization needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 keeps everything), got $k")
+    val safe = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__graft_gs"))
+      .filter(col("__graft_gs") >= k)
+      .select(quasi.map(col): _*)
+    df.join(safe, quasi)
+  }
 }

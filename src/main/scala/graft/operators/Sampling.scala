@@ -101,6 +101,34 @@ object Sampling {
     * head-of-partition take. One keyed window — partitions by group,
     * never global; a hot group costs one task sorting its own rows.
     */
+  /** Deterministic train/validation/test split: add a `split` label from
+    * the row's hash bucket, so membership is a pure function of the key —
+    * the same document lands in the same split on every run, engine, and
+    * partitioning, and a later incremental batch can NEVER leak a train
+    * row into test (the property `randomSplit` does not have: its
+    * assignment depends on partitioning and sampling seed state).
+    * `splits` maps label → bucket share out of `buckets`
+    * (e.g. Seq(("train", 98), ("val", 1), ("test", 1)) with buckets=100);
+    * labels assign by cumulative range in the given order. Shares must sum
+    * to `buckets`, so every row is labeled. Pure scan-side expression work
+    * — no shuffle, no state; the md5 bucket is the DuckDB-replayable
+    * oracle form ([[hashBucket]]), [[hashBucketXx]] the at-scale flavor.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  splits: Seq[(String, Int)], buckets: Int): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "assignSplit needs at least one (label, share) with positive shares")
+    require(splits.map(_._2).sum == buckets,
+      s"shares ${splits.map(_._2).mkString("+")} must sum to buckets=$buckets")
+    val b = hashBucket(key.cast("string"), buckets)
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(bounds).tail.foldLeft(
+      when(b < bounds.head, splits.head._1)) {
+        case (acc, ((name, _), hi)) => acc.when(b < hi, name)
+      }
+    df.withColumn("split", label)
+  }
+
   def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
     require(n >= 0, s"cap must be non-negative, got $n")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group)

@@ -1952,6 +1952,71 @@ object Queries {
              |                 ELSE 15 - (r0 % 16) END AS INTEGER) AS shard
              |FROM ranked""".stripMargin)),
 
+    // ── Q102: l-diversity audit
+    //          ([[graft.operators.Anonymize.lDiversityAudit]]) — the
+    //          homogeneity-attack check k-anonymity misses: quasi groups
+    //          (nation × segment) whose balance-band sensitive attribute
+    //          shows fewer than 6 distinct values. One distinct-per-group
+    //          aggregation; the floor(x/2000) band is the same IEEE
+    //          divide+floor on both engines. ───────────────────────────────
+    QueryDef("q102_l_diversity",
+      (s, dir) => Anonymize.lDiversityAudit(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 2000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 6),
+      Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+             |       COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+             |         AS distinct_sensitive
+             |FROM customer GROUP BY 1, 2
+             |HAVING COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 6""".stripMargin)),
+
+    // ── Q103: k-anonymity by suppression
+    //          ([[graft.operators.Anonymize.kAnonymizeSuppress]]) — the
+    //          ENFORCEMENT step downstream of q72's audit: generalize the
+    //          quasi identifiers (nation → 5-wide band, balance → 2000-wide
+    //          band), then drop every row whose generalized combination
+    //          still occurs fewer than 10 times. Count + keyed equi-join
+    //          back on the same keys; AQE broadcasts the survivor list. ────
+    QueryDef("q103_k_suppress",
+      (s, dir) => Anonymize.kAnonymizeSuppress(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_nationkey") / 5).cast("long").as("nat_band"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+        Seq("c_mktsegment", "nat_band", "bal_band"), k = 10),
+      Some("""WITH g AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |         CAST(floor(c_nationkey / 5) AS BIGINT) AS nat_band,
+             |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+             |  FROM customer
+             |), safe AS (
+             |  SELECT c_mktsegment, nat_band, bal_band FROM g
+             |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+             |)
+             |SELECT c_mktsegment, nat_band, bal_band, c_custkey
+             |FROM g JOIN safe USING (c_mktsegment, nat_band, bal_band)""".stripMargin)),
+
+    // ── Q104: deterministic train/val/test split
+    //          ([[graft.operators.Sampling.assignSplit]]) — membership is a
+    //          pure function of doc_id (8/1/1 by md5 bucket), so reruns and
+    //          incremental batches can never leak train rows into test the
+    //          way seed-and-partitioning `randomSplit` can. Scan-side
+    //          expression only; the oracle replays the identical bucket. ───
+    QueryDef("q104_split_assign",
+      (s, dir) => Sampling.assignSplit(
+          t(s, dir, "documents"), col("doc_id"),
+          Seq(("train", 8), ("val", 1), ("test", 1)), buckets = 10)
+        .select("doc_id", "lang", "split"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |              AS BIGINT) % 10 AS bk
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang,
+             |       CASE WHEN bk < 8 THEN 'train'
+             |            WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
+
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the
     //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).

@@ -185,4 +185,39 @@ class AnonymizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Anonymize.kAnonymityAudit(df, Seq("nation"), 1))
   }
+
+  test("lDiversityAudit: flags homogeneous groups a k-audit calls safe") {
+    // ("us","auto") is k=3-safe but every member shares diagnosis a —
+    // exactly the homogeneity leak l-diversity exists to catch.
+    val df = Seq(
+      ("us", "auto", "a"), ("us", "auto", "a"), ("us", "auto", "a"),
+      ("de", "auto", "a"), ("de", "auto", "b"), ("de", "auto", "c")
+    ).toDF("nation", "segment", "diag")
+    assert(Anonymize.kAnonymityAudit(df, Seq("nation", "segment"), k = 3)
+      .count() === 0L, "both groups are size 3 — k-audit must pass them")
+    val bad = Anonymize.lDiversityAudit(df, Seq("nation", "segment"), "diag", l = 3)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(bad === Map(("us", "auto") -> ((3L, 1L))))
+    intercept[IllegalArgumentException](
+      Anonymize.lDiversityAudit(df, Seq("diag"), "diag", 3))
+    intercept[IllegalArgumentException](
+      Anonymize.lDiversityAudit(df, Seq("nation"), "diag", 1))
+  }
+
+  test("kAnonymizeSuppress: released table is k-anonymous by construction") {
+    val df = Seq(
+      ("us", "auto", 1L), ("us", "auto", 2L), ("us", "auto", 3L),
+      ("us", "bike", 4L),
+      ("de", "auto", 5L), ("de", "auto", 6L)).toDF("nation", "segment", "id")
+    val out = Anonymize.kAnonymizeSuppress(df, Seq("nation", "segment"), k = 3)
+    assert(out.select("id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    assert(out.columns.sorted === Array("id", "nation", "segment"),
+      "suppression must not leak helper columns")
+    // the enforcement closes its own audit
+    assert(Anonymize.kAnonymityAudit(out, Seq("nation", "segment"), k = 3)
+      .count() === 0L)
+    intercept[IllegalArgumentException](
+      Anonymize.kAnonymizeSuppress(df, Seq("nation"), 1))
+  }
 }

@@ -122,6 +122,34 @@ class QuantilesSamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(docs, col("source"), col("doc_id"), 0).count() === 0L)
   }
 
+  test("assignSplit: total, partitioning-invariant, stable under corpus growth") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val splits = Seq(("train", 8), ("val", 1), ("test", 1))
+    val labeled = Sampling.assignSplit(docs, col("doc_id"), splits, buckets = 10)
+    val byLabel = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"),
+      "every row must receive one of the declared labels")
+    assert(byLabel.values.sum === docs.count())
+    assert(byLabel("train") > byLabel("val") + byLabel("test"),
+      "8/10 of buckets must dominate the split")
+    // pure function of the key: repartitioning changes nothing
+    val a = labeled.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplit(docs.repartition(7), col("doc_id"), splits, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // growth stability: a subset corpus assigns the same labels — the
+    // no-leak property randomSplit cannot give
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+    Sampling.assignSplit(subset, col("doc_id"), splits, 10)
+      .select("doc_id", "split").collect()
+      .foreach { r => assert(a(r.getLong(0)) === r.getString(1)) }
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, col("doc_id"), Seq(("train", 8)), 10))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, col("doc_id"), Seq.empty, 10))
+  }
+
   test("url helpers: domain, tld, path; non-URLs give empty strings") {
     val vectors = Seq(
       ("https://cdn3.example-en.org/p/42?ref=r1", "cdn3.example-en.org", "org", "/p/42"),

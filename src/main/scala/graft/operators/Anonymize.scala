@@ -329,4 +329,90 @@ object Anonymize {
       .select(quasi.map(col): _*)
     df.join(safe, quasi)
   }
+
+  /** t-closeness audit — the distribution-distance check after
+    * [[lDiversityAudit]] (Li et al. 2007): a group can be diverse yet
+    * still leak when its sensitive-value DISTRIBUTION differs sharply
+    * from the table's (skewness attack: "that group is mostly the rare
+    * diagnosis"). For an ORDINAL sensitive column, t-closeness measures
+    * Earth Mover's Distance; over an ordered discrete domain that is
+    * `EMD = Σᵢ |Σ_{j≤i} (q_j − p_j)| / (m−1)` with p the global and q the
+    * group distribution over the m domain values. Flags groups with
+    * EMD > t.
+    *
+    * Bitwise discipline: the cumulative term is kept in SCALED INTEGERS —
+    * `cnt_gv·N − cnt_v·n_g` — so the running sum is exact (while
+    * count·total fits 64-bit, i.e. well past any real quasi-group size);
+    * only the final normalization divides in doubles, rounded to 6.
+    *
+    * Plan shape: the sensitive domain and its global counts are one
+    * bounded aggregate broadcast against the per-group frame (the dense
+    * group×domain grid every zero-count cell needs), the per-cell counts
+    * shuffle once on (quasi, value), and the running window partitions by
+    * group — never a global window. Nothing fact-sized is collected.
+    */
+  def tClosenessAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
+                      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "t-closeness needs at least one quasi-identifier column")
+    require(!quasi.contains(sensitive),
+      s"sensitive column '$sensitive' cannot also be a quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val base = df.select(quasi.map(col) :+ col(sensitive).cast("long").as("__v"): _*)
+    val vals = base.groupBy(col("__v")).agg(count(lit(1)).as("__cnt_v"))
+    val tot = vals.agg(sum(col("__cnt_v")).as("__n"), count(lit(1)).as("__m"))
+    val groups = base.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+    val cells = base.groupBy(quasi.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cnt_gv"))
+    val grid = groups
+      .crossJoin(broadcast(vals.crossJoin(broadcast(tot))))
+      .join(cells, quasi :+ "__v", "left")
+      .withColumn("__d",
+        coalesce(col("__cnt_gv"), lit(0L)) * col("__n") -
+          col("__cnt_v") * col("group_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasi.map(col): _*).orderBy(col("__v"))
+    grid.withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(quasi.map(col) :+ col("group_size"): _*)
+      .agg(sum(abs(col("__run"))).as("__sabs"),
+        max(col("__n")).as("__nn"), max(col("__m")).as("__mm"))
+      .withColumn("emd", when(col("__mm") > 1,
+        round(col("__sabs").cast("double") /
+          (col("group_size").cast("double") * col("__nn") * (col("__mm") - 1)), 6))
+        .otherwise(lit(0.0)))
+      .filter(col("emd") > t)
+      .select(quasi.map(col) :+ col("group_size") :+ col("emd"): _*)
+  }
+
+  /** Differentially private count release — the Laplace mechanism (Dwork
+    * et al. 2006) over a group-by count (sensitivity 1, scale b = 1/ε),
+    * with DETERMINISTIC noise: the uniform draw is the group key's md5
+    * bucket, so the release is reproducible across runs, engines, and
+    * partitionings, and re-running never spends extra privacy budget on
+    * fresh draws for the same key (the "sticky noise" pattern). The
+    * inverse-CDF transform is
+    * `noise = −b·sign(u−½)·ln(1−2|u−½|)`, u uniform in (0,1); the
+    * released count is integer-rounded (post-processing — DP holds) and
+    * floored at 0. u = (bucket+½)/2²⁰ can never be exactly ½ or an
+    * endpoint, so the transform is total.
+    *
+    * One map-side-combined aggregation; the noise is a scan-side
+    * expression on the (already small) group frame. The 64-bit md5 lane
+    * matches DuckDB's replayable `md5` arithmetic ([[graft.operators.Sampling.hashBucket]]);
+    * integer rounding absorbs any last-ulp `ln` libm difference.
+    */
+  def dpNoisyCounts(df: DataFrame, keys: Seq[String], epsilon: Double,
+                    seed: String = "graft-dp"): DataFrame = {
+    require(keys.nonEmpty, "dpNoisyCounts needs at least one key column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val keyStr = concat_ws(":", lit(seed) +: keys.map(c => col(c).cast("string")): _*)
+    val u = ((element_at(graft.functions.GraftFunctions.md5_lanes(keyStr), 1)
+      % 1048576L).cast("double") + 0.5) / 1048576.0
+    val centered = u - 0.5
+    val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / epsilon
+    counts.select(keys.map(col) :+
+      greatest(round(col("__cnt") + noise, 0), lit(0.0)).cast("long")
+        .as("noisy_count"): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table statistics collection — the ANALYZE-TABLE half of a query engine:
@@ -190,5 +191,47 @@ object ColumnStats {
     val r2 = when(varx > 0 && vary > 0, (cov * cov) / (varx * vary))
     m.select(groupCols.map(col) ++ Seq(col("n"), slope.as("slope"),
       intercept.as("intercept"), r2.as("r2")): _*)
+  }
+
+  /** Benford first-digit audit — the fabricated-data screen (Newcomb
+    * 1881, Benford 1938): naturally occurring magnitudes spread over
+    * several orders put digit d first with probability log10(1+1/d);
+    * synthetic or tampered columns don't. Values are fixed-point money
+    * (`decimals` fractional digits): the first significant digit comes
+    * from exact integer/string arithmetic — `round(|v|·10^decimals)`
+    * rendered and truncated to its leading character — never from
+    * float log10, whose boundary behavior at powers of ten differs per
+    * libm. Rows rounding to 0 carry no leading digit and are excluded.
+    *
+    * Output per digit 1–9: observed count, expected count, the χ² term
+    * (obs−exp)²/exp, and the overall χ² statistic repeated on each row —
+    * summed ORDER-FREE by quantizing each term to 10⁻⁶ integers first
+    * (a raw double window sum would depend on row order). χ² ≥ 20.1
+    * rejects Benford at α=0.01 with 8 degrees of freedom.
+    *
+    * One hash aggregation over the digit (9 groups); the expected shares
+    * are a broadcast one-row total. Scale-safe by shape.
+    */
+  def benfordAudit(df: DataFrame, value: String, decimals: Int = 2)
+      : DataFrame = {
+    require(decimals >= 0, s"decimals must be non-negative, got $decimals")
+    val fixed = round(abs(col(value)) * math.pow(10, decimals)).cast("long")
+    val obs = df.select(fixed.as("__f")).filter(col("__f") >= 1L)
+      .select(substring(col("__f").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum(col("observed")).as("__n"))
+    val expShare = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    val t = obs.crossJoin(broadcast(tot))
+      .withColumn("expected", round(col("__n") * expShare, 4))
+      .withColumn("chi2_term",
+        round(pow(col("observed") - col("__n") * expShare, 2) /
+          (col("__n") * expShare), 6))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.withColumn("chi2",
+        (sum(round(col("chi2_term") * 1e6, 0).cast("long")).over(w)
+          .cast("double") / 1e6))
+      .select(col("digit"), col("observed"), col("expected"),
+        col("chi2_term"), col("chi2"))
   }
 }

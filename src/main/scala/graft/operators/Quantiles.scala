@@ -63,6 +63,38 @@ object Quantiles {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group winsorization — clip values into the group's
+    * [loP, hiP] exact-quantile band, the outlier treatment that (unlike
+    * dropping) keeps row counts and (unlike mean-imputation) keeps rank
+    * order. Defaults clip at the 1/16 and 15/16 quantiles ("hexadecile"
+    * winsorization): binary-exact probs, so the bounds — and therefore
+    * the clipped values — are bitwise-identical across engines (see
+    * object doc; 5%/95% would differ in the last ulp between
+    * interpolation algebras).
+    *
+    * Two passes over the input (quantiles cannot stream): a per-group
+    * exact-percentile aggregate (bounded: one row per group), broadcast
+    * back onto the fact scan, then a codegen'd `least/greatest` clip. At
+    * scale swap the bounds frame to [[groupQuantilesApprox]]'s sketch —
+    * same join shape. Output keeps every input column, adds the clipped
+    * `<value>_w`, the group bounds `lo`/`hi`, and a `clipped` flag.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: String,
+                loP: Double = 0.0625, hiP: Double = 0.9375,
+                scale: Double = 1000.0): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(loP > 0 && hiP < 1 && loP < hiP,
+      s"need 0 < loP < hiP < 1, got ($loP, $hiP)")
+    val v = quantized(col(value), scale)
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(
+      (percentile(v, lit(loP)) / scale).as("lo"),
+      (percentile(v, lit(hiP)) / scale).as("hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${value}_w",
+        least(greatest(col(value), col("lo")), col("hi")))
+      .withColumn("clipped", col(value) < col("lo") || col(value) > col("hi"))
+  }
+
   /** `0.25 -> p25`, `0.5 -> p50`, `0.125 -> p12_5`, `0.0625 -> p6_25`.
     * Binary-exact fractions have terminating (and short) decimal
     * expansions, so the name is exact — the fractional part, when present,

@@ -2017,6 +2017,129 @@ object Queries {
              |            WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
              |FROM b""".stripMargin)),
 
+    // ── Q105: t-closeness audit
+    //          ([[graft.operators.Anonymize.tClosenessAudit]]) — the
+    //          distribution-distance check after q102's l-diversity: nation
+    //          groups whose balance-band distribution sits farther than
+    //          t=0.04 EMD from the table's. The cumulative EMD term is
+    //          scaled-integer exact; only the final normalization divides
+    //          in doubles (round 6), replayed identically by the oracle. ───
+    QueryDef("q105_t_closeness",
+      (s, dir) => Anonymize.tClosenessAudit(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 2000).cast("long")),
+        Seq("c_nationkey"), "bal_band", t = 0.04),
+      Some("""WITH base AS (
+             |  SELECT c_nationkey, CAST(floor(c_acctbal/2000) AS BIGINT) AS v
+             |  FROM customer
+             |), vals AS (SELECT v, COUNT(*) AS cnt_v FROM base GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt_v) AS BIGINT) AS n_tot,
+             |               COUNT(*) AS m FROM vals),
+             |groups AS (SELECT c_nationkey, COUNT(*) AS group_size
+             |           FROM base GROUP BY 1),
+             |cells AS (SELECT c_nationkey, v, COUNT(*) AS cnt_gv
+             |          FROM base GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT g.c_nationkey, g.group_size, vt.v, vt.cnt_v, vt.n_tot,
+             |         vt.m, COALESCE(c.cnt_gv, 0) AS cnt_gv
+             |  FROM groups g
+             |  CROSS JOIN (SELECT * FROM vals, tot) vt
+             |  LEFT JOIN cells c
+             |    ON c.c_nationkey = g.c_nationkey AND c.v = vt.v
+             |), run AS (
+             |  SELECT c_nationkey, group_size, n_tot, m,
+             |         CAST(SUM(cnt_gv * n_tot - cnt_v * group_size)
+             |              OVER (PARTITION BY c_nationkey ORDER BY v)
+             |              AS BIGINT) AS r
+             |  FROM grid)
+             |SELECT c_nationkey, group_size,
+             |       ROUND(CAST(SUM(ABS(r)) AS BIGINT) /
+             |             (CAST(group_size AS DOUBLE) * MAX(n_tot) * (MAX(m) - 1)),
+             |             6) AS emd
+             |FROM run GROUP BY 1, 2
+             |HAVING ROUND(CAST(SUM(ABS(r)) AS BIGINT) /
+             |             (CAST(group_size AS DOUBLE) * MAX(n_tot) * (MAX(m) - 1)),
+             |             6) > 0.04""".stripMargin)),
+
+    // ── Q106: differentially private count release
+    //          ([[graft.operators.Anonymize.dpNoisyCounts]]) — per-nation
+    //          customer counts released through the Laplace mechanism at
+    //          ε=1.0, with the uniform draw derived from the group key's
+    //          md5 bucket (sticky, rerun-stable noise). Integer rounding
+    //          makes the release bitwise even if `ln` differs in the last
+    //          ulp between libms. ──────────────────────────────────────────
+    QueryDef("q106_dp_counts",
+      (s, dir) => Anonymize.dpNoisyCounts(
+        t(s, dir, "customer"), Seq("c_nationkey"), epsilon = 1.0),
+      Some("""WITH c AS (
+             |  SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY 1
+             |), u AS (
+             |  SELECT c_nationkey, cnt,
+             |         (CAST(('0x' || substr(md5('graft-dp:' ||
+             |            CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             |          % 1048576 + 0.5) / 1048576.0 AS uu
+             |  FROM c)
+             |SELECT c_nationkey,
+             |       CAST(greatest(round(cnt - sign(uu - 0.5) *
+             |              ln(1 - 2 * abs(uu - 0.5)) / 1.0), 0) AS BIGINT)
+             |         AS noisy_count
+             |FROM u""".stripMargin)),
+
+    // ── Q107: Benford first-digit audit
+    //          ([[graft.operators.ColumnStats.benfordAudit]]) — the
+    //          fabricated-data screen over l_extendedprice: first
+    //          significant digit via exact fixed-point string arithmetic
+    //          (never float log10), χ² vs log10(1+1/d) summed order-free
+    //          through 1e-6 quantization. ──────────────────────────────────
+    QueryDef("q107_benford",
+      (s, dir) => graft.operators.ColumnStats.benfordAudit(
+        t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""WITH f AS (
+             |  SELECT CAST(round(abs(l_extendedprice) * 100) AS BIGINT) AS v
+             |  FROM lineitem
+             |), obs AS (
+             |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             |         COUNT(*) AS observed
+             |  FROM f WHERE v >= 1 GROUP BY 1
+             |), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+             |terms AS (
+             |  SELECT digit, observed,
+             |         ROUND(n * log10(1 + 1.0/digit), 4) AS expected,
+             |         ROUND(pow(observed - n * log10(1 + 1.0/digit), 2) /
+             |               (n * log10(1 + 1.0/digit)), 6) AS chi2_term
+             |  FROM obs CROSS JOIN tot)
+             |SELECT digit, observed, expected, chi2_term,
+             |       CAST(SUM(CAST(round(chi2_term * 1e6) AS BIGINT)) OVER ()
+             |            AS BIGINT) / 1e6 AS chi2
+             |FROM terms""".stripMargin)),
+
+    // ── Q108: per-group winsorization
+    //          ([[graft.operators.Quantiles.winsorize]]) — clip event
+    //          values into each event_type's [1/16, 15/16] exact-quantile
+    //          band (binary-exact probs ⇒ bitwise-identical bounds across
+    //          engines, q45's discipline); keeps row count, flags the
+    //          clipped tails. ─────────────────────────────────────────────
+    QueryDef("q108_winsorize",
+      (s, dir) => Quantiles.winsorize(
+          t(s, dir, "events"), Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value_r"),
+          round(col("value_w"), 6).as("value_w"),
+          col("lo"), col("hi"), col("clipped")),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |         quantile_cont(CAST(round(value * 1000.0) AS DOUBLE), 0.0625)
+             |           / 1000.0 AS lo,
+             |         quantile_cont(CAST(round(value * 1000.0) AS DOUBLE), 0.9375)
+             |           / 1000.0 AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type,
+             |       ROUND(e.value, 6) AS value_r,
+             |       ROUND(least(greatest(e.value, b.lo), b.hi), 6) AS value_w,
+             |       b.lo, b.hi,
+             |       (e.value < b.lo OR e.value > b.hi) AS clipped
+             |FROM events e JOIN b USING (event_type)""".stripMargin)),
+
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the
     //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).

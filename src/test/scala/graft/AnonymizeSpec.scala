@@ -205,6 +205,52 @@ class AnonymizeSpec extends SparkSpec {
       Anonymize.lDiversityAudit(df, Seq("nation"), "diag", 1))
   }
 
+  test("tClosenessAudit: flags the skewed group a diversity audit passes") {
+    // both groups show all 3 sensitive values (l=3-diverse), but "skew"
+    // concentrates on value 0 while the table is near-uniform — exactly
+    // the skewness leak t-closeness exists to catch
+    val rows = Seq.fill(8)(("skew", 0L)) ++ Seq(("skew", 1L), ("skew", 2L)) ++
+      (0 until 30).map(i => ("flat", (i % 3).toLong))
+    val df = rows.toDF("g", "v")
+    assert(Anonymize.lDiversityAudit(df, Seq("g"), "v", l = 3).count() === 0L,
+      "both groups are 3-diverse — the l-audit must pass them")
+    val flagged = Anonymize.tClosenessAudit(df, Seq("g"), "v", t = 0.1)
+      .collect().map(r => r.getString(0)).toSet
+    assert(flagged === Set("skew"))
+    // identical-to-global distribution ⇒ EMD 0 ⇒ never flagged
+    assert(Anonymize.tClosenessAudit(
+      (0 until 12).map(i => ("a", (i % 3).toLong)).toDF("g", "v"),
+      Seq("g"), "v", t = 0.0001).count() === 0L)
+    intercept[IllegalArgumentException](
+      Anonymize.tClosenessAudit(df, Seq("v"), "v", 0.1))
+    intercept[IllegalArgumentException](
+      Anonymize.tClosenessAudit(df, Seq("g"), "v", 0.0))
+  }
+
+  test("dpNoisyCounts: deterministic, bounded, epsilon-scaled noise") {
+    val df = (0 until 1000).map(i => (i % 40).toLong -> i).toDF("k", "x")
+    val rel = Anonymize.dpNoisyCounts(df, Seq("k"), epsilon = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel.size === 40)
+    // rerun + repartition: identical release (sticky noise, no fresh draws)
+    val rel2 = Anonymize.dpNoisyCounts(df.repartition(7), Seq("k"), 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel === rel2)
+    // every count is 25; |noise| <= ln(2^20)/eps ~ 13.87, and not all zero
+    assert(rel.values.forall(v => math.abs(v - 25L) <= 14L))
+    assert(rel.values.exists(_ !== 25L), "some keys must actually be noised")
+    // 10x epsilon shrinks the total absolute perturbation ~10x
+    val tight = Anonymize.dpNoisyCounts(df, Seq("k"), epsilon = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val err = (m: Map[Long, Long]) => m.values.map(v => math.abs(v - 25L)).sum
+    assert(err(tight) < err(rel))
+    // tiny epsilon: the 0-floor holds (noise can exceed the count)
+    val loose = Anonymize.dpNoisyCounts(df, Seq("k"), epsilon = 0.1)
+    assert(loose.collect().forall(_.getLong(1) >= 0L))
+    intercept[IllegalArgumentException](
+      Anonymize.dpNoisyCounts(df, Seq("k"), 0.0))
+  }
+
   test("kAnonymizeSuppress: released table is k-anonymous by construction") {
     val df = Seq(
       ("us", "auto", 1L), ("us", "auto", 2L), ("us", "auto", 3L),

@@ -150,6 +150,28 @@ class QuantilesSamplingSpec extends SparkSpec {
       Sampling.assignSplit(docs, col("doc_id"), Seq.empty, 10))
   }
 
+  test("winsorize: clips into the group band, keeps rows and rank order") {
+    // group "a": 0..16 -> 1/16 quantile = 1.0, 15/16 = 15.0
+    val df = ((0 to 16).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))).toDF("g", "v")
+    val out = Quantiles.winsorize(df, Seq("g"), "v")
+    assert(out.count() === df.count(), "winsorization never drops rows")
+    val a = out.filter(col("g") === "a")
+      .select("v", "v_w", "clipped")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(a.head === ((0.0, 1.0, true)), "low tail clips up to the 1/16 bound")
+    assert(a.last === ((16.0, 15.0, true)), "high tail clips down")
+    assert(a.count(_._3) === 2, "only the tails clip")
+    // interior values pass through untouched and order is preserved
+    assert(a.map(_._2).sorted === a.map(_._2))
+    a.filter(!_._3).foreach { case (v, w, _) => assert(v === w) }
+    intercept[IllegalArgumentException](
+      Quantiles.winsorize(df, Seq.empty, "v"))
+    intercept[IllegalArgumentException](
+      Quantiles.winsorize(df, Seq("g"), "v", loP = 0.9, hiP = 0.1))
+  }
+
   test("url helpers: domain, tld, path; non-URLs give empty strings") {
     val vectors = Seq(
       ("https://cdn3.example-en.org/p/42?ref=r1", "cdn3.example-en.org", "org", "/p/42"),

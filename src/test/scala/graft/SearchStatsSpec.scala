@@ -156,6 +156,21 @@ class SearchStatsSpec extends SparkSpec {
       Seq(("x", 1.0), ("y", 1.0))).collect()
     assert(cm.length === 1 && cm(0).isNullAt(3),
       "empty input → one pair row with null corr")
+    val emptyGV = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(ColumnStats.benfordAudit(emptyGV, "v").count() === 0L)
+    assert(graft.operators.Quantiles.winsorize(emptyGV, Seq("g"), "v")
+      .count() === 0L)
+    assert(graft.operators.Anonymize.tClosenessAudit(
+      emptyGV.select(col("g"), col("v").cast("long").as("v")),
+      Seq("g"), "v", t = 0.1).count() === 0L)
+    assert(graft.operators.Anonymize.dpNoisyCounts(emptyGV, Seq("g"), 1.0)
+      .count() === 0L)
+    assert(graft.operators.Anonymize.lDiversityAudit(
+      emptyGV, Seq("g"), "v", l = 2).count() === 0L)
+    assert(graft.operators.Anonymize.kAnonymizeSuppress(
+      emptyGV, Seq("g"), k = 2).count() === 0L)
+    assert(graft.operators.Sampling.assignSplit(emptyGV, col("g"),
+      Seq(("train", 9), ("test", 1)), 10).count() === 0L)
   }
 
   test("vocabulary: join encode ≡ expression encode; decode round-trips; " +
@@ -218,5 +233,29 @@ class SearchStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(math.abs(approx("id") - 2000.0) / 2000.0 < 0.1)
     assert(math.abs(approx("bucket") - 500.0) / 500.0 < 0.1)
+  }
+
+  test("benfordAudit: log-spread data passes, uniform-magnitude data fails") {
+    // multiplicative growth spans orders of magnitude ⇒ Benford-ish
+    val benford = (0 until 2000).map(i => math.pow(1.01, i) * 1.37)
+      .toDF("v")
+    val ok = ColumnStats.benfordAudit(benford, "v")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(ok.keySet === (1 to 9).toSet)
+    val chi2 = ok(1).getDouble(4)
+    assert(ok.values.forall(_.getDouble(4) === chi2),
+      "the overall statistic must repeat identically on every row")
+    assert(chi2 < 20.1, s"geometric data must pass Benford, chi2=$chi2")
+    // digit-1 share ~ 30.1%
+    val n = ok.values.map(_.getLong(1)).sum.toDouble
+    assert(math.abs(ok(1).getLong(1) / n - 0.301) < 0.03)
+    // uniform on [100, 1000): every first digit equally likely ⇒ reject
+    val uniform = (0 until 1800).map(i => 100.0 + (i % 900)).toDF("v")
+    val badChi2 = ColumnStats.benfordAudit(uniform, "v")
+      .collect().head.getDouble(4)
+    assert(badChi2 > 20.1, s"uniform magnitudes must fail Benford, chi2=$badChi2")
+    // values rounding to zero carry no digit and are excluded
+    assert(ColumnStats.benfordAudit(Seq(0.0, 0.001, -0.004).toDF("v"), "v")
+      .count() === 0L)
   }
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge DataFrames — the entity-importance
+  * half of link analysis ([[Dedup.connectedComponents]] is the
+  * partitioning half).
+  *
+  * [[pageRank]] runs the classic damped random-surfer recurrence
+  * (Brin & Page 1998) for a FIXED number of iterations in SCALED-INTEGER
+  * arithmetic: ranks are longs at `scale` units per node of initial mass,
+  * per-edge shares are floor divisions, and the damping factor is the
+  * rational 85/100 — so every sum is order-free, the result is
+  * bit-identical under any partitioning, and an engine replaying the same
+  * recurrence over the same edges agrees exactly (q109's oracle unrolls
+  * the five iterations as chained CTEs). Floating-point PageRank cannot
+  * make that promise: its per-node sums accumulate in whatever order the
+  * shuffle delivers.
+  *
+  * Per iteration (all keyed joins/aggregations, nothing collected):
+  *   share(u)  = r(u) div outdeg(u)            — u with out-edges
+  *   inflow(v) = Σ_{u→v} share(u)              — one shuffle keyed by dst
+  *   dmass     = Σ_{outdeg(u)=0} r(u)          — dangling mass, one row
+  *   r'(v)     = 15·scale div 100 + (85·(inflow(v) + dmass div N)) div 100
+  *
+  * Each generation is cut from its lineage exactly as
+  * [[Dedup.connectedComponents]] cuts label tables: a reliable checkpoint
+  * when `sc.setCheckpointDir` is set (cluster-safe: an executor loss
+  * mid-iteration replays from files, not from the whole prefix of
+  * iterations), else an eager `localCheckpoint`; the superseded
+  * generation's blocks/files are freed immediately. One job per
+  * iteration.
+  *
+  * Overflow bound: `85 · N · scale` must fit a long — at the default
+  * scale=10⁹ that is ~10⁸ nodes; larger graphs pass a smaller `scale`
+  * (rank resolution trades against node count). Enforced, not assumed.
+  */
+object Graph {
+
+  /** @param edges directed edges with `src` and `dst` columns (integral
+    *              node ids); duplicates are collapsed before ranking
+    * @return (node, r) — every node's integer rank after `iterations`
+    *         rounds, Σr ≈ N·scale minus deterministic floor losses
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val c = p.checkpoint(true)
+        p.unpersist(false)
+        c
+      } else df.localCheckpoint(true)
+    def freeGeneration(df: DataFrame): Unit =
+      if (reliable) df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
+      else df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank needs a non-empty edge set")
+      require(n <= Long.MaxValue / scale / 100L,
+        s"85*N*scale overflows a long at N=$n, scale=$scale — lower scale")
+      val base = 15L * scale / 100L
+      var ranks = cut(nodes.withColumn("r", lit(scale)))
+      for (_ <- 1 to iterations) {
+        val withDeg = ranks.join(outdeg, Seq("node"), "left")
+        val shares = withDeg.filter(col("outdeg").isNotNull)
+          .select(col("node").as("src"), expr("r div outdeg").as("share"))
+        val inflow = e.join(shares, "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("share")).as("inflow"))
+        val dangling = withDeg.filter(col("outdeg").isNull)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        val prev = ranks
+        ranks = cut(nodes
+          .join(inflow, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit(base) + expr(
+              s"(85L * (coalesce(inflow, 0L) + dmass div ${n}L)) div 100L"))
+              .as("r")))
+        freeGeneration(prev)
+      }
+      ranks
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    }
+  }
+}

@@ -2140,6 +2140,28 @@ object Queries {
              |       (e.value < b.lo OR e.value > b.hi) AS clipped
              |FROM events e JOIN b USING (event_type)""".stripMargin)),
 
+    // ── Q109: PageRank over the supplier↔customer trade graph
+    //          ([[graft.operators.Graph.pageRank]]) — 5 iterations of the
+    //          damped recurrence in scaled-integer arithmetic (order-free
+    //          sums, partitioning-invariant, engine-replayable); the
+    //          oracle unrolls the iterations as chained CTEs running the
+    //          IDENTICAL integer recurrence. Node ids: supplier s → 2s,
+    //          customer c → 2c+1; edges both directions of "supplier
+    //          shipped to customer". ─────────────────────────────────────
+    QueryDef("q109_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_custkey"))
+        val sc = li.join(ord, "ok")
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        val edges = sc.union(sc.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRank(edges, iterations = 5)
+      },
+      Some(pageRankOracleSql(5))),
+
     // ── Q93: robust outlier audit — per-group median/MAD (the
     //         estimator outliers can't poison, unlike mean/stddev) and the
     //         0.6745-scaled modified z-score flag at 3.5 (Iglewicz–Hoaglin).
@@ -2892,6 +2914,43 @@ object Queries {
        |       ROUND(list_cosine_similarity(c.v, f.v), 6) AS cos
        |FROM c JOIN f USING (cid)
        |WHERE ROUND(list_cosine_similarity(c.v, f.v), 6) >= 0.2""".stripMargin
+  }
+
+  /** q109's oracle: the identical scaled-integer PageRank recurrence,
+    * unrolled one CTE pair per iteration (DuckDB's recursive CTEs forbid
+    * the aggregation each round needs). `//` is DuckDB's floor division =
+    * Spark's `div` on the non-negative operands used here; every windowless
+    * SUM is cast back to BIGINT (HUGEINT lint discipline).
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      val p = s"r${k - 1}"
+      s"""sh$k AS (
+         |  SELECT o.node, r // outdeg AS share
+         |  FROM $p JOIN outdeg o USING (node)),
+         |in$k AS (
+         |  SELECT e.dst AS node, CAST(SUM(s.share) AS BIGINT) AS inflow
+         |  FROM e JOIN sh$k s ON e.src = s.node GROUP BY 1),
+         |dg$k AS (
+         |  SELECT COALESCE(CAST(SUM($p.r) AS BIGINT), 0) AS dmass
+         |  FROM $p LEFT JOIN outdeg o USING (node) WHERE o.node IS NULL),
+         |r$k AS (
+         |  SELECT nd.node,
+         |         CAST(150000000 + (85 * (COALESCE(i.inflow, 0) +
+         |           (SELECT dmass FROM dg$k) // (SELECT n FROM nc))) // 100
+         |           AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN in$k i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sc AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT COUNT(*) AS n FROM nodes),
+       |outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT node, r FROM r$iterations""".stripMargin
   }
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -2266,7 +2266,123 @@ object Queries {
              |FROM bigrams b
              |JOIN uni u1 ON b.w1 = u1.w
              |JOIN uni u2 ON b.w2 = u2.w, nt
-             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ── Q110: retention cohort matrix — the classic growth-analytics
+    //          triangle: cohort = month of a customer's FIRST order; for
+    //          every (cohort, months-since) cell, distinct returning
+    //          customers and the retention ratio vs the cohort's own size.
+    //          First-order month is one keyed aggregation; the join back is
+    //          on the same key (co-partitioned, AQE turns it broadcast when
+    //          the cohort map is small); cohort sizes (≤ #months rows)
+    //          broadcast. months_between on month-truncated stamps is an
+    //          exact integer, replayed in DuckDB as explicit year/month
+    //          arithmetic. Ratio rounded to 6dp (exact division of small
+    //          ints — the round is belt-and-braces). ──────────────────────
+    QueryDef("q110_retention_cohort",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey").as("cust"),
+          trunc(col("o_orderdate"), "month").as("m"))
+        val firsts = o.groupBy("cust").agg(min(col("m")).as("cohort"))
+        val cells = o.join(firsts, "cust")
+          .select(col("cohort"), col("cust"),
+            months_between(col("m"), col("cohort")).cast("long")
+              .as("months_since"))
+          .groupBy("cohort", "months_since")
+          .agg(countDistinct(col("cust")).as("n_custs"))
+        val sizes = cells.filter(col("months_since") === 0)
+          .select(col("cohort"), col("n_custs").as("cohort_size"))
+        cells.join(broadcast(sizes), "cohort")
+          .select(col("cohort"), col("months_since"), col("n_custs"),
+            (round(col("n_custs").cast("double") / col("cohort_size") * 1e6)
+              / 1e6).as("retention"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust, date_trunc('month', o_orderdate) AS m
+             |  FROM orders
+             |), f AS (
+             |  SELECT cust, MIN(m) AS cohort FROM o GROUP BY 1
+             |), cells AS (
+             |  SELECT f.cohort,
+             |         CAST(12 * (year(o.m) - year(f.cohort))
+             |              + (month(o.m) - month(f.cohort)) AS BIGINT)
+             |           AS months_since,
+             |         COUNT(DISTINCT o.cust) AS n_custs
+             |  FROM o JOIN f USING (cust) GROUP BY 1, 2
+             |), sz AS (
+             |  SELECT cohort, n_custs AS cohort_size FROM cells
+             |  WHERE months_since = 0
+             |)
+             |SELECT c.cohort, c.months_since, c.n_custs,
+             |       round(CAST(c.n_custs AS DOUBLE) / cohort_size * 1e6) / 1e6
+             |         AS retention
+             |FROM cells c JOIN sz USING (cohort)""".stripMargin)),
+
+    // ── Q111: trailing 7-day distinct users per event type — the rolling
+    //          engagement metric. Spark has no DISTINCT-in-window, and a
+    //          collect_set window would hold per-frame sets in executor
+    //          memory; the scalable plan is the classic explode-the-window
+    //          rewrite: distinct (type, day, user) first (collapses the
+    //          raw stream ~per-day-activity-fold), fan each activity row
+    //          out to the ≤7 window days it participates in (narrow ×7,
+    //          no shuffle), then ONE count-distinct aggregation keyed by
+    //          (type, window-day). Days past the data's max are clipped by
+    //          a broadcast one-row bound. ─────────────────────────────────
+    QueryDef("q111_rolling_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val acts = ev.select(col("event_type"), to_date(col("ts")).as("d"),
+          col("user_id")).distinct()
+        val bound = ev.agg(max(to_date(col("ts"))).as("maxd"))
+        acts
+          .select(col("event_type"), col("user_id"),
+            explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+          .crossJoin(broadcast(bound))
+          .filter(col("wd") <= col("maxd"))
+          .groupBy(col("event_type"), col("wd").as("day"))
+          .agg(countDistinct(col("user_id")).as("users_7d"))
+      },
+      Some("""WITH acts AS (
+             |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+             |  FROM events
+             |), mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events)
+             |SELECT event_type, d + CAST(x AS INTEGER) AS day,
+             |       COUNT(DISTINCT user_id) AS users_7d
+             |FROM acts, UNNEST(range(7)) AS t(x), mx
+             |WHERE d + CAST(x AS INTEGER) <= maxd
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Q112: deterministic weighted sampling without replacement —
+    //          Efraimidis–Spirakis A-Res: each doc draws u from its
+    //          md5-derived uniform (the q46/q106 bucket trick: 20-bit
+    //          lane + half-step, bias ≤ 2^-20) and survives by the k
+    //          smallest keys -ln(u)/w, weight = n_chars. One scan + a
+    //          TakeOrderedAndProject — no shuffle of the corpus, and the
+    //          same rows win on any partitioning because the key is pure
+    //          row arithmetic. Keys are 1e-6-quantized with doc_id
+    //          tie-break so the cross-libm ln can't flip an ordering. ────
+    QueryDef("q112_weighted_sample",
+      (s, dir) => {
+        import graft.functions.GraftFunctions.md5_lanes
+        val u = ((element_at(
+          md5_lanes(concat(lit("graft-ws:"), col("doc_id").cast("string"))), 1)
+          % 1048576).cast("double") + 0.5) / 1048576.0
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(-log(u) / col("n_chars") * 1e9).cast("long").as("key9"))
+          .orderBy(col("key9"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, source, n_chars,
+             |         CAST(round(-ln((CAST(('0x' || substr(md5('graft-ws:' ||
+             |                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                % 1048576 + 0.5) / 1048576.0)
+             |              / n_chars * 1e9) AS BIGINT) AS key9
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, n_chars, key9
+             |FROM k ORDER BY key9, doc_id LIMIT 20""".stripMargin))
   )
 
   /** q90's oracle: the naive window scan — every token position where the

@@ -44,6 +44,57 @@ object Graph {
     * @return (node, r) — every node's integer rank after `iterations`
     *         rounds, Σr ≈ N·scale minus deterministic floor losses
     */
+  /** Exact triangle count via degree-ordered edge orientation
+    * (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+    * Last Reducer") — three keyed equi-joins, no iteration, no collect.
+    *
+    * Orienting every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one bounds each node's OUT-degree by O(√m), so the
+    * wedge self-join — the only superlinear step — fans out on √m instead
+    * of on the raw degree of hub nodes. That is the difference between
+    * "finishes at 100 TB" and "the last reducer gets the celebrity node's
+    * 10⁸ wedges". Each triangle is counted exactly once: it has a unique
+    * lowest-rank vertex, whose two out-neighbors form the wedge, closed by
+    * one canonical-edge lookup. Pure integer counting — bit-identical on
+    * any partitioning, replayable by any engine that agrees on the ties
+    * (the (degree, node-id) rank is a total order, so ties cannot differ).
+    *
+    * @param edges undirected edges as `src`/`dst` columns (integral ids);
+    *              duplicates, reversals, and self-loops are collapsed
+    * @return one row: `n_triangles` (long)
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val oriented = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("x"))
+      // Wedges at the lowest-rank vertex; x < y by node id matches the
+      // canonical (a < b) edge table, so closure is one equi-join.
+      val wedges = oriented.as("l")
+        .join(oriented.as("r"),
+          col("l.u") === col("r.u") && col("l.x") < col("r.x"))
+        .select(col("l.x").as("a"), col("r.x").as("b"))
+      wedges.join(e, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    } finally e.unpersist(false)
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 5,
                scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,

@@ -2382,7 +2382,53 @@ object Queries {
              |  FROM documents
              |)
              |SELECT doc_id, source, n_chars, key9
-             |FROM k ORDER BY key9, doc_id LIMIT 20""".stripMargin))
+             |FROM k ORDER BY key9, doc_id LIMIT 20""".stripMargin)),
+
+    // ── Q113: exact triangle count over the part-co-purchase graph —
+    //          parts are linked when some order contains both. Pair
+    //          generation is a keyed self-join on the order (bounded fanout:
+    //          items-per-order choose 2); counting uses degree-ordered
+    //          orientation so the wedge join fans out on O(√m) out-degree,
+    //          not on hub degree — the Suri–Vassilvitskii "last reducer"
+    //          fix (see Graph.triangleCount). Pure integer counting: the
+    //          (deg, id) rank is a total order, so Spark and DuckDB agree
+    //          bitwise with zero float anywhere. ──────────────────────────
+    QueryDef("q113_triangle_count",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+        graft.operators.Graph.triangleCount(edges)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |), e AS (
+             |  SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |), deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY 1
+             |), o AS (
+             |  SELECT CASE WHEN da.deg < db.deg
+             |                   OR (da.deg = db.deg AND e.a < e.b)
+             |              THEN e.a ELSE e.b END AS u,
+             |         CASE WHEN da.deg < db.deg
+             |                   OR (da.deg = db.deg AND e.a < e.b)
+             |              THEN e.b ELSE e.a END AS x
+             |  FROM e
+             |  JOIN deg da ON e.a = da.node
+             |  JOIN deg db ON e.b = db.node
+             |), w AS (
+             |  SELECT l.x AS a, r.x AS b
+             |  FROM o l JOIN o r ON l.u = r.u AND l.x < r.x
+             |)
+             |SELECT COUNT(*) AS n_triangles FROM w JOIN e USING (a, b)"""
+        .stripMargin))
   )
 
   /** q90's oracle: the naive window scan — every token position where the

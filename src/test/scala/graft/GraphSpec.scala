@@ -64,6 +64,55 @@ class GraphSpec extends SparkSpec {
       s"sum ${got.values.sum} lost more than floor rounding allows vs $total")
   }
 
+  private def tri(edges: Seq[(Long, Long)], parts: Int = 1): Long = {
+    val df = edges.toDF("src", "dst")
+    Graph.triangleCount(if (parts > 1) df.repartition(parts) else df)
+      .collect().head.getLong(0)
+  }
+
+  /** Driver-side brute force: count unordered node triples with all 3
+    * canonical edges present — the equality oracle for small graphs. */
+  private def triRef(edges: Seq[(Long, Long)]): Long = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      e((a, b)) && e((a, c)) && e((b, c))
+    }
+  }
+
+  test("triangleCount equals brute force on known graphs") {
+    // K4: 4 triangles; adding an isolated edge changes nothing
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === 4L)
+    assert(tri(k4 :+ ((9L, 10L))) === 4L)
+    // triangle with a pendant, duplicates, reversals, self-loops
+    val messy = Seq[(Long, Long)](
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 4L), (2L, 3L))
+    assert(tri(messy) === 1L)
+    assert(tri(messy) === triRef(messy))
+    // triangle-free bipartite K3,3 -> 0
+    val k33 = for (a <- 1L to 3L; b <- 4L to 6L) yield (a, b)
+    assert(tri(k33) === 0L)
+  }
+
+  test("triangleCount matches brute force on a pseudo-random graph; " +
+    "repartitioning changes nothing") {
+    // deterministic LCG edge sampler over 24 nodes, ~90 edges; sample the
+    // HIGH bits — a power-of-two-modulus LCG's low bits have tiny period
+    // (mod 24 they collapse to ~36 distinct edges and zero triangles)
+    var s = 12345L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    val edges = (1 to 90).map { _ =>
+      (math.floorMod(next() >> 33, 24L), math.floorMod(next() >> 33, 24L))
+    }.filter(p => p._1 != p._2)
+    val want = triRef(edges)
+    assert(want > 0L, "sampler should produce at least one triangle")
+    assert(tri(edges) === want)
+    assert(tri(edges, parts = 7) === want,
+      "exact integer count is partitioning-invariant")
+  }
+
   test("pageRank argument contracts") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, iterations = 0))

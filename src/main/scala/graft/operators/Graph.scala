@@ -46,18 +46,26 @@ object Graph {
     */
   /** Exact triangle count via degree-ordered edge orientation
     * (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
-    * Last Reducer") — three keyed equi-joins, no iteration, no collect.
+    * Last Reducer") with array-intersection closure — no iteration, no
+    * collect, and no materialized wedge table.
     *
     * Orienting every undirected edge from its lower-(degree, id) endpoint
     * to the higher one bounds each node's OUT-degree by O(√m), so the
-    * wedge self-join — the only superlinear step — fans out on √m instead
-    * of on the raw degree of hub nodes. That is the difference between
-    * "finishes at 100 TB" and "the last reducer gets the celebrity node's
-    * 10⁸ wedges". Each triangle is counted exactly once: it has a unique
-    * lowest-rank vertex, whose two out-neighbors form the wedge, closed by
-    * one canonical-edge lookup. Pure integer counting — bit-identical on
-    * any partitioning, replayable by any engine that agrees on the ties
-    * (the (degree, node-id) rank is a total order, so ties cannot differ).
+    * superlinear step fans out on √m instead of on the raw degree of hub
+    * nodes. That is the difference between "finishes at 100 TB" and "the
+    * last reducer gets the celebrity node's 10⁸ wedges". Closure never
+    * materializes the Σdeg² wedge rows: each node's out-neighbors become
+    * ONE sorted array (n rows, Σ = m values), each oriented edge (u, x)
+    * picks up both endpoints' arrays, and its triangle contribution is
+    * `size(array_intersect)` — a triangle {u < x < w} by rank is counted
+    * exactly once, on its unique lowest-rank EDGE (u, x), as the common
+    * out-neighbor w. The joins are keyed m-vs-n; the n-row adjacency side
+    * is orders of magnitude smaller than the edge side and broadcasts
+    * under AQE at moderate n, degrading to a plain shuffled hash join —
+    * never a wedge-scale shuffle — beyond that. Pure integer counting —
+    * bit-identical on any partitioning, replayable by any engine that
+    * agrees on the ties (the (degree, node-id) rank is a total order, so
+    * ties cannot differ).
     *
     * @param edges undirected edges as `src`/`dst` columns (integral ids);
     *              duplicates, reversals, and self-loops are collapsed
@@ -84,14 +92,19 @@ object Graph {
           when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")),
             col("b")).otherwise(col("a")).as("x"))
-      // Wedges at the lowest-rank vertex; x < y by node id matches the
-      // canonical (a < b) edge table, so closure is one equi-join.
-      val wedges = oriented.as("l")
-        .join(oriented.as("r"),
-          col("l.u") === col("r.u") && col("l.x") < col("r.x"))
-        .select(col("l.x").as("a"), col("r.x").as("b"))
-      wedges.join(e, Seq("a", "b"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val adj = oriented.groupBy(col("u").as("node"))
+          .agg(sort_array(collect_list(col("x"))).as("nbrs"))
+        val counted = oriented
+          .join(adj.select(col("node").as("u"), col("nbrs").as("nu")), "u")
+          .join(adj.select(col("node").as("x"), col("nbrs").as("nx")), "x")
+          .select(size(array_intersect(col("nu"), col("nx"))).as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+        // force evaluation inside the persist scope, one local row
+        val n = counted.collect().head.getLong(0)
+        e.sparkSession.range(1).select(lit(n).as("n_triangles"))
+      } finally oriented.unpersist(false)
     } finally e.unpersist(false)
   }
 

@@ -2388,9 +2388,11 @@ object Queries {
     //          parts are linked when some order contains both. Pair
     //          generation is a keyed self-join on the order (bounded fanout:
     //          items-per-order choose 2); counting uses degree-ordered
-    //          orientation so the wedge join fans out on O(√m) out-degree,
-    //          not on hub degree — the Suri–Vassilvitskii "last reducer"
-    //          fix (see Graph.triangleCount). Pure integer counting: the
+    //          orientation (out-degree bounded by O(√m), never hub degree —
+    //          the Suri–Vassilvitskii "last reducer" fix) with sorted-
+    //          adjacency array-intersection closure, so the Σdeg² wedge
+    //          table is never materialized (see Graph.triangleCount). Pure
+    //          integer counting: the
     //          (deg, id) rank is a total order, so Spark and DuckDB agree
     //          bitwise with zero float anywhere. ──────────────────────────
     QueryDef("q113_triangle_count",

@@ -53,8 +53,14 @@ object Bench {
     // (GC pause, host neighbor) without hiding real regressions — a
     // genuinely slow plan is slow on every pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Local-iteration subset (regex over query names). The driver never
+    // sets it, so the per-round artifact always measures everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
     for (_ <- 1 to passes) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -183,7 +189,7 @@ object Bench {
         })
       }
     val scaleTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (_ <- 1 to passes) scaleDefs.foreach { case (name, fn) =>
+    for (_ <- 1 to passes) scaleDefs.filter(d => selected(d._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn().write.format("noop").mode("overwrite").save()

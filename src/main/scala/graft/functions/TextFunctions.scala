@@ -176,4 +176,43 @@ object TextFunctions {
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Syllable count via the standard vowel-group heuristic (each maximal
+    * run of `[aeiouy]` ≈ one syllable — the public approximation every
+    * readability library uses when no pronunciation dictionary is loaded).
+    * Computed as a length delta: collapsing each group to one char keeps
+    * exactly one char per group, deleting the groups keeps zero, so
+    * `len(collapsed) − len(deleted)` IS the group count — two regexp
+    * passes, no explode, engine-portable (the DuckDB oracle runs the
+    * identical algebra).
+    */
+  def syllableCount(text: Column): Column = {
+    val low = lower(text)
+    (length(regexp_replace(low, "[aeiouy]+", "V")) -
+      length(regexp_replace(low, "[aeiouy]+", ""))).cast("long")
+  }
+
+  /** Sentence count: maximal `[.!?]+` runs, floored at 1 so fragment-only
+    * documents (no terminal punctuation) count as one sentence instead of
+    * dividing by zero downstream.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+
+  /** Flesch reading-ease score (Flesch 1948; public formula:
+    * `206.835 − 1.015·words/sentences − 84.6·syllables/words`), with
+    * [[syllableCount]]'s vowel-group heuristic and [[sentenceCount]]'s
+    * punctuation-run sentences. Quantized to 4 decimals through the
+    * engine-portable `round(x·10⁴)/10⁴` contract (the arithmetic is fixed
+    * left-associated double IEEE — identical in any engine — and the
+    * quantization keeps the printed value hash-stable). Higher = easier;
+    * standard English prose lands ~30–70.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val syl = syllableCount(text).cast("double")
+    round((lit(206.835) - lit(1.015) * w / s - lit(84.6) * syl / w) *
+      lit(1e4)) / lit(1e4)
+  }
 }

@@ -218,4 +218,58 @@ object Chunking {
        |                           ORDER BY chunk_idx), '') AS text_dedup
        |FROM ranked
        |GROUP BY doc_id""".stripMargin
+
+  /** Length-bucketed batching audit — the padding-waste ledger a training
+    * pipeline reads before choosing its batching strategy. Documents are
+    * bucketed by token count into `width`-token bands; if each batch draws
+    * from ONE bucket (dynamic/length batching), every sequence pads to the
+    * bucket ceiling instead of the corpus max, and this audit quantifies
+    * the win: per bucket, document count, real tokens, padded tokens at
+    * the bucket ceiling, and the waste fraction. (Σ padded across buckets
+    * vs `n_docs·global_max` is the naive-batching comparison — derivable
+    * from this output, so it is not duplicated into it.)
+    *
+    * Scale shape: one narrow projection (token count from the scan) into
+    * one map-side-combined hash aggregation on ≤ `max_len/width` keys; the
+    * per-bucket arithmetic runs on the aggregated frame. No window, no
+    * join, no sort — the audit costs one pass regardless of corpus size.
+    *
+    * Output: (bucket, n_docs, tokens, capacity, padded, waste_pct) with
+    * waste_pct quantized to 6 decimals via the engine-portable
+    * `round(x·10⁶)/10⁶` contract.
+    */
+  def paddingAudit(docs: DataFrame, width: Int,
+                   text: String = "text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val n = size(split(col(text), " ")).cast("long")
+    docs.select(n.as("n_tokens"))
+      .withColumn("bucket", floor((col("n_tokens") - 1) / width).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("capacity", (col("bucket") + 1) * width)
+      .withColumn("padded", col("n_docs") * col("capacity"))
+      .withColumn("waste_pct",
+        round((col("padded") - col("tokens")) / col("padded") * lit(1e6)) / 1e6)
+      .select(col("bucket"), col("n_docs"), col("tokens"), col("capacity"),
+        col("padded"), col("waste_pct"))
+  }
+
+  /** DuckDB replay of [[paddingAudit]] over table `documents`. */
+  def paddingAuditOracleSql(width: Int): String =
+    s"""WITH tk AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT CAST(floor((n_tokens - 1) / $width) AS BIGINT) AS bucket,
+       |         COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS tokens
+       |  FROM tk GROUP BY 1
+       |)
+       |SELECT bucket, n_docs, tokens,
+       |       (bucket + 1) * $width AS capacity,
+       |       n_docs * ((bucket + 1) * $width) AS padded,
+       |       round((n_docs * ((bucket + 1) * $width) - tokens)
+       |             / (n_docs * ((bucket + 1) * $width)) * 1e6) / 1e6
+       |         AS waste_pct
+       |FROM b""".stripMargin
 }

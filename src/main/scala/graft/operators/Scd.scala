@@ -77,4 +77,38 @@ object Scd {
        |         AS is_current
        |FROM versioned""".stripMargin
   }
+
+  /** Snapshot diff — the data-versioning audit between two keyed corpus
+    * snapshots: every key classified `added` / `removed` / `changed` /
+    * `unchanged` by a null-safe compare of the tracked columns. The
+    * between-snapshots complement of [[scd2]]'s within-feed history.
+    *
+    * Scale shape: each side collapses to (key, 16-byte md5 fingerprint)
+    * AT THE SCAN — the full-outer join ships fingerprints, never the
+    * payload (on a document corpus that is ~32 bytes/row instead of
+    * kilobytes). One co-partitioned shuffle on the key; no broadcast
+    * assumption, so both snapshots may be corpus-scale. Nulls map to a
+    * U+0002 sentinel inside the fingerprint preimage and column
+    * boundaries to U+0001, so null never collides with "" or any
+    * ordinary string and ("ab", "") never collides with ("a", "b") —
+    * a collision requires the payload itself to contain those control
+    * characters (strip or escape them upstream if a corpus can).
+    *
+    * @return keyCols* + `status` — one row per key present in either side
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs at least one key column and one compare column")
+    def fp(df: DataFrame, name: String) =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(name): _*)
+    fp(oldSnap, "__fp_old").join(fp(newSnap, "__fp_new"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
 }

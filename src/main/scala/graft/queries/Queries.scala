@@ -2430,7 +2430,92 @@ object Queries {
              |  FROM o l JOIN o r ON l.u = r.u AND l.x < r.x
              |)
              |SELECT COUNT(*) AS n_triangles FROM w JOIN e USING (a, b)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── Q114: corpus snapshot diff — the data-versioning audit between two
+    //          releases: added / removed / changed / unchanged counts per
+    //          status. Both snapshots are derived deterministically from the
+    //          one documents table (drop doc_id%11 from old → "added", drop
+    //          %13 from new → "removed", revise text on %17 → "changed").
+    //          Each side collapses to (key, md5 fingerprint) at the scan, so
+    //          the full-outer join ships 32 bytes/row, never the text; one
+    //          co-partitioned shuffle (see Scd.snapshotDiff). ──────────────
+    QueryDef("q114_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+        graft.operators.Scd
+          .snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id,
+             |         md5(coalesce(text, chr(2)) || chr(1)
+             |             || coalesce(lang, chr(2))) AS fp
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |), n AS (
+             |  SELECT doc_id,
+             |         md5(coalesce(CASE WHEN doc_id % 17 = 0
+             |                           THEN text || ' rev2' ELSE text END,
+             |                      chr(2)) || chr(1)
+             |             || coalesce(lang, chr(2))) AS fp
+             |  FROM documents WHERE doc_id % 13 <> 0
+             |)
+             |SELECT CASE WHEN o.fp IS NULL THEN 'added'
+             |            WHEN n.fp IS NULL THEN 'removed'
+             |            WHEN o.fp <> n.fp THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |       COUNT(*) AS n
+             |FROM o FULL OUTER JOIN n USING (doc_id)
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Q115: Flesch reading-ease readability — the classic public quality
+    //          signal (Flesch 1948) over the vowel-group syllable heuristic
+    //          and punctuation-run sentences. Everything is a scan-side
+    //          Column expression (two regexp passes + fixed double algebra
+    //          quantized at 1e-4), zero shuffle; DuckDB replays the
+    //          identical algebra bitwise. ────────────────────────────────
+    QueryDef("q115_readability",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+          TextFunctions.syllableCount(col("text")).as("n_syllables"),
+          TextFunctions.fleschReadingEase(col("text")).as("flesch"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+             |                       1) AS BIGINT) AS n_sentences,
+             |         CAST(length(regexp_replace(lower(text),
+             |                                    '[aeiouy]+', 'V', 'g'))
+             |              - length(regexp_replace(lower(text),
+             |                                      '[aeiouy]+', '', 'g'))
+             |           AS BIGINT) AS n_syllables
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |       round((206.835 - 1.015 * n_words / n_sentences
+             |              - 84.6 * n_syllables / n_words) * 1e4) / 1e4
+             |         AS flesch
+             |FROM f""".stripMargin)),
+
+    // ── Q116: length-bucketed batching audit — per 16-token length band:
+    //          docs, real tokens, padded tokens at the bucket ceiling, and
+    //          the padding-waste fraction (what dynamic batching saves over
+    //          padding to the corpus max). One narrow projection into one
+    //          map-side-combined hash aggregation on ≤ max_len/16 keys —
+    //          no window, join, or sort (see Chunking.paddingAudit). ──────
+    QueryDef("q116_padding_audit",
+      (s, dir) => graft.operators.Chunking
+        .paddingAudit(t(s, dir, "documents"), width = 16),
+      Some(graft.operators.Chunking.paddingAuditOracleSql(16)))
   )
 
   /** q90's oracle: the naive window scan — every token position where the

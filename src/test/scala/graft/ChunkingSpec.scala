@@ -96,4 +96,20 @@ class ChunkingSpec extends SparkSpec {
     assert(key(Chunking.dedupChunks(docs, 32)) ===
       key(Chunking.dedupChunks(docs, 32, hashKey = true)))
   }
+
+  test("paddingAudit: exact bucket ledger on a crafted corpus") {
+    // widths 4: docs with 3,4 tokens -> bucket 0 (cap 4); 5 tokens ->
+    // bucket 1 (cap 8); 12 tokens -> bucket 2 (cap 12)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val got = Chunking.paddingAudit(docs, width = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(0L) === ((2L, 7L, 4L, 8L, math.round((8.0 - 7.0) / 8.0 * 1e6) / 1e6)))
+    assert(got(1L) === ((1L, 5L, 8L, 8L, math.round(3.0 / 8.0 * 1e6) / 1e6)))
+    assert(got(2L) === ((1L, 12L, 12L, 12L, 0.0)))
+    intercept[IllegalArgumentException](Chunking.paddingAudit(docs, 0))
+  }
 }

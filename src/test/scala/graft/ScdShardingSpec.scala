@@ -122,4 +122,39 @@ class ScdShardingSpec extends SparkSpec {
     assert(loads.map(_.getInt(0)).toSeq === (0 until 8))
     assert(loads.map(_.getLong(2)).sum === (1 to 100).map(_.toLong).sum)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+    "nulls compare null-safely and never collide with literals") {
+    val oldSnap = Seq(
+      (1L, Some("a"), Some("en")),   // unchanged
+      (2L, Some("b"), Some("en")),   // text changes
+      (3L, Some("c"), None),         // null stays null → unchanged
+      (4L, Some("d"), Some("en")),   // null-ed out → changed
+      (5L, Some("e"), Some("en")))   // removed
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (1L, Some("a"), Some("en")),
+      (2L, Some("B"), Some("en")),
+      (3L, Some("c"), None),
+      (4L, Some("d"), None),
+      (6L, Some("f"), Some("fr")))   // added
+      .toDF("doc_id", "text", "lang")
+    val got = Scd.snapshotDiff(oldSnap, newSnap, Seq("doc_id"),
+        Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "removed", 6L -> "added"))
+    // null is distinguishable from the empty string: a real "" value
+    // replacing a null must read as changed
+    val o2 = Seq((7L, Option.empty[String])).toDF("doc_id", "text")
+    val n2 = Seq((7L, Some(""))).toDF("doc_id", "text")
+    val s2 = Scd.snapshotDiff(o2, n2, Seq("doc_id"), Seq("text"))
+      .collect().head.getString(1)
+    assert(s2 === "changed")
+    // and column boundaries can't shift content between columns
+    val o3 = Seq((8L, "ab", "")).toDF("doc_id", "a", "b")
+    val n3 = Seq((8L, "a", "b")).toDF("doc_id", "a", "b")
+    assert(Scd.snapshotDiff(o3, n3, Seq("doc_id"), Seq("a", "b"))
+      .collect().head.getString(1) === "changed")
+  }
 }

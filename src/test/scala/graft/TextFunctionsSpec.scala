@@ -95,4 +95,31 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.scrubPii(col("text"))).collect().map(_.getString(0))
     got.zip(vectors.map(_._2)).foreach { case (g, want) => assert(g === want) }
   }
+
+  test("readability: syllable groups, sentence floor, and the Flesch " +
+    "formula match hand computation") {
+    // "the cat sat on the mat. it was flat!" —
+    // words=9, sentences=2 ([.] and [!] runs), syllable groups:
+    // the(1) cat(1) sat(1) on(1) the(1) mat.(1) it(1) was(1) flat!(1) = 9
+    val s = "the cat sat on the mat. it was flat!"
+    val row = Seq(s).toDF("text").select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.sentenceCount(col("text")),
+      TextFunctions.syllableCount(col("text")),
+      TextFunctions.fleschReadingEase(col("text"))).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((9L, 2L, 9L)))
+    val want = math.round((206.835 - 1.015 * 9.0 / 2.0 - 84.6 * 9.0 / 9.0)
+      * 1e4) / 1e4
+    assert(row.getDouble(3) === want)
+    // no terminal punctuation → sentence floor of 1, not a div-by-zero
+    val frag = Seq("just a fragment").toDF("text").select(
+      TextFunctions.sentenceCount(col("text")),
+      TextFunctions.fleschReadingEase(col("text"))).collect().head
+    assert(frag.getLong(0) === 1L)
+    assert(!frag.getDouble(1).isNaN)
+    // "beautiful": eau+i+u → groups e-a-u? lower: b-eau-t-i-f-u-l = 3 groups
+    val syl = Seq("beautiful").toDF("text")
+      .select(TextFunctions.syllableCount(col("text"))).collect().head.getLong(0)
+    assert(syl === 3L)
+  }
 }

@@ -215,4 +215,38 @@ object TextFunctions {
     round((lit(206.835) - lit(1.015) * w / s - lit(84.6) * syl / w) *
       lit(1e4)) / lit(1e4)
   }
+
+  /** The 26 lowercase letters + space — [[charEntropy]]'s symbol classes
+    * (everything else folds into one "other" class). Shared with the
+    * DuckDB oracle generator so both engines count the same alphabet.
+    */
+  val EntropyClasses: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** Shannon entropy (nats) of the character-class distribution — the
+    * classic gibberish/random-string detector: natural text lands ~2.4–3.0
+    * nats over letters+space, uniform-random strings near ln(27) ≈ 3.3,
+    * single-char spam near 0. Each class count is a `length` delta
+    * (`len(s) − len(s minus the char)`) — no regexp, no explode, one scan.
+    *
+    * Float contract: each `ln(p)` is quantized to 1e-6 and weighted by the
+    * INTEGER class count, so the sum is an exact long (order-free,
+    * partitioning-invariant); only the final normalization divides in
+    * doubles, then quantizes to 1e-6 — the discipline q48/q94/q98 pin for
+    * cross-engine log replay.
+    */
+  def charEntropy(text: Column): Column = {
+    val low = lower(text)
+    val len = length(low).cast("long")
+    val counts = EntropyClasses.map(c =>
+      (length(low) - length(translate(low, c, ""))).cast("long"))
+    val other = len - counts.reduce(_ + _)
+    val terms = (counts :+ other).map(cnt =>
+      when(cnt > 0,
+        cnt * round(log(cnt.cast("double") / len.cast("double")) * 1e6)
+          .cast("long"))
+        .otherwise(lit(0L)))
+    when(len > 0,
+      round(-terms.reduce(_ + _).cast("double") / len.cast("double")) / 1e6)
+      .otherwise(lit(0.0))
+  }
 }

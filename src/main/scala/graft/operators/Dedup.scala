@@ -137,6 +137,36 @@ object Dedup {
     jaccardInline(pairs, threshold)
   }
 
+  /** Near-containment pairs — the quotation/subset duplicates Jaccard
+    * structurally misses: a long document that embeds a short one scores
+    * Jaccard ≈ |short|/|long| (tiny) but containment |A∩B|/min(|A|,|B|)
+    * ≈ 1. Same df-capped posting-list self-join as [[jaccardPairs]], with
+    * one deliberate difference: NO symmetric size bound in the join
+    * condition — a 50-shingle doc contained in a 5,000-shingle doc is
+    * exactly the pair this operator exists to find, so the df cap (and
+    * the ≥-1-shared-shingle equi-join itself) is the only candidate
+    * pruning. Exact division of the two join-local integers keeps the
+    * score engine-portable with no quantization.
+    *
+    * @return (i, j, containment) with i &lt; j, containment ≥ threshold
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = sizedPostingList(docs, n, maxDf)
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("ni"), col("b.sz").as("nj"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("ni"), col("nj")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("containment"))
+  }
+
   /** Default permutation hash: seeded xxhash64 — the fast scale path. */
   val XxPermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
     (s, p) => xxhash64(s, lit(p))

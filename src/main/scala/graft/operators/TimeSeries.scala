@@ -69,4 +69,40 @@ object TimeSeries {
       (col("v") - prev).as("delta"),
       round((col("v") - prev) / when(prev =!= 0, prev) * 100, 4).as("pct"))
   }
+
+  /** Merge overlapping/touching half-open intervals per key — the
+    * gaps-and-islands union behind "total covered time" metrics (billing,
+    * uptime, session coverage; Itzik Ben-Gan's classic packing problem).
+    * An interval starts a new island iff its start lies strictly past the
+    * running max end of everything before it; touching intervals
+    * (`start == prev end`) merge, as half-open semantics require.
+    *
+    * Determinism: island membership is a pure function of the interval
+    * VALUES (the running max is order-insensitive among equal starts), so
+    * the merged output is identical under any partitioning or tie order.
+    *
+    * Scale shape: two windows over the same (keys, start, end) ordering —
+    * one Exchange + one sort serve both — then one hash aggregation.
+    * Parallelism follows key cardinality; no joins, no global window.
+    *
+    * @param startCol inclusive start (any orderable type)
+    * @param endCol   exclusive end, same type
+    * @return keys* + (start, end) — one row per merged island
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeIntervals needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__new",
+        (prevMax.isNull || col(startCol) > prevMax).cast("long"))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("__island"): _*)
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"))
+      .select(keys.map(col) :+ col("start") :+ col("end"): _*)
+  }
 }

@@ -2515,8 +2515,147 @@ object Queries {
     QueryDef("q116_padding_audit",
       (s, dir) => graft.operators.Chunking
         .paddingAudit(t(s, dir, "documents"), width = 16),
-      Some(graft.operators.Chunking.paddingAuditOracleSql(16)))
+      Some(graft.operators.Chunking.paddingAuditOracleSql(16))),
+
+    // ── Q117: near-containment pairs — the quotation/subset duplicates
+    //          Jaccard structurally misses (long doc embedding a short one:
+    //          jac ≈ |short|/|long|, containment ≈ 1). Same df-capped
+    //          posting-list self-join as q22 but with NO symmetric size
+    //          bound: tiny-inside-huge is exactly the target. Exact
+    //          integer division keeps the score engine-portable. ──────────
+    QueryDef("q117_containment",
+      (s, dir) => graft.operators.Dedup
+        .containmentPairs(t(s, dir, "documents"), threshold = 0.8),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id,
+             |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT i, j,
+             |       CAST(common AS DOUBLE) / LEAST(si.sz, sj.sz)
+             |         AS containment
+             |FROM pairs
+             |JOIN sz si ON si.doc_id = i
+             |JOIN sz sj ON sj.doc_id = j
+             |WHERE CAST(common AS DOUBLE) / LEAST(si.sz, sj.sz) >= 0.8"""
+        .stripMargin)),
+
+    // ── Q118: character-class entropy — the gibberish/random-string
+    //          detector: Shannon entropy (nats) over 26 letters + space +
+    //          "other". Counts are length deltas (no regexp, no explode),
+    //          each ln(p) is 1e-6-quantized and weighted by the INTEGER
+    //          count so the per-doc sum is an exact long (q48/q94/q98's
+    //          portable-log discipline); one scan, zero shuffle. ──────────
+    QueryDef("q118_char_entropy",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.charEntropy(col("text")).as("entropy"))
+      },
+      Some(charEntropyOracleSql)),
+
+    // ── Q119: interval union (Ben-Gan's packing problem) — total covered
+    //          time per user from overlapping 5-minute activity intervals:
+    //          merged islands via a running-max window (one Exchange + one
+    //          sort serve both windows), then per-user island count and
+    //          covered seconds. All integer epoch arithmetic — bitwise on
+    //          any engine and partitioning. ──────────────────────────────
+    QueryDef("q119_interval_union",
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("s0"))
+          .withColumn("e0", col("s0") + 300)
+        graft.operators.TimeSeries
+          .mergeIntervals(iv, Seq("user_id"), "s0", "e0")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("end") - col("start")).as("covered_sec"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id,
+             |         -- integer boundary count, not float epoch: CAST of
+             |         -- the double epoch ROUNDS sub-second stamps up,
+             |         -- Spark's unix_timestamp floors them
+             |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+             |                   ts) AS s0,
+             |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+             |                   ts) + 300 AS e0
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, s0, e0,
+             |         MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+             |                       ROWS BETWEEN UNBOUNDED PRECEDING
+             |                       AND 1 PRECEDING) AS pm
+             |  FROM iv
+             |), fl AS (
+             |  SELECT user_id, s0, e0,
+             |         CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS nw
+             |  FROM m
+             |), isl AS (
+             |  SELECT user_id, s0, e0,
+             |         SUM(nw) OVER (PARTITION BY user_id ORDER BY s0, e0
+             |                       ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM fl
+             |), g AS (
+             |  SELECT user_id, island, MIN(s0) AS st, MAX(e0) AS en
+             |  FROM isl GROUP BY 1, 2
+             |)
+             |SELECT user_id, COUNT(*) AS n_islands,
+             |       CAST(SUM(en - st) AS BIGINT) AS covered_sec
+             |FROM g GROUP BY 1""".stripMargin))
   )
+
+  /** q118's oracle: the identical entropy algebra generated from the same
+    * class list ([[graft.functions.TextFunctions.EntropyClasses]]) — 27
+    * length-delta counts + an "other" remainder, integer-weighted
+    * 1e-6-quantized ln terms, one final double normalization.
+    */
+  private lazy val charEntropyOracleSql: String = {
+    val classes = graft.functions.TextFunctions.EntropyClasses
+    val defs = classes.zipWithIndex.map { case (c, i) =>
+      s"CAST(length(s) - length(replace(s, '$c', '')) AS BIGINT) AS c$i"
+    }.mkString(",\n         ")
+    val sumLetters = classes.indices.map(i => s"c$i").mkString(" + ")
+    val nOther = classes.size
+    val terms = (0 to nOther).map(i =>
+      s"""CASE WHEN c$i > 0
+         |            THEN c$i * CAST(round(ln(CAST(c$i AS DOUBLE) / len)
+         |                                  * 1e6) AS BIGINT)
+         |            ELSE 0 END""".stripMargin).mkString("\n         + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(text) AS s,
+       |         CAST(length(lower(text)) AS BIGINT) AS len
+       |  FROM documents
+       |), counts AS (
+       |  SELECT doc_id, len,
+       |         $defs
+       |  FROM base
+       |), wother AS (
+       |  SELECT *, len - ($sumLetters) AS c$nOther FROM counts
+       |), summed AS (
+       |  SELECT doc_id, len,
+       |         $terms
+       |           AS s6
+       |  FROM wother
+       |)
+       |SELECT doc_id,
+       |       CASE WHEN len > 0 THEN round(-CAST(s6 AS DOUBLE) / len) / 1e6
+       |            ELSE 0.0 END AS entropy
+       |FROM summed""".stripMargin
+  }
 
   /** q90's oracle: the naive window scan — every token position where the
     * phrase's terms line up, counted per doc.

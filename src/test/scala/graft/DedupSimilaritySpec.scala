@@ -385,4 +385,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.flatten.toSeq === b.flatten.toSeq)
     assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
   }
+
+  test("containmentPairs finds subset docs Jaccard misses; " +
+    "threshold contract enforced") {
+    // doc 2 = doc 1's text embedded in a much longer doc: containment of
+    // the short side ~1.0, Jaccard far below it. doc 3 unrelated.
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (100 to 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "z a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0, "full shingle containment scores 1.0")
+    // the same pair is invisible to Jaccard at any useful threshold
+    assert(Dedup.jaccardPairs(docs, threshold = 0.5).collect().isEmpty)
+    intercept[IllegalArgumentException](Dedup.containmentPairs(docs, 0.0))
+  }
 }

@@ -122,4 +122,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.syllableCount(col("text"))).collect().head.getLong(0)
     assert(syl === 3L)
   }
+
+  test("charEntropy: hand-computed distributions, empty text, and the " +
+    "gibberish ordering") {
+    def ent(s: String): Double = Seq(s).toDF("text")
+      .select(TextFunctions.charEntropy(col("text"))).collect().head.getDouble(0)
+    assert(ent("") === 0.0)
+    assert(ent("aaaa") === 0.0, "single-class text has zero entropy")
+    // "aabb": p(a)=p(b)=0.5 -> ln 2 nats, through the quantized-ln path:
+    // each count(2) * round(ln(0.5)*1e6) summed, normalized by len 4
+    val q = math.round(math.log(0.5) * 1e6)
+    val want = math.round(-(2 * q + 2 * q).toDouble / 4) / 1e6
+    assert(ent("aabb") === want)
+    assert(math.abs(want - math.log(2)) < 1e-5)
+    // ordering: uniform-random-ish text > natural-ish text > repeated char
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val uniform = ('a' to 'z').mkString("")
+    assert(ent(uniform) > ent(natural))
+    assert(ent(natural) > ent("aaaaaaaa"))
+    // non-alphabet chars fold into one "other" class
+    assert(ent("!@#$%^&*") === 0.0)
+  }
 }

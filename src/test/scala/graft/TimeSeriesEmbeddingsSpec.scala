@@ -150,4 +150,25 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
       .as[String].head()
     assert(viaSql === "café")
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, " +
+    "partitioning-invariant") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),   // overlap -> [0,12)
+      (1L, 12L, 20L),                 // touches -> extends to [0,20)
+      (1L, 25L, 30L),                 // gap -> new island
+      (2L, 0L, 5L), (2L, 0L, 5L),    // exact duplicates -> one island
+      (2L, 100L, 101L))
+      .toDF("k", "s0", "e0")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.mergeIntervals(df, Seq("k"), "s0", "e0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 0L, 20L), (1L, 25L, 30L), (2L, 0L, 5L),
+      (2L, 100L, 101L))
+    assert(run(iv) === want)
+    assert(run(iv.repartition(7)) === want,
+      "island membership is a pure function of the interval values")
+    intercept[IllegalArgumentException](
+      TimeSeries.mergeIntervals(iv, Seq.empty, "s0", "e0"))
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the BLAKE2b pseudonym hash.
@@ -119,6 +119,24 @@ case class StableDouble(value: Double) extends LeafExpression {
   }
 }
 
+/** [[StableDouble]]'s long twin — for iterative integer recurrences
+  * (PageRank's per-generation dangling-mass constant) whose plans differ
+  * only in one scalar per round.
+  */
+case class StableLong(value: Long) extends LeafExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "stable_long"
+  override def eval(input: InternalRow): Any = value
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stableLong", value, "java.lang.Long")
+    ev.copy(code = code"final long ${ev.value} = $ref.longValue();",
+      isNull = FalseLiteral)
+  }
+}
+
 /** Column-level entry points for graft's custom functions. */
 object GraftFunctions {
 
@@ -129,6 +147,10 @@ object GraftFunctions {
     */
   def stable_lit(x: Double): Column =
     org.apache.spark.sql.GraftShim.column(StableDouble(x))
+
+  /** [[stable_lit]]'s long twin — see [[StableLong]]. */
+  def stable_lit_long(x: Long): Column =
+    org.apache.spark.sql.GraftShim.column(StableLong(x))
 
   /** blake2b(digest_size) hex digest of a string column — the reference's
     * uid pseudonym is `blake2b_hex(c, 5)` (10 hex chars).

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.GraftFunctions
+
 /** Iterative graph analytics over edge DataFrames — the entity-importance
   * half of link analysis ([[Dedup.connectedComponents]] is the
   * partitioning half).
@@ -134,42 +136,66 @@ object Graph {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
 
+    // Pre-partition the loop's two standing inputs by their JOIN keys and
+    // cache them with that distribution: InMemoryRelation reports the
+    // child's outputPartitioning, so each iteration's edge join reuses the
+    // cached layout instead of re-exchanging the (big) edge table 5×.
     val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+    // (node, outdeg|null) rides INSIDE every rank generation, so the loop
+    // needs no per-iteration join against a degree table and the dangling
+    // mass is a plain filter over columns already present.
+    val nodesDeg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, Seq("node"), "left")
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = nodes.count()
+      val n = nodesDeg.count()
       require(n > 0, "pageRank needs a non-empty edge set")
       require(n <= Long.MaxValue / scale / 100L,
         s"85*N*scale overflows a long at N=$n, scale=$scale — lower scale")
       val base = 15L * scale / 100L
-      var ranks = cut(nodes.withColumn("r", lit(scale)))
-      for (_ <- 1 to iterations) {
-        val withDeg = ranks.join(outdeg, Seq("node"), "left")
-        val shares = withDeg.filter(col("outdeg").isNotNull)
+      // dangling mass of generation 0 (all ranks = scale) costs one count
+      // of the cached frame, not a job over the ranks
+      var dmass = nodesDeg.filter(col("outdeg").isNull).count() * scale
+      var ranks = cut(nodesDeg.withColumn("r", lit(scale)))
+      for (k <- 1 to iterations) {
+        val shares = ranks.filter(col("outdeg").isNotNull)
           .select(col("node").as("src"), expr("r div outdeg").as("share"))
         val inflow = e.join(shares, "src")
           .groupBy(col("dst").as("node")).agg(sum(col("share")).as("inflow"))
-        val dangling = withDeg.filter(col("outdeg").isNull)
-          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        // dangling share per node, exact driver-side integer division —
+        // identical to the previous in-plan `dmass div n`. stable_lit_long
+        // keeps ONE compiled stage across iterations even though the
+        // constant changes every round.
+        val dshare = GraftFunctions.stable_lit_long(dmass / n)
+        // the NEXT generation's dangling mass falls out of the same job
+        // that materializes the generation (Observation on the checkpoint
+        // evaluation) — no separate broadcast-exchange job per iteration.
+        val obs = org.apache.spark.sql.Observation(s"pr_dmass_$k")
         val prev = ranks
-        ranks = cut(nodes
+        ranks = cut(nodesDeg
           .join(inflow, Seq("node"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("node"),
-            (lit(base) + expr(
-              s"(85L * (coalesce(inflow, 0L) + dmass div ${n}L)) div 100L"))
-              .as("r")))
+          .select(col("node"), col("outdeg"),
+            (lit(85L) * (coalesce(col("inflow"), lit(0L)) + dshare))
+              .as("num"))
+          // num div 100L is INTEGER division — Column./ would detour
+          // through doubles and lose exactness past 2^53
+          .select(col("node"), col("outdeg"),
+            (lit(base) + expr("num div 100L")).as("r"))
+          .observe(obs,
+            coalesce(sum(when(col("outdeg").isNull, col("r"))), lit(0L))
+              .as("dmass")))
+        dmass = obs.get("dmass").asInstanceOf[Long]
         freeGeneration(prev)
       }
-      ranks
+      ranks.select(col("node"), col("r"))
     } finally {
-      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+      e.unpersist(false); nodesDeg.unpersist(false)
     }
   }
 }

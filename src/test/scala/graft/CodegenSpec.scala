@@ -76,4 +76,21 @@ class CodegenSpec extends SparkSpec {
     assert(plan.expressions.exists(_.exists(_.isInstanceOf[graft.functions.StableDouble])),
       s"StableDouble folded away:\n$plan")
   }
+
+  test("stable_lit_long: value-invariant source, correct arithmetic, " +
+    "optimizer-proof") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    def src(x: Long): String = {
+      val ctx = new CodegenContext
+      graft.functions.StableLong(x).genCode(ctx).code.toString
+    }
+    assert(src(42L) === src(Long.MaxValue))
+    assert(!graft.functions.StableLong(7L).foldable)
+    // exactness past 2^53 — the reason PageRank cannot detour via doubles
+    val big = (1L << 60) + 3L
+    val got = spark.range(1)
+      .select((GraftFunctions.stable_lit_long(big) + col("id")).as("x"))
+      .collect().head.getLong(0)
+    assert(got === big)
+  }
 }

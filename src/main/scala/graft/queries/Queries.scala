@@ -2573,6 +2573,66 @@ object Queries {
     //          sort serve both windows), then per-user island count and
     //          covered seconds. All integer epoch arithmetic — bitwise on
     //          any engine and partitioning. ──────────────────────────────
+    // ── Q120: functional-dependency audit — "does user_id determine
+    //          event_type?" with the violating keys, their fan-out, and
+    //          row support. One exact distinct-per-group aggregation;
+    //          Catalyst's two-phase plan shuffles deduped (key, value)
+    //          pairs, never rows (see DataQuality.functionalDependency). ──
+    QueryDef("q120_fd_audit",
+      (s, dir) => graft.operators.DataQuality
+        .functionalDependency(t(s, dir, "events"), Seq("user_id"),
+          "event_type"),
+      Some("""SELECT user_id, COUNT(DISTINCT event_type) AS n_dependent,
+             |       COUNT(*) AS n_rows
+             |FROM events GROUP BY 1
+             |HAVING COUNT(DISTINCT event_type) > 1""".stripMargin)),
+
+    // ── Q121: referential-integrity audit — orphaned foreign keys after a
+    //          deterministic parent drop (orders with o_orderkey%7=0
+    //          removed): one row per orphaned key with its child-row
+    //          count. Child collapses to (key, count) BEFORE the anti
+    //          join, so both join sides are key-sized (see
+    //          DataQuality.orphanKeys). ─────────────────────────────────
+    QueryDef("q121_orphan_keys",
+      (s, dir) => graft.operators.DataQuality.orphanKeys(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey"),
+      Some("""WITH ck AS (
+             |  SELECT l_orderkey AS key, COUNT(*) AS n_rows
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+             |)
+             |SELECT key, n_rows FROM ck
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders
+             |  WHERE o_orderkey % 7 <> 0 AND o_orderkey = ck.key)"""
+        .stripMargin)),
+
+    // ── Q122: primary-key candidate audit — declared combinations scored
+    //          by (rows, distinct combos, null rows, is_key). One
+    //          column-pruned aggregation pass per candidate (see
+    //          DataQuality.keyCandidates). ────────────────────────────────
+    QueryDef("q122_key_candidates",
+      (s, dir) => graft.operators.DataQuality.keyCandidates(
+        t(s, dir, "orders"),
+        Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+          Seq("o_custkey", "o_orderdate"))),
+      Some(Seq(
+        Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+        Seq("o_custkey", "o_orderdate")).map { cand =>
+          val rowExpr = s"ROW(${cand.mkString(", ")})"
+          val anyNull = cand.map(c => s"$c IS NULL").mkString(" OR ")
+          s"""SELECT '${cand.mkString(",")}' AS candidate,
+             |       COUNT(*) AS n_rows,
+             |       COUNT(DISTINCT $rowExpr) AS n_distinct,
+             |       CAST(COALESCE(SUM(CASE WHEN $anyNull THEN 1 ELSE 0 END),
+             |                     0) AS BIGINT) AS n_null_rows,
+             |       COUNT(DISTINCT $rowExpr) = COUNT(*)
+             |         AND COALESCE(SUM(CASE WHEN $anyNull THEN 1 ELSE 0 END),
+             |                      0) = 0 AS is_key
+             |FROM orders""".stripMargin
+        }.mkString("\nUNION ALL\n"))),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -152,6 +152,13 @@ object GraftFunctions {
   def stable_lit_long(x: Long): Column =
     org.apache.spark.sql.GraftShim.column(StableLong(x))
 
+  /** 28-class character histogram in one native pass — see
+    * [[CharClassCounts]].
+    */
+  def char_class_counts(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      CharClassCounts(org.apache.spark.sql.GraftShim.expression(c)))
+
   /** blake2b(digest_size) hex digest of a string column — the reference's
     * uid pseudonym is `blake2b_hex(c, 5)` (10 hex chars).
     */

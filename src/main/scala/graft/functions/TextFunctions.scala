@@ -225,8 +225,9 @@ object TextFunctions {
   /** Shannon entropy (nats) of the character-class distribution — the
     * classic gibberish/random-string detector: natural text lands ~2.4–3.0
     * nats over letters+space, uniform-random strings near ln(27) ≈ 3.3,
-    * single-char spam near 0. Each class count is a `length` delta
-    * (`len(s) − len(s minus the char)`) — no regexp, no explode, one scan.
+    * single-char spam near 0. All 28 class counts come from ONE native
+    * code-point pass ([[CharClassCounts]], spec-pinned equal to the
+    * declarative `len(s) − len(s minus the char)` delta per class).
     *
     * Float contract: each `ln(p)` is quantized to 1e-6 and weighted by the
     * INTEGER class count, so the sum is an exact long (order-free,
@@ -237,16 +238,19 @@ object TextFunctions {
   def charEntropy(text: Column): Column = {
     val low = lower(text)
     val len = length(low).cast("long")
-    val counts = EntropyClasses.map(c =>
-      (length(low) - length(translate(low, c, ""))).cast("long"))
-    val other = len - counts.reduce(_ + _)
-    val terms = (counts :+ other).map(cnt =>
-      when(cnt > 0,
-        cnt * round(log(cnt.cast("double") / len.cast("double")) * 1e6)
-          .cast("long"))
-        .otherwise(lit(0L)))
-    when(len > 0,
-      round(-terms.reduce(_ + _).cast("double") / len.cast("double")) / 1e6)
+    // all 28 counts in ONE native code-point pass (spec-pinned equal to
+    // the 27-translate length-delta form, which costs ~80 string passes
+    // once the guard/weight/remainder references multiply it out)
+    val cnts = org.apache.spark.sql.GraftShim.column(
+      CharClassCounts(org.apache.spark.sql.GraftShim.expression(low)))
+    val s6 = aggregate(
+      transform(cnts, cnt =>
+        when(cnt > 0,
+          cnt * round(log(cnt.cast("double") / len.cast("double")) * 1e6)
+            .cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    when(len > 0, round(-s6.cast("double") / len.cast("double")) / 1e6)
       .otherwise(lit(0.0))
   }
 }

@@ -50,6 +50,12 @@ class CodegenSpec extends SparkSpec {
           GraftFunctions.md5_lanes(lit("a")), 1).as("l"))
         .as[Long].collect()
       assert(lanes.forall(_ === 0x0cc175b9L))
+      // CharClassCounts ("a b": 1×a, 1×b, 1×space)
+      val ccc = docs.select(graft.functions.GraftFunctions
+        .char_class_counts(col("text")).as("c"))
+        .collect().map(_.getSeq[Long](0))
+      assert(ccc.forall(_.sum > 0))
+      assert(ccc.exists(a => a(0) === 1L && a(1) === 1L && a(26) === 1L))
       // NfcNormalize (decomposed e + U+0301 must compose to é)
       val deco = Seq("café", "ascii only").toDF("c").repartition(2)
       val nfc = deco.select(TextFunctions.nfcNormalize(col("c")))

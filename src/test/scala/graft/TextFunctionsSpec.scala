@@ -143,4 +143,22 @@ class TextFunctionsSpec extends SparkSpec {
     // non-alphabet chars fold into one "other" class
     assert(ent("!@#$%^&*") === 0.0)
   }
+
+  test("char_class_counts kernel equals the declarative translate deltas " +
+    "(unicode, astral, empty)") {
+    val samples = Seq("", "aabb zz!", "the quick brown fox",
+      "caf\u00e9 \u4e2d\u6587 mix", "astral \ud83d\ude00 char",
+      "  spaces  and\ttabs")
+    val df = samples.toDF("s")
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val declarative = TextFunctions.EntropyClasses.map(c =>
+      (length(col("s")) - length(translate(col("s"), c, ""))).cast("long"))
+    val other = length(col("s")).cast("long") - declarative.reduce(_ + _)
+    val rows = df.select(
+      GraftFunctions.char_class_counts(col("s")).as("k"),
+      array((declarative :+ other): _*).as("d")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }

@@ -234,4 +234,70 @@ object ColumnStats {
       .select(col("digit"), col("observed"), col("expected"),
         col("chi2_term"), col("chi2"))
   }
+
+  /** Chi-square test of independence between two categorical columns —
+    * "is the language mix the same across sources?" One row:
+    * (n, n_cells, dof, chi2). Compare chi2 against the χ²(dof) critical
+    * value offline; the statistic itself is the deliverable.
+    *
+    * Scale shape: ONE fact-table aggregation collapses to contingency
+    * cells (|A|×|B| rows — persisted, it feeds margins and the join);
+    * everything after is cell-sized. Per-cell (obs−exp)²/exp terms are
+    * 1e-6-quantized and summed as longs ([[benfordAudit]]'s discipline),
+    * so the statistic is order-free and engine-replayable.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = graft.CacheRegistry.persist(
+      df.groupBy(col(colA).as("a"), col(colB).as("b"))
+        .agg(count(lit(1)).as("obs")))
+    val rowTot = cells.groupBy("a").agg(sum(col("obs")).as("ra"))
+    val colTot = cells.groupBy("b").agg(sum(col("obs")).as("cb"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    // the DENSE margin grid, not just observed cells: a (a, b) combination
+    // with zero rows still contributes (0−exp)²/exp = exp to the statistic
+    // — dropping empty cells understates dependence exactly where it is
+    // strongest (spec-pinned: a 2×2 perfect association scores χ² = n)
+    rowTot.crossJoin(colTot).crossJoin(broadcast(n))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("exp", col("ra") * col("cb") / col("n"))
+      .withColumn("term6",
+        round(pow(col("obs") - col("exp"), 2) / col("exp") * 1e6)
+          .cast("long"))
+      .agg(min(col("n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1))
+          .as("dof"),
+        (sum(col("term6")).cast("double") / 1e6).as("chi2"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative integer measure — the
+    * concentration/inequality audit (is one source hogging the corpus
+    * bytes?): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over each group's ascending
+    * values. Everything is long arithmetic until the single final
+    * division, so the result is bitwise on any engine; ties need no
+    * ordering tie-break because Σ(2i−n−1)x is invariant under
+    * permutations within equal values.
+    *
+    * Overflow bound: n·Σx must fit a long. Gini is scale-invariant, so a
+    * corpus where it wouldn't (≳10⁹ rows of ≳10⁹-sized values per group)
+    * divides the measure by a constant first and gets the identical
+    * coefficient.
+    *
+    * Scale shape: one keyed window (rank within group) feeding one hash
+    * aggregation — a single Exchange on the group key; parallelism
+    * follows group cardinality.
+    */
+  def giniByGroup(df: DataFrame, group: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col("x"))
+    df.select(col(group), col(value).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("total"),
+        sum((lit(2L) * col("i") - lit(1L)) * col("x")).as("wsum"))
+      .select(col(group), col("n_rows"), col("total"),
+        (round((col("wsum") - col("n_rows") * col("total")).cast("double") /
+          (col("n_rows") * col("total")).cast("double") * 1e6) / 1e6)
+          .as("gini"))
+  }
 }

@@ -2633,6 +2633,66 @@ object Queries {
              |FROM orders""".stripMargin
         }.mkString("\nUNION ALL\n"))),
 
+    // ── Q123: chi-square independence audit — "is the language mix the
+    //          same across sources?" One fact aggregation collapses to
+    //          contingency cells; margins and the statistic are cell-sized.
+    //          Per-cell (obs−exp)²/exp terms 1e-6-quantized and summed as
+    //          longs (q107's discipline) → engine-replayable χ². ─────────
+    QueryDef("q123_chi_square",
+      (s, dir) => graft.operators.ColumnStats
+        .chiSquare(t(s, dir, "documents"), "source", "lang"),
+      Some("""WITH cells AS (
+             |  SELECT source AS a, lang AS b, COUNT(*) AS obs
+             |  FROM documents GROUP BY 1, 2
+             |), ra AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS ra
+             |          FROM cells GROUP BY 1),
+             |cb AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS cb
+             |       FROM cells GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+             |grid AS (
+             |  SELECT ra.a, cb.b, ra.ra, cb.cb, nn.n,
+             |         COALESCE(cells.obs, 0) AS obs
+             |  FROM ra CROSS JOIN cb CROSS JOIN nn
+             |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+             |), terms AS (
+             |  SELECT n, obs,
+             |         CAST(round(pow(obs - ra * cb / n, 2)
+             |                    / (ra * cb / n) * 1e6) AS BIGINT) AS t6,
+             |         a, b
+             |  FROM grid
+             |)
+             |SELECT MIN(n) AS n, COUNT(*) AS n_cells,
+             |       (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+             |         AS dof,
+             |       CAST(SUM(t6) AS BIGINT) / 1e6 AS chi2
+             |FROM terms""".stripMargin)),
+
+    // ── Q124: per-source Gini concentration of document length — is one
+    //          source hogging the corpus bytes? Long arithmetic end to end
+    //          (Σ(2i−n−1)x / nΣx) except the single final division; ties
+    //          need no tie-break because the weighted sum is invariant
+    //          within equal values. One keyed window + one hash agg. ──────
+    QueryDef("q124_gini",
+      (s, dir) => graft.operators.ColumnStats
+        .giniByGroup(t(s, dir, "documents"), "source", "n_chars"),
+      Some("""WITH ranked AS (
+             |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+             |         CAST(row_number() OVER (PARTITION BY source
+             |                                 ORDER BY n_chars) AS BIGINT)
+             |           AS i
+             |  FROM documents
+             |), g AS (
+             |  SELECT source, COUNT(*) AS n_rows,
+             |         CAST(SUM(x) AS BIGINT) AS total,
+             |         CAST(SUM((2 * i - 1) * x) AS BIGINT) AS wsum
+             |  FROM ranked GROUP BY 1
+             |)
+             |SELECT source, n_rows, total,
+             |       round((wsum - n_rows * total)
+             |             / CAST(n_rows * total AS DOUBLE) * 1e6) / 1e6
+             |         AS gini
+             |FROM g""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -258,4 +258,40 @@ class SearchStatsSpec extends SparkSpec {
     assert(ColumnStats.benfordAudit(Seq(0.0, 0.001, -0.004).toDF("v"), "v")
       .count() === 0L)
   }
+
+  test("chiSquare: independent table scores ~0, dependent table large; " +
+    "dof from margins") {
+    // perfectly independent 2x2: obs = exp everywhere -> chi2 = 0
+    val indep = Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+      Seq.fill(10)(("s2", "en")) ++ Seq.fill(10)(("s2", "de"))
+    val r0 = ColumnStats.chiSquare(indep.toDF("src", "lang"), "src", "lang")
+      .collect().head
+    assert(r0.getLong(0) === 40L)
+    assert(r0.getLong(1) === 4L)
+    assert(r0.getLong(2) === 1L)
+    assert(r0.getDouble(3) === 0.0)
+    // perfectly dependent: src determines lang -> chi2 = n
+    val dep = Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "de"))
+    val r1 = ColumnStats.chiSquare(dep.toDF("src", "lang"), "src", "lang")
+      .collect().head
+    assert(math.abs(r1.getDouble(3) - 20.0) < 1e-4,
+      s"2x2 perfect association has chi2 = n, got ${r1.getDouble(3)}")
+  }
+
+  test("giniByGroup: equality -> 0, known hand value, scale invariance") {
+    val eq = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L))
+    val g0 = ColumnStats.giniByGroup(eq.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(g0.getDouble(3) === 0.0)
+    // {1, 3}: G = (2*1*1 + ... ) hand: sorted x=(1,3), wsum=1*1+3*3=10,
+    // n=2, total=4 -> (10 - 8) / 8 = 0.25
+    val hand = ColumnStats.giniByGroup(
+      Seq(("a", 1L), ("a", 3L)).toDF("g", "v"), "g", "v").collect().head
+    assert(hand.getDouble(3) === 0.25)
+    // scale invariance: multiplying the measure by 1000 leaves G unchanged
+    val big = ColumnStats.giniByGroup(
+      Seq(("a", 1000L), ("a", 3000L)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(big.getDouble(3) === 0.25)
+  }
 }

@@ -288,6 +288,45 @@ object ColumnStats {
     * aggregation — a single Exchange on the group key; parallelism
     * follows group cardinality.
     */
+  /** Population Stability Index between a baseline and a current frame
+    * over fixed-width bins of a numeric column — the ML-monitoring drift
+    * staple (rule of thumb: &lt; 0.1 stable, &gt; 0.2 shifted). Both sides
+    * are Laplace-smoothed (+1 per bin over the UNION of observed bins, so
+    * an empty-vs-nonempty bin contributes a finite term instead of ±∞ —
+    * the standard practitioner fix, and the smoothing is part of the
+    * replayable contract). Per-bin (p−q)·ln(p/q) terms are 1e-6-quantized
+    * and summed as longs ([[benfordAudit]]'s discipline).
+    *
+    * Scale shape: each side collapses to (bin, count) in one map-side-
+    * combined aggregation; everything after is bin-count-sized. Output:
+    * one row per bin (bin, n_base, n_cur, term) + the shared `psi` total.
+    */
+  def psi(base: DataFrame, current: DataFrame, value: String,
+          width: Long): DataFrame = {
+    require(width >= 1, s"bin width must be >= 1, got $width")
+    def binned(df: DataFrame, cnt: String) =
+      df.select(floor(col(value).cast("long") / width).cast("long")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val joined = graft.CacheRegistry.persist(
+      binned(base, "n_base").join(binned(current, "n_cur"),
+          Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+    val tot = joined.agg(count(lit(1)).as("k"),
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val p = (col("n_base") + 1L).cast("double") / (col("tb") + col("k"))
+    val q = (col("n_cur") + 1L).cast("double") / (col("tc") + col("k"))
+    val t = joined.crossJoin(broadcast(tot))
+      .withColumn("term6",
+        round((p - q) * log(p / q) * 1e6).cast("long"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.withColumn("psi", sum(col("term6")).over(w).cast("double") / 1e6)
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        (col("term6").cast("double") / 1e6).as("term"), col("psi"))
+  }
+
   def giniByGroup(df: DataFrame, group: String, value: String): DataFrame = {
     val w = Window.partitionBy(col(group)).orderBy(col("x"))
     df.select(col(group), col(value).cast("long").as("x"))

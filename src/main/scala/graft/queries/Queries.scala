@@ -2693,6 +2693,51 @@ object Queries {
              |         AS gini
              |FROM g""".stripMargin)),
 
+    // ── Q125: Population Stability Index — distribution drift of document
+    //          length between one source and the rest of the corpus, the
+    //          ML-monitoring staple. Each side collapses to (bin, count)
+    //          in one map-side-combined aggregation; Laplace smoothing
+    //          over the union of bins keeps empty-vs-nonempty bins finite;
+    //          per-bin terms 1e-6-quantized and summed as longs. ─────────
+    QueryDef("q125_psi_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.ColumnStats.psi(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "n_chars", width = 100L)
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 100) AS BIGINT)
+             |           AS bin, COUNT(*) AS n_base
+             |  FROM documents WHERE source = 'src0' GROUP BY 1
+             |), c AS (
+             |  SELECT CAST(floor(CAST(n_chars AS BIGINT) / 100) AS BIGINT)
+             |           AS bin, COUNT(*) AS n_cur
+             |  FROM documents WHERE source <> 'src0' GROUP BY 1
+             |), j AS (
+             |  SELECT COALESCE(b.bin, c.bin) AS bin,
+             |         COALESCE(n_base, 0) AS n_base,
+             |         COALESCE(n_cur, 0) AS n_cur
+             |  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+             |), tot AS (
+             |  SELECT COUNT(*) AS k, CAST(SUM(n_base) AS BIGINT) AS tb,
+             |         CAST(SUM(n_cur) AS BIGINT) AS tc
+             |  FROM j
+             |), t AS (
+             |  SELECT bin, n_base, n_cur,
+             |         CAST(round((CAST(n_base + 1 AS DOUBLE) / (tb + k)
+             |                     - CAST(n_cur + 1 AS DOUBLE) / (tc + k))
+             |                    * ln((CAST(n_base + 1 AS DOUBLE) / (tb + k))
+             |                         / (CAST(n_cur + 1 AS DOUBLE)
+             |                            / (tc + k))) * 1e6) AS BIGINT)
+             |           AS t6
+             |  FROM j, tot
+             |)
+             |SELECT bin, n_base, n_cur, t6 / 1e6 AS term,
+             |       (SELECT CAST(SUM(t6) AS BIGINT) FROM t) / 1e6 AS psi
+             |FROM t""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -294,4 +294,23 @@ class SearchStatsSpec extends SparkSpec {
       .collect().head
     assert(big.getDouble(3) === 0.25)
   }
+
+  test("psi: identical mix -> 0, disjoint -> large but finite, " +
+    "empty bins smoothed") {
+    import org.apache.spark.sql.DataFrame
+    def mk(xs: Seq[Long]): DataFrame = xs.toDF("v")
+    def psiOf(a: Seq[Long], b: Seq[Long]): Double =
+      ColumnStats.psi(mk(a), mk(b), "v", width = 10L)
+        .collect().head.getDouble(4)
+    // same distribution (even scaled 2x per bin: p and q equal) -> 0
+    val base = Seq(1L, 5L, 15L, 25L, 25L)
+    assert(psiOf(base, base) === 0.0)
+    // disjoint supports: every bin empty on one side -- finite via
+    // smoothing, and clearly over the 0.2 "shifted" rule of thumb
+    val drift = psiOf(Seq(1L, 2L, 3L, 4L), Seq(101L, 102L, 103L, 104L))
+    assert(!drift.isNaN && !drift.isInfinite)
+    assert(drift > 0.2, s"disjoint supports must read as shifted, got $drift")
+    intercept[IllegalArgumentException](
+      ColumnStats.psi(mk(base), mk(base), "v", width = 0L))
+  }
 }

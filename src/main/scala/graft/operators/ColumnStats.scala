@@ -308,11 +308,20 @@ object ColumnStats {
       df.select(floor(col(value).cast("long") / width).cast("long")
           .as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
-    val joined = graft.CacheRegistry.persist(
+    psiFromCounts(
       binned(base, "n_base").join(binned(current, "n_cur"),
           Seq("bin"), "full_outer")
         .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+  }
+
+  /** [[psi]]'s algebra over pre-aggregated (bin, n_base, n_cur) counts —
+    * the entry point for callers that already hold histograms (the
+    * streaming drift monitor's windowed aggregation, a stored baseline
+    * table) and must not re-materialize rows to score them.
+    */
+  def psiFromCounts(counts: DataFrame): DataFrame = {
+    val joined = graft.CacheRegistry.persist(counts)
     val tot = joined.agg(count(lit(1)).as("k"),
       sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
     val p = (col("n_base") + 1L).cast("double") / (col("tb") + col("k"))

@@ -474,4 +474,70 @@ object StreamingEvents {
         graft.CacheRegistry.releaseAll()
       }
       .start()
+
+  /** Continuous distribution-drift alerts — q125's PSI made streaming:
+    * tumbling windows of a numeric column's binned histogram, each CLOSED
+    * window scored against a static baseline histogram, windows over
+    * `threshold` appended to `outDir` as (window_start, psi).
+    *
+    * Composition: the stream side is ONE standard watermarked windowed
+    * aggregation to (window, bin, count) in append mode — so only
+    * finalized windows reach the sink, exactly once per window — and the
+    * PSI algebra runs as a small batch job per micro-batch inside
+    * `foreachBatch`, via [[graft.operators.ColumnStats.psi]]'s smoothing
+    * and quantization contract against the baseline frame. State is the
+    * windowed aggregation's (bounded by the watermark); the baseline
+    * rides the plan as a literal frame, bin-count-sized.
+    *
+    * Replay contract (spec-pinned): alerts equal computing
+    * `ColumnStats.psi(baseline, window-slice)` per window in batch.
+    */
+  def psiDriftSink(events: DataFrame, valueCol: String, width: Long,
+                   baseline: Seq[(Long, Long)], threshold: Double,
+                   outDir: String, checkpointDir: String,
+                   window: String = "1 hour",
+                   watermark: String = "10 minutes"): StreamingQuery = {
+    require(width >= 1, s"bin width must be >= 1, got $width")
+    require(baseline.nonEmpty, "psiDriftSink needs a non-empty baseline")
+    val binned = events.withWatermark("ts", watermark)
+      .select(col("ts"),
+        floor(col(valueCol).cast("long") / width).cast("long").as("bin"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    binned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        if (!batch.isEmpty) {
+          val windows = batch
+            .select(col("window.start").as("ws"), col("bin"), col("n_cur"))
+          // score each closed window independently against the baseline
+          // histogram at COUNT level (psiFromCounts) — nothing is ever
+          // expanded back to rows; windows per batch are few (closed by
+          // one watermark advance), bins per window bounded
+          val starts = windows.select("ws").distinct()
+            .collect().map(_.getTimestamp(0))
+          val base = baseline.toDF("bin", "n_base")
+          val alerts = starts.flatMap { ws =>
+            val cur = windows.filter(col("ws") === lit(ws))
+              .select(col("bin"), col("n_cur"))
+            val counts = base.join(cur, Seq("bin"), "full_outer")
+              .select(col("bin"),
+                coalesce(col("n_base"), lit(0L)).as("n_base"),
+                coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+            val psiVal = graft.operators.ColumnStats.psiFromCounts(counts)
+              .select(col("psi")).head(1).headOption
+              .map(_.getDouble(0)).getOrElse(0.0)
+            graft.CacheRegistry.releaseAll()
+            if (psiVal > threshold) Some((ws, psiVal)) else None
+          }
+          alerts.toSeq.toDF("window_start", "psi")
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+  }
 }

@@ -49,6 +49,21 @@ object PropertySpec extends Properties("graft") {
         twice == once
     }
 
+  property("charClassCounts: matches reference classification and sums " +
+    "to the code-point count") =
+    Prop.forAll(unicodeGen) { s =>
+      val got = graft.functions.CharClassCounts.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray()
+      val cps = s.codePoints().toArray
+      val ref = new Array[Long](28)
+      cps.foreach { cp =>
+        val i = if (cp >= 'a' && cp <= 'z') cp - 'a'
+                else if (cp == ' ') 26 else 27
+        ref(i) += 1
+      }
+      got.sameElements(ref) && got.sum == cps.length.toLong
+    }
+
   property("labelIndex: 1-based contiguous enumeration in sorted order") =
     Prop.forAll(Gen.listOf(strGen)) { labels =>
       val idx = Anonymize.labelIndex(labels, "ANON")

@@ -623,4 +623,45 @@ class StreamingSpec extends SparkSpec {
       "docs admitted before compaction must still block dups")
     CacheRegistry.releaseAll()
   }
+
+  test("psi drift sink: shifted window alerts, matching window stays " +
+    "quiet; alert psi equals the batch psiFromCounts") {
+    implicit val ctx = spark.sqlContext
+    val outDir = s"${tmpDir("graft-psi-out")}/alerts"
+    val ckpt = tmpDir("graft-psi-ckpt")
+    // baseline histogram: bins 0 and 1 balanced
+    val baseline = Seq(0L -> 10L, 1L -> 10L)
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = StreamingEvents.psiDriftSink(
+      stream.toDF().toDF("ts", "v"), "v", width = 10L,
+      baseline = baseline, threshold = 0.2, outDir = outDir,
+      checkpointDir = ckpt, window = "1 hour", watermark = "0 seconds")
+    try {
+      // window 10:00: matches the baseline mix (half in bin 0, half bin 1)
+      stream.addData(Seq(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 12L),
+        (ts("2024-01-01 10:20:00"), 2L), (ts("2024-01-01 10:30:00"), 15L)))
+      q.processAllAvailable()
+      // window 11:00: everything lands in bin 5 -- drifted
+      stream.addData(Seq(
+        (ts("2024-01-01 11:00:00"), 55L), (ts("2024-01-01 11:10:00"), 57L),
+        (ts("2024-01-01 11:20:00"), 58L), (ts("2024-01-01 11:30:00"), 59L)))
+      q.processAllAvailable()
+      // advance the watermark past both windows so they close and score
+      stream.addData(Seq((ts("2024-01-01 13:00:00"), 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val alerts = spark.read.parquet(outDir)
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(alerts.keySet === Set(ts("2024-01-01 11:00:00")),
+      s"only the drifted window alerts, got ${alerts.keySet}")
+    // replay contract: the alert's psi equals batch psiFromCounts over the
+    // same (bin, n_base, n_cur) histogram
+    val counts = Seq((0L, 10L, 0L), (1L, 10L, 0L), (5L, 0L, 4L))
+      .toDF("bin", "n_base", "n_cur")
+    val want = graft.operators.ColumnStats.psiFromCounts(counts)
+      .select("psi").head().getDouble(0)
+    assert(alerts(ts("2024-01-01 11:00:00")) === want)
+  }
 }

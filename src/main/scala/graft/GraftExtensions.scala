@@ -5,11 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, StringType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, CharClassCounts, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
-  * `array_dot(a, b)`, `l2_norm(a)`, `word_shingles(text[, n])`, and
-  * `nfc_normalize(str)` become callable from `spark.sql(...)` — the same
+  * `array_dot(a, b)`, `l2_norm(a)`, `word_shingles(text[, n])`,
+  * `char_class_counts(str)`, and `nfc_normalize(str)` become callable from `spark.sql(...)` — the same
   * codegen'd expressions the DataFrame API uses, registered rather than
   * wrapped in UDFs.
   *
@@ -107,6 +107,10 @@ object GraftExtensions {
       (FunctionIdentifier("md5_lanes"),
         new ExpressionInfo(classOf[Md5Lanes].getName, "md5_lanes"),
         unary("md5_lanes", (c: Expression) => Md5Lanes(Cast(c, BinaryType))) _),
+      (FunctionIdentifier("char_class_counts"),
+        new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+        unary("char_class_counts",
+          (c: Expression) => CharClassCounts(Cast(c, StringType))) _),
       (FunctionIdentifier("nfc_normalize"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
         unary("nfc_normalize",

@@ -108,4 +108,59 @@ object Quantiles {
       s"prob $p is not a binary-exact fraction (quarters, eighths, …)")
     s"p${dec.toPlainString.replace('.', '_')}"
   }
+
+  /** Fit k equi-population bin edges — the "fit" half of the
+    * fit/transform feature-binning pattern (quantile bucketing a model
+    * pipeline freezes once and applies for weeks). Edges are the i/k
+    * quantiles (i = 1..k−1) of `round(value·scale)/scale`; k must be a
+    * power of two ≤ 256 so every prob is binary-exact and the edges are
+    * bitwise-identical across engines (object doc / q45's contract).
+    * The k−1 doubles are a bounded driver collect, exactly like
+    * [[IVF]]'s k×dim centroid pull — made to be persisted
+    * ([[saveBins]]/[[loadBins]]) and embedded as literals at apply time.
+    */
+  def fitBins(df: DataFrame, value: Column, k: Int = 8,
+              scale: Double = 1000.0): Array[Double] = {
+    require(k >= 2 && k <= 256 && (k & (k - 1)) == 0,
+      s"k must be a power of two in [2, 256], got $k")
+    val v = quantized(value, scale)
+    val aggs = (1 until k).map(i =>
+      (percentile(v, lit(i.toDouble / k)) / scale).as(s"e$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    (0 until k - 1).map(row.getDouble).toArray
+  }
+
+  /** Persist fitted edges: (idx, edge) parquet, the catalog artifact the
+    * whole feature pipeline shares. */
+  def saveBins(spark: org.apache.spark.sql.SparkSession,
+               edges: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    edges.zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+      .toDF("idx", "edge").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load edges persisted by [[saveBins]]; fails fast on an empty or
+    * unordered store rather than silently mis-binning. */
+  def loadBins(spark: org.apache.spark.sql.SparkSession,
+               path: String): Array[Double] = {
+    val edges = spark.read.parquet(path).orderBy("idx")
+      .select("edge").collect().map(_.getDouble(0))
+    require(edges.nonEmpty, s"no bin edges found at $path")
+    require(edges.sameElements(edges.sorted),
+      s"bin edges at $path are not monotone — corrupt store")
+    edges
+  }
+
+  /** Apply fitted edges: `bucket` = number of edges ≤ value, a pure
+    * scan-side expression over the edge-literal array (zero joins, zero
+    * shuffle — the transform half is free at any scale). Buckets run
+    * 0..k−1; rows below every edge land in 0, above every edge in k−1.
+    */
+  def applyBins(df: DataFrame, value: Column, edges: Array[Double],
+                as: String = "bucket"): DataFrame = {
+    require(edges.nonEmpty, "applyBins needs at least one edge")
+    df.withColumn(as,
+      size(filter(lit(edges), e => value.cast("double") >= e)).cast("long"))
+  }
 }

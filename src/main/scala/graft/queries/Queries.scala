@@ -2738,6 +2738,44 @@ object Queries {
              |       (SELECT CAST(SUM(t6) AS BIGINT) FROM t) / 1e6 AS psi
              |FROM t""".stripMargin)),
 
+    // ── Q126: quantile-binned featurization — octile edges FIT on one
+    //          source (binary-exact probs ⇒ bitwise edges, q45's
+    //          contract), APPLIED corpus-wide as a pure scan-side
+    //          edge-literal expression (zero joins), per-bucket counts +
+    //          value range. The fit/transform feature pattern with the
+    //          bounded k−1-edge driver pull (IVF's centroid discipline);
+    //          persistence round-trip spec-pinned separately. ────────────
+    QueryDef("q126_quantile_bins",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val edges = graft.operators.Quantiles.fitBins(
+          docs.filter(col("source") === "src0"), col("n_chars"), k = 8)
+        graft.operators.Quantiles.applyBins(docs, col("n_chars"), edges)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
+            max(col("n_chars")).as("hi"))
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(round(n_chars * 1000.0) AS DOUBLE) AS v
+             |  FROM documents WHERE source = 'src0'
+             |), e AS (
+             |  SELECT [quantile_cont(v, 0.125) / 1000.0,
+             |          quantile_cont(v, 0.25) / 1000.0,
+             |          quantile_cont(v, 0.375) / 1000.0,
+             |          quantile_cont(v, 0.5) / 1000.0,
+             |          quantile_cont(v, 0.625) / 1000.0,
+             |          quantile_cont(v, 0.75) / 1000.0,
+             |          quantile_cont(v, 0.875) / 1000.0] AS edges
+             |  FROM src
+             |)
+             |SELECT CAST(len(list_filter(e.edges,
+             |              x -> CAST(n_chars AS DOUBLE) >= x)) AS BIGINT)
+             |         AS bucket,
+             |       COUNT(*) AS n_docs,
+             |       MIN(n_chars) AS lo, MAX(n_chars) AS hi
+             |FROM documents, e
+             |GROUP BY 1""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

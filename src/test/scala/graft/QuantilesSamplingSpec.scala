@@ -187,4 +187,34 @@ class QuantilesSamplingSpec extends SparkSpec {
       assert(r.getString(2) === p)
     }
   }
+
+  test("quantile bins: hand-checked edges, bit-exact save/load round-trip, " +
+    "reloaded edges bin identically") {
+    import graft.operators.Quantiles
+    // values 1..8: octile edges at i/8 over (n-1)p positions
+    val df = (1L to 8L).toDF("v")
+    val edges = Quantiles.fitBins(df, col("v"), k = 8, scale = 1.0)
+    assert(edges.length === 7)
+    assert(edges.head === 1.875, "p12.5 of 1..8 = 1 + 7*0.125")
+    assert(edges(3) === 4.5, "median of 1..8")
+    assert(edges.sameElements(edges.sorted))
+    // round-trip: bit-exact edges, identical binning
+    val dir = tmpDir("graft-bins")
+    Quantiles.saveBins(spark, edges, dir)
+    val back = Quantiles.loadBins(spark, dir)
+    assert(back.toSeq === edges.toSeq)
+    val a = Quantiles.applyBins(df, col("v"), edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Quantiles.applyBins(df, col("v"), back).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // bucket contract: below every edge -> 0, above every edge -> k-1
+    val ext = Seq(0L, 100L).toDF("v")
+    val got = Quantiles.applyBins(ext, col("v"), edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) === 0L && got(100L) === 7L)
+    intercept[IllegalArgumentException](Quantiles.fitBins(df, col("v"), k = 5))
+    intercept[IllegalArgumentException](
+      Quantiles.applyBins(df, col("v"), Array.empty[Double]))
+  }
 }

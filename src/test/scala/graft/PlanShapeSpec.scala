@@ -312,4 +312,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"CDC running count must partition by doc_id:\n${plan.take(800)}")
   }
+
+  test("snapshotDiff ships fingerprints, not payloads, through a single " +
+    "shuffled join — no broadcast assumption, no nested loop") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = physical(graft.operators.Scd.snapshotDiff(
+      docs, docs, Seq("doc_id"), Seq("text", "lang")))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(400))
+    // the join's output carries md5 fingerprints; the text column must be
+    // consumed below the join (projected away before the shuffle)
+    val joinLine = plan.linesIterator.find(_.contains("SortMergeJoin"))
+      .orElse(plan.linesIterator.find(_.contains("ShuffledHashJoin")))
+    assert(joinLine.isDefined, s"expected a shuffled equi-join:\n${plan.take(600)}")
+  }
+
+  test("applyBins is scan-side only: zero Exchange in the binning plan") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val binned = graft.operators.Quantiles.applyBins(
+      docs.select("doc_id", "n_chars"),
+      org.apache.spark.sql.functions.col("n_chars"),
+      Array(10.0, 20.0, 30.0))
+    val nodes = collectNodes(binned.queryExecution.executedPlan)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"binning must not shuffle: $nodes")
+  }
+
+  test("mergeIntervals: both windows and the aggregation share ONE Exchange") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 12L), (2L, 0L, 5L))
+      .toDF("k", "s0", "e0")
+    val merged = graft.operators.TimeSeries.mergeIntervals(
+      iv, Seq("k"), "s0", "e0")
+    val nodes = collectNodes(merged.queryExecution.executedPlan)
+    val exchanges = nodes.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"expected one shared Exchange for both windows + agg, got $exchanges: $nodes")
+  }
+
+  test("orphanKeys: child collapses to key counts BEFORE the anti join " +
+    "(aggregate below the join, no nested loop)") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val ord = Tables.table(spark, sf0001, "orders")
+    val plan = graft.operators.DataQuality.orphanKeys(
+      li, "l_orderkey", ord, "o_orderkey").queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(_.contains("BroadcastNestedLoop")), nodes.toString)
+    // the anti join must sit ABOVE at least one hash aggregate (the
+    // child-side collapse), not directly on the fact scan
+    val s = nodes.mkString(" ")
+    assert(s.contains("HashAggregate"), s)
+  }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the compressed-codes
+  * complement to [[IVF]]'s inverted lists: split each d-dim vector into
+  * `m` subvectors, k-means each subspace independently (reusing
+  * [[IVF.train]]'s deterministic Lloyd discipline per subspace), and
+  * store each vector as `m` small codes. A 64-dim float vector becomes
+  * 8 bytes at m=8/k=16 — a 32× compression that lets a 100 TB corpus's
+  * codes fit where its vectors never would.
+  *
+  * Queries run ADC (asymmetric distance computation): the query stays
+  * exact, each subspace contributes a k-entry lookup table of
+  * ‖q_j − codeword‖², and a vector's estimated dist² is the sum of its
+  * codes' table entries — m array lookups per row, no vector arithmetic.
+  * Candidates cut by estimated distance are exactly re-ranked (the
+  * standard PQ + re-rank pipeline).
+  *
+  * Determinism contract: codebooks inherit [[IVF.train]]'s seeded init,
+  * fixed iterations, and 1e-9 centroid quantization; encoding is the same
+  * argmin-over-literals expression ([[IVF.assignExpr]] per subspace, cid
+  * tie-break); LUT entries are computed ONCE driver-side and embedded in
+  * both the Spark plan and the oracle SQL, and the estimate sums the m
+  * lookups in fixed subspace order — so codes, estimates, candidate cuts,
+  * and re-ranked results all replay bitwise in any engine.
+  *
+  * Scale shape: training touches only sliced samples; encoding is one
+  * scan-side expression (store the codes next to the corpus); ADC is one
+  * scan + TakeOrderedAndProject over `rerank` candidates + an exact
+  * re-rank of that bounded set. No shuffles anywhere.
+  */
+object PQ {
+
+  /** Trained per-subspace codebooks: [m][k][subDim]. */
+  case class Codebooks(books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def k: Int = books.head.length
+    def subDim: Int = books.head.head.length
+    def dim: Int = m * subDim
+  }
+
+  /** Train m independent sub-quantizers. `dim` must divide evenly by `m`;
+    * per-subspace seeds differ so subspaces don't share init accidents.
+    */
+  def train(emb: DataFrame, dim: Int, m: Int, k: Int = 16, iters: Int = 5,
+            seed: Int = 42): Codebooks = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim)
+          .as("embedding"))
+      IVF.train(sliced, k, iters, seed + j).centroids
+    }.toArray
+    Codebooks(books)
+  }
+
+  /** Persist codebooks: one row per (subspace, code) — m×k×subDim doubles,
+    * codebook-sized at any corpus scale. 1e-9-quantized coordinates make
+    * the round-trip bit-exact ([[IVF.save]]'s discipline).
+    */
+  def save(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      j <- cb.books.indices; c <- cb.books(j).indices
+    } yield (j, c, cb.books(j)(c).toSeq)).toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[save]]; fails fast on gaps or ragged
+    * shapes rather than mis-encoding.
+    */
+  def load(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("codeword"))
+      .orderBy(col("sub"), col("code")).collect()
+    require(rows.nonEmpty, s"no codebooks at $path")
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.size
+    require(bySub.keySet == (0 until m).toSet,
+      s"codebooks at $path have non-contiguous subspace ids")
+    val books = (0 until m).map { j =>
+      val sub = bySub(j).sortBy(_.getInt(1))
+      require(sub.map(_.getInt(1)).sameElements(sub.indices),
+        s"subspace $j at $path has non-contiguous codes")
+      sub.map(_.getSeq[Double](2).toArray)
+    }.toArray
+    require(books.flatMap(_.map(_.length)).distinct.length == 1,
+      s"codebooks at $path have ragged codeword dims")
+    Codebooks(books)
+  }
+
+  /** PQ codes of a vector column as ONE pure expression: array of m
+    * per-subspace argmins (each [[IVF.assignExpr]] over that subspace's
+    * codeword literals — cid tie-break and all).
+    */
+  def encodeExpr(v: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { j =>
+      IVF.assignExpr(slice(v, j * cb.subDim + 1, cb.subDim),
+        IVF.Index(cb.books(j)))
+    }: _*)
+
+  /** The ADC lookup tables for a query: lut(j)(c) = ‖q_j − codeword‖²,
+    * summed in ascending dimension order — computed once, embedded as
+    * literals on both engines. Public so oracles replay the identical
+    * doubles.
+    */
+  def adcLuts(cb: Codebooks, query: Array[Double]): Array[Array[Double]] = {
+    require(query.length == cb.dim,
+      s"query dim ${query.length} != codebook dim ${cb.dim}")
+    cb.books.zipWithIndex.map { case (book, j) =>
+      val q = query.slice(j * cb.subDim, (j + 1) * cb.subDim)
+      book.map { w =>
+        var s = 0.0
+        var i = 0
+        while (i < w.length) { val d = q(i) - w(i); s += d * d; i += 1 }
+        s
+      }
+    }
+  }
+
+  /** Estimated dist² of a codes column under the query's LUTs: m array
+    * lookups summed in fixed subspace order.
+    */
+  def adcScoreExpr(codes: Column, luts: Array[Array[Double]]): Column =
+    luts.zipWithIndex.map { case (lut, j) =>
+      element_at(lit(lut), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: encode in-scan, cut `rerank` candidates by
+    * estimated distance (TakeOrderedAndProject, ties on vec_id), then
+    * exact-cosine re-rank of the bounded candidate set. Output
+    * (vec_id, cos) — [[IVF.neighbors]]'s shape.
+    */
+  def neighbors(emb: DataFrame, cb: Codebooks, query: Array[Double],
+                k: Int, rerank: Int, excludeId: Option[Long] = None)
+      : DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val luts = adcLuts(cb, query)
+    val normQ = math.sqrt(query.map(x => x * x).sum)
+    val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
+    base.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("est", adcScoreExpr(encodeExpr(col("v"), cb), luts))
+      .orderBy(col("est").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"),
+        round(GraftFunctions.dot_product(col("v"), lit(query)) /
+          (GraftFunctions.l2_norm(col("v")) * lit(normQ)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -2776,6 +2776,24 @@ object Queries {
              |FROM documents, e
              |GROUP BY 1""".stripMargin)),
 
+    // ── Q127: product-quantized ANN (Jégou et al. 2011) — per-subspace
+    //          codebooks (m=8, k=16: 64-dim floats → 8 codes, 32×
+    //          compression), ADC lookup-table scoring in-scan, candidate
+    //          cut by estimated distance (TakeOrderedAndProject), exact
+    //          re-rank of the bounded set. Training, codes, LUTs, cut,
+    //          and re-rank all replay bitwise in the dynamic oracle. ─────
+    QueryDef("q127_pq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = queryVector(s, dir)
+        val cb = graft.operators.PQ.train(emb, dim = q.length, m = 8,
+          k = 16, iters = 3)
+        graft.operators.PQ.neighbors(emb, cb, q, k = 20, rerank = 200,
+          excludeId = Some(0L))
+      },
+      None,
+      dynamicOracle = Some(pqOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3418,6 +3436,51 @@ object Queries {
        |SELECT strftime(proxy_date, '%Y-%m-%d') AS proxy_date,
        |$pivotCols
        |FROM dmape GROUP BY 1""".stripMargin
+  }
+
+  /** q127's oracle, generated at Verify time: train the same deterministic
+    * per-subspace codebooks (PQ.train reuses IVF.train's seeded Lloyd per
+    * slice), embed the encode argmin arms (subspace slices against
+    * codeword literals — [[ivfOracleSql]]'s arms per subspace), the ADC
+    * lookup tables (the SAME doubles [[graft.operators.PQ.adcLuts]]
+    * computed for the Spark plan), the candidate cut, and the exact
+    * re-rank.
+    */
+  private def pqOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.PQ
+    val q = queryVector(s, dir)
+    val cb = PQ.train(t(s, dir, "embeddings"), dim = q.length, m = 8,
+      k = 16, iters = 3)
+    val luts = PQ.adcLuts(cb, q)
+    val sd = cb.subDim
+    val codeCols = (0 until cb.m).map { j =>
+      val vj = s"v[${j * sd + 1}:${(j + 1) * sd}]"
+      val arms = cb.books(j).zipWithIndex.map { case (w, c) =>
+        val c2 = w.map(x => x * x).sum
+        s"{'d': $c2 - 2.0 * list_inner_product($vj, " +
+          s"CAST([${w.mkString(", ")}] AS DOUBLE[])), 'cid': $c}"
+      }.mkString(",\n        ")
+      s"list_min([\n        $arms\n      ]).cid AS c$j"
+    }.mkString(",\n      ")
+    val estSum = luts.zipWithIndex.map { case (lut, j) =>
+      s"(CAST([${lut.mkString(", ")}] AS DOUBLE[]))[c$j + 1]"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |codes AS (
+       |  SELECT vec_id, v,
+       |      $codeCols
+       |  FROM e WHERE vec_id <> 0
+       |), est AS (
+       |  SELECT vec_id, v,
+       |         $estSum AS est
+       |  FROM codes
+       |), cand AS (
+       |  SELECT vec_id, v FROM est ORDER BY est ASC, vec_id ASC LIMIT 200
+       |)
+       |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.v, q.qv), 6)
+       |         AS cos
+       |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
   /** q38's oracle, generated at Verify time: train the same deterministic

@@ -402,4 +402,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs, threshold = 0.5).collect().isEmpty)
     intercept[IllegalArgumentException](Dedup.containmentPairs(docs, 0.0))
   }
+
+  test("PQ: deterministic codebooks, bit-exact save/load, ADC recall vs " +
+    "exact top-20, contracts") {
+    import graft.operators.PQ
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val cb = PQ.train(emb, dim = q.length, m = 8, k = 16, iters = 3)
+    val cb2 = PQ.train(emb, dim = q.length, m = 8, k = 16, iters = 3)
+    assert(cb.books.flatten.flatten.toSeq === cb2.books.flatten.flatten.toSeq,
+      "training is deterministic")
+    // persistence round-trip is bit-exact and encodes identically
+    val dir = tmpDir("graft-pq")
+    PQ.save(spark, cb, dir)
+    val back = PQ.load(spark, dir)
+    assert(back.books.flatten.flatten.toSeq ===
+      cb.books.flatten.flatten.toSeq)
+    val enc = emb.limit(50).select(col("vec_id"),
+      PQ.encodeExpr(col("embedding").cast("array<double>"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val enc2 = emb.limit(50).select(col("vec_id"),
+      PQ.encodeExpr(col("embedding").cast("array<double>"), back).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc === enc2, "reloaded codebooks encode identically")
+    assert(enc.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // ADC with exact re-rank: a 10x-k candidate cut recovers most of the
+    // exact top-20 on this clustered corpus (ADC estimates L2 over raw
+    // vectors while the re-rank is cosine, so the cut must be generous
+    // when norms vary -- the standard PQ + re-rank trade)
+    val exact = Similarity.topK(emb, q, 20, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val ann = PQ.neighbors(emb, cb, q, k = 20, rerank = 200,
+      excludeId = Some(0L)).select("vec_id").as[Long].collect().toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${(ann & exact).size}/${exact.size})")
+    intercept[IllegalArgumentException](
+      PQ.train(emb, dim = 64, m = 7, k = 4, iters = 1))
+    intercept[IllegalArgumentException](
+      PQ.neighbors(emb, cb, q, k = 20, rerank = 10))
+  }
 }

@@ -140,10 +140,37 @@ object PQ {
                 k: Int, rerank: Int, excludeId: Option[Long] = None)
       : DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    rankAdc(emb, cb, query, k, rerank, excludeId, identity)
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV): [[IVF]] probes select the inverted
+    * lists, ADC ranks INSIDE the probed cells, exact cosine re-ranks the
+    * bounded candidate set — the full coarse-quantizer + product-code
+    * pipeline at three nested levels of approximation, each one cheap
+    * where the previous one pruned. (Flat PQ codes within cells — the
+    * residual-encoding refinement is a documented simplification.)
+    * One scan: the probe filter and the code expression both run on the
+    * same pass; nothing shuffles.
+    */
+  def ivfadcNeighbors(emb: DataFrame, index: IVF.Index, cb: Codebooks,
+                      query: Array[Double], k: Int, nProbe: Int,
+                      rerank: Int, excludeId: Option[Long] = None)
+      : DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probes = IVF.probeIds(index, query, nProbe)
+    rankAdc(emb, cb, query, k, rerank, excludeId,
+      df => df.filter(IVF.assignExpr(col("v"), index)
+        .isin(probes.map(Integer.valueOf): _*)))
+  }
+
+  private def rankAdc(emb: DataFrame, cb: Codebooks, query: Array[Double],
+                      k: Int, rerank: Int, excludeId: Option[Long],
+                      prune: DataFrame => DataFrame): DataFrame = {
     val luts = adcLuts(cb, query)
     val normQ = math.sqrt(query.map(x => x * x).sum)
     val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
-    base.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    prune(base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
       .withColumn("est", adcScoreExpr(encodeExpr(col("v"), cb), luts))
       .orderBy(col("est").asc, col("vec_id").asc)
       .limit(rerank)

@@ -2794,6 +2794,26 @@ object Queries {
       None,
       dynamicOracle = Some(pqOracleSql)),
 
+    // ── Q128: IVFADC — the full coarse-quantizer + product-code ANN
+    //          pipeline (Jégou et al. 2011 §IV): IVF probes prune to 8 of
+    //          16 cells, ADC lookup tables rank inside them, exact cosine
+    //          re-ranks the bounded cut. Three nested approximations, each
+    //          cheap where the previous pruned; one scan, zero shuffles.
+    //          The dynamic oracle replays every level over shared
+    //          literals. ──────────────────────────────────────────────────
+    QueryDef("q128_ivfadc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = queryVector(s, dir)
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        val cb = graft.operators.PQ.train(emb, dim = q.length, m = 8,
+          k = 16, iters = 3)
+        graft.operators.PQ.ivfadcNeighbors(emb, idx, cb, q, k = 20,
+          nProbe = 8, rerank = 200, excludeId = Some(0L))
+      },
+      None,
+      dynamicOracle = Some(ivfadcOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3471,6 +3491,64 @@ object Queries {
        |  SELECT vec_id, v,
        |      $codeCols
        |  FROM e WHERE vec_id <> 0
+       |), est AS (
+       |  SELECT vec_id, v,
+       |         $estSum AS est
+       |  FROM codes
+       |), cand AS (
+       |  SELECT vec_id, v FROM est ORDER BY est ASC, vec_id ASC LIMIT 200
+       |)
+       |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.v, q.qv), 6)
+       |         AS cos
+       |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** q128's oracle: [[ivfOracleSql]]'s coarse-assignment arms select the
+    * probed cells, [[pqOracleSql]]'s encode arms + LUT sums rank inside
+    * them, then the candidate cut and exact re-rank — the whole IVFADC
+    * pipeline as one generated statement over literals the Spark plan
+    * shares.
+    */
+  private def ivfadcOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.{IVF, PQ}
+    val q = queryVector(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val idx = IVF.train(emb, k = 16)
+    val probes = IVF.probeIds(idx, q, 8)
+    val cb = PQ.train(emb, dim = q.length, m = 8, k = 16, iters = 3)
+    val luts = PQ.adcLuts(cb, q)
+    val sd = cb.subDim
+    val coarseArms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, " +
+        s"CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    val codeCols = (0 until cb.m).map { j =>
+      val vj = s"v[${j * sd + 1}:${(j + 1) * sd}]"
+      val arms = cb.books(j).zipWithIndex.map { case (w, c) =>
+        val c2 = w.map(x => x * x).sum
+        s"{'d': $c2 - 2.0 * list_inner_product($vj, " +
+          s"CAST([${w.mkString(", ")}] AS DOUBLE[])), 'cid': $c}"
+      }.mkString(",\n        ")
+      s"list_min([\n        $arms\n      ]).cid AS c$j"
+    }.mkString(",\n      ")
+    val estSum = luts.zipWithIndex.map { case (lut, j) =>
+      s"(CAST([${lut.mkString(", ")}] AS DOUBLE[]))[c$j + 1]"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v,
+       |           list_min([
+       |      $coarseArms
+       |    ]).cid AS cell
+       |    FROM e WHERE vec_id <> 0
+       |  ) WHERE cell IN (${probes.mkString(", ")})
+       |), codes AS (
+       |  SELECT vec_id, v,
+       |      $codeCols
+       |  FROM probed
        |), est AS (
        |  SELECT vec_id, v,
        |         $estSum AS est

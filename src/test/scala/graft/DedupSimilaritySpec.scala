@@ -441,5 +441,14 @@ class DedupSimilaritySpec extends SparkSpec {
       PQ.train(emb, dim = 64, m = 7, k = 4, iters = 1))
     intercept[IllegalArgumentException](
       PQ.neighbors(emb, cb, q, k = 20, rerank = 10))
+    // IVFADC with every cell probed degenerates to flat PQ exactly
+    val idx = graft.operators.IVF.train(emb, k = 16)
+    val flat = PQ.neighbors(emb, cb, q, k = 20, rerank = 200,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val probedAll = PQ.ivfadcNeighbors(emb, idx, cb, q, k = 20, nProbe = 16,
+      rerank = 200, excludeId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(flat.toSeq === probedAll.toSeq,
+      "nProbe = k (no pruning) must equal flat PQ")
   }
 }

@@ -67,4 +67,58 @@ object Vocabulary {
       when(i >= 1 && i <= vocab.size, element_at(arr, i.cast("int")))
         .otherwise(lit(oovToken)))
   }
+
+  /** Separator scheme for [[learnBpeMerges]]'s token stream: every token
+    * boundary is TWO U+0001 chars, so a merge's replace pattern
+    * (`U+0001 L U+0001 U+0001 R U+0001`) consumes one separator char from
+    * each side and leaves one for the neighboring boundary — adjacent
+    * merge sites never fight over a shared delimiter, and left-to-right
+    * non-overlapping `replace` semantics (identical in Spark and DuckDB)
+    * implement exactly BPE's greedy left-to-right pair merge. Merged
+    * tokens join with U+0002.
+    */
+  private[operators] val BpeSep = "\u0001"
+  private[operators] val BpeJoin = "\u0002"
+
+  /** Learn `rounds` BPE merges over whitespace-pre-tokenized text — the
+    * tokenizer-training step between corpus curation and model training
+    * (Sennrich et al. 2016), as corpus-scale dataflow: each round is ONE
+    * bigram-count aggregation (explode adjacent pairs → map-side-combined
+    * count → argmax by (n desc, lhs, rhs) — a total order, so ties can't
+    * diverge) and the merge applies as a pure scan-side `replace` on the
+    * encoded stream (see [[BpeSep]]). Driver state is one (pair, count)
+    * row per round — never corpus data.
+    *
+    * Returns (round, lhs, rhs, n): the merge table in learned order,
+    * merged tokens joined by U+0002 in later rounds' operands.
+    */
+  def learnBpeMerges(docs: DataFrame, text: String = "text",
+                     rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dsep = BpeSep + BpeSep
+    var stream: Column = concat(lit(dsep),
+      replace(col(text), lit(" "), lit(dsep)), lit(dsep))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = filter(split(stream, java.util.regex.Pattern.quote(dsep)),
+        x => length(x) > 0)
+      val top = docs.select(toks.as("t"))
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("lhs"),
+            element_at(col("t"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).head()
+      val (l, rr, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, l, rr, n))
+      stream = replace(stream,
+        lit(BpeSep + l + dsep + rr + BpeSep),
+        lit(BpeSep + l + BpeJoin + rr + BpeSep))
+    }
+    merges.result().toDF("round", "lhs", "rhs", "n")
+  }
 }

@@ -2814,6 +2814,20 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcOracleSql)),
 
+    // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
+    //          training as corpus-scale dataflow: 4 rounds, each ONE
+    //          bigram-count aggregation + argmax by (n desc, lhs, rhs),
+    //          with merges applied as pure scan-side `replace` on a
+    //          double-separator-encoded stream (adjacent merge sites never
+    //          share a delimiter, so left-to-right replace IS greedy BPE).
+    //          The oracle re-derives every round's argmax itself — only
+    //          the stream rewrites embed learned pairs. ──────────────────
+    QueryDef("q129_bpe_merges",
+      (s, dir) => graft.operators.Vocabulary
+        .learnBpeMerges(t(s, dir, "documents"), rounds = 4),
+      None,
+      dynamicOracle = Some(bpeOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3559,6 +3573,43 @@ object Queries {
        |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.v, q.qv), 6)
        |         AS cos
        |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** q129's oracle: re-learn the deterministic merge table, then emit SQL
+    * in which every round's (lhs, rhs, n) row is DuckDB's OWN argmax over
+    * the round's bigram counts — only the stream REWRITES (the chained
+    * replaces feeding later rounds) embed learned pairs, so a divergent
+    * Spark argmax in any round still hash-fails. Control chars ride
+    * `chr()` calls; merged tokens embed as chr(2)-joined quoted parts.
+    */
+  private def bpeOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.Vocabulary
+    val merges = Vocabulary.learnBpeMerges(t(s, dir, "documents"), rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    def sqlTok(tok: String): String =
+      tok.split("\u0002", -1)
+        .map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(2) || ")
+    var streamExpr =
+      "chr(1) || chr(1) || replace(text, ' ', chr(1) || chr(1)) " +
+        "|| chr(1) || chr(1)"
+    val roundSqls = merges.map { case (r, l, rr) =>
+      val sql =
+        s"""SELECT $r AS round, lhs, rhs, n FROM (
+           |  SELECT t[i] AS lhs, t[i+1] AS rhs, COUNT(*) AS n
+           |  FROM (SELECT list_filter(string_split($streamExpr,
+           |                 chr(1) || chr(1)), x -> len(x) > 0) AS t
+           |        FROM documents),
+           |       UNNEST(range(1, len(t))) AS rr(i)
+           |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1
+           |)""".stripMargin
+      val pat = s"chr(1) || ${sqlTok(l)} || chr(1) || chr(1) || " +
+        s"${sqlTok(rr)} || chr(1)"
+      val rep = s"chr(1) || ${sqlTok(l)} || chr(2) || ${sqlTok(rr)} || chr(1)"
+      streamExpr = s"replace($streamExpr, $pat, $rep)"
+      sql
+    }
+    roundSqls.mkString("\nUNION ALL\n")
   }
 
   /** q38's oracle, generated at Verify time: train the same deterministic

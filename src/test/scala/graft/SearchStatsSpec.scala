@@ -313,4 +313,52 @@ class SearchStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ColumnStats.psi(mk(base), mk(base), "v", width = 0L))
   }
+
+  test("BPE merges equal a driver-side reference; greedy left-to-right " +
+    "on overlapping runs; repartition-invariant") {
+    import graft.operators.Vocabulary
+    // reference BPE over token lists, greedy left-to-right merge
+    def refBpe(corpus: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var docs = corpus.map(_.split(" ").toList)
+      (1 to rounds).map { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        docs.foreach(t => t.zip(t.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1))
+        val ((l, rr), n) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        docs = docs.map { toks =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
+              out += l + "\u0002" + rr; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toList
+        }
+        (r, l, rr, n)
+      }
+    }
+    val corpus = Seq(
+      "the cat sat on the mat", "the cat ate", "a a a a",
+      "the cat sat here", "on the mat the cat sat")
+    val want = refBpe(corpus, 4)
+    def run(parts: Int) = Vocabulary.learnBpeMerges(
+        corpus.toDF("text").repartition(parts), rounds = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(run(1) === want)
+    assert(run(7) === want, "merge learning is partitioning-invariant")
+    // "a a a a": round counting 3 pairs, after merging greedy LTR gives
+    // (a\u0002a, a\u0002a) -- the reference already encodes this; spot-check
+    // the overlap semantics directly
+    val solo = Vocabulary.learnBpeMerges(
+      Seq("a a a").toDF("text"), rounds = 2).collect()
+    assert(solo(0).getString(1) === "a" && solo(0).getString(2) === "a")
+    assert(solo(0).getLong(3) === 2L)
+    // after one greedy merge: [a\u0002a, a] -> exactly one (merged, a) pair
+    assert(solo(1).getLong(3) === 1L)
+    intercept[IllegalArgumentException](
+      Vocabulary.learnBpeMerges(corpus.toDF("text"), rounds = 0))
+  }
 }

@@ -121,4 +121,22 @@ object Vocabulary {
     }
     merges.result().toDF("round", "lhs", "rhs", "n")
   }
+
+  /** Apply a learned merge table ([[learnBpeMerges]]'s (lhs, rhs) pairs in
+    * round order) to text — the transform half of the trainer: the same
+    * double-separator encoding, one scan-side `replace` per merge, then
+    * split back to the BPE token array. Zero joins, zero shuffles — the
+    * tokenizer runs inside the scan at any corpus scale.
+    */
+  def applyBpeMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val dsep = BpeSep + BpeSep
+    val stream0: Column = concat(lit(dsep),
+      replace(text, lit(" "), lit(dsep)), lit(dsep))
+    val merged = merges.foldLeft(stream0) { case (s, (l, r)) =>
+      replace(s, lit(BpeSep + l + dsep + r + BpeSep),
+        lit(BpeSep + l + BpeJoin + r + BpeSep))
+    }
+    filter(split(merged, java.util.regex.Pattern.quote(dsep)),
+      x => length(x) > 0)
+  }
 }

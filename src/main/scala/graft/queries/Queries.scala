@@ -2828,6 +2828,26 @@ object Queries {
       None,
       dynamicOracle = Some(bpeOracleSql)),
 
+    // ── Q130: BPE tokenization — the transform half of q129: apply the
+    //          learned merge table as chained scan-side replaces over the
+    //          double-separator stream, split back to BPE tokens, report
+    //          per-doc whitespace vs BPE token counts. Zero joins/shuffles
+    //          past the (driver-bounded) merge learning. ─────────────────
+    QueryDef("q130_bpe_tokenize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocabulary
+          .learnBpeMerges(docs, rounds = 4)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .as("n_words"),
+          size(graft.operators.Vocabulary
+            .applyBpeMerges(col("text"), merges)).cast("long").as("n_bpe"))
+      },
+      None,
+      dynamicOracle = Some(bpeApplyOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3610,6 +3630,35 @@ object Queries {
       sql
     }
     roundSqls.mkString("\nUNION ALL\n")
+  }
+
+  /** q130's oracle: the learned merge chain as nested replaces (re-learned
+    * deterministically), final token counts from the split — the transform
+    * half of [[bpeOracleSql]].
+    */
+  private def bpeApplyOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.Vocabulary
+    val merges = Vocabulary.learnBpeMerges(t(s, dir, "documents"), rounds = 4)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def sqlTok(tok: String): String =
+      tok.split("\u0002", -1)
+        .map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(2) || ")
+    var streamExpr =
+      "chr(1) || chr(1) || replace(text, ' ', chr(1) || chr(1)) " +
+        "|| chr(1) || chr(1)"
+    merges.foreach { case (l, rr) =>
+      val pat = s"chr(1) || ${sqlTok(l)} || chr(1) || chr(1) || " +
+        s"${sqlTok(rr)} || chr(1)"
+      val rep = s"chr(1) || ${sqlTok(l)} || chr(2) || ${sqlTok(rr)} || chr(1)"
+      streamExpr = s"replace($streamExpr, $pat, $rep)"
+    }
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |       CAST(len(list_filter(string_split($streamExpr,
+       |              chr(1) || chr(1)), x -> len(x) > 0)) AS BIGINT)
+       |         AS n_bpe
+       |FROM documents""".stripMargin
   }
 
   /** q38's oracle, generated at Verify time: train the same deterministic

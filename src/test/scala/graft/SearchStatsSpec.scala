@@ -360,5 +360,28 @@ class SearchStatsSpec extends SparkSpec {
     assert(solo(1).getLong(3) === 1L)
     intercept[IllegalArgumentException](
       Vocabulary.learnBpeMerges(corpus.toDF("text"), rounds = 0))
+    // the transform half: applyBpeMerges reproduces the reference's
+    // merged token streams exactly, in document order
+    val refDocs = {
+      var docs = corpus.map(_.split(" ").toList)
+      want.foreach { case (_, l, rr, _) =>
+        docs = docs.map { toks =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == rr) {
+              out += l + "\u0002" + rr; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toList
+        }
+      }
+      docs
+    }
+    val gotDocs = corpus.zipWithIndex.toDF("text", "i").orderBy("i")
+      .select(Vocabulary.applyBpeMerges(col("text"),
+        want.map(m => (m._2, m._3))).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+    assert(gotDocs === refDocs)
   }
 }

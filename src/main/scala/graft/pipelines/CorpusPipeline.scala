@@ -75,4 +75,35 @@ object CorpusPipeline {
       .withColumn("subword_tokens", TextFunctions.subwordCount(col("text")))
       .withColumn("fingerprint", TextFunctions.md5Fingerprint(col("text")))
   }
+
+  /** Per-source dataset card — the one-table summary a data consumer
+    * reads before touching a corpus: volume (docs/chars/tokens),
+    * exact-duplicate pressure (docs minus distinct content fingerprints),
+    * declared-language share, and mean readability ([[TextFunctions
+    * .fleschReadingEase]]) and character entropy
+    * ([[TextFunctions.charEntropy]]) as quality centroids.
+    *
+    * Scale shape: every per-document signal is a scan-side expression, so
+    * the card is ONE map-side-combined aggregation over one corpus scan
+    * (the exact-distinct fingerprint is the only two-phase part, and it
+    * shuffles fingerprints, not text). Float contract: the per-doc
+    * quality scores are already 1e-4/1e-6-quantized; their sums ride
+    * scaled longs, so the means are order-free and engine-replayable.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val flesch4 = round(TextFunctions.fleschReadingEase(col("text")) * 1e4)
+      .cast("long")
+    val entropy6 = round(TextFunctions.charEntropy(col("text")) * 1e6)
+      .cast("long")
+    docs.groupBy(col("source"))
+      .agg(n.as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
+        (n - countDistinct(TextFunctions.md5Fingerprint(col("text"))))
+          .as("n_dup_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        (round(sum(flesch4).cast("double") / n) / 1e4).as("mean_flesch"),
+        (round(sum(entropy6).cast("double") / n) / 1e6).as("mean_entropy"))
+  }
 }

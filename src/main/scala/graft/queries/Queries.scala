@@ -2848,6 +2848,17 @@ object Queries {
       None,
       dynamicOracle = Some(bpeApplyOracleSql)),
 
+    // ── Q131: per-source dataset card — the one-table corpus summary:
+    //          volume, exact-duplicate pressure, language share, and mean
+    //          readability/entropy centroids. Every per-doc signal is
+    //          scan-side; ONE map-side-combined aggregation (the distinct
+    //          fingerprint shuffles 16-byte hashes, never text). Means
+    //          ride scaled-long sums — order-free, engine-replayable. ────
+    QueryDef("q131_dataset_card",
+      (s, dir) => graft.pipelines.CorpusPipeline
+        .datasetCard(t(s, dir, "documents")),
+      Some(datasetCardOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3660,6 +3671,45 @@ object Queries {
        |         AS n_bpe
        |FROM documents""".stripMargin
   }
+
+  /** q131's oracle: per-doc flesch (q115's algebra) and entropy
+    * ([[charEntropyOracleSql]] as a subquery) joined back to the corpus,
+    * then the same scaled-long mean discipline per source.
+    */
+  private lazy val datasetCardOracleSql: String =
+    s"""WITH fle AS (
+       |  SELECT doc_id,
+       |         round((206.835
+       |                - 1.015 * CAST(len(string_split(text, ' ')) AS BIGINT)
+       |                  / CAST(GREATEST(len(regexp_extract_all(text,
+       |                      '[.!?]+')), 1) AS BIGINT)
+       |                - 84.6 * CAST(length(regexp_replace(lower(text),
+       |                      '[aeiouy]+', 'V', 'g'))
+       |                    - length(regexp_replace(lower(text),
+       |                      '[aeiouy]+', '', 'g')) AS BIGINT)
+       |                  / CAST(len(string_split(text, ' ')) AS BIGINT))
+       |               * 1e4) / 1e4 AS flesch
+       |  FROM documents
+       |), ent AS ($charEntropyOracleSql
+       |), per AS (
+       |  SELECT d.source, d.n_chars, d.lang, d.text, ent.entropy, fle.flesch
+       |  FROM documents d
+       |  JOIN ent ON ent.doc_id = d.doc_id
+       |  JOIN fle ON fle.doc_id = d.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |            AS BIGINT) AS tokens,
+       |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+       |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_en,
+       |       round(CAST(SUM(CAST(round(flesch * 1e4) AS BIGINT)) AS DOUBLE)
+       |             / COUNT(*)) / 1e4 AS mean_flesch,
+       |       round(CAST(SUM(CAST(round(entropy * 1e6) AS BIGINT)) AS DOUBLE)
+       |             / COUNT(*)) / 1e6 AS mean_entropy
+       |FROM per
+       |GROUP BY 1""".stripMargin
 
   /** q38's oracle, generated at Verify time: train the same deterministic
     * index the query trains (identical centroids bit-for-bit — seeded init,

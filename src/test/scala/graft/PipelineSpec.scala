@@ -226,4 +226,25 @@ class PipelineSpec extends SparkSpec {
       .select("uid").as[String].collect().toSet
     assert(first === second, "same uids must map to the same pseudonyms across runs")
   }
+
+  test("datasetCard: volumes, duplicate pressure, language share on a " +
+    "crafted corpus") {
+    val docs = Seq(
+      (1L, "the cat sat", "en", "s1"),
+      (2L, "the cat sat", "en", "s1"),   // exact dup of 1
+      (3L, "a dog here now", "de", "s1"),
+      (4L, "one two three", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val card = graft.pipelines.CorpusPipeline.datasetCard(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = card("s1")
+    assert(s1.getLong(1) === 3L)
+    assert(s1.getLong(3) === 3L + 3L + 4L,
+      "token sum: 3 + 3 + 4 with the dup counted")
+    assert(s1.getLong(4) === 1L, "one exact duplicate")
+    assert(s1.getLong(5) === 2L, "two declared-en docs")
+    val s2 = card("s2")
+    assert(s2.getLong(1) === 1L && s2.getLong(4) === 0L)
+  }
 }

@@ -2859,6 +2859,26 @@ object Queries {
         .datasetCard(t(s, dir, "documents")),
       Some(datasetCardOracleSql)),
 
+    // ── Q132: salted fact-dim join under the oracle gate — the explicit
+    //          skew-mitigation path (Skew.saltedJoin: big side salted
+    //          per-row, small side replicated per salt, join key becomes
+    //          (key, salt)) is SEMANTICALLY identical to the plain join,
+    //          and this query proves it against the plain-join oracle:
+    //          lineitem ⋈ part per brand, integer-quantity sums. ─────────
+    QueryDef("q132_salted_join",
+      (s, dir) => graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_partkey").as("p_partkey"),
+              col("l_quantity").cast("long").as("qty")),
+          t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          Seq("p_partkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("qty")),
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -415,4 +415,125 @@ object Anonymize {
       greatest(round(col("__cnt") + noise, 0), lit(0.0)).cast("long")
         .as("noisy_count"): _*)
   }
+
+  /** Mondrian multidimensional k-anonymity (LeFevre, DeWitt & Ramakrishnan
+    * 2006) — the data-adaptive generalization that [[kAnonymizeSuppress]]'s
+    * fixed bands cannot match in utility: recursively split the quasi
+    * space at per-partition MEDIANS (widest normalized attribute first,
+    * falling back in range order until a split keeps both halves ≥ k),
+    * then release each final partition as its attribute ranges + size.
+    * Every class is k-anonymous BY CONSTRUCTION.
+    *
+    * Dataflow per round (generations, like connectedComponents): one
+    * per-partition aggregation for counts/ranges/exact medians (binary-
+    * exact 0.5 prob — engine-replayable), one for ≤-median counts (split
+    * feasibility, ties included), then one scan-side relabel
+    * `pid → pid·2 + (v > median)` driven by a driver-built decision
+    * chain. The (range desc, attribute index) try order is total, so the
+    * split TREE is deterministic and any engine replaying the recorded
+    * chain ([[MondrianResult.log]]) lands every row in the same class —
+    * which is exactly what q133's oracle does, recomputing every class's
+    * ranges and size itself.
+    *
+    * Driver state: per-round stats, bounded by the partition count ≤ n/k
+    * (pick k so n/k · attrs stat rows fit the driver — at 10⁹ rows and
+    * k = 1000 that is ~10⁶ small rows). Row data never leaves executors.
+    */
+  case class MondrianResult(classes: DataFrame,
+                            log: Seq[Seq[(Long, Int, Double)]])
+
+  /** One row per equivalence class:
+    * (pid, <col>_lo, <col>_hi ... per quasi column, n), every n ≥ k.
+    */
+  def mondrianClasses(df: DataFrame, quasiCols: Seq[String], k: Int,
+                      maxRounds: Int = 64): DataFrame =
+    mondrian(df, quasiCols, k, maxRounds).classes
+
+  def mondrian(df: DataFrame, quasiCols: Seq[String], k: Int,
+               maxRounds: Int = 64): MondrianResult = {
+    require(quasiCols.nonEmpty, "mondrian needs quasi columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val m = quasiCols.size
+    var cur = df.select(quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("long").as(s"__q$i") } :+ lit(0L).as("__pid"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val log = Seq.newBuilder[Seq[(Long, Int, Double)]]
+    try {
+      // global ranges normalize the width comparison across attributes
+      val gRow = cur.agg(count(lit(1)).as("n"),
+        (0 until m).flatMap(i => Seq(min(col(s"__q$i")).as(s"mn$i"),
+          max(col(s"__q$i")).as(s"mx$i"))): _*).head()
+      require(gRow.getLong(0) >= k.toLong,
+        s"need at least k=$k rows, got ${gRow.getLong(0)}")
+      val gw = (0 until m).map(i => math.max(1L,
+        gRow.getLong(2 + 2 * i) - gRow.getLong(1 + 2 * i)).toDouble)
+      var round = 0
+      var live = true
+      while (live && round < maxRounds) {
+        round += 1
+        val statAggs = count(lit(1)).as("n") +: (0 until m).flatMap(i => Seq(
+          min(col(s"__q$i")).as(s"mn$i"), max(col(s"__q$i")).as(s"mx$i"),
+          percentile(col(s"__q$i"), lit(0.5)).as(s"md$i")))
+        val stats = cur.groupBy(col("__pid"))
+          .agg(statAggs.head, statAggs.tail: _*).collect()
+        val cands = stats.filter(_.getLong(1) >= 2L * k)
+        if (cands.isEmpty) { live = false }
+        else {
+          val candPids = cands.map(_.getLong(0)).toSet
+          val meds = cands.map(r => r.getLong(0) ->
+            (0 until m).map(i => r.getDouble(4 + 3 * i)).toArray).toMap
+          def medExpr(i: Int) = meds.foldLeft(lit(Double.NaN)) {
+            case (acc, (pid, md)) =>
+              when(col("__pid") === pid, lit(md(i))).otherwise(acc)
+          }
+          val leAggs = (0 until m).map(i =>
+            sum(when(col(s"__q$i") <= medExpr(i), 1L).otherwise(0L))
+              .as(s"le$i"))
+          val les = cur.filter(col("__pid")
+              .isin(candPids.toSeq.map(java.lang.Long.valueOf): _*))
+            .groupBy(col("__pid")).agg(leAggs.head, leAggs.tail: _*)
+            .collect().map(r => r.getLong(0) ->
+              (0 until m).map(i => r.getLong(1 + i)).toArray).toMap
+          val decisions = cands.toSeq.flatMap { r =>
+            val pid = r.getLong(0)
+            val n = r.getLong(1)
+            val order = (0 until m).map { i =>
+              val w = (r.getLong(3 + 3 * i) - r.getLong(2 + 3 * i)).toDouble / gw(i)
+              (-w, i)
+            }.sorted.map(_._2)
+            order.collectFirst(Function.unlift { (i: Int) =>
+              val le = les(pid)(i)
+              if (le >= k && (n - le) >= k)
+                Some((pid, i, meds(pid)(i))) else None
+            })
+          }
+          if (decisions.isEmpty) { live = false }
+          else {
+            log += decisions.sortBy(_._1)
+            val delta = decisions.foldLeft(lit(0L)) {
+              case (acc, (pid, a, md)) =>
+                when(col("__pid") === pid,
+                  when(col(s"__q$a") > md, 1L).otherwise(0L)).otherwise(acc)
+            }
+            val next = cur
+              .withColumn("__pid", col("__pid") * 2 + delta)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize before dropping the parent
+            cur.unpersist(false)
+            cur = next
+          }
+        }
+      }
+      val outAggs = count(lit(1)).as("n") +:
+        (0 until m).flatMap(i => Seq(
+          min(col(s"__q$i")).as(s"${quasiCols(i)}_lo"),
+          max(col(s"__q$i")).as(s"${quasiCols(i)}_hi")))
+      val classes = cur.groupBy(col("__pid").as("pid"))
+        .agg(outAggs.head, outAggs.tail: _*)
+        .select(col("pid") +: (0 until m).flatMap(i => Seq(
+          col(s"${quasiCols(i)}_lo"), col(s"${quasiCols(i)}_hi"))) :+
+          col("n"): _*)
+      MondrianResult(classes, log.result())
+    } finally cur.unpersist(false)
+  }
 }

@@ -2879,6 +2879,21 @@ object Queries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY 1""".stripMargin)),
 
+    // ── Q133: Mondrian multidimensional k-anonymity (LeFevre et al.
+    //          2006) — data-adaptive generalization: recursive median
+    //          splits on the widest normalized quasi attribute while both
+    //          halves keep >= k rows; classes released as ranges + size,
+    //          k-anonymous by construction. Generational relabel
+    //          pid -> pid*2 + (v > median); the oracle replays only the
+    //          split tree and recomputes all class stats itself. ─────────
+    QueryDef("q133_mondrian",
+      (s, dir) => graft.operators.Anonymize.mondrianClasses(
+        t(s, dir, "documents").select(col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("n_chars", "n_tokens"), k = 25),
+      None,
+      dynamicOracle = Some(mondrianOracleSql)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")
@@ -3730,6 +3745,42 @@ object Queries {
        |             / COUNT(*)) / 1e6 AS mean_entropy
        |FROM per
        |GROUP BY 1""".stripMargin
+
+  /** q133's oracle: re-run the deterministic Mondrian driver loop to get
+    * the split log, replay the pid chain as chained CTEs (one per round —
+    * linear SQL, no expression nesting), and let DuckDB recompute every
+    * class's ranges and size itself. Only the split tree is embedded; a
+    * divergent Spark partition would group rows differently and hash-fail.
+    */
+  private def mondrianOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.Anonymize
+    val docs = t(s, dir, "documents").select(col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val res = Anonymize.mondrian(docs, Seq("n_chars", "n_tokens"), k = 25)
+    val rounds = res.log.zipWithIndex.map { case (decisions, i) =>
+      val arms = decisions.map { case (pid, a, md) =>
+        s"WHEN $pid THEN (CASE WHEN v$a > $md THEN 1 ELSE 0 END)"
+      }.mkString("\n           ")
+      s"""p${i + 1} AS (
+         |  SELECT v0, v1,
+         |         pid * 2 + CASE pid
+         |           $arms
+         |           ELSE 0 END AS pid
+         |  FROM p$i
+         |)""".stripMargin
+    }
+    val last = res.log.size
+    s"""WITH p0 AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS v0,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS v1,
+       |         CAST(0 AS BIGINT) AS pid
+       |  FROM documents
+       |)${if (rounds.nonEmpty) ",\n" + rounds.mkString(",\n") else ""}
+       |SELECT pid, MIN(v0) AS n_chars_lo, MAX(v0) AS n_chars_hi,
+       |       MIN(v1) AS n_tokens_lo, MAX(v1) AS n_tokens_hi,
+       |       COUNT(*) AS n
+       |FROM p$last GROUP BY 1""".stripMargin
+  }
 
   /** q38's oracle, generated at Verify time: train the same deterministic
     * index the query trains (identical centroids bit-for-bit — seeded init,

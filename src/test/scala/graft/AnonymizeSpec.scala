@@ -266,4 +266,39 @@ class AnonymizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Anonymize.kAnonymizeSuppress(df, Seq("nation"), 1))
   }
+
+  test("mondrian: every class >= k by construction, rows conserved, " +
+    "splits adapt to the data, repartition-invariant") {
+    import graft.operators.Anonymize
+    // two tight clusters in 2-D: mondrian should separate them while a
+    // width-based fixed band straddling both would not
+    val rows = (1 to 40).map(i => (100L + i % 5, 10L + i % 3)) ++
+      (1 to 40).map(i => (900L + i % 5, 90L + i % 3))
+    val df = rows.toDF("a", "b")
+    val classes = Anonymize.mondrianClasses(df, Seq("a", "b"), k = 10)
+      .collect()
+    assert(classes.map(_.getLong(5)).forall(_ >= 10L), "k by construction")
+    assert(classes.map(_.getLong(5)).sum === 80L, "rows conserved")
+    assert(classes.length >= 2, "the two clusters must separate")
+    // no class band straddles both clusters
+    classes.foreach { c =>
+      val (lo, hi) = (c.getLong(1), c.getLong(2))
+      assert(hi <= 200L || lo >= 800L,
+        s"class [$lo, $hi] straddles the clusters")
+    }
+    // deterministic under physical layout
+    val again = Anonymize.mondrianClasses(df.repartition(7), Seq("a", "b"),
+        k = 10).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet ===
+      classes.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet)
+    // too small to split -> one root class
+    val tiny = Anonymize.mondrianClasses(
+      (1 to 15).map(i => (i.toLong, i.toLong)).toDF("a", "b"),
+      Seq("a", "b"), k = 10).collect()
+    assert(tiny.length === 1 && tiny.head.getLong(5) === 15L)
+    intercept[IllegalArgumentException](
+      Anonymize.mondrianClasses(df, Seq("a"), k = 1))
+  }
 }

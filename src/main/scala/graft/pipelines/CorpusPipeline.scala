@@ -83,10 +83,12 @@ object CorpusPipeline {
     * .fleschReadingEase]]) and character entropy
     * ([[TextFunctions.charEntropy]]) as quality centroids.
     *
-    * Scale shape: every per-document signal is a scan-side expression, so
-    * the card is ONE map-side-combined aggregation over one corpus scan
-    * (the exact-distinct fingerprint is the only two-phase part, and it
-    * shuffles fingerprints, not text). Float contract: the per-doc
+    * Scale shape: every per-document signal is a scan-side expression;
+    * the exact-distinct fingerprint makes Catalyst plan the two-phase
+    * single-distinct rewrite — dedupe (source, fingerprint) with partial
+    * sums riding along, then finalize — so both Exchanges ship hash-sized
+    * rows, never text, and every aggregate stays hash-based (plan-audited:
+    * no Expand). Float contract: the per-doc
     * quality scores are already 1e-4/1e-6-quantized; their sums ride
     * scaled longs, so the means are order-free and engine-replayable.
     */

@@ -167,6 +167,36 @@ object Dedup {
       .select(col("i"), col("j"), col("containment"))
   }
 
+  /** Pick each near-dup cluster's best representative by a QUALITY prior
+    * instead of [[dedupCorpus]]'s keep-lowest-id: one row per cluster with
+    * the (quality desc, doc_id asc) argmax and the member count — the
+    * curation policy that keeps the longest/cleanest copy of a duplicated
+    * document rather than whichever crawled first. The (quality, id) order
+    * is total, so representatives are deterministic on any engine.
+    *
+    * Scale shape: one keyed equi-join (components ⋈ quality frame, both
+    * doc-keyed) and one cluster-keyed window — no self-joins, no
+    * collects; parallelism follows cluster cardinality.
+    *
+    * @param components (doc_id, cluster) — [[connectedComponents]] output
+    * @param docs       frame carrying doc_id + `qualityCol`
+    */
+  def clusterRepresentatives(components: DataFrame, docs: DataFrame,
+                             qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col("doc_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    components
+      .join(docs.select(col("doc_id"), col(qualityCol)), "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col(qualityCol).as(s"keep_$qualityCol"), col("n_members"))
+  }
+
   /** Default permutation hash: seeded xxhash64 — the fast scale path. */
   val XxPermHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
     (s, p) => xxhash64(s, lit(p))

@@ -2894,6 +2894,58 @@ object Queries {
       None,
       dynamicOracle = Some(mondrianOracleSql)),
 
+    // ── Q134: quality-prior cluster representatives — keep the BEST copy
+    //          of each near-dup cluster (longest here), not the lowest id:
+    //          q39's components joined to quality, (quality desc, id asc)
+    //          argmax per cluster + member counts. One doc-keyed join, one
+    //          cluster-keyed window. ────────────────────────────────────
+    QueryDef("q134_cluster_reps",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.clusterRepresentatives(
+          Dedup.connectedComponents(Dedup.jaccardPairs(docs, threshold = 0.8)),
+          docs, "n_chars")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), cnt AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), nd AS (
+             |  SELECT i, j
+             |  FROM cnt JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.8
+             |), edges AS (
+             |  SELECT i, j FROM nd UNION ALL SELECT j AS i, i AS j FROM nd
+             |), walk(doc_id, lbl) AS (
+             |  SELECT DISTINCT i, i FROM edges
+             |  UNION
+             |  SELECT e.i, w.lbl FROM walk w JOIN edges e ON e.j = w.doc_id
+             |), comp AS (
+             |  SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id
+             |), scored AS (
+             |  SELECT comp.cluster, comp.doc_id, d.n_chars,
+             |         row_number() OVER (PARTITION BY comp.cluster
+             |                            ORDER BY d.n_chars DESC,
+             |                                     comp.doc_id ASC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY comp.cluster) AS n_members
+             |  FROM comp JOIN documents d USING (doc_id)
+             |)
+             |SELECT cluster, doc_id AS keep_id, n_chars AS keep_n_chars,
+             |       n_members
+             |FROM scored WHERE rn = 1""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

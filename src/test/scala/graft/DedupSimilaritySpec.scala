@@ -451,4 +451,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(flat.toSeq === probedAll.toSeq,
       "nProbe = k (no pruning) must equal flat PQ")
   }
+
+  test("clusterRepresentatives: quality argmax with id tie-break, " +
+    "member counts, singleton clusters") {
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(components, docs, "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // quality tie between 2 and 3 -> lower id wins
+    assert(got(1L) === ((2L, 300L, 3L)))
+    assert(got(9L) === ((9L, 5L, 1L)), "singletons keep themselves")
+  }
 }

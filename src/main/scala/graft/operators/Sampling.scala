@@ -137,4 +137,55 @@ object Sampling {
       .filter(col("__graft_rn") <= n)
       .drop("__graft_rn")
   }
+
+  /** Poisson(1) inverse-CDF thresholds over the 20-bit md5 uniform, scaled
+    * to the 2^20 lattice: weight w iff bucket < Thresholds(w), w = 7 in
+    * the tail. Integer constants, so both engines binary-compare the SAME
+    * values — shared with the bootstrap oracle builder.
+    */
+  val PoissonThresholds: Seq[Long] = {
+    val cdf = Iterator.iterate((0, math.exp(-1.0))) { case (k, p) =>
+      (k + 1, p / (k + 1)) }
+      .take(7).map(_._2).scanLeft(0.0)(_ + _).drop(1)
+    cdf.map(c => math.round(c * 1048576.0)).toSeq
+  }
+
+  /** Deterministic Poisson bootstrap — uncertainty bands on corpus
+    * statistics with ZERO random state: replicate r draws each row's
+    * weight w ~ Poisson(1) from the md5-lane uniform of `key || ':' || r`
+    * (Efron's bootstrap in its streaming form — per-row independent
+    * weights, no resampling pass), and each replicate reports the
+    * weighted mean of `value`. Reruns, engines, and partitionings agree
+    * exactly: weights are integer pure functions of (key, r), the
+    * weighted sums ride longs, and only the final mean divides in
+    * doubles (1e-6-quantized).
+    *
+    * Scale shape: one narrow ×replicates fan-out (a `sequence` explode —
+    * no shuffle) into one map-side-combined aggregation on `replicates`
+    * keys. Output: (replicate, n_eff, mean) — feed the replicate spread
+    * to whatever interval you favor.
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                       replicates: Int = 32): DataFrame = {
+    require(replicates >= 2 && replicates <= 4096,
+      s"replicates must be in [2, 4096], got $replicates")
+    val rows = df.select(key.cast("string").as("__k"),
+        value.cast("long").as("__v"))
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(1), lit(replicates))).as("replicate"))
+    val bucket = hashBucket(
+      concat(col("__k"), lit(":"), col("replicate").cast("string")), 1048576)
+    val w = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (acc, (thr, wv)) =>
+        when(bucket < thr, wv.toLong).otherwise(acc)
+      }
+    rows.withColumn("__w", w)
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__v")).as("__ws"))
+      .select(col("replicate"), col("n_eff"),
+        when(col("n_eff") > 0,
+          round(col("__ws").cast("double") / col("n_eff").cast("double")
+            * 1e6) / 1e6).as("mean"))
+  }
 }

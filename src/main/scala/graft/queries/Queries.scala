@@ -2946,6 +2946,47 @@ object Queries {
              |       n_members
              |FROM scored WHERE rn = 1""".stripMargin)),
 
+    // ── Q135: deterministic Poisson bootstrap — uncertainty bands on a
+    //          corpus statistic with zero random state: per (row,
+    //          replicate) Poisson(1) weights from md5-lane uniforms
+    //          (integer inverse-CDF thresholds shared with the oracle),
+    //          long weighted sums, one narrow fan-out + one aggregation
+    //          on `replicates` keys. ─────────────────────────────────────
+    QueryDef("q135_bootstrap",
+      (s, dir) => graft.operators.Sampling.poissonBootstrap(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+        replicates = 32),
+      Some {
+        val thr = graft.operators.Sampling.PoissonThresholds
+        val arms = thr.zipWithIndex
+          .map { case (tv, w) => s"WHEN b < $tv THEN $w" }
+          .mkString("\n           ")
+        s"""WITH fan AS (
+           |  SELECT CAST(doc_id AS VARCHAR) AS k,
+           |         CAST(n_chars AS BIGINT) AS v,
+           |         CAST(i AS INTEGER) AS replicate
+           |  FROM documents, UNNEST(range(1, 33)) AS t(i)
+           |), wtd AS (
+           |  SELECT replicate, v,
+           |         CASE
+           |           $arms
+           |           ELSE 7 END AS w
+           |  FROM (
+           |    SELECT k, v, replicate,
+           |           CAST(('0x' || substr(md5(k || ':' ||
+           |                CAST(replicate AS VARCHAR)), 1, 8)) AS BIGINT)
+           |             % 1048576 AS b
+           |    FROM fan
+           |  )
+           |)
+           |SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+           |       CASE WHEN SUM(w) > 0
+           |            THEN round(CAST(SUM(w * v) AS DOUBLE)
+           |                       / CAST(SUM(w) AS DOUBLE) * 1e6) / 1e6
+           |       END AS mean
+           |FROM wtd GROUP BY 1""".stripMargin
+      }),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -217,4 +217,34 @@ class QuantilesSamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quantiles.applyBins(df, col("v"), Array.empty[Double]))
   }
+
+  test("poissonBootstrap: unit-mean weights, replicate means bracket the " +
+    "truth, fully deterministic") {
+    import graft.operators.Sampling
+    val df = (1L to 400L).map(i => (i, 100L + (i % 50))).toDF("id", "v")
+    val reps = Sampling.poissonBootstrap(df, col("id"), col("v"),
+        replicates = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(reps.length === 16)
+    // Poisson(1) weights: each replicate's effective n is near 400
+    assert(reps.forall(r => r._2 > 300L && r._2 < 500L),
+      s"n_eff out of family: ${reps.map(_._2).toSeq}")
+    // the replicate means scatter AROUND the true mean
+    val truth = (1L to 400L).map(i => 100L + (i % 50)).sum.toDouble / 400
+    val means = reps.map(_._3)
+    assert(means.min < truth && truth < means.max,
+      s"truth $truth outside [${means.min}, ${means.max}]")
+    assert(means.forall(m => math.abs(m - truth) < 5.0))
+    // bit-for-bit deterministic under repartitioning
+    val again = Sampling.poissonBootstrap(df.repartition(7), col("id"),
+        col("v"), replicates = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSet === reps.toSet)
+    // thresholds are the Poisson(1) CDF on the 2^20 lattice
+    assert(Sampling.PoissonThresholds.head ===
+      math.round(math.exp(-1.0) * 1048576.0))
+    assert(Sampling.PoissonThresholds.size === 7)
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrap(df, col("id"), col("v"), replicates = 1))
+  }
 }

@@ -362,4 +362,20 @@ class PlanShapeSpec extends SparkSpec {
     val s = nodes.mkString(" ")
     assert(s.contains("HashAggregate"), s)
   }
+
+  test("PQ ADC is one scan: zero Exchange, candidate cut and re-rank both " +
+    "TakeOrderedAndProject") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val cb = graft.operators.PQ.train(emb, dim = q.length, m = 8, k = 4,
+      iters = 1)
+    val plan = graft.operators.PQ.neighbors(emb, cb, q, k = 5, rerank = 20,
+      excludeId = Some(0L)).queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"ADC ranking must not shuffle: $nodes")
+    assert(nodes.count(_.contains("TakeOrderedAndProject")) === 2,
+      s"expected cut + re-rank TakeOrdered pair: $nodes")
+  }
 }

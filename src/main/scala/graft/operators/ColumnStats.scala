@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -334,6 +334,49 @@ object ColumnStats {
     t.withColumn("psi", sum(col("term6")).over(w).cast("double") / 1e6)
       .select(col("bin"), col("n_base"), col("n_cur"),
         (col("term6").cast("double") / 1e6).as("term"), col("psi"))
+  }
+
+  /** Day-over-day PSI drift series — [[psi]]'s pairwise comparison run
+    * for EVERY consecutive day as one keyed dataflow (the drift table a
+    * monitoring dashboard reads): each day's binned histogram is
+    * full-outer matched against the previous day's, smoothed and
+    * quantized exactly as [[psiFromCounts]], and aggregated per day.
+    * No global window anywhere — the per-day term sums are plain keyed
+    * aggregations, so the series scales with day count × bin count.
+    *
+    * Output: (day yyyy-MM-dd, k_bins, n_prev, n_cur, psi) for every day
+    * with a preceding day in the data.
+    */
+  def psiSeries(df: DataFrame, ts: Column, value: Column,
+                width: Long): DataFrame = {
+    require(width >= 1, s"bin width must be >= 1, got $width")
+    val bins = df.select(to_date(ts).as("d"),
+        floor(value.cast("long") / width).cast("long").as("bin"))
+      .groupBy("d", "bin").agg(count(lit(1)).as("n"))
+    val paired = bins.as("prev").join(bins.as("cur"),
+        expr("date_add(prev.d, 1) = cur.d AND prev.bin = cur.bin"),
+        "full_outer")
+      .select(
+        coalesce(col("cur.d"), expr("date_add(prev.d, 1)")).as("day"),
+        coalesce(col("cur.bin"), col("prev.bin")).as("bin"),
+        coalesce(col("prev.n"), lit(0L)).as("n_prev"),
+        coalesce(col("cur.n"), lit(0L)).as("n_cur"))
+    val tots = paired.groupBy("day").agg(count(lit(1)).as("k"),
+      sum(col("n_prev")).as("tb"), sum(col("n_cur")).as("tc"))
+    val p = (col("n_prev") + 1L).cast("double") / (col("tb") + col("k"))
+    val q = (col("n_cur") + 1L).cast("double") / (col("tc") + col("k"))
+    paired.join(tots, "day")
+      .withColumn("term6", round((p - q) * log(p / q) * 1e6).cast("long"))
+      .groupBy(col("day"))
+      .agg(min(col("k")).as("k_bins"), min(col("tb")).as("n_prev"),
+        min(col("tc")).as("n_cur"),
+        (sum(col("term6")).cast("double") / 1e6).as("psi"))
+      // a day with no predecessor (the first day, or one after a dark
+      // day) compares against an empty histogram — drop only the
+      // absolute first, where "previous" is not a day in the data at all
+      .filter(col("n_prev") > 0)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("k_bins"), col("n_prev"), col("n_cur"), col("psi"))
   }
 
   def giniByGroup(df: DataFrame, group: String, value: String): DataFrame = {

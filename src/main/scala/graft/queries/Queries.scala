@@ -2987,6 +2987,48 @@ object Queries {
            |FROM wtd GROUP BY 1""".stripMargin
       }),
 
+    // ── Q136: day-over-day PSI drift series — q125's pairwise drift as a
+    //          keyed monitoring TABLE: every consecutive day's event-value
+    //          histogram scored against the previous day's with the same
+    //          smoothing/quantization; plain keyed aggregations, no global
+    //          window, scales with days × bins. ──────────────────────────
+    QueryDef("q136_psi_series",
+      (s, dir) => graft.operators.ColumnStats.psiSeries(
+        t(s, dir, "events"), col("ts"), round(col("value") * 100), width = 50L),
+      Some("""WITH bins AS (
+             |  SELECT CAST(ts AS DATE) AS d,
+             |         CAST(floor(CAST(round(value * 100) AS BIGINT) / 50)
+             |              AS BIGINT) AS bin,
+             |         COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), paired AS (
+             |  SELECT COALESCE(cur.d, prev.d + 1) AS day,
+             |         COALESCE(cur.bin, prev.bin) AS bin,
+             |         COALESCE(prev.n, 0) AS n_prev,
+             |         COALESCE(cur.n, 0) AS n_cur
+             |  FROM bins prev FULL OUTER JOIN bins cur
+             |    ON prev.d + 1 = cur.d AND prev.bin = cur.bin
+             |), tots AS (
+             |  SELECT day, COUNT(*) AS k, CAST(SUM(n_prev) AS BIGINT) AS tb,
+             |         CAST(SUM(n_cur) AS BIGINT) AS tc
+             |  FROM paired GROUP BY 1
+             |), terms AS (
+             |  SELECT paired.day, tots.k, tots.tb, tots.tc,
+             |         CAST(round((CAST(n_prev + 1 AS DOUBLE) / (tb + k)
+             |                     - CAST(n_cur + 1 AS DOUBLE) / (tc + k))
+             |                    * ln((CAST(n_prev + 1 AS DOUBLE) / (tb + k))
+             |                         / (CAST(n_cur + 1 AS DOUBLE)
+             |                            / (tc + k))) * 1e6) AS BIGINT)
+             |           AS t6
+             |  FROM paired JOIN tots USING (day)
+             |)
+             |SELECT strftime(day, '%Y-%m-%d') AS day, MIN(k) AS k_bins,
+             |       MIN(tb) AS n_prev, MIN(tc) AS n_cur,
+             |       CAST(SUM(t6) AS BIGINT) / 1e6 AS psi
+             |FROM terms
+             |GROUP BY day
+             |HAVING MIN(tb) > 0""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

@@ -384,4 +384,26 @@ class SearchStatsSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0).toList).toSeq
     assert(gotDocs === refDocs)
   }
+
+  test("psiSeries: stable days read ~0, a shifted day spikes, the first " +
+    "day is excluded") {
+    import java.sql.Timestamp
+    def ts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 10:$i%02d:00")
+    // days 1 and 2 share a distribution; day 3 jumps to a distant band
+    val rows =
+      (0 until 20).map(i => (ts(1, i), (i % 4) * 10L)) ++
+      (0 until 20).map(i => (ts(2, i), (i % 4) * 10L)) ++
+      (0 until 20).map(i => (ts(3, i), 500L + (i % 4) * 10L))
+    val got = ColumnStats.psiSeries(rows.toDF("ts", "v"), col("ts"),
+        col("v"), width = 20L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(!got.contains("2024-01-01"), "no predecessor for the first day")
+    assert(got("2024-01-02")._4 === 0.0, "identical mixes read exactly 0")
+    assert(got("2024-01-03")._4 > 0.2, s"shift must spike: ${got("2024-01-03")}")
+    // the phantom day after the last one reads as everything-vanished
+    assert(got.contains("2024-01-04"))
+    assert(got("2024-01-04")._3 === 0L)
+  }
 }

@@ -3029,6 +3029,53 @@ object Queries {
              |GROUP BY day
              |HAVING MIN(tb) > 0""".stripMargin)),
 
+    // ── Q137: cross-source duplication matrix — provenance contamination:
+    //          which sources share near-duplicate documents with which
+    //          (unordered source pairs, diagonal = within-source dups).
+    //          q22's pair graph joined doc→source twice (doc-keyed joins),
+    //          one pair-keyed aggregation. ────────────────────────────────
+    QueryDef("q137_dup_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.jaccardPairs(docs, threshold = 0.8)
+          .join(src.withColumnsRenamed(
+            Map("doc_id" -> "i", "source" -> "src_i")), "i")
+          .join(src.withColumnsRenamed(
+            Map("doc_id" -> "j", "source" -> "src_j")), "j")
+          .groupBy(least(col("src_i"), col("src_j")).as("src_a"),
+            greatest(col("src_i"), col("src_j")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), cnt AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), nd AS (
+             |  SELECT i, j
+             |  FROM cnt JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= 0.8
+             |)
+             |SELECT LEAST(di.source, dj.source) AS src_a,
+             |       GREATEST(di.source, dj.source) AS src_b,
+             |       COUNT(*) AS n_pairs
+             |FROM nd
+             |JOIN documents di ON di.doc_id = nd.i
+             |JOIN documents dj ON dj.doc_id = nd.j
+             |GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

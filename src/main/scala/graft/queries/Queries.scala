@@ -3076,6 +3076,59 @@ object Queries {
              |JOIN documents dj ON dj.doc_id = nd.j
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ── Q138: market-basket affinity — co-purchase pair support + LIFT
+    //          (n·supp_ab / (supp_a·supp_b)): the association-mining
+    //          staple. Pair generation is q113's bounded per-order
+    //          self-join; supports are map-side-combined counts; item
+    //          margins broadcast back; lift is one exact integer-ratio
+    //          division quantized at 1e-6. Top-20 by (lift desc, pair)
+    //          via TakeOrderedAndProject. ─────────────────────────────────
+    QueryDef("q138_market_basket",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val pairSupp = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 3)
+        val itemSupp = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+        val nOrders = li.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairSupp
+          .join(broadcast(itemSupp.select(col("p").as("a"),
+            col("supp").as("supp_a"))), "a")
+          .join(broadcast(itemSupp.select(col("p").as("b"),
+            col("supp").as("supp_b"))), "b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("a"), col("b"), col("supp_ab"),
+            (round(col("n_orders").cast("double") * col("supp_ab")
+              / (col("supp_a") * col("supp_b")) * 1e6) / 1e6).as("lift"))
+          .orderBy(col("lift").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |), pair AS (
+             |  SELECT x.p AS a, y.p AS b, COUNT(*) AS supp_ab
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+             |), item AS (
+             |  SELECT p, COUNT(*) AS supp FROM li GROUP BY 1
+             |), n AS (
+             |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li
+             |)
+             |SELECT a, b, supp_ab,
+             |       round(CAST(n_orders AS DOUBLE) * supp_ab
+             |             / (ia.supp * ib.supp) * 1e6) / 1e6 AS lift
+             |FROM pair
+             |JOIN item ia ON ia.p = a
+             |JOIN item ib ON ib.p = b
+             |CROSS JOIN n
+             |ORDER BY lift DESC, a, b
+             |LIMIT 20""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

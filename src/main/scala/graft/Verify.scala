@@ -6,9 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: regex over query names, for the local iterate loop
-    // (the driver always calls with 2 args → every query runs)
+    // (the driver always calls with 2 args → every query runs). Shell
+    // quotes around the regex arrive literally through sbt's arg parsing
+    // and would match nothing — strip them rather than silently running
+    // zero queries.
     val Array(sfDir, outDir) = args.take(2)
-    val nameFilter = args.lift(2).map(_.r)
+    val nameFilter = args.lift(2)
+      .map(_.stripPrefix("'").stripSuffix("'").stripPrefix("\"")
+        .stripSuffix("\"").r)
     def selected(name: String): Boolean =
       nameFilter.forall(_.findFirstIn(name).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -3129,6 +3129,60 @@ object Queries {
              |ORDER BY lift DESC, a, b
              |LIMIT 20""".stripMargin)),
 
+    // ── Q139: seasonal outlier flags — hourly sums scored against their
+    //          OWN hour-of-day baseline, so a quiet 3am never trips a
+    //          noon-calibrated threshold. Baselines from exact
+    //          integer-cent moments (q95's replay discipline); z quantized
+    //          at 1e-6; |z| > 2 flagged. (A 30-day corpus gives ~30
+    //          samples per hour baseline; a (dow, hour) key would cap
+    //          |z| ≤ √(n−1) ≈ 1.8 at n≈4 and flag nothing — baseline
+    //          granularity must respect sample depth.) ────────────────────
+    QueryDef("q139_seasonal_outliers",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg((sum(round(col("value") * 100)) / 100).as("v"))
+          .withColumn("v100", round(col("v") * 100).cast("long"))
+          .withColumn("hr", hour(col("h")))
+        val base = hourly.groupBy("hr")
+          .agg(count(lit(1)).as("n"), sum(col("v100")).as("s1"),
+            sum(col("v100") * col("v100")).as("s2"))
+        val n = col("n").cast("double")
+        val s1 = col("s1").cast("double")
+        val s2 = col("s2").cast("double")
+        val z = (col("v100").cast("double") - s1 / n) /
+          sqrt(s2 / n - (s1 / n) * (s1 / n))
+        hourly.join(broadcast(base), Seq("hr"))
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+            col("v"), (round(z * 1e6) / 1e6).as("z"))
+          .filter(abs(col("z")) > 2.0)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |         SUM(round(value * 100)) / 100 AS v
+             |  FROM events GROUP BY 1
+             |), keyed AS (
+             |  SELECT h, v, CAST(round(v * 100) AS BIGINT) AS v100,
+             |         hour(h) AS hr
+             |  FROM hourly
+             |), base AS (
+             |  SELECT hr, COUNT(*) AS n,
+             |         CAST(SUM(v100) AS BIGINT) AS s1,
+             |         CAST(SUM(v100 * v100) AS BIGINT) AS s2
+             |  FROM keyed GROUP BY 1
+             |), scored AS (
+             |  SELECT keyed.h, keyed.v,
+             |         round((CAST(v100 AS DOUBLE)
+             |                - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |               / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             |                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             |               * 1e6) / 1e6 AS z
+             |  FROM keyed JOIN base USING (hr)
+             |)
+             |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, v, z
+             |FROM scored WHERE abs(z) > 2.0""".stripMargin)),
+
     QueryDef("q119_interval_union",
       (s, dir) => {
         val iv = t(s, dir, "events")

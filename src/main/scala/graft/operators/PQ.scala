@@ -50,13 +50,20 @@ object PQ {
             seed: Int = 42): Codebooks = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val books = (0 until m).map { j =>
-      val sliced = emb.select(col("vec_id"),
-        slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim)
-          .as("embedding"))
-      IVF.train(sliced, k, iters, seed + j).centroids
-    }.toArray
-    Codebooks(books)
+    // cast-and-cache the source ONCE: every subspace's Lloyd loop (init
+    // scan + iters passes) otherwise re-reads and re-casts the parquet —
+    // m × (iters + 1) source scans for the price of one
+    val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = (0 until m).map { j =>
+        val sliced = base.select(col("vec_id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+        IVF.train(sliced, k, iters, seed + j).centroids
+      }.toArray
+      Codebooks(books)
+    } finally base.unpersist(false)
   }
 
   /** Persist codebooks: one row per (subspace, code) — m×k×subDim doubles,

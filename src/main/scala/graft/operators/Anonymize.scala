@@ -459,10 +459,26 @@ object Anonymize {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val log = Seq.newBuilder[Seq[(Long, Int, Double)]]
     try {
-      // global ranges normalize the width comparison across attributes
+      // global ranges normalize the width comparison across attributes;
+      // the same pass counts nulls per quasi column, which must be ZERO:
+      // a null is invisible to the split-feasibility count (null <=
+      // median -> null -> uncounted) yet the relabel routes it to the
+      // lower half (null > median -> otherwise(0)), so nulls would let
+      // an upper class end up under k — fail fast instead of silently
+      // breaking the k-anonymity-by-construction guarantee
       val gRow = cur.agg(count(lit(1)).as("n"),
         (0 until m).flatMap(i => Seq(min(col(s"__q$i")).as(s"mn$i"),
-          max(col(s"__q$i")).as(s"mx$i"))): _*).head()
+          max(col(s"__q$i")).as(s"mx$i"))) ++
+        (0 until m).map(i =>
+          sum(when(col(s"__q$i").isNull, 1L).otherwise(0L)).as(s"nn$i")): _*)
+        .head()
+      (0 until m).foreach { i =>
+        val nn = gRow.getLong(1 + 2 * m + i)
+        require(nn == 0L,
+          s"mondrian quasi column '${quasiCols(i)}' has $nn null " +
+            "value(s) (after cast to long); nulls break the k-anonymity " +
+            "guarantee — filter or impute them upstream")
+      }
       require(gRow.getLong(0) >= k.toLong,
         s"need at least k=$k rows, got ${gRow.getLong(0)}")
       val gw = (0 until m).map(i => math.max(1L,

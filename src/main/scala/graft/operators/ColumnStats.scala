@@ -260,7 +260,11 @@ object ColumnStats {
     rowTot.crossJoin(colTot).crossJoin(broadcast(n))
       .join(cells, Seq("a", "b"), "left")
       .withColumn("obs", coalesce(col("obs"), lit(0L)))
-      .withColumn("exp", col("ra") * col("cb") / col("n"))
+      // ra cast first: the long×long margin product overflows past ~3e9
+      // rows per margin; exp is consumed as a double anyway, and below
+      // 2^53 the double product is exact so the quantized terms are
+      // unchanged at any verifiable scale
+      .withColumn("exp", col("ra").cast("double") * col("cb") / col("n"))
       .withColumn("term6",
         round(pow(col("obs") - col("exp"), 2) / col("exp") * 1e6)
           .cast("long"))
@@ -271,23 +275,6 @@ object ColumnStats {
         (sum(col("term6")).cast("double") / 1e6).as("chi2"))
   }
 
-  /** Per-group Gini coefficient of a non-negative integer measure — the
-    * concentration/inequality audit (is one source hogging the corpus
-    * bytes?): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over each group's ascending
-    * values. Everything is long arithmetic until the single final
-    * division, so the result is bitwise on any engine; ties need no
-    * ordering tie-break because Σ(2i−n−1)x is invariant under
-    * permutations within equal values.
-    *
-    * Overflow bound: n·Σx must fit a long. Gini is scale-invariant, so a
-    * corpus where it wouldn't (≳10⁹ rows of ≳10⁹-sized values per group)
-    * divides the measure by a constant first and gets the identical
-    * coefficient.
-    *
-    * Scale shape: one keyed window (rank within group) feeding one hash
-    * aggregation — a single Exchange on the group key; parallelism
-    * follows group cardinality.
-    */
   /** Population Stability Index between a baseline and a current frame
     * over fixed-width bins of a numeric column — the ML-monitoring drift
     * staple (rule of thumb: &lt; 0.1 stable, &gt; 0.2 shifted). Both sides
@@ -371,14 +358,37 @@ object ColumnStats {
       .agg(min(col("k")).as("k_bins"), min(col("tb")).as("n_prev"),
         min(col("tc")).as("n_cur"),
         (sum(col("term6")).cast("double") / 1e6).as("psi"))
-      // a day with no predecessor (the first day, or one after a dark
-      // day) compares against an empty histogram — drop only the
-      // absolute first, where "previous" is not a day in the data at all
+      // Gap semantics of this filter, spelled out: a day whose PREVIOUS
+      // day had no traffic (tb = 0 — the first day of the data, or any
+      // day right after a dark day) compares against an empty histogram
+      // and is DROPPED; a dark day itself (n_cur = 0, generated from
+      // prev.d + 1) IS emitted, scoring the disappearance. So traffic
+      // vanishing shows up in the series; traffic reappearing after a
+      // gap does not — callers wanting symmetric gap scoring should
+      // densify days upstream (sequence() over the date span) so every
+      // day has a (possibly empty) predecessor histogram.
       .filter(col("n_prev") > 0)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("k_bins"), col("n_prev"), col("n_cur"), col("psi"))
   }
 
+  /** Per-group Gini coefficient of a non-negative integer measure — the
+    * concentration/inequality audit (is one source hogging the corpus
+    * bytes?): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over each group's ascending
+    * values. Everything is long arithmetic until the single final
+    * division, so the result is bitwise on any engine; ties need no
+    * ordering tie-break because Σ(2i−n−1)x is invariant under
+    * permutations within equal values.
+    *
+    * Overflow bound: n·Σx must fit a long. Gini is scale-invariant, so a
+    * corpus where it wouldn't (≳10⁹ rows of ≳10⁹-sized values per group)
+    * divides the measure by a constant first and gets the identical
+    * coefficient.
+    *
+    * Scale shape: one keyed window (rank within group) feeding one hash
+    * aggregation — a single Exchange on the group key; parallelism
+    * follows group cardinality.
+    */
   def giniByGroup(df: DataFrame, group: String, value: String): DataFrame = {
     val w = Window.partitionBy(col(group)).orderBy(col("x"))
     df.select(col(group), col(value).cast("long").as("x"))

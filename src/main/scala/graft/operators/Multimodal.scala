@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * base-16 conv), so everything stays inside whole-stage codegen and scales
   * with the scan — no UDFs, no driver round-trips.
   *
-  * What is real vs stubbed (this container has no image/audio codecs):
+  * What is real vs stubbed:
   *  - container/format detection and header decode (PNG IHDR, GIF logical
   *    screen descriptor, JPEG SOF marker walk) are REAL byte decoding,
   *    oracle-checkable;
-  *  - learned-encoder features are a clearly-marked deterministic stand-in
+  *  - PIXEL decode is real for the formats the JDK ships codecs for
+  *    (PNG/JPEG/GIF/BMP via `javax.imageio` — [[imageIoDecoder]] /
+  *    [[decodeImages]]), spec-pinned against a hand-built PNG;
+  *  - LEARNED-encoder features are a clearly-marked deterministic stand-in
   *    ([[fakeEmbedding]]) with the production plumbing (schema, batching,
-  *    partitioning) real.
+  *    partitioning) real — this container ships no inference runtime.
   */
 object Multimodal {
 
@@ -471,7 +474,9 @@ object Multimodal {
 
   /** Deterministic stand-in decoder: `dim` floats in [-1, 1) from a
     * rolling hash of the payload bytes. Clearly a stub — it reads the
-    * bytes, not the image.
+    * bytes, not the image. Kept as [[decodeBatched]]'s default because it
+    * accepts ANY payload; [[imageIoDecoder]] is the real-pixel path for
+    * the formats the JDK ships codecs for.
     */
   def stubDecoder(dim: Int): Array[Byte] => Array[Float] = { bytes =>
     var h = 1125899906842597L
@@ -481,4 +486,77 @@ object Multimodal {
       ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
     }
   }
+
+  /** REAL pixel decode via `javax.imageio` — the PNG/JPEG/GIF/BMP codecs
+    * every headless JRE ships, so "this container has no image libs" does
+    * not apply to these formats. Returns a fixed-layout feature vector:
+    *
+    * `[width, height, then grid×grid cells × (meanR, meanG, meanB)]`,
+    *
+    * channel means in [0, 1], cells row-major, each pixel binned to cell
+    * `(y*grid/h, x*grid/w)` — i.e. average-pooled RGB at `grid`×`grid`
+    * resolution (with `grid` ≥ image dims, the cells ARE the pixels, which
+    * is what the spec pins against a hand-deflated PNG). Non-decodable
+    * payloads return null, so callers can route them to the metadata-only
+    * path ([[imageMeta]]) with a plain null filter.
+    *
+    * Scale shape: pass it to [[decodeBatched]] — decode runs
+    * partition-parallel over the scan, one in-memory image at a time
+    * (`ImageIO.setUseCache(false)` keeps the JDK from spilling each decode
+    * to a temp file). Feature size is O(grid²), independent of image size.
+    */
+  def imageIoDecoder(grid: Int = 4): Array[Byte] => Array[Float] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    bytes => {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](grid * grid * 3)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val cy = y.toLong * grid / h
+          var x = 0
+          while (x < w) {
+            val cell = (cy * grid + x.toLong * grid / w).toInt
+            val rgb = img.getRGB(x, y)
+            sums(cell * 3) += (rgb >> 16) & 0xFF
+            sums(cell * 3 + 1) += (rgb >> 8) & 0xFF
+            sums(cell * 3 + 2) += rgb & 0xFF
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](2 + grid * grid * 3)
+        out(0) = w.toFloat
+        out(1) = h.toFloat
+        var c = 0
+        while (c < grid * grid) {
+          if (counts(c) > 0) {
+            var ch = 0
+            while (ch < 3) {
+              out(2 + c * 3 + ch) =
+                (sums(c * 3 + ch) / counts(c) / 255.0).toFloat
+              ch += 1
+            }
+          }
+          c += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** [[decodeBatched]] wired to the real JDK codec path: (doc_id, feature)
+    * with [[imageIoDecoder]]'s pooled-RGB layout, null feature for
+    * payloads no installed reader decodes.
+    */
+  def decodeImages(df: DataFrame, payloadCol: String = "payload",
+                   grid: Int = 4): DataFrame =
+    decodeBatched(df, payloadCol, imageIoDecoder(grid))
 }

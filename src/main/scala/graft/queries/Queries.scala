@@ -1855,10 +1855,17 @@ object Queries {
     //         tokenize-to-ids step training consumes: broadcast
     //         dictionary join over the exploded token stream, order-
     //         preserving reassembly, OOV → 0 (the oracle replays the id
-    //         map as a CASE chain from the same vocab list). ───────────────
+    //         map as a CASE chain from the same vocab list). The PUBLIC
+    //         result serializes the id array as a space-joined string:
+    //         the verification harness canonicalizes rows by hashing
+    //         cell values, and a list-typed cell is unhashable there —
+    //         the in-engine API (Vocabulary.encode) still returns the
+    //         typed array<int> for downstream packing. ────────────────────
     QueryDef("q96_vocab_encode",
       (s, dir) => graft.operators.Vocabulary.encode(
-        t(s, dir, "documents"), EncodeVocab),
+          t(s, dir, "documents"), EncodeVocab)
+        .withColumn("ids_str", array_join(col("ids"), " "))
+        .drop("ids"),
       Some(vocabOracleSql)),
 
     // ── Q97: per-group OLS trend
@@ -3311,8 +3318,9 @@ object Queries {
        |           x -> CASE x $arms ELSE 0 END) AS ids
        |  FROM documents
        |)
-       |SELECT doc_id, ids,
-       |       CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_oov
+       |SELECT doc_id,
+       |       CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_oov,
+       |       array_to_string(ids, ' ') AS ids_str
        |FROM enc""".stripMargin
   }
 

@@ -301,4 +301,21 @@ class AnonymizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Anonymize.mondrianClasses(df, Seq("a"), k = 1))
   }
+
+  test("mondrian: null quasi values fail fast (they would break k-anonymity)") {
+    import graft.operators.Anonymize
+    // a null is invisible to the split-feasibility count yet relabels to
+    // the lower half, so an upper class could end up under k — the
+    // operator must refuse rather than silently emit a broken release
+    val withNull = ((1 to 30).map(i => (Some(i.toLong), i.toLong)) :+
+      ((None: Option[Long]), 31L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      Anonymize.mondrianClasses(withNull, Seq("a", "b"), k = 5))
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // non-castable strings surface the same way (cast -> null)
+    val bad = Seq(("x", 1L), ("y", 2L), ("3", 3L), ("4", 4L))
+      .toDF("a", "b")
+    intercept[IllegalArgumentException](
+      Anonymize.mondrianClasses(bad, Seq("a"), k = 2))
+  }
 }

@@ -298,4 +298,81 @@ class MultimodalSpec extends SparkSpec {
       "401F0000" + "401F0000" + "0100" + "0800" +     // 8000, 8000 B/s, 1, 8
       "64617461" + "04000000")                        // data, 4
   }
+
+  /** A REAL 2×2 truecolor PNG built by hand — signature, IHDR, an IDAT
+    * whose zlib stream comes from `java.util.zip.Deflater`, CRC32s from
+    * `java.util.zip.CRC32` — so decoding it exercises the JDK codec on
+    * bytes no JDK ENCODER produced. Pixels row-major:
+    * (255,0,0) (0,255,0) / (0,0,255) (255,255,255).
+    */
+  private def handBuiltPng(): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      val crc = new CRC32
+      crc.update(tag.getBytes("US-ASCII"))
+      crc.update(data)
+      val crcB = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      len ++ tag.getBytes("US-ASCII") ++ data ++ crcB
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2)                  // width 2, height 2
+      .put(8.toByte).put(2.toByte)          // 8-bit, truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)  // deflate/adaptive/none
+      .array()
+    // raw scanlines: filter byte 0 + RGB per pixel
+    val raw = Array[Int](
+      0, 255, 0, 0, 0, 255, 0,              // row 0: red, green
+      0, 0, 0, 255, 255, 255, 255           // row 1: blue, white
+    ).map(_.toByte)
+    val d = new Deflater
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf)
+    d.end()
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("imageIoDecoder decodes ACTUAL pixels from a hand-deflated PNG") {
+    // grid = 2 over a 2×2 image: each pooled cell IS one pixel, so the
+    // feature vector pins exact pixel values, not just statistics
+    val feats = Multimodal.imageIoDecoder(grid = 2)(handBuiltPng())
+    assert(feats !== null)
+    assert(feats.length === 2 + 2 * 2 * 3)
+    assert(feats(0) === 2.0f && feats(1) === 2.0f, "decoded dimensions")
+    val px = feats.drop(2).grouped(3).map(_.toSeq).toSeq
+    assert(px(0) === Seq(1.0f, 0.0f, 0.0f), "top-left red")
+    assert(px(1) === Seq(0.0f, 1.0f, 0.0f), "top-right green")
+    assert(px(2) === Seq(0.0f, 0.0f, 1.0f), "bottom-left blue")
+    assert(px(3) === Seq(1.0f, 1.0f, 1.0f), "bottom-right white")
+  }
+
+  test("decodeImages: real decode through the partition-batched plumbing, " +
+    "JPEG decodes approximately, non-images yield null features") {
+    // a JPEG from the JDK's own encoder: lossy, so assert tolerance
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val rows = Seq(
+      (1L, handBuiltPng()),
+      (2L, bos.toByteArray),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeImages(df, grid = 1)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Float](1)).map(_.toSeq)).toMap
+    // PNG: mean of red+green+blue+white = (0.5, 0.5, 0.5) exactly
+    assert(out(1L) === Some(Seq(2.0f, 2.0f, 0.5f, 0.5f, 0.5f)))
+    // JPEG: flat 0x808080 survives DCT within 2/255
+    val Some(Seq(jw, jh, jr, jg, jb)) = out(2L)
+    assert(jw === 8.0f && jh === 8.0f)
+    Seq(jr, jg, jb).foreach(v =>
+      assert(math.abs(v - 128f / 255f) < 2f / 255f, s"jpeg gray drifted: $v"))
+    assert(out(3L) === None, "undecodable payload must yield null")
+  }
 }

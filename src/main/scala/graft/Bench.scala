@@ -126,8 +126,8 @@ object Bench {
     // Each pre-build runs only when a scale line that consumes it survives
     // the SPARK_GRAFT_BENCH_ONLY filter — the env var exists for fast local
     // iteration, and an excluded line must not drag its training along.
-    val pqTrained = if (!Seq("pq_adc_batch", "ivfadc_batch").exists(selected))
-      None else try {
+    val pqTrained = if (!Seq("pq_adc_batch", "ivfadc_batch",
+        "ivfadc_residual_batch").exists(selected)) None else try {
       import org.apache.spark.sql.functions.col
       val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -135,8 +135,10 @@ object Bench {
       val cb = graft.operators.PQ.train(emb, dim = q.length, m = 8,
         k = 16, iters = 3)
       val idx = graft.operators.IVF.train(emb, k = 16)
+      val cbRes = graft.operators.PQ.trainResidual(emb, idx, dim = q.length,
+        m = 8, k = 16, iters = 3)
       CacheRegistry.releaseAll()
-      Some((emb, q, cb, idx))
+      Some((emb, q, cb, idx, cbRes))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] PQ pre-train failed: ${e.getMessage}")
       None
@@ -200,13 +202,17 @@ object Bench {
               graft.operators.DedupState.load(spark, storeDir),
               docs.filter(col("doc_id") > cut))
           }))
-      } ++ pqTrained.toSeq.flatMap { case (emb, q, cb, idx) =>
+      } ++ pqTrained.toSeq.flatMap { case (emb, q, cb, idx, cbRes) =>
         Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "pq_adc_batch" -> (() => graft.operators.PQ.neighbors(
             emb, cb, q, k = 20, rerank = 200, excludeId = Some(0L))),
           "ivfadc_batch" -> (() => graft.operators.PQ.ivfadcNeighbors(
             emb, idx, cb, q, k = 20, nProbe = 8, rerank = 200,
-            excludeId = Some(0L))))
+            excludeId = Some(0L))),
+          "ivfadc_residual_batch" -> (() =>
+            graft.operators.PQ.ivfadcResidualNeighbors(
+              emb, idx, cbRes, q, k = 20, nProbe = 8, rerank = 200,
+              excludeId = Some(0L))))
       } ++ embSplit.map { case (emb, cut) =>
         // q83's deployment shape: batch near-dup against the pre-built
         // cell-partitioned store (partition-pruned corpus read).

@@ -154,8 +154,10 @@ object PQ {
     * lists, ADC ranks INSIDE the probed cells, exact cosine re-ranks the
     * bounded candidate set — the full coarse-quantizer + product-code
     * pipeline at three nested levels of approximation, each one cheap
-    * where the previous one pruned. (Flat PQ codes within cells — the
-    * residual-encoding refinement is a documented simplification.)
+    * where the previous one pruned. This variant keeps FLAT codes within
+    * cells (codebooks over raw vectors, one shared LUT set) — simpler,
+    * and with nProbe = k it degenerates exactly to [[neighbors]];
+    * [[ivfadcResidualNeighbors]] is the sharper residual-encoded form.
     * One scan: the probe filter and the code expression both run on the
     * same pass; nothing shuffles.
     */
@@ -168,6 +170,99 @@ object PQ {
     rankAdc(emb, cb, query, k, rerank, excludeId,
       df => df.filter(IVF.assignExpr(col("v"), index)
         .isin(probes.map(Integer.valueOf): _*)))
+  }
+
+  /** The coarse index's centroid table as ONE literal expression (array of
+    * array&lt;double&gt;) — `element_at(..., cell + 1)` picks a row's own
+    * centroid without a join.
+    */
+  private def centroidTableExpr(index: IVF.Index): Column =
+    array(index.centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+
+  /** Residual of a vector against its assigned cell's centroid,
+    * `v − c(cell)`, as a pure expression — the quantity residual PQ
+    * encodes (Jégou et al. 2011 §IV-A: residuals concentrate around the
+    * origin, so the same m/k code budget spends its codewords on a much
+    * smaller-variance distribution than raw vectors).
+    */
+  def residualExpr(v: Column, cell: Column, index: IVF.Index): Column =
+    zip_with(v, element_at(centroidTableExpr(index), cell + 1),
+      (a, b) => a - b)
+
+  /** Train codebooks on coarse RESIDUALS (one shared codebook set across
+    * cells — Jégou §IV-A's recommended memory/accuracy tradeoff): assign
+    * each vector in-scan, subtract its centroid, run [[train]] on the
+    * residual frame. Same determinism contract throughout.
+    */
+  def trainResidual(emb: DataFrame, index: IVF.Index, dim: Int, m: Int,
+                    k: Int = 16, iters: Int = 5, seed: Int = 42): Codebooks = {
+    val v = col("embedding").cast("array<double>")
+    train(emb.select(col("vec_id"),
+        residualExpr(v, IVF.assignExpr(v, index), index).as("embedding")),
+      dim, m, k, iters, seed)
+  }
+
+  /** Mean squared quantization distortion E‖x − q(x)‖² of `cb` over a
+    * vector column — the quantity residual encoding exists to shrink
+    * (spec-pinned: residual distortion &lt; flat distortion at equal m/k).
+    * Pure per-row expression; one aggregation.
+    */
+  def distortionExpr(v: Column, cb: Codebooks): Column =
+    (0 until cb.m).map { j =>
+      val vj = slice(v, j * cb.subDim + 1, cb.subDim)
+      val w = element_at(
+        array(cb.books(j).toIndexedSeq.map(cw =>
+          array(cw.toIndexedSeq.map(lit): _*)): _*),
+        IVF.assignExpr(vj, IVF.Index(cb.books(j))) + 1)
+      aggregate(zip_with(vj, w, (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _)
+    }.reduce(_ + _)
+
+  /** IVFADC with RESIDUAL encoding — the full Jégou §IV construction:
+    * codes quantize `v − centroid(cell)` (via [[trainResidual]]'s
+    * codebooks), and each probed cell gets its OWN lookup tables built
+    * from the residual query `q − centroid(cell)`, so the ADC estimate
+    * approximates the true distance rather than the within-cell offset.
+    * Still one scan: the probe filter, the residual, the codes, and the
+    * per-cell LUT CASE all run on the same pass; the codes column is
+    * named so the nProbe CASE arms share one encode, not nProbe of them.
+    *
+    * `cb` must come from [[trainResidual]] over the same `index` —
+    * flat-trained codebooks would place every codeword far from the
+    * residual distribution and estimate garbage.
+    */
+  def ivfadcResidualNeighbors(emb: DataFrame, index: IVF.Index,
+                              cb: Codebooks, query: Array[Double], k: Int,
+                              nProbe: Int, rerank: Int,
+                              excludeId: Option[Long] = None): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val probes = IVF.probeIds(index, query, nProbe)
+    val lutsByCell = probes.map { i =>
+      i -> adcLuts(cb,
+        query.zip(index.centroids(i)).map { case (a, b) => a - b })
+    }
+    val normQ = math.sqrt(query.map(x => x * x).sum)
+    val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
+    val first = when(col("cell") === lutsByCell.head._1,
+      adcScoreExpr(col("codes"), lutsByCell.head._2))
+    val est = lutsByCell.tail.foldLeft(first) { case (acc, (i, luts)) =>
+      acc.when(col("cell") === i, adcScoreExpr(col("codes"), luts))
+    }
+    base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", IVF.assignExpr(col("v"), index))
+      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("codes",
+        encodeExpr(residualExpr(col("v"), col("cell"), index), cb))
+      .withColumn("est", est)
+      .orderBy(col("est").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"),
+        round(GraftFunctions.dot_product(col("v"), lit(query)) /
+          (GraftFunctions.l2_norm(col("v")) * lit(normQ)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   private def rankAdc(emb: DataFrame, cb: Codebooks, query: Array[Double],

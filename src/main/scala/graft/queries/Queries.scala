@@ -2821,6 +2821,28 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcOracleSql)),
 
+    // ── Q140: IVFADC with RESIDUAL encoding (Jégou et al. 2011 §IV in
+    //          full): codes quantize v − centroid(cell), and each probed
+    //          cell scores against its OWN lookup tables built from the
+    //          residual query q − centroid(cell) — the refinement that
+    //          makes PQ codes sharp inside a cell (spec-pinned: strictly
+    //          lower quantization distortion than flat codes at equal
+    //          m/k). Still one scan; the oracle replays the coarse
+    //          assignment, the per-cell residual, the code argmins, and
+    //          the per-cell LUT CASE over shared literals. ────────────────
+    QueryDef("q140_ivfadc_residual",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = queryVector(s, dir)
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        val cb = graft.operators.PQ.trainResidual(emb, idx, dim = q.length,
+          m = 8, k = 16, iters = 3)
+        graft.operators.PQ.ivfadcResidualNeighbors(emb, idx, cb, q, k = 20,
+          nProbe = 8, rerank = 200, excludeId = Some(0L))
+      },
+      None,
+      dynamicOracle = Some(ivfadcResidualOracleSql)),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),
@@ -3926,6 +3948,86 @@ object Queries {
        |  SELECT vec_id, v,
        |      $codeCols
        |  FROM probed
+       |), est AS (
+       |  SELECT vec_id, v,
+       |         $estSum AS est
+       |  FROM codes
+       |), cand AS (
+       |  SELECT vec_id, v FROM est ORDER BY est ASC, vec_id ASC LIMIT 200
+       |)
+       |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.v, q.qv), 6)
+       |         AS cos
+       |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** q140's oracle: the residual-encoded IVFADC pipeline replayed level
+    * by level — [[ivfadcOracleSql]]'s coarse-assignment arms, then the
+    * row's own centroid via a CASE over the probed cells, the residual as
+    * explicit per-element subtraction (the same IEEE double op
+    * `zip_with(v, c, _ - _)` runs in the plan), code argmins over the
+    * RESIDUAL subvectors, and a per-cell LUT CASE per subspace summed in
+    * the same ascending-j order the Spark expression uses.
+    */
+  private def ivfadcResidualOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.{IVF, PQ}
+    val q = queryVector(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val idx = IVF.train(emb, k = 16)
+    val probes = IVF.probeIds(idx, q, 8)
+    val cb = PQ.trainResidual(emb, idx, dim = q.length, m = 8, k = 16,
+      iters = 3)
+    val lutsByCell = probes.map { i =>
+      i -> PQ.adcLuts(cb,
+        q.zip(idx.centroids(i)).map { case (a, b) => a - b })
+    }
+    val sd = cb.subDim
+    val coarseArms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, " +
+        s"CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    val cvecArms = probes.map { i =>
+      s"WHEN $i THEN CAST([${idx.centroids(i).mkString(", ")}] AS DOUBLE[])"
+    }.mkString("\n        ")
+    val residElems = (1 to q.length).map(i => s"v[$i] - cvec[$i]")
+      .mkString(", ")
+    val codeCols = (0 until cb.m).map { j =>
+      val rj = s"r[${j * sd + 1}:${(j + 1) * sd}]"
+      val arms = cb.books(j).zipWithIndex.map { case (w, c) =>
+        val c2 = w.map(x => x * x).sum
+        s"{'d': $c2 - 2.0 * list_inner_product($rj, " +
+          s"CAST([${w.mkString(", ")}] AS DOUBLE[])), 'cid': $c}"
+      }.mkString(",\n        ")
+      s"list_min([\n        $arms\n      ]).cid AS c$j"
+    }.mkString(",\n      ")
+    val estSum = (0 until cb.m).map { j =>
+      val arms = lutsByCell.map { case (i, luts) =>
+        s"WHEN $i THEN (CAST([${luts(j).mkString(", ")}] AS DOUBLE[]))[c$j + 1]"
+      }.mkString("\n           ")
+      s"(CASE cell\n           $arms\n         END)"
+    }.mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v,
+       |           list_min([
+       |      $coarseArms
+       |    ]).cid AS cell
+       |    FROM e WHERE vec_id <> 0
+       |  ) WHERE cell IN (${probes.mkString(", ")})
+       |), resid AS (
+       |  SELECT vec_id, v, cell, [$residElems] AS r FROM (
+       |    SELECT vec_id, v, cell,
+       |           CASE cell
+       |        $cvecArms
+       |      END AS cvec
+       |    FROM probed
+       |  )
+       |), codes AS (
+       |  SELECT vec_id, v, cell,
+       |      $codeCols
+       |  FROM resid
        |), est AS (
        |  SELECT vec_id, v,
        |         $estSum AS est

@@ -540,4 +540,126 @@ object StreamingEvents {
       }
       .start()
   }
+
+  /** One side-tagged as-of event: state updates (side 0, carrying `v`)
+    * and probes (side 1, carrying `pid`) share the union schema — the
+    * streaming twin of the batch operator's union-tag discipline
+    * ([[graft.operators.AsofJoin]]).
+    */
+  case class AsofEvent(key: String, ts: java.sql.Timestamp, side: Int,
+                       pid: Long, v: Double)
+  /** Per-key as-of buffer: retained state points (tsMillis, v) ascending
+    * and still-unemittable probes (tsMillis, pid). */
+  case class AsofBuf(states: Seq[(Long, Double)], probes: Seq[(Long, Long)])
+  /** A resolved probe: the most recent state at-or-before its ts (within
+    * tolerance); state_* None when no state qualifies. */
+  case class AsofMatch(key: String, probe_ts: java.sql.Timestamp, pid: Long,
+                       state_ts: Option[java.sql.Timestamp],
+                       state_v: Option[Double])
+
+  /** Streaming as-of join (backward) — each probe picks up the most
+    * recent state row for its key at or before its event time, on live
+    * streams: the continuous form of [[graft.operators.AsofJoin.asofJoin]]
+    * (price as-of each trade, meter state as-of each reading, feature
+    * value as-of each label event).
+    *
+    * Why the stream-stream join operator can't express this:
+    * [[correlateStreams]]' interval join emits EVERY state row in the
+    * range, and "the latest one" is an argmax no watermarked range join
+    * can take. So this is custom state via `flatMapGroupsWithState`
+    * ([[streamingNearDupCandidates]]'s discipline), keyed by the join
+    * key over the union-tagged pair of streams:
+    *
+    *  - a probe is held until the WATERMARK passes its event time — only
+    *    then can "no earlier state row is still in flight" be promised —
+    *    and emits exactly once, matched against the retained state
+    *    (state-at-equal-ts visible, the batch operator's inclusive
+    *    contract);
+    *  - state retention is the as-of minimum: everything newer than the
+    *    watermark plus THE latest row at-or-before it (that row is every
+    *    future probe's fallback match); with `toleranceMs`, state whose
+    *    staleness bound has passed is dropped entirely, so idle keys hold
+    *    at most one point, tolerance-bounded keys eventually zero;
+    *  - emission order within a key is (ts, pid)-sorted, so replays are
+    *    deterministic;
+    *  - an event-time timeout is armed at the earliest pending probe, so
+    *    probes resolve as soon as the GLOBAL watermark passes them even
+    *    if their key never sees another event.
+    *
+    * Late arrivals past the watermark: a late PROBE still resolves
+    * (best-effort, immediately — its guarantee window is already gone),
+    * matched against whatever state retention kept; a late STATE row can
+    * only affect probes not yet emitted. Both are the standard
+    * watermark-lateness trade, same as the engine's own operators.
+    *
+    * Replay contract (spec-pinned): on bounded streams the emitted set
+    * equals the batch `asofJoin` of the same frames — including the
+    * `flatMapGroupsWithState` batch fallback, where the whole key group
+    * arrives at once and the watermark horizon is unbounded.
+    *
+    * State bound: per key, pending probes within one watermark horizon +
+    * retained state (1 + rows newer than the watermark; tolerance makes
+    * even that transient). Keys scale with the state store as any keyed
+    * stream.
+    */
+  def asofStream(probes: DataFrame, state: DataFrame,
+                 keyCol: String = "key", tsCol: String = "ts",
+                 probeIdCol: String = "pid", stateValCol: String = "v",
+                 watermark: String = "10 minutes",
+                 toleranceMs: Option[Long] = None): Dataset[AsofMatch] = {
+    require(toleranceMs.forall(_ > 0), "toleranceMs must be positive")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val p = probes.select(col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("timestamp").as("ts"), lit(1).as("side"),
+      col(probeIdCol).cast("long").as("pid"), lit(0.0).as("v"))
+    val s = state.select(col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("timestamp").as("ts"), lit(0).as("side"),
+      lit(0L).as("pid"), col(stateValCol).cast("double").as("v"))
+    p.unionByName(s).withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofMatch](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
+        val buf = st.getOption.getOrElse(AsofBuf(Seq.empty, Seq.empty))
+        var states = buf.states
+        var pend = buf.probes
+        rows.foreach { e =>
+          if (e.side == 0) states = states :+ ((e.ts.getTime, e.v))
+          else pend = pend :+ ((e.ts.getTime, e.pid))
+        }
+        states = states.sortBy(_._1)
+        // batch fallback: no watermark in the plan -> resolve everything
+        val horizon =
+          try st.getCurrentWatermarkMs
+          catch { case _: UnsupportedOperationException => Long.MaxValue }
+        val (ready, pending) = pend.partition(_._1 <= horizon)
+        val out = ready.sorted.map { case (tm, pid) =>
+          states.filter(x => x._1 <= tm &&
+              toleranceMs.forall(t => tm - x._1 <= t)).lastOption match {
+            case Some((sm, v)) => AsofMatch(key, new java.sql.Timestamp(tm),
+              pid, Some(new java.sql.Timestamp(sm)), Some(v))
+            case None => AsofMatch(key, new java.sql.Timestamp(tm), pid,
+              None, None)
+          }
+        }
+        if (horizon != Long.MaxValue) {
+          // keep the latest at-or-before the horizon + everything after
+          val last = states.lastIndexWhere(_._1 <= horizon)
+          if (last > 0) states = states.drop(last)
+          // tolerance: even the fallback row dies once it is too stale
+          // for any future probe (future probe ts >= horizon)
+          toleranceMs.foreach(t =>
+            states = states.filter(x => horizon - x._1 <= t))
+        }
+        if (pending.isEmpty && (states.isEmpty || horizon == Long.MaxValue))
+          st.remove()
+        else {
+          st.update(AsofBuf(states, pending))
+          if (horizon != Long.MaxValue && pending.nonEmpty)
+            st.setTimeoutTimestamp(pending.map(_._1).min)
+        }
+        out.iterator
+      }
+  }
 }

@@ -308,6 +308,87 @@ class StreamingSpec extends SparkSpec {
       ("u3", "i4", "c4")))
   }
 
+  test("streaming as-of join: multi-batch out-of-order replay equals the " +
+       "batch asofJoin, with and without tolerance") {
+    implicit val ctx = spark.sqlContext
+    // probes (ts, key, pid) and state (ts, key, v); pid3/pid10 precede any
+    // state for their key, pid2 ties a state row exactly (inclusive)
+    val probeRows = Seq(
+      (ts("2024-01-01 09:50:00"), "A", 3L),
+      (ts("2024-01-01 10:15:00"), "A", 1L),
+      (ts("2024-01-01 10:30:00"), "A", 2L),
+      (ts("2024-01-01 11:30:00"), "A", 4L),
+      (ts("2024-01-01 10:10:00"), "B", 10L),
+      (ts("2024-01-01 12:00:00"), "B", 11L))
+    val stateRows = Seq(
+      (ts("2024-01-01 10:00:00"), "A", 1.0),
+      (ts("2024-01-01 10:30:00"), "A", 2.0),
+      (ts("2024-01-01 11:10:00"), "A", 3.0),
+      (ts("2024-01-01 10:25:00"), "B", 5.0),
+      // far-future sentinel on an otherwise probe-less key: advances the
+      // GLOBAL watermark so every armed event-time timeout fires
+      (ts("2024-01-01 13:00:00"), "C", 9.0))
+    def run(tolMs: Option[Long], sink: String): Set[(String, Timestamp, Long,
+        Option[Timestamp], Option[Double])] = {
+      val ps = MemoryStream[(Timestamp, String, Long)]
+      val ss = MemoryStream[(Timestamp, String, Double)]
+      val q = StreamingEvents.asofStream(
+          ps.toDF().toDF("ts", "key", "pid"),
+          ss.toDF().toDF("ts", "key", "v"),
+          toleranceMs = tolMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // four micro-batches; each batch's arrivals stay at-or-after the
+        // watermark the previous batch set, so nothing here is "late"
+        ps.addData(Seq(probeRows(0), probeRows(1), probeRows(4)))
+        ss.addData(Seq(stateRows(0), stateRows(1)))
+        q.processAllAvailable()
+        ps.addData(Seq(probeRows(2)))
+        ss.addData(Seq(stateRows(3), stateRows(2)))
+        q.processAllAvailable()
+        ps.addData(Seq(probeRows(3), probeRows(5)))
+        q.processAllAvailable()
+        ss.addData(Seq(stateRows(4)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).collect().map(r => (r.getString(0),
+        r.getTimestamp(1), r.getLong(2), Option(r.getTimestamp(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    }
+    def batchOracle(tol: Option[String]): Set[(String, Timestamp, Long,
+        Option[Timestamp], Option[Double])] =
+      graft.operators.AsofJoin.asofJoin(
+          probeRows.toDF("ts", "key", "pid"),
+          stateRows.toDF("ts", "key", "v"),
+          Seq("key"), "ts", "ts", Seq("v"), tolerance = tol)
+        .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2),
+          Option(r.getTimestamp(3)),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    val streamed = run(None, "asof_stream")
+    assert(streamed === batchOracle(None))
+    assert(streamed === Set(
+      ("A", ts("2024-01-01 09:50:00"), 3L, None, None),
+      ("A", ts("2024-01-01 10:15:00"), 1L,
+        Some(ts("2024-01-01 10:00:00")), Some(1.0)),
+      ("A", ts("2024-01-01 10:30:00"), 2L,
+        Some(ts("2024-01-01 10:30:00")), Some(2.0)),
+      ("A", ts("2024-01-01 11:30:00"), 4L,
+        Some(ts("2024-01-01 11:10:00")), Some(3.0)),
+      ("B", ts("2024-01-01 10:10:00"), 10L, None, None),
+      ("B", ts("2024-01-01 12:00:00"), 11L,
+        Some(ts("2024-01-01 10:25:00")), Some(5.0))))
+    // tolerance bounds staleness on both engines identically (20 minutes:
+    // pid4's 20-minute-old state row is exactly at the bound — kept;
+    // pid11's 95-minute-old one is gone)
+    val streamedTol = run(Some(20L * 60 * 1000), "asof_stream_tol")
+    assert(streamedTol === batchOracle(Some("20 minutes")))
+    assert(streamedTol.contains(("B", ts("2024-01-01 12:00:00"), 11L,
+      None, None)))
+    assert(streamedTol.contains(("A", ts("2024-01-01 11:30:00"), 4L,
+      Some(ts("2024-01-01 11:10:00")), Some(3.0))))
+  }
+
   test("stream-stream LEFT OUTER interval join emits unmatched lefts after " +
        "the watermark closes their window") {
     implicit val ctx = spark.sqlContext

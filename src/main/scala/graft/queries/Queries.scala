@@ -2843,6 +2843,26 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcResidualOracleSql)),
 
+    // ── Q141: Z-order (Morton) curve key ([[graft.operators.ZOrder]]) —
+    //          the multi-dimensional data-skipping layout: per-column
+    //          fixed-width bucket ranks bit-interleaved into one curve
+    //          key, all scan-side integer/bit expressions (the layout
+    //          itself — range repartition on this key — is pinned by
+    //          ZOrderSpec's file-rectangle audit). [lo, hi] are layout
+    //          parameters shared with the oracle, which replays the
+    //          bucket arithmetic and every bit term. ─────────────────────
+    QueryDef("q141_zorder_key",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.zkeyExpr(Seq(
+            (col("l_extendedprice"), 900.0, 105000.0),
+            (col("l_discount"), 0.0, 0.1)), bits = 8).as("zkey")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        graft.operators.ZOrder.zkeyOracleSql(Seq(
+          ("l_extendedprice", 900.0, 105000.0),
+          ("l_discount", 0.0, 0.1)), bits = 8) +
+        " AS zkey FROM lineitem")),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

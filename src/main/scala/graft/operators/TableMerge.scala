@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped upsert into a hive-partitioned parquet table — the
+  * storage discipline that keeps merges batch-sized at 100 TB: a day's
+  * corrections touch a handful of partitions, so ONLY those partitions
+  * are read (partition-pruned scan) and ONLY those partitions are
+  * replaced (Spark's dynamic partition overwrite commits the swap);
+  * every other partition's files are left byte-identical — never read,
+  * never rewritten, never invalidated in downstream caches.
+  *
+  * This is the partitioned-scale sibling of the whole-table keyed upsert
+  * sink (reference `anonymize_datasets.py:141-169`'s read-modify-swap,
+  * [[Anonymize]] S6): same upsert semantics per key, but cost scales
+  * with the BATCH's partition footprint, not the table.
+  *
+  * Mechanics per call:
+  *  1. the batch's distinct partition values — driver state bounded by
+  *     the batch's footprint, never table-sized;
+  *  2. one partition-pruned read of just those partitions, anti-join on
+  *     the keys (rows the batch replaces drop out), union the batch;
+  *  3. materialize the merged slice to a staging dir (Spark forbids
+  *     overwriting a path while reading it — the staging hop is what
+  *     makes the self-merge safe), then write it back with
+  *     `partitionOverwriteMode=dynamic`, which replaces exactly the
+  *     partitions present in the written data and commits per-partition
+  *     atomically via the file committer.
+  *
+  * New partition values in the batch simply materialize as new
+  * partition dirs. Rows in the batch must carry the partition column;
+  * a key that MOVES partitions in an update is two logical rows (the
+  * old location is untouched) — delete-then-insert across partitions is
+  * out of scope here, as it is for every partition-overwrite merge.
+  */
+object TableMerge {
+
+  /** Upsert `updates` into the partitioned parquet table at `dir` by
+    * `keys`. Creates the table (partitioned by `partCol`) if absent.
+    * Returns the number of partitions written.
+    */
+  def upsertPartitioned(spark: SparkSession, dir: String, updates: DataFrame,
+                        keys: Seq[String], partCol: String): Int = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!keys.contains(partCol),
+      s"partition column '$partCol' cannot be an upsert key — " +
+        "within a partition it is constant, across partitions rows never collide")
+    (keys :+ partCol).foreach(c =>
+      require(updates.columns.contains(c),
+        s"updates frame lacks required column '$c'"))
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(fsPath)) {
+      updates.write.partitionBy(partCol).parquet(dir)
+      return updates.select(partCol).distinct().count().toInt
+    }
+    val partVals = updates.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    val existing = spark.read.parquet(dir)
+      .filter(col(partCol).isInCollection(partVals.toSeq))
+    val merged = existing
+      .join(updates.select(keys.map(col) :+ col(partCol): _*),
+        keys :+ partCol, "left_anti")
+      .unionByName(updates.select(existing.columns.map(col).toIndexedSeq: _*))
+    // the staging hop: materialize before overwriting what was read
+    val staging = dir.stripSuffix("/") + ".__merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    try
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(dir)
+    finally
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    partVals.length
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableMerge
+
+/** Partition-scoped upsert contracts: merge semantics must equal the
+  * logical full-table upsert, while PHYSICALLY only the batch's
+  * partitions change — untouched partitions keep byte-identical files,
+  * which is the whole 100 TB point.
+  */
+class TableMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    walk(new java.io.File(dir))
+      .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  test("upsert rewrites only touched partitions; untouched files are " +
+    "byte-identical; semantics equal the logical merge") {
+    val dir = tmpDir("graft-merge") + "/table"
+    val base = Seq(
+      (1L, "a", 0), (2L, "b", 0),
+      (3L, "c", 1), (4L, "d", 1),
+      (5L, "e", 2), (6L, "f", 2)).toDF("id", "v", "p")
+    assert(TableMerge.upsertPartitioned(spark, dir, base,
+      Seq("id"), "p") === 3)
+    val before = fileState(dir)
+    // update key 5, insert key 7 (both p=2), open new partition p=9
+    val updates = Seq(
+      (5L, "E2", 2), (7L, "g", 2), (8L, "h", 9)).toDF("id", "v", "p")
+    assert(TableMerge.upsertPartitioned(spark, dir, updates,
+      Seq("id"), "p") === 2)
+    val after = fileState(dir)
+    // logical result: full upsert
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1),
+      (5L, "E2", 2), (6L, "f", 2), (7L, "g", 2), (8L, "h", 9)))
+    // physical: p=0 and p=1 files untouched (same paths, sizes, mtimes)
+    val untouchedBefore = before.filter(k => k._1.contains("p=0") || k._1.contains("p=1"))
+    val untouchedAfter = after.filter(k => k._1.contains("p=0") || k._1.contains("p=1"))
+    assert(untouchedBefore === untouchedAfter,
+      "files of unreferenced partitions must not be rewritten")
+    // p=2 rewritten, p=9 created
+    assert(before.keys.filter(_.contains("p=2")).toSet
+      .intersect(after.keys.filter(_.contains("p=2")).toSet).isEmpty,
+      "touched partition must have new files")
+    assert(after.keys.exists(_.contains("p=9")))
+    // staging dir is cleaned up
+    assert(!new java.io.File(dir.stripSuffix("/") + ".__merge_staging").exists())
+    // idempotent replay: the same batch again changes nothing logically
+    TableMerge.upsertPartitioned(spark, dir, updates, Seq("id"), "p")
+    val again = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(again === got)
+  }
+
+  test("first call creates the partitioned table; contracts hold") {
+    val dir = tmpDir("graft-merge-new") + "/t"
+    val df = Seq((1L, "x", 7)).toDF("id", "v", "p")
+    assert(TableMerge.upsertPartitioned(spark, dir, df, Seq("id"), "p") === 1)
+    assert(spark.read.parquet(dir).count() === 1)
+    intercept[IllegalArgumentException](
+      TableMerge.upsertPartitioned(spark, dir, df, Seq.empty, "p"))
+    intercept[IllegalArgumentException](
+      TableMerge.upsertPartitioned(spark, dir, df, Seq("p"), "p"))
+    intercept[IllegalArgumentException](
+      TableMerge.upsertPartitioned(spark, dir,
+        df.drop("p"), Seq("id"), "p"))
+  }
+}

@@ -91,6 +91,87 @@ object Scoring {
         ((sum(col("lp6")) / 1e6) / count(lit(1))).as("lp"))
   }
 
+  /** Per-document mean BIGRAM log-probability under an add-k-smoothed
+    * corpus bigram model — the step past [[unigramLogProbScore]] toward
+    * CCNet's LM-perplexity quality filter (Wenzek et al. 2020): word
+    * salad with plausible unigrams scores fine under a unigram model and
+    * collapses under a bigram one.
+    *
+    * Model: P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V), V = corpus
+    * distinct-token count (add-k over the full vocabulary, so unseen
+    * continuations of a seen context are finite). Per-bigram log terms
+    * are 1e-6-quantized and summed as longs (the replay discipline).
+    *
+    * Scale shape: the model tables are AGGREGATES (distinct bigrams /
+    * distinct contexts — vocabulary-sized, not corpus-sized); the only
+    * fact-scale operation is one shuffle join of the bigram stream
+    * against the per-bigram log-prob table, keyed by the bigram string.
+    * V rides a one-row broadcast. Nothing unbounded is ever broadcast.
+    *
+    * Bigram keys join the two tokens with U+0001 ([[graft.operators.
+    * Vocabulary.BpeSep]]'s reservation: tokens are space-split and must
+    * not contain it). Documents with fewer than two tokens have no
+    * bigrams and do not appear.
+    *
+    * Output: (doc_id, n_bigrams, lp), lp = Σround(ln P·1e6)/1e6 / n.
+    */
+  def bigramLogProbScore(docs: DataFrame, text: String = "text",
+                         kSmooth: Double = 1.0): DataFrame = {
+    require(kSmooth > 0, s"add-k smoothing needs k > 0, got $kSmooth")
+    val sep = "\u0001"
+    val toks = docs.select(col("doc_id"), split(col(text), " ").as("ts"))
+    // sequence(1, n-1) REVERSES for n = 1 (Spark generates descending
+    // sequences when start > stop) — guard short docs to an empty array
+    val bi = toks.select(col("doc_id"),
+      explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(sep),
+            element_at(col("ts"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val cBi = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bg"), sep, 1))
+    val cCtx = cBi.groupBy("w1").agg(sum(col("cb")).as("cw"))
+    val vocab = docs.select(explode(split(col(text), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val lpBi = cBi.join(cCtx, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(log((col("cb") + lit(kSmooth)) /
+          (col("cw") + lit(kSmooth) * col("v"))) * 1e6).cast("long")
+          .as("lp6"))
+    bi.join(lpBi, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("lp6")) / 1e6) / count(lit(1))).as("lp"))
+  }
+
+  /** [[bigramLogProbScore]]'s DuckDB replay (k interpolated from the same
+    * Scala double).
+    */
+  def bigramOracleSql(kSmooth: Double = 1.0): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |), bi AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+       |    i -> ts[i] || chr(1) || ts[i + 1])) AS bg
+       |  FROM toks
+       |), cbi AS (
+       |  SELECT bg, COUNT(*) AS cb, string_split(bg, chr(1))[1] AS w1
+       |  FROM bi GROUP BY 1
+       |), cctx AS (
+       |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cbi GROUP BY 1
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT t) AS v FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |), lp AS (
+       |  SELECT bg, CAST(round(ln((cb + $kSmooth) / (cw + $kSmooth * v))
+       |    * 1000000.0) AS BIGINT) AS lp6
+       |  FROM cbi JOIN cctx USING (w1), vocab
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       (SUM(lp6) / 1000000.0) / COUNT(*) AS lp
+       |FROM bi JOIN lp USING (bg)
+       |GROUP BY doc_id""".stripMargin
+
   /** BM25 scores of every document against literal query `terms`; top `k`
     * by (score desc, doc_id) for a deterministic result set. Standard
     * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form):

@@ -2863,6 +2863,18 @@ object Queries {
           ("l_discount", 0.0, 0.1)), bits = 8) +
         " AS zkey FROM lineitem")),
 
+    // ── Q142: bigram-LM quality scoring
+    //          ([[graft.operators.Scoring.bigramLogProbScore]]) — the
+    //          add-k-smoothed corpus bigram model toward CCNet's
+    //          perplexity filter: model tables are vocabulary-sized
+    //          aggregates, the only fact-scale op is one shuffle join of
+    //          the bigram stream on the per-bigram log-prob, terms
+    //          1e-6-quantized for bitwise replay. ────────────────────────
+    QueryDef("q142_bigram_logprob",
+      (s, dir) => graft.operators.Scoring.bigramLogProbScore(
+        t(s, dir, "documents")),
+      Some(graft.operators.Scoring.bigramOracleSql())),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

@@ -143,6 +143,41 @@ class ScoringSpec extends SparkSpec {
         "group matching the corpus mix exactly must score 0"))
   }
 
+  test("bigram log-prob: hand-computed smoothed model; word salad with " +
+    "plausible unigrams collapses under the bigram model") {
+    // corpus: "a b" twice, "a c" once → V = 3, contexts: c(a·) = 3
+    // P(b|a) = (2+1)/(3+3) = 0.5 ; P(c|a) = (1+1)/(3+3) = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val r = Scoring.bigramLogProbScore(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    def q6(x: Double): Double = math.round(x * 1e6) / 1e6
+    assert(r(1L) === ((1L, q6(math.log(0.5)))))
+    assert(r(2L) === ((1L, q6(math.log(0.5)))))
+    assert(r(3L) === ((1L, q6(math.log(1.0 / 3)))))
+    // the separation a unigram model cannot see: doc 21 repeats the
+    // corpus's dominant BIGRAM, doc 22 shuffles the same tokens into
+    // pairs the corpus never produced — identical unigram mix, so the
+    // unigram scores tie, while the bigram model separates them
+    val corpus = (1L to 8L).map(i => (i, "x y x y x y")) ++
+      Seq((21L, "x y x y x y"), (22L, "y y y x x x"))
+    val df = corpus.toDF("doc_id", "text")
+    val uni = Scoring.unigramLogProbScore(df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(math.abs(uni(21L) - uni(22L)) < 1e-9,
+      "unigram model cannot tell the salad apart")
+    val big = Scoring.bigramLogProbScore(df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(big(21L) > big(22L) + 0.5,
+      s"bigram model must collapse the salad: ${big(21L)} vs ${big(22L)}")
+    // single-token documents have no bigrams and do not appear
+    val short = Scoring.bigramLogProbScore(
+      Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")).collect()
+    assert(short.map(_.getLong(0)).toSet === Set(2L))
+    intercept[IllegalArgumentException](
+      Scoring.bigramLogProbScore(docs, kSmooth = 0.0))
+  }
+
   private object Tables {
     def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)
   }

@@ -372,6 +372,53 @@ object ColumnStats {
         col("k_bins"), col("n_prev"), col("n_cur"), col("psi"))
   }
 
+  /** Join-key skew audit — the measurement that decides salting BEFORE a
+    * 100 TB shuffle melts one reducer: per-key row counts collapsed to
+    * one diagnosis row
+    * (n_rows, n_keys, max_key_rows, n_hot, skew, suggested_salt), where
+    * skew = max/avg rows-per-key (1e-6-quantized), n_hot counts keys
+    * above `hotFactor`× the average, and suggested_salt = ⌈skew⌉ — the
+    * salt-fan that would level the hottest key to roughly average.
+    *
+    * Scale shape: ONE map-side-combined count per key (the shuffle
+    * carries (key, count) partials), then key-cardinality-sized algebra
+    * against a one-row broadcast of the totals. Comparisons run in
+    * doubles (cnt·n_keys vs hotFactor·n_rows), so nothing overflows at
+    * any row count a long can hold.
+    */
+  def joinKeySkew(df: DataFrame, key: String,
+                  hotFactor: Double = 10.0): DataFrame = {
+    require(hotFactor > 0, s"hotFactor must be positive, got $hotFactor")
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("mx"))
+    counts.crossJoin(broadcast(tot))
+      .agg(min(col("n_rows")).as("n_rows"),
+        min(col("n_keys")).as("n_keys"),
+        min(col("mx")).as("max_key_rows"),
+        sum(when(col("cnt").cast("double") * col("n_keys") >
+          lit(hotFactor) * col("n_rows"), 1L).otherwise(0L)).as("n_hot"),
+        (round(min(col("mx")).cast("double") * min(col("n_keys")) /
+          min(col("n_rows")) * 1e6) / 1e6).as("skew"),
+        ceil(min(col("mx")).cast("double") * min(col("n_keys")) /
+          min(col("n_rows"))).cast("long").as("suggested_salt"))
+  }
+
+  /** [[joinKeySkew]]'s DuckDB replay over `table`.`key`. */
+  def joinKeySkewOracleSql(table: String, key: String,
+                           hotFactor: Double = 10.0): String =
+    s"""WITH c AS (SELECT $key AS k, COUNT(*) AS cnt FROM $table GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+       |             MAX(cnt) AS mx FROM c)
+       |SELECT n_rows, n_keys, mx AS max_key_rows,
+       |       CAST(SUM(CASE WHEN CAST(cnt AS DOUBLE) * n_keys >
+       |         $hotFactor * n_rows THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       |       round(CAST(mx AS DOUBLE) * n_keys / n_rows * 1e6) / 1e6
+       |         AS skew,
+       |       CAST(ceil(CAST(mx AS DOUBLE) * n_keys / n_rows) AS BIGINT)
+       |         AS suggested_salt
+       |FROM c, t GROUP BY n_rows, n_keys, mx""".stripMargin
+
   /** Per-group Gini coefficient of a non-negative integer measure — the
     * concentration/inequality audit (is one source hogging the corpus
     * bytes?): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over each group's ascending

@@ -76,4 +76,53 @@ object TableMerge {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     partVals.length
   }
+
+  /** Compact the small files repeated upserts accumulate: every
+    * partition holding more than `maxFiles` parquet files is rewritten
+    * (coalesced toward `targetBytes` per file); every other partition is
+    * untouched — not read, not rewritten. Rows are bit-identical before
+    * and after; only the file layout changes. Returns the partitions
+    * compacted.
+    *
+    * 100 TB shape: the partition listing is driver-side metadata (file
+    * NAMES, not data); only over-fragmented partitions are scanned, and
+    * each is written back through the same dynamic-overwrite commit the
+    * merge path uses — compaction cost follows fragmentation, not table
+    * size. Run it on whatever cadence upsert frequency demands, like any
+    * lakehouse OPTIMIZE.
+    */
+  def compactPartitions(spark: SparkSession, dir: String, partCol: String,
+                        maxFiles: Int = 8,
+                        targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(fsPath)) return Seq.empty
+    val fragmented = fs.listStatus(fsPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .flatMap { p =>
+        val files = fs.listStatus(p.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files.size <= maxFiles) None
+        else Some((p.getPath.getName, files.map(_.getLen).sum))
+      }
+    fragmented.foreach { case (partDirName, bytes) =>
+      val partValue = partDirName.stripPrefix(partCol + "=")
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val slice = spark.read.parquet(dir)
+        .filter(col(partCol) === lit(partValue))
+      val staging = dir.stripSuffix("/") + ".__compact_staging"
+      slice.coalesce(nOut).write.mode("overwrite").parquet(staging)
+      try
+        spark.read.parquet(staging)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol)
+          .parquet(dir)
+      finally
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    fragmented.map(_._1)
+  }
 }

@@ -2875,6 +2875,17 @@ object Queries {
         t(s, dir, "documents")),
       Some(graft.operators.Scoring.bigramOracleSql())),
 
+    // ── Q143: join-key skew audit
+    //          ([[graft.operators.ColumnStats.joinKeySkew]]) — the
+    //          measurement that decides salting before a 100 TB shuffle
+    //          melts one reducer: one (key, count) aggregation, totals on
+    //          a one-row broadcast, comparisons in doubles. ───────────────
+    QueryDef("q143_join_key_skew",
+      (s, dir) => graft.operators.ColumnStats.joinKeySkew(
+        t(s, dir, "events"), "user_id"),
+      Some(graft.operators.ColumnStats
+        .joinKeySkewOracleSql("events", "user_id"))),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

@@ -406,4 +406,29 @@ class SearchStatsSpec extends SparkSpec {
     assert(got.contains("2024-01-04"))
     assert(got("2024-01-04")._3 === 0L)
   }
+
+  test("joinKeySkew: hand-built hot key yields exact skew, hot count, " +
+    "and suggested salt") {
+    import graft.operators.ColumnStats
+    // one key with 100 rows + 10 singleton keys: avg = 10, skew = 10.0
+    val df = ((1 to 100).map(_ => "hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("key")
+    val r = ColumnStats.joinKeySkew(df, "key", hotFactor = 5.0).head()
+    assert(r.getLong(0) === 110L && r.getLong(1) === 11L)
+    assert(r.getLong(2) === 100L)
+    assert(r.getLong(3) === 1L, "only the hot key exceeds 5x average")
+    assert(r.getDouble(4) === 10.0)
+    assert(r.getLong(5) === 10L, "salt fan that levels the hot key")
+    // strictly-above semantics: at hotFactor 10 the hot key sits ON the
+    // bound (100 = 10 x avg) and is not counted
+    assert(ColumnStats.joinKeySkew(df, "key", hotFactor = 10.0)
+      .head().getLong(3) === 0L)
+    // uniform keys: skew 1, nothing hot, salt 1
+    val uni = ColumnStats.joinKeySkew(
+      (1 to 20).map(i => s"k${i % 5}").toDF("key"), "key").head()
+    assert(uni.getDouble(4) === 1.0 && uni.getLong(3) === 0L &&
+      uni.getLong(5) === 1L)
+    intercept[IllegalArgumentException](
+      ColumnStats.joinKeySkew(df, "key", hotFactor = 0.0))
+  }
 }

@@ -60,6 +60,35 @@ class TableMergeSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("compaction rewrites only over-fragmented partitions; rows and " +
+    "other partitions untouched") {
+    val dir = tmpDir("graft-compact") + "/table"
+    TableMerge.upsertPartitioned(spark,
+      dir, Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "p"),
+      Seq("id"), "p")
+    // three more single-row upserts into p=1 → it fragments; p=0 stays
+    for (i <- 3L to 5L)
+      TableMerge.upsertPartitioned(spark,
+        dir, Seq((i, s"v$i", 1)).toDF("id", "v", "p"), Seq("id"), "p")
+    val before = fileState(dir)
+    val expected = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(before.keys.count(_.contains("p=1")) > 2, "p=1 must be fragmented")
+    val compacted = TableMerge.compactPartitions(spark, dir, "p", maxFiles = 2)
+    assert(compacted === Seq("p=1"))
+    val after = fileState(dir)
+    assert(after.keys.count(_.contains("p=1")) === 1,
+      "fragmented partition collapses to one file at this size")
+    assert(before.filter(_._1.contains("p=0")) === after.filter(_._1.contains("p=0")),
+      "partitions under the file threshold are untouched")
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected, "compaction is layout-only")
+    // already compact: second run is a no-op
+    assert(TableMerge.compactPartitions(spark, dir, "p", maxFiles = 2).isEmpty)
+    assert(fileState(dir) === after)
+  }
+
   test("first call creates the partitioned table; contracts hold") {
     val dir = tmpDir("graft-merge-new") + "/t"
     val df = Seq((1L, "x", 7)).toDF("id", "v", "p")

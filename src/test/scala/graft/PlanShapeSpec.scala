@@ -378,4 +378,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(nodes.count(_.contains("TakeOrderedAndProject")) === 2,
       s"expected cut + re-rank TakeOrdered pair: $nodes")
   }
+
+  test("residual IVFADC keeps q128's shape: one scan, zero Exchange, " +
+    "probe filter + residual + codes fused, TakeOrdered pair") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = graft.operators.IVF.train(emb, k = 4, iters = 1)
+    val cb = graft.operators.PQ.trainResidual(emb, idx, dim = q.length,
+      m = 8, k = 4, iters = 1)
+    val plan = graft.operators.PQ.ivfadcResidualNeighbors(emb, idx, cb, q,
+      k = 5, nProbe = 2, rerank = 20, excludeId = Some(0L))
+      .queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(!nodes.exists(_.contains("Exchange")),
+      s"residual IVFADC must not shuffle: $nodes")
+    assert(nodes.count(_.contains("TakeOrderedAndProject")) === 2,
+      s"expected cut + re-rank TakeOrdered pair: $nodes")
+    assert(nodes.count(_.contains("Scan")) === 1,
+      s"probe filter, residual, codes and LUT CASE must share one scan: $nodes")
+  }
+
+  test("z-order layout is exactly one range Exchange over the scan") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_extendedprice").as("a"),
+        org.apache.spark.sql.functions.col("l_discount").as("b"))
+    val plan = graft.operators.ZOrder.zorder(li,
+      Seq(("a", 900.0, 105000.0), ("b", 0.0, 0.1)), numFiles = 8)
+      .queryExecution.executedPlan
+    val nodes = collectNodes(plan)
+    assert(nodes.count(_.contains("Exchange")) === 1,
+      s"the layout costs one range repartition, no more: $nodes")
+    assert(!nodes.exists(_.toLowerCase.contains("sortmergejoin")), nodes.toString)
+  }
+
+  test("bigram scorer: the only FORCED broadcast is the one-row V frame — " +
+    "fact and model joins are left to the planner's size estimates") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val analyzed = graft.operators.Scoring.bigramLogProbScore(docs)
+      .queryExecution.analyzed
+    // count broadcast hints in the resolved logical plan: exactly one
+    // (the single-row vocabulary total); at sf0.001 AQE may well choose
+    // to broadcast the small model table too, and at 100 TB it must be
+    // free NOT to — that choice stays unforced
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size === 1,
+      s"expected exactly the one-row V broadcast hint, got ${hints.size}")
+    assert(hints.head.child.maxRows.contains(1L),
+      "the hinted frame must be provably single-row")
+  }
 }

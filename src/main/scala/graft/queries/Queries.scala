@@ -2843,7 +2843,7 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcResidualOracleSql)),
 
-    // ── Q141: Z-order (Morton) curve key ([[graft.operators.ZOrder]]) —
+    // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve
     //          key, all scan-side integer/bit expressions (the layout
@@ -2854,11 +2854,11 @@ object Queries {
     QueryDef("q141_zorder_key",
       (s, dir) => t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          graft.operators.ZOrder.zkeyExpr(Seq(
+          graft.sources.ZOrder.zkeyExpr(Seq(
             (col("l_extendedprice"), 900.0, 105000.0),
             (col("l_discount"), 0.0, 0.1)), bits = 8).as("zkey")),
       Some("SELECT l_orderkey, l_linenumber, " +
-        graft.operators.ZOrder.zkeyOracleSql(Seq(
+        graft.sources.ZOrder.zkeyOracleSql(Seq(
           ("l_extendedprice", 900.0, 105000.0),
           ("l_discount", 0.0, 0.1)), bits = 8) +
         " AS zkey FROM lineitem")),

@@ -403,7 +403,7 @@ class PlanShapeSpec extends SparkSpec {
     val li = Tables.table(spark, sf0001, "lineitem")
       .select(org.apache.spark.sql.functions.col("l_extendedprice").as("a"),
         org.apache.spark.sql.functions.col("l_discount").as("b"))
-    val plan = graft.operators.ZOrder.zorder(li,
+    val plan = graft.sources.ZOrder.zorder(li,
       Seq(("a", 900.0, 105000.0), ("b", 0.0, 0.1)), numFiles = 8)
       .queryExecution.executedPlan
     val nodes = collectNodes(plan)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.ZOrder
+import graft.sources.ZOrder
 import graft.sources.Tables
 
 /** Z-order layout contracts: the Morton key expression must compute the

@@ -253,8 +253,12 @@ object PQ {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("cell", IVF.assignExpr(col("v"), index))
       .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
-      .withColumn("codes",
-        encodeExpr(residualExpr(col("v"), col("cell"), index), cb))
+      // the residual is NAMED so the m per-subspace argmins slice one
+      // materialized 64-element array instead of re-evaluating the
+      // zip_with inside every codeword distance (m×k times per row —
+      // measured 3x the flat path before this)
+      .withColumn("resid", residualExpr(col("v"), col("cell"), index))
+      .withColumn("codes", encodeExpr(col("resid"), cb))
       .withColumn("est", est)
       .orderBy(col("est").asc, col("vec_id").asc)
       .limit(rerank)
@@ -273,7 +277,11 @@ object PQ {
     val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
     prune(base.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))
-      .withColumn("est", adcScoreExpr(encodeExpr(col("v"), cb), luts))
+      // codes NAMED before the score: otherwise project collapsing
+      // substitutes the float→double cast into every one of the m×k
+      // codeword distances (measured ~1.7x on the batch line)
+      .withColumn("codes", encodeExpr(col("v"), cb))
+      .withColumn("est", adcScoreExpr(col("codes"), luts))
       .orderBy(col("est").asc, col("vec_id").asc)
       .limit(rerank)
       .select(col("vec_id"),

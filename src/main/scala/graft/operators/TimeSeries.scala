@@ -105,4 +105,41 @@ object TimeSeries {
       .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"))
       .select(keys.map(col) :+ col("start") :+ col("end"): _*)
   }
+
+  /** Sessionize point events per key: a new session starts where the gap
+    * to the previous event exceeds `gapSec` (STRICTLY — a gap of exactly
+    * `gapSec` stays in-session, matching the streaming session window's
+    * within-gap semantics). The batch analog of Structured Streaming's
+    * `session_window`, as the classic gaps-and-islands pair of keyed
+    * windows: lag flags session starts, a cumulative sum numbers them,
+    * one hash aggregation emits per-session rows.
+    *
+    * Determinism with tied timestamps: the start flag depends only on
+    * timestamp VALUES (equal-ts rows see gap 0 whatever their tie
+    * order), so session membership, numbering, and aggregates replay
+    * identically on any engine/partitioning.
+    *
+    * Scale shape: both windows share one (key, ts) Exchange + sort, then
+    * one hash aggregation; parallelism follows key cardinality — the
+    * standard per-entity window, never a global one.
+    *
+    * Output: keys* + (session 1..k per key, session_start, session_end
+    * as epoch seconds, n_events).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], ts: Column,
+                 gapSec: Long): DataFrame = {
+    require(keys.nonEmpty, "sessionize needs at least one key column")
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
+    val prev = lag(col("__s"), 1).over(w)
+    df.select(keys.map(col) :+ unix_timestamp(ts).as("__s"): _*)
+      .withColumn("__new",
+        (prev.isNull || col("__s") - prev > gapSec).cast("long"))
+      .withColumn("session",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("session"): _*)
+      .agg(min(col("__s")).as("session_start"),
+        max(col("__s")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -2886,6 +2886,37 @@ object Queries {
       Some(graft.operators.ColumnStats
         .joinKeySkewOracleSql("events", "user_id"))),
 
+    // ── Q144: batch sessionization
+    //          ([[graft.operators.TimeSeries.sessionize]]) — gaps-and-
+    //          islands session assignment per user (30-minute gap), the
+    //          batch analog of the streaming session window: two keyed
+    //          windows over one Exchange + one hash aggregation; strictly-
+    //          greater gap semantics; tie-insensitive by construction. ────
+    QueryDef("q144_sessionize",
+      (s, dir) => graft.operators.TimeSeries.sessionize(
+        t(s, dir, "events"), Seq("user_id"), col("ts"), gapSec = 1800L),
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+             |           AS s
+             |  FROM events
+             |), x AS (
+             |  SELECT user_id, s,
+             |         CASE WHEN LAG(s) OVER w IS NULL
+             |                OR s - LAG(s) OVER w > 1800 THEN 1 ELSE 0 END
+             |           AS ns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)
+             |), y AS (
+             |  SELECT user_id, s,
+             |         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY s
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+             |  FROM x
+             |)
+             |SELECT user_id, session,
+             |       MIN(s) AS session_start, MAX(s) AS session_end,
+             |       COUNT(*) AS n_events
+             |FROM y GROUP BY user_id, session""".stripMargin)),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

@@ -171,4 +171,30 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.mergeIntervals(iv, Seq.empty, "s0", "e0"))
   }
+
+  test("sessionize: hand-built sessions, boundary gap stays in-session, " +
+    "ties are order-insensitive, repartition-invariant") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1: 0, 1000, 2800 (gap exactly 1800 -> SAME session), 4601 (1801 ->
+    // new); u2 has a tied pair at the session boundary predecessor
+    val ev = Seq(
+      ("u1", t(0)), ("u1", t(1000)), ("u1", t(2800)), ("u1", t(4601)),
+      ("u2", t(100)), ("u2", t(100)), ("u2", t(5000))).toDF("user_id", "ts")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.sessionize(df, Seq("user_id"), col("ts"), gapSec = 1800L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      ("u1", 1L, 0L, 2800L, 3L),
+      ("u1", 2L, 4601L, 4601L, 1L),
+      ("u2", 1L, 100L, 100L, 2L),
+      ("u2", 2L, 5000L, 5000L, 1L))
+    assert(run(ev) === want)
+    assert(run(ev.repartition(5)) === want,
+      "session assignment is a pure function of the timestamp values")
+    intercept[IllegalArgumentException](
+      TimeSeries.sessionize(ev, Seq.empty, col("ts"), 1800L))
+    intercept[IllegalArgumentException](
+      TimeSeries.sessionize(ev, Seq("user_id"), col("ts"), 0L))
+  }
 }

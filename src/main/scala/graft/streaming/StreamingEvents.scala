@@ -602,12 +602,12 @@ object StreamingEvents {
     * even that transient). Keys scale with the state store as any keyed
     * stream.
     */
-  def asofStream(probes: DataFrame, state: DataFrame,
-                 keyCol: String = "key", tsCol: String = "ts",
-                 probeIdCol: String = "pid", stateValCol: String = "v",
-                 watermark: String = "10 minutes",
-                 toleranceMs: Option[Long] = None): Dataset[AsofMatch] = {
-    require(toleranceMs.forall(_ > 0), "toleranceMs must be positive")
+  /** Union-tag probes (side 1) and state (side 0) under one watermark —
+    * shared by both as-of directions. */
+  private def asofTagged(probes: DataFrame, state: DataFrame,
+                         keyCol: String, tsCol: String, probeIdCol: String,
+                         stateValCol: String,
+                         watermark: String): Dataset[AsofEvent] = {
     val spark = probes.sparkSession
     import spark.implicits._
     val p = probes.select(col(keyCol).cast("string").as("key"),
@@ -616,8 +616,19 @@ object StreamingEvents {
     val s = state.select(col(keyCol).cast("string").as("key"),
       col(tsCol).cast("timestamp").as("ts"), lit(0).as("side"),
       lit(0L).as("pid"), col(stateValCol).cast("double").as("v"))
-    p.unionByName(s).withWatermark("ts", watermark)
-      .as[AsofEvent]
+    p.unionByName(s).withWatermark("ts", watermark).as[AsofEvent]
+  }
+
+  def asofStream(probes: DataFrame, state: DataFrame,
+                 keyCol: String = "key", tsCol: String = "ts",
+                 probeIdCol: String = "pid", stateValCol: String = "v",
+                 watermark: String = "10 minutes",
+                 toleranceMs: Option[Long] = None): Dataset[AsofMatch] = {
+    require(toleranceMs.forall(_ > 0), "toleranceMs must be positive")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    asofTagged(probes, state, keyCol, tsCol, probeIdCol, stateValCol,
+      watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[AsofBuf, AsofMatch](OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
@@ -658,6 +669,78 @@ object StreamingEvents {
           st.update(AsofBuf(states, pending))
           if (horizon != Long.MaxValue && pending.nonEmpty)
             st.setTimeoutTimestamp(pending.map(_._1).min)
+        }
+        out.iterator
+      }
+  }
+
+  /** Streaming as-of join, FORWARD direction — each probe picks up the
+    * EARLIEST state row at-or-after its event time within `toleranceMs`
+    * (the next scheduled price, the following maintenance window —
+    * [[graft.operators.AsofJoin.asofJoin]]'s `direction = "forward"` on
+    * live streams). The tolerance is REQUIRED here, not optional: a
+    * forward probe is only resolvable once the watermark proves no
+    * earlier qualifying state can still arrive, and without a bound that
+    * proof never lands — the probe would wait forever. So a probe emits
+    * exactly once, when the watermark passes `ts + toleranceMs`, matched
+    * to the earliest retained state in `[ts, ts + toleranceMs]` or null.
+    *
+    * State retention is symmetric to [[asofStream]]'s: a state row older
+    * than `watermark − toleranceMs` is below every pending probe's
+    * window (pending means `ts + tol ≥ watermark`) and is dropped, so
+    * state is transient by construction. The event-time timeout arms at
+    * the earliest pending probe's `ts + tol`, clamped above the current
+    * watermark.
+    *
+    * Replay contract (spec-pinned): bounded streams equal the batch
+    * forward `asofJoin` with the same tolerance, batch fallback included.
+    */
+  def asofStreamForward(probes: DataFrame, state: DataFrame,
+                        toleranceMs: Long,
+                        keyCol: String = "key", tsCol: String = "ts",
+                        probeIdCol: String = "pid", stateValCol: String = "v",
+                        watermark: String = "10 minutes"): Dataset[AsofMatch] = {
+    require(toleranceMs > 0, s"toleranceMs must be positive, got $toleranceMs")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    asofTagged(probes, state, keyCol, tsCol, probeIdCol, stateValCol,
+      watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofMatch](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (key, rows, st) =>
+        val buf = st.getOption.getOrElse(AsofBuf(Seq.empty, Seq.empty))
+        var states = buf.states
+        var pend = buf.probes
+        rows.foreach { e =>
+          if (e.side == 0) states = states :+ ((e.ts.getTime, e.v))
+          else pend = pend :+ ((e.ts.getTime, e.pid))
+        }
+        states = states.sortBy(_._1)
+        val horizon =
+          try st.getCurrentWatermarkMs
+          catch { case _: UnsupportedOperationException => Long.MaxValue }
+        // resolvable once every state row in [ts, ts + tol] is provably
+        // in: ts + tol strictly below the watermark (batch: everything)
+        val (ready, pending) =
+          if (horizon == Long.MaxValue) (pend, Seq.empty[(Long, Long)])
+          else pend.partition(p => p._1 + toleranceMs < horizon)
+        val out = ready.sorted.map { case (tm, pid) =>
+          states.find(x => x._1 >= tm && x._1 - tm <= toleranceMs) match {
+            case Some((sm, v)) => AsofMatch(key, new java.sql.Timestamp(tm),
+              pid, Some(new java.sql.Timestamp(sm)), Some(v))
+            case None => AsofMatch(key, new java.sql.Timestamp(tm), pid,
+              None, None)
+          }
+        }
+        if (horizon != Long.MaxValue)
+          states = states.filter(x => x._1 >= horizon - toleranceMs)
+        if (pending.isEmpty && (states.isEmpty || horizon == Long.MaxValue))
+          st.remove()
+        else {
+          st.update(AsofBuf(states, pending))
+          if (horizon != Long.MaxValue && pending.nonEmpty)
+            st.setTimeoutTimestamp(
+              math.max(pending.map(_._1).min + toleranceMs, horizon + 1))
         }
         out.iterator
       }

@@ -387,6 +387,50 @@ class StreamingSpec extends SparkSpec {
       None, None)))
     assert(streamedTol.contains(("A", ts("2024-01-01 11:30:00"), 4L,
       Some(ts("2024-01-01 11:10:00")), Some(3.0))))
+
+    // FORWARD direction over the same data: earliest state at-or-after
+    // within the (required) tolerance, replay equals the batch forward
+    val pf = MemoryStream[(Timestamp, String, Long)]
+    val sf = MemoryStream[(Timestamp, String, Double)]
+    val qf = StreamingEvents.asofStreamForward(
+        pf.toDF().toDF("ts", "key", "pid"),
+        sf.toDF().toDF("ts", "key", "v"),
+        toleranceMs = 20L * 60 * 1000)
+      .writeStream.format("memory").queryName("asof_stream_fwd")
+      .outputMode("append").start()
+    try {
+      pf.addData(Seq(probeRows(0), probeRows(1), probeRows(4)))
+      sf.addData(Seq(stateRows(0), stateRows(1)))
+      qf.processAllAvailable()
+      pf.addData(Seq(probeRows(2)))
+      sf.addData(Seq(stateRows(3), stateRows(2)))
+      qf.processAllAvailable()
+      pf.addData(Seq(probeRows(3), probeRows(5)))
+      qf.processAllAvailable()
+      sf.addData(Seq(stateRows(4)))
+      qf.processAllAvailable()
+    } finally qf.stop()
+    val streamedFwd = spark.table("asof_stream_fwd")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.getTimestamp(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    val batchFwd = graft.operators.AsofJoin.asofJoin(
+        probeRows.toDF("ts", "key", "pid"),
+        stateRows.toDF("ts", "key", "v"),
+        Seq("key"), "ts", "ts", Seq("v"),
+        tolerance = Some("20 minutes"), direction = "forward")
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2),
+        Option(r.getTimestamp(3)),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(streamedFwd === batchFwd)
+    // spot pins: pid3 (09:50) catches 10:00 ahead of it; pid2 matches its
+    // own instant (inclusive); pid4 finds nothing within 20 minutes ahead
+    assert(streamedFwd.contains(("A", ts("2024-01-01 09:50:00"), 3L,
+      Some(ts("2024-01-01 10:00:00")), Some(1.0))))
+    assert(streamedFwd.contains(("A", ts("2024-01-01 10:30:00"), 2L,
+      Some(ts("2024-01-01 10:30:00")), Some(2.0))))
+    assert(streamedFwd.contains(("A", ts("2024-01-01 11:30:00"), 4L,
+      None, None)))
   }
 
   test("stream-stream LEFT OUTER interval join emits unmatched lefts after " +

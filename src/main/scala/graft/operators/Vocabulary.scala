@@ -49,6 +49,52 @@ object Vocabulary {
         count(when(col("__tid") === oovId, 1)).as("n_oov"))
   }
 
+  /** Build the top-`size` vocabulary from the corpus itself — the
+    * trainer for [[encode]]'s dictionary: token counts in one map-side-
+    * combined aggregation, a deterministic (count desc, token asc) total
+    * order, ids 1..size in that order, and each token's corpus coverage
+    * (count / total tokens, 1e-6-quantized). The window that numbers the
+    * ids runs AFTER the top-`size` cut, so it orders a vocabulary-sized
+    * frame, never the corpus.
+    *
+    * Output: (id, token, n, coverage) — feed `.orderBy(id)`'s token
+    * column straight into [[encode]] / [[encodeExpr]].
+    */
+  def buildVocab(docs: DataFrame, size: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"vocabulary size must be >= 1, got $size")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(size)
+    top.crossJoin(broadcast(total))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)))
+      .select(col("id"), col("token"), col("n"),
+        (round(col("n").cast("double") / col("tot") * 1e6) / 1e6)
+          .as("coverage"))
+  }
+
+  /** [[buildVocab]]'s DuckDB replay over `table`.`textCol`. */
+  def buildVocabOracleSql(size: Int, table: String = "documents",
+                          textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split($textCol, ' ')) AS token FROM $table
+       |), c AS (
+       |  SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c
+       |), top AS (
+       |  SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT $size
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT)
+       |         AS id,
+       |       token, n,
+       |       round(CAST(n AS DOUBLE) / tot * 1e6) / 1e6 AS coverage
+       |FROM top, tot""".stripMargin
+
   /** Scan-side encoding expression for small vocabularies: literal map
     * lookup per token, no join. `tokens` must already be an array column.
     */

@@ -2917,6 +2917,16 @@ object Queries {
              |       COUNT(*) AS n_events
              |FROM y GROUP BY user_id, session""".stripMargin)),
 
+    // ── Q145: corpus vocabulary builder
+    //          ([[graft.operators.Vocabulary.buildVocab]]) — the trainer
+    //          for q96's dictionary: one token-count aggregation,
+    //          deterministic (count desc, token) total order, ids over
+    //          the vocab-sized cut only, 1e-6-quantized coverage. ─────────
+    QueryDef("q145_build_vocab",
+      (s, dir) => graft.operators.Vocabulary.buildVocab(
+        t(s, dir, "documents"), size = 64),
+      Some(graft.operators.Vocabulary.buildVocabOracleSql(64))),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

@@ -407,6 +407,25 @@ class SearchStatsSpec extends SparkSpec {
     assert(got("2024-01-04")._3 === 0L)
   }
 
+  test("buildVocab: deterministic top-V with tie-break, exact coverage, " +
+    "feeds encode round-trip") {
+    import graft.operators.Vocabulary
+    val docs = Seq((1L, "a a a b b c"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=2 (b/c tie -> token asc), total 8
+    val v = Vocabulary.buildVocab(docs, size = 2).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(v.toSeq === Seq((1, "a", 4L, 0.5), (2, "b", 2L, 0.25)),
+      "tie between b and c must break on the token, coverage over ALL tokens")
+    // the built vocabulary drives encode directly: ids match positions
+    val toks = v.map(_._2).toSeq
+    val enc = Vocabulary.encode(docs, toks).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(1L) === Seq(1, 1, 1, 2, 2, 0), "a->1, b->2, c OOV->0")
+    assert(enc(2L) === Seq(1, 0))
+    intercept[IllegalArgumentException](Vocabulary.buildVocab(docs, 0))
+  }
+
   test("joinKeySkew: hand-built hot key yields exact skew, hot count, " +
     "and suggested salt") {
     import graft.operators.ColumnStats

@@ -506,8 +506,12 @@ object Multimodal {
     * to a temp file). Feature size is O(grid²), independent of image size.
     */
   def imageIoDecoder(grid: Int = 4): Array[Byte] => Array[Float] = {
-    javax.imageio.ImageIO.setUseCache(false)
     bytes => {
+      // inside the lambda, not at construction: the decoder is BUILT on
+      // the driver but RUNS on executors, and setUseCache is a JVM-static
+      // flag — setting it here (an idempotent boolean store) keeps every
+      // executor from spilling each decode to a disk cache file
+      javax.imageio.ImageIO.setUseCache(false)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }

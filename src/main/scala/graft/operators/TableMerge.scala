@@ -108,7 +108,11 @@ object TableMerge {
         else Some((p.getPath.getName, files.map(_.getLen).sum))
       }
     fragmented.foreach { case (partDirName, bytes) =>
-      val partValue = partDirName.stripPrefix(partCol + "=")
+      // dir names carry Hive path-escaping (%20 and friends) — unescape
+      // so string-typed partition values with special chars still filter
+      val partValue = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(
+          partDirName.stripPrefix(partCol + "="))
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val slice = spark.read.parquet(dir)
         .filter(col(partCol) === lit(partValue))

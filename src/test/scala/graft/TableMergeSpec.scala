@@ -89,6 +89,23 @@ class TableMergeSpec extends SparkSpec {
     assert(fileState(dir) === after)
   }
 
+  test("string partition values with path-escaped characters survive " +
+    "upsert and compaction") {
+    val dir = tmpDir("graft-merge-esc") + "/t"
+    val mk = (id: Long, v: String) => (id, v, "region US west")
+    TableMerge.upsertPartitioned(spark,
+      dir, Seq(mk(1L, "a")).toDF("id", "v", "p"), Seq("id"), "p")
+    for (i <- 2L to 4L)
+      TableMerge.upsertPartitioned(spark,
+        dir, Seq(mk(i, s"v$i")).toDF("id", "v", "p"), Seq("id"), "p")
+    assert(TableMerge.compactPartitions(spark, dir, "p", maxFiles = 2)
+      .nonEmpty, "the escaped partition must be found and compacted")
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got === (1L to 4L).map((_, "region US west")).toSet,
+      "all rows survive compaction under the escaped partition value")
+  }
+
   test("first call creates the partitioned table; contracts hold") {
     val dir = tmpDir("graft-merge-new") + "/t"
     val df = Seq((1L, "x", 7)).toDF("id", "v", "p")

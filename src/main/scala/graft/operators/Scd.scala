@@ -78,6 +78,79 @@ object Scd {
        |FROM versioned""".stripMargin
   }
 
+  /** Point-in-time lookup — each fact row picks up the dimension version
+    * ACTIVE at its timestamp (`valid_from <= ts < valid_to`, open-ended
+    * current version included): the training-feature / reporting join
+    * that [[scd2]]'s history exists to serve, leakage-free by
+    * construction (a fact can never see a version that began after it).
+    *
+    * Implementation: ONE backward as-of join on `valid_from`
+    * ([[AsofJoin.asofJoin]] — union-tag + keyed window, no join nodes,
+    * one Exchange), then a guard that nulls the match when the fact
+    * falls at-or-past that version's `valid_to`. For the gap-free
+    * histories [[scd2]] builds the guard never fires (each version ends
+    * exactly where the next begins); it exists for histories with
+    * deletion gaps, where a between-versions fact must match NOTHING
+    * rather than a stale predecessor. The guard is MATERIALIZED before
+    * any filled column is overwritten — the first column nulled is the
+    * interval bound the predicate reads (the batch as-of's own
+    * staleness-ordering discipline).
+    *
+    * Output: every fact column + `prefix`valid_from, `prefix`valid_to,
+    * `prefix`<attr> per tracked attribute (all null when no version is
+    * active at the fact's instant).
+    */
+  def pointInTimeLookup(facts: DataFrame, history: DataFrame,
+                        keys: Seq[String], tsCol: String,
+                        attrCols: Seq[String],
+                        prefix: String = "pit_"): DataFrame = {
+    // valid_to is GENUINELY null on the open current version, and the
+    // as-of fill is last-non-null — filling it raw would backfill a
+    // PREDECESSOR'S end bound onto the current version and kill every
+    // match past it. Encode openness as a non-null pair (flag + bound
+    // with a same-type placeholder when open) so the fill always carries
+    // the matched version's own values, then decode after the guard.
+    val h = history
+      .withColumn("__vt_open", col("valid_to").isNull)
+      .withColumn("__vt", coalesce(col("valid_to"), col("valid_from")))
+    val filled = AsofJoin.asofJoin(facts, h, keys,
+      probeTs = tsCol, stateTs = "valid_from",
+      stateVals = attrCols ++ Seq("__vt", "__vt_open"), prefix = prefix)
+    val guarded = filled.withColumn("__pit_dead", coalesce(
+      col(s"${prefix}__vt_open") === false &&
+        col(tsCol) >= col(s"${prefix}__vt"), lit(false)))
+    val decoded = guarded.withColumn(s"${prefix}valid_to",
+      when(col(s"${prefix}__vt_open"), lit(null)).otherwise(col(s"${prefix}__vt")))
+    (s"${prefix}valid_from" +: s"${prefix}valid_to" +:
+      attrCols.map(prefix + _)).foldLeft(decoded)((df, c) =>
+        df.withColumn(c, when(col("__pit_dead"), lit(null)).otherwise(col(c))))
+      .drop("__pit_dead", s"${prefix}__vt", s"${prefix}__vt_open")
+  }
+
+  /** [[pointInTimeLookup]]'s DuckDB replay: the BETWEEN-semantics left
+    * join over a history CTE — a formulation deliberately DIFFERENT from
+    * the engine's as-of window (interval-membership join vs latest-fill),
+    * so agreement checks the semantics, not the implementation.
+    * `factsSql` must select the fact columns incl. `tsExpr AS <tsCol>`.
+    */
+  def pointInTimeOracleSql(factsSql: String, historySql: String,
+                           keys: Seq[String], tsCol: String,
+                           attrCols: Seq[String],
+                           prefix: String = "pit_"): String = {
+    val on = keys.map(k => s"f.$k = h.$k").mkString(" AND ")
+    val sel = (Seq("valid_from", "valid_to") ++ attrCols)
+      .map(c => s"h.$c AS $prefix$c").mkString(", ")
+    s"""WITH h AS (
+       |$historySql
+       |), f AS (
+       |$factsSql
+       |)
+       |SELECT f.*, $sel
+       |FROM f LEFT JOIN h
+       |  ON $on AND h.valid_from <= f.$tsCol
+       |     AND (h.valid_to IS NULL OR f.$tsCol < h.valid_to)""".stripMargin
+  }
+
   /** Snapshot diff — the data-versioning audit between two keyed corpus
     * snapshots: every key classified `added` / `removed` / `changed` /
     * `unchanged` by a null-safe compare of the tracked columns. The

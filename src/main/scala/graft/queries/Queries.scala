@@ -2927,6 +2927,31 @@ object Queries {
         t(s, dir, "documents"), size = 64),
       Some(graft.operators.Vocabulary.buildVocabOracleSql(64))),
 
+    // ── Q146: point-in-time lookup over the SCD2 history
+    //          ([[graft.operators.Scd.pointInTimeLookup]]) — each probe
+    //          (events re-stamped +30 min) picks up the user's dimension
+    //          version ACTIVE at that instant, leakage-free; ONE as-of
+    //          window pass, no join nodes. The oracle is deliberately the
+    //          OTHER formulation (interval-membership BETWEEN join), so
+    //          agreement checks semantics, not implementation. ────────────
+    QueryDef("q146_point_in_time",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val hist = graft.operators.Scd.scd2(
+          ev, Seq("user_id"), "ts", "event_id", Seq("event_type"))
+        val facts = ev.select(col("event_id"), col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+        graft.operators.Scd.pointInTimeLookup(
+          facts, hist, Seq("user_id"), "pts", Seq("event_type"))
+      },
+      Some(graft.operators.Scd.pointInTimeOracleSql(
+        factsSql = "SELECT event_id, user_id, " +
+          "ts + INTERVAL 30 MINUTE AS pts FROM events",
+        historySql = graft.operators.Scd.scd2OracleSql(
+          "events", Seq("user_id"), "ts", "event_id", Seq("event_type")),
+        keys = Seq("user_id"), tsCol = "pts",
+        attrCols = Seq("event_type")))),
+
     // ── Q129: BPE merge learning (Sennrich et al. 2016) — tokenizer
     //          training as corpus-scale dataflow: 4 rounds, each ONE
     //          bigram-count aggregation + argmax by (n desc, lhs, rhs),

@@ -157,4 +157,38 @@ class ScdShardingSpec extends SparkSpec {
     assert(Scd.snapshotDiff(o3, n3, Seq("doc_id"), Seq("a", "b"))
       .collect().head.getString(1) === "changed")
   }
+
+  test("pointInTimeLookup: active version per instant, deletion gaps " +
+    "match nothing, open current matches forever, boundaries half-open") {
+    // hand-built history WITH a gap: [0,10)->A, gap, [20,30)->B (closed),
+    // [40,null)->C current
+    val hist = Seq(
+      ("k", "A", 0L, Some(10L), false),
+      ("k", "B", 20L, Some(30L), false),
+      ("k", "C", 40L, (None: Option[Long]), true))
+      .toDF("user_id", "event_type", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (1L, "k", 5L),   // inside A
+      (2L, "k", 10L),  // A's exclusive end AND the gap -> nothing
+      (3L, "k", 15L),  // gap -> nothing (the guard, not the fill)
+      (4L, "k", 20L),  // B's inclusive start
+      (5L, "k", 35L),  // past B's end, before C -> nothing
+      (6L, "k", 99L),  // open current
+      (7L, "x", 5L))   // unknown key -> nothing
+      .toDF("event_id", "user_id", "pts")
+    val got = Scd.pointInTimeLookup(facts, hist, Seq("user_id"), "pts",
+        Seq("event_type"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("pit_event_type")))
+          .map(_.asInstanceOf[String])).toMap
+    assert(got === Map(1L -> Some("A"), 2L -> None, 3L -> None,
+      4L -> Some("B"), 5L -> None, 6L -> Some("C"), 7L -> None))
+    // the nulled match nulls ALL pit columns together (the guard is
+    // materialized before any overwrite — a half-nulled row would mean
+    // the predicate read an already-overwritten bound)
+    val gapRow = Scd.pointInTimeLookup(facts, hist, Seq("user_id"), "pts",
+        Seq("event_type")).filter(col("event_id") === 3L).collect().head
+    Seq("pit_valid_from", "pit_valid_to", "pit_event_type").foreach(c =>
+      assert(gapRow.isNullAt(gapRow.fieldIndex(c)), s"$c must be null"))
+  }
 }

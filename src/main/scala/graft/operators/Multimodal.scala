@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *  - PIXEL decode is real for the formats the JDK ships codecs for
   *    (PNG/JPEG/GIF/BMP via `javax.imageio` — [[imageIoDecoder]] /
   *    [[decodeImages]]), spec-pinned against a hand-built PNG;
+  *  - AUDIO decode is real for the PCM containers the JDK ships codecs
+  *    for (WAV/AIFF/AU via `javax.sound.sampled` — [[audioDecoder]] /
+  *    [[decodeAudio]]), spec-pinned against a hand-built WAV with exact
+  *    windowed RMS;
   *  - LEARNED-encoder features are a clearly-marked deterministic stand-in
   *    ([[fakeEmbedding]]) with the production plumbing (schema, batching,
   *    partitioning) real — this container ships no inference runtime.
@@ -563,4 +567,109 @@ object Multimodal {
   def decodeImages(df: DataFrame, payloadCol: String = "payload",
                    grid: Int = 4): DataFrame =
     decodeBatched(df, payloadCol, imageIoDecoder(grid))
+
+  /** REAL audio decode via `javax.sound.sampled` — the WAV/AIFF/AU PCM
+    * codecs every headless JRE ships (compressed formats — MP3, AAC —
+    * have no JDK codec and still route to header decode + the declared
+    * stand-in). Returns a fixed-layout feature vector:
+    *
+    * `[sampleRate, channels, nFrames, rms_0..rms_{pool-1}, peak]`,
+    *
+    * where the PCM stream (8-bit signed/unsigned or 16-bit signed,
+    * either endianness; channels averaged to mono) is normalized to
+    * [-1, 1], split into `pool` equal windows each contributing its RMS,
+    * and `peak` is the absolute maximum. Non-decodable payloads (or PCM
+    * shapes outside the supported set) return null.
+    *
+    * Scale shape: pass to [[decodeBatched]] — partition-parallel, one
+    * in-memory clip at a time, feature size O(pool) independent of clip
+    * length. Whole-clip decode per row is the batch contract (clips,
+    * not hour-long masters — window unbounded payloads upstream with
+    * [[sampleFrames]]).
+    */
+  def audioDecoder(pool: Int = 8): Array[Byte] => Array[Float] = {
+    require(pool >= 1, s"pool must be >= 1, got $pool")
+    bytes => {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (in == null) null
+      else try {
+        val f = in.getFormat
+        val bits = f.getSampleSizeInBits
+        val ch = f.getChannels
+        val enc = f.getEncoding
+        val supported = ch >= 1 && (
+          (bits == 16 && enc == AudioFormat.Encoding.PCM_SIGNED) ||
+          (bits == 8 && (enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED)))
+        if (!supported) null
+        else {
+          val raw = in.readAllBytes()
+          val bps = bits / 8
+          val frameBytes = bps * ch
+          val n = raw.length / frameBytes
+          if (n == 0) null
+          else {
+            val mono = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var s = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = i * frameBytes + c * bps
+                s += (if (bits == 8) {
+                  (if (enc == AudioFormat.Encoding.PCM_SIGNED)
+                    raw(off).toDouble
+                  else ((raw(off) & 0xFF) - 128).toDouble) / 128.0
+                } else {
+                  // high byte sign-extends through the shift, so the OR
+                  // yields the signed 16-bit value directly
+                  val v =
+                    if (f.isBigEndian)
+                      (raw(off).toInt << 8) | (raw(off + 1) & 0xFF)
+                    else (raw(off + 1).toInt << 8) | (raw(off) & 0xFF)
+                  v / 32768.0
+                })
+                c += 1
+              }
+              mono(i) = s / ch
+              i += 1
+            }
+            val out = new Array[Float](3 + pool + 1)
+            out(0) = f.getSampleRate
+            out(1) = ch.toFloat
+            out(2) = n.toFloat
+            var peak = 0.0
+            var w = 0
+            while (w < pool) {
+              val a = (w.toLong * n / pool).toInt
+              val b = ((w + 1).toLong * n / pool).toInt
+              var ss = 0.0
+              var j = a
+              while (j < b) {
+                ss += mono(j) * mono(j)
+                peak = math.max(peak, math.abs(mono(j)))
+                j += 1
+              }
+              out(3 + w) = if (b > a) math.sqrt(ss / (b - a)).toFloat else 0f
+              w += 1
+            }
+            out(3 + pool) = peak.toFloat
+            out
+          }
+        }
+      } catch { case _: Exception => null }
+      finally in.close()
+    }
+  }
+
+  /** [[decodeBatched]] wired to [[audioDecoder]]: (doc_id, feature) with
+    * the pooled-RMS layout, null for payloads no JDK reader decodes.
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String = "payload",
+                  pool: Int = 8): DataFrame =
+    decodeBatched(df, payloadCol, audioDecoder(pool))
 }

@@ -350,6 +350,53 @@ class MultimodalSpec extends SparkSpec {
     assert(px(3) === Seq(1.0f, 1.0f, 1.0f), "bottom-right white")
   }
 
+  /** A REAL 16-bit mono PCM WAV built by hand (RIFF/fmt/data with exact
+    * sizes): 400 frames of silence then 400 frames of a ±16384 square
+    * wave — amplitude exactly 0.5 in [-1, 1], so windowed RMS values are
+    * EXACT, not approximate.
+    */
+  private def handBuiltWav(rate: Int = 8000): Array[Byte] = {
+    val frames = 800
+    val dataLen = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until frames)
+      bb.putShort(
+        if (i < 400) 0
+        else if (i % 2 == 0) 16384 else -16384)
+    bb.array()
+  }
+
+  test("audioDecoder decodes ACTUAL PCM from a hand-built WAV: exact " +
+    "windowed RMS, peak, rate, frame count; non-audio yields null") {
+    val feats = Multimodal.audioDecoder(pool = 2)(handBuiltWav())
+    assert(feats !== null)
+    assert(feats.length === 3 + 2 + 1)
+    assert(feats(0) === 8000.0f && feats(1) === 1.0f && feats(2) === 800.0f)
+    assert(feats(3) === 0.0f, "first window is silence")
+    assert(feats(4) === 0.5f, "square wave at half scale has RMS exactly 0.5")
+    assert(feats(5) === 0.5f, "peak")
+    // through the partition-batched plumbing, mixed with undecodables
+    val rows = Seq((1L, handBuiltWav()), (2L, handBuiltPng()),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    import spark.implicits._
+    val out = Multimodal.decodeAudio(
+        rows.toDF("doc_id", "payload").repartition(2), pool = 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Float](1)).map(_.toSeq)).toMap
+    assert(out(1L) === Some(Seq(8000.0f, 1.0f, 800.0f, 0.0f, 0.5f, 0.5f)))
+    assert(out(2L) === None, "a PNG is not audio")
+    assert(out(3L) === None)
+    intercept[IllegalArgumentException](Multimodal.audioDecoder(pool = 0))
+  }
+
   test("decodeImages: real decode through the partition-batched plumbing, " +
     "JPEG decodes approximately, non-images yield null features") {
     // a JPEG from the JDK's own encoder: lossy, so assert tolerance

@@ -107,6 +107,23 @@ object Bench {
     // Same amortization for the embedding store: q83/q84 rebuild their
     // stores in-measurement; the *_batch lines below time only the
     // per-batch query a deployment pays after building once.
+    // ANN store pre-build (q147's deployment shape): index + residual
+    // codebooks + per-vector codes persisted once; the ann_store_batch
+    // line times only the stored-codes query a deployment pays.
+    val annStoreDir = s"${System.getProperty("java.io.tmpdir")}/graft-ann-store-bench"
+    val annStore = if (!selected("ann_store_batch")) None else try {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val st = graft.operators.EmbeddingStore.buildAnn(spark, emb,
+        annStoreDir, k = 16, iters = 5, m = 8, pqK = 16, pqIters = 3)
+      CacheRegistry.releaseAll()
+      Some((st, q))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN store pre-build failed: ${e.getMessage}")
+      None
+    }
     val embStoreDir = s"${System.getProperty("java.io.tmpdir")}/graft-emb-store-bench"
     val embSplit = if (!selected("embedding_store_batch")) None else try {
       import org.apache.spark.sql.functions.{col, max}
@@ -213,6 +230,10 @@ object Bench {
             graft.operators.PQ.ivfadcResidualNeighbors(
               emb, idx, cbRes, q, k = 20, nProbe = 8, rerank = 200,
               excludeId = Some(0L))))
+      } ++ annStore.map { case (st, q) =>
+        "ann_store_batch" -> (() =>
+          graft.operators.EmbeddingStore.annNeighbors(spark, st, q, k = 20,
+            nProbe = 8, rerank = 200, excludeId = Some(0L)))
       } ++ embSplit.map { case (emb, cut) =>
         // q83's deployment shape: batch near-dup against the pre-built
         // cell-partitioned store (partition-pruned corpus read).

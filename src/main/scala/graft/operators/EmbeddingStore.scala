@@ -56,20 +56,108 @@ object EmbeddingStore {
       .select(col("epoch").cast("long"), col("is_base"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
 
+  /** The store's residual PQ codebooks, when it was built with
+    * [[buildAnn]]; None for a plain similarity store.
+    */
+  def codebooks(spark: SparkSession, path: String): Option[PQ.Codebooks] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(PQ.load(spark, s"$path/codebooks"))
+    else None
+  }
+
   /** Assign + write one epoch's vectors, commit marker LAST — the same
     * crash-invisibility protocol as [[DedupState]]: a half-written epoch
     * has no marker and is pruned away by every reader.
+    *
+    * When the store carries codebooks (an ANN store — [[buildAnn]]),
+    * every epoch ALSO materializes the residual PQ codes next to each
+    * vector: codes are a pure function of (frozen index, frozen
+    * codebooks, vector), so they are computed once at WRITE time and
+    * every later query scans 1-byte-per-subspace codes instead of
+    * re-running m×k codeword distances per row. Appends inherit this
+    * automatically — the codebooks' presence on disk is the contract.
     */
   private def writeEpoch(spark: SparkSession, path: String, idx: IVF.Index,
                          vectors: DataFrame, epoch: Long,
                          isBase: Boolean = false): Unit = {
     import spark.implicits._
-    vectors.select(col("vec_id"), col("embedding"),
-        IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
-      .write.mode("overwrite").partitionBy("cid")
+    val assigned = vectors.select(col("vec_id"), col("embedding"),
+      IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
+    val out = codebooks(spark, path).fold(assigned) { cb =>
+      assigned
+        .withColumn("__resid", PQ.residualExpr(
+          col("embedding").cast("array<double>"), col("cid"), idx))
+        .withColumn("codes", PQ.encodeExpr(col("__resid"), cb))
+        .drop("__resid")
+    }
+    out.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/vectors/epoch=$epoch")
     Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** Build an ANN store: the similarity store plus residual PQ codebooks
+    * ([[PQ.trainResidual]] under the store's own index) persisted at
+    * `path/codebooks`, with every vector's codes materialized in its
+    * epoch partitions — the on-disk IVFADC layout ([[annNeighbors]]
+    * queries it without re-encoding anything).
+    */
+  def buildAnn(spark: SparkSession, emb: DataFrame, path: String,
+               k: Int = 16, iters: Int = 3, m: Int = 8,
+               pqK: Int = 16, pqIters: Int = -1): Store = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val idx = IVF.train(emb, k, iters)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cb = PQ.trainResidual(emb, idx, dim, m, pqK,
+      if (pqIters > 0) pqIters else iters)
+    IVF.save(spark, idx, s"$path/index")
+    PQ.save(spark, cb, s"$path/codebooks")
+    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true)
+    load(spark, path)
+  }
+
+  /** IVFADC over the STORED codes — the deployment query of an ANN
+    * store: probe cells become a partition filter (only `nProbe` cell
+    * directories are read), the ADC estimate is m array lookups on the
+    * persisted codes (no residual, no argmin — encoding happened at
+    * write), TakeOrdered cuts `rerank` candidates, exact cosine re-ranks
+    * them. Identical answers to [[PQ.ivfadcResidualNeighbors]] over the
+    * same structures (spec-pinned) at a fraction of the scan compute.
+    */
+  def annNeighbors(spark: SparkSession, store: Store, query: Array[Double],
+                   k: Int, nProbe: Int, rerank: Int,
+                   excludeId: Option[Long] = None): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cb = codebooks(spark, store.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"${store.path} has no codebooks — build it with buildAnn"))
+    val probes = IVF.probeIds(store.index, query, nProbe)
+    val lutsByCell = probes.map { i =>
+      i -> PQ.adcLuts(cb,
+        query.zip(store.index.centroids(i)).map { case (a, b) => a - b })
+    }
+    val normQ = math.sqrt(query.map(x => x * x).sum)
+    val first = when(col("cid") === lutsByCell.head._1,
+      PQ.adcScoreExpr(col("codes"), lutsByCell.head._2))
+    val est = lutsByCell.tail.foldLeft(first) { case (acc, (i, luts)) =>
+      acc.when(col("cid") === i, PQ.adcScoreExpr(col("codes"), luts))
+    }
+    val base = excludeId.fold(store.vectors)(id =>
+      store.vectors.filter(col("vec_id") =!= id))
+    base.filter(col("cid").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("est", est)
+      .orderBy(col("est").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"),
+        round(GraftFunctions.dot_product(
+          col("embedding").cast("array<double>"), lit(query)) /
+          (GraftFunctions.l2_norm(col("embedding").cast("array<double>")) *
+            lit(normQ)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** Load the latest committed epoch. */

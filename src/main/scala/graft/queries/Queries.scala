@@ -2843,6 +2843,29 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcResidualOracleSql)),
 
+    // ── Q147: IVFADC over STORED codes
+    //          ([[graft.operators.EmbeddingStore.buildAnn]] /
+    //          [[graft.operators.EmbeddingStore.annNeighbors]]) — the
+    //          on-disk ANN deployment: q140's exact structures persisted
+    //          (index, residual codebooks, per-vector codes in cell
+    //          partitions), query = probe partition filter + ADC lookups
+    //          on the persisted codes + exact re-rank. SAME dynamic
+    //          oracle as q140: codes are a pure function of the frozen
+    //          structures, so encode-at-write must answer exactly like
+    //          encode-at-query — a store that drifted would hash-fail. ───
+    QueryDef("q147_ann_store",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = queryVector(s, dir)
+        val store = graft.operators.EmbeddingStore.buildAnn(s, emb,
+          s"${System.getProperty("java.io.tmpdir")}/graft-annstore-q147",
+          k = 16, iters = 5, m = 8, pqK = 16, pqIters = 3)
+        graft.operators.EmbeddingStore.annNeighbors(s, store, q, k = 20,
+          nProbe = 8, rerank = 200, excludeId = Some(0L))
+      },
+      None,
+      dynamicOracle = Some(ivfadcResidualOracleSql)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

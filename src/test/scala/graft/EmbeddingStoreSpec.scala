@@ -124,4 +124,60 @@ class EmbeddingStoreSpec extends SparkSpec {
     assert(scanned === cellRows, "join must touch exactly the batch's cell")
     assert(read.forall(_ >= 0)) // leaves resolved without error
   }
+
+  test("ANN store: stored-codes IVFADC equals the in-scan residual " +
+    "pipeline over the same structures; appends inherit codes; the " +
+    "probe filter partition-prunes") {
+    import graft.operators.PQ
+    val dir = tmpDir("estore-ann")
+    val store = EmbeddingStore.buildAnn(spark, emb, dir, k = 8, iters = 2,
+      m = 8, pqK = 8)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    // the same deterministic trainings reproduce the stored structures
+    val idx = IVF.train(emb, k = 8, iters = 2)
+    val cb = PQ.trainResidual(emb, idx, dim = q.length, m = 8, k = 8,
+      iters = 2)
+    assert(store.index.centroids.flatten.toSeq ===
+      idx.centroids.flatten.toSeq, "store index = retrained index")
+    val fromStore = EmbeddingStore.annNeighbors(spark, store, q, k = 10,
+      nProbe = 4, rerank = 60, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inScan = PQ.ivfadcResidualNeighbors(emb, idx, cb, q, k = 10,
+      nProbe = 4, rerank = 60, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fromStore.toSeq === inScan.toSeq,
+      "stored codes must answer exactly like encode-at-query")
+    // the store scan reads codes behind a cid partition filter
+    val plan = EmbeddingStore.annNeighbors(spark, store, q, k = 10,
+      nProbe = 4, rerank = 60).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"ANN scan lost its partition filter:\n${plan.take(800)}")
+    // an appended epoch materializes codes too (the codebooks on disk are
+    // the contract), and answers stay equal to in-scan over the union
+    val half = emb.filter(col("vec_id") < 250)
+    val dir2 = tmpDir("estore-ann-append")
+    val s0 = EmbeddingStore.buildAnn(spark, half, dir2, k = 8, iters = 2,
+      m = 8, pqK = 8)
+    val s1 = EmbeddingStore.append(spark, s0,
+      emb.filter(col("vec_id") >= 250).select(col("vec_id"), col("embedding")))
+    assert(s1.vectors.filter(col("codes").isNull).count() === 0L,
+      "every appended vector must carry codes")
+    val idx2 = IVF.train(half, k = 8, iters = 2)
+    val cb2 = PQ.trainResidual(half, idx2, dim = q.length, m = 8, k = 8,
+      iters = 2)
+    val fromStore2 = EmbeddingStore.annNeighbors(spark, s1, q, k = 10,
+      nProbe = 4, rerank = 60, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val inScan2 = PQ.ivfadcResidualNeighbors(emb, idx2, cb2, q, k = 10,
+      nProbe = 4, rerank = 60, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fromStore2.toSeq === inScan2.toSeq,
+      "post-append ANN must equal in-scan under the frozen structures")
+    // a plain store refuses the ANN query with a usable message
+    val plain = EmbeddingStore.build(spark, emb, tmpDir("estore-plain"), k = 8)
+    val e = intercept[IllegalArgumentException](
+      EmbeddingStore.annNeighbors(spark, plain, q, 10, 4, 60))
+    assert(e.getMessage.contains("buildAnn"))
+  }
 }

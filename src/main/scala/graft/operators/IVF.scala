@@ -163,4 +163,33 @@ object IVF {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Per-cell quality audit — the when-to-retrain measurement for a
+    * frozen index serving a growing corpus: (cid, n, inertia, mean_d2,
+    * max_d2) where d² is each vector's squared distance to ITS centroid.
+    * Rising inertia/max against the build-time snapshot means the data
+    * drifted off the trained geometry (new content clusters the index
+    * has no cell for) — the signal to [[train]] a fresh index and
+    * rebuild, since cells never move under appends by design.
+    *
+    * Replay discipline: per-row d² is 1e-6-quantized BEFORE the per-cell
+    * sums, so inertia is exact long arithmetic — order-free, bitwise on
+    * any engine (the established contract). One scan + one
+    * k-cell-cardinality hash aggregation; the residual is a NAMED column
+    * so the fold isn't re-evaluated per reference.
+    */
+  def cellStats(emb: DataFrame, index: Index): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), v.as("v"))
+      .withColumn("cid", assignExpr(col("v"), index))
+      .withColumn("resid", PQ.residualExpr(col("v"), col("cid"), index))
+      .withColumn("d2q", round(aggregate(col("resid"), lit(0.0),
+        (acc, x) => acc + x * x) * 1e6).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("d2q")).cast("double") / 1e6).as("inertia"),
+        ((sum(col("d2q")).cast("double") / 1e6) / count(lit(1)))
+          .as("mean_d2"),
+        (max(col("d2q")).cast("double") / 1e6).as("max_d2"))
+  }
 }

@@ -2866,6 +2866,21 @@ object Queries {
       None,
       dynamicOracle = Some(ivfadcResidualOracleSql)),
 
+    // ── Q148: IVF cell-quality audit ([[graft.operators.IVF.cellStats]])
+    //          — the when-to-retrain measurement for a frozen index:
+    //          per-cell population + inertia/mean/max d², d² quantized
+    //          per row before exact long sums; one scan + one k-cell
+    //          aggregation. The dynamic oracle replays assignment, the
+    //          per-cell centroid CASE, and the identical fold order. ─────
+    QueryDef("q148_cell_stats",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        graft.operators.IVF.cellStats(emb, idx)
+      },
+      None,
+      dynamicOracle = Some(cellStatsOracleSql)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve
@@ -4170,6 +4185,48 @@ object Queries {
        |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.v, q.qv), 6)
        |         AS cos
        |FROM cand, q ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** q148's oracle: the same deterministic index retrained, assignment
+    * arms + per-cell centroid CASE + the IDENTICAL left-associative d²
+    * fold (`0.0 + t₁ + t₂ + …` — Spark's `aggregate` with a 0.0 seed),
+    * quantized per row before the per-cell long sums.
+    */
+  private def cellStatsOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.IVF
+    val idx = IVF.train(t(s, dir, "embeddings"), k = 16)
+    val coarseArms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, " +
+        s"CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    val cvecArms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      s"WHEN $i THEN CAST([${c.mkString(", ")}] AS DOUBLE[])"
+    }.mkString("\n        ")
+    val dim = idx.centroids.head.length
+    val d2 = (1 to dim).map(i => s"(v[$i] - cvec[$i]) * (v[$i] - cvec[$i])")
+      .mkString("0.0 + ", " + ", "")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, v,
+       |         list_min([
+       |      $coarseArms
+       |    ]).cid AS cid
+       |  FROM e
+       |), c AS (
+       |  SELECT cid, v,
+       |         CASE cid
+       |        $cvecArms
+       |      END AS cvec
+       |  FROM a
+       |), d AS (
+       |  SELECT cid, CAST(round(($d2) * 1e6) AS BIGINT) AS d2q FROM c
+       |)
+       |SELECT cid, COUNT(*) AS n,
+       |       CAST(SUM(d2q) AS BIGINT) / 1e6 AS inertia,
+       |       (CAST(SUM(d2q) AS BIGINT) / 1e6) / COUNT(*) AS mean_d2,
+       |       MAX(d2q) / 1e6 AS max_d2
+       |FROM d GROUP BY cid""".stripMargin
   }
 
   /** q129's oracle: re-learn the deterministic merge table, then emit SQL

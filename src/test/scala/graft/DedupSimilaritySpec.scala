@@ -452,6 +452,30 @@ class DedupSimilaritySpec extends SparkSpec {
       "nProbe = k (no pruning) must equal flat PQ")
   }
 
+  test("cellStats: populations conserve the corpus, max >= mean, and " +
+    "off-geometry drift explodes inertia") {
+    import graft.operators.IVF
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val idx = IVF.train(emb, k = 8, iters = 2)
+    val stats = IVF.cellStats(emb, idx).collect()
+    assert(stats.map(_.getLong(1)).sum === emb.count(),
+      "every vector lands in exactly one cell")
+    stats.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(4) >= r.getDouble(3) - 1e-9,
+        "max d2 must dominate mean d2")
+    }
+    // the retrain signal: data shifted off the trained geometry
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(10.0))
+        .as("embedding"))
+    val drift = IVF.cellStats(shifted, idx)
+      .agg(sum(col("inertia"))).head().getDouble(0)
+    val base = stats.map(_.getDouble(2)).sum
+    assert(drift > base * 10,
+      s"shifted corpus inertia $drift must dwarf in-distribution $base")
+  }
+
   test("residual IVFADC: distortion strictly below flat codes at equal " +
     "m/k, recall at least flat's under a tight budget, deterministic") {
     import graft.operators.{IVF, PQ}

@@ -104,7 +104,7 @@ object IVF {
     * value's decimal string parses back to the identical double in any
     * engine, which is what lets an oracle replay assignment bitwise.
     */
-  private def q9(x: Double): Double =
+  private[operators] def q9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Train a k-centroid index with `iters` Lloyd's iterations.

@@ -45,25 +45,67 @@ object PQ {
 
   /** Train m independent sub-quantizers. `dim` must divide evenly by `m`;
     * per-subspace seeds differ so subspaces don't share init accidents.
+    *
+    * All m Lloyd loops run JOINTLY: one job seeds every subspace (the
+    * per-subspace (seeded-hash, id) order [[IVF.train]] uses, as a keyed
+    * window over the exploded subspace stream), and each iteration is
+    * ONE aggregation job computing every subspace's every centroid mean
+    * at once — m×(iters+1) driver-blocking jobs collapse to iters+1,
+    * which on a many-query session is mostly scheduler overhead saved
+    * (the per-subspace math is identical: same init members, same
+    * assignment arms, same means, same 1e-9 quantization; driver state
+    * stays m×k×subDim doubles).
     */
   def train(emb: DataFrame, dim: Int, m: Int, k: Int = 16, iters: Int = 5,
             seed: Int = 42): Codebooks = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    // cast-and-cache the source ONCE: every subspace's Lloyd loop (init
-    // scan + iters passes) otherwise re-reads and re-casts the parquet —
-    // m × (iters + 1) source scans for the price of one
-    val base = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
+    import org.apache.spark.sql.expressions.Window
+    // slice once, cache once: init + every iteration scans this frame
+    val subs = emb.select(col("vec_id") +: (0 until m).map(j =>
+        slice(col("embedding").cast("array<double>"),
+          j * subDim + 1, subDim).as(s"s$j")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val books = (0 until m).map { j =>
-        val sliced = base.select(col("vec_id"),
-          slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
-        IVF.train(sliced, k, iters, seed + j).centroids
-      }.toArray
+      // init: per subspace, the k vectors smallest by
+      // (xxhash64(vec_id, seed + j), vec_id) — IVF.train's seeded sample,
+      // all subspaces in one keyed-window job
+      val w = Window.partitionBy(col("j")).orderBy(col("h"), col("vid"))
+      val initRows = subs.select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            xxhash64(col("vec_id"), lit(seed + j)).as("h"),
+            col("vec_id").as("vid"), col(s"s$j").as("sub"))): _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.h").as("h"),
+          col("e.vid").as("vid"), col("e.sub").as("sub"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= k)
+        .collect()
+      require(initRows.length == m * k,
+        s"need at least $k vectors to train, got ${initRows.length / m}")
+      val books = Array.ofDim[Array[Array[Double]]](m)
+      (0 until m).foreach(j => books(j) = Array.ofDim[Array[Double]](k))
+      initRows.foreach { r =>
+        books(r.getInt(0))(r.getInt(4) - 1) =
+          r.getSeq[Double](3).toArray.map(IVF.q9)
+      }
+      for (_ <- 1 to iters) {
+        val means = subs.select(explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"),
+              IVF.assignExpr(col(s"s$j"), IVF.Index(books(j))).as("cid"),
+              col(s"s$j").as("sub"))): _*)).as("e"))
+          .select(col("e.j").as("j"), col("e.cid").as("cid"),
+            posexplode(col("e.sub")).as(Seq("pos", "x")))
+          .groupBy(col("j"), col("cid"), col("pos"))
+          .agg(avg(col("x")).as("mv"))
+          .collect()
+        val updated = books.map(_.map(_.clone()))
+        means.foreach(r => updated(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          IVF.q9(r.getDouble(3)))
+        (0 until m).foreach(j => books(j) = updated(j))
+        // empty clusters keep their previous centroids (no row to update)
+      }
       Codebooks(books)
-    } finally base.unpersist(false)
+    } finally subs.unpersist(false)
   }
 
   /** Persist codebooks: one row per (subspace, code) — m×k×subDim doubles,

@@ -710,6 +710,43 @@ class StreamingSpec extends SparkSpec {
     assert(EmbeddingStore.load(spark, stateDir).epoch === 2L)
   }
 
+  test("embeddingAdmissionStream over an ANN store: every admitted epoch " +
+       "materializes codes, and the stored-codes query answers post-stream") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.EmbeddingStore
+    val stateDir = tmpDir("graft-annadmit-state")
+    val outDir = s"${tmpDir("graft-annadmit-out")}/rows"
+    val ckpt = tmpDir("graft-annadmit-ckpt")
+    val emb = graft.sources.Tables.table(spark, sf0001, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 300)
+    // seed with the ANN build: index + residual codebooks on disk
+    EmbeddingStore.buildAnn(spark, corpus, stateDir, k = 4, iters = 2,
+      m = 8, pqK = 8)
+    val batchRows = emb.filter(col("vec_id") >= 300)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.embeddingAdmissionStream(
+      stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+      threshold = 0.995)
+    try {
+      stream.addData(batchRows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = EmbeddingStore.load(spark, stateDir)
+    assert(store.epoch === 1L)
+    // the appended epoch inherited code materialization (the codebooks on
+    // disk are the contract — no sink change was needed)
+    assert(store.vectors.filter(col("codes").isNull).count() === 0L,
+      "every stored vector, streamed ones included, must carry codes")
+    // and the stored-codes deployment query runs over the grown store
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val ann = EmbeddingStore.annNeighbors(spark, store, qv, k = 5,
+      nProbe = 4, rerank = 30, excludeId = Some(0L)).collect()
+    assert(ann.length === 5)
+    assert(ann.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("admission sink with compactEvery: every K-th epoch is a base, " +
        "older generations are vacuumed, results unchanged") {
     implicit val ctx = spark.sqlContext

@@ -142,4 +142,100 @@ object TimeSeries {
         max(col("__s")).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** CUSUM level-shift detection (Page 1954) over keyed daily series —
+    * the change-point monitor downstream of [[graft.operators.ColumnStats.psiSeries]]:
+    * PSI says the DISTRIBUTION drifted, CUSUM says the LEVEL shifted and
+    * on which day. Per key, the one-sided cumulative sum
+    * `S_t = max(0, S_{t-1} + (x_t − μ − slack))` accumulates deviations
+    * above the key's own mean; `alarm` fires while `S_t` exceeds
+    * `threshold`.
+    *
+    * The recurrence is inherently sequential — the classic "can't
+    * distribute a running max-with-reset" trap. It distributes anyway via
+    * the reflection identity `S_t = P_t − min_{0≤j≤t} P_j` (P = prefix
+    * sums of the deviations, P_0 = 0): one running sum + one running min,
+    * i.e. keyed windows sharing ONE Exchange + sort with the full-frame
+    * mean windows. Nothing driver-side, no recursion, no
+    * `mapGroupsWithState` in batch.
+    *
+    * Exactness: daily values are cent-quantized longs; the mean division
+    * is AVOIDED by scaling every deviation by the key's day count n
+    * (`d_t = vc_t·n − T − slack_cents·n`, all longs), so prefix sums are
+    * order-free exact integers and `alarm` compares longs. Only the final
+    * reported `cusum` (in original units per day) divides, 1e-6-quantized.
+    * Overflow bound: |vc|max·n² < 2⁶³ (each |d_t| ≤ ~2·|vc|max·n and
+    * prefixes sum ≤ n of them); at daily grain a decade is n ≈ 3.7e3,
+    * leaving ~6.7e11 cents ≈ $6.7e9 per day per key — far past any
+    * monitored series.
+    *
+    * Output: (keys…, day 'yyyy-MM-dd', v = daily sum, cusum = S_t in
+    * original units, alarm). Scale shape: one map-side-combined daily
+    * aggregation (fact-scale), then everything downstream is keys×days
+    * rows through a single Exchange.
+    */
+  def cusumShift(df: DataFrame, keys: Seq[String], ts: Column,
+                 value: Column, slackCents: Long,
+                 thresholdCents: Long): DataFrame = {
+    require(keys.nonEmpty, "cusumShift needs at least one key column")
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents > 0,
+      s"thresholdCents must be > 0, got $thresholdCents")
+    val daily = df
+      .groupBy(keys.map(col) :+ to_date(ts).as("__day"): _*)
+      .agg(sum(round(value * 100)).cast("long").as("__vc"))
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
+    val wAll = base.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wPre = base.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("__vc")).over(wAll))
+      .withColumn("__p",
+        sum(col("__vc") * col("__n") - col("__t") -
+          lit(slackCents) * col("__n")).over(wPre))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(wPre)))
+      .select(keys.map(col) :+
+        date_format(col("__day"), "yyyy-MM-dd").as("day") :+
+        (col("__vc") / 100.0).as("v") :+
+        round(col("__s") / (col("__n") * 100.0), 6).as("cusum") :+
+        (col("__s") > lit(thresholdCents) * col("__n")).as("alarm"): _*)
+  }
+
+  /** DuckDB replay of [[cusumShift]]: the same daily cent quantization,
+    * the same n-scaled integer deviations, the same reflection identity
+    * through two stacked windows. Interior window sums are cast back to
+    * BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT; the values are exact
+    * either way, and the lint forbids HUGEINT reaching the output).
+    */
+  def cusumOracleSql(table: String, keyCol: String, tsCol: String,
+                     valueCol: String, slackCents: Long,
+                     thresholdCents: Long): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT $keyCol, d, vc,
+       |         COUNT(*) OVER (PARTITION BY $keyCol) AS n,
+       |         CAST(SUM(vc) OVER (PARTITION BY $keyCol) AS BIGINT) AS t
+       |  FROM daily
+       |), pre AS (
+       |  SELECT $keyCol, d, vc, n,
+       |         CAST(SUM(vc*n - t - $slackCents*n) OVER (
+       |           PARTITION BY $keyCol ORDER BY d
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |  FROM tot
+       |), mm AS (
+       |  SELECT $keyCol, d, vc, n, p,
+       |         p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (
+       |           PARTITION BY $keyCol ORDER BY d
+       |           ROWS UNBOUNDED PRECEDING)) AS s
+       |  FROM pre
+       |)
+       |SELECT $keyCol, strftime(d, '%Y-%m-%d') AS day, vc/100.0 AS v,
+       |       ROUND(s/(100.0*n), 6) AS cusum,
+       |       s > $thresholdCents*n AS alarm
+       |FROM mm""".stripMargin
 }

@@ -2881,6 +2881,47 @@ object Queries {
       None,
       dynamicOracle = Some(cellStatsOracleSql)),
 
+    // ── Q149: CUSUM level-shift detection
+    //          ([[graft.operators.TimeSeries.cusumShift]]) — change-point
+    //          monitoring downstream of q136's PSI drift: per event type,
+    //          the one-sided CUSUM of daily revenue above its own mean
+    //          (Page 1954), distributed via the reflection identity
+    //          S_t = P_t − min prefix P — two stacked keyed windows over
+    //          ONE Exchange, never a sequential recurrence. Deviations
+    //          are n-scaled longs so alarms compare exact integers. ──────
+    QueryDef("q149_cusum_shift",
+      (s, dir) => graft.operators.TimeSeries.cusumShift(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+        slackCents = 20000L, thresholdCents = 100000L),
+      Some(graft.operators.TimeSeries.cusumOracleSql(
+        "events", "event_type", "ts", "value",
+        slackCents = 20000L, thresholdCents = 100000L))),
+
+    // ── Q150: incremental aggregate maintenance
+    //          ([[graft.operators.Summary]]) — the materialized-view
+    //          refresh pattern: history and two deltas summarized
+    //          separately (algebraic n/sum/min/max/ssq state), folded by
+    //          a summary-sized merge, metrics derived at read time. The
+    //          oracle is the DIRECT one-pass aggregate over the whole
+    //          table — hash equality PROVES merge(split) = recompute,
+    //          while the merge's cost stays independent of history size. ─
+    QueryDef("q150_agg_delta",
+      (s, dir) => {
+        val keys = Seq("event_type", "day")
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        val bucket = Sampling.hashBucket(col("event_id").cast("string"), 10)
+        val parts = Seq(bucket < 8, bucket === 8, bucket === 9).map(p =>
+          graft.operators.Summary.summarize(ev.filter(p), keys, col("value")))
+        graft.operators.Summary.finalizeSummary(
+          graft.operators.Summary.mergeSummaries(keys, parts: _*), keys)
+      },
+      Some(graft.operators.Summary.summaryOracleSql(
+        "(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value " +
+          "FROM events) AS ev",
+        Seq("event_type", "day"), "value"))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

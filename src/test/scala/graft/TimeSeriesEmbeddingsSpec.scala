@@ -197,4 +197,53 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.sessionize(ev, Seq("user_id"), col("ts"), 0L))
   }
+
+  test("cusumShift: window identity equals the sequential recurrence, " +
+    "alarms start after the level shift, repartition-invariant") {
+    // series: 10 quiet days at ~$100, then 5 shifted days at ~$160 —
+    // mean ≈ $120, so post-shift days accumulate ≈ +$30/day above
+    // mean+slack($10) while quiet days drain the statistic
+    val vals = Seq(100.0, 102.0, 98.0, 101.0, 99.0, 100.0, 103.0, 97.0,
+      100.0, 100.0, 160.0, 158.0, 162.0, 161.0, 159.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val slack = 1000L   // $10/day
+    val h = 5000L       // $50 cumulative
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusumShift(d, Seq("k"), col("ts"), col("value"), slack, h)
+        .collect().map(r => (r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    val got = run(df)
+    // the sequential recurrence the window identity must equal, on the
+    // same n-scaled integer deviations
+    val vc = vals.map(v => math.round(v * 100))
+    val n = vc.size.toLong
+    val tot = vc.sum
+    var s = 0L
+    val want = vc.zipWithIndex.map { case (c, i) =>
+      s = math.max(0L, s + (c * n - tot - slack * n))
+      (f"2024-01-${i + 1}%02d", c / 100.0,
+        BigDecimal(s / (n * 100.0)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s > h * n)
+    }
+    assert(got.map(t => (t._1, t._2, t._4)) ===
+      want.map(t => (t._1, t._2, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6, s"cusum at ${g._1}") }
+    // quiet days never alarm; the shift is flagged within two days and
+    // stays flagged
+    assert(got.take(10).forall(!_._4), "no alarm during the quiet regime")
+    assert(got.drop(11).forall(_._4), "sustained shift stays flagged")
+    assert(run(df.repartition(7)) === got,
+      "the statistic is a pure function of the daily values")
+    intercept[IllegalArgumentException](
+      TimeSeries.cusumShift(df, Seq.empty, col("ts"), col("value"), 0L, 1L))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusumShift(df, Seq("k"), col("ts"), col("value"), -1L, 1L))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusumShift(df, Seq("k"), col("ts"), col("value"), 0L, 0L))
+  }
 }

@@ -60,6 +60,12 @@ object Queries {
   private val MixtureTargets: Seq[(String, Double)] =
     Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
+  /** q151's (field, m, u) weights — one list feeding both the Spark plan
+    * and the oracle so the 1e-6-quantized log2 weight literals agree.
+    */
+  private val LinkageFields: Seq[(String, Double, Double)] = Seq(
+    ("name", 0.9, 0.001), ("segment", 0.9, 0.25), ("bal_cents", 0.85, 0.005))
+
 
   /** q59's oracle: identical arithmetic, identical operand order; shares
     * CAST to DOUBLE (DuckDB would otherwise type bare decimals as DECIMAL,
@@ -2921,6 +2927,53 @@ object Queries {
         "(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value " +
           "FROM events) AS ev",
         Seq("event_type", "day"), "value"))),
+
+    // ── Q151: Fellegi–Sunter record linkage
+    //          ([[graft.operators.Linkage.fellegiSunter]]) — entity
+    //          resolution against a deterministically-dirtied registry
+    //          (1/5 of names digit-dropped, 1/7 of segments nulled,
+    //          balances jittered ±1 cent by hash bucket): blocking
+    //          equi-join on nation, per-field agreement CASEs, the SAME
+    //          1e-6-quantized log2(m/u) weight literals in both engines
+    //          — no libm in the hot path, long-vs-long threshold. ────────
+    QueryDef("q151_record_linkage",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val bk = Sampling.hashBucket(col("c_custkey").cast("string"), 21)
+        val clean = cust.select(col("c_custkey"), col("c_nationkey"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val dirty = cust.select((col("c_custkey") + 1000000L).as("r_id"),
+          col("c_nationkey"),
+          when(bk % 5 === 0, regexp_replace(col("c_name"), "#0", "#"))
+            .otherwise(col("c_name")).as("name"),
+          when(bk % 7 === 3, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          (round(col("c_acctbal") * 100).cast("long") + (bk % 3 - 1))
+            .as("bal_cents"))
+        graft.operators.Linkage.fellegiSunter(clean, dirty,
+          "c_custkey", "r_id", Seq("c_nationkey"), LinkageFields,
+          threshold = 3.0)
+      },
+      Some {
+        val bkSql = "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR))" +
+          ", 1, 8)) AS BIGINT) % 21"
+        graft.operators.Linkage.fellegiSunterOracleSql(
+          leftSql = "SELECT c_custkey, c_nationkey, c_name AS name, " +
+            "c_mktsegment AS segment, " +
+            "CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer",
+          rightSql = s"""SELECT c_custkey + 1000000 AS r_id, c_nationkey,
+            |  CASE WHEN $bkSql % 5 = 0
+            |       THEN regexp_replace(c_name, '#0', '#')
+            |       ELSE c_name END AS name,
+            |  CASE WHEN $bkSql % 7 = 3 THEN NULL
+            |       ELSE c_mktsegment END AS segment,
+            |  CAST(ROUND(c_acctbal*100) AS BIGINT) + ($bkSql % 3 - 1)
+            |    AS bal_cents
+            |FROM customer""".stripMargin,
+          leftId = "c_custkey", rightId = "r_id", block = Seq("c_nationkey"),
+          fields = LinkageFields, threshold = 3.0)
+      }),
 
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column

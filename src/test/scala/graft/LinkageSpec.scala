@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Linkage
+
+/** Unit semantics for Fellegi–Sunter record linkage (q151); cross-engine
+  * correctness is pinned by the q151 oracle row (same micro-weight
+  * literals in both engines).
+  */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    ("name", 0.9, 0.01), ("city", 0.8, 0.2))
+  private def w(m: Double, u: Double) =
+    math.round(math.log(m / u) / math.log(2.0) * 1e6) / 1e6
+  private val (waName, wdName) = (w(0.9, 0.01), w(0.1, 0.99))
+  private val (waCity, wdCity) = (w(0.8, 0.2), w(0.2, 0.8))
+
+  private val left = Seq(
+    (1L, "b1", "alice", "rome"),
+    (2L, "b1", "bob", "oslo"),
+    (3L, "b2", "carol", "lima"))
+    .toDF("lid", "blk", "name", "city")
+
+  test("scores are the exact micro-weight sums; missing fields score 0; " +
+    "threshold gates") {
+    val right = Seq(
+      (10L, "b1", Some("alice"), Some("rome")),   // full agree
+      (11L, "b1", Some("alice"), Some("oslo")),   // name agree, city dis
+      (12L, "b1", Some("bob"), Option.empty[String]), // city missing
+      (13L, "b2", Some("dave"), Some("lima")))    // name dis, city agree
+      .toDF("rid", "blk", "name", "city")
+    val out = Linkage.fellegiSunter(left, right, "lid", "rid", Seq("blk"),
+      fields, threshold = -100.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (Option(r.get(2)), Option(r.get(3)), r.getDouble(4)))).toMap
+    assert(math.abs(out((1L, 10L))._3 - (waName + waCity)) < 1e-9)
+    assert(math.abs(out((1L, 11L))._3 - (waName + wdCity)) < 1e-9)
+    assert(out((2L, 12L)) === ((Some(1), None, waName)),
+      "missing city contributes exactly 0")
+    assert(math.abs(out((3L, 13L))._3 - (wdName + waCity)) < 1e-9)
+    // cross-name pairs inside a block are scored too (bob vs alice)
+    assert(out.contains((2L, 10L)))
+    val gated = Linkage.fellegiSunter(left, right, "lid", "rid", Seq("blk"),
+      fields, threshold = waName).collect()
+    assert(gated.forall(_.getDouble(4) >= waName - 1e-9))
+    assert(gated.exists(r => r.getLong(0) == 1L && r.getLong(1) == 10L))
+    assert(!gated.exists(r => r.getLong(0) == 3L && r.getLong(1) == 13L),
+      "below-threshold pair filtered")
+  }
+
+  test("blocking is absolute: agreeing records in different blocks never pair") {
+    val right = Seq((20L, "b9", "alice", "rome")).toDF("rid", "blk", "name", "city")
+    assert(Linkage.fellegiSunter(left, right, "lid", "rid", Seq("blk"),
+      fields, threshold = -100.0).count() === 0L)
+  }
+
+  test("parameter guards: m must beat u, ids distinct, non-empty specs") {
+    val right = left.withColumnRenamed("lid", "rid")
+    intercept[IllegalArgumentException](Linkage.fellegiSunter(
+      left, right, "lid", "rid", Seq("blk"),
+      Seq(("name", 0.2, 0.5)), 0.0))
+    intercept[IllegalArgumentException](Linkage.fellegiSunter(
+      left, right, "lid", "rid", Seq("blk"),
+      Seq(("name", 1.0, 0.5)), 0.0))
+    intercept[IllegalArgumentException](Linkage.fellegiSunter(
+      left, left, "lid", "lid", Seq("blk"), fields, 0.0))
+    intercept[IllegalArgumentException](Linkage.fellegiSunter(
+      left, right, "lid", "rid", Seq.empty, fields, 0.0))
+    intercept[IllegalArgumentException](Linkage.fellegiSunter(
+      left, right, "lid", "rid", Seq("blk"), Seq.empty, 0.0))
+  }
+}

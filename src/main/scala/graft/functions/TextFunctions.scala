@@ -150,6 +150,63 @@ object TextFunctions {
   def urlPath(url: Column): Column =
     regexp_extract(url, UrlPathPattern, 1)
 
+  /** Markup-strip passes, applied in order: script/style/comment BLOCKS
+    * die whole (their text content is code, not prose — keeping it is the
+    * classic boilerplate bug), then any remaining tag becomes a space.
+    * RE2-safe by construction (non-greedy + `(?s)` only, no lookaround/
+    * backrefs), so the identical patterns replay in DuckDB for the
+    * oracle. Shared with [[markupOracleExpr]].
+    */
+  val MarkupPatterns: Seq[(String, String)] = Seq(
+    "(?s)<script[^>]*>.*?</script>" -> " ",
+    "(?s)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ")
+
+  /** Entity decodes, applied AFTER tag removal (a decoded `&lt;` must not
+    * re-enter the tag stripper — single-pass, like real WET extractors)
+    * and with `&amp;` LAST (else `&amp;lt;` double-decodes to `<`).
+    */
+  val EntityDecodes: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML/markup → text extraction (the WET step of web-corpus curation,
+    * upstream of every quality signal in this file): strip script/style/
+    * comment blocks, flatten tags to spaces, decode the common entities,
+    * collapse runs of `[ \t\n\r]` to one space, trim. Pure scan-side
+    * regexp chain — codegen'd, zero shuffle, engine-portable. NOT a
+    * parser: malformed nesting degrades to over-stripping a block, the
+    * standard trade every regexp-based extractor makes.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noTags = MarkupPatterns.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r) }
+    val decoded = EntityDecodes.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
+  /** First `<title>` content, raw (entities left as written — titles feed
+    * metadata, not the training text); empty string when absent.
+    */
+  def extractTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)
+
+  /** DuckDB replay of [[stripMarkup]] over `colSql` — the same pattern
+    * lists folded in the same order (`regexp_replace(..., 'g')` for the
+    * global semantics Spark applies by default; entities as plain
+    * `replace`, which is what `Pattern.quote` reduces them to).
+    */
+  def markupOracleExpr(colSql: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val noTags = MarkupPatterns.foldLeft(colSql) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '${q(p)}', '$r', 'g')" }
+    val decoded = EntityDecodes.foldLeft(noTags) { case (acc, (e, r)) =>
+      s"replace($acc, '${q(e)}', '${q(r)}')" }
+    s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+  }
+
   /** Character-trigram marker profiles for the language-ID heuristic.
     * Public-knowledge high-frequency trigrams per language; the score of a
     * language is how many of its markers occur in the lowercased text.

@@ -2975,6 +2975,48 @@ object Queries {
           fields = LinkageFields, threshold = 3.0)
       }),
 
+    // ── Q152: HTML/markup → text extraction
+    //          ([[graft.functions.TextFunctions.stripMarkup]]) — the WET
+    //          step of web-corpus curation, run here over documents
+    //          deterministically wrapped in markup (title, style block,
+    //          comment, script block, entity sampler): script/style/
+    //          comment blocks die whole, tags flatten to spaces, entities
+    //          decode (&amp; last), whitespace collapses. Pure scan-side
+    //          regexp chain, RE2-safe so DuckDB replays it verbatim. ─────
+    QueryDef("q152_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit(" &amp; co</title><style>p {margin:0}</style></head>\n" +
+            "<body><!-- nav -->\n<p class=\"lead\">"),
+          col("text"),
+          lit("</p><script>var n=1;</script>\n<p>tail &lt;x&gt; " +
+            "&quot;q&quot; &#39;s&#39; a&nbsp;b &amp;co</p></body></html>"))
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.extractTitle(html).as("title"),
+          TextFunctions.stripMarkup(html).as("clean"))
+          .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+      },
+      Some {
+        val htmlSql = "'<html><head><title>Doc ' || " +
+          "CAST(doc_id AS VARCHAR) || ' &amp; co</title>" +
+          "<style>p {margin:0}</style></head>' || chr(10) || " +
+          "'<body><!-- nav -->' || chr(10) || '<p class=\"lead\">' || " +
+          "text || '</p><script>var n=1;</script>' || chr(10) || " +
+          "'<p>tail &lt;x&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b " +
+          "&amp;co</p></body></html>'"
+        s"""WITH h AS (
+           |  SELECT doc_id, $htmlSql AS html FROM documents
+           |)
+           |SELECT doc_id,
+           |       regexp_extract(html,
+           |         '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+           |       ${TextFunctions.markupOracleExpr("html")} AS clean,
+           |       CAST(length(${TextFunctions.markupOracleExpr("html")})
+           |            AS BIGINT) AS n_clean_chars
+           |FROM h""".stripMargin
+      }),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

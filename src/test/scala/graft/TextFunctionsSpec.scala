@@ -161,4 +161,33 @@ class TextFunctionsSpec extends SparkSpec {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
   }
+
+  test("stripMarkup: blocks die whole, tags flatten, entity order is " +
+    "single-pass, whitespace collapses; extractTitle") {
+    def strip(s: String): String = {
+      val df = Seq(s).toDF("h")
+      df.select(TextFunctions.stripMarkup(col("h"))).head().getString(0)
+    }
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    assert(strip("a<script type=\"x\">var s = '<p>keep out</p>';\n" +
+      "more</script>b") === "a b",
+      "script CONTENT is removed, not just the tags")
+    assert(strip("x<style>p {c:1}</style>y<!-- note\nspans -->z") === "x y z")
+    assert(strip("&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp; c") ===
+      "<tag> \"q\" 's' a b & c")
+    assert(strip("&amp;lt;") === "&lt;",
+      "decoded ampersand must NOT re-enter entity decoding")
+    assert(strip("&lt;b&gt;bold&lt;/b&gt;") === "<b>bold</b>",
+      "decoded angle brackets must NOT re-enter the tag stripper")
+    assert(strip("a  \t\n  b") === "a b")
+    assert(strip("  <br/>  ") === "")
+    def title(s: String): String = {
+      val df = Seq(s).toDF("h")
+      df.select(TextFunctions.extractTitle(col("h"))).head().getString(0)
+    }
+    assert(title("<head><title>T &amp; U</title></head>") === "T &amp; U",
+      "title is raw — entities left as written")
+    assert(title("<title lang=\"en\">multi\nline</title>") === "multi\nline")
+    assert(title("<p>no title</p>") === "")
+  }
 }

@@ -185,4 +185,76 @@ object Vocabulary {
     filter(split(merged, java.util.regex.Pattern.quote(dsep)),
       x => length(x) > 0)
   }
+
+  /** Zipf-law audit — the corpus-health screen on top of [[buildVocab]]:
+    * natural language puts token frequency ≈ C·rank^(−s) with s near 1,
+    * so the OLS fit of ln(count) on ln(rank) over the top-V vocabulary
+    * should show slope ≈ −1 with high r². Template-heavy, deduplicated-
+    * to-death, or synthetic corpora bend the curve (|slope| drifts, r²
+    * drops) — a one-row early-warning audit before training.
+    *
+    * Shape: the only fact-scale work is [[buildVocab]]'s single token
+    * aggregation; the fit runs on V rows through
+    * [[ColumnStats.groupRegression]]'s exact quantized-moment discipline
+    * (ln terms 1e-6-quantized — the q48/q94/q98 replay contract).
+    * Output: (v, slope, intercept, r2); intercept is ln C.
+    */
+  def zipfAudit(docs: DataFrame, topV: Int,
+                textCol: String = "text"): DataFrame =
+    ColumnStats.groupRegression(
+      buildVocab(docs, topV, textCol)
+        .select(lit(1).as("g"),
+          log(col("id").cast("double")).as("lnr"),
+          log(col("n").cast("double")).as("lnc")),
+      Seq("g"), "lnr", "lnc", xScale = 1e6, yScale = 1e6)
+      .select(col("n").as("v"), col("slope"), col("intercept"), col("r2"))
+
+  /** [[zipfAudit]]'s DuckDB replay: the same top-V cut and rank order,
+    * the same 1e-6 ln quantization, and [[ColumnStats.groupRegression]]'s
+    * identically-parenthesized fit formula (slopeQ textually repeated —
+    * SQL has no lets — but identical expressions over identical doubles
+    * evaluate identically).
+    */
+  def zipfOracleSql(topV: Int, table: String = "documents",
+                    textCol: String = "text"): String = {
+    val n = "CAST(n AS DOUBLE)"
+    val sx = "CAST(sx AS DOUBLE)"
+    val sy = "CAST(sy AS DOUBLE)"
+    val sxx = "CAST(sxx AS DOUBLE)"
+    val syy = "CAST(syy AS DOUBLE)"
+    val sxy = "CAST(sxy AS DOUBLE)"
+    val varx = s"$n * $sxx - $sx * $sx"
+    val vary = s"$n * $syy - $sy * $sy"
+    val cov = s"$n * $sxy - $sx * $sy"
+    val slopeQ = s"($cov) / ($varx)"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split($textCol, ' ')) AS token FROM $table
+       |), c AS (
+       |  SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+       |), top AS (
+       |  SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT $topV
+       |), pts AS (
+       |  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (
+       |           ORDER BY n DESC, token ASC) AS DOUBLE)) * 1e6)
+       |           AS BIGINT) AS x,
+       |         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |  FROM top
+       |), m AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |         CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |         CAST(SUM(y * y) AS BIGINT) AS syy,
+       |         CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM pts
+       |)
+       |SELECT n AS v,
+       |       CASE WHEN ($varx) > 0
+       |            THEN ($slopeQ) * (1000000.0 / 1000000.0) END AS slope,
+       |       CASE WHEN ($varx) > 0
+       |            THEN (($sy - ($slopeQ) * $sx) / $n) / 1000000.0
+       |            END AS intercept,
+       |       CASE WHEN ($varx) > 0 AND ($vary) > 0
+       |            THEN (($cov) * ($cov)) / (($varx) * ($vary)) END AS r2
+       |FROM m""".stripMargin
+  }
 }

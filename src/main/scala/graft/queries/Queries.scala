@@ -3017,6 +3017,17 @@ object Queries {
            |FROM h""".stripMargin
       }),
 
+    // ── Q153: Zipf-law audit ([[graft.operators.Vocabulary.zipfAudit]])
+    //          — the one-row corpus-health screen: OLS of ln(count) on
+    //          ln(rank) over the top-V vocabulary; natural corpora give
+    //          slope ≈ −1 with high r², template-heavy or synthetic ones
+    //          bend the curve. One fact-scale token aggregation, then a
+    //          V-row fit under the exact quantized-moment discipline. ────
+    QueryDef("q153_zipf_audit",
+      (s, dir) => graft.operators.Vocabulary.zipfAudit(
+        t(s, dir, "documents"), topV = 256),
+      Some(graft.operators.Vocabulary.zipfOracleSql(256))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

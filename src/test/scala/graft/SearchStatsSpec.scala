@@ -426,6 +426,27 @@ class SearchStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Vocabulary.buildVocab(docs, 0))
   }
 
+  test("zipfAudit: exact power-law corpus fits slope ~ -1 with high r2; " +
+    "uniform counts degenerate to slope 0 / null r2") {
+    import graft.operators.Vocabulary
+    // token t_i appears round(720/i) times: a perfect s=1 power law up
+    // to count rounding
+    val words = (1 to 12).flatMap(i =>
+      Seq.fill(math.round(720.0 / i).toInt)(s"t$i"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = Vocabulary.zipfAudit(docs, topV = 12).head()
+    assert(fit.getLong(0) === 12L)
+    assert(math.abs(fit.getDouble(1) - (-1.0)) < 0.02,
+      s"power-law slope, got ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.999, s"r2, got ${fit.getDouble(3)}")
+    // intercept is ln C: C = 720
+    assert(math.abs(fit.getDouble(2) - math.log(720.0)) < 0.05)
+    val flat = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val f = Vocabulary.zipfAudit(flat, topV = 3).head()
+    assert(f.getDouble(1) === 0.0, "equal counts: zero slope")
+    assert(f.isNullAt(3), "zero count variance: r2 undefined")
+  }
+
   test("joinKeySkew: hand-built hot key yields exact skew, hot count, " +
     "and suggested salt") {
     import graft.operators.ColumnStats

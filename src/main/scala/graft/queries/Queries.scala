@@ -3028,6 +3028,44 @@ object Queries {
         t(s, dir, "documents"), topV = 256),
       Some(graft.operators.Vocabulary.zipfOracleSql(256))),
 
+    // ── Q154: right-to-be-forgotten erasure
+    //          ([[graft.operators.TableMerge.purgeKeys]]) — the GDPR
+    //          deletion path proven THROUGH storage: events copied into a
+    //          hive-partitioned table, one hash bucket of users purged
+    //          (partition-scoped rewrite, emptied partitions deleted
+    //          explicitly), then the surviving table READ BACK and
+    //          aggregated. The oracle aggregates `events` minus the same
+    //          md5-bucket users — equality proves the on-disk purge
+    //          removed exactly the targeted rows and nothing else. ───────
+    QueryDef("q154_erasure",
+      (s, dir) => {
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft-purge-q154"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val ev = t(s, dir, "events")
+        ev.write.partitionBy("event_type").parquet(base)
+        val erase = ev.select(col("user_id")).distinct()
+          .filter(Sampling.hashBucket(
+            col("user_id").cast("string"), 37) === 0)
+        graft.operators.TableMerge.purgeKeys(s, base, erase,
+          Seq("user_id"), "event_type")
+        s.read.parquet(base).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT * FROM events
+             |  WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+             |             1, 8)) AS BIGINT) % 37 <> 0
+             |)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |       COUNT(DISTINCT user_id) AS n_users,
+             |       CAST(SUM(ROUND(value*100)) AS BIGINT) AS value_cents
+             |FROM kept GROUP BY 1""".stripMargin)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

@@ -119,4 +119,37 @@ class TableMergeSpec extends SparkSpec {
       TableMerge.upsertPartitioned(spark, dir,
         df.drop("p"), Seq("id"), "p"))
   }
+
+  test("purgeKeys: only keyed rows die, untouched partitions keep " +
+    "byte-identical files, emptied partitions disappear, idempotent") {
+    val dir = tmpDir("graft-purge") + "/table"
+    Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1),
+      (5L, "e", 2))                       // p=2 holds ONLY id 5
+      .toDF("id", "v", "p").write.partitionBy("p").parquet(dir)
+    val before = fileState(dir)
+    val erase = Seq(1L, 5L, 99L).toDF("id")   // 99 hits nothing
+    val audit = TableMerge.purgeKeys(spark, dir, erase, Seq("id"), "p")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map("0" -> 1L, "2" -> 1L))
+    val left = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left === Set((2L, "b"), (3L, "c"), (4L, "d")))
+    assert(!new java.io.File(dir, "p=2").exists(),
+      "a fully-purged partition must not keep its old files")
+    val after = fileState(dir)
+    val p1 = before.keys.filter(_.contains("p=1"))
+    assert(p1.nonEmpty && p1.forall(k => after.get(k) === before.get(k)),
+      "partition without hits is untouched on disk")
+    assert(before.keys.filter(_.contains("p=0"))
+      .forall(k => !after.contains(k)), "hit partition was rewritten")
+    // idempotent: nothing left to purge, no partition touched
+    val again = fileState(dir)
+    assert(TableMerge.purgeKeys(spark, dir, erase, Seq("id"), "p")
+      .count() === 0L)
+    assert(fileState(dir) === again)
+    intercept[IllegalArgumentException](
+      TableMerge.purgeKeys(spark, dir, erase, Seq.empty, "p"))
+    intercept[IllegalArgumentException](
+      TableMerge.purgeKeys(spark, dir, Seq(1).toDF("p"), Seq("p"), "p"))
+  }
 }

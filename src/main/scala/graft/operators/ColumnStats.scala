@@ -419,6 +419,65 @@ object ColumnStats {
        |         AS suggested_salt
        |FROM c, t GROUP BY n_rows, n_keys, mx""".stripMargin
 
+  /** Join-cardinality preflight — [[joinKeySkew]]'s two-sided sibling,
+    * the estimate that decides whether a join is SAFE to run before a
+    * 100 TB shuffle commits you: the exact inner-join output size is
+    * Σ_k cnt_a(k)·cnt_b(k), computable from two key-sized count
+    * aggregations and one key-sized join — thousands of times cheaper
+    * than the join it predicts (the fact tables shuffle (key, count)
+    * partials, never rows). One diagnosis row:
+    * (n_left, n_right, keys_left, keys_right, keys_matched, out_rows,
+    * max_key_out, amplification), where amplification =
+    * out_rows / max(n_left, n_right) (1e-6-quantized) — > 1 means the
+    * join EXPANDS and downstream operators size accordingly.
+    *
+    * Exact long arithmetic throughout; overflow bound: Σ cnt_a·cnt_b
+    * < 2⁶³ — past ~9.2e18 predicted rows the JOIN is the problem, not
+    * the counter.
+    */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      key: String): DataFrame = {
+    val ca = left.groupBy(col(key).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(key).as("k")).agg(count(lit(1)).as("cb"))
+    val la = ca.agg(sum(col("ca")).as("n_left"),
+      count(lit(1)).as("keys_left"))
+    val lb = cb.agg(sum(col("cb")).as("n_right"),
+      count(lit(1)).as("keys_right"))
+    ca.join(cb, Seq("k"), "inner")
+      .agg(count(lit(1)).as("keys_matched"),
+        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("out_rows"),
+        coalesce(max(col("ca") * col("cb")), lit(0L)).as("max_key_out"))
+      .crossJoin(broadcast(la)).crossJoin(broadcast(lb))
+      .select(col("n_left"), col("n_right"), col("keys_left"),
+        col("keys_right"), col("keys_matched"), col("out_rows"),
+        col("max_key_out"),
+        (round(col("out_rows").cast("double") /
+          greatest(col("n_left"), col("n_right")) * 1e6) / 1e6)
+          .as("amplification"))
+  }
+
+  /** [[joinCardinality]]'s DuckDB replay. */
+  def joinCardinalityOracleSql(leftTable: String, rightTable: String,
+                               key: String): String =
+    s"""WITH a AS (SELECT $key AS k, COUNT(*) AS ca FROM $leftTable
+       |           GROUP BY 1),
+       |b AS (SELECT $key AS k, COUNT(*) AS cb FROM $rightTable GROUP BY 1),
+       |ta AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_left,
+       |              COUNT(*) AS keys_left FROM a),
+       |tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_right,
+       |              COUNT(*) AS keys_right FROM b),
+       |j AS (SELECT COUNT(*) AS keys_matched,
+       |             CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS out_rows,
+       |             CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT)
+       |               AS max_key_out
+       |      FROM a JOIN b USING (k))
+       |SELECT n_left, n_right, keys_left, keys_right, keys_matched,
+       |       out_rows, max_key_out,
+       |       round(CAST(out_rows AS DOUBLE)
+       |             / greatest(n_left, n_right) * 1e6) / 1e6
+       |         AS amplification
+       |FROM j, ta, tb""".stripMargin
+
   /** Per-group Gini coefficient of a non-negative integer measure — the
     * concentration/inequality audit (is one source hogging the corpus
     * bytes?): G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over each group's ascending

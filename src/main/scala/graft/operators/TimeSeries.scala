@@ -203,6 +203,53 @@ object TimeSeries {
         (col("__s") > lit(thresholdCents) * col("__n")).as("alarm"): _*)
   }
 
+  /** First-order event-transition matrix — the behavioral model behind
+    * next-event prediction and funnel design: per key (user), order
+    * events by (ts, tieBreak) and count every adjacent (state → next)
+    * pair, then normalize rows to transition probabilities. `tieBreak`
+    * makes the per-key order TOTAL, so tied timestamps produce the same
+    * pairs on any engine/partitioning — the [[Scd.scd2]] tie discipline.
+    *
+    * Output: (cur, next, n, p) with p = n / Σ_next n, 1e-6-quantized.
+    * Scale shape: one keyed lead window (one Exchange), one map-side-
+    * combined pair count on ≤ |states|² keys, one states-sized window
+    * for the row normalization — the fact table never shuffles twice.
+    */
+  def transitionMatrix(df: DataFrame, keys: Seq[String], ts: Column,
+                       state: Column, tieBreak: Column): DataFrame = {
+    require(keys.nonEmpty, "transitionMatrix needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tb"))
+    val pairs = df
+      .select(keys.map(col) :+ ts.as("__t") :+ tieBreak.as("__tb") :+
+        state.as("cur"): _*)
+      .withColumn("next", lead(col("cur"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col("cur"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wc) * 1e6) / 1e6)
+  }
+
+  /** DuckDB replay of [[transitionMatrix]] over
+    * `table`(`keyCol`, `tsCol`, `stateCol`, `tieCol`). */
+  def transitionOracleSql(table: String, keyCol: String, tsCol: String,
+                          stateCol: String, tieCol: String): String =
+    s"""WITH s AS (
+       |  SELECT $stateCol AS cur,
+       |         LEAD($stateCol) OVER (PARTITION BY $keyCol
+       |           ORDER BY $tsCol, $tieCol) AS next
+       |  FROM $table
+       |), c AS (
+       |  SELECT cur, next, COUNT(*) AS n FROM s
+       |  WHERE next IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT cur, next, n,
+       |       round(CAST(n AS DOUBLE)
+       |             / CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT)
+       |             * 1e6) / 1e6 AS p
+       |FROM c""".stripMargin
+
   /** DuckDB replay of [[cusumShift]]: the same daily cent quantization,
     * the same n-scaled integer deviations, the same reflection identity
     * through two stacked windows. Interior window sums are cast back to

@@ -3066,6 +3066,36 @@ object Queries {
              |       CAST(SUM(ROUND(value*100)) AS BIGINT) AS value_cents
              |FROM kept GROUP BY 1""".stripMargin)),
 
+    // ── Q155: join-cardinality preflight
+    //          ([[graft.operators.ColumnStats.joinCardinality]]) — q143's
+    //          two-sided sibling: the EXACT inner-join output size
+    //          Σ cnt_a·cnt_b from two key-sized count aggregations and a
+    //          key-sized join, thousands of times cheaper than the join
+    //          it predicts. events ⋈ events on user_id — the self-join
+    //          every retention/funnel query is about to run. ─────────────
+    QueryDef("q155_join_cardinality",
+      (s, dir) => graft.operators.ColumnStats.joinCardinality(
+        t(s, dir, "events"),
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id"),
+      Some(graft.operators.ColumnStats.joinCardinalityOracleSql(
+        "events",
+        "(SELECT * FROM events WHERE event_type = 'purchase') AS p",
+        "user_id"))),
+
+    // ── Q156: event-transition matrix
+    //          ([[graft.operators.TimeSeries.transitionMatrix]]) — the
+    //          first-order behavioral model: per-user (ts, event_id)-
+    //          ordered adjacent event pairs counted into a |states|²
+    //          matrix with 1e-6-quantized row-normalized probabilities;
+    //          one keyed lead window + one map-side-combined count. ──────
+    QueryDef("q156_transitions",
+      (s, dir) => graft.operators.TimeSeries.transitionMatrix(
+        t(s, dir, "events"), Seq("user_id"), col("ts"),
+        col("event_type"), col("event_id")),
+      Some(graft.operators.TimeSeries.transitionOracleSql(
+        "events", "user_id", "ts", "event_type", "event_id"))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

@@ -447,6 +447,28 @@ class SearchStatsSpec extends SparkSpec {
     assert(f.isNullAt(3), "zero count variance: r2 undefined")
   }
 
+  test("joinCardinality: exact output-size prediction, matched keys, " +
+    "per-key maximum, amplification") {
+    import graft.operators.ColumnStats
+    val left = Seq(1, 1, 1, 2, 2, 3, 9).map(k => (k, "l")).toDF("k", "v")
+    val right = Seq(1, 1, 2, 4).map(k => (k, "r")).toDF("k", "v")
+    val r = ColumnStats.joinCardinality(left, right, "k").head()
+    // out = 3*2 (k=1) + 2*1 (k=2) = 8; keys 3/9 and 4 unmatched
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((7L, 4L, 4L, 3L)))
+    assert(r.getLong(4) === 2L, "matched keys")
+    assert(r.getLong(5) === 8L, "exact inner-join row count")
+    assert(r.getLong(6) === 6L, "hottest key's output")
+    assert(math.abs(r.getDouble(7) - 8.0 / 7.0) < 1e-6)
+    // the prediction IS the join's count
+    assert(left.join(right, "k").count() === 8L)
+    // disjoint keys: everything zero, no null leaks
+    val r0 = ColumnStats.joinCardinality(left,
+      Seq((100, "x")).toDF("k", "v"), "k").head()
+    assert(r0.getLong(4) === 0L && r0.getLong(5) === 0L &&
+      r0.getLong(6) === 0L && r0.getDouble(7) === 0.0)
+  }
+
   test("joinKeySkew: hand-built hot key yields exact skew, hot count, " +
     "and suggested salt") {
     import graft.operators.ColumnStats

@@ -246,4 +246,33 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.cusumShift(df, Seq("k"), col("ts"), col("value"), 0L, 0L))
   }
+
+  test("transitionMatrix: adjacent pairs per key in (ts, tie) order, " +
+    "row-normalized probabilities, tie-break total order, invariance") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      ("u1", t(1), 1L, "view"), ("u1", t(2), 2L, "view"),
+      ("u1", t(3), 3L, "click"), ("u1", t(4), 4L, "view"),
+      // u2 has a TIED timestamp: order decided by the id tie-break
+      ("u2", t(5), 6L, "click"), ("u2", t(5), 5L, "view"),
+      ("u3", t(9), 7L, "buy")) // single event: no pair
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.transitionMatrix(df, Seq("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    val got = run(ev)
+    // pairs: u1 view->view, view->click, click->view; u2 view->click
+    // (id 5 before id 6 despite equal ts)
+    assert(got === Set(
+      ("view", "view", 1L, 1.0 / 3),
+      ("view", "click", 2L, 2.0 / 3),
+      ("click", "view", 1L, 1.0)).map { case (a, b, n, p) =>
+      (a, b, n, math.round(p * 1e6) / 1e6.toDouble) })
+    assert(run(ev.repartition(5)) === got,
+      "the matrix is a pure function of the ordered event values")
+    intercept[IllegalArgumentException](TimeSeries.transitionMatrix(
+      ev, Seq.empty, col("ts"), col("event_type"), col("event_id")))
+  }
 }

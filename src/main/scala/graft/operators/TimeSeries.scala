@@ -250,6 +250,67 @@ object TimeSeries {
        |             * 1e6) / 1e6 AS p
        |FROM c""".stripMargin
 
+  /** [[cusumShift]] against an EXPLICIT reference level instead of the
+    * key's own mean — classic CUSUM with a known target μ0 (the form a
+    * monitor runs when the healthy level is configured, and the form a
+    * STREAM can run: the self-referenced variant needs the series' whole
+    * history for its mean, a target needs none). Deviations are plain
+    * longs (`vc − target − slack`, no n-scaling needed), the same
+    * reflection identity distributes the recurrence, and
+    * [[graft.streaming.StreamingEvents.cusumStream]] is spec-pinned to
+    * replay equal to this batch form.
+    */
+  def cusumShiftTarget(df: DataFrame, keys: Seq[String], ts: Column,
+                       value: Column, targetCents: Long, slackCents: Long,
+                       thresholdCents: Long): DataFrame = {
+    require(keys.nonEmpty, "cusumShiftTarget needs at least one key column")
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents > 0,
+      s"thresholdCents must be > 0, got $thresholdCents")
+    val daily = df
+      .groupBy(keys.map(col) :+ to_date(ts).as("__day"): _*)
+      .agg(sum(round(value * 100)).cast("long").as("__vc"))
+    val wPre = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("__p",
+        sum(col("__vc") - lit(targetCents + slackCents)).over(wPre))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(wPre)))
+      .select(keys.map(col) :+
+        date_format(col("__day"), "yyyy-MM-dd").as("day") :+
+        (col("__vc") / 100.0).as("v") :+
+        round(col("__s") / 100.0, 6).as("cusum") :+
+        (col("__s") > lit(thresholdCents)).as("alarm"): _*)
+  }
+
+  /** DuckDB replay of [[cusumShiftTarget]] — plain-long deviations, the
+    * same stacked-window reflection identity. */
+  def cusumTargetOracleSql(table: String, keyCol: String, tsCol: String,
+                           valueCol: String, targetCents: Long,
+                           slackCents: Long, thresholdCents: Long): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), pre AS (
+       |  SELECT $keyCol, d, vc,
+       |         CAST(SUM(vc - ${targetCents + slackCents}) OVER (
+       |           PARTITION BY $keyCol ORDER BY d
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |  FROM daily
+       |), mm AS (
+       |  SELECT $keyCol, d, vc, p,
+       |         p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (
+       |           PARTITION BY $keyCol ORDER BY d
+       |           ROWS UNBOUNDED PRECEDING)) AS s
+       |  FROM pre
+       |)
+       |SELECT $keyCol, strftime(d, '%Y-%m-%d') AS day, vc/100.0 AS v,
+       |       ROUND(s/100.0, 6) AS cusum,
+       |       s > $thresholdCents AS alarm
+       |FROM mm""".stripMargin
+
   /** DuckDB replay of [[cusumShift]]: the same daily cent quantization,
     * the same n-scaled integer deviations, the same reflection identity
     * through two stacked windows. Interior window sums are cast back to

@@ -3096,6 +3096,22 @@ object Queries {
       Some(graft.operators.TimeSeries.transitionOracleSql(
         "events", "user_id", "ts", "event_type", "event_id"))),
 
+    // ── Q157: target-referenced CUSUM
+    //          ([[graft.operators.TimeSeries.cusumShiftTarget]]) — q149's
+    //          form with a CONFIGURED reference level (classic Page
+    //          CUSUM): plain-long deviations, same reflection identity;
+    //          this is the form the streaming monitor replays equal to
+    //          (StreamingSpec's stream=batch contract). ──────────────────
+    QueryDef("q157_cusum_target",
+      (s, dir) => graft.operators.TimeSeries.cusumShiftTarget(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+        targetCents = 300000L, slackCents = 20000L,
+        thresholdCents = 100000L),
+      Some(graft.operators.TimeSeries.cusumTargetOracleSql(
+        "events", "event_type", "ts", "value",
+        targetCents = 300000L, slackCents = 20000L,
+        thresholdCents = 100000L))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

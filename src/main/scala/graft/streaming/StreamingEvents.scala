@@ -745,4 +745,81 @@ object StreamingEvents {
         out.iterator
       }
   }
+
+  /** A key's CUSUM state: per-day partial cent sums still inside the
+    * watermark horizon, plus the running statistic over finalized days.
+    */
+  case class CusumState(partials: Map[Long, Long], s: Long)
+  /** One finalized day of a monitored series. */
+  case class CusumPoint(key: String, day: String, v: Double,
+                        cusum: Double, alarm: Boolean)
+
+  /** Continuous CUSUM level-shift monitoring — the streaming form of
+    * [[graft.operators.TimeSeries.cusumShiftTarget]] (the TARGET-referenced
+    * variant: a stream cannot know a series' own final mean, a configured
+    * reference needs no history). Daily cent sums accumulate as per-day
+    * partials in keyed state; when the watermark passes a day's end, that
+    * day FINALIZES: its deviation `vc − target − slack` folds into the
+    * recurrence `S ← max(0, S + dev)` and one [[CusumPoint]] emits, days
+    * strictly ascending per key — exactly the batch fold order, which is
+    * what makes bounded replay equal the batch operator (spec-pinned).
+    *
+    * State bounds: per key, the partials map holds only days not yet
+    * behind the watermark (≈ lateness/1 day + 1 entries); the running S
+    * is one long and persists across silence — a quiet series resumes
+    * where it left off, it does not reset. Rows later than the watermark
+    * are dropped by the operator, and a day can only finalize once:
+    * every surviving row's day strictly postdates the watermark, so it
+    * can never land on an already-finalized day.
+    */
+  def cusumStream(events: DataFrame, keyCol: String, valueCol: String,
+                  targetCents: Long, slackCents: Long, thresholdCents: Long,
+                  watermark: String = "10 minutes"): Dataset[CusumPoint] = {
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents > 0,
+      s"thresholdCents must be > 0, got $thresholdCents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermark)
+      .select(col(keyCol).cast("string").as("k"), col("ts"),
+        round(col(valueCol) * 100).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          var st = state.getOption.getOrElse(CusumState(Map.empty, 0L))
+          if (!state.hasTimedOut) {
+            // per-day partial sums: addition is order-free, so replayed
+            // epochs fold identically whatever the row order
+            val partials = rows.foldLeft(st.partials) {
+              case (m, (_, t, vc)) =>
+                val d = Math.floorDiv(t.getTime, DayMs) * DayMs
+                m.updated(d, m.getOrElse(d, 0L) + vc)
+            }
+            st = st.copy(partials = partials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = st.partials.partition {
+            case (d, _) => d + DayMs <= wm
+          }
+          var s = st.s
+          val out = ripe.toSeq.sortBy(_._1).map { case (d, vc) =>
+            s = math.max(0L, s + (vc - targetCents - slackCents))
+            // BigDecimal HALF_UP to match Spark's round(col, 6) exactly
+            CusumPoint(key,
+              java.time.LocalDate.ofEpochDay(d / DayMs).toString,
+              vc / 100.0,
+              BigDecimal(s / 100.0).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              s > thresholdCents)
+          }
+          state.update(CusumState(pending, s))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.keys.min + DayMs, wm + 1))
+          out.iterator
+      }
+  }
 }

@@ -826,4 +826,52 @@ class StreamingSpec extends SparkSpec {
       .select("psi").head().getDouble(0)
     assert(alerts(ts("2024-01-01 11:00:00")) === want)
   }
+
+  test("streaming CUSUM: out-of-order multi-batch replay equals the batch " +
+    "target-referenced operator; running S survives silent gaps") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingEvents.cusumStream(
+        stream.toDF().toDF("ts", "k", "value"),
+        keyCol = "k", valueCol = "value",
+        targetCents = 10000L, slackCents = 1000L, thresholdCents = 5000L,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("cusum_pts")
+      .outputMode("append").start()
+    // two keys, three days, rows out of order WITHIN the watermark; "a"
+    // skips day 2 entirely (a silent gap the statistic must survive)
+    val rows = Seq(
+      (ts("2024-01-01 09:00:00"), "a", 80.0),
+      (ts("2024-01-01 15:00:00"), "a", 45.0),   // day1 a: 125 > 110
+      (ts("2024-01-01 12:00:00"), "b", 90.0),   // day1 b: 90 < 110
+      (ts("2024-01-03 10:00:00"), "a", 200.0),  // day3 a: alarm territory
+      (ts("2024-01-02 11:00:00"), "b", 115.0),
+      (ts("2024-01-02 13:30:00"), "b", 40.0),   // day2 b: 155
+      (ts("2024-01-03 09:00:00"), "b", 110.0))
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+      // sentinel on its own key, far enough to finalize every real day
+      stream.addData(Seq((ts("2024-01-10 00:00:00"), "zz", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-11 00:00:00"), "zz", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_pts")
+      .filter(col("key") =!= "zz")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val batch = graft.operators.TimeSeries.cusumShiftTarget(
+      rows.toDF("ts", "k", "value"), Seq("k"), col("ts"), col("value"),
+      targetCents = 10000L, slackCents = 1000L, thresholdCents = 5000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      s"stream must equal batch; stream=$streamed batch=$batch")
+    // the crafted shift really alarms (S(a) after day 3: 15+90 = 105 > 50)
+    assert(streamed.exists(p => p._1 == "a" && p._2 == "2024-01-03" && p._5))
+    assert(streamed.count(_._1 == "a") === 2, "a's silent day emits nothing")
+  }
 }

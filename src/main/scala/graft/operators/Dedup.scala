@@ -820,4 +820,85 @@ object Dedup {
        |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
        |       MAX(e) - MIN(s) + 1 AS span_tokens
        |FROM islands GROUP BY doc_id, island""".stripMargin
+
+  /** MinHash estimator calibration — the "trust your dedup" audit run
+    * BEFORE betting a 100 TB dedup pass on a signature size: for a
+    * deterministic sample of document pairs, compare the MinHash
+    * similarity ESTIMATE (agreeing permutation lanes / numPerms — an
+    * unbiased Jaccard estimator, Broder 1997) against the EXACT shingle
+    * Jaccard, bucketed by exact-similarity decile. A well-sized signature
+    * shows avg_est ≈ avg_exact per decile with √(j(1−j)/numPerms) spread;
+    * systematic bias says the permutation count (or the shingle cap) is
+    * wrong for this corpus.
+    *
+    * Two pair populations, tagged in the output — estimator behavior
+    * differs exactly where each matters:
+    *  - `candidate`: LSH-banded candidate pairs (the high-similarity
+    *    region where dedup DECISIONS happen);
+    *  - `background`: hash-sampled documents paired within small
+    *    hash-buckets (the dissimilar mass, where a biased estimator would
+    *    create false merges). Sampling and pairing are md5-bucket
+    *    deterministic, so the audit replays on any engine/partitioning.
+    *
+    * Exactness discipline: per-pair lane agreements are integers, exact
+    * Jaccards quantize to 1e-6 longs BEFORE averaging, so per-decile
+    * averages are order-free integer sums divided once (1e-6-quantized).
+    *
+    * Scale shape: one posting list feeds signatures AND the exact-overlap
+    * verify; candidates come from the banded equi-join (never all-pairs);
+    * the background cross-pairing is confined INSIDE md5 hash-buckets of
+    * the sampled docs (expected bucket size = |sample|/pairBuckets — a
+    * bounded, distributed quadratic, not a cartesian); the verify fans
+    * candidates out by one side's capped shingles only.
+    *
+    * Output: (tag, decile 0–9, n_pairs, avg_est, avg_exact).
+    */
+  def minhashCalibration(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, backgroundMod: Int = 2, pairBuckets: Int = 16,
+      maxDf: Int = DefaultMaxShingleDf,
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = Md5PermHash)
+      : DataFrame = {
+    require(backgroundMod >= 1, s"backgroundMod must be >= 1, got $backgroundMod")
+    require(pairBuckets >= 1, s"pairBuckets must be >= 1, got $pairBuckets")
+    val sh = graft.CacheRegistry.persist(postingList(docs, n, maxDf))
+    val sig = graft.CacheRegistry.persist(sizedSignatures(sh, numPerms, permHash))
+    val cand = minhashCandidates(sig, numPerms, bands)
+      .select(lit("candidate").as("tag"), col("i"), col("j"))
+    val sampled = sig.select(col("doc_id"),
+        Sampling.hashBucket(concat(lit("cal:"),
+          col("doc_id").cast("string")), backgroundMod).as("__keep"),
+        Sampling.hashBucket(concat(lit("pb:"),
+          col("doc_id").cast("string")), pairBuckets).as("__pb"))
+      .filter(col("__keep") === 0)
+    val background = sampled.as("a").join(sampled.as("b"),
+        col("a.__pb") === col("b.__pb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(lit("background").as("tag"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val pairs = cand.unionByName(background)
+    val laneEq = (0 until numPerms)
+      .map(p => when(col(s"a.mh$p") === col(s"b.mh$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), col("i") === col("a.doc_id"))
+      .join(sig.as("b"), col("j") === col("b.doc_id"))
+      .select(col("tag"), col("i"), col("j"), laneEq.as("eq"),
+        col("a.sz").as("ni"), col("b.sz").as("nj"))
+    val common = pairs.select("i", "j").distinct()
+      .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+    est.join(common, Seq("i", "j"), "left")
+      .withColumn("__c", coalesce(col("common"), lit(0L)))
+      .withColumn("__jacq", round(col("__c").cast("double") /
+        (col("ni") + col("nj") - col("__c")) * 1e6).cast("long"))
+      .withColumn("decile",
+        least((col("__jacq") / 100000L).cast("int"), lit(9)))
+      .groupBy(col("tag"), col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("eq")) * lit(1000000L) /
+          (lit(numPerms.toLong) * count(lit(1)))) / 1e6).as("avg_est"),
+        (round(sum(col("__jacq")).cast("double") / count(lit(1))) / 1e6)
+          .as("avg_exact"))
+  }
 }

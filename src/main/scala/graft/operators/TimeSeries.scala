@@ -346,4 +346,97 @@ object TimeSeries {
        |       ROUND(s/(100.0*n), 6) AS cusum,
        |       s > $thresholdCents*n AS alarm
        |FROM mm""".stripMargin
+
+  /** EWMA control chart (Roberts 1959) with λ = 1/2, the small-shift
+    * monitor that complements [[cusumShift]]'s sustained-shift alarm:
+    * each day's smoothed level is the geometric-decay weighted mean of
+    * the most recent `span` observed days,
+    * `ewma_t = Σ_{j<span} 2^(span−1−j)·x_{t−j} / Σ 2^(span−1−j)`,
+    * and the alarm fires when the level drifts more than
+    * `thresholdCents` from the key's own mean.
+    *
+    * Truncating at `span` steps is what makes the chart EXACT: the
+    * weights an untruncated double EWMA would still assign beyond step
+    * `span` are below 2^(1−span) (one part in 32k at the default 16) —
+    * smaller than double rounding noise — and dropping them turns every
+    * numerator/denominator into an order-free INTEGER sum of cent-
+    * quantized longs, so the statistic replays bit-for-bit on any
+    * engine/partitioning. The lag terms all ride ONE keyed window
+    * (shared Exchange + sort with the mean windows); the alarm compares
+    * cross-multiplied longs (`|num·n − T·den| > threshold·n·den`), so no
+    * division touches the decision. Overflow bound: |vc|max·2^span·n
+    * < 2⁶³ — at span=16, a decade of days leaves ~$3.8e8/day per key.
+    *
+    * Output: (keys…, day 'yyyy-MM-dd', v, ewma 1e-6-quantized, alarm).
+    * Scale shape: one map-side-combined daily aggregation (fact-scale),
+    * then keys×days rows through a single Exchange.
+    */
+  def ewmaChart(df: DataFrame, keys: Seq[String], ts: Column,
+                value: Column, span: Int = 16,
+                thresholdCents: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "ewmaChart needs at least one key column")
+    require(span >= 2 && span <= 32, s"span must be in [2, 32], got $span")
+    require(thresholdCents >= 0,
+      s"thresholdCents must be >= 0, got $thresholdCents")
+    val daily = df
+      .groupBy(keys.map(col) :+ to_date(ts).as("__day"): _*)
+      .agg(sum(round(value * 100)).cast("long").as("__vc"))
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
+    val wAll = base.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def weight(j: Int): Long = 1L << (span - 1 - j)
+    val num = (0 until span).map(j =>
+      coalesce(lag(col("__vc"), j).over(base) * weight(j), lit(0L)))
+      .reduce(_ + _)
+    val den = (0 until span).map(j =>
+      when(lag(col("__vc"), j).over(base).isNotNull, lit(weight(j)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    daily
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("__vc")).over(wAll))
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .select(keys.map(col) :+
+        date_format(col("__day"), "yyyy-MM-dd").as("day") :+
+        (col("__vc") / 100.0).as("v") :+
+        (round(col("__num") / (col("__den") * 100.0) * 1e6) / 1e6)
+          .as("ewma") :+
+        (abs(col("__num") * col("__n") - col("__t") * col("__den")) >
+          lit(thresholdCents) * col("__n") * col("__den")).as("alarm"): _*)
+  }
+
+  /** DuckDB replay of [[ewmaChart]]: the same lag terms, integer weights,
+    * and cross-multiplied alarm comparison (interior sums cast back to
+    * BIGINT — the [[cusumOracleSql]] HUGEINT discipline).
+    */
+  def ewmaOracleSql(table: String, keyCol: String, tsCol: String,
+                    valueCol: String, span: Int = 16,
+                    thresholdCents: Long = 0L): String = {
+    def weight(j: Int): Long = 1L << (span - 1 - j)
+    val over = s"OVER (PARTITION BY $keyCol ORDER BY d)"
+    val num = (0 until span)
+      .map(j => s"COALESCE(LAG(vc, $j) $over * ${weight(j)}, 0)")
+      .mkString(" + ")
+    val den = (0 until span)
+      .map(j => s"CASE WHEN LAG(vc, $j) $over IS NOT NULL " +
+        s"THEN ${weight(j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT $keyCol, d, vc,
+       |         COUNT(*) OVER (PARTITION BY $keyCol) AS n,
+       |         CAST(SUM(vc) OVER (PARTITION BY $keyCol) AS BIGINT) AS t,
+       |         CAST($num AS BIGINT) AS num,
+       |         CAST($den AS BIGINT) AS den
+       |  FROM daily
+       |)
+       |SELECT $keyCol, strftime(d, '%Y-%m-%d') AS day, vc/100.0 AS v,
+       |       ROUND(num/(den*100.0)*1e6)/1e6 AS ewma,
+       |       ABS(num*n - t*den) > $thresholdCents*n*den AS alarm
+       |FROM lagged""".stripMargin
+  }
 }

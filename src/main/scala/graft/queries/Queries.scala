@@ -3112,6 +3112,59 @@ object Queries {
         targetCents = 300000L, slackCents = 20000L,
         thresholdCents = 100000L))),
 
+    // ── Q158: Bloom-pruned join ([[graft.operators.BloomJoin]]) — the
+    //          scan-side membership pre-filter for a non-broadcastable
+    //          dimension: the dimension's keys build a 2^16-bit Bloom
+    //          bitset in ONE distributed bit_or aggregation (driver
+    //          state = 1024 longs, never the key count), fact rows probe
+    //          it as a pure scan expression BEFORE the join shuffle, and
+    //          the equi-join removes the false positives — so the result
+    //          (and the oracle) is exactly the plain join, aggregated.
+    //          The Bloom stage changes only where non-matching rows die:
+    //          in the scan instead of across the network. ────────────────
+    QueryDef("q158_bloom_join",
+      (s, dir) => graft.operators.BloomJoin.prunedJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey"),
+          "o_custkey", "c_custkey", numBits = 1 << 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          centSum(col("o_totalprice")).as("revenue")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |       SUM(ROUND(o_totalprice * 100)) / 100 AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1""".stripMargin)),
+
+    // ── Q159: EWMA control chart
+    //          ([[graft.operators.TimeSeries.ewmaChart]]) — the small-
+    //          shift drift monitor beside q149/q157's CUSUM: geometric-
+    //          decay weighted mean over the last 16 observed days as
+    //          order-free INTEGER numerator/denominator sums (truncated
+    //          weights < 2^-15 are below double noise), alarm by cross-
+    //          multiplied long comparison against the key's own mean —
+    //          no division in the decision, bit-replayable anywhere. ─────
+    QueryDef("q159_ewma",
+      (s, dir) => graft.operators.TimeSeries.ewmaChart(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+        span = 16, thresholdCents = 50000L),
+      Some(graft.operators.TimeSeries.ewmaOracleSql(
+        "events", "event_type", "ts", "value",
+        span = 16, thresholdCents = 50000L))),
+
+    // ── Q160: MinHash estimator calibration
+    //          ([[graft.operators.Dedup.minhashCalibration]]) — the audit
+    //          run before betting a 100 TB dedup on a signature size:
+    //          lane-agreement estimate vs exact Jaccard per similarity
+    //          decile, over LSH candidate pairs (where decisions happen)
+    //          ∪ md5-bucketed background pairs (where bias would create
+    //          false merges). Integer lane counts and 1e-6-quantized
+    //          Jaccards make the per-decile averages order-free. ─────────
+    QueryDef("q160_minhash_calibration",
+      (s, dir) => Dedup.minhashCalibration(t(s, dir, "documents")),
+      Some(calibrationOracleSql)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve
@@ -4066,6 +4119,87 @@ object Queries {
   private lazy val minhashOracleSql: String =
     s"""WITH ${minhashPairCtes("documents", 0.8)}
        |SELECT i, j, jac FROM verified""".stripMargin
+
+  /** q160's oracle: [[graft.operators.Dedup.minhashCalibration]] replayed —
+    * the [[minhashPairCtes]] shingle/signature/banding construction (same
+    * md5 lane hash, same df cap), candidate pairs ∪ md5-bucket background
+    * pairs, per-pair lane agreement vs exact Jaccard, per-decile integer
+    * averaging. Interior sums cast to BIGINT (HUGEINT discipline).
+    */
+  private lazy val calibrationOracleSql: String = {
+    val numPerms = 16
+    val bands = 4
+    val rows = numPerms / bands
+    val backgroundMod = 2
+    val pairBuckets = 16
+    def h(p: Int) =
+      s"CAST(('0x' || substring(md5('${p / 4}|' || s), ${1 + 8 * (p % 4)}, 8)) AS BIGINT)"
+    val minCols = (0 until numPerms).map(p => s"MIN(${h(p)}) AS mh$p")
+      .mkString(",\n         ")
+    val bandArms = (0 until bands).map { b =>
+      val rs = (0 until rows).map(r => s"mh${b * rows + r} AS r$r").mkString(", ")
+      s"  SELECT doc_id, $b AS band, $rs FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val eq = (0 until numPerms)
+      .map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def bucket(prefix: String, m: Int) =
+      s"CAST(('0x' || substr(md5('$prefix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $m"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh0 AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+       |  WHERE len(t) >= 3
+       |), keep AS (
+       |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+       |), sh AS (
+       |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $minCols,
+       |         COUNT(*) AS sz
+       |  FROM sh GROUP BY 1
+       |), banded AS (
+       |$bandArms
+       |), cand AS (
+       |  SELECT DISTINCT 'candidate' AS tag, a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+       |   AND a.r2 = b.r2 AND a.r3 = b.r3 AND a.doc_id < b.doc_id
+       |), samp AS (
+       |  SELECT doc_id, ${bucket("pb:", pairBuckets)} AS pb
+       |  FROM sig WHERE ${bucket("cal:", backgroundMod)} = 0
+       |), bg AS (
+       |  SELECT 'background' AS tag, a.doc_id AS i, b.doc_id AS j
+       |  FROM samp a JOIN samp b ON a.pb = b.pb AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT * FROM cand UNION ALL SELECT * FROM bg
+       |), pd AS (
+       |  SELECT DISTINCT i, j FROM pairs
+       |), cmn AS (
+       |  SELECT pd.i, pd.j, COUNT(*) AS common
+       |  FROM pd
+       |  JOIN sh x ON x.doc_id = pd.i
+       |  JOIN sh y ON y.doc_id = pd.j AND y.s = x.s
+       |  GROUP BY 1, 2
+       |), q AS (
+       |  SELECT p.tag, ($eq) AS eq,
+       |         CAST(round(CAST(COALESCE(c.common, 0) AS DOUBLE)
+       |                    / (a.sz + b.sz - COALESCE(c.common, 0)) * 1e6)
+       |              AS BIGINT) AS jacq
+       |  FROM pairs p
+       |  JOIN sig a ON p.i = a.doc_id
+       |  JOIN sig b ON p.j = b.doc_id
+       |  LEFT JOIN cmn c ON p.i = c.i AND p.j = c.j
+       |)
+       |SELECT tag, CAST(LEAST(CAST(jacq / 100000 AS INT), 9) AS INT) AS decile,
+       |       COUNT(*) AS n_pairs,
+       |       round(CAST(SUM(eq) AS BIGINT) * 1000000
+       |             / ($numPerms * COUNT(*))) / 1e6 AS avg_est,
+       |       round(CAST(SUM(jacq) AS DOUBLE) / COUNT(*)) / 1e6 AS avg_exact
+       |FROM q GROUP BY 1, 2""".stripMargin
+  }
 
   /** q40's oracle: the full corpus-dedup composition — exact collapse to
     * min-id representatives, the near-dup pipeline over the REPS, then

@@ -275,4 +275,51 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.transitionMatrix(
       ev, Seq.empty, col("ts"), col("event_type"), col("event_id")))
   }
+
+  test("ewmaChart: lag-window form equals the sequential truncated EWMA, " +
+    "alarms track the shift faster than they clear, repartition-invariant") {
+    val vals = Seq(100.0, 102.0, 98.0, 101.0, 99.0, 100.0, 103.0, 97.0,
+      100.0, 100.0, 160.0, 158.0, 162.0, 161.0, 159.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val span = 4
+    // the chart is two-sided around the key's OWN mean (≈ $120 here,
+    // pulled up by the shifted tail), so the quiet regime sits ~$20
+    // below it — $25 is the threshold that separates regimes
+    val h = 2500L
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewmaChart(d, Seq("k"), col("ts"), col("value"), span, h)
+        .collect().map(r => (r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    val got = run(df)
+    // the sequential reference: integer-weighted mean over the trailing
+    // `span` observed days, alarm by the same cross-multiplied compare
+    val vc = vals.map(v => math.round(v * 100))
+    val n = vc.size.toLong
+    val tot = vc.sum
+    val want = vc.indices.map { i =>
+      val js = (0 until span).filter(_ <= i)
+      val num = js.map(j => vc(i - j) * (1L << (span - 1 - j))).sum
+      val den = js.map(j => 1L << (span - 1 - j)).sum
+      (f"2024-01-${i + 1}%02d", vc(i) / 100.0,
+        math.round(num / (den * 100.0) * 1e6) / 1e6,
+        math.abs(num * n - tot * den) > h * n * den)
+    }
+    assert(got.map(t => (t._1, t._2, t._4)) ===
+      want.map(t => (t._1, t._2, t._4)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-9, s"ewma at ${g._1}") }
+    // quiet regime stays inside the limits; the level shift is flagged by
+    // the second shifted day at the latest (λ=1/2 halves the gap daily)
+    assert(got.take(10).forall(!_._4), "no alarm during the quiet regime")
+    assert(got.drop(11).forall(_._4), "shifted regime stays flagged")
+    assert(run(df.repartition(7)) === got,
+      "the chart is a pure function of the daily values")
+    intercept[IllegalArgumentException](TimeSeries.ewmaChart(
+      df, Seq.empty, col("ts"), col("value"), span, h))
+    intercept[IllegalArgumentException](TimeSeries.ewmaChart(
+      df, Seq("k"), col("ts"), col("value"), 1, h))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-free table fingerprinting — the migration-verification primitive:
+  * prove two copies of a table (old engine vs new, pre-migration vs post,
+  * region A vs region B) hold EXACTLY the same rows without sorting,
+  * shipping, or even co-locating them. Each row canonicalizes to a
+  * delimited string, hashes to a 63-bit value through md5 lanes
+  * ([[graft.functions.Md5Lanes]] — engine-portable, DuckDB replays it as
+  * `md5()` substrings), and the table collapses to THREE order-free
+  * aggregates:
+  *
+  *  - `n_rows`    — count;
+  *  - `xor_digest` — bit_xor of row hashes: commutative/associative, so
+  *    any partitioning and any accumulation order agree; detects any
+  *    single-row change;
+  *  - `sum_digest` — modular sum (mod 1e9+7) of row hashes: catches the
+  *    classes XOR is blind to (a row duplicated an even number of times,
+  *    paired insert/delete of identical rows).
+  *
+  * Comparing tables = comparing one row of three longs per side. At
+  * 100 TB that is ONE scan per copy with map-side-combined aggregation —
+  * no sort, no shuffle of data rows, a one-row result. [[digestByGroup]]
+  * keys the same digests by a partition column, so a mismatch localizes
+  * to the partition that diverged (re-digest at finer grain to binary-
+  * search the bad rows) — the audit loop a 100 TB migration actually
+  * runs.
+  *
+  * Canonicalization contract: every column is rendered
+  * `coalesce(CAST(c AS STRING), U+0004)` and joined with U+0001. Callers
+  * pass columns whose string form is engine-stable (integers, strings,
+  * dates, decimals; for doubles pass an explicit quantized cast) — the
+  * same discipline every oracle-checked query in this engine already
+  * follows.
+  */
+object TableDigest {
+
+  private val Mod = 1000000007L
+
+  /** 63-bit row hash: md5 lanes 1..2 of the canonicalized row string,
+    * packed as (lane1 << 31) xor lane2 — stays in [0, 2^63) so BIGINT
+    * arithmetic can't overflow on either engine.
+    */
+  private def rowHash(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "digest needs at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0004"))): _*)
+    val lanes = graft.functions.GraftFunctions.md5_lanes(canon)
+    shiftleft(element_at(lanes, 1), 31)
+      .bitwiseXOR(element_at(lanes, 2))
+  }
+
+  /** One digest row (n_rows, xor_digest, sum_digest) for the whole frame. */
+  def digest(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      call_function("bit_xor", rowHash(cols)).as("xor_digest"),
+      (sum(rowHash(cols) % Mod) % Mod).as("sum_digest"))
+
+  /** Per-group digests — localize a table mismatch to the partition that
+    * diverged. One map-side-combined aggregation keyed by `groupCols`.
+    */
+  def digestByGroup(df: DataFrame, groupCols: Seq[String],
+                    cols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "digestByGroup needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        call_function("bit_xor", rowHash(cols)).as("xor_digest"),
+        (sum(rowHash(cols) % Mod) % Mod).as("sum_digest"))
+  }
+
+  /** DuckDB replay of [[digestByGroup]]: the same canonicalization
+    * (chr(1) joins, chr(4) nulls), the same two md5 lanes, the same
+    * 63-bit pack and modular sum. `colSqls` must render each column
+    * exactly as Spark's CAST-to-string does (identity for VARCHAR,
+    * CAST(... AS VARCHAR) for integers/dates).
+    */
+  def digestByGroupOracleSql(table: String, groupCols: Seq[String],
+                             colSqls: Seq[String]): String = {
+    val canon = colSqls
+      .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(4))")
+      .mkString(" || chr(1) || ")
+    def lane(i: Int) =
+      s"CAST(('0x' || substring(md5(s), ${1 + 8 * i}, 8)) AS BIGINT)"
+    val gs = groupCols.mkString(", ")
+    s"""WITH canon AS (
+       |  SELECT $gs, $canon AS s FROM $table
+       |), hashed AS (
+       |  SELECT $gs, xor(${lane(0)} << 31, ${lane(1)}) AS rh FROM canon
+       |)
+       |SELECT $gs, COUNT(*) AS n_rows,
+       |       CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
+       |       CAST(SUM(rh % $Mod) AS BIGINT) % $Mod AS sum_digest
+       |FROM hashed GROUP BY $gs""".stripMargin
+  }
+}

@@ -3165,6 +3165,30 @@ object Queries {
       (s, dir) => Dedup.minhashCalibration(t(s, dir, "documents")),
       Some(calibrationOracleSql)),
 
+    // ── Q161: order-free table digest
+    //          ([[graft.operators.TableDigest.digestByGroup]]) — the
+    //          migration-verification primitive: per-returnflag
+    //          (n_rows, bit_xor, modular-sum) of 63-bit md5-lane row
+    //          hashes over canonicalized rows. Proves two table copies
+    //          are equal row-for-row with ONE scan each and a 3-long result
+    //          per partition — no sort, no data shuffle; a mismatch
+    //          localizes to its partition. Doubles enter via explicit
+    //          integral casts (the cent discipline), so rendering is
+    //          engine-stable; here the ORACLE is the second engine. ──────
+    QueryDef("q161_table_digest",
+      (s, dir) => graft.operators.TableDigest.digestByGroup(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd"))),
+      Some(graft.operators.TableDigest.digestByGroupOracleSql(
+        "lineitem", Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber",
+          "CAST(l_quantity AS BIGINT)",
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
+          "strftime(l_shipdate, '%Y-%m-%d')")))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

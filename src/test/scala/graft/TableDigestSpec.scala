@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TableDigest
+
+/** [[graft.operators.TableDigest]]: digests must be a pure function of the
+  * row MULTISET (order/partitioning-free), any single-row mutation must
+  * flip them, and the two checksums must cover each other's blind spots.
+  */
+class TableDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 30L),
+    (4L, "delta", 40L), (5L, null.asInstanceOf[String], 50L))
+    .toDF("id", "name", "v")
+
+  private def cols = Seq(col("id"), col("name"), col("v"))
+
+  private def dig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val r = TableDigest.digest(df, cols).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("digest is order- and partitioning-invariant") {
+    val a = dig(base)
+    assert(a == dig(base.repartition(7)))
+    assert(a == dig(base.orderBy(col("v").desc)))
+    assert(a._1 == 5L)
+  }
+
+  test("any single-row mutation flips both checksums") {
+    val a = dig(base)
+    val mutated = base.withColumn("v",
+      when(col("id") === 3L, 31L).otherwise(col("v")))
+    val b = dig(mutated)
+    assert(a._1 == b._1 && a._2 != b._2 && a._3 != b._3)
+  }
+
+  test("pair duplication: xor is blind, count and sum catch it") {
+    val dup = base.unionAll(base.filter(col("id") === 2L))
+      .unionAll(base.filter(col("id") === 2L))
+    val a = dig(base)
+    val b = dig(dup)
+    assert(b._2 == a._2, "xor of a row added twice cancels — the blind spot")
+    assert(b._1 == a._1 + 2 && b._3 != a._3, "count and modular sum catch it")
+  }
+
+  test("null and empty string digest differently") {
+    val withEmpty = base.withColumn("name",
+      when(col("id") === 5L, lit("")).otherwise(col("name")))
+    assert(dig(base) != dig(withEmpty))
+  }
+
+  test("digestByGroup localizes a mutation to its group") {
+    val df = base.withColumn("g", when(col("id") <= 2L, "p1").otherwise("p2"))
+    val mutated = df.withColumn("v",
+      when(col("id") === 1L, 11L).otherwise(col("v")))
+    def byG(d: org.apache.spark.sql.DataFrame) =
+      TableDigest.digestByGroup(d, Seq("g"), cols).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    val (a, b) = (byG(df), byG(mutated))
+    assert(a("p2") == b("p2"), "untouched group digest unchanged")
+    assert(a("p1") != b("p1"), "mutated group digest flips")
+  }
+
+  test("digest needs at least one column") {
+    intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
+    intercept[IllegalArgumentException](
+      TableDigest.digestByGroup(base, Seq.empty, cols))
+  }
+}

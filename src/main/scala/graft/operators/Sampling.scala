@@ -94,6 +94,85 @@ object Sampling {
       .drop("stratum", "keep_buckets")
   }
 
+  /** Temperature-based mixture resampling — [[mixtureResample]] with the
+    * target shares DERIVED from the corpus itself: each stratum's share is
+    * its natural proportion raised to α = alphaQuarters/4 (the multilingual
+    * training-mix standard, e.g. Conneau & Lample 2019 §3.1 / Arivazhagan
+    * et al. 2019 §4: α < 1 flattens the mix so head languages stop
+    * drowning the tail), then the same keep-as-much-as-possible
+    * hash-downsampling hits those shares.
+    *
+    * Engine-exactness is why α is a DYADIC rational (quarters): p^(1/4),
+    * p^(1/2), p^(3/4) compose from `sqrt` and one multiply — both
+    * correctly-rounded IEEE operations that every engine computes
+    * bit-identically — where a general `pow(p, α)` differs in the last
+    * ulp across libm implementations and would poison the keep-bucket
+    * rounding. Same 100 TB shape as [[mixtureResample]]: stratum counts,
+    * one-row scale, broadcast rates, pushed-down scan filter; the fact
+    * table never shuffles.
+    */
+  def temperatureResample(df: DataFrame, stratum: Column, key: Column,
+                          alphaQuarters: Int = 2,
+                          buckets: Int = 10000): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1..3 (alpha = 1/4, 1/2, 3/4), got $alphaQuarters")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("tot"))
+    val p = col("cnt").cast("double") / col("tot")
+    val share = alphaQuarters match {
+      case 1 => sqrt(sqrt(p))
+      case 2 => sqrt(p)
+      case 3 => sqrt(p) * sqrt(sqrt(p))
+    }
+    val weighted = counts.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("cnt"), share.as("share"))
+    val scale = weighted.agg(min(col("cnt") / col("share")).as("scale"))
+    val rates = weighted.crossJoin(broadcast(scale))
+      .select(col("stratum"),
+        round(col("share") * col("scale") / col("cnt") * buckets)
+          .cast("long").as("keep_buckets"))
+    df.join(broadcast(rates), stratum === rates("stratum"))
+      .filter(hashBucket(concat(stratum, lit(":"), key.cast("string")), buckets)
+        < col("keep_buckets"))
+      .drop("stratum", "keep_buckets")
+  }
+
+  /** DuckDB replay of [[temperatureResample]] over `table`: identical
+    * sqrt-composed share, identical scale/rate arithmetic and operand
+    * order, identical md5 keep-bucket decision.
+    */
+  def temperatureOracleSql(table: String, stratumCol: String,
+                           keyCol: String, alphaQuarters: Int = 2,
+                           buckets: Int = 10000,
+                           selectCols: String = "*"): String = {
+    val share = alphaQuarters match {
+      case 1 => "sqrt(sqrt(p))"
+      case 2 => "sqrt(p)"
+      case 3 => "sqrt(p) * sqrt(sqrt(p))"
+    }
+    s"""WITH counts AS (
+       |  SELECT $stratumCol AS stratum, COUNT(*) AS cnt FROM $table GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts
+       |), w AS (
+       |  SELECT stratum, cnt, $share AS share
+       |  FROM (SELECT stratum, cnt, CAST(cnt AS DOUBLE) / tot AS p
+       |        FROM counts, tot)
+       |), s AS (
+       |  SELECT MIN(cnt / share) AS scale FROM w
+       |), rates AS (
+       |  SELECT stratum, CAST(round(share * scale / cnt * $buckets) AS BIGINT)
+       |           AS keep_buckets
+       |  FROM w, s
+       |)
+       |SELECT $selectCols
+       |FROM $table d JOIN rates r ON d.$stratumCol = r.stratum
+       |WHERE CAST(('0x' || substr(md5(d.$stratumCol || ':' ||
+       |        CAST(d.$keyCol AS VARCHAR)), 1, 8)) AS BIGINT) % $buckets
+       |      < r.keep_buckets""".stripMargin
+  }
+
   /** Per-group document cap: keep at most `n` rows of each group, chosen
     * in deterministic hash order (md5 of the key, key tie-break) — the
     * "no single domain exceeds N documents" guard, with a selection that

@@ -3189,6 +3189,20 @@ object Queries {
           "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
           "strftime(l_shipdate, '%Y-%m-%d')")))),
 
+    // ── Q162: temperature-based mixture resampling
+    //          ([[graft.operators.Sampling.temperatureResample]]) — q59
+    //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the
+    //          multilingual flattening standard. α is dyadic so the
+    //          share composes from correctly-rounded sqrt — engine-exact
+    //          where libm pow is not. Fact table never shuffles: counts,
+    //          one-row scale, broadcast rates, pushed-down md5 filter. ───
+    QueryDef("q162_temperature_resample",
+      (s, dir) => Sampling.temperatureResample(
+          t(s, dir, "documents"), col("lang"), col("doc_id"))
+        .select("doc_id", "lang", "source"),
+      Some(Sampling.temperatureOracleSql("documents", "lang", "doc_id",
+        selectCols = "d.doc_id, d.lang, d.source"))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

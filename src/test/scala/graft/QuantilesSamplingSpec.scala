@@ -110,6 +110,44 @@ class QuantilesSamplingSpec extends SparkSpec {
       Sampling.mixtureResample(docs, Seq.empty, col("lang"), col("doc_id")))
   }
 
+  test("temperatureResample: flattens toward uniform, keeps the binding " +
+    "stratum, partitioning-invariant") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.temperatureResample(docs, col("lang"), col("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totB = before.values.sum.toDouble
+    val totA = after.values.sum.toDouble
+    // α = 1/2 targets share ∝ √p: every stratum's kept share must sit
+    // closer to its √p-flattened target than its natural share did —
+    // head languages shrink, tail languages gain relative weight
+    val z = before.values.map(c => math.sqrt(c / totB)).sum
+    before.keys.foreach { l =>
+      val natural = before(l) / totB
+      val target = math.sqrt(natural) / z
+      val kept = after.getOrElse(l, 0L) / totA
+      assert(math.abs(kept - target) < 0.05,
+        s"$l kept share $kept vs temperature target $target")
+    }
+    // the binding stratum keeps ~everything (downsample-only contract)
+    val binding = before.keys.minBy(l =>
+      before(l) / (math.sqrt(before(l) / totB) / z))
+    assert(after(binding).toDouble / before(binding) > 0.95,
+      s"binding stratum $binding lost data")
+    val a = Sampling.temperatureResample(docs, col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureResample(docs.repartition(7),
+        col("lang"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must be partitioning-invariant")
+    intercept[IllegalArgumentException](Sampling.temperatureResample(
+      docs, col("lang"), col("doc_id"), alphaQuarters = 0))
+    intercept[IllegalArgumentException](Sampling.temperatureResample(
+      docs, col("lang"), col("doc_id"), alphaQuarters = 4))
+  }
+
   test("capPerGroup: at most n per group, deterministic across partitionings") {
     val docs = Tables.table(spark, sf0001, "documents")
     val capped = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 3)

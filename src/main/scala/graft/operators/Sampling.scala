@@ -123,7 +123,7 @@ object Sampling {
     val share = alphaQuarters match {
       case 1 => sqrt(sqrt(p))
       case 2 => sqrt(p)
-      case 3 => sqrt(p) * sqrt(sqrt(p))
+      case _ => sqrt(p) * sqrt(sqrt(p))
     }
     val weighted = counts.crossJoin(broadcast(tot))
       .select(col("stratum"), col("cnt"), share.as("share"))
@@ -149,7 +149,7 @@ object Sampling {
     val share = alphaQuarters match {
       case 1 => "sqrt(sqrt(p))"
       case 2 => "sqrt(p)"
-      case 3 => "sqrt(p) * sqrt(sqrt(p))"
+      case _ => "sqrt(p) * sqrt(sqrt(p))"
     }
     s"""WITH counts AS (
        |  SELECT $stratumCol AS stratum, COUNT(*) AS cnt FROM $table GROUP BY 1

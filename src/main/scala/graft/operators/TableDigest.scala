@@ -72,6 +72,27 @@ object TableDigest {
         (sum(rowHash(cols) % Mod) % Mod).as("sum_digest"))
   }
 
+  /** Merge per-batch digest frames into the digest of the union — the
+    * incremental-maintenance half of the audit: all three aggregates are
+    * abelian (count adds, xor xors, modular sum adds mod p), so a standing
+    * table's digest updates from each append's OWN digest without ever
+    * rescanning history, and shard digests computed independently (other
+    * cluster, other engine, other continent) roll up exactly.
+    * `merge(digestByGroup(part_i)) ≡ digestByGroup(∪ part_i)` bit-for-bit
+    * (spec-pinned). Input frames must share the (groupCols…, n_rows,
+    * xor_digest, sum_digest) shape [[digestByGroup]] emits.
+    */
+  def mergeDigests(parts: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeDigests needs at least one digest frame")
+    require(groupCols.nonEmpty, "mergeDigests needs at least one group column")
+    parts.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        call_function("bit_xor", col("xor_digest")).as("xor_digest"),
+        (sum(col("sum_digest")) % Mod).as("sum_digest"))
+  }
+
   /** DuckDB replay of [[digestByGroup]]: the same canonicalization
     * (chr(1) joins, chr(4) nulls), the same two md5 lanes, the same
     * 63-bit pack and modular sum. `colSqls` must render each column

@@ -371,19 +371,14 @@ object TimeSeries {
     * Scale shape: one map-side-combined daily aggregation (fact-scale),
     * then keys×days rows through a single Exchange.
     */
-  def ewmaChart(df: DataFrame, keys: Seq[String], ts: Column,
-                value: Column, span: Int = 16,
-                thresholdCents: Long = 0L): DataFrame = {
-    require(keys.nonEmpty, "ewmaChart needs at least one key column")
+  private def ewmaCore(df: DataFrame, keys: Seq[String], ts: Column,
+                       value: Column, span: Int): DataFrame = {
+    require(keys.nonEmpty, "ewma chart needs at least one key column")
     require(span >= 2 && span <= 32, s"span must be in [2, 32], got $span")
-    require(thresholdCents >= 0,
-      s"thresholdCents must be >= 0, got $thresholdCents")
     val daily = df
       .groupBy(keys.map(col) :+ to_date(ts).as("__day"): _*)
       .agg(sum(round(value * 100)).cast("long").as("__vc"))
     val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
-    val wAll = base.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     def weight(j: Int): Long = 1L << (span - 1 - j)
     val num = (0 until span).map(j =>
       coalesce(lag(col("__vc"), j).over(base) * weight(j), lit(0L)))
@@ -392,24 +387,85 @@ object TimeSeries {
       when(lag(col("__vc"), j).over(base).isNotNull, lit(weight(j)))
         .otherwise(lit(0L)))
       .reduce(_ + _)
-    daily
+    daily.withColumn("__num", num).withColumn("__den", den)
+  }
+
+  private def ewmaSelect(core: DataFrame, keys: Seq[String],
+                         alarm: Column): DataFrame =
+    core.select(keys.map(col) :+
+      date_format(col("__day"), "yyyy-MM-dd").as("day") :+
+      (col("__vc") / 100.0).as("v") :+
+      (round(col("__num") / (col("__den") * 100.0) * 1e6) / 1e6)
+        .as("ewma") :+
+      alarm.as("alarm"): _*)
+
+  def ewmaChart(df: DataFrame, keys: Seq[String], ts: Column,
+                value: Column, span: Int = 16,
+                thresholdCents: Long = 0L): DataFrame = {
+    require(thresholdCents >= 0,
+      s"thresholdCents must be >= 0, got $thresholdCents")
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
+    val wAll = base.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val core = ewmaCore(df, keys, ts, value, span)
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__t", sum(col("__vc")).over(wAll))
-      .withColumn("__num", num)
-      .withColumn("__den", den)
-      .select(keys.map(col) :+
-        date_format(col("__day"), "yyyy-MM-dd").as("day") :+
-        (col("__vc") / 100.0).as("v") :+
-        (round(col("__num") / (col("__den") * 100.0) * 1e6) / 1e6)
-          .as("ewma") :+
-        (abs(col("__num") * col("__n") - col("__t") * col("__den")) >
-          lit(thresholdCents) * col("__n") * col("__den")).as("alarm"): _*)
+    ewmaSelect(core, keys,
+      abs(col("__num") * col("__n") - col("__t") * col("__den")) >
+        lit(thresholdCents) * col("__n") * col("__den"))
+  }
+
+  /** [[ewmaChart]] against a CONFIGURED reference level instead of the
+    * key's own mean — the classic control-chart form (limits around a
+    * known in-control target) and the form a STREAMING monitor can
+    * replay exactly, since the target needs no full-series pass
+    * ([[graft.streaming.StreamingEvents.ewmaStream]] holds the stream =
+    * batch contract against this). Alarm compares plain longs:
+    * `|num − target·den| > threshold·den`.
+    */
+  def ewmaChartTarget(df: DataFrame, keys: Seq[String], ts: Column,
+                      value: Column, span: Int = 16,
+                      targetCents: Long, thresholdCents: Long): DataFrame = {
+    require(thresholdCents >= 0,
+      s"thresholdCents must be >= 0, got $thresholdCents")
+    ewmaSelect(ewmaCore(df, keys, ts, value, span), keys,
+      abs(col("__num") - lit(targetCents) * col("__den")) >
+        lit(thresholdCents) * col("__den"))
   }
 
   /** DuckDB replay of [[ewmaChart]]: the same lag terms, integer weights,
     * and cross-multiplied alarm comparison (interior sums cast back to
     * BIGINT — the [[cusumOracleSql]] HUGEINT discipline).
     */
+  /** DuckDB replay of [[ewmaChartTarget]]. */
+  def ewmaTargetOracleSql(table: String, keyCol: String, tsCol: String,
+                          valueCol: String, span: Int,
+                          targetCents: Long, thresholdCents: Long): String = {
+    def weight(j: Int): Long = 1L << (span - 1 - j)
+    val over = s"OVER (PARTITION BY $keyCol ORDER BY d)"
+    val num = (0 until span)
+      .map(j => s"COALESCE(LAG(vc, $j) $over * ${weight(j)}, 0)")
+      .mkString(" + ")
+    val den = (0 until span)
+      .map(j => s"CASE WHEN LAG(vc, $j) $over IS NOT NULL " +
+        s"THEN ${weight(j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT $keyCol, d, vc,
+       |         CAST($num AS BIGINT) AS num,
+       |         CAST($den AS BIGINT) AS den
+       |  FROM daily
+       |)
+       |SELECT $keyCol, strftime(d, '%Y-%m-%d') AS day, vc/100.0 AS v,
+       |       ROUND(num/(den*100.0)*1e6)/1e6 AS ewma,
+       |       ABS(num - $targetCents*den) > $thresholdCents*den AS alarm
+       |FROM lagged""".stripMargin
+  }
+
   def ewmaOracleSql(table: String, keyCol: String, tsCol: String,
                     valueCol: String, span: Int = 16,
                     thresholdCents: Long = 0L): String = {

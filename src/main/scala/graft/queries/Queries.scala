@@ -3203,6 +3203,21 @@ object Queries {
       Some(Sampling.temperatureOracleSql("documents", "lang", "doc_id",
         selectCols = "d.doc_id, d.lang, d.source"))),
 
+    // ── Q163: target-referenced EWMA chart
+    //          ([[graft.operators.TimeSeries.ewmaChartTarget]]) — q159's
+    //          smoothing against a CONFIGURED reference level (the
+    //          classic control-chart form, and the one the streaming
+    //          monitor replays equal to — StreamingSpec's stream=batch
+    //          contract, like q157 for CUSUM). Alarm compares plain
+    //          longs: |num − target·den| > threshold·den. ────────────────
+    QueryDef("q163_ewma_target",
+      (s, dir) => graft.operators.TimeSeries.ewmaChartTarget(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+        span = 16, targetCents = 300000L, thresholdCents = 50000L),
+      Some(graft.operators.TimeSeries.ewmaTargetOracleSql(
+        "events", "event_type", "ts", "value",
+        span = 16, targetCents = 300000L, thresholdCents = 50000L))),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

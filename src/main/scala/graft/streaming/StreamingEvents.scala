@@ -822,4 +822,84 @@ object StreamingEvents {
           out.iterator
       }
   }
+
+  /** A key's EWMA state: per-day partial cent sums still inside the
+    * watermark horizon, plus the last `span − 1` FINALIZED daily values
+    * (most recent first) — the truncated-geometric window's memory.
+    */
+  case class EwmaState(partials: Map[Long, Long], recent: Seq[Long])
+  /** One finalized day of an EWMA-monitored series. */
+  case class EwmaPoint(key: String, day: String, v: Double,
+                       ewma: Double, alarm: Boolean)
+
+  /** Continuous EWMA control-chart monitoring — the streaming form of
+    * [[graft.operators.TimeSeries.ewmaChartTarget]] (target-referenced,
+    * like [[cusumStream]]: a stream cannot know a series' own mean).
+    * Finalization discipline is [[cusumStream]]'s: per-day partials in
+    * keyed state, a day emits when the watermark passes its end, days
+    * strictly ascending per key. Each finalized day joins the front of a
+    * bounded window of the last `span` observed daily values; the
+    * smoothed level is the same integer-weighted mean as the batch
+    * operator (weights 2^(span−1−j)), the division and 1e-6 rounding are
+    * the same double ops, and the alarm compares the same plain longs —
+    * which is why bounded replay equals batch bit-for-bit (spec-pinned).
+    *
+    * State bounds: ≤ span−1 longs of window memory + the in-flight
+    * partials; silence preserves the window (a quiet series resumes,
+    * not resets).
+    */
+  def ewmaStream(events: DataFrame, keyCol: String, valueCol: String,
+                 span: Int, targetCents: Long, thresholdCents: Long,
+                 watermark: String = "10 minutes"): Dataset[EwmaPoint] = {
+    require(span >= 2 && span <= 32, s"span must be in [2, 32], got $span")
+    require(thresholdCents >= 0,
+      s"thresholdCents must be >= 0, got $thresholdCents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermark)
+      .select(col(keyCol).cast("string").as("k"), col("ts"),
+        round(col(valueCol) * 100).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          var st = state.getOption.getOrElse(EwmaState(Map.empty, Seq.empty))
+          if (!state.hasTimedOut) {
+            val partials = rows.foldLeft(st.partials) {
+              case (m, (_, t, vc)) =>
+                val d = Math.floorDiv(t.getTime, DayMs) * DayMs
+                m.updated(d, m.getOrElse(d, 0L) + vc)
+            }
+            st = st.copy(partials = partials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = st.partials.partition {
+            case (d, _) => d + DayMs <= wm
+          }
+          var recent = st.recent
+          val out = ripe.toSeq.sortBy(_._1).map { case (d, vc) =>
+            val window = vc +: recent
+            val num = window.zipWithIndex
+              .map { case (v, j) => v * (1L << (span - 1 - j)) }.sum
+            val den = window.indices.map(j => 1L << (span - 1 - j)).sum
+            recent = window.take(span - 1)
+            // the batch operator's exact double ops + Spark round(double)
+            // semantics (valueOf/HALF_UP — scala BigDecimal(d) matches)
+            val x = num / (den * 100.0) * 1e6
+            EwmaPoint(key,
+              java.time.LocalDate.ofEpochDay(d / DayMs).toString,
+              vc / 100.0,
+              BigDecimal(x).setScale(0,
+                BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6,
+              math.abs(num - targetCents * den) > thresholdCents * den)
+          }
+          state.update(EwmaState(pending, recent))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.keys.min + DayMs, wm + 1))
+          out.iterator
+      }
+  }
 }

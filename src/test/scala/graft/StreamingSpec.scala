@@ -874,4 +874,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == "a" && p._2 == "2024-01-03" && p._5))
     assert(streamed.count(_._1 == "a") === 2, "a's silent day emits nothing")
   }
+
+  test("streaming EWMA: out-of-order multi-batch replay equals the batch " +
+    "target-referenced chart; the window survives silent gaps") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingEvents.ewmaStream(
+        stream.toDF().toDF("ts", "k", "value"),
+        keyCol = "k", valueCol = "value",
+        span = 4, targetCents = 10000L, thresholdCents = 3000L,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ewma_pts")
+      .outputMode("append").start()
+    // same out-of-order shape as the CUSUM contract: "a" skips day 2
+    val rows = Seq(
+      (ts("2024-01-01 09:00:00"), "a", 80.0),
+      (ts("2024-01-01 15:00:00"), "a", 45.0),   // day1 a: 125
+      (ts("2024-01-01 12:00:00"), "b", 90.0),   // day1 b: 90
+      (ts("2024-01-03 10:00:00"), "a", 200.0),  // day3 a: 200 → alarm
+      (ts("2024-01-02 11:00:00"), "b", 115.0),
+      (ts("2024-01-02 13:30:00"), "b", 40.0),   // day2 b: 155 → alarm
+      (ts("2024-01-03 09:00:00"), "b", 110.0))  // day3 b: decays back
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-10 00:00:00"), "zz", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts("2024-01-11 00:00:00"), "zz", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_pts")
+      .filter(col("key") =!= "zz")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val batch = graft.operators.TimeSeries.ewmaChartTarget(
+      rows.toDF("ts", "k", "value"), Seq("k"), col("ts"), col("value"),
+      span = 4, targetCents = 10000L, thresholdCents = 3000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(streamed === batch,
+      s"stream must equal batch; stream=$streamed batch=$batch")
+    // the shift alarms through the smoothing; b's spike day alarms and
+    // its decay day does not (the EWMA forgives faster than CUSUM)
+    assert(streamed.exists(p => p._1 == "a" && p._2 == "2024-01-03" && p._5))
+    assert(streamed.exists(p => p._1 == "b" && p._2 == "2024-01-02" && p._5))
+    assert(streamed.exists(p => p._1 == "b" && p._2 == "2024-01-03" && !p._5))
+  }
 }

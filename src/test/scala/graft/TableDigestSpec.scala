@@ -65,6 +65,26 @@ class TableDigestSpec extends SparkSpec {
     assert(a("p1") != b("p1"), "mutated group digest flips")
   }
 
+  test("mergeDigests: per-batch digests roll up to the whole-table digest " +
+    "bit-for-bit (incremental maintenance algebra)") {
+    val df = graft.sources.Tables.table(spark, sf0001, "lineitem")
+      .limit(2000)
+    val c = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long"))
+    val keys = Seq("l_returnflag")
+    val whole = TableDigest.digestByGroup(df, keys, c).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val parts = (0 until 3).map(b => TableDigest.digestByGroup(
+      df.filter(pmod(col("l_orderkey"), lit(3)) === b), keys, c))
+    val merged = TableDigest.mergeDigests(parts, keys).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(merged == whole)
+    intercept[IllegalArgumentException](
+      TableDigest.mergeDigests(Seq.empty, keys))
+  }
+
   test("digest needs at least one column") {
     intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
     intercept[IllegalArgumentException](

@@ -209,4 +209,42 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** ANN recall audit — the eval loop an approximate index must pass
+    * before it replaces exact search in a pipeline: join an approximate
+    * result list against the exact top-k (both as (vec_id, cos) frames in
+    * their final ranked order, e.g. [[topK]] vs `IVF.neighbors`) and
+    * collapse to ONE row of quality metrics:
+    *
+    *  - `n_overlap` / `recall` — how many true neighbors the index found
+    *    (recall@k, THE standard ANN quality metric — e.g. Jégou et al.
+    *    2011 §V evaluate exactly this);
+    *  - `top1_rr` — reciprocal rank of the TRUE nearest neighbor inside
+    *    the approximate list (1.0 = found first, 0 = missed): ranking
+    *    quality where recall only measures set membership.
+    *
+    * Both inputs are k-row frames by construction, so the rank windows
+    * and the join run on audit-sized data — the expensive parts (the two
+    * searches) keep their own operators' scale shapes. Division results
+    * are 1e-6-quantized for engine replay.
+    */
+  def recallAudit(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val e = exact.select(col("vec_id"), col("cos"))
+      .withColumn("er", row_number().over(w))
+    val a = approx.select(col("vec_id"), col("cos"))
+      .withColumn("ar", row_number().over(w))
+      .select(col("vec_id"), col("ar"))
+    e.join(a, Seq("vec_id"), "left")
+      .agg(
+        count(col("ar")).as("n_overlap"),
+        (round(count(col("ar")) * 1e6 / k) / 1e6).as("recall"),
+        (coalesce(round(lit(1e6) /
+            min(when(col("er") === 1, col("ar")))) / 1e6,
+          lit(0.0))).as("top1_rr"))
+      .select(lit(k).as("k"), col("n_overlap"), col("recall"),
+        col("top1_rr"))
+  }
 }

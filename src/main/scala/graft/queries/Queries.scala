@@ -3218,6 +3218,28 @@ object Queries {
         "events", "event_type", "ts", "value",
         span = 16, targetCents = 300000L, thresholdCents = 50000L))),
 
+    // ── Q164: ANN recall audit ([[graft.operators.Similarity.recallAudit]])
+    //          — the eval loop that gates replacing exact search with an
+    //          index: IVF(nProbe=4)'s top-20 joined against the exact
+    //          cosine top-20 → one row of (k, n_overlap, recall@k,
+    //          top-1 reciprocal rank). The searches keep their own scale
+    //          shapes; the audit join runs on two k-row frames. Oracle
+    //          replays BOTH searches (q19's exact SQL + q38's dynamic
+    //          trained-centroid arms at the narrower probe) and the same
+    //          rank/overlap algebra. ──────────────────────────────────────
+    QueryDef("q164_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        Similarity.recallAudit(
+          Similarity.topK(emb, queryVector(s, dir), 20, excludeId = Some(0L)),
+          graft.operators.IVF.neighbors(emb, idx, queryVector(s, dir), 20,
+            nProbe = 4, excludeId = Some(0L)),
+          k = 20)
+      },
+      None,
+      dynamicOracle = Some(annRecallOracleSql)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve
@@ -4820,6 +4842,55 @@ object Queries {
        |FROM a, q
        |WHERE cid IN (${probes.mkString(", ")})
        |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** q164's oracle: replay BOTH searches — the exact cosine top-20 (q19's
+    * SQL) and the IVF probe at nProbe=4 with the retrained deterministic
+    * index's centroid arms ([[ivfOracleSql]]'s construction) — then the
+    * same rank windows, left join, and quantized recall/RR algebra.
+    */
+  private def annRecallOracleSql(s: SparkSession, dir: String): String = {
+    import graft.operators.IVF
+    val idx = IVF.train(t(s, dir, "embeddings"), k = 16)
+    val probes = IVF.probeIds(idx, queryVector(s, dir), 4)
+    val arms = idx.centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      s"{'d': $c2 - 2.0 * list_inner_product(v, CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT vec_id, ROUND(list_cosine_similarity(v, q.qv), 6) AS cos
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 20
+       |), assigned AS (
+       |  SELECT vec_id, v,
+       |         list_min([
+       |      $arms
+       |    ]).cid AS cid
+       |  FROM e WHERE vec_id <> 0
+       |), approx AS (
+       |  SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cos
+       |  FROM assigned a, q
+       |  WHERE cid IN (${probes.mkString(", ")})
+       |  ORDER BY cos DESC, a.vec_id LIMIT 20
+       |), er AS (
+       |  SELECT vec_id,
+       |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS er
+       |  FROM exact
+       |), ar AS (
+       |  SELECT vec_id,
+       |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS ar
+       |  FROM approx
+       |), j AS (
+       |  SELECT er.vec_id, er.er, ar.ar FROM er LEFT JOIN ar USING (vec_id)
+       |)
+       |SELECT CAST(20 AS INT) AS k,
+       |       COUNT(ar) AS n_overlap,
+       |       ROUND(COUNT(ar) * 1e6 / 20) / 1e6 AS recall,
+       |       COALESCE(ROUND(1e6 /
+       |           MIN(CASE WHEN er = 1 THEN ar END)) / 1e6, 0.0) AS top1_rr
+       |FROM j""".stripMargin
   }
 
   /** q82's oracle: retrain the deterministic index (≡ the one the query

@@ -574,4 +574,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1L) === ((2L, 300L, 3L)))
     assert(got(9L) === ((9L, 5L, 1L)), "singletons keep themselves")
   }
+
+  test("recallAudit: identical lists score 1.0, disjoint score 0, " +
+    "partial overlap counts and ranks exactly") {
+    def ranked(rows: Seq[(Long, Double)]) = rows.toDF("vec_id", "cos")
+    val exact = ranked(Seq(1L -> 0.9, 2L -> 0.8, 3L -> 0.7, 4L -> 0.6))
+    def audit(approx: Seq[(Long, Double)]) =
+      Similarity.recallAudit(exact, ranked(approx), 4).head()
+    val same = audit(Seq(1L -> 0.9, 2L -> 0.8, 3L -> 0.7, 4L -> 0.6))
+    assert((same.getInt(0), same.getLong(1), same.getDouble(2),
+      same.getDouble(3)) === ((4, 4L, 1.0, 1.0)))
+    val none = audit(Seq(10L -> 0.5, 11L -> 0.4, 12L -> 0.3, 13L -> 0.2))
+    assert((none.getLong(1), none.getDouble(2), none.getDouble(3)) ===
+      ((0L, 0.0, 0.0)))
+    // half overlap; the true top-1 sits at approx rank 2 → RR = 0.5
+    val half = audit(Seq(7L -> 0.95, 1L -> 0.9, 3L -> 0.7, 9L -> 0.1))
+    assert((half.getLong(1), half.getDouble(2), half.getDouble(3)) ===
+      ((2L, 0.5, 0.5)))
+    intercept[IllegalArgumentException](
+      Similarity.recallAudit(exact, exact, 0))
+  }
 }

@@ -346,4 +346,29 @@ object Scoring {
           when(col("mx") =!= col("mn"), col("mx") - col("mn")), 6)
           .as("minmax"): _*)
   }
+
+  /** Percentile-rank normalization per group — the calibration step before
+    * MIXING quality scores across heterogeneous sources: a raw score's
+    * scale is source-specific (a web crawl's "good" length is a code
+    * repo's "short"), so a global threshold filters sources unevenly;
+    * ranking each score WITHIN its source maps every group onto the same
+    * [0, 1] scale and a single corpus-wide cut keeps the same top share
+    * of each source. [[standardizeByGroup]] is the parametric flavor
+    * (assumes roughly normal scores); percentile rank is the
+    * distribution-free one.
+    *
+    * `pct` = `percent_rank()` over (group, value asc): (rank − 1) /
+    * (n − 1), ties share the rank of their first member, a single-row
+    * group scores 0 — identical semantics in any SQL engine, and a pure
+    * function of the group's value multiset (partitioning-invariant).
+    * 1e-6-quantized. One keyed window — partitions by group, never
+    * global; a hot group costs one task sorting its own rows.
+    */
+  def percentileNormalize(df: DataFrame, group: Column, value: Column,
+                          keep: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc)
+    df.select(keep.map(col) :+ group.as("grp") :+ value.as("v"): _*)
+      .withColumn("pct", round(percent_rank().over(w) * 1e6) / 1e6)
+  }
 }

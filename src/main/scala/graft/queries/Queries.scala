@@ -3240,6 +3240,53 @@ object Queries {
       None,
       dynamicOracle = Some(annRecallOracleSql)),
 
+    // ── Q165: percentile-rank score normalization
+    //          ([[graft.operators.Scoring.percentileNormalize]]) — the
+    //          distribution-free calibration beside q75's z/min-max:
+    //          token-count scores ranked within each source onto [0, 1],
+    //          so one corpus-wide cut keeps the same top share of every
+    //          source. percent_rank has identical tie/(n−1) semantics in
+    //          any SQL engine; one keyed window, never global. ────────────
+    QueryDef("q165_percentile_norm",
+      (s, dir) => graft.operators.Scoring.percentileNormalize(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " "))),
+        col("source"), col("n_tokens"), keep = Seq("doc_id")),
+      Some("""SELECT doc_id, source AS grp,
+             |       CAST(len(string_split(text, ' ')) AS INT) AS v,
+             |       round(PERCENT_RANK() OVER (
+             |         PARTITION BY source
+             |         ORDER BY len(string_split(text, ' ')) ASC) * 1e6)
+             |         / 1e6 AS pct
+             |FROM documents""".stripMargin)),
+
+    // ── Q166: group-aware (leakage-safe) split — q104's deterministic
+    //          hash-split keyed on the SOURCE instead of the row: every
+    //          document of a source lands in the same train/val/test
+    //          split, so near-duplicates and templates within a source
+    //          can never straddle the eval boundary (the group-level
+    //          split discipline for contamination-free holdouts).
+    //          Same scan-side md5 mechanics ([[graft.operators.Sampling
+    //          .assignSplit]]); the spec-grade invariant (one split per
+    //          source) is visible in the result itself. ───────────────────
+    QueryDef("q166_group_split",
+      (s, dir) => Sampling.assignSplit(
+          t(s, dir, "documents"), col("source"),
+          Seq(("train", 8), ("val", 1), ("test", 1)), buckets = 10)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some("""WITH b AS (
+             |  SELECT source,
+             |         CAST(('0x' || substr(md5(source), 1, 8))
+             |              AS BIGINT) % 10 AS bk
+             |  FROM documents
+             |)
+             |SELECT source,
+             |       CASE WHEN bk < 8 THEN 'train'
+             |            WHEN bk < 9 THEN 'val' ELSE 'test' END AS split,
+             |       COUNT(*) AS n_docs
+             |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ── Q141: Z-order (Morton) curve key ([[graft.sources.ZOrder]]) —
     //          the multi-dimensional data-skipping layout: per-column
     //          fixed-width bucket ranks bit-interleaved into one curve

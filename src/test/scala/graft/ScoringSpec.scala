@@ -177,6 +177,35 @@ class ScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scoring.bigramLogProbScore(docs, kSmooth = 0.0))
   }
+  test("percentileNormalize: hand-checked ranks, tie sharing, single-row " +
+    "group scores 0, partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 1L, 10.0), ("s1", 2L, 20.0), ("s1", 3L, 20.0),
+      ("s1", 4L, 40.0), ("s1", 5L, 50.0),
+      ("s2", 6L, 99.0))
+      .toDF("src", "id", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Scoring.percentileNormalize(
+        d, col("src"), col("score"), keep = Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val got = run(df)
+    // n=5: pct = (rank-1)/4; the 20.0 tie shares rank 2 → 0.25 twice
+    assert(got(1L) == 0.0 && got(2L) == 0.25 && got(3L) == 0.25 &&
+      got(4L) == 0.75 && got(5L) == 1.0)
+    assert(got(6L) == 0.0, "single-row group has no spread; pct = 0")
+    assert(run(df.repartition(5)) == got)
+  }
+
+  test("group-aware split: every row of a group lands in one split") {
+    val docs = Tables("documents")
+    val bad = graft.operators.Sampling.assignSplit(
+        docs, col("source"), Seq(("train", 8), ("val", 1), ("test", 1)), 10)
+      .groupBy("source")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count()
+    assert(bad == 0L, "a source straddling splits would leak near-dups")
+  }
 
   private object Tables {
     def apply(name: String) = graft.sources.Tables.table(spark, sf0001, name)

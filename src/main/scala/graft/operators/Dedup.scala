@@ -627,20 +627,37 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = XxTokenHash)
-      : DataFrame = {
+      : DataFrame =
+    hammingNearDups(
+      simhashSignatures(docs, bits, tokenHash)
+        .select(col("doc_id"), col("simhash")),
+      maxHamming, bits, sigCol = "simhash")
+
+  /** Chunk-bucketed Hamming near-dup pairs over PRECOMPUTED 64-bit-or-less
+    * signatures (`idCol`, `sigCol`) — the signature-agnostic core behind
+    * [[simhashPairs]] (text) and `Multimodal.imageNearDups` (perceptual
+    * dHash). Pigeonhole: a pair within `maxHamming` ≤ 3 differing bits
+    * must agree on at least one of the 4 chunks, so the chunk equi-join
+    * finds EVERY qualifying pair (exact recall, never all-pairs) and the
+    * bit_count verify removes chunk-collision false candidates.
+    */
+  def hammingNearDups(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 64,
+      idCol: String = "doc_id", sigCol: String = "sig"): DataFrame = {
     require(bits % 4 == 0, s"bits must split into 4 equal chunks, got $bits")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole recall over 4 chunks is exact only for maxHamming <= 3, got $maxHamming")
     val chunkBits = bits / 4
     val chunkMask = (1L << chunkBits) - 1
-    val sigs = simhashSignatures(docs, bits, tokenHash)
+    val base = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("__sig"))
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("idx"),
-        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("v")))
-    val bucketed = sigs.select(col("doc_id"), col("simhash"),
+        shiftright(col("__sig"), c * chunkBits).bitwiseAND(lit(chunkMask)).as("v")))
+    val bucketed = base.select(col("doc_id"), col("__sig"),
       explode(array(chunks: _*)).as("ck"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+        col("a.__sig").as("si"), col("b.__sig").as("sj"))
       .distinct()
       .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= maxHamming)

@@ -568,6 +568,89 @@ object Multimodal {
                    grid: Int = 4): DataFrame =
     decodeBatched(df, payloadCol, imageIoDecoder(grid))
 
+  /** Perceptual difference hash (dHash, the standard 64-bit variant —
+    * e.g. Krawetz 2013, "Kind of Like That"): decode, area-average down
+    * to a 9×8 grayscale grid, emit bit (y·8+x) = 1 iff cell (y, x) is
+    * brighter than its right neighbor. Gradient DIRECTION survives
+    * re-encoding, resizing, and brightness/contrast scaling — the
+    * transformations that defeat byte-level dedup of images — so
+    * near-identical images land within a few Hamming bits.
+    *
+    * Exactness: grayscale sums use integer ITU-R 601 weights
+    * (299r + 587g + 114b) accumulated as longs, and the brighter-than
+    * comparison CROSS-MULTIPLIES sums by counts (`sumL·cntR > sumR·cntL`)
+    * so no division ever rounds — the hash is a pure integer function of
+    * the decoded pixels. Images smaller than 9×8 (no meaningful
+    * gradient grid) and undecodable payloads return null.
+    */
+  def dhash64: Array[Byte] => java.lang.Long = { bytes =>
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 9 || img.getHeight < 8) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](8 * 9)
+      val counts = new Array[Long](8 * 9)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val cell = cy * 9 + (x.toLong * 9 / w).toInt
+          val rgb = img.getRGB(x, y)
+          sums(cell) += 299L * ((rgb >> 16) & 0xFF) +
+            587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val l = cy * 9 + cx
+          val r = l + 1
+          if (sums(l) * counts(r) > sums(r) * counts(l))
+            hash |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+  }
+
+  /** [[decodeBatched]]'s plumbing for LONG-valued per-payload hashes:
+    * (doc_id, phash nullable) with the hasher initialized per partition.
+    */
+  def hashBatched(df: DataFrame, payloadCol: String,
+                  hasher: Array[Byte] => java.lang.Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, Option(hasher(bytes)).map(_.longValue))
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Image near-duplicate pairs: [[dhash64]] per payload, then the
+    * chunk-bucketed Hamming join ([[Dedup.hammingNearDups]] — the q24
+    * machinery over precomputed signatures, never all-pairs). Payloads
+    * that do not decode simply produce no pairs. Output (i, j, hamming).
+    */
+  def imageNearDups(df: DataFrame, payloadCol: String = "payload",
+                    maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDups(
+      hashBatched(df, payloadCol, dhash64).filter(col("phash").isNotNull),
+      maxHamming, bits = 64, sigCol = "phash")
+
   /** REAL audio decode via `javax.sound.sampled` — the WAV/AIFF/AU PCM
     * codecs every headless JRE ships (compressed formats — MP3, AAC —
     * have no JDK codec and still route to header decode + the declared

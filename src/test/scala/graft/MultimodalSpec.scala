@@ -422,4 +422,71 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(v - 128f / 255f) < 2f / 255f, s"jpeg gray drifted: $v"))
     assert(out(3L) === None, "undecodable payload must yield null")
   }
+
+  /** Encode an image from a per-pixel RGB function through the JDK PNG
+    * ENCODER (the decode spec above pins the decoder against bytes no JDK
+    * encoder produced; here encoder+decoder round-trip is fine — dHash
+    * tests SEMANTICS of the decoded pixels).
+    */
+  private def makePng(w: Int, h: Int,
+                      f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash64: invariant to resolution and brightness scaling, flips on " +
+    "different content, null on tiny/undecodable payloads") {
+    // base pattern on the 9×8 grid itself: brightness = a mix of x and y
+    // ramps with a diagonal flip, even values so exact halving exists
+    def pat(x: Int, y: Int): (Int, Int, Int) = {
+      val v = ((x * 24 + y * 10 + (if ((x + y) % 3 == 0) 60 else 0)) % 250) & 0xFE
+      (v, v, v)
+    }
+    val base = Multimodal.dhash64(makePng(9, 8, pat))
+    assert(base !== null)
+    // pixel-doubling: every cell's sums and counts scale ×4 — same hash
+    val doubled = Multimodal.dhash64(
+      makePng(18, 16, (x, y) => pat(x / 2, y / 2)))
+    assert(doubled === base, "2x resolution must not change the hash")
+    // exact brightness halving preserves every brighter-than ordering
+    val dimmed = Multimodal.dhash64(makePng(9, 8, (x, y) => {
+      val (r, g, b) = pat(x, y); (r / 2, g / 2, b / 2)
+    }))
+    assert(dimmed === base, "brightness scaling must not change the hash")
+    // different content (transposed ramps) is far away in Hamming space
+    val other = Multimodal.dhash64(
+      makePng(9, 8, (x, y) => pat(y, x min 7)))
+    assert(other !== null)
+    assert(java.lang.Long.bitCount(base.longValue ^ other.longValue) > 3,
+      "different content must exceed the near-dup radius")
+    assert(Multimodal.dhash64(makePng(8, 7, pat)) === null,
+      "below the 9x8 grid there is no gradient to hash")
+    assert(Multimodal.dhash64("not an image".getBytes("UTF-8")) === null)
+  }
+
+  test("imageNearDups: re-encoded/resized copies pair up, distinct " +
+    "content does not, undecodables drop out silently") {
+    import spark.implicits._
+    def pat(x: Int, y: Int): (Int, Int, Int) = {
+      val v = ((x * 24 + y * 10 + (if ((x + y) % 3 == 0) 60 else 0)) % 250) & 0xFE
+      (v, v, v)
+    }
+    val rows = Seq(
+      (1L, makePng(9, 8, pat)),
+      (2L, makePng(18, 16, (x, y) => pat(x / 2, y / 2))),   // resized copy
+      (3L, makePng(9, 8, (x, y) => pat(y, x min 7))),       // different
+      (4L, "garbage".getBytes("UTF-8")))
+    val pairs = Multimodal.imageNearDups(
+        rows.toDF("doc_id", "payload").repartition(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 0L)),
+      s"only the resized copy pairs with the original, got $pairs")
+  }
 }

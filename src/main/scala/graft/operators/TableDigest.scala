@@ -93,6 +93,60 @@ object TableDigest {
         (sum(col("sum_digest")) % Mod).as("sum_digest"))
   }
 
+  /** Latest committed digest generation in `stateDir`: (batchId, frame),
+    * or None before the first commit. A generation is committed iff its
+    * parquet `_SUCCESS` marker exists — partially-written generations
+    * (crash mid-write) are invisible, the [[graft.operators.DedupState]]
+    * commit-marker discipline.
+    */
+  def readStore(spark: org.apache.spark.sql.SparkSession,
+                stateDir: String): Option[(Long, DataFrame)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else {
+      val gens = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(p => p.getName.stripPrefix("gen=").toLong -> p)
+      if (gens.isEmpty) None
+      else {
+        val (id, p) = gens.maxBy(_._1)
+        Some((id, spark.read.parquet(p.toString)))
+      }
+    }
+  }
+
+  /** Fold one batch's per-group digest into the generational store —
+    * IDEMPOTENT under replay: a batch id at or below the last committed
+    * generation is a re-delivery (streaming retry) and is skipped, so the
+    * non-idempotent merge algebra (xor/sum would double-count) stays
+    * exactly-once. Commit order: write `gen=<id>` (parquet `_SUCCESS` is
+    * the marker), THEN delete superseded generations — a crash between
+    * the two leaves extra committed generations, never a missing or
+    * partial one, and the next call cleans up. Store size: one
+    * groups-sized frame per surviving generation.
+    */
+  def mergeBatchIntoStore(stateDir: String, groupCols: Seq[String],
+                          batchId: Long, batchDigest: DataFrame): Unit = {
+    val spark = batchDigest.sparkSession
+    val prev = readStore(spark, stateDir)
+    if (!prev.exists(_._1 >= batchId)) {
+      val merged = prev.fold(batchDigest) { case (_, p) =>
+        mergeDigests(Seq(p, batchDigest), groupCols)
+      }
+      merged.write.mode("overwrite")
+        .parquet(s"$stateDir/gen=$batchId")
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .filter(_.getPath.getName.stripPrefix("gen=").toLong < batchId)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
+
   /** DuckDB replay of [[digestByGroup]]: the same canonicalization
     * (chr(1) joins, chr(4) nulls), the same two md5 lanes, the same
     * 63-bit pack and modular sum. `colSqls` must render each column

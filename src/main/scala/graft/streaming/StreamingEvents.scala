@@ -823,6 +823,39 @@ object StreamingEvents {
       }
   }
 
+  /** Continuous table-digest maintenance — the audit trail for a table
+    * that only ever APPENDS through a stream: each micro-batch's rows
+    * collapse to a per-group digest ([[graft.operators.TableDigest
+    * .digestByGroup]]) and fold into a generational on-disk store by the
+    * abelian merge algebra, so at any moment the store holds the digest
+    * of EVERYTHING ingested so far — compare it against a digest of the
+    * sink table (or the upstream system) to prove no row was lost or
+    * duplicated in flight, without ever rescanning history.
+    *
+    * Exactly-once: the merge algebra is NOT idempotent (a re-delivered
+    * batch would double-fold), so the store keys generations by the
+    * foreachBatch `batchId` and [[graft.operators.TableDigest
+    * .mergeBatchIntoStore]] skips ids at or below the last committed
+    * generation — Structured Streaming replays a failed batch under the
+    * SAME id, which the skip turns into a no-op. Spec-pinned: streamed
+    * digest ≡ one batch digest of the union, and a forced same-id replay
+    * leaves the store unchanged.
+    */
+  def digestSink(events: DataFrame, groupCols: Seq[String],
+                 cols: Seq[org.apache.spark.sql.Column], stateDir: String,
+                 checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TableDigest.mergeBatchIntoStore(
+            stateDir, groupCols, batchId,
+            graft.operators.TableDigest.digestByGroup(batch, groupCols, cols))
+        }
+      }
+      .start()
+
   /** A key's EWMA state: per-day partial cent sums still inside the
     * watermark horizon, plus the last `span − 1` FINALIZED daily values
     * (most recent first) — the truncated-geometric window's memory.

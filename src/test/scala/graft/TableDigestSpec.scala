@@ -85,6 +85,62 @@ class TableDigestSpec extends SparkSpec {
       TableDigest.mergeDigests(Seq.empty, keys))
   }
 
+  test("generational digest store: batches fold to the union's digest; " +
+    "same-id replay is a no-op; crash-safe commit order") {
+    val dir = tmpDir("graft-digest-store")
+    val keys = Seq("g")
+    val c = Seq(col("id"), col("name"), col("v"))
+    val tagged = base.withColumn("g",
+      when(col("id") <= 2L, "p1").otherwise("p2"))
+    val batches = Seq(
+      tagged.filter(col("id") <= 2L),
+      tagged.filter(col("id") === 3L),
+      tagged.filter(col("id") >= 4L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      TableDigest.mergeBatchIntoStore(dir, keys, i.toLong,
+        TableDigest.digestByGroup(b, keys, c))
+    }
+    def store = TableDigest.readStore(spark, dir).get
+    val (gen, df) = store
+    assert(gen == 2L)
+    val whole = TableDigest.digestByGroup(tagged, keys, c).collect()
+      .map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == whole,
+      "store digest must equal the one-shot digest of the union")
+    // replaying the last batch under the same id must not double-fold
+    TableDigest.mergeBatchIntoStore(dir, keys, 2L,
+      TableDigest.digestByGroup(batches(2), keys, c))
+    assert(store._2.collect().map(_.toSeq).toSet == whole,
+      "same-id replay must leave the store unchanged")
+  }
+
+  test("digestSink: streamed micro-batches maintain the union digest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir("graft-digest-sink")
+    val ckpt = tmpDir("graft-digest-ckpt")
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingEvents.digestSink(
+      stream.toDF().toDF("id", "name", "v"), Seq("name"),
+      Seq(col("id"), col("v")), dir, ckpt)
+    val rows = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L),
+      (4L, "b", 40L), (5L, "a", 50L))
+    try {
+      stream.addData(rows.take(2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = TableDigest.readStore(spark, dir).get._2
+      .collect().map(_.toSeq).toSet
+    val whole = TableDigest.digestByGroup(
+        rows.toDF("id", "name", "v"), Seq("name"),
+        Seq(col("id"), col("v")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == whole)
+  }
+
   test("digest needs at least one column") {
     intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
     intercept[IllegalArgumentException](

@@ -3189,6 +3189,20 @@ object Queries {
           "CAST(ROUND(l_extendedprice * 100) AS BIGINT)",
           "strftime(l_shipdate, '%Y-%m-%d')")))),
 
+    // ── Q167: corpus digest — q161's order-free fingerprint over the
+    //          DOCUMENTS table, grouped by source: pins the UNICODE
+    //          canonicalization path cross-engine (md5 over the UTF-8
+    //          bytes of arbitrary text must agree byte-for-byte between
+    //          Spark's codegen md5 and DuckDB's, or a migration audit
+    //          would false-alarm on every non-ASCII corpus). ─────────────
+    QueryDef("q167_corpus_digest",
+      (s, dir) => graft.operators.TableDigest.digestByGroup(
+        t(s, dir, "documents"), Seq("source"),
+        Seq(col("doc_id"), col("lang"), col("text"))),
+      Some(graft.operators.TableDigest.digestByGroupOracleSql(
+        "documents", Seq("source"),
+        Seq("CAST(doc_id AS VARCHAR)", "lang", "text")))),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -364,6 +364,44 @@ object Scoring {
     * 1e-6-quantized. One keyed window — partitions by group, never
     * global; a hot group costs one task sorting its own rows.
     */
+  /** Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009) — combine
+    * ranked lists from INCOMMENSURABLE scorers (BM25 scores and cosine
+    * similarities share no scale, but their RANKS do):
+    * `rrf(d) = Σ_r 1/(rrfK + rank_r(d))` over the rankers that list d.
+    * The standard first move when a pipeline has both lexical and
+    * embedding retrieval and no trained re-ranker.
+    *
+    * Each contribution quantizes to `round(1e6/(rrfK+rank))` BEFORE the
+    * sum (exact longs, order-free — the engine's replay discipline;
+    * sub-1e-6 fusion differences are far below any rank-relevant gap).
+    * Inputs are (frame, idCol, scoreCol) triples whose frames are
+    * ALREADY top-k cut by their own operators, so the rank windows and
+    * the fusion run on audit-sized data; ranks recompute here by
+    * (score desc, id asc) — the same total order every ranker in this
+    * engine emits. Output: (id, rrf, n_rankers) top-`topK` by
+    * (rrf desc, id).
+    */
+  def rrfFuse(rankings: Seq[(DataFrame, String, String)],
+              topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val contribs = rankings.map { case (df, idCol, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__s").desc, col("id").asc)
+      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s"))
+        .withColumn("__r", row_number().over(w))
+        .select(col("id"),
+          round(lit(1000000.0) / (lit(rrfK) + col("__r")))
+            .cast("long").as("__c6"))
+    }.reduce(_.unionByName(_))
+    contribs.groupBy("id")
+      .agg((sum(col("__c6")) / 1e6).as("rrf"),
+        count(lit(1)).as("n_rankers"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topK)
+  }
+
   def percentileNormalize(df: DataFrame, group: Column, value: Column,
                           keep: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

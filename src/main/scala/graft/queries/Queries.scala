@@ -3203,6 +3203,45 @@ object Queries {
         "documents", Seq("source"),
         Seq("CAST(doc_id AS VARCHAR)", "lang", "text")))),
 
+    // ── Q168: reciprocal rank fusion
+    //          ([[graft.operators.Scoring.rrfFuse]], Cormack et al.
+    //          2009) — lexical (BM25, q49) and embedding (exact cosine,
+    //          q19) retrieval fused by rank, the standard move when two
+    //          scorers share no scale: contribution 1/(60+rank),
+    //          1e-6-quantized to exact longs before the sum. Both input
+    //          rankings are already top-20 cut, so fusion runs on
+    //          audit-sized frames. ─────────────────────────────────────────
+    QueryDef("q168_rank_fusion",
+      (s, dir) => graft.operators.Scoring.rrfFuse(Seq(
+        (graft.operators.Scoring.bm25(t(s, dir, "documents"), Bm25Terms),
+          "doc_id", "score"),
+        (Similarity.topK(t(s, dir, "embeddings"), queryVector(s, dir), 20,
+          excludeId = Some(0L)), "vec_id", "cos")), topK = 10),
+      Some(s"""WITH ra AS (
+              |  SELECT doc_id AS id,
+              |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+              |  FROM (${graft.operators.Scoring.bm25OracleSql(Bm25Terms)})
+              |), rb AS (
+              |  SELECT vec_id AS id,
+              |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+              |  FROM (SELECT vec_id,
+              |          ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |            (SELECT CAST(embedding AS DOUBLE[])
+              |             FROM embeddings WHERE vec_id = 0)), 6) AS cos
+              |        FROM embeddings WHERE vec_id <> 0
+              |        ORDER BY cos DESC, vec_id LIMIT 20)
+              |), c AS (
+              |  SELECT id, CAST(round(1000000.0 / (60 + r)) AS BIGINT) AS c6
+              |  FROM ra
+              |  UNION ALL
+              |  SELECT id, CAST(round(1000000.0 / (60 + r)) AS BIGINT) AS c6
+              |  FROM rb
+              |)
+              |SELECT id, CAST(SUM(c6) AS BIGINT) / 1e6 AS rrf,
+              |       COUNT(*) AS n_rankers
+              |FROM c GROUP BY id
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -197,6 +197,29 @@ class ScoringSpec extends SparkSpec {
     assert(run(df.repartition(5)) == got)
   }
 
+  test("rrfFuse: hand-computed fusion, both-ranker docs outrank " +
+    "single-ranker docs at similar ranks, id tie-break") {
+    import spark.implicits._
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val emb = Seq((2L, 0.9), (4L, 0.8), (1L, 0.7)).toDF("vec_id", "cos")
+    val got = graft.operators.Scoring.rrfFuse(
+        Seq((lex, "doc_id", "score"), (emb, "vec_id", "cos")), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def c(r: Int) = math.round(1e6 / (60 + r))
+    val want = Map(
+      1L -> (c(1) + c(3)), 2L -> (c(2) + c(1)),
+      3L -> c(3), 4L -> c(2))
+    got.foreach { case (id, rrf, _) =>
+      assert(rrf == want(id) / 1e6, s"doc $id") }
+    // doc 2 (ranks 2+1) beats doc 1 (ranks 1+3); both beat single-ranker
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(got.map(_._1).distinct.length == 4)
+    assert(got.find(_._1 == 2L).get._3 == 2L &&
+      got.find(_._1 == 4L).get._3 == 1L, "n_rankers per doc")
+    intercept[IllegalArgumentException](
+      graft.operators.Scoring.rrfFuse(Seq.empty))
+  }
+
   test("group-aware split: every row of a group lands in one split") {
     val docs = Tables("documents")
     val bad = graft.operators.Sampling.assignSplit(

@@ -198,4 +198,75 @@ object Graph {
       e.unpersist(false); nodesDeg.unpersist(false)
     }
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    * number of rounds — community detection as pure dataflow, the graph
+    * partitioning that groups co-occurring entities (domains, products,
+    * near-dup families) without a cluster-count parameter. Every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its NEIGHBORS, ties to the smallest label
+    * — a TOTAL order, so rounds are deterministic on any engine or
+    * partitioning, and the fixed round count sidesteps sync-LPA's
+    * oscillation non-termination (communities stabilize in a few rounds;
+    * the round count is the resolution knob, q109's fixed-iteration
+    * discipline).
+    *
+    * Per round, ONE shuffle: edges join the label table on src (both
+    * cached pre-partitioned by join key — the [[pageRank]] layout reuse),
+    * neighbor labels count map-side-combined, the per-node argmax is a
+    * keyed window over the counts. Generations are checkpoint-cut and
+    * freed exactly like [[pageRank]]'s.
+    *
+    * Input edges are treated as DIRECTED adopt-from edges (`dst` adopts
+    * from `src`); symmetrize first for undirected graphs. Returns
+    * (node, community) — community = the adopted label after `rounds`.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val c = p.checkpoint(true)
+        p.unpersist(false)
+        c
+      } else df.localCheckpoint(true)
+    def freeGeneration(df: DataFrame): Unit =
+      if (reliable) df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
+      else df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      var labels = cut(nodes.withColumn("l", col("node")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("l").asc)
+      for (_ <- 1 to rounds) {
+        val prev = labels
+        labels = cut(
+          e.join(labels.select(col("node").as("src"), col("l")), "src")
+            .groupBy(col("dst").as("node"), col("l"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("node"), col("l")))
+        freeGeneration(prev)
+      }
+      labels.select(col("node"), col("l").as("community"))
+    } finally e.unpersist(false)
+  }
 }

@@ -3242,6 +3242,62 @@ object Queries {
               |FROM c GROUP BY id
               |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
 
+    // ── Q169: label-propagation communities
+    //          ([[graft.operators.Graph.labelPropagation]], Raghavan et
+    //          al. 2007) — product communities from the min-support-2
+    //          co-purchase graph: 3 synchronous rounds, most-frequent
+    //          neighbor label with smallest-label tie-break (a total
+    //          order → engine/partitioning-deterministic), one shuffle
+    //          per round against a cached pre-partitioned edge table.
+    //          The oracle unrolls the rounds as chained CTEs (q109's
+    //          fixed-iteration discipline). Output: community sizes. ─────
+    QueryDef("q169_label_propagation",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("i"), col("y.p").as("j"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+        val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+          .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+        graft.operators.Graph.labelPropagation(edges, rounds = 3)
+          .groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""l$r AS (
+             |  SELECT v, l FROM (
+             |    SELECT e.d AS v, p.l, COUNT(*) AS cnt,
+             |           ROW_NUMBER() OVER (PARTITION BY e.d
+             |             ORDER BY COUNT(*) DESC, p.l ASC) AS rn
+             |    FROM edges e JOIN l${r - 1} p ON e.s = p.v
+             |    GROUP BY e.d, p.l)
+             |  WHERE rn = 1
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+           |), pairs AS (
+           |  SELECT x.p AS i, y.p AS j
+           |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |), edges AS (
+           |  SELECT i AS s, j AS d FROM pairs
+           |  UNION ALL
+           |  SELECT j AS s, i AS d FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT s AS v FROM edges
+           |), l0 AS (
+           |  SELECT v, v AS l FROM nodes
+           |), $rounds
+           |SELECT l AS community, COUNT(*) AS n_nodes
+           |FROM l3 GROUP BY 1""".stripMargin
+      }),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

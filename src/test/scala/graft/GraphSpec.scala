@@ -121,4 +121,25 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
   }
+
+  test("labelPropagation: hand-traced two-triangle graph converges to one " +
+    "label per community in 3 rounds; partitioning-invariant") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4; the
+    // hand trace of 3 synchronous min-tie rounds lands {1,2,3}→1 and
+    // {4,5,6}→3 (the bridge drags 4's community onto 3's old label,
+    // which is exactly the deterministic-tie-break semantics to pin)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(e, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(run(edges.repartition(7)) === got)
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(edges, rounds = 0))
+  }
 }

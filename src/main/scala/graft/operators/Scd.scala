@@ -127,6 +127,56 @@ object Scd {
       .drop("__pit_dead", s"${prefix}__vt", s"${prefix}__vt_open")
   }
 
+  /** Apply a CDC change stream to produce the CURRENT snapshot — the
+    * "MERGE INTO, latest writer wins" materialization (the batch half of
+    * every Debezium/CDC ingestion): per key, order changes by
+    * (`orderCol`, `tieBreak`), keep the LAST row, and drop the key
+    * entirely when that last operation is the delete tombstone. Where
+    * [[scd2]] keeps the full version history, this keeps only the live
+    * end state — the table a serving layer actually reads.
+    *
+    * One keyed window (order desc, rn = 1) + one filter; the tie-break
+    * makes last-writer-wins a TOTAL order, so the snapshot is a pure
+    * function of the change multiset (partitioning/engine-invariant).
+    * Output: keyCols*, valCols*, `orderCol` (the winning change's
+    * instant).
+    */
+  def applyChanges(changes: DataFrame, keyCols: Seq[String],
+                   orderCol: String, tieBreak: String,
+                   opCol: String, deleteOp: String,
+                   valCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valCols.nonEmpty,
+      "applyChanges needs at least one key column and one value column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .select(keyCols.map(col) ++ valCols.map(col) :+ col(orderCol): _*)
+  }
+
+  /** [[applyChanges]]'s DuckDB replay (identical window + tombstone
+    * filter). `changesSql` must select keyCols, valCols, orderCol,
+    * tieBreak, and opCol.
+    */
+  def applyChangesOracleSql(changesSql: String, keyCols: Seq[String],
+                            orderCol: String, tieBreak: String,
+                            opCol: String, deleteOp: String,
+                            valCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    val vals = valCols.mkString(", ")
+    s"""WITH c AS (
+       |$changesSql
+       |), ranked AS (
+       |  SELECT $keys, $vals, $orderCol, $opCol,
+       |         ROW_NUMBER() OVER (PARTITION BY $keys
+       |           ORDER BY $orderCol DESC, $tieBreak DESC) AS rn
+       |  FROM c
+       |)
+       |SELECT $keys, $vals, $orderCol
+       |FROM ranked WHERE rn = 1 AND $opCol <> '$deleteOp'""".stripMargin
+  }
+
   /** [[pointInTimeLookup]]'s DuckDB replay: the BETWEEN-semantics left
     * join over a history CTE — a formulation deliberately DIFFERENT from
     * the engine's as-of window (interval-membership join vs latest-fill),

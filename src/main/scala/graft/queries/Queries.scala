@@ -3298,6 +3298,33 @@ object Queries {
            |FROM l3 GROUP BY 1""".stripMargin
       }),
 
+    // ── Q170: CDC apply — latest-writer-wins snapshot materialization
+    //          ([[graft.operators.Scd.applyChanges]], the "MERGE INTO"
+    //          batch half of CDC ingestion): per user the LAST change by
+    //          (ts, event_id) wins, 'error' acting as the delete
+    //          tombstone that removes the key from the snapshot; where
+    //          q99's SCD2 keeps every version this keeps the live end
+    //          state. One keyed window, total tie order. ──────────────────
+    QueryDef("q170_cdc_apply",
+      (s, dir) => graft.operators.Scd.applyChanges(
+          t(s, dir, "events").select(col("user_id"), col("ts"),
+            col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("v_cents")),
+          keyCols = Seq("user_id"), orderCol = "ts", tieBreak = "event_id",
+          opCol = "event_type", deleteOp = "error",
+          valCols = Seq("event_type", "v_cents"))
+        .select(col("user_id"), col("event_type"), col("v_cents"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts")),
+      Some(s"""SELECT user_id, event_type, v_cents,
+              |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+              |FROM (${graft.operators.Scd.applyChangesOracleSql(
+                "SELECT user_id, ts, event_id, event_type, " +
+                  "CAST(ROUND(value*100) AS BIGINT) AS v_cents FROM events",
+                keyCols = Seq("user_id"), orderCol = "ts",
+                tieBreak = "event_id", opCol = "event_type",
+                deleteOp = "error",
+                valCols = Seq("event_type", "v_cents"))})""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -191,4 +191,29 @@ class ScdShardingSpec extends SparkSpec {
     Seq("pit_valid_from", "pit_valid_to", "pit_event_type").foreach(c =>
       assert(gapRow.isNullAt(gapRow.fieldIndex(c)), s"$c must be null"))
   }
+
+  test("applyChanges: latest writer wins, tombstone removes the key, " +
+    "re-insert after tombstone survives, same-instant tie-break, invariance") {
+    import spark.implicits._
+    val changes = Seq(
+      // k1: two upserts → latest value wins
+      ("k1", 1L, 1L, "upsert", 10L), ("k1", 3L, 2L, "upsert", 30L),
+      // k2: upsert then tombstone → absent
+      ("k2", 1L, 3L, "upsert", 20L), ("k2", 2L, 4L, "delete", 0L),
+      // k3: tombstone then re-insert → present with the later value
+      ("k3", 1L, 5L, "delete", 0L), ("k3", 2L, 6L, "upsert", 99L),
+      // k4: same instant, higher tie-break wins
+      ("k4", 5L, 7L, "upsert", 1L), ("k4", 5L, 8L, "upsert", 2L))
+      .toDF("k", "t", "tb", "op", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Scd.applyChanges(d, Seq("k"), "t", "tb",
+          opCol = "op", deleteOp = "delete", valCols = Seq("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val got = run(changes)
+    assert(got === Set(("k1", 30L, 3L), ("k3", 99L, 2L), ("k4", 2L, 5L)))
+    assert(run(changes.repartition(7)) === got)
+    intercept[IllegalArgumentException](graft.operators.Scd.applyChanges(
+      changes, Seq.empty, "t", "tb", "op", "delete", Seq("v")))
+  }
 }

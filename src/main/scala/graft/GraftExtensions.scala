@@ -47,6 +47,13 @@ object GraftExtensions {
       s"l2_norm(a) takes 1 argument, got ${other.size}")
   }
 
+  private def jaroWinklerBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) =>
+      graft.functions.JaroWinkler(Cast(a, StringType), Cast(b, StringType))
+    case other => throw new IllegalArgumentException(
+      s"jaro_winkler(a, b) takes 2 arguments, got ${other.size}")
+  }
+
   private def wordShinglesBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(c) => WordShingles(c, 3)
     case Seq(c, Literal(n: Int, IntegerType)) => WordShingles(c, n)
@@ -101,6 +108,10 @@ object GraftExtensions {
       (FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         wordShinglesBuilder _),
+      (FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+          "jaro_winkler"),
+        jaroWinklerBuilder _),
       (FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
         heavyHittersBuilder _),

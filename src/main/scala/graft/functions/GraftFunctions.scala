@@ -205,6 +205,15 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShim.column(
       Md5Lanes(expression(c.cast("binary"))))
 
+  /** Jaro–Winkler similarity of two string columns in [0, 1] — the
+    * record-linkage comparator, as a native codegen'd expression
+    * (RapidFuzz/DuckDB variant: 0.7 boost threshold, prefix ≤ 4, weight
+    * 0.1; see [[JaroWinkler]]).
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      JaroWinkler(expression(a.cast("string")), expression(b.cast("string"))))
+
   /** Misra–Gries heavy hitters AGGREGATE over a string column: at most `k`
     * counters per group, mergeable across partitions, exact when the
     * group's distinct count stays within `k` (see [[MisraGries]]).

@@ -3325,6 +3325,49 @@ object Queries {
                 deleteOp = "error",
                 valCols = Seq("event_type", "v_cents"))})""".stripMargin)),
 
+    // ── Q171: Jaro–Winkler fuzzy name pairs
+    //          ([[graft.functions.JaroWinkler]] — a NATIVE codegen
+    //          expression for the record-linkage comparator Spark lacks;
+    //          RapidFuzz/DuckDB variant bit-for-bit: 0.7 boost
+    //          threshold, prefix ≤ 4, weight 0.1). Pairing uses q160's
+    //          bounded md5-bucket discipline (sampled ids paired within
+    //          hash buckets — a distributed bounded quadratic, never a
+    //          cartesian); the oracle replays the same pairs through
+    //          DuckDB's own jaro_winkler_similarity — two independent
+    //          implementations agreeing bitwise on every score. ───────────
+    QueryDef("q171_jaro_winkler",
+      (s, dir) => {
+        val samp = t(s, dir, "part").select(
+            col("p_partkey").as("id"), col("p_name").as("nm"),
+            Sampling.hashBucket(concat(lit("cal:"),
+              col("p_partkey").cast("string")), 2).as("__keep"),
+            Sampling.hashBucket(concat(lit("pb:"),
+              col("p_partkey").cast("string")), 32).as("__pb"))
+          .filter(col("__keep") === 0)
+        samp.as("a").join(samp.as("b"),
+            col("a.__pb") === col("b.__pb") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j"),
+            (round(graft.functions.GraftFunctions.jaro_winkler(
+              col("a.nm"), col("b.nm")) * 1e6) / 1e6).as("jw"))
+          .filter(col("jw") >= 0.9)
+      },
+      Some("""WITH samp AS (
+             |  SELECT p_partkey AS id, p_name AS nm,
+             |         CAST(('0x' || substr(md5('pb:' ||
+             |           CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           % 32 AS pb
+             |  FROM part
+             |  WHERE CAST(('0x' || substr(md5('cal:' ||
+             |          CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             |          % 2 = 0
+             |)
+             |SELECT a.id AS i, b.id AS j,
+             |       round(jaro_winkler_similarity(a.nm, b.nm) * 1e6) / 1e6
+             |         AS jw
+             |FROM samp a JOIN samp b ON a.pb = b.pb AND a.id < b.id
+             |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1e6) / 1e6
+             |      >= 0.9""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -190,4 +190,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(title("<title lang=\"en\">multi\nline</title>") === "multi\nline")
     assert(title("<p>no title</p>") === "")
   }
+
+  test("jaro_winkler: textbook vectors, boost-threshold gating, empties, " +
+    "and SQL registration") {
+    import graft.functions.JaroWinkler.similarity
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = similarity(u(a), u(b))
+    val eps = 1e-12
+    // classic Winkler vectors (m, t, prefix hand-derivable)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < eps)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < eps)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < eps)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < eps)
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333333333) < eps)
+    // boost gating: common prefix but jaro <= 0.7 gets NO bonus
+    assert(math.abs(jw("aaxxxxxx", "aayyyyyy") - 0.5) < eps)
+    assert(math.abs(jw("abcdxxxx", "abcdyyyy") - 2.0 / 3) < eps)
+    // prefix cap at 4 even with longer agreement
+    assert(math.abs(jw("aaaaaabc", "aaaaaabd") - 0.95) < eps)
+    // degenerate contracts (the DuckDB variant: empty -> 0, even both)
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("a", "a") == 1.0)
+    assert(jw("ab", "ba") == 0.0, "window 0 admits only same-position matches")
+    // SQL surface via GraftExtensions
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA')").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < eps)
+    // Column API inside a plan (codegen path)
+    import spark.implicits._
+    val scored = Seq(("martha", "marhta"), ("x", "y")).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaro_winkler(col("a"), col("b"))
+        .as("jw"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(scored(0) - 0.9611111111111111) < eps && scored(1) == 0.0)
+  }
 }

@@ -54,6 +54,14 @@ object GraftExtensions {
       s"jaro_winkler(a, b) takes 2 arguments, got ${other.size}")
   }
 
+  private def damerauBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) =>
+      graft.functions.DamerauLevenshtein(
+        Cast(a, StringType), Cast(b, StringType))
+    case other => throw new IllegalArgumentException(
+      s"damerau_levenshtein(a, b) takes 2 arguments, got ${other.size}")
+  }
+
   private def wordShinglesBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(c) => WordShingles(c, 3)
     case Seq(c, Literal(n: Int, IntegerType)) => WordShingles(c, n)
@@ -112,6 +120,11 @@ object GraftExtensions {
         new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
           "jaro_winkler"),
         jaroWinklerBuilder _),
+      (FunctionIdentifier("damerau_levenshtein"),
+        new ExpressionInfo(
+          classOf[graft.functions.DamerauLevenshtein].getName,
+          "damerau_levenshtein"),
+        damerauBuilder _),
       (FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
         heavyHittersBuilder _),

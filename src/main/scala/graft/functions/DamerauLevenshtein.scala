@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native UNRESTRICTED Damerau–Levenshtein distance (Lowrance & Wagner
+  * 1975) — edits + adjacent transpositions where, unlike the common OSA
+  * restriction, a transposed pair may be edited again later ('ca'→'abc'
+  * is 2: transpose then insert; OSA says 3). This is the variant DuckDB's
+  * `damerau_levenshtein` implements (q172's oracle cross-validates the
+  * two implementations value-for-value), and the edit metric record
+  * linkage wants when swapped letters are a common error class. Spark
+  * ships plain `levenshtein` only.
+  *
+  * Integer DP over UTF-16 code units with the last-occurrence table —
+  * O(|a|·|b|) time, O(|a|·|b|) ints of scratch per row, fully
+  * deterministic (no floats anywhere). Why native: data-dependent DP
+  * with per-row scratch state is inexpressible as Column algebra;
+  * as a codegen'd expression it runs inside the scan like any predicate.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "damerau_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauLevenshtein.distance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+
+  /** Lowrance–Wagner distance; empty-vs-s is |s|. */
+  def distance(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    // (la+2) x (lb+2) DP with a sentinel row/column of `inf`
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k: Int = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val subst = d(i)(j) + cost
+        val insert = d(i + 1)(j) + 1
+        val delete = d(i)(j + 1) + 1
+        val transp = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(subst, insert), math.min(delete, transp))
+        j += 1
+      }
+      last.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+}

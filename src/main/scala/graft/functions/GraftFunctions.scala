@@ -214,6 +214,16 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShim.column(
       JaroWinkler(expression(a.cast("string")), expression(b.cast("string"))))
 
+  /** Unrestricted Damerau–Levenshtein distance of two string columns —
+    * edits + adjacent transpositions, Lowrance–Wagner variant matching
+    * DuckDB's `damerau_levenshtein` (see [[DamerauLevenshtein]]). Spark
+    * ships plain `levenshtein` only.
+    */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      DamerauLevenshtein(expression(a.cast("string")),
+        expression(b.cast("string"))))
+
   /** Misra–Gries heavy hitters AGGREGATE over a string column: at most `k`
     * counters per group, mergeable across partitions, exact when the
     * group's distinct count stays within `k` (see [[MisraGries]]).

@@ -3368,6 +3368,46 @@ object Queries {
              |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1e6) / 1e6
              |      >= 0.9""".stripMargin)),
 
+    // ── Q172: Damerau–Levenshtein fuzzy pairs
+    //          ([[graft.functions.DamerauLevenshtein]] — the second
+    //          native linkage comparator: unrestricted Lowrance–Wagner
+    //          edits + transpositions, integer DP, no floats anywhere;
+    //          Spark ships plain levenshtein only). Same bounded
+    //          md5-bucket pairing as q171; the oracle is DuckDB's own
+    //          independent damerau_levenshtein — value-for-value
+    //          agreement between two implementations of a nontrivial
+    //          DP is the strongest correctness check available. ──────────
+    QueryDef("q172_damerau",
+      (s, dir) => {
+        val samp = t(s, dir, "part").select(
+            col("p_partkey").as("id"), col("p_name").as("nm"),
+            Sampling.hashBucket(concat(lit("cal:"),
+              col("p_partkey").cast("string")), 2).as("__keep"),
+            Sampling.hashBucket(concat(lit("pb:"),
+              col("p_partkey").cast("string")), 32).as("__pb"))
+          .filter(col("__keep") === 0)
+        samp.as("a").join(samp.as("b"),
+            col("a.__pb") === col("b.__pb") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("i"), col("b.id").as("j"),
+            graft.functions.GraftFunctions.damerau_levenshtein(
+              col("a.nm"), col("b.nm")).as("dld"))
+          .filter(col("dld") <= 3)
+      },
+      Some("""WITH samp AS (
+             |  SELECT p_partkey AS id, p_name AS nm,
+             |         CAST(('0x' || substr(md5('pb:' ||
+             |           CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             |           % 32 AS pb
+             |  FROM part
+             |  WHERE CAST(('0x' || substr(md5('cal:' ||
+             |          CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             |          % 2 = 0
+             |)
+             |SELECT a.id AS i, b.id AS j,
+             |       CAST(damerau_levenshtein(a.nm, b.nm) AS INT) AS dld
+             |FROM samp a JOIN samp b ON a.pb = b.pb AND a.id < b.id
+             |WHERE damerau_levenshtein(a.nm, b.nm) <= 3""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -224,4 +224,28 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(math.abs(scored(0) - 0.9611111111111111) < eps && scored(1) == 0.0)
   }
+
+  test("damerau_levenshtein: unrestricted variant (edits after a " +
+    "transposition), classic vectors, SQL + codegen paths") {
+    import graft.functions.DamerauLevenshtein.distance
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def d(a: String, b: String) = distance(u(a), u(b))
+    // THE discriminating case: OSA says 3, unrestricted says 2
+    assert(d("ca", "abc") == 2)
+    assert(d("kitten", "sitting") == 3)
+    assert(d("abcdef", "abcfad") == 3)
+    assert(d("ab", "ba") == 1, "one adjacent transposition")
+    assert(d("abab", "baba") == 2)
+    assert(d("", "abc") == 3 && d("abc", "") == 3 && d("", "") == 0)
+    assert(d("same", "same") == 0)
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc')")
+      .head().getInt(0) == 2)
+    import spark.implicits._
+    val got = Seq(("ca", "abc"), ("ab", "ba")).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.damerau_levenshtein(
+        col("a"), col("b")).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 1))
+  }
 }

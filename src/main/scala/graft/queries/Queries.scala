@@ -3408,6 +3408,59 @@ object Queries {
              |FROM samp a JOIN samp b ON a.pb = b.pb AND a.id < b.id
              |WHERE damerau_levenshtein(a.nm, b.nm) <= 3""".stripMargin)),
 
+    // ── Q173: fuzzy-agreement record linkage
+    //          ([[graft.operators.Linkage.fellegiSunterFuzzy]]) — q151's
+    //          Fellegi–Sunter scoring with the native Jaro–Winkler
+    //          comparator as the name field's agreement indicator
+    //          (jw ≥ 0.9): the typo'd names q151's equality indicator
+    //          counts AGAINST the match now count FOR it — the form
+    //          production linkage runs on dirty data. Same blocking,
+    //          weights, and missing-value semantics; the JW threshold
+    //          is deterministic because the comparator replays bitwise
+    //          (q171). ─────────────────────────────────────────────────────
+    QueryDef("q173_fuzzy_linkage",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val bk = Sampling.hashBucket(col("c_custkey").cast("string"), 21)
+        val clean = cust.select(col("c_custkey"), col("c_nationkey"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val dirty = cust.select((col("c_custkey") + 1000000L).as("r_id"),
+          col("c_nationkey"),
+          when(bk % 5 === 0, regexp_replace(col("c_name"), "#0", "#"))
+            .otherwise(col("c_name")).as("name"),
+          when(bk % 7 === 3, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          (round(col("c_acctbal") * 100).cast("long") + (bk % 3 - 1))
+            .as("bal_cents"))
+        graft.operators.Linkage.fellegiSunterFuzzy(clean, dirty,
+          "c_custkey", "r_id", Seq("c_nationkey"),
+          exactFields = LinkageFields.filter(_._1 != "name"),
+          fuzzyFields = Seq(("name", 0.95, 0.05, 0.98)),
+          threshold = 3.0)
+      },
+      Some {
+        val bkSql = "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR))" +
+          ", 1, 8)) AS BIGINT) % 21"
+        graft.operators.Linkage.fellegiSunterFuzzyOracleSql(
+          leftSql = "SELECT c_custkey, c_nationkey, c_name AS name, " +
+            "c_mktsegment AS segment, " +
+            "CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer",
+          rightSql = s"""SELECT c_custkey + 1000000 AS r_id, c_nationkey,
+            |  CASE WHEN $bkSql % 5 = 0
+            |       THEN regexp_replace(c_name, '#0', '#')
+            |       ELSE c_name END AS name,
+            |  CASE WHEN $bkSql % 7 = 3 THEN NULL
+            |       ELSE c_mktsegment END AS segment,
+            |  CAST(ROUND(c_acctbal*100) AS BIGINT) + ($bkSql % 3 - 1)
+            |    AS bal_cents
+            |FROM customer""".stripMargin,
+          leftId = "c_custkey", rightId = "r_id", block = Seq("c_nationkey"),
+          exactFields = LinkageFields.filter(_._1 != "name"),
+          fuzzyFields = Seq(("name", 0.95, 0.05, 0.98)),
+          threshold = 3.0)
+      }),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

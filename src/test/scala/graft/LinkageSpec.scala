@@ -71,4 +71,35 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](Linkage.fellegiSunter(
       left, right, "lid", "rid", Seq("blk"), Seq.empty, 0.0))
   }
+
+  test("fellegiSunterFuzzy: a typo'd name counts FOR the match where the " +
+    "exact indicator counts it against; threshold and guards") {
+    val right = Seq(
+      (10L, "b1", "alcie", "rome"),   // transposition typo in alice
+      (11L, "b1", "zzzyx", "rome"))   // genuinely different name
+      .toDF("rid", "blk", "name", "city")
+    def run(th: Double) = Linkage.fellegiSunterFuzzy(
+        left, right, "lid", "rid", Seq("blk"),
+        exactFields = Seq(("city", 0.8, 0.2)),
+        fuzzyFields = Seq(("name", 0.9, 0.01, th)),
+        threshold = -100.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    // jw(alice, alcie) ≈ 0.9533 — fuzzy at 0.9 agrees, exact machinery
+    // (q151's fellegiSunter) would score the same pair as a disagreement
+    val fuzzy = run(0.9)
+    assert(fuzzy((1L, 10L))._1 === 1 && fuzzy((1L, 10L))._2 === 1)
+    assert(math.abs(fuzzy((1L, 10L))._3 - (waCity + waName)) < 1e-9,
+      "typo'd name is agreement evidence under the fuzzy indicator")
+    assert(fuzzy((1L, 11L))._2 === 0, "a different name still disagrees")
+    val exact = Linkage.fellegiSunter(left, right, "lid", "rid", Seq("blk"),
+        Seq(("city", 0.8, 0.2), ("name", 0.9, 0.01)), threshold = -100.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(exact((1L, 10L)) === 0, "equality indicator penalizes the typo")
+    // a stricter similarity threshold turns the typo back into disagreement
+    assert(run(0.99)((1L, 10L))._2 === 0)
+    intercept[IllegalArgumentException](Linkage.fellegiSunterFuzzy(
+      left, right, "lid", "rid", Seq("blk"), Seq.empty,
+      Seq(("name", 0.9, 0.01, 1.5)), 0.0))
+  }
 }

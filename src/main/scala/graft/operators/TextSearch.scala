@@ -119,4 +119,52 @@ object TextSearch {
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       bytes.length, 42L)
   }
+
+  /** Character trigram posting list: (idCol, gram), DISTINCT per document
+    * — the pg_trgm-style index relation behind [[substringMatches]].
+    * Pure expression work: a sequence/transform explode, no UDFs.
+    */
+  def trigramPostings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(transform(
+          // sequence(1, 0) would DESCEND in Spark — guard short texts to
+          // an empty gram array instead
+          when(length(col(textCol)) >= 3,
+            sequence(lit(1), length(col(textCol)) - 2))
+            .otherwise(array().cast("array<int>")),
+          i => col(textCol).substr(i, lit(3)))).as("gram"))
+      .distinct()
+
+  /** Substring search through the trigram filter (the pg_trgm playbook):
+    * a document containing `pattern` necessarily contains every character
+    * trigram of `pattern`, so candidates = documents whose trigram set
+    * covers the pattern's grams (one semi-join-shaped aggregation over
+    * the posting slivers of k grams — never a full-text scan predicate
+    * pushed at every row), then the exact `contains` verify removes
+    * coincidental coverage. Result ≡ the plain
+    * `filter(contains(text, pattern))` (q174's oracle IS the plain
+    * LIKE), spec-pinned along with the superset property.
+    *
+    * Patterns shorter than 3 chars have no trigram to prune on and fall
+    * back to the plain filter. Output: (idCol) of matching documents.
+    */
+  def substringMatches(docs: DataFrame, pattern: String,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(pattern.nonEmpty, "substring search needs a non-empty pattern")
+    val plain = docs.filter(col(textCol).contains(pattern)).select(col(idCol))
+    if (pattern.length < 3) plain
+    else {
+      val grams = pattern.sliding(3).toSeq.distinct
+      val cands = trigramPostings(docs, idCol, textCol)
+        .filter(col("gram").isin(grams: _*))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("__ng"))
+        .filter(col("__ng") === grams.size)
+        .select(col(idCol))
+      docs.join(cands, idCol)
+        .filter(col(textCol).contains(pattern))
+        .select(col(idCol))
+    }
+  }
 }

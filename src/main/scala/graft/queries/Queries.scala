@@ -3461,6 +3461,20 @@ object Queries {
           threshold = 3.0)
       }),
 
+    // ── Q174: trigram-filtered substring search
+    //          ([[graft.operators.TextSearch.substringMatches]] — the
+    //          pg_trgm playbook: pattern trigram coverage over a distinct
+    //          char-trigram posting prunes candidates, exact `contains`
+    //          verifies; result ≡ the plain LIKE scan, which IS the
+    //          oracle. Complements q90's token-level phrase index with
+    //          CHARACTER-level matching (patterns crossing token
+    //          boundaries, no tokenizer assumptions). ─────────────────────
+    QueryDef("q174_trgm_search",
+      (s, dir) => graft.operators.TextSearch.substringMatches(
+        t(s, dir, "documents"), "slow scan"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE contains(text, 'slow scan')""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

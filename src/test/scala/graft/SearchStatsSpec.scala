@@ -493,4 +493,31 @@ class SearchStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ColumnStats.joinKeySkew(df, "key", hotFactor = 0.0))
   }
+
+  test("substringMatches: equals the plain contains-scan, trigram coverage " +
+    "is a true superset, short patterns and short texts are safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "quick silver"),
+      (3L, "slow brown snail"), (4L, "qu"), (5L, "brown? quick brown!"))
+      .toDF("doc_id", "text")
+    def exact(p: String) = docs.filter(col("text").contains(p))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def viaTrgm(p: String) = graft.operators.TextSearch
+      .substringMatches(docs, p)
+      .collect().map(_.getLong(0)).toSet
+    for (p <- Seq("quick brown", "brown", "ow", "q", "snail", "absent zz"))
+      assert(viaTrgm(p) === exact(p), s"pattern '$p'")
+    // coverage-only candidates form a superset of the exact answer — the
+    // verify step is what removes coincidental trigram coverage
+    val grams = "quick brown".sliding(3).toSeq.distinct
+    val cands = graft.operators.TextSearch.trigramPostings(docs)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy("doc_id").count().filter(col("count") === grams.size)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact("quick brown").subsetOf(cands))
+    // a doc shorter than one trigram contributes no posting rows
+    assert(graft.operators.TextSearch.trigramPostings(docs)
+      .filter(col("doc_id") === 4L).count() === 0L)
+  }
 }

@@ -138,6 +138,82 @@ object Sampling {
       .drop("stratum", "keep_buckets")
   }
 
+  /** Bottom-k (KMV) sketch per group — one construction, two products
+    * (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+    * stream"): the k smallest md5 hashes of a group's DISTINCT keys are
+    * simultaneously
+    *
+    *  - a DETERMINISTIC uniform sample of the group's distinct keys (the
+    *    "reservoir" that needs no RNG state: membership is a pure
+    *    function of the key, so reruns/engines/partitionings agree, and
+    *    two sketches MERGE by just taking the union's bottom-k — the
+    *    mergeability classic reservoirs lack), and
+    *  - a distinct-count estimator: n̂ = (k−1)/h_(k) with h_(k) the kth
+    *    smallest hash normalized to (0, 1] — unbiased, σ/n ≈ 1/√(k−2).
+    *
+    * Exact below k: a group with fewer than k distinct keys keeps them
+    * ALL and reports its exact count (estimator output null — no
+    * estimate is needed and (k−1)/h_k would be biased there).
+    *
+    * Scale shape: distinct-collapse, then ONE keyed window (partitions
+    * by group, never global) bounded to k rows per group. The 32-bit md5
+    * lane is the hash (engine-portable; collision probability k·n/2³²
+    * only perturbs the estimate, never correctness of the sample).
+    *
+    * Output: (group, k_eff, n_distinct_exact_or_null, est, keys array…)
+    * — flattened as (group, rank, key, est) rows so the result stays
+    * scalar-typed (the harness hash contract).
+    */
+  def bottomKSketch(df: DataFrame, group: Column, key: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("__h").asc, col("key").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    df.select(group.as("grp"), key.as("key")).distinct()
+      .withColumn("__h", hashBucket(concat(col("grp"), lit(":"),
+        col("key").cast("string")), Int.MaxValue))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("rank") <= k)
+      .withColumn("est",
+        when(col("__n") < k, lit(null).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (max(when(col("rank") === k, col("__h"))).over(wAll) /
+              Int.MaxValue.toDouble) * 1e6) / 1e6))
+      .select(col("grp"), col("rank"), col("key"), col("est"))
+  }
+
+  /** DuckDB replay of [[bottomKSketch]] over `table`. */
+  def bottomKOracleSql(table: String, groupCol: String, keyCol: String,
+                       k: Int): String = {
+    val h = "CAST(('0x' || substr(md5(grp || ':' || " +
+      s"CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % ${Int.MaxValue}"
+    s"""WITH d AS (
+       |  SELECT DISTINCT $groupCol AS grp, $keyCol AS key FROM $table
+       |), hashed AS (
+       |  SELECT grp, key, $h AS h FROM d
+       |), ranked AS (
+       |  SELECT grp, key, h,
+       |         ROW_NUMBER() OVER (PARTITION BY grp
+       |                            ORDER BY h ASC, key ASC) AS rank,
+       |         COUNT(*) OVER (PARTITION BY grp) AS n
+       |  FROM hashed
+       |), cut AS (
+       |  SELECT grp, key, h, rank, n,
+       |         MAX(CASE WHEN rank = $k THEN h END)
+       |           OVER (PARTITION BY grp) AS hk
+       |  FROM ranked QUALIFY rank <= $k
+       |)
+       |SELECT grp, CAST(rank AS INT) AS rank, key,
+       |       CASE WHEN n < $k THEN NULL
+       |            ELSE round(${(k - 1).toDouble} /
+       |                   (hk / ${Int.MaxValue.toDouble}) * 1e6) / 1e6
+       |            END AS est
+       |FROM cut""".stripMargin
+  }
+
   /** DuckDB replay of [[temperatureResample]] over `table`: identical
     * sqrt-composed share, identical scale/rate arithmetic and operand
     * order, identical md5 keep-bucket decision.

@@ -3475,6 +3475,21 @@ object Queries {
       Some("""SELECT doc_id FROM documents
              |WHERE contains(text, 'slow scan')""".stripMargin)),
 
+    // ── Q175: bottom-k (KMV) sketch per source
+    //          ([[graft.operators.Sampling.bottomKSketch]], Bar-Yossef et
+    //          al. 2002) — one construction, two products: a
+    //          DETERMINISTIC mergeable uniform sample of each group's
+    //          distinct keys (hash-membership — no RNG state, union's
+    //          bottom-k = merge) and the (k−1)/h₍ₖ₎ distinct-count
+    //          estimator; groups under k keys keep all and estimate
+    //          null (exact count regime). One keyed window after a
+    //          distinct collapse. ────────────────────────────────────────
+    QueryDef("q175_bottomk_sketch",
+      (s, dir) => Sampling.bottomKSketch(
+        t(s, dir, "documents"), col("source"), col("doc_id"), k = 10),
+      Some(Sampling.bottomKOracleSql("documents", "source", "doc_id",
+        k = 10))),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -148,6 +148,46 @@ class QuantilesSamplingSpec extends SparkSpec {
       docs, col("lang"), col("doc_id"), alphaQuarters = 4))
   }
 
+  test("bottomKSketch: mergeable deterministic sample, exact below k, " +
+    "estimator within KMV error, partitioning-invariant") {
+    import spark.implicits._
+    val n = 5000
+    val rows = (0 until n).map(i => ("g", i.toLong)) ++
+      Seq(("tiny", 1L), ("tiny", 2L), ("tiny", 2L))
+    val df = rows.toDF("src", "id")
+    val k = 64
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKSketch(d, col("src"), col("id"), k)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val got = sketch(df)
+    // below k: ALL distinct keys kept, estimate null (exact regime)
+    val tiny = got.filter(_._1 == "tiny")
+    assert(tiny.map(_._3).toSet === Set(1L, 2L) && tiny.forall(_._4.isEmpty))
+    // at k: exactly k rows, estimate within 4σ ≈ 4/√(k−2) relative
+    val big = got.filter(_._1 == "g")
+    assert(big.length === k)
+    val est = big.head._4.get
+    assert(math.abs(est - n) / n < 4.0 / math.sqrt(k - 2.0),
+      s"KMV estimate $est vs true $n")
+    // mergeability: bottom-k of (first half ∪ second half sketches) =
+    // bottom-k of the union — the property reservoirs lack
+    val h1 = Sampling.bottomKSketch(
+      df.filter(col("id") < n / 2), col("src"), col("id"), k)
+    val h2 = Sampling.bottomKSketch(
+      df.filter(col("id") >= n / 2), col("src"), col("id"), k)
+    val merged = Sampling.bottomKSketch(
+        h1.select("grp", "key").unionByName(h2.select("grp", "key")),
+        col("grp"), col("key"), k)
+      .filter(col("grp") === "g")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val whole = big.map(t => (t._2, t._3, t._4.get)).toSet
+    assert(merged === whole, "union of sketches re-sketched = whole sketch")
+    assert(sketch(df.repartition(11)).toSet === got.toSet)
+    intercept[IllegalArgumentException](
+      Sampling.bottomKSketch(df, col("src"), col("id"), 1))
+  }
+
   test("capPerGroup: at most n per group, deterministic across partitionings") {
     val docs = Tables.table(spark, sf0001, "documents")
     val capped = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 3)

@@ -437,7 +437,80 @@ object TimeSeries {
     * and cross-multiplied alarm comparison (interior sums cast back to
     * BIGINT — the [[cusumOracleSql]] HUGEINT discipline).
     */
-  /** DuckDB replay of [[ewmaChartTarget]]. */
+  /** One-step-ahead backtest of the EWMA predictor — the engine's own
+    * forecast-accuracy identity (WAPE: Σ|err|/Σactual, the q03 ordering
+    * contract) applied to its own smoother: yesterday's EWMA level is
+    * today's forecast, per key. The honest way to size an EWMA span (or
+    * justify replacing the smoother with a real model): if the naive
+    * smoother backtests at 8% WAPE, a model must beat that.
+    *
+    * Exactness: forecasts stay the exact rational num/den pair from the
+    * lag window; each day's absolute error quantizes to integer cents
+    * via ONE rounded division (round(|vc·den₋₁ − num₋₁| / den₋₁) — the
+    * mixed per-day denominators make a common-denominator long sum
+    * impossible, so this is the minimal rounding surface), then sums and
+    * the final ratio are exact/1e-6-quantized. Days with no prior
+    * observed day (each key's first) have no forecast and are excluded.
+    *
+    * Output: (keys…, n_days, wape, mean_abs_err) — wape =
+    * Σerr/Σactual, both in original units.
+    */
+  def ewmaBacktest(df: DataFrame, keys: Seq[String], ts: Column,
+                   value: Column, span: Int = 16): DataFrame = {
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__day"))
+    ewmaCore(df, keys, ts, value, span)
+      .withColumn("__pn", lag(col("__num"), 1).over(base))
+      .withColumn("__pd", lag(col("__den"), 1).over(base))
+      .filter(col("__pn").isNotNull)
+      .withColumn("__err",
+        round(abs(col("__vc") * col("__pd") - col("__pn")) / col("__pd"))
+          .cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+        (round(sum(col("__err")) * lit(1000000L) / sum(col("__vc"))) / 1e6)
+          .as("wape"),
+        (round(sum(col("__err")) * lit(100L) / count(lit(1))) / 10000.0)
+          .as("mean_abs_err"))
+  }
+
+  /** DuckDB replay of [[ewmaBacktest]]. */
+  def ewmaBacktestOracleSql(table: String, keyCol: String, tsCol: String,
+                            valueCol: String, span: Int = 16): String = {
+    def weight(j: Int): Long = 1L << (span - 1 - j)
+    val over = s"OVER (PARTITION BY $keyCol ORDER BY d)"
+    val num = (0 until span)
+      .map(j => s"COALESCE(LAG(vc, $j) $over * ${weight(j)}, 0)")
+      .mkString(" + ")
+    val den = (0 until span)
+      .map(j => s"CASE WHEN LAG(vc, $j) $over IS NOT NULL " +
+        s"THEN ${weight(j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT $keyCol, d, vc,
+       |         CAST($num AS BIGINT) AS num,
+       |         CAST($den AS BIGINT) AS den
+       |  FROM daily
+       |), prev AS (
+       |  SELECT $keyCol, d, vc,
+       |         LAG(num) OVER (PARTITION BY $keyCol ORDER BY d) AS pn,
+       |         LAG(den) OVER (PARTITION BY $keyCol ORDER BY d) AS pd
+       |  FROM lagged
+       |), err AS (
+       |  SELECT $keyCol, vc,
+       |         CAST(round(ABS(vc * pd - pn) / pd) AS BIGINT) AS e
+       |  FROM prev WHERE pn IS NOT NULL
+       |)
+       |SELECT $keyCol, COUNT(*) AS n_days,
+       |       round(CAST(SUM(e) AS BIGINT) * 1000000
+       |             / CAST(SUM(vc) AS BIGINT)) / 1e6 AS wape,
+       |       round(CAST(SUM(e) AS BIGINT) * 100 / COUNT(*)) / 10000.0
+       |         AS mean_abs_err
+       |FROM err GROUP BY 1""".stripMargin
+  }
   def ewmaTargetOracleSql(table: String, keyCol: String, tsCol: String,
                           valueCol: String, span: Int,
                           targetCents: Long, thresholdCents: Long): String = {

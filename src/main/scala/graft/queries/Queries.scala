@@ -3490,6 +3490,20 @@ object Queries {
       Some(Sampling.bottomKOracleSql("documents", "source", "doc_id",
         k = 10))),
 
+    // ── Q176: EWMA forecast backtest
+    //          ([[graft.operators.TimeSeries.ewmaBacktest]]) — the
+    //          engine's own WAPE identity applied to its own smoother:
+    //          yesterday's EWMA level forecasts today, per event type;
+    //          the number a real forecasting model must beat. Forecasts
+    //          stay exact num/den rationals; one rounded division per
+    //          day is the only rounding surface. ──────────────────────────
+    QueryDef("q176_ewma_backtest",
+      (s, dir) => graft.operators.TimeSeries.ewmaBacktest(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+        span = 16),
+      Some(graft.operators.TimeSeries.ewmaBacktestOracleSql(
+        "events", "event_type", "ts", "value", span = 16))),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -429,4 +429,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(hints.head.child.maxRows.contains(1L),
       "the hinted frame must be provably single-row")
   }
+
+  test("q161 digest plan: one two-phase hash aggregation, no Sort, no Join") {
+    val nodes = collectNodes(Queries.byName("q161_table_digest")(
+      spark, sf0001).queryExecution.executedPlan)
+    assert(!nodes.exists(_.toLowerCase.contains("sort")),
+      s"digest must never sort: $nodes")
+    assert(!nodes.exists(_.toLowerCase.contains("join")),
+      s"digest is one scan, no joins: $nodes")
+    assert(nodes.count(_ == "HashAggregate") === 2,
+      s"partial + final hash aggregate expected: $nodes")
+  }
+
+  test("q171/q172 comparator pair joins are bucket equi-joins, never " +
+    "nested loops") {
+    for (q <- Seq("q171_jaro_winkler", "q172_damerau")) {
+      val nodes = collectNodes(Queries.byName(q)(spark, sf0001)
+        .queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.contains("Cartesian") ||
+        n.contains("BroadcastNestedLoop")),
+        s"$q must stay an equi-join: $nodes")
+    }
+  }
+
+  test("q175 bottom-k window partitions by group — no single-partition " +
+    "global window") {
+    val plan = physical(Queries.byName("q175_bottomk_sketch")(spark, sf0001))
+    // a global window renders as 'Window [...], [rank...]' with an empty
+    // partition spec; the keyed form carries 'partitionby' on grp
+    assert(!plan.contains("WindowExec, []"), "window must be keyed")
+    val windows = Queries.byName("q175_bottomk_sketch")(spark, sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.nonEmpty),
+      "every window must partition by the group key")
+  }
 }

@@ -41,7 +41,12 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
-  /** Lowrance–Wagner distance; empty-vs-s is |s|. */
+  /** Lowrance–Wagner distance; empty-vs-s is |s|. Hot path (this runs
+    * once per candidate pair inside the scan): ONE flat int array for the
+    * whole DP, an int[128] last-occurrence table for ASCII with a lazy
+    * map fallback for wider chars — no per-cell allocation, no boxing on
+    * the common path.
+    */
   def distance(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
     val b = ub.toString
@@ -50,33 +55,43 @@ object DamerauLevenshtein {
     if (la == 0) return lb
     if (lb == 0) return la
     val inf = la + lb
-    // (la+2) x (lb+2) DP with a sentinel row/column of `inf`
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = inf
+    val w = lb + 2
+    // flat (la+2) x (lb+2) DP with a sentinel row/column of `inf`
+    val d = new Array[Int]((la + 2) * w)
     var i = 0
-    while (i <= la) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    val last = new java.util.HashMap[Character, Integer]()
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val lastAscii = new Array[Int](128)
+    var lastWide: java.util.HashMap[Character, Integer] = null
+    def lastOf(c: Char): Int =
+      if (c < 128) lastAscii(c)
+      else if (lastWide == null) 0
+      else { val v = lastWide.get(c); if (v == null) 0 else v.intValue }
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = { val v = last.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val k = lastOf(b.charAt(j - 1))
         val l = db
         val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
-        val subst = d(i)(j) + cost
-        val insert = d(i + 1)(j) + 1
-        val delete = d(i)(j + 1) + 1
-        val transp = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
-        d(i + 1)(j + 1) =
+        val subst = d(i * w + j) + cost
+        val insert = d((i + 1) * w + j) + 1
+        val delete = d(i * w + j + 1) + 1
+        val transp = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * w + j + 1) =
           math.min(math.min(subst, insert), math.min(delete, transp))
         j += 1
       }
-      last.put(a.charAt(i - 1), i)
+      val ca = a.charAt(i - 1)
+      if (ca < 128) lastAscii(ca) = i
+      else {
+        if (lastWide == null) lastWide = new java.util.HashMap[Character, Integer]()
+        lastWide.put(ca, i)
+      }
       i += 1
     }
-    d(la + 1)(lb + 1)
+    d((la + 1) * w + lb + 1)
   }
 }

@@ -473,6 +473,112 @@ object TimeSeries {
           .as("mean_abs_err"))
   }
 
+  /** Robust trend per key — Theil–Sen slope (Sen 1968: the MEDIAN of all
+    * pairwise day-slopes, ~29% breakdown where q97's OLS slope follows a
+    * single outlier day) plus the Mann–Kendall trend test (Mann 1945:
+    * S = Σ sign(x_j − x_i) over ordered pairs, tie-corrected variance,
+    * the z-statistic that says whether the trend is REAL) — the
+    * nonparametric pair every monitoring stack wants beside the
+    * parametric fit.
+    *
+    * Exactness: daily values are cent longs; pair slopes quantize to
+    * 1e-6 cents/day as longs via one rounded division each; the median
+    * interpolates two longs (exact midpoint in double); S and the tie
+    * counts are pure integers; z's single sqrt runs on an exact rational
+    * — every number replays cross-engine, 1e-6-quantized.
+    *
+    * Scale shape: ONE daily aggregation (fact-scale, map-side-combined),
+    * then the pair self-join runs on keys×days rows — days per key is
+    * the monitoring window (30–365), so pairs per key are bounded by
+    * construction (n·(n−1)/2 ≤ ~66k at a year), never fact-scale.
+    *
+    * Output: (keys…, n_days, sen_slope [units/day], mk_s, mk_z).
+    */
+  def robustTrend(df: DataFrame, keys: Seq[String], ts: Column,
+                  value: Column): DataFrame = {
+    require(keys.nonEmpty, "robustTrend needs at least one key column")
+    val daily = graft.CacheRegistry.persist(df
+      .groupBy(keys.map(col) :+ to_date(ts).as("__day"): _*)
+      .agg(sum(round(value * 100)).cast("long").as("__vc")))
+    val a = daily.select(keys.map(col) :+ col("__day").as("__d1") :+
+      col("__vc").as("__v1"): _*)
+    val b = daily.select(keys.map(col) :+ col("__day").as("__d2") :+
+      col("__vc").as("__v2"): _*)
+    val pairs = a.join(b, keys).filter(col("__d1") < col("__d2"))
+      .withColumn("__slope_q",
+        round((col("__v2") - col("__v1")) * lit(1000000L) /
+          datediff(col("__d2"), col("__d1"))).cast("long"))
+      .withColumn("__sgn",
+        signum((col("__v2") - col("__v1")).cast("double")).cast("long"))
+    val perKey = pairs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__np"),
+        percentile(col("__slope_q"), lit(0.5)).as("__med"),
+        sum(col("__sgn")).as("mk_s"))
+    // tie correction: groups of equal daily values within a key
+    val ties = daily.groupBy(keys.map(col) :+ col("__vc"): _*)
+      .agg(count(lit(1)).as("__t")).filter(col("__t") > 1)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+        .as("__tsum"))
+    val nDays = daily.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_days"))
+    val varExpr = (col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - coalesce(col("__tsum"), lit(0L)))
+      .cast("double") / 18.0
+    nDays.join(perKey, keys).join(ties, keys, "left")
+      .withColumn("__var", varExpr)
+      .select(keys.map(col) :+ col("n_days") :+
+        (round(col("__med") / 1e6 / 100.0 * 1e6) / 1e6).as("sen_slope") :+
+        col("mk_s") :+
+        (round(when(col("mk_s") > 0,
+            (col("mk_s") - 1) / sqrt(col("__var")))
+          .when(col("mk_s") < 0,
+            (col("mk_s") + 1) / sqrt(col("__var")))
+          .otherwise(lit(0.0)) * 1e6) / 1e6).as("mk_z"): _*)
+  }
+
+  /** DuckDB replay of [[robustTrend]]. */
+  def robustTrendOracleSql(table: String, keyCol: String, tsCol: String,
+                           valueCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(date_trunc('day', $tsCol) AS DATE) AS d,
+       |         CAST(SUM(ROUND($valueCol*100)) AS BIGINT) AS vc
+       |  FROM $table GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.$keyCol,
+       |         CAST(round((b.vc - a.vc) * 1000000
+       |                    / date_diff('day', a.d, b.d)) AS BIGINT)
+       |           AS slope_q,
+       |         CAST(sign(b.vc - a.vc) AS BIGINT) AS sgn
+       |  FROM daily a JOIN daily b
+       |    ON a.$keyCol = b.$keyCol AND a.d < b.d
+       |), pk AS (
+       |  SELECT $keyCol, COUNT(*) AS np, median(slope_q) AS med,
+       |         CAST(SUM(sgn) AS BIGINT) AS mk_s
+       |  FROM pairs GROUP BY 1
+       |), ties AS (
+       |  SELECT $keyCol,
+       |         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+       |  FROM (SELECT $keyCol, vc, COUNT(*) AS t FROM daily
+       |        GROUP BY 1, 2 HAVING COUNT(*) > 1)
+       |  GROUP BY 1
+       |), nd AS (
+       |  SELECT $keyCol, COUNT(*) AS n_days FROM daily GROUP BY 1
+       |)
+       |SELECT nd.$keyCol, n_days,
+       |       round(med / 1e6 / 100.0 * 1e6) / 1e6 AS sen_slope,
+       |       mk_s,
+       |       round(CASE
+       |         WHEN mk_s > 0 THEN (mk_s - 1) / sqrt(
+       |           CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+       |                - COALESCE(tsum, 0) AS DOUBLE) / 18.0)
+       |         WHEN mk_s < 0 THEN (mk_s + 1) / sqrt(
+       |           CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+       |                - COALESCE(tsum, 0) AS DOUBLE) / 18.0)
+       |         ELSE 0.0 END * 1e6) / 1e6 AS mk_z
+       |FROM nd JOIN pk ON nd.$keyCol = pk.$keyCol
+       |LEFT JOIN ties ON nd.$keyCol = ties.$keyCol""".stripMargin
+
   /** DuckDB replay of [[ewmaBacktest]]. */
   def ewmaBacktestOracleSql(table: String, keyCol: String, tsCol: String,
                             valueCol: String, span: Int = 16): String = {

@@ -3504,6 +3504,20 @@ object Queries {
       Some(graft.operators.TimeSeries.ewmaBacktestOracleSql(
         "events", "event_type", "ts", "value", span = 16))),
 
+    // ── Q177: robust trend — Theil–Sen slope + Mann–Kendall test
+    //          ([[graft.operators.TimeSeries.robustTrend]]) — the
+    //          nonparametric pair beside q97's OLS: median pairwise
+    //          slope (~29% breakdown vs OLS's single-outlier capture)
+    //          and the tie-corrected S/z that says whether the trend is
+    //          real. Pair join runs on keys×days rows, never the fact
+    //          table; every statistic is exact-integer or one-division
+    //          quantized. ─────────────────────────────────────────────────
+    QueryDef("q177_robust_trend",
+      (s, dir) => graft.operators.TimeSeries.robustTrend(
+        t(s, dir, "events"), Seq("event_type"), col("ts"), col("value")),
+      Some(graft.operators.TimeSeries.robustTrendOracleSql(
+        "events", "event_type", "ts", "value"))),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -322,4 +322,34 @@ class TimeSeriesEmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.ewmaChart(
       df, Seq("k"), col("ts"), col("value"), 1, h))
   }
+
+  test("robustTrend: Theil-Sen resists the outlier OLS follows; MK sign " +
+    "and tie/constant degeneracies; repartition-invariant") {
+    // clean +2.0/day trend with ONE wild outlier day
+    val vals = Seq(100.0, 102.0, 104.0, 106.0, 500.0, 110.0, 112.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+    } ++ (1 to 5).map(i => // constant series: full ties, S = 0, z = 0
+      ("flat", java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00"), 7.0))
+    val df = rows.toDF("k", "ts", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.robustTrend(d, Seq("k"), col("ts"), col("value"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+    val got = run(df)
+    val (n, slope, s, z) = got("m")
+    assert(n == 7L)
+    // the median pairwise slope stays on the clean 2.0/day trend even
+    // though the outlier day corrupts 6 of the 21 pair slopes
+    assert(math.abs(slope - 2.0) < 0.5, s"Theil-Sen slope $slope")
+    // S: every clean pair ascends; outlier pairs split 4 up / 2 down
+    assert(s > 10, s"MK S should be strongly positive, got $s")
+    assert(z > 1.5, s"MK z should be significant, got $z")
+    assert(got("flat") === ((5L, 0.0, 0L, 0.0)),
+      "a constant series has zero slope, zero S, zero z (never divides)")
+    assert(run(df.repartition(7)) === got)
+    intercept[IllegalArgumentException](TimeSeries.robustTrend(
+      df, Seq.empty, col("ts"), col("value")))
+  }
 }

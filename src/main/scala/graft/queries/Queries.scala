@@ -3518,6 +3518,40 @@ object Queries {
       Some(graft.operators.TimeSeries.robustTrendOracleSql(
         "events", "event_type", "ts", "value"))),
 
+    // ── Q178: changepoint localization — per key, the day the
+    //          target-referenced CUSUM statistic (q157) PEAKS is the
+    //          standard estimate of where the level shift began (Page's
+    //          argmax estimator); one keyed window argmax over the
+    //          monitor's own output, (cusum desc, day asc) total order
+    //          so ties replay identically. ────────────────────────────────
+    QueryDef("q178_changepoint",
+      (s, dir) => {
+        val cusum = graft.operators.TimeSeries.cusumShiftTarget(
+          t(s, dir, "events"), Seq("event_type"), col("ts"), col("value"),
+          targetCents = 300000L, slackCents = 20000L,
+          thresholdCents = 100000L)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cusum").desc, col("day").asc)
+        cusum.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("event_type"), col("day").as("changepoint_day"),
+            col("cusum").as("s_peak"),
+            col("alarm").as("alarmed_at_peak"))
+      },
+      Some(s"""WITH c AS (
+              |${graft.operators.TimeSeries.cusumTargetOracleSql(
+                "events", "event_type", "ts", "value",
+                targetCents = 300000L, slackCents = 20000L,
+                thresholdCents = 100000L)}
+              |)
+              |SELECT event_type, day AS changepoint_day,
+              |       cusum AS s_peak, alarm AS alarmed_at_peak
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              |           ORDER BY cusum DESC, day ASC) AS rn
+              |  FROM c
+              |) WHERE rn = 1""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

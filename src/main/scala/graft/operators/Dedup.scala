@@ -838,6 +838,50 @@ object Dedup {
        |       MAX(e) - MIN(s) + 1 AS span_tokens
        |FROM islands GROUP BY doc_id, island""".stripMargin
 
+  /** Dedup threshold calibration curve — the "what would this knob do"
+    * audit run BEFORE committing a corpus to a similarity threshold: for
+    * each candidate threshold (0.50 … 0.95 in 0.05 steps), how many
+    * near-dup PAIRS sit at-or-above it and how many distinct DOCUMENTS
+    * are touched by at least one such pair (an upper bound on removals
+    * under any keep-policy). Built from the EXACT df-capped Jaccard
+    * pairs at the 0.5 floor ([[jaccardPairs]] — audit once, read ten
+    * thresholds), bucketed on 1e-6-quantized similarities and
+    * accumulated by two descending windows over the ≤ 11-bucket
+    * histograms (audit-sized frames — the only "global" windows in the
+    * plan run on a dozen rows by construction).
+    *
+    * Output: (threshold, n_pairs, n_docs), thresholds descending-
+    * inclusive (a jac = 1.0 pair counts toward every row).
+    */
+  def thresholdCalibration(docs: DataFrame, n: Int = 3,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val pq = graft.CacheRegistry.persist(
+      jaccardPairs(docs, threshold = 0.5, n, maxDf)
+        .withColumn("jq", round(col("jac") * 1e6).cast("long"))
+        .withColumn("b", least(floor(col("jq") / 50000L).cast("int"), lit(20))))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pairCum = pq.groupBy(col("b")).agg(count(lit(1)).as("np"))
+      .withColumn("n_pairs", sum(col("np")).over(wDesc))
+    val docCum = pq.select(col("i").as("d"), col("jq"))
+      .unionByName(pq.select(col("j").as("d"), col("jq")))
+      .groupBy(col("d"))
+      .agg(least(floor(max(col("jq")) / 50000L).cast("int"), lit(20)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("nd"))
+      .withColumn("n_docs", sum(col("nd")).over(wDesc))
+    val spine = docs.sparkSession.range(10, 20)
+      .select(col("id").cast("int").as("t"))
+    // each threshold reads the cumulative at the smallest bucket >= it
+    spine.join(pairCum, col("b") >= col("t"), "left")
+      .groupBy(col("t")).agg(max(col("n_pairs")).as("n_pairs"))
+      .join(spine.join(docCum, col("b") >= col("t"), "left")
+        .groupBy(col("t")).agg(max(col("n_docs")).as("n_docs")), "t")
+      .select((col("t") / 20.0).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** MinHash estimator calibration — the "trust your dedup" audit run
     * BEFORE betting a 100 TB dedup pass on a signature size: for a
     * deterministic sample of document pairs, compare the MinHash

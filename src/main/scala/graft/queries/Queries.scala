@@ -3552,6 +3552,70 @@ object Queries {
               |  FROM c
               |) WHERE rn = 1""".stripMargin)),
 
+    // ── Q179: dedup threshold calibration curve
+    //          ([[graft.operators.Dedup.thresholdCalibration]]) — the
+    //          knob audit before committing a corpus to a similarity
+    //          threshold: pairs and touched-documents counts at every
+    //          candidate threshold 0.50–0.95, from ONE exact Jaccard
+    //          pass at the 0.5 floor; cumulative histograms over
+    //          audit-sized bucket frames. ──────────────────────────────────
+    QueryDef("q179_threshold_curve",
+      (s, dir) => Dedup.thresholdCalibration(t(s, dir, "documents")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), cp AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pq AS (
+             |  SELECT i, j,
+             |         LEAST(CAST(FLOOR(CAST(round(
+             |           CAST(common AS DOUBLE)
+             |             / CAST(x.n + y.n - common AS DOUBLE) * 1e6)
+             |           AS BIGINT) / 50000) AS INT), 20) AS b,
+             |         CAST(round(CAST(common AS DOUBLE)
+             |           / CAST(x.n + y.n - common AS DOUBLE) * 1e6)
+             |           AS BIGINT) AS jq
+             |  FROM cp JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |  WHERE CAST(common AS DOUBLE)
+             |          / CAST(x.n + y.n - common AS DOUBLE) >= 0.5
+             |), phist AS (
+             |  SELECT b, COUNT(*) AS np FROM pq GROUP BY 1
+             |), pcum AS (
+             |  SELECT b, CAST(SUM(np) OVER (ORDER BY b DESC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs
+             |  FROM phist
+             |), dmax AS (
+             |  SELECT d, LEAST(CAST(FLOOR(MAX(jq) / 50000) AS INT), 20) AS b
+             |  FROM (SELECT i AS d, jq FROM pq
+             |        UNION ALL SELECT j AS d, jq FROM pq)
+             |  GROUP BY 1
+             |), dhist AS (
+             |  SELECT b, COUNT(*) AS nd FROM dmax GROUP BY 1
+             |), dcum AS (
+             |  SELECT b, CAST(SUM(nd) OVER (ORDER BY b DESC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs
+             |  FROM dhist
+             |), spine AS (
+             |  SELECT CAST(UNNEST(range(10, 20)) AS INT) AS t
+             |)
+             |SELECT t / 20.0 AS threshold,
+             |       COALESCE((SELECT MAX(n_pairs) FROM pcum
+             |                 WHERE pcum.b >= spine.t), 0) AS n_pairs,
+             |       COALESCE((SELECT MAX(n_docs) FROM dcum
+             |                 WHERE dcum.b >= spine.t), 0) AS n_docs
+             |FROM spine""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

@@ -62,6 +62,44 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("thresholdCalibration: crafted two-tier corpus steps where it " +
+    "should, curve is monotone nonincreasing, reruns agree") {
+    // A-B: append one word to 12 tokens → 10 shared of 11 trigram
+    // shingles, jac = 10/11 ≈ 0.909; C-D: swap one middle word of 12 →
+    // 7 shared of 13, jac ≈ 0.538; E shares nothing
+    val twelve = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val docs = Seq(
+      (1L, twelve),
+      (2L, twelve + " extra"),
+      (3L, other),
+      (4L, other.replace("six", "SWAPPED")),
+      (5L, "totally unrelated content lives here now"))
+      .toDF("doc_id", "text")
+    val curve = Dedup.thresholdCalibration(docs)
+      .collect().map(r => (math.round(r.getDouble(0) * 100) / 100.0,
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.map(_._1) === (10 to 19).map(_ / 20.0))
+    val at50 = curve.head
+    val at75 = curve.find(_._1 == 0.75).get
+    val at90 = curve.find(_._1 == 0.9).get
+    val at95 = curve.find(_._1 == 0.95).get
+    assert(at50._2 === 2L && at50._3 === 4L,
+      s"both pairs and four docs at the floor, got $at50")
+    assert(at75._2 === 1L && at75._3 === 2L,
+      s"only the near-identical pair above 0.75, got $at75")
+    assert(at90._2 === 1L && at95._2 === 0L,
+      s"the 0.909 pair stands at 0.90 and falls at 0.95: $at90 $at95")
+    // monotone nonincreasing in both measures
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3, s"$lo -> $hi") }
+    assert(Dedup.thresholdCalibration(docs.repartition(5))
+      .collect().map(_.toSeq).toSet ===
+      curve.map(t => Seq(t._1, t._2, t._3)).toSet)
+  }
+
   test("disjoint docs: background decile 0, zero overlap, near-zero estimate") {
     val two = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

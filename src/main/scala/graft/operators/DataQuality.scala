@@ -78,4 +78,57 @@ object DataQuality {
     }
     audits.reduce(_ union _)
   }
+
+  /** Declarative expectations suite (the Deequ/Great-Expectations shape):
+    * evaluate a list of named row-level predicates in ONE scan + one
+    * single-row aggregation, and report per rule how many rows violate
+    * it. A predicate evaluating NULL counts as a violation (an
+    * expectation must be provably TRUE — the three-valued-logic trap
+    * where `col > 0` silently "passes" null rows is exactly what a data
+    * contract exists to catch).
+    *
+    * Output: (rule, n_rows, n_violations, violation_rate 1e-6-quantized,
+    * pass). Scale shape: all rules share one map-side-combined aggregate
+    * (k·2 counters per partition); the reshape to one row per rule
+    * happens on the single aggregated row.
+    */
+  def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"),
+        coalesce(col("__n"), lit(0L)).as("n_rows"),
+        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
+        (round(col("r.n_violations") * lit(1000000L) /
+          greatest(col("r.n_rows"), lit(1L))) / 1e6).as("violation_rate"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
+  /** DuckDB replay of [[validate]]: one UNION ALL arm per rule over the
+    * same table, identical CASE null semantics. `rules` are (name,
+    * SQL predicate) pairs that must express the same predicates the
+    * Spark call uses.
+    */
+  def validateOracleSql(table: String,
+                        rules: Seq[(String, String)]): String =
+    rules.map { case (name, pred) =>
+      s"""SELECT '$name' AS rule, COUNT(*) AS n_rows,
+         |       CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_violations,
+         |       round(CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END)
+         |               AS BIGINT) * 1000000
+         |             / GREATEST(COUNT(*), 1)) / 1e6 AS violation_rate,
+         |       CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) = 0
+         |         AS pass
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

@@ -3616,6 +3616,29 @@ object Queries {
              |                 WHERE dcum.b >= spine.t), 0) AS n_docs
              |FROM spine""".stripMargin)),
 
+    // ── Q180: declarative data-contract validation
+    //          ([[graft.operators.DataQuality.validate]], the
+    //          Deequ/Great-Expectations shape) — named row-level
+    //          expectations over orders evaluated in ONE scan + one
+    //          single-row aggregate; a NULL predicate counts as a
+    //          violation (the three-valued-logic trap a contract must
+    //          catch). One deliberately failing rule keeps the report
+    //          honest. ───────────────────────────────────────────────────
+    QueryDef("q180_data_contract",
+      (s, dir) => graft.operators.DataQuality.validate(
+        t(s, dir, "orders"), Seq(
+          ("positive_total", col("o_totalprice") > 0),
+          ("priority_enum", col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+          ("custkey_present", col("o_custkey").isNotNull),
+          ("big_ticket", col("o_totalprice") >= 50000))),
+      Some(graft.operators.DataQuality.validateOracleSql("orders", Seq(
+        ("positive_total", "o_totalprice > 0"),
+        ("priority_enum", "o_orderpriority IN ('1-URGENT', '2-HIGH', " +
+          "'3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"),
+        ("custkey_present", "o_custkey IS NOT NULL"),
+        ("big_ticket", "o_totalprice >= 50000"))))),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

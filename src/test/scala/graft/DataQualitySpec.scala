@@ -59,4 +59,30 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.keyCandidates(clean, Seq(Seq("id")))
       .collect().head.getBoolean(4))
   }
+
+  test("validate: null predicates are violations, counts are exact, " +
+    "empty frame reports zero rows passing, unique names enforced") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0)), (2L, Some(-1.0)), (3L, Option.empty[Double]))
+      .toDF("id", "v")
+    val got = DataQuality.validate(df, Seq(
+        ("v_positive", col("v") > 0),
+        ("id_present", col("id").isNotNull)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // the null v row VIOLATES v_positive — three-valued logic never
+    // silently passes a contract
+    assert(got("v_positive") === ((3L, 2L, 0.666667, false)))
+    assert(got("id_present") === ((3L, 0L, 0.0, true)))
+    val empty = DataQuality.validate(df.filter(col("id") < 0),
+        Seq(("anything", col("v") > 0)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(empty.toSeq === Seq((0L, 0L, true)),
+      "an empty delivery passes vacuously with zero rows on record")
+    intercept[IllegalArgumentException](DataQuality.validate(df, Seq.empty))
+    intercept[IllegalArgumentException](DataQuality.validate(df,
+      Seq(("dup", col("v") > 0), ("dup", col("v") < 9))))
+  }
 }

@@ -3639,6 +3639,54 @@ object Queries {
         ("custkey_present", "o_custkey IS NOT NULL"),
         ("big_ticket", "o_totalprice >= 50000"))))),
 
+    // ── Q181: LSH recall measurement — the banding-probability claim
+    //          (16 perms / 4 bands catches jac ≥ 0.8 with ≥ 93% per the
+    //          q23 scaladoc) MEASURED as a first-class row: exact
+    //          Jaccard pairs vs MinHash+LSH pairs at the same threshold,
+    //          plus the precision row-proof (the verify stage makes LSH
+    //          a subset of exact, so precision must be 1). ────────────────
+    QueryDef("q181_lsh_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+          .select(col("i"), col("j"))
+        val lsh = Dedup.minhashNearDups(docs, threshold = 0.8,
+            permHash = Dedup.Md5PermHash)
+          .select(col("i"), col("j"))
+        val both = exact.join(lsh, Seq("i", "j"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(both.agg(count(lit(1)).as("n_common")))
+          .select(col("n_exact"), col("n_lsh"), col("n_common"),
+            (round(col("n_common") * lit(1000000L) /
+              greatest(col("n_exact"), lit(1L))) / 1e6).as("recall"),
+            (round(col("n_common") * lit(1000000L) /
+              greatest(col("n_lsh"), lit(1L))) / 1e6).as("precision"))
+      },
+      Some(s"""WITH ${minhashPairCtes("documents", 0.8)},
+              |ex AS (
+              |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2
+              |), exactv AS (
+              |  SELECT i, j FROM ex
+              |  JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+              |  WHERE CAST(common AS DOUBLE)
+              |          / CAST(x.n + y.n - common AS DOUBLE) >= 0.8
+              |), m AS (
+              |  SELECT (SELECT COUNT(*) FROM exactv) AS n_exact,
+              |         (SELECT COUNT(*) FROM verified) AS n_lsh,
+              |         (SELECT COUNT(*) FROM exactv e
+              |          JOIN verified v ON e.i = v.i AND e.j = v.j)
+              |           AS n_common
+              |)
+              |SELECT n_exact, n_lsh, n_common,
+              |       round(n_common * 1000000
+              |             / GREATEST(n_exact, 1)) / 1e6 AS recall,
+              |       round(n_common * 1000000
+              |             / GREATEST(n_lsh, 1)) / 1e6 AS precision
+              |FROM m""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

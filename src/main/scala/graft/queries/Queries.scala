@@ -3687,6 +3687,51 @@ object Queries {
               |             / GREATEST(n_lsh, 1)) / 1e6 AS precision
               |FROM m""".stripMargin)),
 
+    // ── Q182: dedup impact report — the executive-summary row of the
+    //          q40 corpus-dedup composition: documents and TOKENS before
+    //          vs after (token counts are what the training budget
+    //          actually buys), removal rates 1e-6-quantized. One
+    //          composition, one row. ───────────────────────────────────────
+    QueryDef("q182_dedup_impact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = Dedup.dedupCorpus(docs, threshold = 0.8,
+          permHash = Dedup.Md5PermHash)
+        def m(d: org.apache.spark.sql.DataFrame, pre: String) =
+          d.agg(count(lit(1)).as(s"docs_$pre"),
+            sum(size(split(col("text"), " ")).cast("long"))
+              .as(s"tokens_$pre"))
+        m(docs, "before").crossJoin(m(kept, "after"))
+          .select(col("docs_before"), col("docs_after"),
+            col("tokens_before"), col("tokens_after"),
+            (round((col("docs_before") - col("docs_after")) * lit(1000000L) /
+              col("docs_before")) / 1e6).as("pct_docs_removed"),
+            (round((col("tokens_before") - col("tokens_after")) * lit(1000000L) /
+              col("tokens_before")) / 1e6).as("pct_tokens_removed"))
+      },
+      Some(s"""WITH reps AS (
+              |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+              |  FROM documents GROUP BY text
+              |), ${minhashPairCtes("reps", 0.8)},
+              |kept AS (
+              |  SELECT r.doc_id, r.text FROM reps r
+              |  WHERE r.doc_id NOT IN (SELECT j FROM verified)
+              |), m AS (
+              |  SELECT
+              |    (SELECT COUNT(*) FROM documents) AS docs_before,
+              |    (SELECT COUNT(*) FROM kept) AS docs_after,
+              |    (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+              |     FROM documents) AS tokens_before,
+              |    (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+              |     FROM kept) AS tokens_after
+              |)
+              |SELECT docs_before, docs_after, tokens_before, tokens_after,
+              |       round((docs_before - docs_after) * 1000000
+              |             / docs_before) / 1e6 AS pct_docs_removed,
+              |       round((tokens_before - tokens_after) * 1000000
+              |             / tokens_before) / 1e6 AS pct_tokens_removed
+              |FROM m""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

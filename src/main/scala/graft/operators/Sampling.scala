@@ -160,9 +160,10 @@ object Sampling {
     * lane is the hash (engine-portable; collision probability k·n/2³²
     * only perturbs the estimate, never correctness of the sample).
     *
-    * Output: (group, k_eff, n_distinct_exact_or_null, est, keys array…)
-    * — flattened as (group, rank, key, est) rows so the result stays
-    * scalar-typed (the harness hash contract).
+    * Output: one row per kept key — (grp, rank 1..k in hash order, key,
+    * est) with `est` repeated on each of the group's rows (flat
+    * scalar-typed rows, the harness hash contract; null in the exact
+    * regime).
     */
   def bottomKSketch(df: DataFrame, group: Column, key: Column,
                     k: Int): DataFrame = {

@@ -851,7 +851,11 @@ object Dedup {
     * plan run on a dozen rows by construction).
     *
     * Output: (threshold, n_pairs, n_docs), thresholds descending-
-    * inclusive (a jac = 1.0 pair counts toward every row).
+    * inclusive (a jac = 1.0 pair counts toward every row). The
+    * threshold-spine lookups are non-equi joins of two frames bounded at
+    * 10 and ≤ 11 rows BY CONSTRUCTION (the bucket domain) — a
+    * nested-loop join over ≤ 110 row pairs, the documented
+    * bounded-broadcast exception, never data-sized.
     */
   def thresholdCalibration(docs: DataFrame, n: Int = 3,
       maxDf: Int = DefaultMaxShingleDf): DataFrame = {

@@ -3732,6 +3732,82 @@ object Queries {
               |             / tokens_before) / 1e6 AS pct_tokens_removed
               |FROM m""".stripMargin)),
 
+    // ── Q183: split-leakage audit — q166's motivation MEASURED: of the
+    //          near-dup pairs (exact Jaccard ≥ 0.8), how many straddle a
+    //          train/eval boundary under the row-keyed split vs the
+    //          source-keyed split. Group keying eliminates within-source
+    //          straddling by construction; what remains is the
+    //          cross-source near-dup mass — the number that tells you
+    //          whether source-level splitting suffices or corpus-level
+    //          dedup must run first. ──────────────────────────────────────
+    QueryDef("q183_split_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(docs, threshold = 0.8)
+          .select(col("i"), col("j"))
+        def splitOf(keyCol: org.apache.spark.sql.Column) =
+          when(Sampling.hashBucket(keyCol.cast("string"), 10) < 8, "train")
+            .when(Sampling.hashBucket(keyCol.cast("string"), 10) < 9, "val")
+            .otherwise("test")
+        val labeled = docs.select(col("doc_id"),
+          splitOf(col("doc_id")).as("row_split"),
+          splitOf(col("source")).as("grp_split"))
+        val a = labeled.select(col("doc_id").as("i"),
+          col("row_split").as("ri"), col("grp_split").as("gi"))
+        val b = labeled.select(col("doc_id").as("j"),
+          col("row_split").as("rj"), col("grp_split").as("gj"))
+        pairs.join(a, "i").join(b, "j")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("ri") =!= col("rj"), 1L).otherwise(0L))
+              .as("straddle_row_split"),
+            sum(when(col("gi") =!= col("gj"), 1L).otherwise(0L))
+              .as("straddle_group_split"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |), sh0 AS (
+             |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+             |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+             |  WHERE len(t) >= 3
+             |), keep AS (
+             |  SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000
+             |), sh AS (
+             |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+             |), cp AS (
+             |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), pairs AS (
+             |  SELECT i, j FROM cp
+             |  JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+             |  WHERE CAST(common AS DOUBLE)
+             |          / CAST(x.n + y.n - common AS DOUBLE) >= 0.8
+             |), lab AS (
+             |  SELECT doc_id,
+             |         CASE WHEN CAST(('0x' || substr(md5(
+             |                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                % 10 < 8 THEN 'train'
+             |              WHEN CAST(('0x' || substr(md5(
+             |                CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                % 10 < 9 THEN 'val' ELSE 'test' END AS rsp,
+             |         CASE WHEN CAST(('0x' || substr(md5(source), 1, 8))
+             |                AS BIGINT) % 10 < 8 THEN 'train'
+             |              WHEN CAST(('0x' || substr(md5(source), 1, 8))
+             |                AS BIGINT) % 10 < 9 THEN 'val'
+             |              ELSE 'test' END AS gsp
+             |  FROM documents
+             |)
+             |SELECT COUNT(*) AS n_pairs,
+             |       CAST(SUM(CASE WHEN a.rsp <> b.rsp THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS straddle_row_split,
+             |       CAST(SUM(CASE WHEN a.gsp <> b.gsp THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS straddle_group_split
+             |FROM pairs p
+             |JOIN lab a ON p.i = a.doc_id
+             |JOIN lab b ON p.j = b.doc_id""".stripMargin)),
+
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59
     //          with DERIVED targets: shares ∝ p^α, α = 1/2 (T = 2), the

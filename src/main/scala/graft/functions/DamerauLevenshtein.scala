@@ -41,11 +41,23 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** Hard bound on DP cells (la+2)·(lb+2): 4M cells = 16 MB of scratch
+    * int per row in flight. The unrestricted variant inherently needs the
+    * full matrix (the last-occurrence transposition can reach arbitrarily
+    * far back, so no banded/two-row reduction exists) — without a guard,
+    * two 100k-char documents allocate ~40 GB inside codegen and OOM the
+    * executor. Callers comparing long text should truncate explicitly
+    * (`substr`) so the bound they compute under is visible in the plan.
+    */
+  val MaxCells: Long = 4L * 1000 * 1000
+
   /** Lowrance–Wagner distance; empty-vs-s is |s|. Hot path (this runs
     * once per candidate pair inside the scan): ONE flat int array for the
     * whole DP, an int[128] last-occurrence table for ASCII with a lazy
     * map fallback for wider chars — no per-cell allocation, no boxing on
-    * the common path.
+    * the common path. Inputs whose DP exceeds [[MaxCells]] fail loudly —
+    * a silent null would quietly change linkage results, and a silent
+    * truncation would report a wrong distance.
     */
   def distance(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
@@ -54,6 +66,11 @@ object DamerauLevenshtein {
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
+    if ((la + 2L) * (lb + 2L) > MaxCells)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: DP of ${la}x$lb chars exceeds the " +
+          s"$MaxCells-cell bound (~16 MB scratch); truncate inputs " +
+          "(substr) before comparing document-scale text")
     val inf = la + lb
     val w = lb + 2
     // flat (la+2) x (lb+2) DP with a sentinel row/column of `inf`

@@ -218,8 +218,12 @@ object Graph {
     * freed exactly like [[pageRank]]'s.
     *
     * Input edges are treated as DIRECTED adopt-from edges (`dst` adopts
-    * from `src`); symmetrize first for undirected graphs. Returns
-    * (node, community) — community = the adopted label after `rounds`.
+    * from `src`); symmetrize first for undirected graphs. A node with no
+    * in-edges keeps its current label each round (left-join + coalesce
+    * onto the full node spine — one extra node-sized keyed join per
+    * round), so source-only nodes neither vanish from the output nor
+    * lose their outgoing votes. Returns (node, community) — community =
+    * the adopted label after `rounds`.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
@@ -257,13 +261,23 @@ object Graph {
         .orderBy(col("cnt").desc, col("l").asc)
       for (_ <- 1 to rounds) {
         val prev = labels
-        labels = cut(
+        // Adopted labels exist only for nodes with in-degree > 0; the
+        // left-join + coalesce keeps source-only nodes at their previous
+        // label instead of silently dropping them (and their votes) from
+        // round 2 on — the documented directed adopt-from contract. On a
+        // symmetrized graph the adopted side covers every node and the
+        // coalesce never fires, so undirected results are unchanged.
+        val adopted =
           e.join(labels.select(col("node").as("src"), col("l")), "src")
             .groupBy(col("dst").as("node"), col("l"))
             .agg(count(lit(1)).as("cnt"))
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
-            .select(col("node"), col("l")))
+            .select(col("node"), col("l").as("__adopted"))
+        labels = cut(
+          prev.join(adopted, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("__adopted"), col("l")).as("l")))
         freeGeneration(prev)
       }
       labels.select(col("node"), col("l").as("community"))

@@ -179,10 +179,14 @@ object Sampling {
       .withColumn("__n", count(lit(1)).over(wAll))
       .filter(col("rank") <= k)
       .withColumn("est",
+        // h+1 over 2^31 maps the 31-bit hash to (0, 1]: hash value 0 is
+        // reachable (md5 lane ≡ 0 mod 2^31−1 has two preimages per lane
+        // period), and a plain h/(2^31−1) normalization would divide by
+        // zero there, reporting est = Infinity for the whole group.
         when(col("__n") < k, lit(null).cast("double"))
           .otherwise(round(lit((k - 1).toDouble) /
-            (max(when(col("rank") === k, col("__h"))).over(wAll) /
-              Int.MaxValue.toDouble) * 1e6) / 1e6))
+            ((max(when(col("rank") === k, col("__h"))).over(wAll) + 1L) /
+              lit(Int.MaxValue.toDouble + 1.0)) * 1e6) / 1e6))
       .select(col("grp"), col("rank"), col("key"), col("est"))
   }
 
@@ -210,7 +214,7 @@ object Sampling {
        |SELECT grp, CAST(rank AS INT) AS rank, key,
        |       CASE WHEN n < $k THEN NULL
        |            ELSE round(${(k - 1).toDouble} /
-       |                   (hk / ${Int.MaxValue.toDouble}) * 1e6) / 1e6
+       |                   ((hk + 1) / ${Int.MaxValue.toDouble + 1.0}) * 1e6) / 1e6
        |            END AS est
        |FROM cut""".stripMargin
   }

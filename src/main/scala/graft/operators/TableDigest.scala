@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   * search the bad rows) — the audit loop a 100 TB migration actually
   * runs.
   *
-  * Canonicalization contract: every column is rendered
-  * `coalesce(CAST(c AS STRING), U+0004)` and joined with U+0001. Callers
-  * pass columns whose string form is engine-stable (integers, strings,
-  * dates, decimals; for doubles pass an explicit quantized cast) — the
-  * same discipline every oracle-checked query in this engine already
-  * follows.
+  * Canonicalization contract: every column is rendered LENGTH-PREFIXED —
+  * `length(s) || ':' || s` for non-null, the bare letter `N` for null —
+  * and fields concatenate with no delimiter at all. The encoding is
+  * prefix-free decodable, so no column VALUE can imitate a field
+  * boundary or a null marker (a delimiter-join is blind to a value that
+  * contains the delimiter: one column "a<d>b" vs two columns "a","b").
+  * Callers pass columns whose string form is engine-stable (integers,
+  * strings, dates, decimals; for doubles pass an explicit quantized
+  * cast) — the same discipline every oracle-checked query in this engine
+  * already follows. Both engines count length in Unicode code points
+  * (Spark `length` = UTF8String.numChars, DuckDB `length(VARCHAR)`).
   */
 object TableDigest {
 
@@ -45,19 +50,32 @@ object TableDigest {
     */
   private def rowHash(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "digest needs at least one column")
-    val canon = concat_ws("\u0001",
-      cols.map(c => coalesce(c.cast("string"), lit("\u0004"))): _*)
+    val canon = concat(cols.map { c =>
+      val cs = c.cast("string")
+      when(cs.isNull, lit("N"))
+        .otherwise(concat(length(cs).cast("string"), lit(":"), cs))
+    }: _*)
     val lanes = graft.functions.GraftFunctions.md5_lanes(canon)
     shiftleft(element_at(lanes, 1), 31)
       .bitwiseXOR(element_at(lanes, 2))
   }
+
+  /** Modular sum that cannot wrap: the per-row residues (< 2³⁰) accumulate
+    * in DECIMAL(38,0) — overflow would need ~10²⁹ rows per group — and
+    * reduce mod p once, landing back in BIGINT. A plain long sum silently
+    * wraps past ~9.4e9 rows per group, exactly the table size this
+    * operator exists for; DuckDB's HUGEINT sum matches this by
+    * construction.
+    */
+  private def modSum(c: Column): Column =
+    (sum((c % Mod).cast("decimal(38,0)")) % Mod).cast("long")
 
   /** One digest row (n_rows, xor_digest, sum_digest) for the whole frame. */
   def digest(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.agg(
       count(lit(1)).as("n_rows"),
       call_function("bit_xor", rowHash(cols)).as("xor_digest"),
-      (sum(rowHash(cols) % Mod) % Mod).as("sum_digest"))
+      modSum(rowHash(cols)).as("sum_digest"))
 
   /** Per-group digests — localize a table mismatch to the partition that
     * diverged. One map-side-combined aggregation keyed by `groupCols`.
@@ -69,7 +87,7 @@ object TableDigest {
       .agg(
         count(lit(1)).as("n_rows"),
         call_function("bit_xor", rowHash(cols)).as("xor_digest"),
-        (sum(rowHash(cols) % Mod) % Mod).as("sum_digest"))
+        modSum(rowHash(cols)).as("sum_digest"))
   }
 
   /** Merge per-batch digest frames into the digest of the union — the
@@ -90,7 +108,7 @@ object TableDigest {
       .agg(
         sum(col("n_rows")).as("n_rows"),
         call_function("bit_xor", col("xor_digest")).as("xor_digest"),
-        (sum(col("sum_digest")) % Mod).as("sum_digest"))
+        modSum(col("sum_digest")).as("sum_digest"))
   }
 
   /** Latest committed digest generation in `stateDir`: (batchId, frame),
@@ -148,7 +166,7 @@ object TableDigest {
   }
 
   /** DuckDB replay of [[digestByGroup]]: the same canonicalization
-    * (chr(1) joins, chr(4) nulls), the same two md5 lanes, the same
+    * (length-prefixed fields, 'N' nulls), the same two md5 lanes, the same
     * 63-bit pack and modular sum. `colSqls` must render each column
     * exactly as Spark's CAST-to-string does (identity for VARCHAR,
     * CAST(... AS VARCHAR) for integers/dates).
@@ -156,8 +174,10 @@ object TableDigest {
   def digestByGroupOracleSql(table: String, groupCols: Seq[String],
                              colSqls: Seq[String]): String = {
     val canon = colSqls
-      .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(4))")
-      .mkString(" || chr(1) || ")
+      .map(c => s"CASE WHEN CAST($c AS VARCHAR) IS NULL THEN 'N' " +
+        s"ELSE CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' " +
+        s"|| CAST($c AS VARCHAR) END")
+      .mkString(" || ")
     def lane(i: Int) =
       s"CAST(('0x' || substring(md5(s), ${1 + 8 * i}, 8)) AS BIGINT)"
     val gs = groupCols.mkString(", ")
@@ -168,7 +188,7 @@ object TableDigest {
        |)
        |SELECT $gs, COUNT(*) AS n_rows,
        |       CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
-       |       CAST(SUM(rh % $Mod) AS BIGINT) % $Mod AS sum_digest
+       |       CAST(SUM(rh % $Mod) % $Mod AS BIGINT) AS sum_digest
        |FROM hashed GROUP BY $gs""".stripMargin
   }
 }

@@ -142,4 +142,21 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.labelPropagation(edges, rounds = 0))
   }
+
+  test("labelPropagation: a source-only node (zero in-degree) keeps its " +
+    "own label across rounds and its votes still count") {
+    import spark.implicits._
+    // 7 is source-only: it votes onto node 1 every round but nothing
+    // votes onto it. Before the spine-join fix it vanished from the
+    // output after round 1 and its vote disappeared from round 2 on.
+    // Hand trace (ties -> min): r1 1<-{7,2}->2, 2<-{1}->1, 7 keeps 7;
+    // r2 1<-{7,1}->1, 2<-{2}->2; r3 1<-{7,2}->2, 2<-{1}->1.
+    val e = Seq((7L, 1L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 7L), "no node may vanish")
+    assert(got(7L) === 7L, "source-only node keeps its own label")
+    assert(got(1L) === 2L && got(2L) === 1L,
+      "7's standing label participates in every round's vote")
+  }
 }

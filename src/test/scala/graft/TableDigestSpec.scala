@@ -141,6 +141,26 @@ class TableDigestSpec extends SparkSpec {
     assert(streamed == whole)
   }
 
+  test("canonicalization is injection-proof: values that imitate field " +
+    "boundaries or the null marker digest differently") {
+    // under a delimiter-join scheme each pair below collides; the
+    // length-prefixed encoding must tell them apart
+    val twoCols = Seq(("a", "b")).toDF("x", "y")
+    val joined = Seq(("a\u0001b", "")).toDF("x", "y")
+    val c2 = Seq(col("x"), col("y"))
+    assert(TableDigest.digest(twoCols, c2).head() !=
+      TableDigest.digest(joined, c2).head())
+    val realSentinel = Seq(Tuple1("\u0004")).toDF("x")
+    val nullVal = Seq(Tuple1(null.asInstanceOf[String])).toDF("x")
+    val c1 = Seq(col("x"))
+    assert(TableDigest.digest(realSentinel, c1).head() !=
+      TableDigest.digest(nullVal, c1).head())
+    // a literal "N" value must not collide with NULL either
+    val enn = Seq(Tuple1("N")).toDF("x")
+    assert(TableDigest.digest(enn, c1).head() !=
+      TableDigest.digest(nullVal, c1).head())
+  }
+
   test("digest needs at least one column") {
     intercept[IllegalArgumentException](TableDigest.digest(base, Seq.empty))
     intercept[IllegalArgumentException](

@@ -248,4 +248,16 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(2, 1))
   }
+
+  test("damerau_levenshtein: document-scale inputs fail loudly at the " +
+    "MaxCells bound instead of allocating a multi-GB DP matrix") {
+    import graft.functions.DamerauLevenshtein.{distance, MaxCells}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val big = "x" * 3000 // 3002^2 > 4M cells
+    val ex = intercept[IllegalArgumentException](distance(u(big), u(big)))
+    assert(ex.getMessage.contains("truncate"))
+    // just under the bound still computes (square strings of ~1998 chars)
+    val side = math.sqrt(MaxCells.toDouble).toInt - 2
+    assert(distance(u("a" * side), u("a" * side)) == 0)
+  }
 }

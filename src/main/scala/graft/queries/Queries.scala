@@ -544,16 +544,45 @@ object Queries {
              |SELECT d.doc_id, dim.anon AS source
              |FROM documents d JOIN dim USING (source)""".stripMargin)),
 
-    // ── Q32: keyed blake2b pseudonymization (no SQL oracle: DuckDB has no
-    //         blake2b; stability + vectors pinned by ScalaTest) ────────────
+    // ── Q32: keyed blake2b pseudonymization — the RELATIONAL half is the
+    //         oracle-checked surface: the pipeline runs TWICE against the
+    //         same key store (fresh mapping, then upsert rerun) and emits
+    //         per-lang audit counts DuckDB can replay without computing a
+    //         single digest — n_uids = n_rows pins the mapping is a
+    //         bijection (no hash collision, no key-table dup), n_stable =
+    //         n_rows pins rerun-identical pseudonyms through the upsert
+    //         path, n_len10 = n_rows pins the 5-byte hexdigest grammar.
+    //         blake2b VALUE correctness (RFC 7693 vectors, SQL surface,
+    //         persistence round-trip) stays pinned in Blake2bSpec — DuckDB
+    //         structurally cannot oracle the digest itself. ───────────────
     QueryDef("q32_uid_pseudonym",
       (s, dir) => {
         val keyDir = s"${sys.props("java.io.tmpdir")}/graft-keys-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        Anonymize.uidAnonymization(s,
-          t(s, dir, "documents").select(col("doc_id"), col("lang")),
-          "doc_id", keyDir)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("orig"), col("lang"))
+        // Materialize run 1 BEFORE the rerun: each upsert atomically swaps
+        // the key-table files, so run 1's lazily-listed parquet paths are
+        // gone by the time the joined plan executes. The checkpoint is the
+        // run boundary — audit-sized (one row per document id + lang).
+        val r1 = Anonymize.uidAnonymization(s, docs, "doc_id", keyDir)
+          .select(col("orig"), col("lang"), col("doc_id").as("uid1"))
+          .localCheckpoint(true)
+        val r2 = Anonymize.uidAnonymization(s, docs, "doc_id", keyDir)
+          .select(col("orig"), col("doc_id").as("uid2"))
+        r1.join(r2, Seq("orig"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("uid1")).as("n_uids"),
+            sum(when(col("uid1") === col("uid2"), 1L).otherwise(0L))
+              .as("n_stable"),
+            sum(when(length(col("uid1")) === 10, 1L).otherwise(0L))
+              .as("n_len10"))
       },
-      None),
+      Some("""SELECT lang, COUNT(*) AS n_rows,
+             |       COUNT(DISTINCT doc_id) AS n_uids,
+             |       COUNT(*) AS n_stable,
+             |       COUNT(*) AS n_len10
+             |FROM documents GROUP BY lang""".stripMargin)),
 
     // ── Q33: zonal MAPE with pivot through the Mape operators (A4/O3) ─────
     QueryDef("q33_mape_zonal",

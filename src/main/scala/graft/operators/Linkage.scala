@@ -114,15 +114,37 @@ object Linkage {
       require(th > 0 && th <= 1,
         s"field '$f': simThreshold must be in (0, 1], got $th")
     }
-    val fnames = exactFields.map(_._1) ++ fuzzyFields.map(_._1)
+    scoreJoined(
+      selectSides(left, right, leftId, rightId, block,
+        exactFields.map(_._1) ++ fuzzyFields.map(_._1)) match {
+        case (lsel, rsel) => lsel.join(rsel, block, "inner")
+      },
+      leftId, rightId, exactFields, fuzzyFields, threshold)
+  }
+
+  private def selectSides(left: DataFrame, right: DataFrame,
+                          leftId: String, rightId: String,
+                          block: Seq[String], fnames: Seq[String])
+      : (DataFrame, DataFrame) = {
     val lsel = left.select((leftId +: (block ++ fnames).distinct).map(col): _*)
     val rsel = fnames.foldLeft(
       right.select((rightId +: (block ++ fnames).distinct).map(col): _*))(
       (df, f) => df.withColumnRenamed(f, f + "__r"))
+    (lsel, rsel)
+  }
+
+  /** Shared scoring tail: `joined` carries leftId, rightId, each field f
+    * as `f` (left) and `f__r` (right); emits the agreement indicators,
+    * the exact micro-weight sum, and the threshold cut.
+    */
+  private def scoreJoined(joined: DataFrame, leftId: String, rightId: String,
+                          exactFields: Seq[(String, Double, Double)],
+                          fuzzyFields: Seq[(String, Double, Double, Double)],
+                          threshold: Double): DataFrame = {
     def indicator(f: String, agree: org.apache.spark.sql.Column) =
       when(col(f).isNull || col(f + "__r").isNull, lit(null).cast("int"))
         .when(agree, lit(1)).otherwise(lit(0)).as(s"agree_$f")
-    val agreed = lsel.join(rsel, block, "inner")
+    val agreed = joined
       .select(col(leftId) +: col(rightId) +:
         (exactFields.map { case (f, _, _) =>
           indicator(f, col(f) === col(f + "__r"))
@@ -140,6 +162,106 @@ object Linkage {
       .filter(col("__micro") >= lit(math.round(threshold * 1e6)))
       .withColumn("score", col("__micro") / 1e6)
       .drop("__micro")
+  }
+
+  /** Minimal field subsets whose AGREE weights alone reach the threshold.
+    * A pair's score is Σ over agreeing fields of wa plus non-positive
+    * terms (disagree wd < 0, missing 0), so score ≥ T > 0 forces the
+    * agreeing set to contain one of these subsets — they are the complete
+    * set of lossless candidate-generation keys.
+    */
+  private[graft] def minimalAgreeSets(
+      waMicro: Seq[Long], tMicro: Long): Seq[Set[Int]] = {
+    require(tMicro > 0,
+      "blocked linkage needs threshold > 0: at or below 0 every pair " +
+        "can qualify and no agreement-based candidate bound exists")
+    val n = waMicro.length
+    require(n <= 20, s"$n fields: subset enumeration is 2^n")
+    val qualifying = (0 until (1 << n)).filter { mask =>
+      (0 until n).collect {
+        case i if (mask & (1 << i)) != 0 => waMicro(i)
+      }.sum >= tMicro
+    }
+    val sets = qualifying.map(mask =>
+      (0 until n).filter(i => (mask & (1 << i)) != 0).toSet)
+    sets.filter(s => !sets.exists(o => o != s && o.subsetOf(s)))
+  }
+
+  /** [[fellegiSunterFuzzy]] with BOUNDED candidate generation — the same
+    * scored pairs WITHOUT sweeping every in-block pair with the
+    * comparator. The bound is score-driven: disagreement and missingness
+    * contribute ≤ 0, so any pair at or above the threshold must AGREE on
+    * some minimal qualifying field subset ([[minimalAgreeSets]]); for
+    * each such subset candidates come from
+    *  - an EQUI-join on (block ++ its exact fields) when it has any —
+    *    agreement on an exact field IS equality, or
+    *  - the lossless Jaro–Winkler prefix filter
+    *    ([[FuzzyJoin.jaroWinklerCandidates]]) on its highest-threshold
+    *    fuzzy field otherwise (requires that field's simThreshold > 0.8).
+    * The union (distinct) is then scored EXACTLY like
+    * [[fellegiSunterFuzzy]] — same indicators, same micro-weights, same
+    * cut — so the output is provably identical while the comparator runs
+    * only on candidates.
+    *
+    * Candidate volume is the sum over minimal subsets of their join
+    * selectivity: a weak field (low wa) that cannot reach the threshold
+    * alone never becomes a generator — the m/u priors that make a field
+    * weak evidence also keep it from driving the pairing.
+    */
+  def fellegiSunterFuzzyBlocked(left: DataFrame, right: DataFrame,
+                                leftId: String, rightId: String,
+                                block: Seq[String],
+                                exactFields: Seq[(String, Double, Double)],
+                                fuzzyFields: Seq[(String, Double, Double, Double)],
+                                threshold: Double): DataFrame = {
+    require(block.nonEmpty, "fellegiSunterFuzzyBlocked needs at least one blocking column")
+    require(exactFields.nonEmpty || fuzzyFields.nonEmpty,
+      "fellegiSunterFuzzyBlocked needs at least one scored field")
+    require(leftId != rightId,
+      s"left and right id columns must have distinct names, both are '$leftId'")
+    exactFields.foreach(checkField)
+    fuzzyFields.foreach { case (f, m, u, th) =>
+      checkField((f, m, u))
+      require(th > 0 && th <= 1,
+        s"field '$f': simThreshold must be in (0, 1], got $th")
+    }
+    val fields: Seq[(String, Long, Boolean, Double)] =
+      exactFields.map { case (f, m, u) =>
+        (f, microWeights(m, u)._1, true, 0.0)
+      } ++ fuzzyFields.map { case (f, m, u, th) =>
+        (f, microWeights(m, u)._1, false, th)
+      }
+    val sets = minimalAgreeSets(fields.map(_._2),
+      math.round(threshold * 1e6))
+    val fnames = fields.map(_._1)
+    val (lsel, rsel) = selectSides(left, right, leftId, rightId, block, fnames)
+    // generator-side right frame: block columns renamed too, so the
+    // equi-join conditions are unambiguous
+    val rGen = block.foldLeft(rsel)((df, b) =>
+      df.withColumnRenamed(b, b + "__rb"))
+    val generators = sets.map { s =>
+      val exacts = s.toSeq.sorted.map(fields).filter(_._3).map(_._1)
+      if (exacts.nonEmpty)
+        lsel.join(rGen,
+            (block.map(b => col(b) === col(b + "__rb")) ++
+              exacts.map(f => col(f) === col(f + "__r"))).reduce(_ && _))
+          .select(col(leftId), col(rightId))
+      else {
+        val (f, _, _, th) = s.toSeq.sorted.map(fields).maxBy(_._4)
+        require(th > 0.8,
+          s"field '$f' must generate candidates alone but its " +
+            s"simThreshold $th is ≤ 0.8 — the Jaro match bound " +
+            "degenerates; raise the threshold or add an exact field")
+        FuzzyJoin.jaroWinklerCandidates(left, right, th,
+            leftId, f, rightId, f, block)
+          .select(col("left_id").as(leftId), col("right_id").as(rightId))
+      }
+    }
+    val pairs = generators.reduce(_ unionByName _).distinct()
+    scoreJoined(
+      pairs.join(lsel, Seq(leftId))
+        .join(rsel.drop(block: _*), Seq(rightId)),
+      leftId, rightId, exactFields, fuzzyFields, threshold)
   }
 
   /** DuckDB replay of [[fellegiSunterFuzzy]] (the [[fellegiSunterOracleSql]]

@@ -3358,12 +3358,19 @@ object Queries {
     //          ([[graft.functions.JaroWinkler]] — a NATIVE codegen
     //          expression for the record-linkage comparator Spark lacks;
     //          RapidFuzz/DuckDB variant bit-for-bit: 0.7 boost
-    //          threshold, prefix ≤ 4, weight 0.1). Pairing uses q160's
-    //          bounded md5-bucket discipline (sampled ids paired within
-    //          hash buckets — a distributed bounded quadratic, never a
-    //          cartesian); the oracle replays the same pairs through
+    //          threshold, prefix ≤ 4, weight 0.1). Pair generation is the
+    //          LOSSLESS prefix filter ([[FuzzyJoin.jaroWinklerSelfCandidates]]
+    //          — jw ≥ 0.9 forces a character-occurrence overlap ≥ half the
+    //          longer length, so candidates come from an equi-join on
+    //          rarity-ordered prefix elements, never a block-quadratic
+    //          sweep); the md5 buckets remain as the query's block
+    //          semantics. Result provably identical to the full in-block
+    //          pairing; the oracle replays THAT full pairing through
     //          DuckDB's own jaro_winkler_similarity — two independent
-    //          implementations agreeing bitwise on every score. ───────────
+    //          implementations agreeing bitwise on every score, and the
+    //          bitwise match doubles as an end-to-end losslessness check
+    //          of the candidate generator. minJw backs off 1e-6 because
+    //          the output filter compares the ROUNDED score. ──────────────
     QueryDef("q171_jaro_winkler",
       (s, dir) => {
         val samp = t(s, dir, "part").select(
@@ -3373,11 +3380,11 @@ object Queries {
             Sampling.hashBucket(concat(lit("pb:"),
               col("p_partkey").cast("string")), 32).as("__pb"))
           .filter(col("__keep") === 0)
-        samp.as("a").join(samp.as("b"),
-            col("a.__pb") === col("b.__pb") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("i"), col("b.id").as("j"),
+        graft.operators.FuzzyJoin.jaroWinklerSelfCandidates(
+            samp, 0.9 - 1e-6, "id", "nm", Seq("__pb"))
+          .select(col("i"), col("j"),
             (round(graft.functions.GraftFunctions.jaro_winkler(
-              col("a.nm"), col("b.nm")) * 1e6) / 1e6).as("jw"))
+              col("si"), col("sj")) * 1e6) / 1e6).as("jw"))
           .filter(col("jw") >= 0.9)
       },
       Some("""WITH samp AS (
@@ -3446,7 +3453,15 @@ object Queries {
     //          production linkage runs on dirty data. Same blocking,
     //          weights, and missing-value semantics; the JW threshold
     //          is deterministic because the comparator replays bitwise
-    //          (q171). ─────────────────────────────────────────────────────
+    //          (q171). Candidates come from the SCORE-DRIVEN bound
+    //          ([[graft.operators.Linkage.fellegiSunterFuzzyBlocked]]):
+    //          with these weights and threshold 3.0 the minimal
+    //          qualifying agree-sets are {bal_cents} and {name}, so the
+    //          comparator sweeps only the bal_cents equi-join ∪ the JW
+    //          prefix-filter candidates instead of every in-block pair —
+    //          provably the same output (LinkageSpec pins blocked ≡
+    //          quadratic; the unchanged full-join oracle re-proves it
+    //          bitwise on every run). ─────────────────────────────────────
     QueryDef("q173_fuzzy_linkage",
       (s, dir) => {
         val cust = t(s, dir, "customer")
@@ -3462,7 +3477,7 @@ object Queries {
             .otherwise(col("c_mktsegment")).as("segment"),
           (round(col("c_acctbal") * 100).cast("long") + (bk % 3 - 1))
             .as("bal_cents"))
-        graft.operators.Linkage.fellegiSunterFuzzy(clean, dirty,
+        graft.operators.Linkage.fellegiSunterFuzzyBlocked(clean, dirty,
           "c_custkey", "r_id", Seq("c_nationkey"),
           exactFields = LinkageFields.filter(_._1 != "name"),
           fuzzyFields = Seq(("name", 0.95, 0.05, 0.98)),

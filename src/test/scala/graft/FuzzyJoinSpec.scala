@@ -85,4 +85,78 @@ class FuzzyJoinSpec extends SparkSpec {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  test("jaroWinklerSelfCandidates: lossless vs brute force on seeded " +
+    "random strings at t=0.85/0.9/0.98; block equality is absolute") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler.{similarity => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // seeded LCG strings over a 6-letter alphabet, lengths 4..19, so
+    // near-misses around every threshold occur; plus crafted near-dups
+    var st = 99L
+    def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    val alpha = "abcdef"
+    val rand = (1 to 120).map { i =>
+      val len = 4 + math.floorMod(next() >> 33, 16L).toInt
+      (i.toLong, (1 to len).map(_ =>
+        alpha(math.floorMod(next() >> 33, alpha.length.toLong).toInt)).mkString)
+    }
+    val crafted = Seq(
+      (201L, "acme corporation"), (202L, "acme corporatoin"),
+      (203L, "acme corp"), (204L, "jonathan smith"),
+      (205L, "jonathan smyth"), (206L, "jonathan smith"))
+    val rows = rand ++ crafted
+    val df = rows.toDF("id", "name")
+    for (t <- Seq(0.85, 0.9, 0.98)) {
+      val want = (for {
+        (i, si) <- rows; (j, sj) <- rows if i < j
+        if jw(u(si), u(sj)) >= t
+      } yield (i, j)).toSet
+      val cands = FuzzyJoin.jaroWinklerSelfCandidates(df, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      graft.CacheRegistry.releaseAll()
+      val got = cands.filter(c => jw(u(c._3), u(c._4)) >= t)
+        .map(c => (c._1, c._2)).toSet
+      assert(got === want, s"threshold $t")
+      assert(want.nonEmpty, s"threshold $t needs at least one true pair")
+    }
+    // blocks: same strings, disjoint blocks -> no pair may cross
+    val blocked = df.withColumn("bk", col("id") % 2)
+    val crossOk = FuzzyJoin.jaroWinklerSelfCandidates(
+      blocked, 0.9, blockCols = Seq("bk"))
+      .join(blocked.select(col("id").as("i"), col("bk").as("bi")), "i")
+      .join(blocked.select(col("id").as("j"), col("bk").as("bj")), "j")
+      .filter(col("bi") =!= col("bj")).count()
+    graft.CacheRegistry.releaseAll()
+    assert(crossOk === 0L, "candidates must never cross blocks")
+  }
+
+  test("jaroWinklerCandidates (two-table): lossless vs brute force, " +
+    "including identical strings and empty-side conventions") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler.{similarity => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val l = Seq((1L, "customer#001"), (2L, "customer#002"),
+      (3L, "supplier nine"), (4L, "zz")).toDF("lid", "lname")
+    val r = Seq((11L, "customer#001"), (12L, "customer#0002"),
+      (13L, "supplier nIne"), (14L, "z")).toDF("rid", "rname")
+    val t = 0.9
+    val lrows = Seq((1L, "customer#001"), (2L, "customer#002"),
+      (3L, "supplier nine"), (4L, "zz"))
+    val rrows = Seq((11L, "customer#001"), (12L, "customer#0002"),
+      (13L, "supplier nIne"), (14L, "z"))
+    val want = (for {
+      (i, si) <- lrows; (j, sj) <- rrows if jw(u(si), u(sj)) >= t
+    } yield (i, j)).toSet
+    val got = FuzzyJoin.jaroWinklerCandidates(l, r, t,
+        "lid", "lname", "rid", "rname")
+      .collect()
+      .filter(c => jw(u(c.getString(2)), u(c.getString(3))) >= t)
+      .map(c => (c.getLong(0), c.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(got === want)
+    assert(want.contains((1L, 11L)), "identical strings must pair")
+    intercept[IllegalArgumentException](
+      FuzzyJoin.jaroWinklerSelfCandidates(l, 0.8, "lid", "lname"))
+  }
 }

@@ -102,4 +102,54 @@ class LinkageSpec extends SparkSpec {
       left, right, "lid", "rid", Seq("blk"), Seq.empty,
       Seq(("name", 0.9, 0.01, 1.5)), 0.0))
   }
+
+  test("minimalAgreeSets: complete, minimal, and guarded") {
+    // weights 7, 4, 2; T=5: minimal sets {0}, {1,2} ({0,1} etc. contain {0})
+    assert(Linkage.minimalAgreeSets(Seq(7L, 4L, 2L), 5L).toSet ===
+      Set(Set(0), Set(1, 2)))
+    // unreachable threshold -> no sets -> no pair can ever qualify
+    assert(Linkage.minimalAgreeSets(Seq(1L, 1L), 10L).isEmpty)
+    intercept[IllegalArgumentException](Linkage.minimalAgreeSets(Seq(1L), 0L))
+  }
+
+  test("fellegiSunterFuzzyBlocked is pair-for-pair identical to the " +
+    "block-quadratic scorer, including pairs that pass WITHOUT name " +
+    "agreement") {
+    import spark.implicits._
+    // weights: name(0.95,0.05)->±4.25, seg(0.9,0.25)->+1.85/-2.91,
+    // bal(0.85,0.005)->+7.41/-2.73; T=3 -> minimal agree-sets {name},{bal}
+    val l = Seq(
+      (1L, 1L, "alice jones", "AUTO", 100L),
+      (2L, 1L, "bob smith", "BIKE", 200L),
+      (3L, 1L, "carol white", "AUTO", 300L),
+      (4L, 2L, "dan black", "SHIP", 400L))
+      .toDF("lid", "nk", "name", "segment", "bal")
+    val r = Seq(
+      (11L, 1L, "alice jomes", "AUTO", 101L),  // name fuzzy-agrees only
+      (12L, 1L, "zzz yyy", "BIKE", 200L),      // bal+seg agree, name disagrees
+      (13L, 1L, "qqq ppp", null, 300L),        // bal agrees, name disagrees, seg missing
+      (14L, 1L, "carol white", "AUTO", 999L),  // name+seg agree, bal disagrees
+      (15L, 2L, "dan black", "SHIP", 400L),    // all agree, other block
+      (16L, 1L, "alice jones", null, 100L))    // name+bal agree, seg missing
+      .toDF("rid", "nk", "name", "segment", "bal")
+    val exactF = Seq(("segment", 0.9, 0.25), ("bal", 0.85, 0.005))
+    val fuzzyF = Seq(("name", 0.95, 0.05, 0.9))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)), Option(x.get(3)), Option(x.get(4)),
+        x.getDouble(5))).toSet
+    val want = canon(Linkage.fellegiSunterFuzzy(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 3.0))
+    val got = canon(Linkage.fellegiSunterFuzzyBlocked(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 3.0))
+    graft.CacheRegistry.releaseAll()
+    assert(got === want)
+    // the discriminating cases must actually be present
+    val ids = got.map(t => (t._1, t._2))
+    assert(ids.contains((2L, 12L)), "bal+seg agree, name DISAGREES: +5.01")
+    assert(ids.contains((3L, 13L)), "bal agrees, name disagrees, seg null: +3.16")
+    assert(ids.contains((3L, 14L)), "name+seg agree, bal disagrees: +3.37")
+    assert(ids.contains((4L, 15L)) && ids.contains((1L, 16L)))
+    assert(!ids.contains((1L, 12L)) && !ids.contains((2L, 11L)))
+  }
 }

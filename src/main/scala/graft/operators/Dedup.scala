@@ -912,26 +912,47 @@ object Dedup {
     * Scale shape: one posting list feeds signatures AND the exact-overlap
     * verify; candidates come from the banded equi-join (never all-pairs);
     * the background cross-pairing is confined INSIDE md5 hash-buckets of
-    * the sampled docs (expected bucket size = |sample|/pairBuckets — a
-    * bounded, distributed quadratic, not a cartesian); the verify fans
-    * candidates out by one side's capped shingles only.
+    * the sampled docs, and the sampling modulus is DERIVED from the
+    * corpus size so expected background pairs stay ≤
+    * `backgroundPairBudget` no matter how large the corpus — O(budget),
+    * not O(n²/mod²); the verify fans candidates out by one side's capped
+    * shingles only. `backgroundMod` overrides the derivation (tests and
+    * replays that need a pinned modulus).
     *
     * Output: (tag, decile 0–9, n_pairs, avg_est, avg_exact).
     */
   def minhashCalibration(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, backgroundMod: Int = 2, pairBuckets: Int = 16,
+      bands: Int = 4, backgroundPairBudget: Long = 100000L,
+      pairBuckets: Int = 16,
       maxDf: Int = DefaultMaxShingleDf,
-      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = Md5PermHash)
+      permHash: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = Md5PermHash,
+      backgroundMod: Option[Int] = None)
       : DataFrame = {
-    require(backgroundMod >= 1, s"backgroundMod must be >= 1, got $backgroundMod")
+    require(backgroundPairBudget >= 1,
+      s"backgroundPairBudget must be >= 1, got $backgroundPairBudget")
+    backgroundMod.foreach(m =>
+      require(m >= 1, s"backgroundMod must be >= 1, got $m"))
     require(pairBuckets >= 1, s"pairBuckets must be >= 1, got $pairBuckets")
     val sh = graft.CacheRegistry.persist(postingList(docs, n, maxDf))
     val sig = graft.CacheRegistry.persist(sizedSignatures(sh, numPerms, permHash))
+    // Fixed-pair-budget sampling: with kept = n/mod docs paired inside
+    // pairBuckets md5 buckets, expected background pairs are
+    // kept²/(2·pairBuckets). A FIXED modulus makes that quadratic in the
+    // corpus (at 100× docs, ~10⁴× pairs); deriving the modulus from the
+    // signature count keeps pairs ≤ backgroundPairBudget at ANY corpus
+    // size — the audit's cost is O(budget), a dial, not a function of
+    // the data. The same derivation replays in the oracle from its own
+    // COUNT over sig, so both engines pick the same modulus.
+    val mod = backgroundMod.getOrElse {
+      val nSig = sig.count()
+      math.max(1L, math.ceil(nSig /
+        math.sqrt(2.0 * backgroundPairBudget * pairBuckets)).toLong).toInt
+    }
     val cand = minhashCandidates(sig, numPerms, bands)
       .select(lit("candidate").as("tag"), col("i"), col("j"))
     val sampled = sig.select(col("doc_id"),
         Sampling.hashBucket(concat(lit("cal:"),
-          col("doc_id").cast("string")), backgroundMod).as("__keep"),
+          col("doc_id").cast("string")), mod).as("__keep"),
         Sampling.hashBucket(concat(lit("pb:"),
           col("doc_id").cast("string")), pairBuckets).as("__pb"))
       .filter(col("__keep") === 0)

@@ -4915,7 +4915,7 @@ object Queries {
     val numPerms = 16
     val bands = 4
     val rows = numPerms / bands
-    val backgroundMod = 2
+    val backgroundPairBudget = 100000L
     val pairBuckets = 16
     def h(p: Int) =
       s"CAST(('0x' || substring(md5('${p / 4}|' || s), ${1 + 8 * (p % 4)}, 8)) AS BIGINT)"
@@ -4952,9 +4952,16 @@ object Queries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
        |   AND a.r2 = b.r2 AND a.r3 = b.r3 AND a.doc_id < b.doc_id
+       |), bgmod AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) /
+       |           sqrt(${2.0 * backgroundPairBudget * pairBuckets}))
+       |         AS BIGINT)) AS m
+       |  FROM sig
        |), samp AS (
        |  SELECT doc_id, ${bucket("pb:", pairBuckets)} AS pb
-       |  FROM sig WHERE ${bucket("cal:", backgroundMod)} = 0
+       |  FROM sig
+       |  WHERE CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)),
+       |          1, 8)) AS BIGINT) % (SELECT m FROM bgmod) = 0
        |), bg AS (
        |  SELECT 'background' AS tag, a.doc_id AS i, b.doc_id AS j
        |  FROM samp a JOIN samp b ON a.pb = b.pb AND a.doc_id < b.doc_id

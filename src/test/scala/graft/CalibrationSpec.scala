@@ -51,7 +51,7 @@ class CalibrationSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
-    val out = Dedup.minhashCalibration(two, backgroundMod = 1,
+    val out = Dedup.minhashCalibration(two, backgroundMod = Some(1),
         pairBuckets = 1)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
@@ -105,7 +105,7 @@ class CalibrationSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
-    val out = Dedup.minhashCalibration(two, backgroundMod = 1,
+    val out = Dedup.minhashCalibration(two, backgroundMod = Some(1),
         pairBuckets = 1)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))

@@ -28,6 +28,29 @@ import graft.functions.GraftFunctions
   */
 object IVF {
 
+  /** Default probe fraction, measured off the q164 recall audit's own
+    * sweep (sf0.01 + sf0.1 testdata, 5 query vectors, recall@20):
+    *
+    * {{{
+    * nProbe/k:   1/8   1/4   3/8   1/2   3/4
+    * k=8  avg   ----  0.51  ----  0.75  0.93   (min 0.85 at 3/4)
+    * k=16 avg   0.31  0.54  0.68  0.79  0.93   (min 0.85 at 3/4)
+    * }}}
+    *
+    * The testdata embeddings are near-isotropic — ANN's adversarial
+    * case, where recall tracks the probe fraction almost linearly — so
+    * 3/4 is the smallest fraction clearing the 0.8 floor with margin
+    * there. Clustered real corpora concentrate true neighbors in few
+    * cells and prune far better at the same recall; callers with such
+    * data should pass an explicit smaller nProbe after auditing with
+    * [[graft.operators.Similarity.recallAudit]] (q164's loop).
+    */
+  val DefaultProbeFraction: Double = 0.75
+
+  /** The audited default probe count for a k-cell index. */
+  def defaultNProbe(k: Int): Int =
+    math.max(1, math.ceil(k * DefaultProbeFraction).toInt)
+
   /** A trained index: row-major centroids. */
   case class Index(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
@@ -149,10 +172,12 @@ object IVF {
     * assignment expression, TakeOrderedAndProject — no shuffle of the data.
     */
   def neighbors(emb: DataFrame, index: Index, query: Array[Double], k: Int,
-                nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+                nProbe: Int = 0, excludeId: Option[Long] = None): DataFrame = {
     require(index.centroids.forall(_.length == query.length),
       s"query dim ${query.length} != centroid dim ${index.centroids.head.length}")
-    val probes = probeIds(index, query, nProbe)
+    // nProbe <= 0 -> the audited default fraction of the index's cells
+    val probes = probeIds(index, query,
+      if (nProbe <= 0) defaultNProbe(index.k) else nProbe)
     val base = excludeId.fold(emb)(id => emb.filter(col("vec_id") =!= id))
     val normQ = math.sqrt(query.map(x => x * x).sum)
     base.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

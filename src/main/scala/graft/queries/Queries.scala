@@ -3883,7 +3883,10 @@ object Queries {
 
     // ── Q164: ANN recall audit ([[graft.operators.Similarity.recallAudit]])
     //          — the eval loop that gates replacing exact search with an
-    //          index: IVF(nProbe=4)'s top-20 joined against the exact
+    //          index: IVF's top-20 at the AUDITED DEFAULT probe count
+    //          ([[graft.operators.IVF.defaultNProbe]], the operating
+    //          point the sweep in IVF's scaladoc picked) joined against
+    //          the exact
     //          cosine top-20 → one row of (k, n_overlap, recall@k,
     //          top-1 reciprocal rank). The searches keep their own scale
     //          shapes; the audit join runs on two k-row frames. Oracle
@@ -3897,7 +3900,7 @@ object Queries {
         Similarity.recallAudit(
           Similarity.topK(emb, queryVector(s, dir), 20, excludeId = Some(0L)),
           graft.operators.IVF.neighbors(emb, idx, queryVector(s, dir), 20,
-            nProbe = 4, excludeId = Some(0L)),
+            excludeId = Some(0L)),
           k = 20)
       },
       None,
@@ -5569,7 +5572,7 @@ object Queries {
   private def annRecallOracleSql(s: SparkSession, dir: String): String = {
     import graft.operators.IVF
     val idx = IVF.train(t(s, dir, "embeddings"), k = 16)
-    val probes = IVF.probeIds(idx, queryVector(s, dir), 4)
+    val probes = IVF.probeIds(idx, queryVector(s, dir), IVF.defaultNProbe(16))
     val arms = idx.centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       s"{'d': $c2 - 2.0 * list_inner_product(v, CAST([${c.mkString(", ")}] AS DOUBLE[])), 'cid': $i}"

@@ -332,6 +332,14 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     val recall = (ann.map(_._1).toSet & exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
+    // the DEFAULT operating point (nProbe omitted -> defaultNProbe(k),
+    // the q164-audited 3/4 fraction) must clear the 0.8 production floor
+    // even on this adversarial isotropic testdata
+    val annDefault = graft.operators.IVF.neighbors(emb, idx, q, 20,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val recallDefault = (annDefault & exact).size.toDouble / exact.size
+    assert(recallDefault >= 0.8,
+      s"default-nProbe recall $recallDefault below the audited floor")
   }
 
   test("incremental near-dups equal the fresh-touching subset of a full re-run") {

@@ -63,6 +63,62 @@ object Queries {
   /** q151's (field, m, u) weights — one list feeding both the Spark plan
     * and the oracle so the 1e-6-quantized log2 weight literals agree.
     */
+  /** q03's oracle, shared with q184 (which renders its frame). */
+  private lazy val wapeOracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_orderkey,
+      |         SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS act_c
+      |  FROM lineitem GROUP BY 1
+      |), hourly AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS proxy_date,
+      |         ROUND(o_totalprice * 100) AS forecast,
+      |         ROUND(o_totalprice * 100) AS backcast,
+      |         act_c AS settlement,
+      |         ABS(ROUND(o_totalprice * 100) - act_c) AS forecast_abs_error,
+      |         ABS(ROUND(o_totalprice * 100) - act_c) AS backcast_abs_error,
+      |         ABS(act_c) AS settlement_abs
+      |  FROM orders JOIN rev ON o_orderkey = l_orderkey
+      |), daily AS (
+      |  SELECT proxy_date,
+      |         SUM(forecast) AS forecast, SUM(backcast) AS backcast,
+      |         SUM(settlement) AS settlement,
+      |         SUM(forecast_abs_error) AS forecast_abs_error,
+      |         SUM(backcast_abs_error) AS backcast_abs_error,
+      |         SUM(settlement_abs) AS settlement_abs
+      |  FROM hourly GROUP BY 1
+      |)
+      |SELECT strftime(proxy_date, '%Y-%m-%d') AS proxy_date,
+      |       forecast_abs_error / settlement_abs AS forecast_mape,
+      |       backcast_abs_error / settlement_abs AS backcast_mape,
+      |       forecast, backcast, settlement,
+      |       forecast_abs_error, backcast_abs_error, settlement_abs
+      |FROM daily
+      |WHERE settlement_abs <> 0
+      |  AND NOT (forecast = 0 AND backcast = 0)
+      |  AND NOT (forecast_abs_error = 0 AND backcast_abs_error = 0)""".stripMargin
+
+  /** q184's oracle: q03's frame rendered through the DuckDB replay of
+    * the ClientCsv grammar (see [[graft.sinks.ClientCsv.mwOracleSql]]).
+    */
+  private lazy val clientCsvOracleSql: String = {
+    import graft.sinks.ClientCsv.{csvCellOracleSql => q, mwOracleSql => mw, pctOracleSql => pct}
+    val cells = Seq(
+      "start_time",
+      pct("forecast_mape"), pct("backcast_mape"),
+      mw("forecast"), mw("backcast"), mw("settlement"),
+      mw("forecast - settlement"), mw("backcast_abs_error"))
+    s"""WITH base AS ($wapeOracleSql),
+       |disp AS (
+       |  SELECT proxy_date || ' 00:00:00' AS start_time,
+       |         forecast_mape, backcast_mape, forecast, backcast,
+       |         settlement, backcast_abs_error
+       |  FROM base
+       |)
+       |SELECT start_time,
+       |       ${cells.map(q).mkString(" || ',' || ")} AS line
+       |FROM disp""".stripMargin
+  }
+
   private val LinkageFields: Seq[(String, Double, Double)] = Seq(
     ("name", 0.9, 0.001), ("segment", 0.9, 0.25), ("bal_cents", 0.85, 0.005))
 
@@ -179,37 +235,7 @@ object Queries {
         Mape.dailyMapeAggregation(Mape.hourlyAggregation(raw))
           .withColumn("proxy_date", date_format(col("proxy_date"), "yyyy-MM-dd"))
       },
-      Some("""WITH rev AS (
-             |  SELECT l_orderkey,
-             |         SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS act_c
-             |  FROM lineitem GROUP BY 1
-             |), hourly AS (
-             |  SELECT CAST(o_orderdate AS DATE) AS proxy_date,
-             |         ROUND(o_totalprice * 100) AS forecast,
-             |         ROUND(o_totalprice * 100) AS backcast,
-             |         act_c AS settlement,
-             |         ABS(ROUND(o_totalprice * 100) - act_c) AS forecast_abs_error,
-             |         ABS(ROUND(o_totalprice * 100) - act_c) AS backcast_abs_error,
-             |         ABS(act_c) AS settlement_abs
-             |  FROM orders JOIN rev ON o_orderkey = l_orderkey
-             |), daily AS (
-             |  SELECT proxy_date,
-             |         SUM(forecast) AS forecast, SUM(backcast) AS backcast,
-             |         SUM(settlement) AS settlement,
-             |         SUM(forecast_abs_error) AS forecast_abs_error,
-             |         SUM(backcast_abs_error) AS backcast_abs_error,
-             |         SUM(settlement_abs) AS settlement_abs
-             |  FROM hourly GROUP BY 1
-             |)
-             |SELECT strftime(proxy_date, '%Y-%m-%d') AS proxy_date,
-             |       forecast_abs_error / settlement_abs AS forecast_mape,
-             |       backcast_abs_error / settlement_abs AS backcast_mape,
-             |       forecast, backcast, settlement,
-             |       forecast_abs_error, backcast_abs_error, settlement_abs
-             |FROM daily
-             |WHERE settlement_abs <> 0
-             |  AND NOT (forecast = 0 AND backcast = 0)
-             |  AND NOT (forecast_abs_error = 0 AND backcast_abs_error = 0)""".stripMargin)),
+      Some(wapeOracleSql)),
 
     // ── Q4: left equi-join against a dimension (J1) ───────────────────────
     QueryDef("q04_left_join",
@@ -3851,6 +3877,23 @@ object Queries {
              |FROM pairs p
              |JOIN lab a ON p.i = a.doc_id
              |JOIN lab b ON p.j = b.doc_id""".stripMargin)),
+
+    // ── Q184: client CSV presentation layer
+    //          ([[graft.sinks.ClientCsv]]) — the q03 WAPE frame rendered
+    //          to the reference deliverable's display grammar
+    //          (`/root/reference/output/client-MAPE With
+    //          Weather_imply.csv`: `NN.NN %` percentages,
+    //          thousands-separated two-decimal magnitudes, minimal CSV
+    //          quoting) as (start_time, line) rows. The oracle replays
+    //          Java's format_number grammar in DuckDB: printf two-decimal
+    //          rounding (identical correct rounding of the same binary
+    //          double — exact .xx5 ties are impossible for integer cents
+    //          and k/200-irrepresentable percentages) + reverse/regex
+    //          thousands grouping + the same CASE quoting. ───────────────
+    QueryDef("q184_client_csv",
+      (s, dir) => graft.sinks.ClientCsv.csvLines(
+        graft.sinks.ClientCsv.mapeDisplayFrame(byName("q03_wape")(s, dir))),
+      Some(clientCsvOracleSql)),
 
     // ── Q162: temperature-based mixture resampling
     //          ([[graft.operators.Sampling.temperatureResample]]) — q59

@@ -67,6 +67,45 @@ object ClientCsv {
       mw(col(forecast) - col(settlement)).as(DisplayColumns(6)),
       mw(col(backcastAbsError)).as(DisplayColumns(7)))
 
+  /** Minimal CSV quoting as a pure expression: wrap iff the rendered
+    * value carries the separator (numbers never carry quote characters,
+    * so no inner-quote escaping arises in this grammar).
+    */
+  def csvCell(c: Column): Column =
+    when(c.contains(","), concat(lit("\""), c, lit("\""))).otherwise(c)
+
+  /** The display frame rendered to CSV LINES — (start_time, line), the
+    * oracle-comparable form of the deliverable (parquet cannot carry the
+    * display names' parens/percent characters as column names, and the
+    * line string is exactly what the client file holds anyway).
+    */
+  def csvLines(display: DataFrame): DataFrame =
+    display.select(col(DisplayColumns.head).as("start_time"),
+      concat_ws(",", DisplayColumns.map(n => csvCell(col(n))): _*)
+        .as("line"))
+
+  /** DuckDB replay of [[mw]]: printf fixes two decimals (identical
+    * correct rounding of the same binary double — exact .xx5 ties are
+    * impossible for this grammar's value classes: integer cents and
+    * k/200-irrepresentable ratio percentages), then thousands grouping
+    * via the reverse/regex trick (RE2 has no lookahead).
+    */
+  def mwOracleSql(expr: String): String =
+    s"""(CASE WHEN starts_with(printf('%.2f', $expr), '-')
+       |      THEN '-' ELSE '' END ||
+       |  regexp_replace(reverse(regexp_replace(reverse(
+       |    split_part(ltrim(printf('%.2f', $expr), '-'), '.', 1)),
+       |    '(\\d{3})', '\\1,', 'g')), '^,', '') ||
+       |  '.' || split_part(printf('%.2f', $expr), '.', 2))""".stripMargin
+
+  /** DuckDB replay of [[pct]]. */
+  def pctOracleSql(expr: String): String =
+    s"(${mwOracleSql(s"($expr) * 100")} || ' %')"
+
+  /** DuckDB replay of [[csvCell]]. */
+  def csvCellOracleSql(expr: String): String =
+    s"(CASE WHEN contains($expr, ',') THEN '\"' || $expr || '\"' ELSE $expr END)"
+
   /** Write `display` as exactly ONE headered CSV file at `target` (the
     * client-deliverable contract — one file a human opens, like the
     * reference's). Minimal quoting (only values containing the

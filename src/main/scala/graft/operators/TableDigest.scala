@@ -28,17 +28,19 @@ import org.apache.spark.sql.functions._
   * search the bad rows) — the audit loop a 100 TB migration actually
   * runs.
   *
-  * Canonicalization contract: every column is rendered LENGTH-PREFIXED —
-  * `length(s) || ':' || s` for non-null, the bare letter `N` for null —
-  * and fields concatenate with no delimiter at all. The encoding is
-  * prefix-free decodable, so no column VALUE can imitate a field
-  * boundary or a null marker (a delimiter-join is blind to a value that
-  * contains the delimiter: one column "a<d>b" vs two columns "a","b").
+  * Canonicalization contract: values are ESCAPED, then joined with
+  * U+0001 (nulls render as bare U+0004): U+0002 is the escape char
+  * (doubled), the delimiter escapes to U+0002 '1', the null sentinel to
+  * U+0002 '4'. Escaped values can contain neither the delimiter nor a
+  * bare sentinel, so no column VALUE can imitate a field boundary or a
+  * null (a plain delimiter-join is blind to a value that contains the
+  * delimiter: one column "a<d>b" vs two columns "a","b"). The escape
+  * passes copy only when a control character is actually present —
+  * clean values cost three indexOf scans and zero allocations.
   * Callers pass columns whose string form is engine-stable (integers,
   * strings, dates, decimals; for doubles pass an explicit quantized
   * cast) — the same discipline every oracle-checked query in this engine
-  * already follows. Both engines count length in Unicode code points
-  * (Spark `length` = UTF8String.numChars, DuckDB `length(VARCHAR)`).
+  * already follows.
   */
 object TableDigest {
 
@@ -50,10 +52,19 @@ object TableDigest {
     */
   private def rowHash(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "digest needs at least one column")
-    val canon = concat(cols.map { c =>
+    val canon = concat_ws("\u0001", cols.map { c =>
+      // escape-then-delimit: values are scanned three times but copied
+      // only when they actually contain a control character (UTF8String
+      // replace returns the input untouched on a miss) — the common case
+      // costs three sub-microsecond indexOf scans, where a length-prefix
+      // encoding allocates two strings per column per row
       val cs = c.cast("string")
-      when(cs.isNull, lit("N"))
-        .otherwise(concat(length(cs).cast("string"), lit(":"), cs))
+      coalesce(
+        replace(replace(replace(cs,
+          lit("\u0002"), lit("\u0002\u0002")),
+          lit("\u0001"), lit("\u00021")),
+          lit("\u0004"), lit("\u00024")),
+        lit("\u0004"))
     }: _*)
     val lanes = graft.functions.GraftFunctions.md5_lanes(canon)
     shiftleft(element_at(lanes, 1), 31)
@@ -70,24 +81,32 @@ object TableDigest {
   private def modSum(c: Column): Column =
     (sum((c % Mod).cast("decimal(38,0)")) % Mod).cast("long")
 
-  /** One digest row (n_rows, xor_digest, sum_digest) for the whole frame. */
+  /** One digest row (n_rows, xor_digest, sum_digest) for the whole frame.
+    * The row hash is PROJECTED before the aggregate so the md5 runs once
+    * per row — aggregate expressions get no common-subexpression
+    * elimination across functions, and xor + sum would otherwise each
+    * hash every row.
+    */
   def digest(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      call_function("bit_xor", rowHash(cols)).as("xor_digest"),
-      modSum(rowHash(cols)).as("sum_digest"))
+    df.select(rowHash(cols).as("__rh"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        call_function("bit_xor", col("__rh")).as("xor_digest"),
+        modSum(col("__rh")).as("sum_digest"))
 
   /** Per-group digests — localize a table mismatch to the partition that
-    * diverged. One map-side-combined aggregation keyed by `groupCols`.
+    * diverged. One map-side-combined aggregation keyed by `groupCols`,
+    * over the once-projected row hash (see [[digest]]).
     */
   def digestByGroup(df: DataFrame, groupCols: Seq[String],
                     cols: Seq[Column]): DataFrame = {
     require(groupCols.nonEmpty, "digestByGroup needs at least one group column")
-    df.groupBy(groupCols.map(col): _*)
+    df.select(groupCols.map(col) :+ rowHash(cols).as("__rh"): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
-        call_function("bit_xor", rowHash(cols)).as("xor_digest"),
-        modSum(rowHash(cols)).as("sum_digest"))
+        call_function("bit_xor", col("__rh")).as("xor_digest"),
+        modSum(col("__rh")).as("sum_digest"))
   }
 
   /** Merge per-batch digest frames into the digest of the union — the
@@ -166,7 +185,7 @@ object TableDigest {
   }
 
   /** DuckDB replay of [[digestByGroup]]: the same canonicalization
-    * (length-prefixed fields, 'N' nulls), the same two md5 lanes, the same
+    * (escaped fields, chr(1) joins, chr(4) nulls), the same two md5 lanes, the same
     * 63-bit pack and modular sum. `colSqls` must render each column
     * exactly as Spark's CAST-to-string does (identity for VARCHAR,
     * CAST(... AS VARCHAR) for integers/dates).
@@ -174,10 +193,10 @@ object TableDigest {
   def digestByGroupOracleSql(table: String, groupCols: Seq[String],
                              colSqls: Seq[String]): String = {
     val canon = colSqls
-      .map(c => s"CASE WHEN CAST($c AS VARCHAR) IS NULL THEN 'N' " +
-        s"ELSE CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' " +
-        s"|| CAST($c AS VARCHAR) END")
-      .mkString(" || ")
+      .map(c => s"COALESCE(replace(replace(replace(CAST($c AS VARCHAR), " +
+        "chr(2), chr(2) || chr(2)), chr(1), chr(2) || '1'), " +
+        "chr(4), chr(2) || '4'), chr(4))")
+      .mkString(" || chr(1) || ")
     def lane(i: Int) =
       s"CAST(('0x' || substring(md5(s), ${1 + 8 * i}, 8)) AS BIGINT)"
     val gs = groupCols.mkString(", ")

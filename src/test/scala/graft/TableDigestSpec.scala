@@ -155,10 +155,11 @@ class TableDigestSpec extends SparkSpec {
     val c1 = Seq(col("x"))
     assert(TableDigest.digest(realSentinel, c1).head() !=
       TableDigest.digest(nullVal, c1).head())
-    // a literal "N" value must not collide with NULL either
-    val enn = Seq(Tuple1("N")).toDF("x")
-    assert(TableDigest.digest(enn, c1).head() !=
-      TableDigest.digest(nullVal, c1).head())
+    // a literal escape char must not collide with its doubled form
+    val esc1 = Seq(Tuple1("\u0002")).toDF("x")
+    val esc2 = Seq(Tuple1("\u0002\u0002")).toDF("x")
+    assert(TableDigest.digest(esc1, c1).head() !=
+      TableDigest.digest(esc2, c1).head())
   }
 
   test("digest needs at least one column") {

@@ -3878,6 +3878,34 @@ object Queries {
              |JOIN lab a ON p.i = a.doc_id
              |JOIN lab b ON p.j = b.doc_id""".stripMargin)),
 
+    // ── Q185: global Jaro–Winkler near-dup pairs, NO pre-blocking —
+    //          the candidate generator IS the blocking
+    //          ([[graft.operators.FuzzyJoin.jaroWinklerSelfCandidates]]).
+    //          At 0.985 on ~18-char names the match bound leaves ≤ 1
+    //          character per side outside the common multiset, so the
+    //          generator auto-routes to ANAGRAM deletion blocking
+    //          (sorted-char 1-deletion variants as near-unique posting
+    //          keys) — the route q171's md5-blocked prefix-filter query
+    //          does not exercise. The oracle is the full quadratic
+    //          self-join in DuckDB: a bitwise match re-proves the
+    //          generator lossless on real data every round. minJw backs
+    //          off 1e-6 for the rounded output filter. ───────────────────
+    QueryDef("q185_jw_neardups",
+      (s, dir) => graft.operators.FuzzyJoin.jaroWinklerSelfCandidates(
+          t(s, dir, "customer").select(col("c_custkey").as("id"),
+            col("c_name").as("nm")),
+          0.985 - 1e-6, "id", "nm")
+        .select(col("i"), col("j"),
+          (round(graft.functions.GraftFunctions.jaro_winkler(
+            col("si"), col("sj")) * 1e6) / 1e6).as("jw"))
+        .filter(col("jw") >= 0.985),
+      Some("""SELECT a.c_custkey AS i, b.c_custkey AS j,
+             |       round(jaro_winkler_similarity(a.c_name, b.c_name) * 1e6)
+             |         / 1e6 AS jw
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name) * 1e6)
+             |        / 1e6 >= 0.985""".stripMargin)),
+
     // ── Q184: client CSV presentation layer
     //          ([[graft.sinks.ClientCsv]]) — the q03 WAPE frame rendered
     //          to the reference deliverable's display grammar

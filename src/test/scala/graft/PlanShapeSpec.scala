@@ -449,6 +449,20 @@ class PlanShapeSpec extends SparkSpec {
       assert(!nodes.exists(n => n.contains("Cartesian") ||
         n.contains("BroadcastNestedLoop")),
         s"$q must stay an equi-join: $nodes")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("JW candidate generation (prefix q171/q173, anagram q185) keeps " +
+    "every pair join an equi-join — no cartesian under either route") {
+    for (q <- Seq("q171_jaro_winkler", "q173_fuzzy_linkage",
+        "q185_jw_neardups")) {
+      val nodes = collectNodes(Queries.byName(q)(spark, sf0001)
+        .queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.contains("Cartesian") ||
+        n.contains("BroadcastNestedLoop")),
+        s"$q must stay on equi-joins: $nodes")
+      graft.CacheRegistry.releaseAll()
     }
   }
 

@@ -103,6 +103,33 @@ object ScaleRehearsal {
       run(graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8))
       graft.CacheRegistry.releaseAll(); -1L
     }
+    // ── correctness AT scale, not just speed: the replica construction
+    //    makes two exact invariants provable — (a) zero cross-replica
+    //    pairs (every 3-token window contains exactly one rewritten
+    //    token, so replicas share no shingle at all), and (b) replicas
+    //    with equal k mod 3 transform by the same position mask and a
+    //    suffix-only shingle bijection, so their EXACT-Jaccard pair
+    //    counts must be identical. A violation means the dedup pipeline
+    //    broke somewhere between sf0.1 and this factor. ─────────────────
+    time("jaccard_scale_invariants") {
+      val pairs = graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8)
+        .select(col("i"), col("j"))
+      def rep(c: org.apache.spark.sql.Column) =
+        (c / 10000000L).cast("int")
+      val cross = pairs.filter(rep(col("i")) =!= rep(col("j"))).count()
+      require(cross == 0L,
+        s"$cross cross-replica near-dup pairs — replicas must be disjoint")
+      val perRep = pairs.groupBy(rep(col("i")).as("r")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (1 until factor).groupBy(_ % 3).values.foreach { ks =>
+        val counts = ks.map(k => perRep.getOrElse(k, 0L)).distinct
+        require(counts.size == 1,
+          s"pair counts diverge within a mask class: " +
+            ks.map(k => s"$k=${perRep.getOrElse(k, 0L)}").mkString(", "))
+      }
+      graft.CacheRegistry.releaseAll()
+      perRep.values.sum
+    }
     time("minhash_neardups") {
       run(graft.operators.Dedup.minhashNearDups(docs, threshold = 0.8))
       graft.CacheRegistry.releaseAll(); -1L

@@ -197,7 +197,7 @@ object FuzzyJoin {
     */
   private def jwDeletionsNeeded(len: Int, jm: Double): Int = {
     val factor = 3.0 * jm - 2.0
-    math.max(len - math.max(math.ceil(len * factor - 1e-9).toInt, 1) + 0, 0)
+    math.max(len - math.max(math.ceil(len * factor - 1e-9).toInt, 1), 0)
   }
 
   private def jwMaxLen(dfs: Seq[(DataFrame, String)]): Int =
@@ -221,7 +221,17 @@ object FuzzyJoin {
     * character or two.
     */
   private def jwAnagramPrep(df: DataFrame, id: String, str: String,
-                            blockCols: Seq[String], maxDel: Int): DataFrame =
+                            blockCols: Seq[String], maxDel: Int,
+                            jm: Double): DataFrame = {
+    // any qualifying pair's witness variant is the common multiset C with
+    // |C| = overlap ≥ ⌈(3·jm−2)·len⌉ for EITHER side's len, so variants
+    // shorter than the record's own bound cannot witness anything — prune
+    // them (lossless). Without this, short strings all share the empty /
+    // one-char variants and their posting lists go quadratic on
+    // short-string corpora.
+    val factor = 3.0 * jm - 2.0
+    val alpha = greatest(
+      ceil(col("__len") * factor - 1e-9).cast("int"), lit(1))
     // spread the narrow scan first: the per-row variant build is the
     // expensive part, and a single-file parquet input would otherwise run
     // it on one or two cores
@@ -233,6 +243,8 @@ object FuzzyJoin {
         explode(deletionVariants(sortedChars(col("__jws")),
           math.max(maxDel, 1))).as("__v") +:
         blockCols.map(col): _*)
+      .filter(length(col("__v")) >= alpha)
+  }
 
   private def jwAnagramJoin(preA: DataFrame, preB: DataFrame, jm: Double,
                             blockCols: Seq[String],
@@ -293,7 +305,7 @@ object FuzzyJoin {
     val maxDel = jwDeletionsNeeded(jwMaxLen(Seq((df, strCol))), jBoost)
     if (maxDel <= 2) {
       val pre = graft.CacheRegistry.persist(
-        jwAnagramPrep(df, idCol, strCol, blockCols, maxDel))
+        jwAnagramPrep(df, idCol, strCol, blockCols, maxDel, jBoost))
       jwAnagramJoin(pre, pre, jBoost, blockCols, leftLtRight = true)
     } else {
       val elems = graft.CacheRegistry.persist(
@@ -325,9 +337,9 @@ object FuzzyJoin {
       jwMaxLen(Seq((left, leftStr), (right, rightStr))), jBoost)
     val out = if (maxDel <= 2) {
       val lp = graft.CacheRegistry.persist(
-        jwAnagramPrep(left, leftId, leftStr, blockCols, maxDel))
+        jwAnagramPrep(left, leftId, leftStr, blockCols, maxDel, jBoost))
       val rp = graft.CacheRegistry.persist(
-        jwAnagramPrep(right, rightId, rightStr, blockCols, maxDel))
+        jwAnagramPrep(right, rightId, rightStr, blockCols, maxDel, jBoost))
       jwAnagramJoin(lp, rp, jBoost, blockCols, leftLtRight = false)
     } else {
       val le = graft.CacheRegistry.persist(

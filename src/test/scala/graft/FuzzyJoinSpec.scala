@@ -159,4 +159,31 @@ class FuzzyJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       FuzzyJoin.jaroWinklerSelfCandidates(l, 0.8, "lid", "lname"))
   }
+
+  test("anagram route on a short-string corpus: still lossless, and " +
+    "sub-alpha variants (the quadratic empty/one-char keys) are pruned") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler.{similarity => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // 1-4 char strings force maxDel >= ... short lengths where the empty
+    // and single-char variants would otherwise pair everything
+    val rows = Seq((1L, "ab"), (2L, "ba"), (3L, "a"), (4L, "b"),
+      (5L, "abc"), (6L, "acb"), (7L, "abcd"), (8L, "abdc"),
+      (9L, "x"), (10L, "xy"), (11L, ""), (12L, ""))
+    val df = rows.toDF("id", "name")
+    val t = 0.9
+    val want = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      if jw(u(si), u(sj)) >= t
+    } yield (i, j)).toSet
+    val got = FuzzyJoin.jaroWinklerSelfCandidates(df, t)
+      .collect()
+      .filter(c => jw(u(c.getString(2)), u(c.getString(3))) >= t)
+      .map(c => (c.getLong(0), c.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(got === want)
+    // note ("ab","ba") does NOT pair: at len 2 the Jaro window is 0, so
+    // transposed chars never match — the short-string regime's quirk
+    assert(want.contains((5L, 7L)), "abc/abcd must pair (jw 0.9417)")
+  }
 }

@@ -200,11 +200,31 @@ object FuzzyJoin {
     math.max(len - math.max(math.ceil(len * factor - 1e-9).toInt, 1), 0)
   }
 
-  private def jwMaxLen(dfs: Seq[(DataFrame, String)]): Int =
-    dfs.map { case (df, str) =>
+  /** Hard bound on JW key length, mirroring
+    * [[graft.functions.DamerauLevenshtein]]'s 4M-cell DP discipline: both
+    * candidate routes do O(len²) per-row work ([[charOccElements]]'s
+    * running occurrence count; the anagram route's deletion-variant
+    * explode) plus an explode to ~len rows per record, so at 1024 chars a
+    * record costs ~1M element ops and 1k posting rows — the practical
+    * ceiling for name/title keys. Pointing the operator at document-scale
+    * text (this repo's `documents.text` runs to ~100k chars → 10¹⁰ ops
+    * PER ROW) must fail loudly at plan time, not melt an executor;
+    * shingle/MinHash dedup ([[Dedup]]) is the right tool there.
+    */
+  private[graft] val MaxJwKeyLen = 1024
+
+  private def jwMaxLen(dfs: Seq[(DataFrame, String)]): Int = {
+    val maxLen = dfs.map { case (df, str) =>
       val r = df.agg(max(length(col(str)))).head()
       if (r.isNullAt(0)) 0 else r.getInt(0)
     }.max
+    require(maxLen <= MaxJwKeyLen,
+      s"jaro-winkler candidate generation is for name/title keys: longest " +
+        s"input string is $maxLen chars (max $MaxJwKeyLen). Both routes do " +
+        "O(len^2) per-row element work; for document-scale text use " +
+        "shingle/MinHash dedup (graft.operators.Dedup) instead")
+    maxLen
+  }
 
   /** ANAGRAM deletion blocking — the generator for TIGHT thresholds,
     * where the match bound m ≥ (3·jm−2)·max(|a|,|b|) leaves each side at

@@ -235,10 +235,17 @@ object Linkage {
       math.round(threshold * 1e6))
     val fnames = fields.map(_._1)
     val (lsel, rsel) = selectSides(left, right, leftId, rightId, block, fnames)
-    // generator-side right frame: block columns renamed too, so the
-    // equi-join conditions are unambiguous
+    // right frame with block columns renamed, so both the generator
+    // equi-joins and the final re-join's block-equality re-assert are
+    // unambiguous
     val rGen = block.foldLeft(rsel)((df, b) =>
       df.withColumnRenamed(b, b + "__rb"))
+    // threshold unreachable even with every field agreeing → no minimal
+    // set exists and no pair can qualify; return the empty scored frame
+    // (same schema as fellegiSunterFuzzy's answer for these inputs)
+    if (sets.isEmpty)
+      return scoreJoined(lsel.join(rsel, block, "inner").limit(0),
+        leftId, rightId, exactFields, fuzzyFields, threshold)
     val generators = sets.map { s =>
       val exacts = s.toSeq.sorted.map(fields).filter(_._3).map(_._1)
       if (exacts.nonEmpty)
@@ -258,9 +265,17 @@ object Linkage {
       }
     }
     val pairs = generators.reduce(_ unionByName _).distinct()
+    // re-join by (id, block), not id alone: ids are not assumed unique, so
+    // a bare id join would cross-pair duplicate-id rows living in DIFFERENT
+    // blocks — rows the unblocked fellegiSunterFuzzy never scores. Keeping
+    // rGen's renamed block columns and re-asserting equality restores the
+    // exact in-block row pairing (extra candidate row-combos that score
+    // below the cut are dropped by scoreJoined's threshold filter).
     scoreJoined(
       pairs.join(lsel, Seq(leftId))
-        .join(rsel.drop(block: _*), Seq(rightId)),
+        .join(rGen, Seq(rightId))
+        .filter(block.map(b => col(b) === col(b + "__rb")).reduce(_ && _))
+        .drop(block.map(_ + "__rb"): _*),
       leftId, rightId, exactFields, fuzzyFields, threshold)
   }
 

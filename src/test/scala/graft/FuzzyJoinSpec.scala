@@ -186,4 +186,25 @@ class FuzzyJoinSpec extends SparkSpec {
     // transposed chars never match — the short-string regime's quirk
     assert(want.contains((5L, 7L)), "abc/abcd must pair (jw 0.9417)")
   }
+
+  test("document-scale strings fail LOUDLY at plan time: the JW routes " +
+    "are O(len^2)/row and must refuse oversized keys, not melt an executor") {
+    import spark.implicits._
+    val long = "x" * (FuzzyJoin.MaxJwKeyLen + 1)
+    val df = Seq((1L, "acme corp"), (2L, long)).toDF("id", "name")
+    val eSelf = intercept[IllegalArgumentException](
+      FuzzyJoin.jaroWinklerSelfCandidates(df, 0.9))
+    assert(eSelf.getMessage.contains("Dedup"),
+      "the error must point at the right tool for document text")
+    intercept[IllegalArgumentException](
+      FuzzyJoin.jaroWinklerCandidates(
+        df, Seq((3L, "ok")).toDF("id", "name"), 0.9,
+        "id", "name", "id", "name"))
+    // exactly at the bound still works (both routes reachable via t)
+    val atBound = Seq((1L, "y" * FuzzyJoin.MaxJwKeyLen),
+      (2L, "y" * FuzzyJoin.MaxJwKeyLen)).toDF("id", "name")
+    assert(FuzzyJoin.jaroWinklerSelfCandidates(atBound, 0.98)
+      .count() === 1L)
+    graft.CacheRegistry.releaseAll()
+  }
 }

@@ -152,4 +152,57 @@ class LinkageSpec extends SparkSpec {
     assert(ids.contains((4L, 15L)) && ids.contains((1L, 16L)))
     assert(!ids.contains((1L, 12L)) && !ids.contains((2L, 11L)))
   }
+
+  test("fellegiSunterFuzzyBlocked with an unreachable threshold returns " +
+    "the empty scored frame (schema-identical to the quadratic scorer), " +
+    "not a crash") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "alice", "AUTO")).toDF("lid", "nk", "name", "segment")
+    val r = Seq((11L, 1L, "alice", "AUTO")).toDF("rid", "nk", "name", "segment")
+    val exactF = Seq(("segment", 0.9, 0.25))
+    val fuzzyF = Seq(("name", 0.95, 0.05, 0.9))
+    // max attainable score ≈ 4.25 + 1.85 = 6.1 < 50 → minimalAgreeSets is
+    // empty; the quadratic scorer returns zero rows, blocked must match
+    val want = Linkage.fellegiSunterFuzzy(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 50.0)
+    val got = Linkage.fellegiSunterFuzzyBlocked(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 50.0)
+    assert(got.schema === want.schema)
+    assert(got.count() === 0L && want.count() === 0L)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("fellegiSunterFuzzyBlocked with duplicate ids in DIFFERENT blocks " +
+    "still equals the quadratic scorer — the id re-join re-asserts block " +
+    "equality instead of cross-pairing") {
+    import spark.implicits._
+    // right id 11 appears in blocks 1 AND 2 with different field values;
+    // left id 1 likewise. A bare-id re-join would score (1@nk1, 11@nk2)
+    // combos the quadratic scorer never produces.
+    val l = Seq(
+      (1L, 1L, "alice jones", "AUTO", 100L),
+      (1L, 2L, "alice jones", "SHIP", 500L),
+      (2L, 1L, "bob smith", "BIKE", 200L))
+      .toDF("lid", "nk", "name", "segment", "bal")
+    val r = Seq(
+      (11L, 1L, "alice jomes", "AUTO", 100L),
+      (11L, 2L, "totally other", "SHIP", 999L),
+      (12L, 2L, "alice jones", "SHIP", 500L))
+      .toDF("rid", "nk", "name", "segment", "bal")
+    val exactF = Seq(("segment", 0.9, 0.25), ("bal", 0.85, 0.005))
+    val fuzzyF = Seq(("name", 0.95, 0.05, 0.9))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)), Option(x.get(3)), Option(x.get(4)),
+        x.getDouble(5))).toSet
+    val want = canon(Linkage.fellegiSunterFuzzy(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 3.0))
+    val got = canon(Linkage.fellegiSunterFuzzyBlocked(
+      l, r, "lid", "rid", Seq("nk"), exactF, fuzzyF, 3.0))
+    graft.CacheRegistry.releaseAll()
+    assert(got === want)
+    // the in-block true matches are present; multiplicity preserved
+    assert(got.map(t => (t._1, t._2)).contains((1L, 11L)))
+    assert(got.map(t => (t._1, t._2)).contains((1L, 12L)))
+  }
 }

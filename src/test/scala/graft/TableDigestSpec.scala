@@ -143,8 +143,9 @@ class TableDigestSpec extends SparkSpec {
 
   test("canonicalization is injection-proof: values that imitate field " +
     "boundaries or the null marker digest differently") {
-    // under a delimiter-join scheme each pair below collides; the
-    // length-prefixed encoding must tell them apart
+    // under a naive delimiter-join scheme each pair below collides; the
+    // escape-then-delimit encoding (U+0002-escaping the delimiter and the
+    // null marker before joining) must tell them apart
     val twoCols = Seq(("a", "b")).toDF("x", "y")
     val joined = Seq(("a\u0001b", "")).toDF("x", "y")
     val c2 = Seq(col("x"), col("y"))

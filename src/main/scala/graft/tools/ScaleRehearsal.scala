@@ -1,16 +1,24 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The sf≥1 scale rehearsal — the first EXECUTED evidence for the
-  * 100×-scale claims the operator scaladocs make. Upscales the sf0.1
-  * testdata locally (never touching /root/testdata) and runs the
-  * flagship dedup/ANN paths end-to-end, printing one timing line per
-  * path; results are recorded in BASELINE.md's "scale rehearsal"
-  * section.
+/** The sf≥1 scale rehearsal — EXECUTED evidence for the 100×-scale claims
+  * the operator scaladocs make. Upscales the sf0.1 testdata locally
+  * (never touching /root/testdata) and runs flagship paths end-to-end,
+  * printing one timing line per path; results are recorded in
+  * BASELINE.md's "scale rehearsal" sections.
   *
-  * Upscaling contract (×F replicas):
+  * Three suites (args after the factor; default `corpus`):
+  *  - `corpus` — dedup/ANN flagship paths over upscaled documents +
+  *    embeddings (the round-9 rehearsal).
+  *  - `jw` — the Jaro–Winkler candidate routes and blocked
+  *    Fellegi–Sunter linkage over upscaled customer/part names.
+  *  - `tpch` — the relational core (q01-class scans/aggs/joins, the q03
+  *    WAPE pipeline, the q184 presentation layer) over upscaled
+  *    lineitem/orders/customer/events.
+  *
+  * Upscaling contracts (×F replicas):
   *  - documents: replica k shifts doc_id by k·10⁷ and rewrites every
   *    third token with a replica-salted suffix — that breaks EVERY
   *    3-shingle against other replicas (cross-replica Jaccard ≈ 0, so
@@ -22,14 +30,53 @@ import org.apache.spark.sql.functions._
   *  - embeddings: replica k shifts vec_id and cyclically rotates the
   *    vector by k dims — norms and within-replica geometry are
   *    preserved exactly; cross-replica cosines decorrelate.
+  *  - names (customer/part): replica k shifts the key by k·10⁷ and
+  *    applies a replica-specific SUBSTITUTION CIPHER (seeded bijection
+  *    over [a-zA-Z0-9] via `translate`). Jaro–Winkler depends only on
+  *    character equality and position, both invariant under a bijection,
+  *    so each replica's pair structure is EXACTLY isomorphic to the
+  *    original's — an assertable invariant — while cross-replica strings
+  *    decorrelate to JW ≈ 0.5–0.7, far below the rehearsed thresholds.
+  *  - relational: replica k shifts o_orderkey/l_orderkey by k·10⁹ and
+  *    c_custkey/o_custkey by k·10⁷ (joins stay consistent inside a
+  *    replica; key spaces stay disjoint across replicas); dimension
+  *    tables (nation/region/supplier/part) are copied unscaled — exactly
+  *    how a real ×100 corpus grows facts but not dims; events replicate
+  *    as-is (more rows per hour, the realistic growth for a
+  *    fixed-calendar fact table).
   *
-  * Usage: sbt "runMain graft.tools.ScaleRehearsal [factor]"
+  * Usage: sbt "runMain graft.tools.ScaleRehearsal [factor] [suite...]"
   *   (factor defaults to 10 — sf0.1 × 10 = sf1-equivalent)
   */
 object ScaleRehearsal {
+
+  private def time(factor: Int)(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = f
+    println(f"REHEARSAL x$factor $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+  }
+
+  private def run(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    -1L
+  }
+
+  /** Refuse cartesian shapes at plan time — the same check
+    * PlanShapeSpec pins at sf0.01, re-applied to the upscaled plans.
+    */
+  private def requireNoCartesian(df: DataFrame, label: String): Unit = {
+    val p = df.queryExecution.executedPlan.toString
+    require(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+      s"$label: cartesian/BNLJ in the upscaled plan:\n$p")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 2 && factor <= 200, s"factor $factor out of range")
+    val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
+    suites.foreach(s => require(Set("corpus", "jw", "tpch")(s),
+      s"unknown suite '$s' (corpus|jw|tpch)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -42,30 +89,40 @@ object ScaleRehearsal {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (suites.contains("corpus")) corpusSuite(spark, srcDir, base, factor)
+    if (suites.contains("jw")) jwSuite(spark, srcDir, base, factor)
+    if (suites.contains("tpch")) tpchSuite(spark, srcDir, base, factor)
+    spark.stop()
+  }
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"REHEARSAL x$factor $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
-    }
+  private def fsOf(spark: SparkSession, base: String) =
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def done(spark: SparkSession, base: String, path: String): Boolean =
+    fsOf(spark, base).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
+
+  // ───────────────────────── corpus suite (dedup/ANN) ─────────────────────
+
+  private def corpusSuite(spark: SparkSession, srcDir: String,
+                          base: String, factor: Int): Unit = {
+    val t = time(factor) _
     // ── upscale (cached on disk; delete the dir to regenerate) ─────────
     val docsPath = s"$base/documents.parquet"
     val embPath = s"$base/embeddings.parquet"
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS"))) {
+    if (!done(spark, base, docsPath)) {
       val src = graft.sources.Tables.table(spark, srcDir, "documents")
       val replicas = (0 until factor).map { k =>
         if (k == 0) src
         else src
           .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
           .withColumn("text", concat_ws(" ",
-            transform(split(col("text"), " "), (t, i) =>
-              when(i % 3 === lit(k % 3), concat(t, lit(s"~$k")))
-                .otherwise(t))))
+            transform(split(col("text"), " "), (tk, i) =>
+              when(i % 3 === lit(k % 3), concat(tk, lit(s"~$k")))
+                .otherwise(tk))))
       }
-      time("generate documents") {
+      t("generate documents") {
         val all = replicas.reduce(_ unionByName _)
           .withColumn("n_chars", length(col("text")))
           .repartition(32)
@@ -73,7 +130,7 @@ object ScaleRehearsal {
         spark.read.parquet(docsPath).count()
       }
     }
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$embPath/_SUCCESS"))) {
+    if (!done(spark, base, embPath)) {
       val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
       val replicas = (0 until factor).map { k =>
         if (k == 0) src
@@ -83,7 +140,7 @@ object ScaleRehearsal {
             concat(slice(col("embedding"), k % 64 + 1, 64 - k % 64),
               slice(col("embedding"), 1, k % 64)))
       }
-      time("generate embeddings") {
+      t("generate embeddings") {
         replicas.reduce(_ unionByName _).repartition(32)
           .write.mode("overwrite").parquet(embPath)
         spark.read.parquet(embPath).count()
@@ -93,13 +150,8 @@ object ScaleRehearsal {
     val emb = spark.read.parquet(embPath)
     println(s"REHEARSAL x$factor corpus: ${docs.count()} docs, ${emb.count()} vectors")
 
-    def run(df: DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save()
-      -1L
-    }
-
     // ── flagship dedup paths (xxhash64 scale defaults) ─────────────────
-    time("jaccard_neardups") {
+    t("jaccard_neardups") {
       run(graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8))
       graft.CacheRegistry.releaseAll(); -1L
     }
@@ -111,11 +163,10 @@ object ScaleRehearsal {
     //    suffix-only shingle bijection, so their EXACT-Jaccard pair
     //    counts must be identical. A violation means the dedup pipeline
     //    broke somewhere between sf0.1 and this factor. ─────────────────
-    time("jaccard_scale_invariants") {
+    t("jaccard_scale_invariants") {
       val pairs = graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8)
         .select(col("i"), col("j"))
-      def rep(c: org.apache.spark.sql.Column) =
-        (c / 10000000L).cast("int")
+      def rep(c: Column) = (c / 10000000L).cast("int")
       val cross = pairs.filter(rep(col("i")) =!= rep(col("j"))).count()
       require(cross == 0L,
         s"$cross cross-replica near-dup pairs — replicas must be disjoint")
@@ -130,15 +181,15 @@ object ScaleRehearsal {
       graft.CacheRegistry.releaseAll()
       perRep.values.sum
     }
-    time("minhash_neardups") {
+    t("minhash_neardups") {
       run(graft.operators.Dedup.minhashNearDups(docs, threshold = 0.8))
       graft.CacheRegistry.releaseAll(); -1L
     }
-    time("dedup_corpus") {
+    t("dedup_corpus") {
       run(graft.operators.Dedup.dedupCorpus(docs, threshold = 0.8))
       graft.CacheRegistry.releaseAll(); -1L
     }
-    time("minhash_calibration") {
+    t("minhash_calibration") {
       run(graft.operators.Dedup.minhashCalibration(docs))
       graft.CacheRegistry.releaseAll(); -1L
     }
@@ -149,11 +200,11 @@ object ScaleRehearsal {
       .filter(col("doc_id") <= cut)
     val batchSide = docs.select(col("doc_id"), col("text"))
       .filter(col("doc_id") > cut)
-    time("dedup_store_build") {
+    t("dedup_store_build") {
       graft.operators.DedupState.build(spark, corpusSide, storeDir)
       graft.CacheRegistry.releaseAll(); -1L
     }
-    time("dedup_store_admission_batch") {
+    t("dedup_store_admission_batch") {
       run(graft.operators.DedupState.incrementalDedup(
         graft.operators.DedupState.load(spark, storeDir), batchSide))
       graft.CacheRegistry.releaseAll(); -1L
@@ -162,17 +213,265 @@ object ScaleRehearsal {
     val annDir = s"$base/ann-store"
     val q = emb.orderBy(col("vec_id")).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
-    time("ann_store_build") {
+    t("ann_store_build") {
       graft.operators.EmbeddingStore.buildAnn(spark, emb, annDir,
         k = 16, iters = 5, m = 8, pqK = 16, pqIters = 3)
       graft.CacheRegistry.releaseAll(); -1L
     }
-    time("ann_store_query") {
+    t("ann_store_query") {
       val st = graft.operators.EmbeddingStore.load(spark, annDir)
       run(graft.operators.EmbeddingStore.annNeighbors(spark, st, q, k = 20,
         nProbe = 12, rerank = 200, excludeId = Some(0L)))
       graft.CacheRegistry.releaseAll(); -1L
     }
-    spark.stop()
+  }
+
+  // ─────────────────── jw suite (fuzzy matching / linkage) ────────────────
+
+  /** Replica-k substitution cipher target for `translate` over
+    * [a-zA-Z0-9]; k = 0 is the identity (the original corpus is replica 0).
+    */
+  private val CipherAlphabet =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+
+  private def cipherTo(k: Int): String =
+    if (k == 0) CipherAlphabet
+    else new scala.util.Random(k * 7919L + 17)
+      .shuffle(CipherAlphabet.toVector).mkString
+
+  private def jwSuite(spark: SparkSession, srcDir: String,
+                      base: String, factor: Int): Unit = {
+    val t = time(factor) _
+    val custPath = s"$base/jw-customer.parquet"
+    val partPath = s"$base/jw-part.parquet"
+    if (!done(spark, base, custPath)) {
+      val src = graft.sources.Tables.table(spark, srcDir, "customer")
+      val reps = (0 until factor).map { k =>
+        src.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+          .withColumn("c_name",
+            translate(col("c_name"), CipherAlphabet, cipherTo(k)))
+      }
+      t("generate jw customer") {
+        reps.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(custPath)
+        spark.read.parquet(custPath).count()
+      }
+    }
+    if (!done(spark, base, partPath)) {
+      val src = graft.sources.Tables.table(spark, srcDir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val reps = (0 until factor).map { k =>
+        src.withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L))
+          .withColumn("p_name",
+            translate(col("p_name"), CipherAlphabet, cipherTo(k)))
+      }
+      t("generate jw part") {
+        reps.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(partPath)
+        spark.read.parquet(partPath).count()
+      }
+    }
+    val cust = spark.read.parquet(custPath)
+    val part = spark.read.parquet(partPath)
+    println(s"REHEARSAL x$factor jw: ${cust.count()} customers, ${part.count()} parts")
+    import graft.functions.GraftFunctions.jaro_winkler
+
+    // ── anagram route: q185's shape — tight threshold, NO blocking ─────
+    val tTight = 0.985
+    var verified: DataFrame = null
+    t("jw_anagram_route") {
+      val cands = graft.CacheRegistry.persist(
+        graft.operators.FuzzyJoin.jaroWinklerSelfCandidates(
+          cust.select(col("c_custkey"), col("c_name")),
+          tTight - 1e-6, "c_custkey", "c_name"))
+      requireNoCartesian(cands, "jw_anagram_route")
+      val nCand = cands.count()
+      verified = graft.CacheRegistry.persist(
+        cands.filter(jaro_winkler(col("si"), col("sj")) >= tTight)
+          .select(col("i"), col("j")))
+      val nVer = verified.count()
+      println(s"REHEARSAL x$factor jw_anagram_route candidates=$nCand verified=$nVer")
+      nVer
+    }
+    // ── correctness AT scale: the cipher is a character bijection, and
+    //    JW depends only on character equality/position — so every
+    //    replica's verified-pair set is exactly isomorphic to replica
+    //    0's. Equal per-replica counts + zero cross-replica pairs are
+    //    PROVABLE invariants; a violation means the candidate routes
+    //    lost pairs somewhere between sf0.1 and this factor. ───────────
+    t("jw_anagram_invariants") {
+      def rep(c: Column) = (c / 10000000L).cast("int")
+      val cross = verified.filter(rep(col("i")) =!= rep(col("j"))).count()
+      require(cross == 0L,
+        s"$cross cross-replica JW pairs at $tTight — ciphered replicas " +
+          "must not pair")
+      val perRep = verified.groupBy(rep(col("i")).as("r")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = (0 until factor).map(k => perRep.getOrElse(k, 0L)).distinct
+      require(counts.size == 1,
+        s"per-replica JW pair counts diverge (cipher isomorphism broken): " +
+          (0 until factor).map(k => s"$k=${perRep.getOrElse(k, 0L)}")
+            .mkString(", "))
+      graft.CacheRegistry.releaseAll()
+      perRep.values.sum
+    }
+    // ── prefix-filter route: q171's shape — loose threshold inside
+    //    hash blocks, block count scaled WITH the corpus (the operator's
+    //    documented deployment: prefix filtering bounds per-block work;
+    //    block granularity is the corpus-size knob). ────────────────────
+    t("jw_prefix_route") {
+      val tLoose = 0.9
+      val blocked = part.withColumn("__pb",
+        graft.operators.Sampling.hashBucket(
+          concat(lit("pb:"), col("p_partkey").cast("string")), 32 * factor))
+      val cands = graft.CacheRegistry.persist(
+        graft.operators.FuzzyJoin.jaroWinklerSelfCandidates(
+          blocked, tLoose - 1e-6, "p_partkey", "p_name", Seq("__pb")))
+      requireNoCartesian(cands, "jw_prefix_route")
+      val nCand = cands.count()
+      val nVer = cands.filter(jaro_winkler(col("si"), col("sj")) >= tLoose)
+        .count()
+      println(s"REHEARSAL x$factor jw_prefix_route candidates=$nCand verified=$nVer")
+      graft.CacheRegistry.releaseAll()
+      nVer
+    }
+    // ── blocked Fellegi–Sunter: q173's shape — score-driven candidate
+    //    generation (exact-field equi-join ∪ JW prefix candidates), block
+    //    key extended by the replica exactly as a production deployment
+    //    refines blocks as the corpus grows. ─────────────────────────────
+    t("linkage_fuzzy_blocked") {
+      val rep = (col("c_custkey") % lit(1000000000L) / 10000000L).cast("long")
+      val bk = graft.operators.Sampling.hashBucket(
+        col("c_custkey").cast("string"), 21)
+      val clean = cust.select(col("c_custkey"), col("c_nationkey"),
+        rep.as("__rep"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val dirty = cust.select(
+        (col("c_custkey") + 1000000000L).as("r_id"), col("c_nationkey"),
+        rep.as("__rep"),
+        // delete the 10th character on every 5th row — q173's one-char
+        // perturbation, expressed cipher-agnostically
+        when(bk % 5 === 0, concat(substring(col("c_name"), 1, 9),
+            substring(col("c_name"), 11, 100)))
+          .otherwise(col("c_name")).as("name"),
+        when(bk % 7 === 3, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        (round(col("c_acctbal") * 100).cast("long") + (bk % 3 - 1))
+          .as("bal_cents"))
+      val scored = graft.operators.Linkage.fellegiSunterFuzzyBlocked(
+        clean, dirty, "c_custkey", "r_id", Seq("c_nationkey", "__rep"),
+        exactFields = Seq(("segment", 0.9, 0.25), ("bal_cents", 0.85, 0.005)),
+        fuzzyFields = Seq(("name", 0.95, 0.05, 0.98)),
+        threshold = 3.0)
+      requireNoCartesian(scored, "linkage_fuzzy_blocked")
+      val n = scored.count()
+      graft.CacheRegistry.releaseAll()
+      n
+    }
+  }
+
+  // ───────────────────── tpch suite (relational core) ─────────────────────
+
+  private def tpchSuite(spark: SparkSession, srcDir: String,
+                        base: String, factor: Int): Unit = {
+    val t = time(factor) _
+    val dir = s"$base/tpch"
+    if (!done(spark, base, s"$dir/lineitem.parquet")) {
+      t("generate tpch tables") {
+        // dims copy unscaled — a ×100 corpus grows facts, not dims
+        Seq("region", "nation", "supplier", "part").foreach { name =>
+          graft.sources.Tables.table(spark, srcDir, name)
+            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        }
+        def upscale(name: String, shift: DataFrame => Int => DataFrame): Unit = {
+          val src = graft.sources.Tables.table(spark, srcDir, name)
+          (0 until factor).map(k => shift(src)(k)).reduce(_ unionByName _)
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        }
+        // k·10⁷ keeps every shifted key inside int32 range (sf0.1 keys
+        // stay under 10⁶; 199·10⁷ + 10⁶ < 2³¹): downstream queries cast
+        // order keys to int (q03's hour binding), and the rehearsal must
+        // scale the DATA, not widen the reference's column contracts
+        upscale("customer", src => k =>
+          src.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L)))
+        upscale("orders", src => k =>
+          src.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+            .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L)))
+        upscale("lineitem", src => k =>
+          src.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L)))
+        upscale("events", src => k =>
+          src.withColumn("event_id", col("event_id") + lit(k * 10000000L)))
+        spark.read.parquet(s"$dir/lineitem.parquet").count()
+      }
+    }
+    println(s"REHEARSAL x$factor tpch: " +
+      s"${spark.read.parquet(s"$dir/lineitem.parquet").count()} lineitem rows")
+    val qs = Seq("q01_filter_project", "q02_hourly_agg", "q03_wape",
+      "q04_left_join", "q05_anti_join", "q06_pivot", "q07_topk",
+      "q08_distinct", "q15_grouping_sets", "q184_client_csv")
+    qs.foreach { name =>
+      t(s"tpch_$name") {
+        run(graft.SparkEntry.queries(name)(spark, dir))
+        graft.CacheRegistry.releaseAll(); -1L
+      }
+    }
+    // ── correctness AT scale: disjoint replica key spaces make exact ×F
+    //    row-count and ×F cent-sum invariants provable. ─────────────────
+    t("tpch_invariants") {
+      def q(n: String, d: String) = graft.SparkEntry.queries(n)(spark, d)
+      Seq("q01_filter_project", "q04_left_join", "q05_anti_join")
+        .foreach { n =>
+          val up = q(n, dir).count()
+          val baseN = q(n, srcDir).count()
+          require(up == factor * baseN,
+            s"$n: $up rows at x$factor, expected ${factor}x$baseN")
+        }
+      // q03's WAPE frame is day-grained and every replica shares the
+      // calendar, so the ×F corpus must reproduce the BASE output in a
+      // provable way: per day, the cent-sum MAGNITUDE columns are exact
+      // integers that scale exactly ×F, and the MAPE ratios are
+      // bitwise-identical (the ×F numerator over the ×F denominator is
+      // the same true quotient, and IEEE division correctly rounds it —
+      // both operands stay far under 2^53)
+      val mags = Seq("forecast", "backcast", "settlement",
+        "forecast_abs_error", "backcast_abs_error", "settlement_abs")
+      def wproj(d: String, scaleDown: Boolean) = {
+        val w = q("q03_wape", d)
+        w.select(col("proxy_date") +: col("forecast_mape") +:
+          col("backcast_mape") +: mags.map(c =>
+            (if (scaleDown) col(c) / factor else col(c)).as(c)): _*)
+      }
+      val wUp = wproj(dir, scaleDown = true)
+      val wBase = wproj(srcDir, scaleDown = false)
+      require(wUp.exceptAll(wBase).count() == 0 &&
+          wBase.exceptAll(wUp).count() == 0,
+        s"q03 daily WAPE must be base×$factor in magnitudes and " +
+          "bitwise-identical in ratios")
+      def cents(d: String): Long = q("q02_hourly_agg", d)
+        .agg(sum(round(col("sum_value") * 100)).cast("long")).head().getLong(0)
+      val (upC, baseC) = (cents(dir), cents(srcDir))
+      require(upC == factor * baseC,
+        s"q02 cent total $upC at x$factor, expected ${factor}x$baseC")
+      graft.CacheRegistry.releaseAll()
+      -1L
+    }
+    // ── plan audit at scale: the dim join must still broadcast, the
+    //    date filter must still reach the parquet scan, the WAPE
+    //    pipeline must stay cartesian-free. ──────────────────────────────
+    t("tpch_plan_audit") {
+      def q(n: String) = graft.SparkEntry.queries(n)(spark, dir)
+      val p04 = q("q04_left_join").queryExecution.executedPlan.toString
+      require(p04.contains("BroadcastHashJoin"),
+        s"q04 must broadcast the nation dim at x$factor:\n$p04")
+      val p01 = q("q01_filter_project").queryExecution.executedPlan.toString
+      require(p01.contains("GreaterThanOrEqual(l_shipdate") ||
+          p01.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        s"q01's shipdate filter must be pushed to the scan at x$factor:\n$p01")
+      requireNoCartesian(q("q03_wape"), "q03_wape")
+      requireNoCartesian(q("q05_anti_join"), "q05_anti_join")
+      -1L
+    }
   }
 }

@@ -27,6 +27,22 @@ class ReadmeParitySpec extends AnyFunSuite {
     (entries.count(_ == "true"), entries.size)
   }
 
+  test("the README entry-point appendix covers every driver-contract query") {
+    val readme =
+      java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(q => readme.contains(s"| $q |"))
+    assert(missing.isEmpty,
+      s"README appendix is missing ${missing.size} queries: " +
+        missing.take(10).mkString(", "))
+    // and no stale rows for queries that no longer exist
+    val listed = "\\| (q\\d+_\\w+) \\|".r.findAllMatchIn(readme)
+      .map(_.group(1)).toSet
+    val stale = listed -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"README appendix lists removed queries: ${stale.mkString(", ")}")
+  }
+
   test("any README 'N/M bitwise' claim matches the newest CORRECTNESS artifact") {
     val claims = "(\\d+)\\s*(?:of the\\s*|/)\\s*(\\d+)\\s+(?:queries\\s+)?(?:hash-match\\s+DuckDB\\s+)?bitwise".r
       .findAllMatchIn(

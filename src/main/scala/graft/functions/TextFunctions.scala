@@ -35,6 +35,17 @@ object TextFunctions {
     org.apache.spark.sql.GraftShim.column(
       WordShingles(org.apache.spark.sql.GraftShim.expression(text), n))
 
+  /** Character n-gram shingles (stride-1 code-point windows) as an array
+    * column; rows with fewer than `n` characters yield an empty array.
+    * Runs as the native [[CharShingles]] kernel (one byte pass for char
+    * offsets + one bounded copy per window); semantics are pinned equal
+    * to `substr(text, i, n)` character indexing by TextFunctionsSpec,
+    * which is what the DuckDB oracles compute.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      CharShingles(org.apache.spark.sql.GraftShim.expression(text), n))
+
   /** Ratio of stopword tokens to all tokens (quality signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
     val t = tokens(text)

@@ -838,6 +838,205 @@ object Dedup {
        |       MAX(e) - MIN(s) + 1 AS span_tokens
        |FROM islands GROUP BY doc_id, island""".stripMargin
 
+  /** CHARACTER-level duplicated spans — the full exact-substring dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr tool): every maximal region of
+    * every document that is covered by some substring of length >=
+    * `minLen` characters occurring at least `minCount` times across the
+    * corpus. This is EXACTLY the coverage their suffix array computes at
+    * min-match-length `minLen`, by a two-line equivalence: (=>) a
+    * duplicated substring S with |S| >= minLen contains |S|−minLen+1
+    * stride-1 windows of length minLen, each occurring wherever S occurs
+    * (count >= count(S) >= minCount), so every character of S is covered
+    * by a duplicated window; (<=) a duplicated window IS a duplicated
+    * substring of length >= minLen. Union-of-coverage is therefore
+    * identical, and no suffix array — a fundamentally sequential,
+    * memory-resident structure — is needed: stride-1 windows + one keyed
+    * count + keyed interval merge is the shuffle-native form.
+    *
+    * Output: (doc_id, span_start, span_end, span_chars) with 0-based
+    * inclusive CHARACTER indexes (code points, matching SQL `substr`
+    * semantics), ordered-by-construction within a doc (starts distinct
+    * per doc → partitioning-invariant).
+    *
+    * Scale shape: the window build is the native [[graft.functions.CharShingles]]
+    * kernel (one byte pass per row); window rows number one per character
+    * — LINEAR in corpus bytes, the same blow-up the suffix array itself
+    * pays (it stores one suffix per character); the duplicate set is one
+    * keyed aggregation; the hit join is a keyed equi-join; the merge
+    * windows are keyed by doc. `hashed = true` joins on `xxhash64` of
+    * the window instead of the string — the 100 TB path: 8-byte shuffle
+    * keys instead of `minLen`-char strings, collisions only ADD span
+    * coverage at ~2⁻⁶⁴.
+    */
+  def charDuplicateSpans(docs: DataFrame, minLen: Int = 25, minCount: Int = 2,
+                         hashed: Boolean = false): DataFrame = {
+    require(minLen >= 2 && minCount >= 2,
+      s"need minLen >= 2 and minCount >= 2, got minLen=$minLen minCount=$minCount")
+    val win = TextFunctions.charShingles(col("text"), minLen)
+    val occ = docs.select(col("doc_id"), posexplode(win).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        (if (hashed) xxhash64(col("sh")) else col("sh")).as("k"))
+    val dup = occ.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("k"))
+    val hits = occ.join(dup, "k")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + minLen - 1).cast("long").as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("maxe", max(col("e")).over(prior))
+      .withColumn("fresh",
+        (col("maxe").isNull || col("s") > col("maxe") + 1).cast("long"))
+      .withColumn("island", sum(col("fresh")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+  }
+
+  /** [[charDuplicateSpans]] as ANSI SQL for a DuckDB oracle (SQL
+    * `substr` is the same code-point indexing as [[graft.functions.CharShingles]]).
+    */
+  def charDuplicateSpansOracleSql(table: String, minLen: Int = 25,
+                                  minCount: Int = 2): String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(range(1, length(text) - ${minLen - 2})) AS i,
+       |         text
+       |  FROM $table
+       |), keyed AS (
+       |  SELECT doc_id, i - 1 AS pos, substr(text, i, $minLen) AS sh FROM occ
+       |), dup AS (
+       |  SELECT sh FROM keyed GROUP BY sh HAVING COUNT(*) >= $minCount
+       |), hits AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS s,
+       |         CAST(pos + ${minLen - 1} AS BIGINT) AS e
+       |  FROM keyed JOIN dup USING (sh)
+       |), marked AS (
+       |  SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS maxe
+       |  FROM hits
+       |), islands AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(CASE WHEN maxe IS NULL OR s > maxe + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked
+       |)
+       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       |       MAX(e) - MIN(s) + 1 AS span_chars
+       |FROM islands GROUP BY doc_id, island""".stripMargin
+
+  /** The full ExactSubstr DEDUP step (Lee et al. 2022 §4.2): cut every
+    * character covered by a duplicated span (per [[charDuplicateSpans]])
+    * from every document — all occurrences are removed, the released
+    * tool's documented behavior — and return the surviving corpus. Gap
+    * fragments concatenate directly (no separator insertion), again
+    * matching the tool.
+    *
+    * Output: (doc_id, clean_text, removed_chars) — one row per INPUT
+    * document (docs with no duplicated spans pass through whole;
+    * fully-covered docs yield an empty clean_text rather than vanishing,
+    * so downstream length filters see them).
+    *
+    * Scale shape: [[charDuplicateSpans]]'s shuffles, plus ONE keyed
+    * aggregation collecting each doc's spans (bounded: spans per doc <=
+    * chars/minLen) and ONE equi-join back to the corpus; the text
+    * surgery itself is scan-side — a sorted-array fold (`aggregate` over
+    * the span array) emitting the inter-span gaps, no per-character
+    * rows, no window over the corpus.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, minLen: Int = 25,
+                            minCount: Int = 2,
+                            hashed: Boolean = false): DataFrame = {
+    val spans = charDuplicateSpans(docs, minLen, minCount, hashed)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("int").as("ss"),
+        col("span_end").cast("int").as("se")))).as("spans"))
+    val txt = col("text")
+    val folded = aggregate(
+      col("spans"),
+      struct(lit(0).as("cur"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp("se") + 1).as("cur"),
+        concat(st("acc"),
+          txt.substr(st("cur") + 1, sp("ss") - st("cur"))).as("acc")),
+      st => concat(st("acc"),
+        txt.substr(st("cur") + 1, length(txt) - st("cur"))))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<ss:int,se:int>>")))
+      .select(col("doc_id"), folded.as("clean_text"),
+        (length(txt) - length(folded)).cast("long").as("removed_chars"))
+  }
+
+  /** [[removeDuplicatedSpans]] as ANSI SQL for a DuckDB oracle: the span
+    * CTE chain, then gaps-between-spans via LAG, a tail piece per
+    * spanned doc, ordered string_agg, and a pass-through LEFT JOIN for
+    * untouched docs.
+    */
+  def removeDuplicatedSpansOracleSql(table: String, minLen: Int = 25,
+                                     minCount: Int = 2): String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(range(1, length(text) - ${minLen - 2})) AS i,
+       |         text
+       |  FROM $table
+       |), keyed AS (
+       |  SELECT doc_id, i - 1 AS pos, substr(text, i, $minLen) AS sh FROM occ
+       |), dup AS (
+       |  SELECT sh FROM keyed GROUP BY sh HAVING COUNT(*) >= $minCount
+       |), hits AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS s,
+       |         CAST(pos + ${minLen - 1} AS BIGINT) AS e
+       |  FROM keyed JOIN dup USING (sh)
+       |), marked AS (
+       |  SELECT doc_id, s, e,
+       |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING
+       |                      AND 1 PRECEDING) AS maxe
+       |  FROM hits
+       |), islands AS (
+       |  SELECT doc_id, s, e,
+       |         SUM(CASE WHEN maxe IS NULL OR s > maxe + 1
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked
+       |), spans AS (
+       |  SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+       |  FROM islands GROUP BY doc_id, island
+       |), gaps AS (
+       |  SELECT doc_id, ss,
+       |         COALESCE(LAG(se) OVER (PARTITION BY doc_id ORDER BY ss), -1)
+       |           + 1 AS gs
+       |  FROM spans
+       |), pieces AS (
+       |  SELECT g.doc_id, g.ss AS ord,
+       |         substr(d.text, CAST(g.gs + 1 AS BIGINT),
+       |                CAST(g.ss - g.gs AS BIGINT)) AS piece
+       |  FROM gaps g JOIN $table d USING (doc_id)
+       |  UNION ALL
+       |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS ord,
+       |         substr(d.text, CAST(t.last_e + 2 AS BIGINT),
+       |                CAST(length(d.text) - t.last_e - 1 AS BIGINT)) AS piece
+       |  FROM $table d
+       |  JOIN (SELECT doc_id, MAX(se) AS last_e FROM spans GROUP BY doc_id) t
+       |    USING (doc_id)
+       |), cleaned AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+       |  FROM pieces GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(c.clean_text, d.text) AS clean_text,
+       |       CAST(length(d.text)
+       |            - length(COALESCE(c.clean_text, d.text)) AS BIGINT)
+       |         AS removed_chars
+       |FROM $table d LEFT JOIN cleaned c USING (doc_id)""".stripMargin
+
   /** Dedup threshold calibration curve — the "what would this knob do"
     * audit run BEFORE committing a corpus to a similarity threshold: for
     * each candidate threshold (0.50 … 0.95 in 0.05 steps), how many

@@ -3906,6 +3906,40 @@ object Queries {
              |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name) * 1e6)
              |        / 1e6 >= 0.985""".stripMargin)),
 
+    // ── Q186: character-level duplicated spans — full Lee et al. 2022
+    //          exact-substring dedup coverage
+    //          ([[graft.operators.Dedup.charDuplicateSpans]]): every
+    //          maximal doc region covered by a >= 25-char substring
+    //          occurring twice anywhere in the corpus. Provably equal to
+    //          the suffix-array tool's output at min-match-length 25
+    //          (see the operator scaladoc's two-line equivalence) with
+    //          none of the suffix array's sequential build: stride-1
+    //          char windows (native kernel, linear in corpus bytes — the
+    //          same factor the suffix array pays) + keyed count + keyed
+    //          interval merge. ────────────────────────────────────────────
+    QueryDef("q186_char_dup_spans",
+      (s, dir) => graft.operators.Dedup.charDuplicateSpans(
+        t(s, dir, "documents"), minLen = 25, minCount = 2),
+      Some(graft.operators.Dedup.charDuplicateSpansOracleSql(
+        "documents", minLen = 25, minCount = 2))),
+
+    // ── Q187: ExactSubstr dedup — the cut itself
+    //          ([[graft.operators.Dedup.removeDuplicatedSpans]]): q186's
+    //          spans removed from every document (all occurrences, gap
+    //          fragments concatenated — the released tool's behavior),
+    //          one output row per input doc. The surgery is scan-side (a
+    //          sorted-span fold per row); the only additions to q186's
+    //          plan are one keyed span-collect and one equi-join back to
+    //          the corpus. The oracle rebuilds clean_text independently
+    //          via LAG gaps + ordered string_agg — a different algebra
+    //          reaching the same string, so a hash match is a real
+    //          cross-check, not a replay. ─────────────────────────────────
+    QueryDef("q187_exactsubstr_dedup",
+      (s, dir) => graft.operators.Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), minLen = 25, minCount = 2),
+      Some(graft.operators.Dedup.removeDuplicatedSpansOracleSql(
+        "documents", minLen = 25, minCount = 2))),
+
     // ── Q184: client CSV presentation layer
     //          ([[graft.sinks.ClientCsv]]) — the q03 WAPE frame rendered
     //          to the reference deliverable's display grammar

@@ -27,6 +27,8 @@ class CodegenSpec extends SparkSpec {
         .toDF("doc_id", "text").repartition(2) // repartition defeats local-relation pre-evaluation
       // WordShingles
       assert(docs.select(explode(TextFunctions.shingles(col("text"), 3))).count() === 3)
+      // CharShingles ("a b" has 3 chars → 1 window of 3; other doc 25−3+1)
+      assert(docs.select(explode(TextFunctions.charShingles(col("text"), 3))).count() === 24)
       // Blake2b
       assert(docs.select(GraftFunctions.blake2b_hex(col("text"))).count() === 2)
       // ArrayDotProduct

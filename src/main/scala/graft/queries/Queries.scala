@@ -3940,6 +3940,31 @@ object Queries {
       Some(graft.operators.Dedup.removeDuplicatedSpansOracleSql(
         "documents", minLen = 25, minCount = 2))),
 
+    // ── Q188: sharded HNSW graph-ANN recall audit
+    //          ([[graft.operators.Hnsw]]) — the partition-geometry-free
+    //          alternative to IVF for isotropic embeddings, through the
+    //          same [[Similarity.recallAudit]] harness as q164: build
+    //          the 4-shard graph index on the corpus (vec_id ≠ 0),
+    //          ef-search every shard, merge top-20, score against the
+    //          exact cosine top-20. Deterministic end-to-end (splitmix64
+    //          levels, id-ordered insertion, id tie-breaks), so the
+    //          dump-time oracle re-runs the identical search and DuckDB
+    //          re-scores + re-ranks the returned ids before the audit
+    //          algebra. ─────────────────────────────────────────────────
+    QueryDef("q188_hnsw_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val store = graft.operators.Hnsw.build(
+          emb.filter(col("vec_id") =!= 0), shards = 4)
+        Similarity.recallAudit(
+          Similarity.topK(emb, queryVector(s, dir), 20, excludeId = Some(0L)),
+          graft.operators.Hnsw.neighbors(store, queryVector(s, dir), 20,
+            efSearch = 48),
+          k = 20)
+      },
+      None,
+      dynamicOracle = Some(hnswRecallOracleSql)),
+
     // ── Q184: client CSV presentation layer
     //          ([[graft.sinks.ClientCsv]]) — the q03 WAPE frame rendered
     //          to the reference deliverable's display grammar
@@ -5699,6 +5724,50 @@ object Queries {
        |  FROM assigned a, q
        |  WHERE cid IN (${probes.mkString(", ")})
        |  ORDER BY cos DESC, a.vec_id LIMIT 20
+       |), er AS (
+       |  SELECT vec_id,
+       |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS er
+       |  FROM exact
+       |), ar AS (
+       |  SELECT vec_id,
+       |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS ar
+       |  FROM approx
+       |), j AS (
+       |  SELECT er.vec_id, er.er, ar.ar FROM er LEFT JOIN ar USING (vec_id)
+       |)
+       |SELECT CAST(20 AS INT) AS k,
+       |       COUNT(ar) AS n_overlap,
+       |       ROUND(COUNT(ar) * 1e6 / 20) / 1e6 AS recall,
+       |       COALESCE(ROUND(1e6 /
+       |           MIN(CASE WHEN er = 1 THEN ar END)) / 1e6, 0.0) AS top1_rr
+       |FROM j""".stripMargin
+  }
+
+  /** q188's oracle: the exact side is fully SQL-replayed (q19's top-20);
+    * the HNSW side's returned ids are data-derived literals from a
+    * dump-time re-run of the SAME deterministic build+search, but their
+    * SCORES are NOT trusted — DuckDB recomputes every returned id's
+    * cosine and re-ranks before the overlap/recall/RR algebra, so a
+    * wrong id, wrong score, or wrong ordering all break the hash. The
+    * traversal itself (that the ids come from graph search, not an
+    * exact scan) is pinned by HnswSpec's visited-fraction bound and
+    * brute-force recall checks.
+    */
+  private def hnswRecallOracleSql(s: SparkSession, dir: String): String = {
+    val store = graft.operators.Hnsw.build(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0), shards = 4)
+    val ids = graft.operators.Hnsw
+      .neighbors(store, queryVector(s, dir), 20, efSearch = 48)
+      .select("vec_id").collect().map(_.getLong(0))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT vec_id, ROUND(list_cosine_similarity(v, q.qv), 6) AS cos
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 20
+       |), approx AS (
+       |  SELECT vec_id, ROUND(list_cosine_similarity(v, q.qv), 6) AS cos
+       |  FROM e, q WHERE vec_id IN (${ids.mkString(", ")})
        |), er AS (
        |  SELECT vec_id,
        |         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS er

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * printing one timing line per path; results are recorded in
   * BASELINE.md's "scale rehearsal" sections.
   *
-  * Three suites (args after the factor; default `corpus`):
+  * Four suites (args after the factor; default `corpus`):
+  *  - `hnsw` — sharded-HNSW build/search/recall/eval-count at both
+  *    shard policies (shards ∝ corpus, shards fixed).
   *  - `corpus` — dedup/ANN flagship paths over upscaled documents +
   *    embeddings (the round-9 rehearsal).
   *  - `jw` — the Jaro–Winkler candidate routes and blocked
@@ -75,8 +77,8 @@ object ScaleRehearsal {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 2 && factor <= 200, s"factor $factor out of range")
     val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
-    suites.foreach(s => require(Set("corpus", "jw", "tpch")(s),
-      s"unknown suite '$s' (corpus|jw|tpch)"))
+    suites.foreach(s => require(Set("corpus", "jw", "tpch", "hnsw")(s),
+      s"unknown suite '$s' (corpus|jw|tpch|hnsw)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -92,6 +94,7 @@ object ScaleRehearsal {
     if (suites.contains("corpus")) corpusSuite(spark, srcDir, base, factor)
     if (suites.contains("jw")) jwSuite(spark, srcDir, base, factor)
     if (suites.contains("tpch")) tpchSuite(spark, srcDir, base, factor)
+    if (suites.contains("hnsw")) hnswSuite(spark, srcDir, base, factor)
     spark.stop()
   }
 
@@ -130,24 +133,8 @@ object ScaleRehearsal {
         spark.read.parquet(docsPath).count()
       }
     }
-    if (!done(spark, base, embPath)) {
-      val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
-      val replicas = (0 until factor).map { k =>
-        if (k == 0) src
-        else src
-          .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
-          .withColumn("embedding",
-            concat(slice(col("embedding"), k % 64 + 1, 64 - k % 64),
-              slice(col("embedding"), 1, k % 64)))
-      }
-      t("generate embeddings") {
-        replicas.reduce(_ unionByName _).repartition(32)
-          .write.mode("overwrite").parquet(embPath)
-        spark.read.parquet(embPath).count()
-      }
-    }
     val docs = spark.read.parquet(docsPath)
-    val emb = spark.read.parquet(embPath)
+    val emb = ensureEmbeddings(spark, srcDir, base, factor)
     println(s"REHEARSAL x$factor corpus: ${docs.count()} docs, ${emb.count()} vectors")
 
     // ── flagship dedup paths (xxhash64 scale defaults) ─────────────────
@@ -224,6 +211,108 @@ object ScaleRehearsal {
         nProbe = 12, rerank = 200, excludeId = Some(0L)))
       graft.CacheRegistry.releaseAll(); -1L
     }
+  }
+
+  /** Upscaled embeddings (cached on disk): replica k shifts vec_id and
+    * cyclically rotates the vector — rotations preserve norms and the
+    * pairwise-cosine spectrum, so each replica is geometrically
+    * isomorphic to the original while sitting elsewhere on the sphere.
+    */
+  private def ensureEmbeddings(spark: SparkSession, srcDir: String,
+                               base: String, factor: Int): DataFrame = {
+    val t = time(factor) _
+    val embPath = s"$base/embeddings.parquet"
+    if (!done(spark, base, embPath)) {
+      val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
+      val replicas = (0 until factor).map { k =>
+        if (k == 0) src
+        else src
+          .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), k % 64 + 1, 64 - k % 64),
+              slice(col("embedding"), 1, k % 64)))
+      }
+      t("generate embeddings") {
+        replicas.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(embPath)
+        spark.read.parquet(embPath).count()
+      }
+    }
+    spark.read.parquet(embPath)
+  }
+
+  // ───────────────────── hnsw suite (graph ANN) ───────────────────────────
+
+  /** Sharded-HNSW at scale: shards grow WITH the corpus (shards =
+    * 4·factor — the documented deployment knob: per-shard graph size
+    * stays constant, so build and search parallelize horizontally and
+    * per-task memory never grows). Measures build, one top-20 search,
+    * total distance evals, and ASSERTS the recall invariant (>= 0.9
+    * against the exact top-20 over the full upscaled corpus) — the
+    * claim that graph search quality does not decay with corpus size.
+    */
+  private def hnswSuite(spark: SparkSession, srcDir: String,
+                        base: String, factor: Int): Unit = {
+    val t = time(factor) _
+    val emb = ensureEmbeddings(spark, srcDir, base, factor)
+    val n = emb.count()
+    println(s"REHEARSAL x$factor hnsw: $n vectors, ${4 * factor} shards")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val storePath = s"$base/hnsw-store"
+    t("hnsw_build") {
+      graft.operators.Hnsw.build(corpus, shards = 4 * factor)
+        .write.mode("overwrite").parquet(storePath)
+      spark.read.parquet(storePath).count()
+    }
+    val store = spark.read.parquet(storePath)
+    t("hnsw_search_top20") {
+      run(graft.operators.Hnsw.neighbors(store, q, 20, efSearch = 48,
+        parallelism = 4 * factor))
+    }
+    t("hnsw_evals") {
+      val st = graft.operators.Hnsw.searchStats(store, q, efSearch = 48,
+          parallelism = 4 * factor)
+        .agg(sum("dist_evals"), sum("n_nodes")).head()
+      val (evals, nodes) = (st.getLong(0), st.getLong(1))
+      println(f"REHEARSAL x$factor hnsw_evals evals=$evals nodes=$nodes " +
+        f"frac=${evals.toDouble / nodes}%.3f")
+      evals
+    }
+    // the OTHER shard policy: hold shards at 4 while the corpus grows —
+    // per-shard graphs get deeper, and the visited FRACTION must fall
+    // (graph search is ~log n per shard); this is the line that proves
+    // the search never degenerates to a scan as shards fill up.
+    val storePath4 = s"$base/hnsw-store-4"
+    t("hnsw_build_fixedshards") {
+      graft.operators.Hnsw.build(corpus, shards = 4)
+        .write.mode("overwrite").parquet(storePath4)
+      spark.read.parquet(storePath4).count()
+    }
+    t("hnsw_evals_fixedshards") {
+      val st = graft.operators.Hnsw.searchStats(
+          spark.read.parquet(storePath4), q, efSearch = 48)
+        .agg(sum("dist_evals"), sum("n_nodes")).head()
+      val (evals, nodes) = (st.getLong(0), st.getLong(1))
+      println(f"REHEARSAL x$factor hnsw_evals_fixedshards evals=$evals " +
+        f"nodes=$nodes frac=${evals.toDouble / nodes}%.3f")
+      evals
+    }
+    t("hnsw_recall_invariant") {
+      val exact = graft.operators.Similarity.topK(emb, q, 20,
+          excludeId = Some(0L))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = graft.operators.Hnsw.neighbors(store, q, 20, efSearch = 48,
+          parallelism = 4 * factor)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = exact.intersect(got).size
+      require(recall >= 18,
+        s"recall@20 decayed at x$factor: $recall/20")
+      println(s"REHEARSAL x$factor hnsw_recall recall@20=$recall/20")
+      recall.toLong
+    }
+    graft.CacheRegistry.releaseAll()
   }
 
   // ─────────────────── jw suite (fuzzy matching / linkage) ────────────────

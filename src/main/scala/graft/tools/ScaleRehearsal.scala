@@ -77,8 +77,9 @@ object ScaleRehearsal {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     require(factor >= 2 && factor <= 200, s"factor $factor out of range")
     val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
-    suites.foreach(s => require(Set("corpus", "jw", "tpch", "hnsw")(s),
-      s"unknown suite '$s' (corpus|jw|tpch|hnsw)"))
+    suites.foreach(s =>
+      require(Set("corpus", "jw", "tpch", "hnsw", "exactsubstr")(s),
+        s"unknown suite '$s' (corpus|jw|tpch|hnsw|exactsubstr)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -95,6 +96,8 @@ object ScaleRehearsal {
     if (suites.contains("jw")) jwSuite(spark, srcDir, base, factor)
     if (suites.contains("tpch")) tpchSuite(spark, srcDir, base, factor)
     if (suites.contains("hnsw")) hnswSuite(spark, srcDir, base, factor)
+    if (suites.contains("exactsubstr"))
+      exactSubstrSuite(spark, srcDir, base, factor)
     spark.stop()
   }
 
@@ -111,29 +114,7 @@ object ScaleRehearsal {
   private def corpusSuite(spark: SparkSession, srcDir: String,
                           base: String, factor: Int): Unit = {
     val t = time(factor) _
-    // ── upscale (cached on disk; delete the dir to regenerate) ─────────
-    val docsPath = s"$base/documents.parquet"
-    val embPath = s"$base/embeddings.parquet"
-    if (!done(spark, base, docsPath)) {
-      val src = graft.sources.Tables.table(spark, srcDir, "documents")
-      val replicas = (0 until factor).map { k =>
-        if (k == 0) src
-        else src
-          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-          .withColumn("text", concat_ws(" ",
-            transform(split(col("text"), " "), (tk, i) =>
-              when(i % 3 === lit(k % 3), concat(tk, lit(s"~$k")))
-                .otherwise(tk))))
-      }
-      t("generate documents") {
-        val all = replicas.reduce(_ unionByName _)
-          .withColumn("n_chars", length(col("text")))
-          .repartition(32)
-        all.write.mode("overwrite").parquet(docsPath)
-        spark.read.parquet(docsPath).count()
-      }
-    }
-    val docs = spark.read.parquet(docsPath)
+    val docs = ensureDocuments(spark, srcDir, base, factor)
     val emb = ensureEmbeddings(spark, srcDir, base, factor)
     println(s"REHEARSAL x$factor corpus: ${docs.count()} docs, ${emb.count()} vectors")
 
@@ -210,6 +191,99 @@ object ScaleRehearsal {
       run(graft.operators.EmbeddingStore.annNeighbors(spark, st, q, k = 20,
         nProbe = 12, rerank = 200, excludeId = Some(0L)))
       graft.CacheRegistry.releaseAll(); -1L
+    }
+  }
+
+  /** Upscaled documents (cached on disk): replica k shifts doc_id and
+    * rewrites every third token with a replica-salted suffix — breaking
+    * every 3-token shingle against other replicas, so near-dup structure
+    * grows linearly like a real corpus.
+    */
+  private def ensureDocuments(spark: SparkSession, srcDir: String,
+                              base: String, factor: Int): DataFrame = {
+    val t = time(factor) _
+    val docsPath = s"$base/documents.parquet"
+    if (!done(spark, base, docsPath)) {
+      val src = graft.sources.Tables.table(spark, srcDir, "documents")
+      val replicas = (0 until factor).map { k =>
+        if (k == 0) src
+        else src
+          .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "), (tk, i) =>
+              when(i % 3 === lit(k % 3), concat(tk, lit(s"~$k")))
+                .otherwise(tk))))
+      }
+      t("generate documents") {
+        val all = replicas.reduce(_ unionByName _)
+          .withColumn("n_chars", length(col("text")))
+          .repartition(32)
+        all.write.mode("overwrite").parquet(docsPath)
+        spark.read.parquet(docsPath).count()
+      }
+    }
+    spark.read.parquet(docsPath)
+  }
+
+  // ─────────────── exactsubstr suite (char-span dedup) ────────────────────
+
+  /** Exact-substring dedup at scale: [[graft.operators.Dedup.charDuplicateSpans]]
+    * explodes ONE ROW PER CHARACTER — the same linear blow-up the
+    * suffix array itself pays — so this is the path whose constant
+    * factor matters most at 100 TB. Times the hashed (8-byte-key) scale
+    * path and the full removal pipeline at ×F, and ASSERTS the coverage
+    * monotonicity invariant: every position the BASE corpus marks as
+    * duplicated must still be marked for replica 0 inside the upscaled
+    * corpus (occurrence counts only grow when a corpus grows — a lost
+    * position means the pipeline broke between sf0.1 and ×F).
+    */
+  private def exactSubstrSuite(spark: SparkSession, srcDir: String,
+                               base: String, factor: Int): Unit = {
+    val t = time(factor) _
+    val docs = ensureDocuments(spark, srcDir, base, factor)
+    println(s"REHEARSAL x$factor exactsubstr: ${docs.count()} docs, " +
+      s"${docs.agg(sum(length(col("text")))).head().getLong(0)} chars")
+    t("char_dup_spans_hashed") {
+      val spans = graft.operators.Dedup.charDuplicateSpans(
+        docs, minLen = 25, minCount = 2, hashed = true)
+      requireNoCartesian(spans, "char_dup_spans_hashed")
+      run(spans)
+      graft.CacheRegistry.releaseAll(); -1L
+    }
+    t("exactsubstr_remove_hashed") {
+      run(graft.operators.Dedup.removeDuplicatedSpans(
+        docs, minLen = 25, minCount = 2, hashed = true))
+      graft.CacheRegistry.releaseAll(); -1L
+    }
+    t("exactsubstr_coverage_invariant") {
+      val baseSpans = graft.operators.Dedup.charDuplicateSpans(
+        graft.sources.Tables.table(spark, srcDir, "documents"),
+        minLen = 25, minCount = 2, hashed = true)
+      val upSpans = graft.CacheRegistry.persist(
+        graft.operators.Dedup.charDuplicateSpans(
+          docs.filter(col("doc_id") < 10000000L),
+          minLen = 25, minCount = 2, hashed = true))
+      // every base-covered position must sit inside SOME replica-0 span
+      val lost = baseSpans.as("b").join(upSpans.as("u"),
+          col("b.doc_id") === col("u.doc_id") &&
+            col("b.span_start") >= col("u.span_start") &&
+            col("b.span_start") <= col("u.span_end"),
+          "left_anti")
+        .count()
+      // span STARTS suffice: if a base span's start is covered but some
+      // later position were not, the base span would have been split —
+      // so also require no base span extends past its covering span
+      val overrun = baseSpans.as("b").join(upSpans.as("u"),
+          col("b.doc_id") === col("u.doc_id") &&
+            col("b.span_start") >= col("u.span_start") &&
+            col("b.span_end") <= col("u.span_end"))
+        .count()
+      val nBase = baseSpans.count()
+      require(lost == 0L && overrun == nBase,
+        s"coverage lost at x$factor: $lost base spans uncovered, " +
+          s"$overrun/$nBase fully contained")
+      graft.CacheRegistry.releaseAll()
+      nBase
     }
   }
 

@@ -3965,6 +3965,23 @@ object Queries {
       None,
       dynamicOracle = Some(hnswRecallOracleSql)),
 
+    // ── Q189: sequence packing (concat-and-chunk)
+    //          ([[graft.operators.Packing.concatChunk]]) — per-document
+    //          placement in the fixed-capacity (2048-token) pretraining
+    //          window stream: chunk_first/chunk_last/offset from an
+    //          EXACT distributed two-pass prefix sum in doc_id order
+    //          (range repartition + keyed window + bounded offset
+    //          frame — never a single-partition window); zero padding
+    //          waste by construction. Power-of-two capacity makes the
+    //          chunk division binary-exact on both engines. ──────────────
+    QueryDef("q189_sequence_packing",
+      (s, dir) => graft.operators.Packing.concatChunk(
+        t(s, dir, "documents"), capacity = 2048,
+        nTokens = size(split(col("text"), " ")).cast("long"),
+        key = col("doc_id")),
+      Some(graft.operators.Packing.concatChunkOracleSql(
+        "documents", 2048, "len(string_split(text, ' '))"))),
+
     // ── Q184: client CSV presentation layer
     //          ([[graft.sinks.ClientCsv]]) — the q03 WAPE frame rendered
     //          to the reference deliverable's display grammar

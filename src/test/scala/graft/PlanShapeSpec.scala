@@ -466,6 +466,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 queries (q186-q189) stay cartesian-free and keyed: the " +
+    "span/removal/packing windows all partition by a key") {
+    for (q <- Seq("q186_char_dup_spans", "q187_exactsubstr_dedup",
+        "q188_hnsw_recall", "q189_sequence_packing")) {
+      val nodes = collectNodes(Queries.byName(q)(spark, sf0001)
+        .queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.contains("Cartesian") ||
+        n.contains("BroadcastNestedLoop")),
+        s"$q must stay on equi-joins: $nodes")
+      graft.CacheRegistry.releaseAll()
+    }
+    // the span-merge and prefix-sum windows must be keyed (doc_id /
+    // __pid), never a one-partition global window over the corpus
+    for (q <- Seq("q186_char_dup_spans", "q187_exactsubstr_dedup",
+        "q189_sequence_packing")) {
+      val windows = Queries.byName(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$q: every window must partition by a key")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("q175 bottom-k window partitions by group — no single-partition " +
     "global window") {
     val plan = physical(Queries.byName("q175_bottomk_sketch")(spark, sf0001))

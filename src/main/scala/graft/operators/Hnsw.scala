@@ -152,14 +152,17 @@ object Hnsw {
     kept.toVector
   }
 
-  /** Algorithm 1: insert nodes 0..n−1 (callers pass id-sorted input) —
-    * builds the whole shard graph in place.
+  /** Algorithm 1: insert nodes `from`..n−1 into a graph whose nodes
+    * 0..`from`−1 are already wired (from = 0 builds from scratch;
+    * from > 0 is incremental admission — [[add]]). Insertion order is
+    * the array order, which callers keep id-ascending.
     */
-  private def buildGraph(ids: Array[Long], vecs: Array[Array[Double]],
-                         m: Int, efConstruction: Int): Graph = {
-    val g = new Graph(ids, vecs)
+  private def insertNodes(g: Graph, from: Int, m: Int,
+                          efConstruction: Int): Unit = {
+    val ids = g.ids
+    val vecs = g.vecs
     val mmax0 = 2 * m
-    var i = 0
+    var i = from
     while (i < g.n) {
       val l = levelOf(ids(i), m)
       g.levels(i) = l
@@ -195,6 +198,12 @@ object Hnsw {
       }
       i += 1
     }
+  }
+
+  private def buildGraph(ids: Array[Long], vecs: Array[Array[Double]],
+                         m: Int, efConstruction: Int): Graph = {
+    val g = new Graph(ids, vecs)
+    insertNodes(g, 0, m, efConstruction)
     g
   }
 
@@ -275,6 +284,71 @@ object Hnsw {
             val g = buildGraph(ids, vecs, m, efConstruction)
             ids.indices.iterator.map { i =>
               (shard, ids(i), rows(i)._3, g.levels(i),
+                g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
+            }
+        }
+      }
+      .toDF("shard", "vec_id", "vec", "level", "nbrs")
+  }
+
+  /** Incremental admission: insert a fresh batch into an existing store
+    * WITHOUT rebuilding it — the index-maintenance half of the ANN
+    * lifecycle (the parallel of [[DedupState]]'s corpus admission).
+    * Fresh vectors hash to their shards with the same key the store was
+    * built with; each shard reconstructs its graph, continues Algorithm
+    * 1 over the id-sorted batch (existing nodes' neighbor lists update
+    * bidirectionally, exactly as at build time), and emits the full new
+    * store. Cost: one shuffle of the batch + one pass over the store —
+    * per-shard work is batch-sized insertions into a warm graph, NOT a
+    * rebuild.
+    *
+    * Determinism contract: for MONOTONE arrivals (every fresh id above
+    * every stored id — the append-only ingest case) the result is
+    * BITWISE IDENTICAL to `build(old ∪ fresh)`, because insertion order
+    * (ascending id) coincides; HnswSpec pins this. Interleaved ids stay
+    * deterministic for a given (store, batch) but legitimately differ
+    * from a from-scratch build, as with any HNSW insertion order.
+    * Duplicate ids fail loudly per shard.
+    */
+  def add(store: DataFrame, fresh: DataFrame, shards: Int, m: Int = 8,
+          efConstruction: Int = 64): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val freshRows = fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("shard", shardCol(shards))
+      .select(col("shard"), col("vec_id"), col("vec"), lit(-1).as("level"),
+        typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
+    store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs"))
+      .unionByName(freshRows)
+      .as[Node]
+      .repartition(shards, col("shard"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
+          case (shard, rows0) =>
+            val (oldRows0, newRows0) = rows0.partition(_._4 >= 0)
+            val oldRows = oldRows0.sortBy(_._2)
+            val newRows = newRows0.sortBy(_._2)
+            val oldIds = oldRows.map(_._2).toSet
+            newRows.foreach(r => require(!oldIds(r._2),
+              s"shard $shard: vec_id ${r._2} already in the store"))
+            val ids = (oldRows.map(_._2) ++ newRows.map(_._2)).toArray
+            val vecs = (oldRows.map(_._3.toArray) ++
+              newRows.map(_._3.toArray)).toArray
+            val g = new Graph(ids, vecs)
+            val local = ids.zipWithIndex.toMap
+            oldRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
+              g.levels(li) = level
+              g.adj(li) = nbrs.map(layer => scala.collection.mutable
+                .ArrayBuffer(layer.map(local): _*)).toArray
+            }
+            g.entry =
+              if (oldRows.isEmpty) -1
+              else oldRows.indices.minBy(i => (-g.levels(i), ids(i)))
+            insertNodes(g, oldRows.size, m, efConstruction)
+            ids.indices.iterator.map { i =>
+              (shard, ids(i), g.vecs(i).toSeq, g.levels(i),
                 g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
             }
         }

@@ -3965,6 +3965,31 @@ object Queries {
       None,
       dynamicOracle = Some(hnswRecallOracleSql)),
 
+    // ── Q190: HNSW incremental admission recall
+    //          ([[graft.operators.Hnsw.add]]) — the index-maintenance
+    //          half of q188's lifecycle: build on vec_ids below 400,
+    //          ADMIT the rest into the standing store (per-shard warm
+    //          insertion, no rebuild), search, audit. Arrivals here are
+    //          monotone, so HnswSpec's theorem says this store is
+    //          bitwise the full rebuild — the audit must reproduce
+    //          q188's row through a completely different build path. ─────
+    QueryDef("q190_hnsw_admission",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val store = graft.operators.Hnsw.add(
+          graft.operators.Hnsw.build(
+            emb.filter(col("vec_id") =!= 0 && col("vec_id") < 400),
+            shards = 4),
+          emb.filter(col("vec_id") >= 400), shards = 4)
+        Similarity.recallAudit(
+          Similarity.topK(emb, queryVector(s, dir), 20, excludeId = Some(0L)),
+          graft.operators.Hnsw.neighbors(store, queryVector(s, dir), 20,
+            efSearch = 48),
+          k = 20)
+      },
+      None,
+      dynamicOracle = Some(hnswAdmissionRecallOracleSql)),
+
     // ── Q189: sequence packing (concat-and-chunk)
     //          ([[graft.operators.Packing.concatChunk]]) — per-document
     //          placement in the fixed-capacity (2048-token) pretraining
@@ -5770,9 +5795,25 @@ object Queries {
     * exact scan) is pinned by HnswSpec's visited-fraction bound and
     * brute-force recall checks.
     */
-  private def hnswRecallOracleSql(s: SparkSession, dir: String): String = {
-    val store = graft.operators.Hnsw.build(
-      t(s, dir, "embeddings").filter(col("vec_id") =!= 0), shards = 4)
+  private def hnswRecallOracleSql(s: SparkSession, dir: String): String =
+    hnswAuditSqlFor(graft.operators.Hnsw.build(
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0), shards = 4),
+      s, dir)
+
+  /** q190's oracle: same contract as q188's, over the ADMISSION-built
+    * store (build below the cut, [[graft.operators.Hnsw.add]] the rest).
+    */
+  private def hnswAdmissionRecallOracleSql(s: SparkSession,
+                                           dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    hnswAuditSqlFor(graft.operators.Hnsw.add(
+      graft.operators.Hnsw.build(
+        emb.filter(col("vec_id") =!= 0 && col("vec_id") < 400), shards = 4),
+      emb.filter(col("vec_id") >= 400), shards = 4), s, dir)
+  }
+
+  private def hnswAuditSqlFor(store: org.apache.spark.sql.DataFrame,
+                              s: SparkSession, dir: String): String = {
     val ids = graft.operators.Hnsw
       .neighbors(store, queryVector(s, dir), 20, efSearch = 48)
       .select("vec_id").collect().map(_.getLong(0))

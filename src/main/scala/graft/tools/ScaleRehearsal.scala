@@ -354,6 +354,24 @@ object ScaleRehearsal {
         f"frac=${evals.toDouble / nodes}%.3f")
       evals
     }
+    // admission: insert the top-decile ids into a store built on the
+    // rest — per-shard warm insertion, never a rebuild; the line to
+    // compare against hnsw_build (a full rebuild at the same size)
+    t("hnsw_admission_batch") {
+      val cut = emb.agg(max("vec_id")).head().getLong(0) * 9 / 10
+      val baseStore = graft.operators.Hnsw.build(
+        corpus.filter(col("vec_id") <= cut), shards = 4 * factor)
+        .persist()
+      baseStore.count() // build outside the measured admission
+      val t0 = System.nanoTime()
+      val admitted = graft.operators.Hnsw.add(baseStore,
+        corpus.filter(col("vec_id") > cut), shards = 4 * factor)
+      run(admitted)
+      println(f"REHEARSAL x$factor hnsw_admission_batch " +
+        f"admit_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      baseStore.unpersist()
+      -1L
+    }
     // the OTHER shard policy: hold shards at 4 while the corpus grows —
     // per-shard graphs get deeper, and the visited FRACTION must fall
     // (graph search is ~log n per shard); this is the line that proves

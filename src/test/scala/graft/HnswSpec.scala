@@ -81,6 +81,40 @@ class HnswSpec extends SparkSpec {
     assert(f2000 < 0.8, s"ef=48 search must not degenerate to a scan: $f2000")
   }
 
+  test("add: monotone-id admission is BITWISE identical to a full " +
+       "rebuild; duplicate ids fail loudly") {
+    val all = corpus(400)
+    val (a, b) = all.partition(_._1 <= 300L)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = Hnsw.build(all.toDF("vec_id", "embedding"), shards = 3)
+    val admitted = Hnsw.add(
+      Hnsw.build(a.toDF("vec_id", "embedding"), shards = 3),
+      b.toDF("vec_id", "embedding"), shards = 3)
+    assert(dump(admitted) === dump(full),
+      "append-only admission must reproduce the from-scratch store")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.add(full, a.take(1).toDF("vec_id", "embedding"), shards = 3)
+        .count()
+    }
+    assert(ex.getMessage.contains("already in the store") ||
+      Option(ex.getCause).exists(_.getMessage.contains("already in the store")))
+  }
+
+  test("add: admitted vectors are immediately searchable (a fresh " +
+       "vector's own query returns it first)") {
+    val all = corpus(500)
+    val (a, b) = all.partition(_._1 <= 450L)
+    val store = Hnsw.add(
+      Hnsw.build(a.toDF("vec_id", "embedding"), shards = 4),
+      b.toDF("vec_id", "embedding"), shards = 4)
+    val probe = b.last
+    val got = Hnsw.neighbors(store, probe._2.map(_.toDouble).toArray, 1,
+        efSearch = 16)
+      .select("vec_id").as[Long].head()
+    assert(got === probe._1, "self-query must return the admitted vector")
+  }
+
   test("recallAudit over HNSW on the shipped embeddings shape " +
        "(one audit row, k domain)") {
     val rows = corpus(400)

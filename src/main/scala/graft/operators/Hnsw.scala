@@ -377,6 +377,29 @@ object Hnsw {
       .limit(k)
   }
 
+  /** Best stored cosine per probe for a LITERAL batch of probe vectors
+    * (micro-batch/audit-sized by contract — the probes ship inside the
+    * task closure): one pass over the store, every (probe, shard) pair
+    * graph-searched, reduced to (probe_id, max_cos) with the
+    * engine-standard 1e-6 rounding. The admission filter's workhorse —
+    * |batch| driver-looped distributed searches would schedule |batch|
+    * jobs; this is ONE.
+    */
+  def batchNeighborMax(store: DataFrame, probes: Array[(Long, Array[Double])],
+                       efSearch: Int = 64,
+                       parallelism: Int = 32): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    perShard[(Long, Double)](store, parallelism) { (_, g) =>
+      probes.iterator.map { case (pid, q) =>
+        val res = searchGraph(g, q, efSearch)
+        (pid, if (res.isEmpty) -1.0 else 1.0 - res.head._1)
+      }
+    }.toDF("probe_id", "cos")
+      .groupBy(col("probe_id"))
+      .agg(round(max(col("cos")), 6).as("max_cos"))
+  }
+
   /** The honesty line for BASELINE: per-shard distance-evaluation counts
     * for one search — (shard, n_nodes, dist_evals). Graph search must
     * touch a vanishing fraction of each shard as shards grow; this is

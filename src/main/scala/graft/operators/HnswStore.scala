@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, SEGMENTED HNSW store — the graph-index counterpart of
+  * [[EmbeddingStore]], under the same commit-marker epoch protocol
+  * ([[DedupState]]'s crash-invisibility discipline: write data first,
+  * marker last; readers prune unmarked epochs).
+  *
+  * Why segments: [[Hnsw.add]] mutates every touched shard, so folding a
+  * micro-batch into a 100 TB standing graph would rewrite the store
+  * every epoch. The deployment answer — the one Lucene ships for
+  * HNSW — is segmentation: each admitted batch becomes its OWN small
+  * graph (one or a few shards), searches fan out over every live
+  * segment exactly like they fan over shards (a segment IS a set of
+  * shards to [[Hnsw.neighbors]] — shard ids are made globally unique by
+  * an epoch stride), and a periodic COMPACTION rebuilds the union into
+  * one base segment, bounding segment count the way [[DedupState]]'s
+  * bases bound generation count. Per-epoch write cost is batch-sized at
+  * any corpus size; only compaction touches the corpus, on its own
+  * cadence.
+  *
+  * Search-quality note, stated honestly: a fresh segment's graph is
+  * small, so segment fan-out search is BETTER than one merged graph at
+  * equal ef (more exhaustive per segment) at the price of more total
+  * distance evals; compaction trades that back. Both states are
+  * deterministic, and q191 audits the segmented state's recall.
+  */
+object HnswStore {
+
+  /** A loaded view as of `epoch`: the unioned committed segment rows
+    * (the exact frame [[Hnsw.neighbors]] searches).
+    */
+  case class Store(path: String, segments: DataFrame, epoch: Long)
+
+  /** Globally-unique shard ids across segments: epoch e's shards live
+    * at [e·Stride, e·Stride + shards). Stride bounds shards-per-segment;
+    * Int range bounds epochs at ~32k — far beyond any compaction
+    * cadence (and compaction resets the live range anyway).
+    */
+  val ShardStride: Int = 1 << 16
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedEpochs(spark: SparkSession,
+                              path: String): Map[Long, Boolean] =
+    spark.read.parquet(s"$path/commits")
+      .select(col("epoch").cast("long"), col("is_base"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+  /** Write one epoch's segment (an [[Hnsw.build]] over exactly `rows`,
+    * shard ids offset into the epoch's stride range), marker LAST.
+    * Replays overwrite the same dirs behind the marker — idempotent.
+    */
+  private def writeEpoch(spark: SparkSession, path: String,
+                         rows: DataFrame, epoch: Long, shards: Int,
+                         m: Int, efConstruction: Int,
+                         isBase: Boolean): Unit = {
+    import spark.implicits._
+    require(shards < ShardStride && epoch < Int.MaxValue / ShardStride,
+      s"shards=$shards epoch=$epoch out of the stride range")
+    Hnsw.build(rows, shards, m, efConstruction)
+      .withColumn("shard",
+        (col("shard") + lit(epoch.toInt * ShardStride)).cast("int"))
+      .write.mode("overwrite").parquet(s"$path/segments/epoch=$epoch")
+    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** Build the store: epoch 0 is a base segment over the whole corpus. */
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+            shards: Int = 4, m: Int = 8,
+            efConstruction: Int = 64): Store = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) f.delete(p, true)
+    writeEpoch(spark, path, emb, 0L, shards, m, efConstruction,
+      isBase = true)
+    load(spark, path)
+  }
+
+  /** Load the latest committed epoch. */
+  def load(spark: SparkSession, path: String): Store =
+    loadAt(spark, path, committedEpochs(spark, path).keys.max)
+
+  /** Load AS OF a committed epoch — the [latest base ≤ epoch, epoch]
+    * segment range; deterministic re-reads for at-least-once replay.
+    */
+  def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
+    val commits = committedEpochs(spark, path)
+    require(commits.contains(epoch),
+      s"epoch $epoch is not committed at $path " +
+        s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
+    val base = commits.collect { case (e, true) if e <= epoch => e }.max
+    Store(path,
+      spark.read.parquet(s"$path/segments")
+        .filter(col("epoch") >= base && col("epoch") <= epoch)
+        .drop("epoch"),
+      epoch)
+  }
+
+  /** Fold a fresh batch in as epoch `store.epoch + 1`: its own new
+    * segment (batch-sized write), or — `asBase` — a COMPACTION-WITH-
+    * ADMISSION that rebuilds store ∪ batch into one base segment.
+    * Caller contract: vec_ids disjoint from the store's (the admission
+    * filter upholds it; [[Hnsw.add]]-style loud checks don't apply
+    * across segments, where duplicate ids are legal for the search but
+    * wrong for a corpus).
+    */
+  def append(spark: SparkSession, store: Store, fresh: DataFrame,
+             asBase: Boolean = false, shards: Int = 1, m: Int = 8,
+             efConstruction: Int = 64): Store = {
+    val rows =
+      if (asBase)
+        store.segments.select(col("vec_id"), col("vec").as("embedding"))
+          .unionByName(fresh.select(col("vec_id"),
+            col("embedding").cast("array<double>")))
+      else fresh
+    val segShards =
+      if (asBase) math.max(1, (rows.count() / 512L).toInt.min(ShardStride - 1))
+      else shards
+    writeEpoch(spark, store.path, rows, store.epoch + 1, segShards, m,
+      efConstruction, asBase)
+    loadAt(spark, store.path, store.epoch + 1)
+  }
+
+  /** Collapse the live segment range into one base — the segment-count
+    * antidote for long admission streams (and the eval-count antidote:
+    * one graph at ~log n replaces per-segment fan-out).
+    */
+  def compact(spark: SparkSession, store: Store, m: Int = 8,
+              efConstruction: Int = 64): Store =
+    append(spark, store,
+      spark.range(0).select(col("id").as("vec_id"),
+        lit(null).cast("array<double>").as("embedding")),
+      asBase = true, m = m, efConstruction = efConstruction)
+
+  /** Delete segment dirs strictly older than the latest base ≤
+    * `store.epoch` — fully contained in that base.
+    */
+  def vacuum(spark: SparkSession, store: Store): Unit = {
+    val commits = committedEpochs(spark, store.path)
+    val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
+    for (e <- commits.keys if e < base; dir <- Seq("segments", "commits")) {
+      val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
+
+  /** Top-k over every live segment — [[Hnsw.neighbors]] straight over
+    * the unioned segment rows (globally-unique shard ids make the
+    * segments just more shards to fan over).
+    */
+  def neighbors(store: Store, query: Array[Double], k: Int,
+                efSearch: Int = 48): DataFrame =
+    Hnsw.neighbors(store.segments, query, k, efSearch)
+
+  /** Admission filter: a batch vector is dropped when the store's graph
+    * search finds a stored neighbor at cosine ≥ `threshold` (the
+    * store's own search semantics, as [[EmbeddingStore.incrementalAdmit]]
+    * uses ITS cell-local semantics), or when an exact within-batch
+    * near-dup with a smaller id exists ([[Similarity.cosineNearDups]]
+    * over the batch — micro-batch-sized, exact). Returns kept rows of
+    * `fresh` unchanged.
+    */
+  def incrementalAdmit(store: Store, fresh: DataFrame, threshold: Double,
+                       efSearch: Int = 64): DataFrame = {
+    val spark = fresh.sparkSession
+    import spark.implicits._
+    val f = graft.CacheRegistry.persist(fresh)
+    val batch = f.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    // per-batch-vector store search: micro-batch-sized driver loop of
+    // DISTRIBUTED searches would schedule |batch| jobs; instead ship the
+    // batch as a literal into ONE pass over the segments
+    val hits = Hnsw.batchNeighborMax(store.segments,
+      batch.map { case (id, v) => (id, v.toArray) }, efSearch)
+    val vsStore = hits.filter(col("max_cos") >= threshold)
+      .select(col("probe_id").as("vec_id"))
+    val vsBatch = Similarity.cosineNearDups(f, threshold)
+      .select(greatest(col("i"), col("j")).as("vec_id")).distinct()
+    f.join(vsStore.unionByName(vsBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** One admission step: filter, fold survivors in as the next segment
+    * (or base), return (kept, new store) — what the streaming sink
+    * replays per micro-batch.
+    */
+  def admit(spark: SparkSession, store: Store, fresh: DataFrame,
+            threshold: Double, asBase: Boolean = false)
+      : (DataFrame, Store) = {
+    val kept = graft.CacheRegistry.persist(
+      incrementalAdmit(store, fresh, threshold))
+    (kept, append(spark, store,
+      kept.select(col("vec_id"), col("embedding")), asBase))
+  }
+}

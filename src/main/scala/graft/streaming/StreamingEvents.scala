@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.functions.TextFunctions
-import graft.operators.{Anonymize, DedupState, EmbeddingStore, Mape, MetricFamily}
+import graft.operators.{Anonymize, DedupState, EmbeddingStore, HnswStore, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
   * counterpart; the reference's only cross-run state, the uid→pseudonym
@@ -471,6 +471,39 @@ object StreamingEvents {
         // of this batch must still find its source range (see
         // dedupAdmissionStream)
         if (asBase) EmbeddingStore.vacuum(spark, store)
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
+  /** Continuous GRAPH-INDEX admission over the segmented HNSW store —
+    * [[embeddingAdmissionStream]]'s counterpart for [[graft.operators.HnswStore]]:
+    * each micro-batch is filtered by the store's own graph search (plus
+    * exact within-batch near-dups), survivors land in
+    * `outDir/batch_id=N` AND become their own searchable segment as
+    * epoch `b+1` — batch-sized writes at any corpus size; every
+    * `compactEvery`-th batch rebuilds the union into one base segment
+    * (the Lucene segment-merge discipline) and vacuums the superseded
+    * range. Same at-least-once replay contract as the other admission
+    * sinks: `loadAt(batchId)` pins the pre-state, epoch writes are
+    * idempotent behind commit markers.
+    */
+  def hnswAdmissionStream(stream: DataFrame, stateDir: String,
+                          outDir: String, checkpointDir: String,
+                          threshold: Double,
+                          compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswStore.loadAt(spark, stateDir, batchId)
+        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        val (kept, _) = HnswStore.admit(spark, store, batch, threshold, asBase)
+        kept.write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        // reclaim segments superseded by the PREVIOUS base only — a
+        // replay of this batch must still find its source range
+        if (asBase) HnswStore.vacuum(spark, store)
         graft.CacheRegistry.releaseAll()
       }
       .start()

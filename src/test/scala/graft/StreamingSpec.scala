@@ -710,6 +710,56 @@ class StreamingSpec extends SparkSpec {
     assert(EmbeddingStore.load(spark, stateDir).epoch === 2L)
   }
 
+  test("hnswAdmissionStream: streamed graph-index admission equals the " +
+       "batch-wise admit chain; compaction epoch collapses to one base") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.HnswStore
+    val stateDir = tmpDir("graft-hadmit-state")
+    val outDir = s"${tmpDir("graft-hadmit-out")}/rows"
+    val ckpt = tmpDir("graft-hadmit-ckpt")
+    def vecsDf(rows: (Long, Array[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    HnswStore.build(spark, vecsDf(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)), stateDir, shards = 2)
+    val batch1 = Seq(
+      10L -> Array(0.98f, 0.1f, 0f, 0f), // graph-search dup of stored 1
+      11L -> Array(0f, 0f, 1f, 0f))      // novel
+    val batch2 = Seq(
+      20L -> Array(0f, 0f, 0f, 1f),      // novel
+      21L -> Array(0f, 0f, 0f, 0.99f))   // in-batch dup of 20
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.hnswAdmissionStream(
+      stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+      threshold = 0.9, compactEvery = 2)
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(11L, 20L),
+      "graph dup and in-batch dup drop; novels admit")
+    val fin = HnswStore.load(spark, stateDir)
+    assert(fin.epoch === 2L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 20L))
+    // batch 2 was the compaction epoch: everything lives in ONE base
+    // segment (epoch 2's shard stride range); the superseded epochs stay
+    // on disk until a LATER base (the conservative replay-safe vacuum all
+    // admission sinks share), so the pre-state as-of reads still answer
+    assert(fin.segments.select("shard").as[Int].collect().forall(s =>
+      s >= 2 * HnswStore.ShardStride && s < 3 * HnswStore.ShardStride))
+    assert(HnswStore.loadAt(spark, stateDir, 0L).segments
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L))
+    // and the compacted store still answers
+    assert(HnswStore.neighbors(fin, Array(0.0, 0.0, 1.0, 0.0), 1)
+      .select("vec_id").as[Long].head() === 11L)
+  }
+
   test("embeddingAdmissionStream over an ANN store: every admitted epoch " +
        "materializes codes, and the stored-codes query answers post-stream") {
     implicit val ctx = spark.sqlContext

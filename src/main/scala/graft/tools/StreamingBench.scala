@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Sustained-throughput measurement for the two heaviest streaming sinks
-  * ([[graft.streaming.StreamingEvents.dedupAdmissionStream]] and
-  * [[graft.streaming.StreamingEvents.embeddingAdmissionStream]]) —
+/** Sustained-throughput measurement for the heaviest streaming sinks
+  * ([[graft.streaming.StreamingEvents.dedupAdmissionStream]],
+  * [[graft.streaming.StreamingEvents.embeddingAdmissionStream]] and
+  * [[graft.streaming.StreamingEvents.hnswAdmissionStream]]) —
   * StreamingSpec pins their SEMANTICS (stream = batch ×12+); this tool
   * measures their RATE, which no spec had ever done.
   *
@@ -134,6 +135,30 @@ object StreamingBench {
       val stream = MemoryStream[(Long, Array[Float])]
       drive("embedding_admission", batches, stateDir, stream,
         () => graft.streaming.StreamingEvents.embeddingAdmissionStream(
+          stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+          threshold = 0.2, compactEvery = compactEvery))
+      graft.CacheRegistry.releaseAll()
+    }
+
+    // ── HNSW graph-index admission (segmented store) ────────────────────
+    {
+      val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val seedN = emb.size / 10
+      val (seed, rest) = emb.splitAt(seedN)
+      val stateDir = fresh("hnsw-state")
+      val outDir = fresh("hnsw-out")
+      val ckpt = fresh("hnsw-ckpt")
+      graft.operators.HnswStore.build(spark,
+        seed.toDF("vec_id", "embedding"), stateDir, shards = 4)
+      graft.CacheRegistry.releaseAll()
+      val per = math.max(1, rest.size / nBatches)
+      val batches = rest.grouped(per).take(nBatches).toSeq
+      val stream = MemoryStream[(Long, Array[Float])]
+      drive("hnsw_admission", batches, stateDir, stream,
+        () => graft.streaming.StreamingEvents.hnswAdmissionStream(
           stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
           threshold = 0.2, compactEvery = compactEvery))
       graft.CacheRegistry.releaseAll()

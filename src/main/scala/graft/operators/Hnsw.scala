@@ -223,6 +223,21 @@ object Hnsw {
   private def shardCol(shards: Int) =
     pmod(xxhash64(col("vec_id")), lit(shards.toLong)).cast("int")
 
+  /** Duplicate vec_ids would silently corrupt the local-index mapping
+    * (two rows, one adjacency slot) — fail loudly instead, the same
+    * id-uniqueness discipline the linkage operators enforce. Input is
+    * sorted, so one adjacent pass suffices.
+    */
+  private def requireUniqueIds(sortedIds: Seq[Long], shard: Int): Unit = {
+    var i = 1
+    while (i < sortedIds.length) {
+      require(sortedIds(i) != sortedIds(i - 1),
+        s"shard $shard: duplicate vec_id ${sortedIds(i)} — " +
+          "ids must be unique per corpus")
+      i += 1
+    }
+  }
+
   /** Reassemble each shard's graph from its stored rows and run `f` on
     * it. Store partitioning keys on `shard`, so each task sees whole
     * shards (possibly several); groups within the partition.
@@ -240,6 +255,7 @@ object Hnsw {
         it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
           case (shard, rows0) =>
             val rows = rows0.sortBy(_._2)
+            requireUniqueIds(rows.map(_._2), shard)
             val ids = rows.map(_._2).toArray
             val vecs = rows.map(_._3.toArray).toArray
             val g = new Graph(ids, vecs)
@@ -279,6 +295,7 @@ object Hnsw {
         it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
           case (shard, rows0) =>
             val rows = rows0.sortBy(_._2)
+            requireUniqueIds(rows.map(_._2), shard)
             val ids = rows.map(_._2).toArray
             val vecs = rows.map(_._3.toArray).toArray
             val g = buildGraph(ids, vecs, m, efConstruction)
@@ -302,6 +319,12 @@ object Hnsw {
     * per-shard work is batch-sized insertions into a warm graph, NOT a
     * rebuild.
     *
+    * `shards` MUST equal the store's build-time shard count: a larger
+    * value hashes fresh ids into shard slots the store never populated,
+    * silently creating isolated mini-graphs never wired to the standing
+    * corpus (no error can be raised task-locally — a task cannot see
+    * which shards exist globally).
+    *
     * Determinism contract: for MONOTONE arrivals (every fresh id above
     * every stored id — the append-only ingest case) the result is
     * BITWISE IDENTICAL to `build(old ∪ fresh)`, because insertion order
@@ -312,6 +335,8 @@ object Hnsw {
     */
   def add(store: DataFrame, fresh: DataFrame, shards: Int, m: Int = 8,
           efConstruction: Int = 64): DataFrame = {
+    require(shards >= 1 && m >= 2 && efConstruction >= m,
+      s"bad params: shards=$shards m=$m efConstruction=$efConstruction")
     val spark = store.sparkSession
     import spark.implicits._
     val freshRows = fresh.select(col("vec_id"),
@@ -330,6 +355,7 @@ object Hnsw {
             val (oldRows0, newRows0) = rows0.partition(_._4 >= 0)
             val oldRows = oldRows0.sortBy(_._2)
             val newRows = newRows0.sortBy(_._2)
+            requireUniqueIds(newRows.map(_._2), shard)
             val oldIds = oldRows.map(_._2).toSet
             newRows.foreach(r => require(!oldIds(r._2),
               s"shard $shard: vec_id ${r._2} already in the store"))

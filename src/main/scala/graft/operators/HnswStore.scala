@@ -115,9 +115,12 @@ object HnswStore {
              efConstruction: Int = 64): Store = {
     val rows =
       if (asBase)
-        store.segments.select(col("vec_id"), col("vec").as("embedding"))
-          .unionByName(fresh.select(col("vec_id"),
-            col("embedding").cast("array<double>")))
+        // persisted around the sizing count — compaction would otherwise
+        // scan the whole store twice (once to size shards, once to build)
+        graft.CacheRegistry.persist(
+          store.segments.select(col("vec_id"), col("vec").as("embedding"))
+            .unionByName(fresh.select(col("vec_id"),
+              col("embedding").cast("array<double>"))))
       else fresh
     val segShards =
       if (asBase) math.max(1, (rows.count() / 512L).toInt.min(ShardStride - 1))

@@ -38,8 +38,14 @@ object Packing {
                   key: Column, partitions: Int = 32): DataFrame = {
     require(capacity >= 1 && (capacity & (capacity - 1)) == 0,
       s"capacity must be a positive power of two, got $capacity")
+    // scan-side loud guard: a zero-token doc would emit chunk_last <
+    // chunk_first (−1 at stream start), silently breaking the
+    // chunk-range contract downstream — fail like the capacity require
     val base = docs.select(key.as("doc_id"),
-      nTokens.cast("long").as("n_tokens"))
+      when(nTokens.cast("long") >= 1L, nTokens.cast("long"))
+        .otherwise(raise_error(concat(
+          lit("concatChunk: n_tokens < 1 for doc_id "),
+          key.cast("string")))).as("n_tokens"))
     val ranged = base.repartitionByRange(partitions, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
     val persisted = graft.CacheRegistry.persist(ranged)
@@ -51,7 +57,11 @@ object Packing {
     val offsetOf = sums.map(_._1).zip(offsets)
       .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
         when(col("__pid") === pid, off).otherwise(acc) }
+    // explicit ROWS frame: the default RANGE frame would sum key PEERS
+    // together, silently misplacing duplicate-key rows relative to the
+    // oracle's ROWS algebra (and [[Chunking.packOffsets]]'s)
     val wp = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     persisted
       .withColumn("cum_before",
         offsetOf + sum(col("n_tokens")).over(wp) - col("n_tokens"))

@@ -39,13 +39,14 @@ import org.apache.spark.sql.functions._
   *    so each replica's pair structure is EXACTLY isomorphic to the
   *    original's — an assertable invariant — while cross-replica strings
   *    decorrelate to JW ≈ 0.5–0.7, far below the rehearsed thresholds.
-  *  - relational: replica k shifts o_orderkey/l_orderkey by k·10⁹ and
-  *    c_custkey/o_custkey by k·10⁷ (joins stay consistent inside a
-  *    replica; key spaces stay disjoint across replicas); dimension
-  *    tables (nation/region/supplier/part) are copied unscaled — exactly
-  *    how a real ×100 corpus grows facts but not dims; events replicate
-  *    as-is (more rows per hour, the realistic growth for a
-  *    fixed-calendar fact table).
+  *  - relational: replica k shifts every fact key (o_orderkey /
+  *    l_orderkey / c_custkey / o_custkey / event_id) by k·10⁷ — inside
+  *    int32 range, see the inline sizing comment — so joins stay
+  *    consistent inside a replica and key spaces stay disjoint across
+  *    replicas; dimension tables (nation/region/supplier/part) are
+  *    copied unscaled — exactly how a real ×100 corpus grows facts but
+  *    not dims; events keep their calendar (more rows per hour, the
+  *    realistic growth for a fixed-calendar fact table).
   *
   * Usage: sbt "runMain graft.tools.ScaleRehearsal [factor] [suite...]"
   *   (factor defaults to 10 — sf0.1 × 10 = sf1-equivalent)
@@ -259,10 +260,14 @@ object ScaleRehearsal {
       val baseSpans = graft.operators.Dedup.charDuplicateSpans(
         graft.sources.Tables.table(spark, srcDir, "documents"),
         minLen = 25, minCount = 2, hashed = true)
+      // compute spans over the FULL upscaled corpus, THEN restrict to
+      // replica 0 — filtering the input instead would make the check
+      // compare the base corpus with itself (duplicate counts must see
+      // every replica for the monotonicity claim to mean anything)
       val upSpans = graft.CacheRegistry.persist(
         graft.operators.Dedup.charDuplicateSpans(
-          docs.filter(col("doc_id") < 10000000L),
-          minLen = 25, minCount = 2, hashed = true))
+          docs, minLen = 25, minCount = 2, hashed = true)
+          .filter(col("doc_id") < 10000000L))
       // every base-covered position must sit inside SOME replica-0 span
       val lost = baseSpans.as("b").join(upSpans.as("u"),
           col("b.doc_id") === col("u.doc_id") &&
@@ -558,7 +563,9 @@ object ScaleRehearsal {
                         base: String, factor: Int): Unit = {
     val t = time(factor) _
     val dir = s"$base/tpch"
-    if (!done(spark, base, s"$dir/lineitem.parquet")) {
+    // guard on the LAST table written (events): a crash mid-generation
+    // must re-generate, not read a half-populated cache dir
+    if (!done(spark, base, s"$dir/events.parquet")) {
       t("generate tpch tables") {
         // dims copy unscaled — a ×100 corpus grows facts, not dims
         Seq("region", "nation", "supplier", "part").foreach { name =>

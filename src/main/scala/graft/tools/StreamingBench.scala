@@ -83,13 +83,30 @@ object StreamingBench {
       val rows = batches.map(_.size).sum
       val total = times.sum
       // flatness check: mean of the last 5 batches vs first 5 (after the
-      // epoch-0 warmup) — the corpus-size-independence claim in numbers
-      val head5 = times.slice(1, 6)
-      val tail5 = times.takeRight(5)
+      // epoch-0 warmup) — the corpus-size-independence claim in numbers.
+      // Early-vs-late only means something when the windows are disjoint
+      // (>= 11 batches); below that, print overall mean twice rather
+      // than a self-comparison (or NaN at 1 batch)
+      val (head5, tail5) =
+        if (times.size >= 11) (times.slice(1, 6), times.takeRight(5))
+        else (times.toSeq, times.toSeq)
       println(f"STREAMBENCH $label SUMMARY rows=$rows batches=${batches.size} " +
         f"total_sec=$total%.1f rows_per_sec=${rows / total}%.0f " +
         f"head5_mean=${head5.sum / head5.size}%.2f " +
         f"tail5_mean=${tail5.sum / tail5.size}%.2f")
+    }
+
+    /** Equal micro-batches with NO silent cap: when rows don't divide
+      * evenly, the remainder is reported, not quietly dropped.
+      */
+    def mkBatches[T](rest: Seq[T], label: String): Seq[Seq[T]] = {
+      val per = math.max(1, rest.size / nBatches)
+      val bs = rest.grouped(per).take(nBatches).toSeq
+      val used = bs.map(_.size).sum
+      if (used < rest.size)
+        println(s"STREAMBENCH $label: streaming $used of ${rest.size} rows " +
+          s"(${rest.size - used} remainder dropped for $nBatches equal batches)")
+      bs
     }
 
     // ── corpus admission (documents) ────────────────────────────────────
@@ -106,8 +123,7 @@ object StreamingBench {
       graft.operators.DedupState.build(spark,
         seed.toDF("doc_id", "text"), stateDir)
       graft.CacheRegistry.releaseAll()
-      val per = math.max(1, rest.size / nBatches)
-      val batches = rest.grouped(per).take(nBatches).toSeq
+      val batches = mkBatches(rest, "corpus_admission")
       val stream = MemoryStream[(Long, String)]
       drive("corpus_admission", batches, stateDir, stream,
         () => graft.streaming.StreamingEvents.dedupAdmissionStream(
@@ -130,8 +146,7 @@ object StreamingBench {
       graft.operators.EmbeddingStore.build(spark,
         seed.toDF("vec_id", "embedding"), stateDir, k = 8, iters = 3)
       graft.CacheRegistry.releaseAll()
-      val per = math.max(1, rest.size / nBatches)
-      val batches = rest.grouped(per).take(nBatches).toSeq
+      val batches = mkBatches(rest, "embedding_admission")
       val stream = MemoryStream[(Long, Array[Float])]
       drive("embedding_admission", batches, stateDir, stream,
         () => graft.streaming.StreamingEvents.embeddingAdmissionStream(
@@ -154,8 +169,7 @@ object StreamingBench {
       graft.operators.HnswStore.build(spark,
         seed.toDF("vec_id", "embedding"), stateDir, shards = 4)
       graft.CacheRegistry.releaseAll()
-      val per = math.max(1, rest.size / nBatches)
-      val batches = rest.grouped(per).take(nBatches).toSeq
+      val batches = mkBatches(rest, "hnsw_admission")
       val stream = MemoryStream[(Long, Array[Float])]
       drive("hnsw_admission", batches, stateDir, stream,
         () => graft.streaming.StreamingEvents.hnswAdmissionStream(

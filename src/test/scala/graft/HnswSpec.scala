@@ -101,6 +101,16 @@ class HnswSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("already in the store")))
   }
 
+  test("build fails loudly on duplicate vec_ids instead of silently " +
+       "corrupting the local-index mapping") {
+    val dup = (corpus(20) ++ corpus(5)).toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.build(dup, shards = 2).count()
+    }
+    assert(ex.getMessage.contains("duplicate vec_id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate vec_id")))
+  }
+
   test("add: admitted vectors are immediately searchable (a fresh " +
        "vector's own query returns it first)") {
     val all = corpus(500)

@@ -57,4 +57,15 @@ class PackingSpec extends SparkSpec {
         size(split(col("text"), " ")).cast("long"), col("doc_id"))
     }
   }
+
+  test("zero-token docs fail loudly instead of emitting chunk_last < " +
+       "chunk_first") {
+    val ex = intercept[Exception] {
+      Packing.concatChunk(docs.take(3).toDF("doc_id", "text"), 64,
+        lit(0L), col("doc_id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("n_tokens < 1")))
+  }
 }

@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, RegExpExtract, RegExpReplace, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, StringType}
-import graft.functions.{ArrayDotProduct, Blake2bExpr, CharClassCounts, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
+import graft.functions.{ArrayDotProduct, Blake2bExpr, CharClassCounts, CharShingles, Md5Lanes, MisraGries, NfcNormalize, WordShingles}
 
 /** SQL surface for graft's native expressions: `blake2b_hex(str[, digest])`,
   * `array_dot(a, b)`, `l2_norm(a)`, `word_shingles(text[, n])`,
-  * `char_class_counts(str)`, and `nfc_normalize(str)` become callable from `spark.sql(...)` — the same
+  * `char_shingles(text, n)`, `char_class_counts(str)`, and
+  * `nfc_normalize(str)` become callable from `spark.sql(...)` — the same
   * codegen'd expressions the DataFrame API uses, registered rather than
   * wrapped in UDFs.
   *
@@ -69,6 +70,12 @@ object GraftExtensions {
       s"word_shingles(text[, n]) takes 1 or 2 arguments, got ${other.size}")
   }
 
+  private def charShinglesBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(c, Literal(n: Int, IntegerType)) => CharShingles(c, n)
+    case other => throw new IllegalArgumentException(
+      s"char_shingles(text, n) takes a column and a literal int, got ${other.size} args")
+  }
+
   // returns the bare AggregateFunction — the analyzer wraps it, exactly as
   // for built-in aggregates registered through FunctionRegistry
   private def heavyHittersBuilder(children: Seq[Expression]): Expression = children match {
@@ -116,6 +123,9 @@ object GraftExtensions {
       (FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         wordShinglesBuilder _),
+      (FunctionIdentifier("char_shingles"),
+        new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+        charShinglesBuilder _),
       (FunctionIdentifier("jaro_winkler"),
         new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
           "jaro_winkler"),

@@ -27,6 +27,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
   }
 
+  test("char_shingles is callable from spark.sql with the substr contract") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT char_shingles('abcd', 3), " +
+      "char_shingles('ab', 3)").head()
+    assert(r.getSeq[String](0) === Seq("abc", "bcd"))
+    assert(r.getSeq[String](1) === Seq.empty)
+  }
+
   test("md5_lanes is callable from spark.sql and matches the hex definition") {
     GraftExtensions.register(spark)
     val r = spark.sql(

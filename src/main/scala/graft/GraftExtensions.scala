@@ -72,8 +72,14 @@ object GraftExtensions {
 
   private def charShinglesBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(c, Literal(n: Int, IntegerType)) => CharShingles(c, n)
+    // distinguish a bad second ARGUMENT from a bad ARITY — with 2 args the
+    // failure is a non-literal / non-int n, and saying "got 2 args" would
+    // point a SQL user at the wrong problem
+    case Seq(_, n) => throw new IllegalArgumentException(
+      s"char_shingles(text, n): n must be a literal INT (a column or " +
+        s"non-int literal was passed: ${n.sql})")
     case other => throw new IllegalArgumentException(
-      s"char_shingles(text, n) takes a column and a literal int, got ${other.size} args")
+      s"char_shingles(text, n) takes 2 arguments, got ${other.size}")
   }
 
   // returns the bare AggregateFunction — the analyzer wraps it, exactly as

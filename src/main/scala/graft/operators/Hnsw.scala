@@ -39,8 +39,12 @@ object Hnsw {
 
   /** One stored graph row: node `vec_id` of `shard`, its vector, its top
     * level, and `nbrs(l)` = neighbor ids at layer l for l = 0..level.
+    * `shard` is a LONG so wrappers can stride shard ids into globally
+    * unique ranges without an epoch ceiling ([[HnswStore.ShardStride]]:
+    * a long-lived admission stream consumes one epoch per micro-batch,
+    * and an int shard id capped epochs at ~32k).
     */
-  type Node = (Int, Long, Seq[Double], Int, Seq[Seq[Long]])
+  type Node = (Long, Long, Seq[Double], Int, Seq[Seq[Long]])
 
   private def mix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -220,15 +224,18 @@ object Hnsw {
     searchLayer(g, q, nq, ep, ef, 0)
   }
 
+  /** Rows sampled by [[add]]'s driver-side shard-count guard. */
+  private[graft] val ShardCheckSample = 10000
+
   private def shardCol(shards: Int) =
-    pmod(xxhash64(col("vec_id")), lit(shards.toLong)).cast("int")
+    pmod(xxhash64(col("vec_id")), lit(shards.toLong))
 
   /** Duplicate vec_ids would silently corrupt the local-index mapping
     * (two rows, one adjacency slot) — fail loudly instead, the same
     * id-uniqueness discipline the linkage operators enforce. Input is
     * sorted, so one adjacent pass suffices.
     */
-  private def requireUniqueIds(sortedIds: Seq[Long], shard: Int): Unit = {
+  private def requireUniqueIds(sortedIds: Seq[Long], shard: Long): Unit = {
     var i = 1
     while (i < sortedIds.length) {
       require(sortedIds(i) != sortedIds(i - 1),
@@ -244,7 +251,7 @@ object Hnsw {
     */
   private def perShard[T: org.apache.spark.sql.Encoder](
       store: DataFrame, parallelism: Int)(
-      f: (Int, Graph) => Iterator[T]): Dataset[T] = {
+      f: (Long, Graph) => Iterator[T]): Dataset[T] = {
     val spark = store.sparkSession
     import spark.implicits._
     store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
@@ -289,7 +296,7 @@ object Hnsw {
         col("embedding").cast("array<double>").as("vec"))
       .withColumn("shard", shardCol(shards))
       .select(col("shard"), col("vec_id"), col("vec"))
-      .as[(Int, Long, Seq[Double])]
+      .as[(Long, Long, Seq[Double])]
       .repartition(shards, col("shard"))
       .mapPartitions { it =>
         it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
@@ -322,8 +329,12 @@ object Hnsw {
     * `shards` MUST equal the store's build-time shard count: a larger
     * value hashes fresh ids into shard slots the store never populated,
     * silently creating isolated mini-graphs never wired to the standing
-    * corpus (no error can be raised task-locally — a task cannot see
-    * which shards exist globally).
+    * corpus. A task cannot see which shards exist globally, so the check
+    * runs DRIVER-SIDE before the job: stored shard ids must sit under
+    * `shards`, and a [[ShardCheckSample]]-row sample must re-hash to its
+    * stored shard under the given count (a wrong modulus moves nearly
+    * every id, so a bounded sample catches it; the full scan would double
+    * the store pass for a guard).
     *
     * Determinism contract: for MONOTONE arrivals (every fresh id above
     * every stored id — the append-only ingest case) the result is
@@ -337,6 +348,16 @@ object Hnsw {
           efConstruction: Int = 64): DataFrame = {
     require(shards >= 1 && m >= 2 && efConstruction >= m,
       s"bad params: shards=$shards m=$m efConstruction=$efConstruction")
+    val badSample = store.select(col("shard"), col("vec_id"))
+      .limit(ShardCheckSample)
+      .filter(col("shard") < 0 || col("shard") >= shards ||
+        shardCol(shards) =!= col("shard"))
+      .count()
+    require(badSample == 0L,
+      s"store was not built with shards=$shards: $badSample of a " +
+        s"$ShardCheckSample-row sample re-hash to a different shard — " +
+        "fresh ids would land in isolated mini-graphs (pass the " +
+        "build-time shard count)")
     val spark = store.sparkSession
     import spark.implicits._
     val freshRows = fresh.select(col("vec_id"),
@@ -435,7 +456,7 @@ object Hnsw {
                   efSearch: Int = 48, parallelism: Int = 32): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
-    perShard[(Int, Long, Long)](store, parallelism) { (shard, g) =>
+    perShard[(Long, Long, Long)](store, parallelism) { (shard, g) =>
       g.evals = 0L
       searchGraph(g, query, efSearch)
       Iterator((shard, g.n.toLong, g.evals))

@@ -36,8 +36,10 @@ object HnswStore {
 
   /** Globally-unique shard ids across segments: epoch e's shards live
     * at [e·Stride, e·Stride + shards). Stride bounds shards-per-segment;
-    * Int range bounds epochs at ~32k — far beyond any compaction
-    * cadence (and compaction resets the live range anyway).
+    * the strided id is a LONG ([[Hnsw.Node]]'s shard column), so the
+    * epoch range is ~1.4·10¹⁴ — a streaming sink consuming one epoch per
+    * 30 s micro-batch (the cadence that would have exhausted an int
+    * stride in ~11 days) outlives the hardware.
     */
   val ShardStride: Int = 1 << 16
 
@@ -55,16 +57,16 @@ object HnswStore {
     * shard ids offset into the epoch's stride range), marker LAST.
     * Replays overwrite the same dirs behind the marker — idempotent.
     */
-  private def writeEpoch(spark: SparkSession, path: String,
+  private[graft] def writeEpoch(spark: SparkSession, path: String,
                          rows: DataFrame, epoch: Long, shards: Int,
                          m: Int, efConstruction: Int,
                          isBase: Boolean): Unit = {
     import spark.implicits._
-    require(shards < ShardStride && epoch < Int.MaxValue / ShardStride,
+    require(shards < ShardStride && epoch >= 0 &&
+        epoch < Long.MaxValue / ShardStride,
       s"shards=$shards epoch=$epoch out of the stride range")
     Hnsw.build(rows, shards, m, efConstruction)
-      .withColumn("shard",
-        (col("shard") + lit(epoch.toInt * ShardStride)).cast("int"))
+      .withColumn("shard", col("shard") + lit(epoch * ShardStride.toLong))
       .write.mode("overwrite").parquet(s"$path/segments/epoch=$epoch")
     Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
@@ -162,19 +164,47 @@ object HnswStore {
                 efSearch: Int = 48): DataFrame =
     Hnsw.neighbors(store.segments, query, k, efSearch)
 
+  /** Hard bound on [[incrementalAdmit]]'s batch row count, mirroring
+    * [[FuzzyJoin]]'s `MaxJwKeyLen` discipline: the batch ships to the
+    * driver and into every shard task as a closure literal (the design
+    * trade that makes admission ONE pass over the segments instead of
+    * |batch| scheduled jobs), so a corpus-sized frame must fail loudly at
+    * plan time, not OOM the driver. 64k rows × a 64-dim double vector
+    * ≈ 34 MB — comfortably a task-closure payload; corpus-scale probe
+    * sets belong to [[Hnsw.nearDupPairs]]'s distributed fan-out.
+    */
+  private[graft] val MaxAdmitBatchRows = 65536
+
   /** Admission filter: a batch vector is dropped when the store's graph
     * search finds a stored neighbor at cosine ≥ `threshold` (the
     * store's own search semantics, as [[EmbeddingStore.incrementalAdmit]]
-    * uses ITS cell-local semantics), or when an exact within-batch
-    * near-dup with a smaller id exists ([[Similarity.cosineNearDups]]
-    * over the batch — micro-batch-sized, exact). Returns kept rows of
-    * `fresh` unchanged.
+    * uses ITS cell-local semantics), when its vec_id is ALREADY STORED
+    * (re-sent ids never re-admit, whatever their embedding now says —
+    * the disjointness contract compaction depends on), or when an exact
+    * within-batch near-dup with a smaller id exists
+    * ([[Similarity.cosineNearDups]] over the batch — micro-batch-sized,
+    * exact). Returns kept rows of `fresh` unchanged.
     */
   def incrementalAdmit(store: Store, fresh: DataFrame, threshold: Double,
                        efSearch: Int = 64): DataFrame = {
     val spark = fresh.sparkSession
     import spark.implicits._
-    val f = graft.CacheRegistry.persist(fresh)
+    // id-disjointness is ENFORCED, not assumed: a re-sent id (even one
+    // whose embedding drifted below the cosine threshold) must never be
+    // admitted into a second segment — duplicate ids would surface twice
+    // in merged top-k and crash the next compaction's Hnsw.build, so the
+    // batch is anti-joined on the store's vec_ids first (an equi-join;
+    // the stored row wins, the everyday CDC convention)
+    val f = graft.CacheRegistry.persist(
+      fresh.join(store.segments.select(col("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    val n = f.count()
+    require(n <= MaxAdmitBatchRows,
+      s"incrementalAdmit ships the batch as a literal into one pass over " +
+        s"the segments: $n rows exceeds $MaxAdmitBatchRows and would sit " +
+        "on the driver and in every task closure. Micro-batch the " +
+        "admission (the streaming sink's shape), or use " +
+        "Hnsw.nearDupPairs for corpus-scale probe sets")
     val batch = f.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .as[(Long, Seq[Double])].collect()

@@ -68,6 +68,85 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(3) === "/x/y")
   }
 
+  test("nfc_normalize and char_class_counts are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    // decomposed e + combining acute must normalize to the composed é
+    val r = spark.sql(
+      "SELECT nfc_normalize('é'), char_class_counts('ab a!')").head()
+    assert(r.getString(0) === "é")
+    val counts = r.getSeq[Long](1)
+    assert(counts(0) === 2L, "two 'a'")
+    assert(counts(1) === 1L, "one 'b'")
+    assert(counts(26) === 1L, "one space")
+    assert(counts(27) === 1L, "one other ('!')")
+  }
+
+  test("jaro_winkler and damerau_levenshtein are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta'), " +
+        "damerau_levenshtein('ca', 'abc'), " +
+        "damerau_levenshtein('martha', 'marhta')").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r.getInt(1) === 2, "unrestricted D-L: ca -> abc is 2, OSA says 3")
+    assert(r.getInt(2) === 1, "one transposition")
+  }
+
+  test("char_shingles error messages distinguish bad arity from a " +
+       "non-literal width") {
+    GraftExtensions.register(spark)
+    val badN = intercept[Exception] {
+      spark.sql("SELECT char_shingles('abc', length('ab'))").collect()
+    }
+    assert(badN.getMessage.contains("must be a literal INT"),
+      s"2-arg non-literal n must not report an arity error: ${badN.getMessage}")
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT char_shingles('abc')").collect()
+    }
+    assert(badArity.getMessage.contains("takes 2 arguments"),
+      badArity.getMessage)
+  }
+
+  test("the whole surface loads through the SparkSessionExtensions " +
+       "injector — the class spark.sql.extensions instantiates") {
+    // spark.sql.extensions is a STATIC conf read from the SparkContext at
+    // session creation, so the config line itself can't be exercised on a
+    // shared test context; Builder.withExtensions applies the SAME
+    // injector object the config path would instantiate (the documented
+    // contract is exactly "a Function1[SparkSessionExtensions, Unit] with
+    // a zero-arg constructor", which `new GraftExtensions` is)
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val injected = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try {
+        // one probe per registration family: scalar kernel, aggregate,
+        // composition — and the full identifier list resolves
+        val r = injected.sql(
+          "SELECT blake2b_hex('123'), jaro_winkler('ab', 'ab'), " +
+            "nfc_normalize('é')").head()
+        assert(r.getString(0) ===
+          graft.functions.Blake2b.hexDigest("123".getBytes, 5))
+        assert(r.getDouble(1) === 1.0)
+        assert(r.getString(2) === "é")
+        GraftExtensions.definitions.foreach { case (id, _, _) =>
+          assert(injected.sessionState.functionRegistry
+            .functionExists(id), s"${id.funcName} missing from the " +
+            "extensions-injected registry")
+        }
+      }
+      // NO injected.stop(): that would stop the SHARED SparkContext and
+      // take the rest of the suite down with it — restoring the original
+      // active/default session below is the whole cleanup
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("array_dot casts float arrays like the DataFrame path") {
     GraftExtensions.register(spark)
     val r = spark.sql(

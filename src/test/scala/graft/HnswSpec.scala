@@ -101,6 +101,20 @@ class HnswSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("already in the store")))
   }
 
+  test("add: a shard count differing from the store's build-time count " +
+       "fails loudly driver-side (no silent isolated mini-graphs)") {
+    val store = Hnsw.build(corpus(200).toDF("vec_id", "embedding"),
+      shards = 3)
+    val fresh = corpus(210).filter(_._1 > 200L).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.add(store, fresh, shards = 7)
+    }
+    assert(e.getMessage.contains("was not built with shards=7"),
+      e.getMessage)
+    // the matching count still works
+    assert(Hnsw.add(store, fresh, shards = 3).count() === 210L)
+  }
+
   test("build fails loudly on duplicate vec_ids instead of silently " +
        "corrupting the local-index mapping") {
     val dup = (corpus(20) ++ corpus(5)).toDF("vec_id", "embedding")

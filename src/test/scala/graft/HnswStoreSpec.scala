@@ -62,9 +62,9 @@ class HnswStoreSpec extends SparkSpec {
     assert(s2.segments.select("vec_id").as[Long].collect().toSet ===
       Set(1L, 2L, 10L), "compaction must preserve the vector set")
     // one base segment now: every shard id sits in epoch 2's stride range
-    val shardRange = s2.segments.select("shard").as[Int].collect()
+    val shardRange = s2.segments.select("shard").as[Long].collect()
     assert(shardRange.forall(s =>
-      s >= 2 * HnswStore.ShardStride && s < 3 * HnswStore.ShardStride))
+      s >= 2L * HnswStore.ShardStride && s < 3L * HnswStore.ShardStride))
     val got = HnswStore.neighbors(s2, Array(0.0, 0.0, 1.0), 1)
       .select("vec_id").as[Long].head()
     assert(got === 10L)
@@ -90,6 +90,65 @@ class HnswStoreSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(dump() === first, "replayed epoch must be bitwise identical")
     assert(HnswStore.load(spark, dir).epoch === 1L)
+  }
+
+  test("a re-sent vec_id never admits into a second segment, even when " +
+       "its embedding drifted below the cosine threshold") {
+    val dir = tmp("hnswstore-resend")
+    val s0 = HnswStore.build(spark,
+      vecsDf(1L -> Array(1f, 0f, 0f), 2L -> Array(0f, 1f, 0f)), dir,
+      shards = 2)
+    // id 1 re-sent with an orthogonal (fully drifted) embedding: the
+    // threshold arm alone would admit it — the disjointness arm must not
+    val batch = vecsDf(1L -> Array(0f, 0f, 1f), 3L -> Array(0.5f, 0.5f, 0.7f))
+    val (kept, s1) = HnswStore.admit(spark, s0, batch, threshold = 0.9)
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(3L),
+      "the drifted re-sent id must be dropped; the novel id kept")
+    val ids = s1.segments.groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "every id exactly once across segments")
+    // the contract this protects: compaction re-runs Hnsw.build over the
+    // union, whose requireUniqueIds would crash on a duplicated id —
+    // and in the streaming sink every replay of that batch would crash
+    // identically, wedging the stream
+    val s2 = HnswStore.compact(spark, s1)
+    assert(s2.segments.select("vec_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("corpus-sized admission batches fail loudly before any driver " +
+       "collect (the MaxJwKeyLen discipline)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("hnswstore-guard")
+    val s0 = HnswStore.build(spark, vecsDf(1L -> Array(1f, 0f)), dir,
+      shards = 1)
+    val big = spark.range(2, HnswStore.MaxAdmitBatchRows + 3L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      HnswStore.incrementalAdmit(s0, big, threshold = 0.9).collect()
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("epochs beyond the old 32k int-stride ceiling write, load, and " +
+       "search (long shard ids — an 11-day 30s-trigger stream survives)") {
+    val dir = tmp("hnswstore-epoch")
+    HnswStore.build(spark,
+      vecsDf(1L -> Array(1f, 0f, 0f), 2L -> Array(0f, 1f, 0f)), dir,
+      shards = 2)
+    val farEpoch = 40000L // > Int.MaxValue / ShardStride ≈ 32767
+    HnswStore.writeEpoch(spark, dir, vecsDf(10L -> Array(0f, 0f, 1f)),
+      farEpoch, shards = 1, m = 8, efConstruction = 64, isBase = false)
+    val st = HnswStore.loadAt(spark, dir, farEpoch)
+    val shards = st.segments.select("shard").as[Long].collect()
+    assert(shards.exists(s => s >= farEpoch * HnswStore.ShardStride),
+      s"strided long shard ids expected, got ${shards.mkString(",")}")
+    assert(HnswStore.neighbors(st, Array(0.0, 0.0, 1.0), 1)
+      .select("vec_id").as[Long].head() === 10L)
   }
 
   test("batchNeighborMax: best stored cosine per probe, one pass") {

@@ -751,8 +751,8 @@ class StreamingSpec extends SparkSpec {
     // segment (epoch 2's shard stride range); the superseded epochs stay
     // on disk until a LATER base (the conservative replay-safe vacuum all
     // admission sinks share), so the pre-state as-of reads still answer
-    assert(fin.segments.select("shard").as[Int].collect().forall(s =>
-      s >= 2 * HnswStore.ShardStride && s < 3 * HnswStore.ShardStride))
+    assert(fin.segments.select("shard").as[Long].collect().forall(s =>
+      s >= 2L * HnswStore.ShardStride && s < 3L * HnswStore.ShardStride))
     assert(HnswStore.loadAt(spark, stateDir, 0L).segments
       .select("vec_id").as[Long].collect().toSet === Set(1L, 2L))
     // and the compacted store still answers

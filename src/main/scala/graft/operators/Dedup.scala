@@ -574,6 +574,66 @@ object Dedup {
     reps.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Corpus-wide embedding near-dup pairs through the sharded HNSW graph
+    * index — [[graft.operators.Hnsw.nearDupPairs]] with the index built
+    * inline: the scale-safe default for SEMANTIC dedup, replacing
+    * [[Similarity.cosineNearDups]]'s exact O(n²/blocks) fan-out with
+    * n·shards graph walks (identical (i < j, cos) output shape; q191
+    * pins the two routes equal on the test corpora, HnswSpec asserts
+    * recall ≥ 0.95). `shards = 0` sizes the index by
+    * [[graft.operators.Hnsw.defaultShards]] — the rehearsed shards ∝
+    * corpus policy. To run over a STANDING segmented index instead of
+    * building one, use [[HnswStore.nearDupPairs]].
+    */
+  def hnswNearDupPairs(emb: DataFrame, threshold: Double, shards: Int = 0,
+                       m: Int = 8, efConstruction: Int = 64,
+                       efSearch: Int = 64): DataFrame = {
+    val e = graft.CacheRegistry.persist(
+      emb.select(col("vec_id"), col("embedding")))
+    val s =
+      if (shards > 0) shards
+      else {
+        val n = e.count()
+        val dim =
+          if (n == 0L) 1
+          else e.select(size(col("embedding"))).head().getInt(0)
+        Hnsw.defaultShards(n, dim, m)
+      }
+    Hnsw.nearDupPairs(Hnsw.build(e, s, m, efConstruction), threshold,
+      efSearch)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — the pair-graph + clustering formulation): embedding
+    * near-dup pairs from the graph index ([[hnswNearDupPairs]]) →
+    * transitive closure ([[connectedComponents]]) → ONE representative
+    * per cluster by the (quality desc, id asc) argmax
+    * ([[clusterRepresentatives]]) — keep the best copy of each semantic
+    * duplicate group, not whichever crawled first. Output is
+    * [[clusterRepresentatives]]'s (cluster, keep_id, keep_<quality>,
+    * n_members) frame; isolated vectors (no near-dup at `threshold`)
+    * never enter the pair graph and are implicitly all kept.
+    *
+    * Scale shape is the three legs' own: n·shards graph walks for pairs,
+    * O(log diameter) checkpointed label rounds over the PAIR graph (not
+    * the corpus), one doc-keyed join + one cluster-keyed window for the
+    * argmax. Nothing touches n² anywhere.
+    *
+    * @param quality frame carrying `doc_id` + `qualityCol`, doc_id
+    *                aligned with `emb.vec_id` (the embedding of document
+    *                d has vec_id = d)
+    */
+  def semanticDedup(emb: DataFrame, quality: DataFrame, qualityCol: String,
+                    threshold: Double, shards: Int = 0, m: Int = 8,
+                    efConstruction: Int = 64, efSearch: Int = 64)
+                    : DataFrame =
+    clusterRepresentatives(
+      connectedComponents(
+        hnswNearDupPairs(emb, threshold, shards, m, efConstruction,
+          efSearch)),
+      quality, qualityCol)
+
   /** Default SimHash token hash: seeded xxhash64 — the fast scale path. */
   val XxTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     tok => xxhash64(tok)

@@ -277,11 +277,22 @@ object FuzzyJoin {
       .foldLeft(lit(true))(_ && _)
     val order =
       if (leftLtRight) col("a.__jwid") < col("b.__jwid") else lit(true)
-    preA.as("a").join(preB.as("b"),
+    // the candidate stream is the one corpus-scale exchange here, and a
+    // pair matches once per shared variant — dedup carries ONLY the
+    // 16-byte id pair through the global distinct (the ×100 rehearsal
+    // measured the string-carrying form spilling at 485M candidate
+    // rows), then reattaches the verify strings from input-sized
+    // (id → string) maps; __jws is functionally dependent on __jwid, so
+    // the output multiset is unchanged
+    val ids = preA.as("a").join(preB.as("b"),
         col("a.__v") === col("b.__v") && order && band && blockEq)
-      .select(col("a.__jwid").as("i"), col("b.__jwid").as("j"),
-        col("a.__jws").as("si"), col("b.__jws").as("sj"))
+      .select(col("a.__jwid").as("i"), col("b.__jwid").as("j"))
       .distinct()
+    val sA = preA.select(col("__jwid").as("i"), col("__jws").as("si"))
+      .dropDuplicates("i")
+    val sB = preB.select(col("__jwid").as("j"), col("__jws").as("sj"))
+      .dropDuplicates("j")
+    ids.join(sA, "i").join(sB, "j").select("i", "j", "si", "sj")
   }
 
   private def jwRequire(minJw: Double): Unit =

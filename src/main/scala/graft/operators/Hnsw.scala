@@ -227,6 +227,37 @@ object Hnsw {
   /** Rows sampled by [[add]]'s driver-side shard-count guard. */
   private[graft] val ShardCheckSample = 10000
 
+  /** Deployment shard sizing — the knob the ×10/×100 rehearsal proved
+    * (shards ∝ corpus keeps per-shard work constant; BASELINE's policy
+    * table): the smallest shard count that keeps one shard's graph under
+    * BOTH limits.
+    *
+    *  - MEMORY: a shard's task footprint is `n/shards · bytesPerNode`
+    *    with bytesPerNode = dim·8 (the vector) + 2·m·8 (the layer-0
+    *    adjacency; upper layers add a geometric ~1/(m−1) tail that the
+    *    `targetTaskMb` headroom absorbs — the executor's working set,
+    *    NOT its full heap).
+    *  - BUILD LATENCY: construction is sequential per shard, so
+    *    `maxNodesPerShard` caps the longest task (the fixed-shards
+    *    rehearsal measured 182 s at 50k nodes/shard — that column is
+    *    exactly the failure this cap prevents).
+    *
+    * At 100 TB the memory arm dominates (1e9 × 1024-dim nodes →
+    * ~16k shards of 512 MB); at local test scale the latency arm does.
+    */
+  def defaultShards(n: Long, dim: Int, m: Int = 8, targetTaskMb: Int = 512,
+                    maxNodesPerShard: Long = 65536L): Int = {
+    require(n >= 0 && dim >= 1 && m >= 2 && targetTaskMb >= 1 &&
+        maxNodesPerShard >= 1,
+      s"bad sizing args: n=$n dim=$dim m=$m targetTaskMb=$targetTaskMb " +
+        s"maxNodesPerShard=$maxNodesPerShard")
+    val bytesPerNode = dim.toLong * 8L + 2L * m.toLong * 8L
+    val targetBytes = targetTaskMb.toLong * (1L << 20)
+    val byMem = (n * bytesPerNode + targetBytes - 1L) / targetBytes
+    val byNodes = (n + maxNodesPerShard - 1L) / maxNodesPerShard
+    math.max(1L, math.max(byMem, byNodes)).min(Int.MaxValue.toLong).toInt
+  }
+
   private def shardCol(shards: Int) =
     pmod(xxhash64(col("vec_id")), lit(shards.toLong))
 
@@ -445,6 +476,136 @@ object Hnsw {
     }.toDF("probe_id", "cos")
       .groupBy(col("probe_id"))
       .agg(round(max(col("cos")), 6).as("max_cos"))
+  }
+
+  /** Probe rows per chunk in [[nearDupPairs]]: bounds ONE (shard, chunk)
+    * task's probe payload the way [[HnswStore.MaxAdmitBatchRows]] bounds
+    * the admission literal — but distributed (chunks are a shuffle key,
+    * nothing sits on the driver), so the probe set can be the whole
+    * corpus.
+    */
+  private[graft] val NearDupProbeChunkRows = 65536L
+
+  /** Corpus-wide embedding near-duplicate pairs through the GRAPH index —
+    * the scale-safe replacement for [[Similarity.cosineNearDups]]'s exact
+    * O(n²/blocks) block fan-out as the semantic-dedup default: every
+    * stored vector is graph-searched against every shard, candidates are
+    * re-scored with the exact cosine, and pairs at or above `threshold`
+    * come out in [[Similarity.cosineNearDups]]'s exact (i < j, cos)
+    * shape, so the two routes are drop-in interchangeable (q191 pins them
+    * EQUAL on the test corpora; recall is additionally asserted ≥ 0.95 in
+    * HnswSpec at every SF).
+    *
+    * Scale shape — two bounded fan-outs instead of one unbounded one:
+    * probes (the store's own vectors) replicate once per live shard, and
+    * graph rows replicate once per PROBE CHUNK of
+    * [[NearDupProbeChunkRows]] rows, so the work unit is (shard, chunk):
+    * its task holds one shard's graph (bounded by [[defaultShards]]
+    * sizing) plus one chunk of probes (bounded by the chunk constant) —
+    * NEVER the whole corpus, and never a driver literal
+    * ([[batchNeighborMax]]'s trade is correct for micro-batches only).
+    * Total shuffle volume is n·S probe rows + n·C graph rows; S is the
+    * compaction-bounded live shard count, so the scan is linear in n for
+    * a standing index. Search cost is n·S graph walks of ~efSearch·M·log
+    * (n/S) evals — against n²/2 exact dot products, the ×10/×100
+    * rehearsal's measured gap. Each unordered pair is found at most twice
+    * (probe i in shard(j), probe j in shard(i)); both directions compute
+    * bitwise-identical cosines (commutative products, same accumulation
+    * order), so the trailing `distinct()` — pair-count-sized, the only
+    * global exchange — collapses them exactly.
+    *
+    * Honesty bounds: a probe's near-dups are capped at `efSearch` PER
+    * SHARD (more than efSearch duplicates of one vector inside one shard
+    * overflow the search frontier), and graph search is approximate —
+    * misses are possible in principle; both are measured, not assumed
+    * (HnswSpec's recall line, BASELINE's rehearsal row).
+    *
+    * @param store  [[build]]/[[add]] output or [[HnswStore.Store]]
+    *               segments — id-unique rows (the admission contract)
+    */
+  def nearDupPairs(store: DataFrame, threshold: Double, efSearch: Int = 64,
+                   parallelism: Int = 32,
+                   probeChunkRows: Long = NearDupProbeChunkRows): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    require(efSearch >= 1 && parallelism >= 1 && probeChunkRows >= 1,
+      s"bad params: efSearch=$efSearch parallelism=$parallelism " +
+        s"probeChunkRows=$probeChunkRows")
+    val spark = store.sparkSession
+    import spark.implicits._
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs")))
+    val chunks = math.max(1L,
+      (st.count() + probeChunkRows - 1L) / probeChunkRows).toInt
+    val shardIds = st.select(col("shard")).distinct()
+    val chunkIds = spark.range(chunks.toLong)
+      .select(col("id").cast("int").as("__chunk"))
+    val probes = st.select(col("vec_id"), col("vec"))
+      .withColumn("__chunk",
+        pmod(xxhash64(col("vec_id")), lit(chunks.toLong)).cast("int"))
+      .crossJoin(broadcast(shardIds))
+      .select(col("shard"), col("__chunk"), col("vec_id"), col("vec"),
+        lit(-1).as("level"), typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
+    val graphRows = st.crossJoin(broadcast(chunkIds))
+      .select(col("shard"), col("__chunk"), col("vec_id"), col("vec"),
+        col("level"), col("nbrs"))
+    // task-side prefilter on the RAW cosine with half-ulp-of-rounding
+    // slack; the contractual filter below is on the ROUNDED value, same
+    // as Similarity.cosineNearDups
+    val margin = threshold - 5e-7
+    probes.unionByName(graphRows)
+      .as[(Long, Int, Long, Seq[Double], Int, Seq[Seq[Long]])]
+      .repartition(parallelism, col("shard"), col("__chunk"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).iterator
+          .flatMap { case ((shard, _), rows) =>
+            val (gRows0, pRows) = rows.partition(_._5 >= 0)
+            val gRows = gRows0.sortBy(_._3)
+            requireUniqueIds(gRows.map(_._3), shard)
+            val ids = gRows.map(_._3).toArray
+            val vecs = gRows.map(_._4.toArray).toArray
+            val g = new Graph(ids, vecs)
+            val local = ids.zipWithIndex.toMap
+            gRows.zipWithIndex.foreach { case ((_, _, _, _, level, nbrs), li) =>
+              g.levels(li) = level
+              g.adj(li) = nbrs.map(layer => scala.collection.mutable
+                .ArrayBuffer(layer.map(local): _*)).toArray
+            }
+            g.entry =
+              if (g.n == 0) -1
+              else ids.indices.minBy(i => (-g.levels(i), ids(i)))
+            pRows.sortBy(_._3).iterator.flatMap {
+              case (_, _, pid, pv, _, _) =>
+                val q = pv.toArray
+                val nq = norm(q)
+                if (nq == 0.0 || g.n == 0) Iterator.empty
+                else searchGraph(g, q, efSearch).iterator.flatMap {
+                  case (_, li) =>
+                    val cid = g.ids(li)
+                    if (cid == pid || g.norms(li) == 0.0) Iterator.empty
+                    else {
+                      // exact cosine, the block-route's arithmetic: a
+                      // sequential-order dot over the double arrays,
+                      // divided by the norm product
+                      val v = g.vecs(li)
+                      var dot = 0.0
+                      var k = 0
+                      while (k < q.length) { dot += q(k) * v(k); k += 1 }
+                      val cos = dot / (nq * g.norms(li))
+                      if (cos >= margin)
+                        Iterator.single((math.min(pid, cid),
+                          math.max(pid, cid), cos))
+                      else Iterator.empty
+                    }
+                }
+            }
+          }
+      }
+      .toDF("i", "j", "cos")
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** The honesty line for BASELINE: per-shard distance-evaluation counts

@@ -125,8 +125,17 @@ object HnswStore {
               col("embedding").cast("array<double>"))))
       else fresh
     val segShards =
-      if (asBase) math.max(1, (rows.count() / 512L).toInt.min(ShardStride - 1))
-      else shards
+      if (asBase) {
+        // the rehearsed shards ∝ corpus policy, through the sizing
+        // helper: the ~512-node latency arm keeps compaction parallel at
+        // local scale, the memory arm takes over when n·dim grows
+        val n = rows.count()
+        val dim =
+          if (n == 0L) 1
+          else rows.select(size(col("embedding"))).head().getInt(0)
+        Hnsw.defaultShards(n, dim, m, maxNodesPerShard = 512L)
+          .min(ShardStride - 1)
+      } else shards
     writeEpoch(spark, store.path, rows, store.epoch + 1, segShards, m,
       efConstruction, asBase)
     loadAt(spark, store.path, store.epoch + 1)
@@ -220,6 +229,18 @@ object HnswStore {
     f.join(vsStore.unionByName(vsBatch).distinct(),
       Seq("vec_id"), "left_anti")
   }
+
+  /** Corpus-wide near-dup pairs over the STANDING segmented index —
+    * [[Hnsw.nearDupPairs]] straight over the live segment rows (segments
+    * are just more shards to the fan-out): the semantic-dedup scan that
+    * reuses an index already paid for by admission, instead of
+    * [[graft.operators.Dedup.hnswNearDupPairs]]'s build-inline path.
+    * Run it post-[[compact]] when possible — live segment count S is the
+    * probe fan-out multiplier.
+    */
+  def nearDupPairs(store: Store, threshold: Double,
+                   efSearch: Int = 64): DataFrame =
+    Hnsw.nearDupPairs(store.segments, threshold, efSearch)
 
   /** One admission step: filter, fold survivors in as the next segment
     * (or base), return (kept, new store) — what the streaming sink

@@ -4645,7 +4645,65 @@ object Queries {
              |)
              |SELECT user_id, COUNT(*) AS n_islands,
              |       CAST(SUM(en - st) AS BIGINT) AS covered_sec
-             |FROM g GROUP BY 1""".stripMargin))
+             |FROM g GROUP BY 1""".stripMargin)),
+
+    // ── Q191: corpus-wide HNSW near-dup pairs
+    //          ([[graft.operators.Dedup.hnswNearDupPairs]]) — the
+    //          scale-safe SEMANTIC-dedup default: every stored vector
+    //          graph-searched against every shard in bounded
+    //          (shard, probe-chunk) tasks, candidates re-scored with the
+    //          exact cosine, q35's exact (i < j, cos) shape out. The
+    //          oracle is q35's UNCHANGED — the strongest possible claim:
+    //          the graph route must reproduce the exact all-pairs route
+    //          BITWISE (recall 1.0 at this scale; HnswSpec pins ≥ 0.95
+    //          at every shipped SF, precision 1.0 by construction). ──────
+    QueryDef("q191_hnsw_neardup_pairs",
+      (s, dir) => graft.operators.Dedup.hnswNearDupPairs(
+        t(s, dir, "embeddings"), 0.35, shards = 4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q192: SemDeDup-style semantic dedup (Abbas et al. 2023)
+    //          ([[graft.operators.Dedup.semanticDedup]]) — the full
+    //          composition q191 exists for: graph-index near-dup pairs →
+    //          connected components → (quality desc, id asc) argmax per
+    //          cluster (q134's representative policy over EMBEDDING
+    //          clusters instead of shingle clusters). The oracle replays
+    //          every leg in SQL: exact cosine pairs at the threshold,
+    //          recursive min-label walk, windowed argmax — nothing about
+    //          the engine's route is trusted. ─────────────────────────────
+    QueryDef("q192_semantic_dedup",
+      (s, dir) => graft.operators.Dedup.semanticDedup(
+        t(s, dir, "embeddings"), t(s, dir, "documents"), "n_chars",
+        threshold = 0.35, shards = 4),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), nd AS (
+             |  SELECT a.vec_id AS i, b.vec_id AS j
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+             |), edges AS (
+             |  SELECT i, j FROM nd UNION ALL SELECT j AS i, i AS j FROM nd
+             |), walk(doc_id, lbl) AS (
+             |  SELECT DISTINCT i, i FROM edges
+             |  UNION
+             |  SELECT e.i, w.lbl FROM walk w JOIN edges e ON e.j = w.doc_id
+             |), comp AS (
+             |  SELECT doc_id, MIN(lbl) AS cluster FROM walk GROUP BY doc_id
+             |), scored AS (
+             |  SELECT comp.cluster, comp.doc_id, d.n_chars,
+             |         row_number() OVER (PARTITION BY comp.cluster
+             |                            ORDER BY d.n_chars DESC,
+             |                                     comp.doc_id ASC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY comp.cluster) AS n_members
+             |  FROM comp JOIN documents d USING (doc_id)
+             |)
+             |SELECT cluster, doc_id AS keep_id, n_chars AS keep_n_chars,
+             |       n_members
+             |FROM scored WHERE rn = 1""".stripMargin))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same

@@ -139,6 +139,84 @@ class HnswSpec extends SparkSpec {
     assert(got === probe._1, "self-query must return the admitted vector")
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("nearDupPairs vs the exact block route on every shipped corpus: " +
+       "precision 1.0 by construction, recall >= 0.95") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      val exact = pairSet(Similarity.cosineNearDups(emb, 0.35))
+      val got = pairSet(
+        graft.operators.Dedup.hnswNearDupPairs(emb, 0.35, shards = 4))
+      val spurious = got -- exact
+      val missed = exact -- got
+      info(s"$dir exact=${exact.size} hnsw=${got.size} " +
+        s"missed=${missed.size} spurious=${spurious.size}")
+      assert(spurious.isEmpty,
+        s"$dir: emitted pairs must re-score exactly (got ${spurious.take(3)})")
+      assert(got.size >= math.ceil(exact.size * 0.95).toInt,
+        s"$dir: recall ${got.size}/${exact.size} below 0.95")
+    }
+  }
+
+  test("nearDupPairs: the multi-chunk probe path is bitwise the " +
+       "single-chunk path, and pairs are emitted once") {
+    val emb = corpus(600).toDF("vec_id", "embedding")
+    val store = Hnsw.build(emb, shards = 3)
+    val one = Hnsw.nearDupPairs(store, 0.3)
+    val many = Hnsw.nearDupPairs(store, 0.3, probeChunkRows = 37L)
+    assert(pairSet(one) === pairSet(many),
+      "chunking must not change the result")
+    assert(one.count() === one.distinct().count())
+    assert(one.filter(col("i") >= col("j")).count() === 0L,
+      "pairs must be canonical i < j")
+  }
+
+  test("defaultShards: the latency arm governs small corpora, the memory " +
+       "arm governs 100TB-shaped ones; both round up") {
+    // latency arm: 200k nodes / 65536 cap -> 4 shards (tiny memory)
+    assert(Hnsw.defaultShards(200000L, dim = 64) === 4)
+    // memory arm: 1e9 x 1024-dim doubles, m=8 -> 8320 B/node
+    // = 8.32e12 B / 512 MiB -> 15500 shards, far above the node arm
+    val big = Hnsw.defaultShards(1000000000L, dim = 1024)
+    assert(big === math.ceil(1e9 * (1024 * 8 + 2 * 8 * 8) /
+      (512.0 * 1024 * 1024)).toInt)
+    assert(big > 15000 && big < 16000)
+    // exact-boundary: no spurious extra shard
+    assert(Hnsw.defaultShards(65536L, dim = 64) === 1)
+    assert(Hnsw.defaultShards(65537L, dim = 64) === 2)
+    assert(Hnsw.defaultShards(0L, dim = 64) === 1)
+    assertThrows[IllegalArgumentException](Hnsw.defaultShards(10L, dim = 0))
+  }
+
+  test("semanticDedup composes pairs -> components -> quality argmax: " +
+       "every cluster keeps its (quality desc, id asc) best member") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val reps = graft.operators.Dedup
+      .semanticDedup(emb, docs, "n_chars", 0.35, shards = 4)
+      .collect()
+    assert(reps.nonEmpty)
+    // replay the argmax from the pair graph directly
+    val pairs = graft.operators.Dedup
+      .hnswNearDupPairs(emb, 0.35, shards = 4)
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = docs.select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = comp.groupBy(_._2).map { case (c, members) =>
+      val best = members.keys.toSeq
+        .sortBy(id => (-quality(id), id)).head
+      c -> (best, quality(best), members.size.toLong)
+    }
+    val got = reps.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
   test("recallAudit over HNSW on the shipped embeddings shape " +
        "(one audit row, k domain)") {
     val rows = corpus(400)

@@ -574,33 +574,56 @@ object Dedup {
     reps.join(dropped, Seq("doc_id"), "left_anti")
   }
 
-  /** Corpus-wide embedding near-dup pairs through the sharded HNSW graph
-    * index — [[graft.operators.Hnsw.nearDupPairs]] with the index built
-    * inline: the scale-safe default for SEMANTIC dedup, replacing
-    * [[Similarity.cosineNearDups]]'s exact O(n²/blocks) fan-out with
-    * n·shards graph walks (identical (i < j, cos) output shape; q191
-    * pins the two routes equal on the test corpora, HnswSpec asserts
-    * recall ≥ 0.95). `shards = 0` sizes the index by
-    * [[graft.operators.Hnsw.defaultShards]] — the rehearsed shards ∝
-    * corpus policy. To run over a STANDING segmented index instead of
-    * building one, use [[HnswStore.nearDupPairs]].
+  /** Corpus-wide embedding near-dup pairs through the GEOMETRY-ROUTED
+    * graph index — [[graft.operators.IVF.train]] cells +
+    * [[graft.operators.Hnsw.buildGeo]] +
+    * [[graft.operators.Hnsw.nearDupPairsRouted]], built inline: the
+    * scale-safe default for SEMANTIC dedup. Each vector probes only its
+    * `nProbe` nearest cells, so the scan is genuinely LINEAR in the
+    * corpus (n·nProbe shuffled probe rows; graph rows never replicate) —
+    * against [[Similarity.cosineNearDups]]'s exact O(n²/blocks) fan-out
+    * AND the exhaustive [[graft.operators.Hnsw.nearDupPairs]]'s n·shards
+    * rows (quadratic under shards ∝ corpus). Identical (i < j, cos)
+    * output shape; q191 pins the routes equal on the test corpora (where
+    * cells ≤ nProbe makes routing exhaustive by construction), HnswSpec
+    * asserts recall ≥ 0.95 at every SF, and the ×10/×100 rehearsal
+    * measures the routing-recall envelope at 50× cell pruning
+    * (BASELINE). `shards = 0` sizes the cell count by
+    * [[graft.operators.Hnsw.defaultShards]] — the rehearsed cells ∝
+    * corpus policy that keeps the MEAN cell graph task-sized. To run
+    * over a STANDING segmented index instead of building one, use
+    * [[HnswStore.nearDupPairs]] (id-hash segments — the exhaustive
+    * route).
     */
   def hnswNearDupPairs(emb: DataFrame, threshold: Double, shards: Int = 0,
                        m: Int = 8, efConstruction: Int = 64,
-                       efSearch: Int = 64): DataFrame = {
+                       efSearch: Int = 64,
+                       nProbe: Int = Hnsw.DefaultNearDupNProbe,
+                       ivfIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = graft.CacheRegistry.persist(
       emb.select(col("vec_id"), col("embedding")))
-    val s =
-      if (shards > 0) shards
-      else {
-        val n = e.count()
-        val dim =
-          if (n == 0L) 1
-          else e.select(size(col("embedding"))).head().getInt(0)
-        Hnsw.defaultShards(n, dim, m)
-      }
-    Hnsw.nearDupPairs(Hnsw.build(e, s, m, efConstruction), threshold,
-      efSearch)
+    // dims via ONE aggregate, with loud null/raggedness checks: a null
+    // first row must not NPE the sizing, and mixed dims must fail here,
+    // not deep in a task's dot-product loop
+    val stats = e.agg(count(lit(1)).as("n"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"))
+      .head()
+    val n = stats.getLong(0)
+    if (n == 0L) return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cos")
+    require(stats.getLong(1) == 0L,
+      s"${stats.getLong(1)} null embeddings — drop or impute before dedup")
+    val (dmin, dmax) = (stats.getInt(2), stats.getInt(3))
+    require(dmin == dmax,
+      s"ragged embedding dims [$dmin, $dmax] — embeddings must share one " +
+        "dimension")
+    val cells = if (shards > 0) shards else Hnsw.defaultShards(n, dmax, m)
+    val index = IVF.train(e, cells, ivfIters)
+    Hnsw.nearDupPairsRouted(Hnsw.buildGeo(e, index, m, efConstruction),
+      index, threshold, nProbe, efSearch)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:

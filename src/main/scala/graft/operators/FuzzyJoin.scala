@@ -282,16 +282,30 @@ object FuzzyJoin {
     // 16-byte id pair through the global distinct (the ×100 rehearsal
     // measured the string-carrying form spilling at 485M candidate
     // rows), then reattaches the verify strings from input-sized
-    // (id → string) maps; __jws is functionally dependent on __jwid, so
-    // the output multiset is unchanged
+    // (id → string) maps. That reattach is only lossless when __jws is
+    // functionally dependent on __jwid, so id uniqueness is ENFORCED
+    // in-plan (raise_error inside the map build — the requireUniqueIds
+    // discipline of the graph index): a duplicate id with two distinct
+    // strings would otherwise silently pick one and drop true matches
+    // at verify time
     val ids = preA.as("a").join(preB.as("b"),
         col("a.__v") === col("b.__v") && order && band && blockEq)
       .select(col("a.__jwid").as("i"), col("b.__jwid").as("j"))
       .distinct()
-    val sA = preA.select(col("__jwid").as("i"), col("__jws").as("si"))
-      .dropDuplicates("i")
-    val sB = preB.select(col("__jwid").as("j"), col("__jws").as("sj"))
-      .dropDuplicates("j")
+    def strMap(pre: DataFrame, idOut: String, strOut: String): DataFrame =
+      pre.select(col("__jwid").as(idOut), col("__jws").as(strOut))
+        // one shuffle: the map-side partial collect_set collapses the
+        // per-variant duplication before the exchange
+        .groupBy(col(idOut))
+        .agg(collect_set(col(strOut)).as("__ss"))
+        .select(col(idOut),
+          when(size(col("__ss")) > 1,
+            raise_error(concat(lit("duplicate id with conflicting " +
+              "strings in the fuzzy-join input: "), col(idOut).cast("string"),
+              lit(" — ids must determine their string"))))
+            .otherwise(element_at(col("__ss"), 1)).as(strOut))
+    val sA = strMap(preA, "i", "si")
+    val sB = strMap(preB, "j", "sj")
     ids.join(sA, "i").join(sB, "j").select("i", "j", "si", "sj")
   }
 

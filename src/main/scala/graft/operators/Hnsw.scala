@@ -321,14 +321,50 @@ object Hnsw {
             efConstruction: Int = 64): DataFrame = {
     require(shards >= 1 && m >= 2 && efConstruction >= m,
       s"bad params: shards=$shards m=$m efConstruction=$efConstruction")
-    val spark = emb.sparkSession
+    buildShards(
+      emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("shard", shardCol(shards))
+        .select(col("shard"), col("vec_id"), col("vec")),
+      shards, m, efConstruction)
+  }
+
+  /** [[build]] with GEOMETRY sharding: the shard of a vector is its
+    * nearest [[IVF]] cell ([[IVF.assignExpr]] — deterministic, tie on
+    * the lower cid) instead of an id hash. Output schema and every
+    * search surface ([[neighbors]], [[searchStats]], [[add]]-free reads)
+    * are identical to [[build]]'s; what changes is WHERE a vector lives:
+    * id hashing is information-free about neighbor location, cell
+    * sharding co-locates geometric neighbors — which is what lets
+    * [[nearDupPairsRouted]] route each probe to a BOUNDED number of
+    * cells instead of fanning out to every shard. Cell population is
+    * data-dependent (a hot cell makes a big shard); size `index.k` with
+    * [[defaultShards]] so the MEAN cell obeys the memory/latency arms,
+    * and audit skew with [[IVF.cellStats]].
+    */
+  def buildGeo(emb: DataFrame, index: IVF.Index, m: Int = 8,
+               efConstruction: Int = 64): DataFrame = {
+    require(m >= 2 && efConstruction >= m,
+      s"bad params: m=$m efConstruction=$efConstruction")
+    buildShards(
+      emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .withColumn("shard",
+          IVF.assignExpr(col("vec"), index).cast("long"))
+        .select(col("shard"), col("vec_id"), col("vec")),
+      index.k, m, efConstruction)
+  }
+
+  /** Shared build tail: one hash shuffle on `shard`, one sequential
+    * graph build per shard inside its task. `rows` = (shard, vec_id,
+    * vec).
+    */
+  private def buildShards(rows: DataFrame, numParts: Int, m: Int,
+                          efConstruction: Int): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      .withColumn("shard", shardCol(shards))
-      .select(col("shard"), col("vec_id"), col("vec"))
-      .as[(Long, Long, Seq[Double])]
-      .repartition(shards, col("shard"))
+    rows.as[(Long, Long, Seq[Double])]
+      .repartition(numParts, col("shard"))
       .mapPartitions { it =>
         it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
           case (shard, rows0) =>
@@ -478,134 +514,237 @@ object Hnsw {
       .agg(round(max(col("cos")), 6).as("max_cos"))
   }
 
-  /** Probe rows per chunk in [[nearDupPairs]]: bounds ONE (shard, chunk)
-    * task's probe payload the way [[HnswStore.MaxAdmitBatchRows]] bounds
-    * the admission literal — but distributed (chunks are a shuffle key,
-    * nothing sits on the driver), so the probe set can be the whole
-    * corpus.
+  /** The streaming task body shared by [[nearDupPairs]] and
+    * [[nearDupPairsRouted]]: rows arrive SORTED by (shard, role,
+    * vec_id) — graph rows (level ≥ 0) of a shard first, then that
+    * shard's probes (level = −1) — and are consumed as a one-pass lazy
+    * stream: each shard's graph is materialized (bounded by the shard
+    * sizing policy), its probes are then pulled ONE AT A TIME from the
+    * iterator and searched, and the graph is dropped before the next
+    * shard's rows are touched. A task therefore holds AT MOST one shard
+    * graph plus one in-flight probe, regardless of how many (shard ×
+    * probe) groups hash into its partition — the memory contract
+    * HnswLazyScanSpec pins by feeding an instrumented iterator.
+    *
+    * Emitted candidates are re-scored with the exact cosine (the block
+    * route's arithmetic: sequential dot, norm-product divide) and
+    * prefiltered at `margin` = threshold − 5e-7 (half an ulp of the 1e-6
+    * rounding; the contractual filter on the ROUNDED value happens in
+    * the caller).
     */
-  private[graft] val NearDupProbeChunkRows = 65536L
+  private[graft] def pairStream(rows0: Iterator[Node], efSearch: Int,
+                                margin: Double)
+      : Iterator[(Long, Long, Double)] = {
+    val it = rows0.buffered
+    Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+      val shard = it.head._1
+      val gRows = scala.collection.mutable.ArrayBuffer.empty[Node]
+      while (it.hasNext && it.head._1 == shard && it.head._4 >= 0)
+        gRows += it.next()
+      requireUniqueIds(gRows.map(_._2).toSeq, shard)
+      val ids = gRows.map(_._2).toArray
+      val vecs = gRows.map(_._3.toArray).toArray
+      val g = new Graph(ids, vecs)
+      val local = ids.zipWithIndex.toMap
+      gRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
+        g.levels(li) = level
+        g.adj(li) = nbrs.map(layer => scala.collection.mutable
+          .ArrayBuffer(layer.map(local): _*)).toArray
+      }
+      g.entry =
+        if (g.n == 0) -1
+        else ids.indices.minBy(i => (-g.levels(i), ids(i)))
+      val probes = new Iterator[Node] {
+        def hasNext: Boolean = it.hasNext && it.head._1 == shard
+        def next(): Node = it.next()
+      }
+      probes.flatMap { case (_, pid, pv, _, _) =>
+        val q = pv.toArray
+        val nq = norm(q)
+        if (nq == 0.0 || g.n == 0) Iterator.empty
+        else searchGraph(g, q, efSearch).iterator.flatMap {
+          case (_, li) =>
+            val cid = g.ids(li)
+            if (cid == pid || g.norms(li) == 0.0) Iterator.empty
+            else {
+              val v = g.vecs(li)
+              var dot = 0.0
+              var k = 0
+              while (k < q.length) { dot += q(k) * v(k); k += 1 }
+              val cos = dot / (nq * g.norms(li))
+              if (cos >= margin)
+                Iterator.single((math.min(pid, cid),
+                  math.max(pid, cid), cos))
+              else Iterator.empty
+            }
+        }
+      }
+    }
+  }
 
-  /** Corpus-wide embedding near-duplicate pairs through the GRAPH index —
-    * the scale-safe replacement for [[Similarity.cosineNearDups]]'s exact
-    * O(n²/blocks) block fan-out as the semantic-dedup default: every
-    * stored vector is graph-searched against every shard, candidates are
-    * re-scored with the exact cosine, and pairs at or above `threshold`
-    * come out in [[Similarity.cosineNearDups]]'s exact (i < j, cos)
-    * shape, so the two routes are drop-in interchangeable (q191 pins them
-    * EQUAL on the test corpora; recall is additionally asserted ≥ 0.95 in
-    * HnswSpec at every SF).
+  /** Shuffle-and-scan tail shared by the two near-dup routes: `tagged` =
+    * store rows (level ≥ 0) unioned with probe rows (level = −1, each
+    * already carrying the `shard` it must search); one hash exchange on
+    * `shard`, one in-partition sort putting each shard's graph before
+    * its probes, then [[pairStream]]'s lazy scan. The trailing
+    * `distinct()` — pair-count-sized, the only other global exchange —
+    * collapses the ≤ 2 directions each unordered pair can be found in
+    * (both directions compute bitwise-identical cosines: commutative
+    * products, same accumulation order).
+    */
+  private def pairScan(tagged: DataFrame, numParts: Int, threshold: Double,
+                       efSearch: Int): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val margin = threshold - 5e-7
+    tagged
+      .repartition(numParts, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        (col("level") < 0).cast("int"), col("vec_id"))
+      .as[Node]
+      .mapPartitions(it => pairStream(it, efSearch, margin))
+      .toDF("i", "j", "cos")
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
+  private def asProbes(df: DataFrame): DataFrame =
+    df.select(col("shard"), col("vec_id"), col("vec"),
+      lit(-1).as("level"), typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
+
+  /** Corpus-wide embedding near-duplicate pairs by EXHAUSTIVE shard
+    * fan-out over a standing graph index: every stored vector is
+    * graph-searched against every live shard, so recall does not depend
+    * on where the id-hash happened to place a vector's duplicates.
+    * Output is [[Similarity.cosineNearDups]]'s exact (i < j, cos) shape
+    * (candidates re-scored with the exact cosine; precision 1.0 by
+    * construction).
     *
-    * Scale shape — two bounded fan-outs instead of one unbounded one:
-    * probes (the store's own vectors) replicate once per live shard, and
-    * graph rows replicate once per PROBE CHUNK of
-    * [[NearDupProbeChunkRows]] rows, so the work unit is (shard, chunk):
-    * its task holds one shard's graph (bounded by [[defaultShards]]
-    * sizing) plus one chunk of probes (bounded by the chunk constant) —
-    * NEVER the whole corpus, and never a driver literal
-    * ([[batchNeighborMax]]'s trade is correct for micro-batches only).
-    * Total shuffle volume is n·S probe rows + n·C graph rows; S is the
-    * compaction-bounded live shard count, so the scan is linear in n for
-    * a standing index. Search cost is n·S graph walks of ~efSearch·M·log
-    * (n/S) evals — against n²/2 exact dot products, the ×10/×100
-    * rehearsal's measured gap. Each unordered pair is found at most twice
-    * (probe i in shard(j), probe j in shard(i)); both directions compute
-    * bitwise-identical cosines (commutative products, same accumulation
-    * order), so the trailing `distinct()` — pair-count-sized, the only
-    * global exchange — collapses them exactly.
+    * Scale shape — HONESTLY quadratic in shard count: probes replicate
+    * once per live shard (n·S shuffled probe rows; graph rows are NOT
+    * replicated — each stays in its own shard's partition and probes
+    * stream against it one at a time, [[pairStream]]'s memory contract).
+    * Under the [[defaultShards]] policy S grows ∝ n, so n·S is O(n²/K):
+    * the right trade on a STANDING id-hash store at audit scale (it
+    * reuses the already-built segments, and graph walks replace n²/2
+    * exact dot products inside each task), but NOT the 100 TB default —
+    * that is [[nearDupPairsRouted]], whose geometry sharding routes each
+    * probe to a BOUNDED nProbe cells for an n·nProbe scan. Use this
+    * route when the index already exists id-hash-sharded
+    * ([[HnswStore]] segments) or when the corpus is adversarially
+    * unclustered (near-isotropic embeddings at LOW thresholds — the
+    * regime where geometry routing's recall decays; BASELINE's routing
+    * envelope table).
     *
-    * Honesty bounds: a probe's near-dups are capped at `efSearch` PER
-    * SHARD (more than efSearch duplicates of one vector inside one shard
-    * overflow the search frontier), and graph search is approximate —
-    * misses are possible in principle; both are measured, not assumed
+    * A probe's near-dups are capped at `efSearch` PER SHARD; graph
+    * search is approximate — both bounds are measured, not assumed
     * (HnswSpec's recall line, BASELINE's rehearsal row).
     *
     * @param store  [[build]]/[[add]] output or [[HnswStore.Store]]
     *               segments — id-unique rows (the admission contract)
     */
   def nearDupPairs(store: DataFrame, threshold: Double, efSearch: Int = 64,
-                   parallelism: Int = 32,
-                   probeChunkRows: Long = NearDupProbeChunkRows): DataFrame = {
+                   parallelism: Int = 32): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
-    require(efSearch >= 1 && parallelism >= 1 && probeChunkRows >= 1,
-      s"bad params: efSearch=$efSearch parallelism=$parallelism " +
-        s"probeChunkRows=$probeChunkRows")
-    val spark = store.sparkSession
-    import spark.implicits._
+    require(efSearch >= 1 && parallelism >= 1,
+      s"bad params: efSearch=$efSearch parallelism=$parallelism")
     val st = graft.CacheRegistry.persist(
       store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
         col("nbrs")))
-    val chunks = math.max(1L,
-      (st.count() + probeChunkRows - 1L) / probeChunkRows).toInt
     val shardIds = st.select(col("shard")).distinct()
-    val chunkIds = spark.range(chunks.toLong)
-      .select(col("id").cast("int").as("__chunk"))
-    val probes = st.select(col("vec_id"), col("vec"))
-      .withColumn("__chunk",
-        pmod(xxhash64(col("vec_id")), lit(chunks.toLong)).cast("int"))
-      .crossJoin(broadcast(shardIds))
-      .select(col("shard"), col("__chunk"), col("vec_id"), col("vec"),
-        lit(-1).as("level"), typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
-    val graphRows = st.crossJoin(broadcast(chunkIds))
-      .select(col("shard"), col("__chunk"), col("vec_id"), col("vec"),
-        col("level"), col("nbrs"))
-    // task-side prefilter on the RAW cosine with half-ulp-of-rounding
-    // slack; the contractual filter below is on the ROUNDED value, same
-    // as Similarity.cosineNearDups
-    val margin = threshold - 5e-7
-    probes.unionByName(graphRows)
-      .as[(Long, Int, Long, Seq[Double], Int, Seq[Seq[Long]])]
-      .repartition(parallelism, col("shard"), col("__chunk"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).iterator
-          .flatMap { case ((shard, _), rows) =>
-            val (gRows0, pRows) = rows.partition(_._5 >= 0)
-            val gRows = gRows0.sortBy(_._3)
-            requireUniqueIds(gRows.map(_._3), shard)
-            val ids = gRows.map(_._3).toArray
-            val vecs = gRows.map(_._4.toArray).toArray
-            val g = new Graph(ids, vecs)
-            val local = ids.zipWithIndex.toMap
-            gRows.zipWithIndex.foreach { case ((_, _, _, _, level, nbrs), li) =>
-              g.levels(li) = level
-              g.adj(li) = nbrs.map(layer => scala.collection.mutable
-                .ArrayBuffer(layer.map(local): _*)).toArray
-            }
-            g.entry =
-              if (g.n == 0) -1
-              else ids.indices.minBy(i => (-g.levels(i), ids(i)))
-            pRows.sortBy(_._3).iterator.flatMap {
-              case (_, _, pid, pv, _, _) =>
-                val q = pv.toArray
-                val nq = norm(q)
-                if (nq == 0.0 || g.n == 0) Iterator.empty
-                else searchGraph(g, q, efSearch).iterator.flatMap {
-                  case (_, li) =>
-                    val cid = g.ids(li)
-                    if (cid == pid || g.norms(li) == 0.0) Iterator.empty
-                    else {
-                      // exact cosine, the block-route's arithmetic: a
-                      // sequential-order dot over the double arrays,
-                      // divided by the norm product
-                      val v = g.vecs(li)
-                      var dot = 0.0
-                      var k = 0
-                      while (k < q.length) { dot += q(k) * v(k); k += 1 }
-                      val cos = dot / (nq * g.norms(li))
-                      if (cos >= margin)
-                        Iterator.single((math.min(pid, cid),
-                          math.max(pid, cid), cos))
-                      else Iterator.empty
-                    }
-                }
-            }
-          }
-      }
-      .toDF("i", "j", "cos")
-      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
-      .filter(col("cos") >= threshold)
-      .distinct()
+    val nShards = shardIds.count()
+    if (nShards == 0L) return emptyPairs(store.sparkSession)
+    // one partition per shard up to a cap: a task materializes shards
+    // ONE AT A TIME either way (pairStream), but partition-per-shard
+    // keeps tasks small enough for AQE to balance skewed shards
+    val numParts = math.max(parallelism, math.min(nShards, 4096L).toInt)
+    val probes = asProbes(st.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(shardIds)))
+    pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+  }
+
+  /** Fixed probe fan-out for [[nearDupPairsRouted]] — the constant that
+    * makes the routed scan linear: a probe searches min(nProbe, k)
+    * cells no matter how many cells the corpus needs, so shuffle volume
+    * is n·nProbe while the exhaustive route's n·S grows quadratically
+    * under shards ∝ corpus. 8 is the measured operating point on the
+    * rotation-replica rehearsal corpus (BASELINE's routing envelope:
+    * recall ≥ 0.999 for pair cosines ≥ 0.98 at 400 cells — 50× cell
+    * pruning — decaying to ~0.90 at pair cosine 0.82); raise it, or
+    * fall back to [[nearDupPairs]], for LOW thresholds on unclustered
+    * corpora.
+    */
+  val DefaultNearDupNProbe = 8
+
+  /** Corpus-wide embedding near-duplicate pairs through a
+    * GEOMETRY-SHARDED graph index ([[buildGeo]]) — the 100 TB
+    * semantic-dedup default: each vector probes only its
+    * min(`nProbe`, k) nearest IVF cells ([[IVF.probeExpr]] — a
+    * per-row explode, never a shard cross-join), searches those cells'
+    * graphs, and candidates are re-scored with the exact cosine into
+    * [[Similarity.cosineNearDups]]'s (i < j, cos) shape.
+    *
+    * Scale shape — LINEAR in the corpus: shuffle volume is n·nProbe
+    * probe rows + n graph rows (graph rows are never replicated; probes
+    * stream one at a time against each cell graph — [[pairStream]]'s
+    * memory contract, one cell graph per task at a time). Search cost is
+    * n·nProbe walks of ~efSearch·M·log(n/k) evals. Against the
+    * exhaustive route's n·S rows with S ∝ n, this is the difference
+    * between a scan that runs at 1e9 vectors and one that doesn't
+    * (BASELINE's ×10/×100 rehearsal row).
+    *
+    * Recall envelope — geometry routing prunes by cell locality, so a
+    * pair is searched iff either endpoint's cell is within the other's
+    * nProbe nearest (found misses are impossible: precision 1.0 by
+    * exact re-score). Near-identical pairs — the SemDeDup regime,
+    * pair cosine ≥ 0.95 — co-locate with near-certainty (measured ≥
+    * 0.999 at 50× pruning); LOW thresholds on near-isotropic corpora
+    * decay (the same information-free-partitioning wall documented on
+    * [[IVF.DefaultProbeFraction]]) — there, raise nProbe toward k or
+    * use [[nearDupPairs]]. With nProbe ≥ k (every cell probed — the
+    * small-corpus case) routing is exhaustive by construction and the
+    * envelope question vanishes.
+    *
+    * @param store  a [[buildGeo]] output for `index` — same index, or
+    *               the sampled cell-assignment guard fails loudly (the
+    *               [[add]] shard-guard discipline)
+    */
+  def nearDupPairsRouted(store: DataFrame, index: IVF.Index,
+                         threshold: Double,
+                         nProbe: Int = DefaultNearDupNProbe,
+                         efSearch: Int = 64,
+                         parallelism: Int = 32): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
+      s"bad params: nProbe=$nProbe efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val badSample = store.select(col("shard"), col("vec"))
+      .limit(ShardCheckSample)
+      .filter(IVF.assignExpr(col("vec"), index).cast("long") =!=
+        col("shard"))
+      .count()
+    require(badSample == 0L,
+      s"store was not built with this index: $badSample of a " +
+        s"$ShardCheckSample-row sample re-assign to a different cell — " +
+        "probes would be routed to cells their duplicates don't live in " +
+        "(pass the buildGeo-time index)")
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs")))
+    val numParts = math.max(parallelism, math.min(index.k, 4096))
+    val probes = asProbes(st.select(col("vec_id"), col("vec"))
+      .withColumn("__cell", explode(IVF.probeExpr(col("vec"), index, nProbe)))
+      .withColumn("shard", col("__cell").cast("long")))
+    pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+  }
+
+  private def emptyPairs(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("i", "j", "cos")
   }
 
   /** The honesty line for BASELINE: per-shard distance-evaluation counts

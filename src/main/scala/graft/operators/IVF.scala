@@ -118,6 +118,26 @@ object IVF {
       struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
     }: _*)).getField("cid")
 
+  /** The `nProbe` nearest cell ids of a vector COLUMN as a pure
+    * expression — [[probeIds]] vectorized over a whole frame: the same
+    * (score, cid) structs [[assignExpr]] argmins over, array_sorted
+    * (struct ordering = score asc, cid tiebreak — exactly [[probeIds]]'s
+    * sort) and cut to the first `nProbe` cids. The probe-ROUTING half of
+    * cell pruning: `explode(probeExpr(...))` fans each row out to its
+    * nProbe nearest cells and nothing else, which is what makes a
+    * cell-sharded scan linear in the corpus
+    * ([[Hnsw.nearDupPairsRouted]]'s shuffle bound). Codegen'd end to
+    * end — k (score, cid) structs per row, one bounded sort, no UDF.
+    */
+  def probeExpr(v: Column, index: Index, nProbe: Int): Column = {
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    val scored = array(index.centroids.zipWithIndex.toIndexedSeq.map {
+      case (c, i) => struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, math.min(nProbe, index.k)),
+      x => x.getField("cid"))
+  }
+
   /** Round to 9 decimals. Trained centroid coordinates are quantized so
     * training is bit-stable across runs: a double mean's last-ulp depends
     * on partial-aggregate merge order (shuffle fetch order is not

@@ -4649,14 +4649,20 @@ object Queries {
 
     // ── Q191: corpus-wide HNSW near-dup pairs
     //          ([[graft.operators.Dedup.hnswNearDupPairs]]) — the
-    //          scale-safe SEMANTIC-dedup default: every stored vector
-    //          graph-searched against every shard in bounded
-    //          (shard, probe-chunk) tasks, candidates re-scored with the
-    //          exact cosine, q35's exact (i < j, cos) shape out. The
-    //          oracle is q35's UNCHANGED — the strongest possible claim:
-    //          the graph route must reproduce the exact all-pairs route
-    //          BITWISE (recall 1.0 at this scale; HnswSpec pins ≥ 0.95
-    //          at every shipped SF, precision 1.0 by construction). ──────
+    //          scale-safe SEMANTIC-dedup default, GEOMETRY-ROUTED since
+    //          round 12: IVF cells shard the graph index, each vector
+    //          probes only its nProbe nearest cells (n·nProbe shuffled
+    //          probe rows — linear, vs the retired fan-out's n·shards),
+    //          candidates re-scored with the exact cosine, q35's exact
+    //          (i < j, cos) shape out. The oracle is q35's UNCHANGED —
+    //          the strongest possible claim: the routed graph search
+    //          must reproduce the exact all-pairs route BITWISE. That
+    //          recall-1.0 demand is DELIBERATELY brittle: at shards=4 ≤
+    //          nProbe=8 routing is exhaustive by construction, and a
+    //          single in-cell HNSW miss would fail the hash visibly (the
+    //          point of the exact oracle); the tolerant form of the same
+    //          check is HnswSpec's ≥ 0.95 line at every shipped SF and
+    //          the rehearsal's planted-twin recall at 50× pruning. ───────
     QueryDef("q191_hnsw_neardup_pairs",
       (s, dir) => graft.operators.Dedup.hnswNearDupPairs(
         t(s, dir, "embeddings"), 0.35, shards = 4),

@@ -79,8 +79,10 @@ object ScaleRehearsal {
     require(factor >= 2 && factor <= 200, s"factor $factor out of range")
     val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
     suites.foreach(s =>
-      require(Set("corpus", "jw", "tpch", "hnsw", "exactsubstr")(s),
-        s"unknown suite '$s' (corpus|jw|tpch|hnsw|exactsubstr)"))
+      require(Set("corpus", "jw", "tpch", "hnsw", "exactsubstr",
+          "neardup", "gen")(s),
+        s"unknown suite '$s' " +
+          "(corpus|jw|tpch|hnsw|exactsubstr|neardup|gen)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -99,6 +101,14 @@ object ScaleRehearsal {
     if (suites.contains("hnsw")) hnswSuite(spark, srcDir, base, factor)
     if (suites.contains("exactsubstr"))
       exactSubstrSuite(spark, srcDir, base, factor)
+    if (suites.contains("neardup")) neardupSuite(spark, srcDir, base, factor)
+    // corpus generation only — lets other harnesses (StreamingBench's
+    // scale-seeded run) reuse the upscaled tables without re-running a
+    // measurement suite
+    if (suites.contains("gen")) {
+      ensureDocuments(spark, srcDir, base, factor)
+      ensureEmbeddings(spark, srcDir, base, factor)
+    }
     spark.stop()
   }
 
@@ -224,6 +234,158 @@ object ScaleRehearsal {
       }
     }
     spark.read.parquet(docsPath)
+  }
+
+  // ──────────────── neardup suite (geometry-routed semantic dedup) ────────
+
+  /** Twin corpus with PLANTED ground truth: replica k is the source
+    * embeddings rotated by k dims (ids k·10⁷ + i) PLUS a deterministic
+    * jittered twin of each rotated vector (ids k·10⁷ + 5·10⁶ + i;
+    * per-element hash noise at ε = 0.1 of element scale → twin cosine
+    * ≈ 0.995, verified exactly in-run). Every (rotated, twin) pair IS a
+    * semantic near-dup; cross-replica and cross-base cosines stay far
+    * below the rehearsed threshold. Pair structure therefore grows
+    * LINEARLY with the factor — n true pairs for 2n vectors — the shape
+    * a real dedup corpus has.
+    */
+  private def ensureTwinEmbeddings(spark: SparkSession, srcDir: String,
+                                   base: String, factor: Int): DataFrame = {
+    val t = time(factor) _
+    val path = s"$base/twin-embeddings.parquet"
+    if (!done(spark, base, path)) {
+      val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
+      val rotated = (0 until factor).map { k =>
+        src.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+          .withColumn("embedding",
+            concat(slice(col("embedding"), k % 64 + 1, 64 - k % 64),
+              slice(col("embedding"), 1, k % 64)))
+      }.reduce(_ unionByName _)
+      val twins = rotated
+        .withColumn("vec_id", col("vec_id") + lit(5000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, d) =>
+            (x + lit(0.1) *
+              (pmod(xxhash64(col("vec_id"), d, lit(777L)), lit(2001L)) -
+                lit(1000L)).cast("double") / lit(1000.0))
+              .cast("float")))
+      t("generate twin embeddings") {
+        rotated.unionByName(twins)
+          .select(col("vec_id"), col("embedding")).repartition(32)
+          .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).count()
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Geometry-routed semantic near-dup at scale — the ×10/×100 evidence
+    * for [[graft.operators.Hnsw.nearDupPairsRouted]]'s linearity claim:
+    * cells grow with the corpus (4·factor — the [[hnswSuite]] policy,
+    * per-cell graphs stay task-sized) while nProbe stays at the shipped
+    * constant, so cell pruning DEEPENS with scale (10× at ×10 factor,
+    * 50× at ×100) and shuffled probe rows grow linearly (printed
+    * in-run). Asserted invariants, not vibes: (a) the planted-twin
+    * ground truth is real — min exact twin cosine ≥ the threshold,
+    * computed in-run; (b) routed recall on ALL planted twins is 1.0 at
+    * the SemDeDup operating point (pair cos ≈ 0.995, 10–50× pruning);
+    * (c) no cartesian/BNLJ in the routed plan. The exhaustive fan-out
+    * runs beside it at ×10 for the measured gap; at larger factors its
+    * n·S probe volume is printed as the projection that justifies NOT
+    * running it — the quadratic-shuffle indictment in numbers.
+    */
+  private def neardupSuite(spark: SparkSession, srcDir: String,
+                           base: String, factor: Int): Unit = {
+    val t = time(factor) _
+    val emb = ensureTwinEmbeddings(spark, srcDir, base, factor)
+    val n = emb.count()
+    val cells = 4 * factor
+    val nProbe = graft.operators.Hnsw.DefaultNearDupNProbe
+    val threshold = 0.98
+    println(s"REHEARSAL x$factor neardup: $n vectors, $cells cells, " +
+      s"nProbe=$nProbe threshold=$threshold")
+    // (a) planted ground truth is real: exact min twin cosine, computed
+    // on the n/2 twin pairs with the engine's own dot kernel
+    val planted = emb.filter(col("vec_id") % 10000000L < 5000000L)
+      .select(col("vec_id").as("i"),
+        col("embedding").cast("array<double>").as("va"))
+      .join(emb.select((col("vec_id") - 5000000L).as("i"),
+        col("embedding").cast("array<double>").as("vb")), "i")
+    t("neardup_twin_cos_floor") {
+      val minCos = planted.select(
+        (graft.functions.GraftFunctions.dot_product(col("va"), col("vb")) /
+          (sqrt(graft.functions.GraftFunctions.dot_product(col("va"), col("va"))) *
+            sqrt(graft.functions.GraftFunctions.dot_product(col("vb"), col("vb")))))
+          .as("cos"))
+        .agg(min(col("cos"))).head().getDouble(0)
+      println(f"REHEARSAL x$factor neardup_twin_cos_floor min=$minCos%.4f")
+      require(minCos >= threshold + 0.001,
+        f"planted twins not above threshold: min cos $minCos%.4f")
+      -1L
+    }
+    var index: graft.operators.IVF.Index = null
+    t("neardup_ivf_train") {
+      index = graft.operators.IVF.train(emb, cells, iters = 5)
+      cells.toLong
+    }
+    // the linearity claim in rows: probes replicate ≤ nProbe× — print the
+    // exact shuffled probe-row count beside the exhaustive route's n·S
+    t("neardup_probe_rows") {
+      val probeRows = emb.select(explode(graft.operators.IVF.probeExpr(
+        col("embedding").cast("array<double>"), index, nProbe)).as("c"))
+        .count()
+      println(s"REHEARSAL x$factor neardup_probe_rows routed=$probeRows " +
+        s"exhaustive_would_be=${n * cells}")
+      probeRows
+    }
+    val geoPath = s"$base/geo-store"
+    t("neardup_geo_build") {
+      graft.operators.Hnsw.buildGeo(emb, index)
+        .write.mode("overwrite").parquet(geoPath)
+      spark.read.parquet(geoPath).count()
+    }
+    val store = spark.read.parquet(geoPath)
+    val pairsPath = s"$base/neardup-pairs"
+    t("neardup_routed_pairs") {
+      val pairs = graft.operators.Hnsw.nearDupPairsRouted(
+        store, index, threshold, nProbe)
+      requireNoCartesian(pairs, "neardup_routed_pairs")
+      pairs.write.mode("overwrite").parquet(pairsPath)
+      graft.CacheRegistry.releaseAll()
+      spark.read.parquet(pairsPath).count()
+    }
+    t("neardup_twin_recall_invariant") {
+      val pairs = spark.read.parquet(pairsPath)
+      val totalTwins = planted.count()
+      val found = planted.select(col("i"), (col("i") + 5000000L).as("j"))
+        .join(pairs, Seq("i", "j"), "left_semi").count()
+      println(s"REHEARSAL x$factor neardup_twin_recall $found/$totalTwins")
+      require(found == totalTwins,
+        s"routed recall on planted twins: $found/$totalTwins — geometry " +
+          "routing lost a near-identical pair")
+      found
+    }
+    // the measured gap vs the exhaustive fan-out — run it at ×10, print
+    // the projection (no silent skip) at factors where n·S is the point
+    if (factor <= 10) {
+      val idPath = s"$base/idhash-store"
+      t("neardup_exhaustive_build") {
+        graft.operators.Hnsw.build(emb, shards = cells)
+          .write.mode("overwrite").parquet(idPath)
+        spark.read.parquet(idPath).count()
+      }
+      t("neardup_exhaustive_pairs") {
+        val pairs = graft.operators.Hnsw.nearDupPairs(
+          spark.read.parquet(idPath), threshold)
+        val c = pairs.count()
+        graft.CacheRegistry.releaseAll()
+        c
+      }
+    } else {
+      println(s"REHEARSAL x$factor neardup_exhaustive SKIPPED: would " +
+        s"shuffle ${n * cells} probe rows (vs routed ${n * nProbe}) — " +
+        "the quadratic shape this suite exists to retire")
+    }
+    graft.CacheRegistry.releaseAll()
   }
 
   // ─────────────── exactsubstr suite (char-span dedup) ────────────────────

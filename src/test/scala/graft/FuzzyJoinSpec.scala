@@ -187,6 +187,33 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(want.contains((5L, 7L)), "abc/abcd must pair (jw 0.9417)")
   }
 
+  test("anagram route: a duplicate id with CONFLICTING strings fails " +
+    "loudly (the id->string reattach is only lossless under functional " +
+    "dependence); a benign duplicate (same string) still works") {
+    import spark.implicits._
+    // short strings keep maxDel <= 2, forcing the anagram route
+    val bad = Seq((1L, "abc"), (1L, "abd"), (2L, "abc"))
+      .toDF("id", "name")
+    // collect(), not count(): the guard lives on the reattached string
+    // column, which every verify-time consumer reads (a count() prunes
+    // strings — and with them the ambiguity the guard protects)
+    val ex = intercept[Exception] {
+      FuzzyJoin.jaroWinklerSelfCandidates(bad, 0.9).collect()
+    }
+    graft.CacheRegistry.releaseAll()
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(msgChain(ex).contains("duplicate id with conflicting strings"),
+      msgChain(ex).take(300))
+    val benign = Seq((1L, "abc"), (1L, "abc"), (2L, "abc"))
+      .toDF("id", "name")
+    assert(FuzzyJoin.jaroWinklerSelfCandidates(benign, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("document-scale strings fail LOUDLY at plan time: the JW routes " +
     "are O(len^2)/row and must refuse oversized keys, not melt an executor") {
     import spark.implicits._

@@ -161,17 +161,128 @@ class HnswSpec extends SparkSpec {
     }
   }
 
-  test("nearDupPairs: the multi-chunk probe path is bitwise the " +
-       "single-chunk path, and pairs are emitted once") {
+  test("nearDupPairs: partitioning-invariant (shards >> parallelism and " +
+       "parallelism >> shards give the same pairs), emitted once, i < j") {
     val emb = corpus(600).toDF("vec_id", "embedding")
-    val store = Hnsw.build(emb, shards = 3)
-    val one = Hnsw.nearDupPairs(store, 0.3)
-    val many = Hnsw.nearDupPairs(store, 0.3, probeChunkRows = 37L)
-    assert(pairSet(one) === pairSet(many),
-      "chunking must not change the result")
-    assert(one.count() === one.distinct().count())
-    assert(one.filter(col("i") >= col("j")).count() === 0L,
+    val store = Hnsw.build(emb, shards = 12)
+    val tight = Hnsw.nearDupPairs(store, 0.3, parallelism = 2)
+    val wide = Hnsw.nearDupPairs(store, 0.3, parallelism = 64)
+    assert(pairSet(tight) === pairSet(wide),
+      "partition count must not change the result")
+    assert(tight.count() === tight.distinct().count())
+    assert(tight.filter(col("i") >= col("j")).count() === 0L,
       "pairs must be canonical i < j")
+  }
+
+  test("pairStream is a one-pass lazy scan: emitting a shard's pairs " +
+       "consumes NO rows of later shards, and probes stream one at a " +
+       "time (the one-graph-plus-one-probe memory contract)") {
+    // two shards, two near-identical vectors per shard (cos ~ 1), rows
+    // pre-sorted exactly as pairScan delivers them: (shard, role, id)
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 7 + d).abs + 0.1)
+    def jig(v: Seq[Double]): Seq[Double] = v.map(_ * 1.0000001)
+    def graphRows(shard: Long, ids: Seq[Long]): Seq[Hnsw.Node] = {
+      // a valid single-level graph: everyone adjacent to everyone
+      ids.map(id => (shard, id, if (id % 2 == 0) jig(vec(shard.toInt))
+          else vec(shard.toInt), 0,
+        Seq(ids.filterNot(_ == id))))
+    }
+    def probeRows(shard: Long, ids: Seq[Long]): Seq[Hnsw.Node] =
+      ids.map(id => (shard, id, if (id % 2 == 0) jig(vec(shard.toInt))
+        else vec(shard.toInt), -1, Seq.empty[Seq[Long]]))
+    val rows = (graphRows(0L, Seq(1L, 2L)) ++ probeRows(0L, Seq(1L, 2L)) ++
+      graphRows(1L, Seq(11L, 12L)) ++ probeRows(1L, Seq(11L, 12L)))
+    var consumed = 0
+    val counting = rows.iterator.map { r => consumed += 1; r }
+    val out = Hnsw.pairStream(counting, efSearch = 4, margin = 0.5)
+    val first = out.next()
+    assert(first._1 === 1L && first._2 === 2L)
+    // shard 0's graph (2 rows) + its first probe: later rows untouched.
+    // (BufferedIterator peeks one row ahead to see the shard boundary,
+    // so the bound is graph + probe + 1 peek.)
+    assert(consumed <= 4,
+      s"consumed $consumed rows before the first pair — the scan is " +
+        "materializing ahead instead of streaming")
+    val rest = out.toList
+    assert(consumed === rows.size)
+    assert((first :: rest).map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (11L, 12L)))
+  }
+
+  test("buildGeo: cell-sharded store is bitwise deterministic and " +
+       "partitioning-invariant; every search surface reads it unchanged") {
+    val rows = corpus(300)
+    val emb = rows.toDF("vec_id", "embedding")
+    val index = graft.operators.IVF.train(emb, k = 6, iters = 3)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard", "vec_id").collect().map(_.toString).toSeq
+    val a = Hnsw.buildGeo(emb.repartition(1), index)
+    val b = Hnsw.buildGeo(emb.repartition(13), index)
+    assert(dump(a) === dump(b), "geo store must not depend on input layout")
+    // shard IS the cell assignment
+    val mis = a.filter(graft.operators.IVF.assignExpr(col("vec"), index)
+      .cast("long") =!= col("shard")).count()
+    assert(mis === 0L)
+    // neighbors reads a geo store exactly like an id-hash store
+    val q = rows.head._2.map(_.toDouble).toArray
+    val got = Hnsw.neighbors(a, q, 10, efSearch = 48)
+      .select("vec_id").as[Long].collect().toSet
+    val want = bruteTop(rows, q, 10).toSet
+    assert(got.intersect(want).size >= 8,
+      s"geo-store recall@10 = ${got.intersect(want).size}/10")
+  }
+
+  test("nearDupPairsRouted: with nProbe >= k routing is exhaustive — " +
+       "pair set equals the exhaustive fan-out's on the same graphs; " +
+       "probes replicate <= nProbe times; no BNLJ in the plan") {
+    val rows = corpus(500)
+    val emb = rows.toDF("vec_id", "embedding")
+    val index = graft.operators.IVF.train(emb, k = 4, iters = 3)
+    val geo = Hnsw.buildGeo(emb, index)
+    val routed = Hnsw.nearDupPairsRouted(geo, index, 0.3, nProbe = 8)
+    val exhaustive = Hnsw.nearDupPairs(geo, 0.3)
+    assert(pairSet(routed) === pairSet(exhaustive),
+      "nProbe >= k must search every cell, exactly like the fan-out")
+    // the routed probe fan-out is an explode of a <= nProbe array —
+    // never a shard cross-join
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"routed plan must not cross-join probes with shards:\n$plan")
+    val maxFan = emb.select(size(graft.operators.IVF.probeExpr(
+        col("embedding").cast("array<double>"), index, 3)).as("s"))
+      .agg(max(col("s"))).head().getInt(0)
+    assert(maxFan <= 3, s"probeExpr must cap the fan-out at nProbe, got $maxFan")
+  }
+
+  test("nearDupPairsRouted: at cells >> nProbe, near-identical pairs " +
+       "(the SemDeDup regime) route losslessly — recall 1.0 on planted " +
+       "twins; and a store/index mismatch fails loudly") {
+    // 24 cells, nProbe 4 (6x pruning): plant one jittered twin per base
+    // vector; every (i, i+1000) pair must come back at threshold 0.98
+    val base = corpus(400)
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x * 1.001f + 0.0004f))
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val index = graft.operators.IVF.train(emb, k = 24, iters = 3)
+    val geo = Hnsw.buildGeo(emb, index)
+    val got = pairSet(
+      Hnsw.nearDupPairsRouted(geo, index, 0.98, nProbe = 4))
+      .map(p => (p._1, p._2))
+    val planted = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    val missed = planted -- got
+    assert(missed.isEmpty,
+      s"${missed.size}/${planted.size} planted twins missed at 6x " +
+        s"pruning (e.g. ${missed.take(3)})")
+    // wrong index: loud, not silently wrong
+    val other = graft.operators.IVF.train(emb, k = 23, iters = 2, seed = 7)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.nearDupPairsRouted(geo, other, 0.98)
+    }
+    assert(e.getMessage.contains("was not built with this index"),
+      e.getMessage)
   }
 
   test("defaultShards: the latency arm governs small corpora, the memory " +

@@ -67,6 +67,104 @@ object VectorOps {
   }
 }
 
+/** Tight-loop nearest-centroid kernel called from generated code —
+  * the scale form of the argmin-over-literals expression family: the
+  * expression-tree formulation (`array_min`/`array_sort` over k
+  * `(score, cid)` structs) generates source LINEAR in k, which blows
+  * janino's 64 KB method limit around k ≈ 400 and silently drops the
+  * whole stage to interpreted mode — and every re-plan pays a
+  * multi-minute FAILED compile first (measured: the ×100 rehearsal's
+  * k=400 Lloyd iterations were dominated by failed compiles, not
+  * arithmetic). A loop over a reference-array matrix is constant-size
+  * source at ANY k — 16k cells (the 1e9-vector sizing) costs the same
+  * bytecode as 4.
+  */
+object CentroidOps {
+  /** The `m = min(nProbe, k)` nearest cell ids of `v`, ascending by
+    * (score, cid) with score = ‖c‖² − 2·v·c — EXACTLY the
+    * `scoreToCentroid` algebra (c² precomputed driver-side by the same
+    * sequential sum; dot accumulated index 0→n like [[VectorOps.dot]]),
+    * so assignments and probe lists are bitwise interchangeable with
+    * the expression-tree form (spec-pinned). Bounded insertion sort:
+    * k·dim multiplies + at most k·m shifts per row.
+    */
+  def nearest(v: ArrayData, centroids: Array[Array[Double]],
+              c2: Array[Double], nProbe: Int): ArrayData = {
+    val dim = v.numElements()
+    val k = centroids.length
+    val m = math.min(nProbe, k)
+    val bs = new Array[Double](m)
+    val bc = new Array[Int](m)
+    var filled = 0
+    var i = 0
+    while (i < k) {
+      val c = centroids(i)
+      if (c.length != dim)
+        throw new IllegalArgumentException(
+          s"nearest_cells dimension mismatch: vector $dim vs centroid ${c.length}")
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        if (v.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"nearest_cells null element at index $j — quarantine ragged/null embeddings first")
+        dot += v.getDouble(j) * c(j)
+        j += 1
+      }
+      val s = c2(i) - 2.0 * dot
+      if (filled < m || s < bs(filled - 1)) {
+        // insertion position: after any kept entry with score <= s
+        // (strict > comparison) — equal scores keep the earlier cid
+        // first, matching the lexicographic (score, cid) struct order
+        var p = math.min(filled, m - 1)
+        while (p > 0 && bs(p - 1) > s) {
+          bs(p) = bs(p - 1); bc(p) = bc(p - 1); p -= 1
+        }
+        bs(p) = s; bc(p) = i
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bc, filled))
+  }
+}
+
+/** Native top-`nProbe` nearest-centroid ids of an `array<double>` vector
+  * against a plan-constant centroid matrix (ridden as reference objects,
+  * never source text) — see [[CentroidOps.nearest]] for why the
+  * expression-tree form stops scaling at k ≈ 400. `nProbe = 1` IS cell
+  * assignment (`element_at(..., 1)`).
+  */
+case class NearestCells(child: Expression,
+                        centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty && nProbe >= 1,
+    s"need centroids and nProbe >= 1, got ${centroids.length}/$nProbe")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  // the ‖c‖² terms, precomputed once driver-side with the same
+  // sequential sum scoreToCentroid used — part of the bitwise contract
+  private lazy val c2: Array[Double] = centroids.map(_.map(x => x * x).sum)
+
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidOps.nearest(v.asInstanceOf[ArrayData], centroids, c2, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val refC2 = ctx.addReferenceObj("c2", c2, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CentroidOps.nearest($c, $refC, $refC2, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** Native dot product over two `array<double>` columns.
   *
   * The higher-order-function formulation (`aggregate(zip_with(...))`)
@@ -195,6 +293,16 @@ object GraftFunctions {
 
   /** L2 norm of an array column (sqrt of the self dot product). */
   def l2_norm(a: Column): Column = sqrt(dot_product(a, a))
+
+  /** Top-`nProbe` nearest-centroid ids (ascending (‖c‖²−2·v·c, cid)) of
+    * an array<double> vector column against a constant centroid matrix —
+    * the native, any-k form of the argmin-over-struct-literals family
+    * (see [[NearestCells]]); `nProbe = 1` is cell assignment.
+    */
+  def nearest_cells(v: Column, centroids: Array[Array[Double]],
+                    nProbe: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      NearestCells(expression(v), centroids, nProbe))
 
   /** MD5 digest as four unsigned 32-bit lanes (`array<long>`) — the native
     * form of `conv(substring(md5(x), 8i+1, 8), 16, 10)` with one digest

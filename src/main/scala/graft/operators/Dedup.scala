@@ -621,7 +621,12 @@ object Dedup {
       s"ragged embedding dims [$dmin, $dmax] — embeddings must share one " +
         "dimension")
     val cells = if (shards > 0) shards else Hnsw.defaultShards(n, dmax, m)
-    val index = IVF.train(e, cells, ivfIters)
+    // sampled training — the at-scale k-means discipline (centroid
+    // quality saturates at ~100 points/centroid); the full corpus still
+    // assigns + probes against the trained index, only the Lloyd passes
+    // are bounded
+    val index = IVF.train(e, cells, ivfIters,
+      maxTrainRows = 100L * cells)
     Hnsw.nearDupPairsRouted(Hnsw.buildGeo(e, index, m, efConstruction),
       index, threshold, nProbe, efSearch)
   }

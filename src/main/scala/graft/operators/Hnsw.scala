@@ -277,8 +277,13 @@ object Hnsw {
   }
 
   /** Reassemble each shard's graph from its stored rows and run `f` on
-    * it. Store partitioning keys on `shard`, so each task sees whole
-    * shards (possibly several); groups within the partition.
+    * it. Store partitioning keys on `shard`; within the partition the
+    * rows arrive SORTED by (shard, vec_id) and are consumed as a lazy
+    * one-pass stream — ONE shard's graph is materialized at a time and
+    * dropped before the next shard's rows are touched ([[pairStream]]'s
+    * memory discipline), so a task that receives several shards never
+    * holds more than one graph regardless of how shards hash into
+    * partitions.
     */
   private def perShard[T: org.apache.spark.sql.Encoder](
       store: DataFrame, parallelism: Int)(
@@ -289,25 +294,28 @@ object Hnsw {
         col("nbrs"))
       .as[Node]
       .repartition(parallelism, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
-          case (shard, rows0) =>
-            val rows = rows0.sortBy(_._2)
-            requireUniqueIds(rows.map(_._2), shard)
-            val ids = rows.map(_._2).toArray
-            val vecs = rows.map(_._3.toArray).toArray
-            val g = new Graph(ids, vecs)
-            val local = ids.zipWithIndex.toMap
-            rows.foreach { case (_, id, _, level, nbrs) =>
-              val li = local(id)
-              g.levels(li) = level
-              g.adj(li) = nbrs.map(layer => scala.collection.mutable
-                .ArrayBuffer(layer.map(local): _*)).toArray
-            }
-            // stored entry contract: the max-level node, min id on ties —
-            // exactly what buildGraph ends with (levels only ever grow)
-            g.entry = ids.indices.minBy(i => (-g.levels(i), ids(i)))
-            f(shard, g)
+      .sortWithinPartitions(col("shard"), col("vec_id"))
+      .mapPartitions { it0 =>
+        val it = it0.buffered
+        Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+          val shard = it.head._1
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Node]
+          while (it.hasNext && it.head._1 == shard) rows += it.next()
+          requireUniqueIds(rows.map(_._2).toSeq, shard)
+          val ids = rows.map(_._2).toArray
+          val vecs = rows.map(_._3.toArray).toArray
+          val g = new Graph(ids, vecs)
+          val local = ids.zipWithIndex.toMap
+          rows.foreach { case (_, id, _, level, nbrs) =>
+            val li = local(id)
+            g.levels(li) = level
+            g.adj(li) = nbrs.map(layer => scala.collection.mutable
+              .ArrayBuffer(layer.map(local): _*)).toArray
+          }
+          // stored entry contract: the max-level node, min id on ties —
+          // exactly what buildGraph ends with (levels only ever grow)
+          g.entry = ids.indices.minBy(i => (-g.levels(i), ids(i)))
+          f(shard, g)
         }
       }
   }
@@ -341,6 +349,13 @@ object Hnsw {
     * data-dependent (a hot cell makes a big shard); size `index.k` with
     * [[defaultShards]] so the MEAN cell obeys the memory/latency arms,
     * and audit skew with [[IVF.cellStats]].
+    *
+    * Incremental admission ([[add]]) targets ID-HASH stores only — its
+    * driver-side guard rejects a geo store loudly (cell ids don't
+    * re-hash). A geo index absorbs growth by REBUILD on the standing
+    * index's centroids (assignment is frozen with the index — the
+    * [[EmbeddingStore]] admission discipline), re-training only when
+    * centroid drift degrades the audited recall.
     */
   def buildGeo(emb: DataFrame, index: IVF.Index, m: Int = 8,
                efConstruction: Int = 64): DataFrame = {
@@ -514,6 +529,75 @@ object Hnsw {
       .agg(round(max(col("cos")), 6).as("max_cos"))
   }
 
+  /** Top-k cosine neighbors for a DISTRIBUTED FRAME of probes — the
+    * query-SERVING surface completing the index lifecycle (build, admit,
+    * compact, and now batch-query continuously): `probes` = (probe_id,
+    * embedding) of any size, each graph-searched against every live
+    * shard, per-(probe, shard) candidates re-scored with the exact
+    * cosine and merged to the per-probe top-k (cos desc, vec_id tie) by
+    * one probe-keyed window. Unlike [[neighbors]] (one query, global
+    * sort) this serves a whole batch in one pass; unlike
+    * [[batchNeighborMax]] (driver-side literal, max only) the probe set
+    * is a frame — shuffled, never collected — so it can be a stream's
+    * micro-batch or another table.
+    *
+    * Scale shape: probes replicate once per live shard (|batch|·S rows —
+    * batches are query-sized, not corpus-sized, so this is the right
+    * trade for serving; corpus-sized probe sets belong to
+    * [[nearDupPairsRouted]]); graph rows are never replicated and each
+    * task holds one shard graph at a time ([[pairStream]]'s streaming
+    * contract via the same scan core). The candidate exchange into the
+    * top-k window is ≤ |batch|·S·efSearch rows of (id, id, cos).
+    *
+    * Output: (probe_id, vec_id, cos, rank), rank 1..k per probe,
+    * engine-standard 1e-6-rounded cosine. Zero-norm probes return no
+    * rows (cosine undefined — the kernel convention). `probe_id` lives
+    * in its own namespace: a probe is NOT excluded from matching a
+    * stored vector with the same id.
+    */
+  def batchNeighbors(store: DataFrame, probes: DataFrame, k: Int,
+                     efSearch: Int = 64, parallelism: Int = 32): DataFrame = {
+    require(k >= 1 && efSearch >= k && parallelism >= 1,
+      s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val spark = store.sparkSession
+    import spark.implicits._
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs")))
+    val shardIds = st.select(col("shard")).distinct()
+    val nShards = shardIds.count()
+    if (nShards == 0L)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("probe_id", "vec_id", "cos", "rank")
+    val numParts = math.max(parallelism, math.min(nShards, 4096L).toInt)
+    val pr = asProbes(probes
+      .select(col("probe_id").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .crossJoin(broadcast(shardIds)))
+    val cands = st.unionByName(pr)
+      .repartition(numParts, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        (col("level") < 0).cast("int"), col("vec_id"))
+      .as[Node]
+      .mapPartitions { rows =>
+        shardScan(rows) { (g, pid, q, nq) =>
+          if (nq == 0.0 || g.n == 0) Iterator.empty
+          else searchGraph(g, q, efSearch).iterator.collect {
+            case (_, li) if g.norms(li) != 0.0 =>
+              (pid, g.ids(li), exactCos(g, q, nq, li))
+          }
+        }
+      }
+      .toDF("probe_id", "vec_id", "cos")
+      .select(col("probe_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    cands
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** The streaming task body shared by [[nearDupPairs]] and
     * [[nearDupPairsRouted]]: rows arrive SORTED by (shard, role,
     * vec_id) — graph rows (level ≥ 0) of a shard first, then that
@@ -534,7 +618,29 @@ object Hnsw {
     */
   private[graft] def pairStream(rows0: Iterator[Node], efSearch: Int,
                                 margin: Double)
-      : Iterator[(Long, Long, Double)] = {
+      : Iterator[(Long, Long, Double)] =
+    shardScan(rows0) { (g, pid, q, nq) =>
+      if (nq == 0.0 || g.n == 0) Iterator.empty
+      else searchGraph(g, q, efSearch).iterator.flatMap {
+        case (_, li) =>
+          val cid = g.ids(li)
+          if (cid == pid || g.norms(li) == 0.0) Iterator.empty
+          else {
+            val cos = exactCos(g, q, nq, li)
+            if (cos >= margin)
+              Iterator.single((math.min(pid, cid), math.max(pid, cid), cos))
+            else Iterator.empty
+          }
+      }
+    }
+
+  /** The lazy shard-scan skeleton behind [[pairStream]] and the
+    * batch-search scan: materialize ONE shard's graph from the sorted
+    * iterator, stream that shard's probes one at a time through `f`,
+    * drop the graph, move to the next shard.
+    */
+  private def shardScan[T](rows0: Iterator[Node])(
+      f: (Graph, Long, Array[Double], Double) => Iterator[T]): Iterator[T] = {
     val it = rows0.buffered
     Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
       val shard = it.head._1
@@ -560,26 +666,21 @@ object Hnsw {
       }
       probes.flatMap { case (_, pid, pv, _, _) =>
         val q = pv.toArray
-        val nq = norm(q)
-        if (nq == 0.0 || g.n == 0) Iterator.empty
-        else searchGraph(g, q, efSearch).iterator.flatMap {
-          case (_, li) =>
-            val cid = g.ids(li)
-            if (cid == pid || g.norms(li) == 0.0) Iterator.empty
-            else {
-              val v = g.vecs(li)
-              var dot = 0.0
-              var k = 0
-              while (k < q.length) { dot += q(k) * v(k); k += 1 }
-              val cos = dot / (nq * g.norms(li))
-              if (cos >= margin)
-                Iterator.single((math.min(pid, cid),
-                  math.max(pid, cid), cos))
-              else Iterator.empty
-            }
-        }
+        f(g, pid, q, norm(q))
       }
     }
+  }
+
+  /** Exact cosine of probe (q, nq) against stored node `li` — the block
+    * route's arithmetic: sequential-order dot, norm-product divide.
+    */
+  private def exactCos(g: Graph, q: Array[Double], nq: Double,
+                       li: Int): Double = {
+    val v = g.vecs(li)
+    var dot = 0.0
+    var k = 0
+    while (k < q.length) { dot += q(k) * v(k); k += 1 }
+    dot / (nq * g.norms(li))
   }
 
   /** Shuffle-and-scan tail shared by the two near-dup routes: `tagged` =

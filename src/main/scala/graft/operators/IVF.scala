@@ -109,14 +109,21 @@ object IVF {
     GraftFunctions.stable_lit(c2) - lit(2.0) * GraftFunctions.dot_product(v, lit(c))
   }
 
-  /** Nearest-centroid id of a vector column as a pure expression:
-    * array_min over (score, cid) structs — ties break on the lower cid,
-    * deterministically.
+  /** Nearest-centroid id of a vector column as a pure expression —
+    * argmin of [[scoreToCentroid]] with ties on the lower cid,
+    * deterministically. Since round 12 this runs through the native
+    * [[graft.functions.NearestCells]] kernel (one codegen'd loop over a
+    * reference-array matrix) instead of an `array_min` over k struct
+    * literals: identical values by construction (same score algebra,
+    * same tie order — spec-pinned against the struct form), but the
+    * generated source is constant-size in k where the struct form blew
+    * janino's 64 KB method limit around k ≈ 400 and silently dropped
+    * whole stages to interpreted mode — at the 1e9-vector sizing
+    * (~16k cells) the struct form is not even plannable.
     */
   def assignExpr(v: Column, index: Index): Column =
-    array_min(array(index.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
-    }: _*)).getField("cid")
+    element_at(
+      GraftFunctions.nearest_cells(v, index.centroids, 1), 1)
 
   /** The `nProbe` nearest cell ids of a vector COLUMN as a pure
     * expression — [[probeIds]] vectorized over a whole frame: the same
@@ -131,6 +138,19 @@ object IVF {
     */
   def probeExpr(v: Column, index: Index, nProbe: Int): Column = {
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    GraftFunctions.nearest_cells(v, index.centroids,
+      math.min(nProbe, index.k))
+  }
+
+  /** The expression-tree form of [[probeExpr]] — `array_sort` over k
+    * `(score, cid)` struct literals, cut to nProbe. Kept as the
+    * REFERENCE implementation the native kernel is spec-pinned
+    * bitwise-equal against (CodegenSpec); not used in plans — its
+    * generated source is linear in k and stops compiling around
+    * k ≈ 400.
+    */
+  private[graft] def structProbeExpr(v: Column, index: Index,
+                                     nProbe: Int): Column = {
     val scored = array(index.centroids.zipWithIndex.toIndexedSeq.map {
       case (c, i) => struct(scoreToCentroid(v, c).as("d"), lit(i).as("cid"))
     }: _*)
@@ -153,11 +173,44 @@ object IVF {
   /** Train a k-centroid index with `iters` Lloyd's iterations.
     * Initialization: the k vectors with the smallest seeded-hash of their
     * id — a deterministic pseudo-random sample.
+    *
+    * `maxTrainRows` > 0 trains on a DETERMINISTIC hash-sample of that
+    * many rows instead of the full corpus — the standard k-means
+    * discipline at scale (centroid quality saturates at a few hundred
+    * points per centroid; FAISS trains IVF indexes this way): assignment
+    * of the FULL corpus against the trained centroids is unchanged in
+    * cost, but each Lloyd pass drops from corpus-sized to sample-sized.
+    * The sample is the `maxTrainRows` smallest (seeded-hash, id) keys —
+    * same total order as the init pick, so a resample is bit-stable.
+    * Also the codegen pressure valve: at k in the hundreds the per-row
+    * argmin expression exceeds janino's 64 KB method limit and the
+    * assign stage silently falls back to interpreted mode (measured 13
+    * min for k=400 over 400k×64 at full corpus vs ~1 min sampled).
     */
-  def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42): Index = {
+  def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42,
+            maxTrainRows: Long = 0L): Index = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val sampled =
+      if (maxTrainRows <= 0L) base
+      else {
+        val limN = math.min(maxTrainRows, Int.MaxValue.toLong).toInt
+        // a global limit collapses to ONE partition — spread the sample
+        // back out or every Lloyd pass runs single-threaded (measured
+        // 12 min vs seconds at 40k×400 cells). Size-aware: ~1 partition
+        // per 1000 sample rows, so a tiny sample doesn't pay 32 tasks
+        // of scheduler overhead per pass either. The means are
+        // merge-order-safe under [[q9]] quantization, so repartitioning
+        // does not move a trained centroid.
+        val parts = math.max(1, math.min(
+          emb.sparkSession.sparkContext.defaultParallelism, limN / 1000))
+        base.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+          .limit(limN)
+          .repartition(parts)
+      }
     // persisted: the init pass + every Lloyd iteration scans this frame —
     // without the persist each pass re-reads and re-casts the source
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids = v.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))

@@ -4709,7 +4709,31 @@ object Queries {
              |)
              |SELECT cluster, doc_id AS keep_id, n_chars AS keep_n_chars,
              |       n_members
-             |FROM scored WHERE rn = 1""".stripMargin))
+             |FROM scored WHERE rn = 1""".stripMargin)),
+
+    // ── Q193: batch ANN serving from the graph index
+    //          ([[graft.operators.Hnsw.batchNeighbors]]) — the
+    //          query-serving surface completing the lifecycle beside
+    //          q188 (single query) and q190 (admission): a FRAME of
+    //          probes (vec_ids < 5) top-10-searched against the store
+    //          built on the rest, one distributed pass, per-probe
+    //          (vec_id, cos, rank) out. Oracle contract is q188's:
+    //          returned ids are data-derived literals from a dump-time
+    //          re-run of the same deterministic search, but every
+    //          SCORE is recomputed and every RANK re-derived by DuckDB —
+    //          a wrong id, score, or ordering all break the hash. ────────
+    QueryDef("q193_hnsw_batch_serve",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Hnsw.batchNeighbors(
+          graft.operators.Hnsw.build(
+            emb.filter(col("vec_id") >= 5), shards = 4),
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          k = 10, efSearch = 48)
+      },
+      None,
+      dynamicOracle = Some(hnswBatchServeOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -5907,6 +5931,43 @@ object Queries {
        |       COALESCE(ROUND(1e6 /
        |           MIN(CASE WHEN er = 1 THEN ar END)) / 1e6, 0.0) AS top1_rr
        |FROM j""".stripMargin
+  }
+
+  /** q193's oracle: the q188 contract extended to a probe BATCH — the
+    * (probe_id, vec_id) pairs are data-derived literals from a dump-time
+    * re-run of the same deterministic batch search, but DuckDB
+    * recomputes every pair's cosine and re-derives every per-probe rank
+    * from those recomputed scores (same (cos desc, vec_id) total order),
+    * so a wrong id, a wrong score, or a wrong ordering all break the
+    * hash. k-completeness (exactly 10 rows per probe) is implied by the
+    * literal list's own size — a short row group would hash-mismatch.
+    */
+  private def hnswBatchServeOracleSql(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = graft.operators.Hnsw.batchNeighbors(
+        graft.operators.Hnsw.build(
+          emb.filter(col("vec_id") >= 5), shards = 4),
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        k = 10, efSearch = 48)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
   }
 
   /** q82's oracle: retrain the deterministic index (≡ the one the query

@@ -508,6 +508,42 @@ object StreamingEvents {
       }
       .start()
 
+  /** Continuous ANN SERVING from the segmented graph store — the query
+    * half [[hnswAdmissionStream]] leaves open, completing the index
+    * lifecycle (admit, compact, and now search continuously): each
+    * micro-batch of query vectors (probe_id, embedding) is top-k
+    * searched against the store's committed segments
+    * ([[graft.operators.Hnsw.batchNeighbors]] — one distributed pass,
+    * never a driver literal) and the results land in
+    * `outDir/batch_id=N` as (probe_id, vec_id, cos, rank).
+    *
+    * Store snapshot semantics: each batch reads the LATEST COMMITTED
+    * epoch at execution time ([[graft.operators.HnswStore.load]]) —
+    * serving wants the freshest index, and commit markers keep
+    * half-written admission epochs invisible, so a concurrent admission
+    * stream on the same store never tears a read. Replay overwrites the
+    * batch's own output directory (idempotent sink paths), though a
+    * replayed SEARCH may see a newer store than the original — results
+    * are point-in-time, not versioned; pin `loadAt` semantics by
+    * batch-id only where queries and admissions share one stream clock.
+    */
+  def hnswSearchStream(queries: DataFrame, stateDir: String,
+                       outDir: String, checkpointDir: String,
+                       k: Int, efSearch: Int = 64): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswStore.load(spark, stateDir)
+        graft.operators.Hnsw
+          .batchNeighbors(store.segments, batch, k, efSearch)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
   /** Continuous distribution-drift alerts — q125's PSI made streaming:
     * tumbling windows of a numeric column's binned histogram, each CLOSED
     * window scored against a static baseline histogram, windows over

@@ -63,6 +63,48 @@ class CodegenSpec extends SparkSpec {
       val nfc = deco.select(TextFunctions.nfcNormalize(col("c")))
         .as[String].collect().toSet
       assert(nfc === Set("café", "ascii only"))
+      // NearestCells — at k=400, the size that broke the struct-literal
+      // form (64 KB method limit): must COMPILE, not fall back
+      val bigIdx = graft.operators.IVF.Index(
+        Array.tabulate(400, 8)((i, d) => math.sin(i * 8 + d)))
+      val cells = emb.select(col("id"), graft.functions.GraftFunctions
+          .nearest_cells(array_repeat(col("v")(0), 8)
+            .cast("array<double>"), bigIdx.centroids, 5).as("cs"))
+        .collect().map(_.getSeq[Int](1))
+      assert(cells.forall(_.length === 5))
+    }
+  }
+
+  test("nearest_cells is bitwise the struct-literal argmin/sort form at " +
+       "every (k, nProbe) shape, ties included") {
+    import graft.operators.IVF
+    // crafted ties: centroids 2 and 5 identical -> equal scores, lower
+    // cid must order first (the lexicographic struct contract)
+    val cents = Array.tabulate(8, 4)((i, d) =>
+      if (i == 5) math.cos(2 * 4 + d) else math.cos(i * 4 + d))
+    val idx = IVF.Index(cents)
+    val vecs = (1 to 200).map { r =>
+      (r.toLong, (0 until 4).map(d =>
+        math.sin(r * 17 + d * 3) * 2.0).toArray)
+    }
+    val df = vecs.toDF("id", "v").repartition(3)
+    for (nProbe <- Seq(1, 3, 8, 12)) {
+      val native = df.select(col("id"),
+          GraftFunctions.nearest_cells(col("v"), idx.centroids,
+            math.min(nProbe, idx.k)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val struct = df.select(col("id"),
+          IVF.structProbeExpr(col("v"), idx, nProbe).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(native === struct, s"nProbe=$nProbe")
+    }
+    // the driver-side kernel agrees with probeIds' argmin on every vector
+    vecs.take(20).foreach { case (_, v) =>
+      val a = IVF.probeIds(idx, v, 1).head
+      assert(graft.functions.CentroidOps.nearest(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        idx.centroids, idx.centroids.map(_.map(x => x * x).sum), 1)
+        .toIntArray().head === a)
     }
   }
 

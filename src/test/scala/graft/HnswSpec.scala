@@ -285,6 +285,37 @@ class HnswSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("batchNeighbors: a one-probe batch reproduces neighbors() value " +
+       "for value; a multi-probe batch clears brute-force recall per " +
+       "probe; ranks are dense") {
+    val rows = corpus(500)
+    val emb = rows.toDF("vec_id", "embedding")
+    val store = Hnsw.build(emb, shards = 4)
+    val q = rows.head._2.map(_.toDouble * 0.9 + 0.01)
+    val single = Seq((9001L, q)).toDF("probe_id", "embedding")
+    val got = Hnsw.batchNeighbors(store, single, k = 10, efSearch = 48)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val want = Hnsw.neighbors(store, q.toArray, 10, efSearch = 48)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want,
+      "a batch of one must reproduce the single-query surface")
+    // multi-probe: recall@10 >= 0.9 against brute force, dense ranks
+    val probeRows = rows.take(5)
+    val probes = probeRows.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("probe_id", "embedding")
+    val res = Hnsw.batchNeighbors(store, probes, k = 10, efSearch = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    probeRows.foreach { case (pid, v) =>
+      val mine = res.filter(_._1 == pid)
+      assert(mine.map(_._3).toSeq.sorted === (1 to 10), s"probe $pid ranks")
+      val brute = bruteTop(rows, v.map(_.toDouble).toArray, 10).toSet
+      val recall = mine.map(_._2).count(brute) / 10.0
+      assert(recall >= 0.9, s"probe $pid recall $recall")
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("defaultShards: the latency arm governs small corpora, the memory " +
        "arm governs 100TB-shaped ones; both round up") {
     // latency arm: 200k nodes / 65536 cap -> 4 shards (tiny memory)

@@ -760,6 +760,52 @@ class StreamingSpec extends SparkSpec {
       .select("vec_id").as[Long].head() === 11L)
   }
 
+  test("hnswSearchStream: streamed batch serving equals batchNeighbors " +
+       "on the same store, per batch; results are ranked and k-complete") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Hnsw, HnswStore}
+    val stateDir = tmpDir("graft-hserve-state")
+    val outDir = s"${tmpDir("graft-hserve-out")}/rows"
+    val ckpt = tmpDir("graft-hserve-ckpt")
+    val emb = graft.sources.Tables.table(spark, sf0001, "embeddings")
+    HnswStore.build(spark, emb.filter(col("vec_id") >= 10), stateDir,
+      shards = 3)
+    val probes = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = probes.splitAt(5)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.hnswSearchStream(
+      stream.toDF().toDF("probe_id", "embedding"), stateDir, outDir, ckpt,
+      k = 5, efSearch = 32)
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("probe_id", "vec_id", "cos", "rank")
+      .collect().map(key).toSet
+    val store = HnswStore.load(spark, stateDir)
+    val want = Hnsw.batchNeighbors(store.segments,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        k = 5, efSearch = 32)
+      .collect().map(key).toSet
+    CacheRegistry.releaseAll()
+    assert(streamed === want,
+      "streamed serving must equal the batch search on the same store")
+    // k-complete and rank-dense per probe
+    val perProbe = streamed.groupBy(_._1)
+    assert(perProbe.size === 10)
+    perProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_._4).toSeq.sorted === (1 to 5),
+        s"probe $pid must carry dense ranks 1..5")
+    }
+  }
+
   test("embeddingAdmissionStream over an ANN store: every admitted epoch " +
        "materializes codes, and the stored-codes query answers post-stream") {
     implicit val ctx = spark.sqlContext

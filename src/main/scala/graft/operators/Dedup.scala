@@ -599,7 +599,10 @@ object Dedup {
                        m: Int = 8, efConstruction: Int = 64,
                        efSearch: Int = 64,
                        nProbe: Int = Hnsw.DefaultNearDupNProbe,
-                       ivfIters: Int = 5): DataFrame = {
+                       ivfIters: Int = 5,
+                       route: String = "auto"): DataFrame = {
+    require(Set("auto", "routed", "exhaustive")(route),
+      s"route=$route must be auto, routed, or exhaustive")
     val spark = emb.sparkSession
     import spark.implicits._
     val e = graft.CacheRegistry.persist(
@@ -621,14 +624,41 @@ object Dedup {
       s"ragged embedding dims [$dmin, $dmax] — embeddings must share one " +
         "dimension")
     val cells = if (shards > 0) shards else Hnsw.defaultShards(n, dmax, m)
-    // sampled training — the at-scale k-means discipline (centroid
-    // quality saturates at ~100 points/centroid); the full corpus still
-    // assigns + probes against the trained index, only the Lloyd passes
-    // are bounded
-    val index = IVF.train(e, cells, ivfIters,
-      maxTrainRows = 100L * cells)
-    Hnsw.nearDupPairsRouted(Hnsw.buildGeo(e, index, m, efConstruction),
-      index, threshold, nProbe, efSearch)
+    // the routing-recall guard (ADVICE r12): below the measured envelope
+    // floor AND with real pruning (cells > nProbe), geometry routing
+    // would silently lose recall on a weakly clustered corpus — auto
+    // refuses and takes the exhaustive fan-out instead, loudly; callers
+    // who have audited their corpus's envelope opt back in with
+    // route = "routed"
+    val wantRouted = route match {
+      case "routed"     => true
+      case "exhaustive" => false
+      case _ =>
+        val safe = threshold >= Hnsw.RoutedRecallFloor || cells <= nProbe
+        if (!safe) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hnswNearDupPairs: threshold=$threshold is below the routed " +
+            s"recall envelope floor ${Hnsw.RoutedRecallFloor} with real " +
+            s"cell pruning (cells=$cells > nProbe=$nProbe) — falling " +
+            "back to the exhaustive shard fan-out (n*shards rows). Pass " +
+            "route=\"routed\" to accept the measured recall decay " +
+            "(BASELINE's routing-envelope table), or raise nProbe.")
+        safe
+    }
+    if (wantRouted) {
+      // sampled training — the at-scale k-means discipline (centroid
+      // quality saturates at ~100 points/centroid); the full corpus still
+      // assigns + probes against the trained index, only the Lloyd passes
+      // are bounded
+      val index = IVF.train(e, cells, ivfIters,
+        maxTrainRows = 100L * cells)
+      Hnsw.nearDupPairsRouted(Hnsw.buildGeo(e, index, m, efConstruction),
+        index, threshold, nProbe, efSearch)
+    } else
+      // id-hash shards for the exhaustive fan-out: no index to train, and
+      // hashing balances shard populations where cell sharding would
+      // inherit the corpus's cluster skew
+      Hnsw.nearDupPairs(Hnsw.build(e, cells, m, efConstruction),
+        threshold, efSearch)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
@@ -654,12 +684,12 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, quality: DataFrame, qualityCol: String,
                     threshold: Double, shards: Int = 0, m: Int = 8,
-                    efConstruction: Int = 64, efSearch: Int = 64)
-                    : DataFrame =
+                    efConstruction: Int = 64, efSearch: Int = 64,
+                    route: String = "auto"): DataFrame =
     clusterRepresentatives(
       connectedComponents(
         hnswNearDupPairs(emb, threshold, shards, m, efConstruction,
-          efSearch)),
+          efSearch, route = route)),
       quality, qualityCol)
 
   /** Default SimHash token hash: seeded xxhash64 — the fast scale path. */

@@ -370,9 +370,9 @@ object Hnsw {
       index.k, m, efConstruction)
   }
 
-  /** Shared build tail: one hash shuffle on `shard`, one sequential
-    * graph build per shard inside its task. `rows` = (shard, vec_id,
-    * vec).
+  /** Shared build tail: one hash shuffle on `shard` with an
+    * in-partition sort, one sequential graph build per shard streamed
+    * through [[buildStream]]. `rows` = (shard, vec_id, vec).
     */
   private def buildShards(rows: DataFrame, numParts: Int, m: Int,
                           efConstruction: Int): DataFrame = {
@@ -380,21 +380,41 @@ object Hnsw {
     import spark.implicits._
     rows.as[(Long, Long, Seq[Double])]
       .repartition(numParts, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
-          case (shard, rows0) =>
-            val rows = rows0.sortBy(_._2)
-            requireUniqueIds(rows.map(_._2), shard)
-            val ids = rows.map(_._2).toArray
-            val vecs = rows.map(_._3.toArray).toArray
-            val g = buildGraph(ids, vecs, m, efConstruction)
-            ids.indices.iterator.map { i =>
-              (shard, ids(i), rows(i)._3, g.levels(i),
-                g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
-            }
-        }
-      }
+      .sortWithinPartitions(col("shard"), col("vec_id"))
+      .mapPartitions(it => buildStream(it, m, efConstruction))
       .toDF("shard", "vec_id", "vec", "level", "nbrs")
+  }
+
+  /** The lazy one-pass BUILD task body — [[shardScan]]'s memory
+    * discipline applied to the build path (the search paths got it in
+    * round 12): rows arrive sorted by (shard, vec_id); ONE shard's rows
+    * are materialized (bounded by the shard sizing policy), its graph is
+    * built and emitted, and both are dropped before the next shard's
+    * rows are touched — a build task holds one shard at a time no matter
+    * how many shards hash into its partition, where the previous
+    * `it.toSeq.groupBy` held the whole partition (a small collision
+    * multiple of one shard) eagerly. Per-shard output is unchanged:
+    * insertion order is ascending vec_id exactly as before, so stores
+    * are bitwise identical (HnswSpec's determinism lines).
+    */
+  private[graft] def buildStream(rows0: Iterator[(Long, Long, Seq[Double])],
+                                 m: Int, efConstruction: Int)
+      : Iterator[Node] = {
+    val it = rows0.buffered
+    Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+      val shard = it.head._1
+      val rows =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double])]
+      while (it.hasNext && it.head._1 == shard) rows += it.next()
+      requireUniqueIds(rows.map(_._2).toSeq, shard)
+      val ids = rows.map(_._2).toArray
+      val vecs = rows.map(_._3.toArray).toArray
+      val g = buildGraph(ids, vecs, m, efConstruction)
+      ids.indices.iterator.map { i =>
+        (shard, ids(i), rows(i)._3, g.levels(i),
+          g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
+      }
+    }
   }
 
   /** Incremental admission: insert a fresh batch into an existing store
@@ -440,49 +460,114 @@ object Hnsw {
         s"$ShardCheckSample-row sample re-hash to a different shard — " +
         "fresh ids would land in isolated mini-graphs (pass the " +
         "build-time shard count)")
+    val freshRows = asProbes(fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("shard", shardCol(shards)))
+    admitShards(store, freshRows, shards, m, efConstruction)
+  }
+
+  /** [[add]] for a GEOMETRY-sharded store ([[buildGeo]]) — incremental
+    * admission on the 100 TB semantic-dedup default route, closing its
+    * last lifecycle asymmetry (the id-hash route has had warm admission
+    * since round 10; the geo route's documented answer was "rebuild"):
+    * fresh vectors are assigned to cells with the FROZEN index
+    * ([[IVF.assignExpr]] — the [[EmbeddingStore]] admission discipline:
+    * cells never move under appends, only a drift-triggered retrain
+    * replaces them), warm-inserted into each cell's standing graph
+    * exactly as [[add]] inserts per hash shard, and the full store
+    * re-emits. Cost: one shuffle of the batch + one pass over the
+    * store — per-cell work is batch-sized insertions into a warm graph,
+    * NOT a rebuild.
+    *
+    * Guards, both loud: the store must have been built with THIS index
+    * (driver-side [[ShardCheckSample]]-row sampled re-assign — the
+    * [[nearDupPairsRouted]] discipline; a wrong index would wire fresh
+    * vectors into cells their neighbors don't live in), and duplicate
+    * ids fail per cell inside the task exactly as at build time.
+    *
+    * Determinism contract — the q190 theorem transplanted: for MONOTONE
+    * arrivals (every fresh id above every stored id — append-only
+    * ingest) the result is BITWISE identical to
+    * `buildGeo(old ∪ fresh, index)`, because per-cell insertion order
+    * (ascending id) coincides; HnswSpec pins it. Interleaved ids stay
+    * deterministic for a given (store, batch) but legitimately differ
+    * from a from-scratch build, as with any HNSW insertion order.
+    */
+  def addGeo(store: DataFrame, fresh: DataFrame, index: IVF.Index,
+             m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    require(m >= 2 && efConstruction >= m,
+      s"bad params: m=$m efConstruction=$efConstruction")
+    requireGeoStore(store, index)
+    val freshRows = asProbes(fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("shard", IVF.assignExpr(col("vec"), index).cast("long")))
+    admitShards(store, freshRows, index.k, m, efConstruction)
+  }
+
+  /** Shared admission tail of [[add]]/[[addGeo]]: union the store with
+    * the batch (fresh rows tagged level = −1), one hash exchange on
+    * `shard` with an in-partition sort putting each shard's stored rows
+    * (id-ascending) before its fresh rows (id-ascending), then
+    * [[admitStream]]'s lazy per-shard warm insertion.
+    */
+  private def admitShards(store: DataFrame, freshRows: DataFrame,
+                          numParts: Int, m: Int,
+                          efConstruction: Int): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
-    val freshRows = fresh.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      .withColumn("shard", shardCol(shards))
-      .select(col("shard"), col("vec_id"), col("vec"), lit(-1).as("level"),
-        typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
     store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
         col("nbrs"))
       .unionByName(freshRows)
       .as[Node]
-      .repartition(shards, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
-          case (shard, rows0) =>
-            val (oldRows0, newRows0) = rows0.partition(_._4 >= 0)
-            val oldRows = oldRows0.sortBy(_._2)
-            val newRows = newRows0.sortBy(_._2)
-            requireUniqueIds(newRows.map(_._2), shard)
-            val oldIds = oldRows.map(_._2).toSet
-            newRows.foreach(r => require(!oldIds(r._2),
-              s"shard $shard: vec_id ${r._2} already in the store"))
-            val ids = (oldRows.map(_._2) ++ newRows.map(_._2)).toArray
-            val vecs = (oldRows.map(_._3.toArray) ++
-              newRows.map(_._3.toArray)).toArray
-            val g = new Graph(ids, vecs)
-            val local = ids.zipWithIndex.toMap
-            oldRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
-              g.levels(li) = level
-              g.adj(li) = nbrs.map(layer => scala.collection.mutable
-                .ArrayBuffer(layer.map(local): _*)).toArray
-            }
-            g.entry =
-              if (oldRows.isEmpty) -1
-              else oldRows.indices.minBy(i => (-g.levels(i), ids(i)))
-            insertNodes(g, oldRows.size, m, efConstruction)
-            ids.indices.iterator.map { i =>
-              (shard, ids(i), g.vecs(i).toSeq, g.levels(i),
-                g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
-            }
-        }
-      }
+      .repartition(numParts, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        (col("level") < 0).cast("int"), col("vec_id"))
+      .mapPartitions(it => admitStream(it, m, efConstruction))
       .toDF("shard", "vec_id", "vec", "level", "nbrs")
+  }
+
+  /** The lazy one-pass ADMISSION task body — [[buildStream]]'s contract
+    * for the warm-insertion path: rows arrive sorted by (shard, role,
+    * vec_id) with a shard's STORED rows (level ≥ 0) before its fresh
+    * rows (level = −1); one shard's graph is reconstructed, the fresh
+    * batch is inserted (Algorithm 1 continued — existing neighbor lists
+    * update bidirectionally exactly as at build time), the full shard
+    * re-emits, and everything is dropped before the next shard's rows
+    * are touched.
+    */
+  private[graft] def admitStream(rows0: Iterator[Node], m: Int,
+                                 efConstruction: Int): Iterator[Node] = {
+    val it = rows0.buffered
+    Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+      val shard = it.head._1
+      val oldRows = scala.collection.mutable.ArrayBuffer.empty[Node]
+      while (it.hasNext && it.head._1 == shard && it.head._4 >= 0)
+        oldRows += it.next()
+      val newRows = scala.collection.mutable.ArrayBuffer.empty[Node]
+      while (it.hasNext && it.head._1 == shard) newRows += it.next()
+      requireUniqueIds(newRows.map(_._2).toSeq, shard)
+      val oldIds = oldRows.map(_._2).toSet
+      newRows.foreach(r => require(!oldIds(r._2),
+        s"shard $shard: vec_id ${r._2} already in the store"))
+      val ids = (oldRows.map(_._2) ++ newRows.map(_._2)).toArray
+      val vecs = (oldRows.map(_._3.toArray) ++
+        newRows.map(_._3.toArray)).toArray
+      val g = new Graph(ids, vecs)
+      val local = ids.zipWithIndex.toMap
+      oldRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
+        g.levels(li) = level
+        g.adj(li) = nbrs.map(layer => scala.collection.mutable
+          .ArrayBuffer(layer.map(local): _*)).toArray
+      }
+      g.entry =
+        if (oldRows.isEmpty) -1
+        else oldRows.indices.minBy(i => (-g.levels(i), ids(i)))
+      insertNodes(g, oldRows.size, m, efConstruction)
+      ids.indices.iterator.map { i =>
+        (shard, ids(i), g.vecs(i).toSeq, g.levels(i),
+          g.adj(i).toSeq.map(_.toSeq.map(ids(_)).sorted))
+      }
+    }
   }
 
   /** Approximate cosine top-k: fan the query out to every shard graph,
@@ -570,12 +655,28 @@ object Hnsw {
     if (nShards == 0L)
       return spark.emptyDataset[(Long, Long, Double, Int)]
         .toDF("probe_id", "vec_id", "cos", "rank")
+    val pr0 = probes.select(col("probe_id").as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    requireCleanProbes(pr0,
+      st.select(size(col("vec"))).head().getInt(0))
     val numParts = math.max(parallelism, math.min(nShards, 4096L).toInt)
-    val pr = asProbes(probes
-      .select(col("probe_id").as("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      .crossJoin(broadcast(shardIds)))
-    val cands = st.unionByName(pr)
+    val pr = asProbes(pr0.crossJoin(broadcast(shardIds)))
+    rankTopK(batchScan(st.unionByName(pr), numParts, efSearch), k)
+  }
+
+  /** Candidate scan shared by [[batchNeighbors]] and the geo store's
+    * routed batch search ([[HnswGeoStore.batchNeighbors]]): `tagged` =
+    * store rows ∪ probe rows (each probe already carrying the shard it
+    * must search), one hash exchange + in-partition sort, [[shardScan]]'s
+    * lazy one-graph-at-a-time pass, exact cosine re-score, 1e-6
+    * rounding. Out: (probe_id, vec_id, cos) candidates — ≤ efSearch per
+    * (probe, shard) pair.
+    */
+  private[operators] def batchScan(tagged: DataFrame, numParts: Int,
+                                   efSearch: Int): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
       .repartition(numParts, col("shard"))
       .sortWithinPartitions(col("shard"),
         (col("level") < 0).cast("int"), col("vec_id"))
@@ -591,12 +692,17 @@ object Hnsw {
       }
       .toDF("probe_id", "vec_id", "cos")
       .select(col("probe_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** The per-probe top-k cut over [[batchScan]] candidates: rank 1..k by
+    * (cos desc, vec_id tiebreak) under one probe-keyed window.
+    */
+  private[operators] def rankTopK(cands: DataFrame, k: Int): DataFrame =
     cands
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rank") <= k)
-  }
 
   /** The streaming task body shared by [[nearDupPairs]] and
     * [[nearDupPairsRouted]]: rows arrive SORTED by (shard, role,
@@ -639,7 +745,7 @@ object Hnsw {
     * iterator, stream that shard's probes one at a time through `f`,
     * drop the graph, move to the next shard.
     */
-  private def shardScan[T](rows0: Iterator[Node])(
+  private[operators] def shardScan[T](rows0: Iterator[Node])(
       f: (Graph, Long, Array[Double], Double) => Iterator[T]): Iterator[T] = {
     val it = rows0.buffered
     Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
@@ -674,7 +780,7 @@ object Hnsw {
   /** Exact cosine of probe (q, nq) against stored node `li` — the block
     * route's arithmetic: sequential-order dot, norm-product divide.
     */
-  private def exactCos(g: Graph, q: Array[Double], nq: Double,
+  private[operators] def exactCos(g: Graph, q: Array[Double], nq: Double,
                        li: Int): Double = {
     val v = g.vecs(li)
     var dot = 0.0
@@ -693,7 +799,7 @@ object Hnsw {
     * (both directions compute bitwise-identical cosines: commutative
     * products, same accumulation order).
     */
-  private def pairScan(tagged: DataFrame, numParts: Int, threshold: Double,
+  private[operators] def pairScan(tagged: DataFrame, numParts: Int, threshold: Double,
                        efSearch: Int): DataFrame = {
     val spark = tagged.sparkSession
     import spark.implicits._
@@ -710,9 +816,33 @@ object Hnsw {
       .distinct()
   }
 
-  private def asProbes(df: DataFrame): DataFrame =
+  private[operators] def asProbes(df: DataFrame): DataFrame =
     df.select(col("shard"), col("vec_id"), col("vec"),
       lit(-1).as("level"), typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
+
+  /** Loud null/raggedness guard on a probe frame — the [[Dedup]]
+    * admission-side discipline mirrored onto the SERVING paths: a null
+    * probe embedding NPEs at `pv.toArray` inside a task, and a wrong-dim
+    * probe fails deep in the dot loop — for a continuous serving stream
+    * one poison probe would kill its whole micro-batch with an opaque
+    * executor error. One batch-sized aggregate before the probes ever
+    * meet a graph, naming the actual problem.
+    */
+  private[operators] def requireCleanProbes(pr: DataFrame,
+                                            storeDim: Int): Unit = {
+    val s = pr.agg(
+      sum(when(col("vec").isNull, 1L).otherwise(0L)).as("nulls"),
+      min(size(col("vec"))).as("dmin"),
+      max(size(col("vec"))).as("dmax")).head()
+    if (!s.isNullAt(0)) { // empty probe batch: nothing to check
+      require(s.getLong(0) == 0L,
+        s"${s.getLong(0)} null probe embeddings — drop or impute before " +
+          "searching")
+      require(s.getInt(1) == storeDim && s.getInt(2) == storeDim,
+        s"probe embedding dims [${s.getInt(1)}, ${s.getInt(2)}] do not " +
+          s"match the store's dim $storeDim")
+    }
+  }
 
   /** Corpus-wide embedding near-duplicate pairs by EXHAUSTIVE shard
     * fan-out over a standing graph index: every stored vector is
@@ -779,6 +909,18 @@ object Hnsw {
     */
   val DefaultNearDupNProbe = 8
 
+  /** The measured lower edge of [[nearDupPairsRouted]]'s recall envelope
+    * (BASELINE's routing-envelope table: recall ≥ 0.999 for pair cosines
+    * ≥ 0.98 at 50× cell pruning, ~0.90 by pair cosine 0.82, decaying
+    * further below): under this pair-cosine threshold, geometry routing
+    * on a weakly clustered corpus loses recall BY CONSTRUCTION — the
+    * information-free-partitioning wall, not a bug — and there is no
+    * runtime signal. [[Dedup.hnswNearDupPairs]]'s auto route therefore
+    * refuses to route silently below it when cells > nProbe would make
+    * the pruning real.
+    */
+  val RoutedRecallFloor = 0.9
+
   /** Corpus-wide embedding near-duplicate pairs through a
     * GEOMETRY-SHARDED graph index ([[buildGeo]]) — the 100 TB
     * semantic-dedup default: each vector probes only its
@@ -822,6 +964,77 @@ object Hnsw {
     require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
       s"bad params: nProbe=$nProbe efSearch=$efSearch " +
         s"parallelism=$parallelism")
+    requireGeoStore(store, index)
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs")))
+    val numParts = math.max(parallelism, math.min(index.k, 4096))
+    val probes = asProbes(st.select(col("vec_id"), col("vec"))
+      .withColumn("__cell", explode(IVF.probeExpr(col("vec"), index, nProbe)))
+      .withColumn("shard", col("__cell").cast("long")))
+    pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+  }
+
+  /** Cross-corpus near-duplicate pairs through the geometry-routed
+    * index — the CONTAMINATION route for corpus-sized eval sets. The
+    * exact [[Similarity.crossNearDups]] broadcasts its eval side (q67's
+    * shape — right when eval is audit-sized, impossible when eval is
+    * itself a corpus); here the TRAIN corpus stands as a [[buildGeo]]
+    * index and each EVAL vector probes only its min(nProbe, k) nearest
+    * cells ([[IVF.probeExpr]] explode — never a shard cross-join), so
+    * shuffle volume is n_eval·nProbe probe rows and the train side never
+    * replicates: both sides scale to corpus size.
+    *
+    * Output: canonical (i < j, cos) pairs at cos ≥ threshold with the
+    * exact re-score (precision 1.0 by construction); recall follows the
+    * routing envelope ([[RoutedRecallFloor]] — at nProbe ≥ k routing is
+    * exhaustive by construction, the small-index case q195 oracles
+    * bitwise). Id namespaces MUST be disjoint — a shared id would
+    * silently self-exclude from the pair scan, so it is checked loudly
+    * (one key-only equi-join, the only extra exchange).
+    */
+  def crossNearDupsRouted(store: DataFrame, index: IVF.Index,
+                          probes: DataFrame, threshold: Double,
+                          nProbe: Int = DefaultNearDupNProbe,
+                          efSearch: Int = 64,
+                          parallelism: Int = 32): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
+      s"bad params: nProbe=$nProbe efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    requireGeoStore(store, index)
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs")))
+    val dim = st.select(size(col("vec"))).take(1)
+    if (dim.isEmpty) return emptyPairs(store.sparkSession)
+    val pr0 = graft.CacheRegistry.persist(
+      probes.select(col("probe_id").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec")))
+    requireCleanProbes(pr0, dim.head.getInt(0))
+    val shared = st.select(col("vec_id"))
+      .join(pr0.select(col("vec_id")), Seq("vec_id")).limit(1).count()
+    require(shared == 0L,
+      "store and probe id namespaces overlap — a shared id would " +
+        "silently self-exclude from the pair scan; re-key one side")
+    val prs = asProbes(pr0
+      .withColumn("__cell",
+        explode(IVF.probeExpr(col("vec"), index, nProbe)))
+      .withColumn("shard", col("__cell").cast("long")))
+    val numParts = math.max(parallelism, math.min(index.k, 4096))
+    pairScan(st.unionByName(prs), numParts, threshold, efSearch)
+  }
+
+  /** Driver-side sampled guard that `store` is a [[buildGeo]] output for
+    * THIS `index` — a [[ShardCheckSample]]-row re-assign check ([[add]]'s
+    * shard-guard discipline: a wrong modulus/index moves nearly every
+    * row, so a bounded sample catches it without a second store pass).
+    * Shared by [[nearDupPairsRouted]], [[addGeo]], and the segmented
+    * [[HnswGeoStore]].
+    */
+  private[operators] def requireGeoStore(store: DataFrame,
+                                         index: IVF.Index): Unit = {
     val badSample = store.select(col("shard"), col("vec"))
       .limit(ShardCheckSample)
       .filter(IVF.assignExpr(col("vec"), index).cast("long") =!=
@@ -832,14 +1045,6 @@ object Hnsw {
         s"$ShardCheckSample-row sample re-assign to a different cell — " +
         "probes would be routed to cells their duplicates don't live in " +
         "(pass the buildGeo-time index)")
-    val st = graft.CacheRegistry.persist(
-      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
-        col("nbrs")))
-    val numParts = math.max(parallelism, math.min(index.k, 4096))
-    val probes = asProbes(st.select(col("vec_id"), col("vec"))
-      .withColumn("__cell", explode(IVF.probeExpr(col("vec"), index, nProbe)))
-      .withColumn("shard", col("__cell").cast("long")))
-    pairScan(st.unionByName(probes), numParts, threshold, efSearch)
   }
 
   private def emptyPairs(spark: org.apache.spark.sql.SparkSession)

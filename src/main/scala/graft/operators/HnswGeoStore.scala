@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, SEGMENTED, GEOMETRY-ROUTED HNSW store — [[HnswStore]]'s
+  * epoch/commit-marker discipline applied to the [[Hnsw.buildGeo]]
+  * route, completing the 100 TB semantic-dedup default's lifecycle
+  * (build, admit continuously, compact, retrain on drift, serve).
+  *
+  * Layout under `path/`: `segments/epoch=N` (graph rows, shard ids
+  * strided into the epoch's cell range), `commits/epoch=N` (marker,
+  * written LAST — readers prune unmarked epochs, the [[DedupState]]
+  * crash-invisibility discipline), `index/epoch=B` and `drift/epoch=B`
+  * for each BASE epoch B (the [[IVF]] index the base's cells were
+  * assigned with, and the [[IVF.cellStats]] snapshot taken when that
+  * index was TRAINED — the drift baseline follows retrains, never
+  * compactions, or growth would silently re-baseline itself).
+  *
+  * Why segments, restated for the geo route: [[Hnsw.addGeo]] mutates
+  * every touched cell, so folding a micro-batch into a 100 TB standing
+  * graph would rewrite the store every epoch. Instead each admitted
+  * batch becomes its OWN per-cell mini-graph family (cells assigned by
+  * the FROZEN index — the [[EmbeddingStore]] admission discipline), a
+  * probe routes to its nProbe nearest cells ACROSS every live epoch
+  * (epochs × nProbe shard targets — bounded, never a fan-out over the
+  * corpus), and a periodic COMPACTION folds the delta epochs into the
+  * base by WARM insertion: [[Hnsw.addGeo]] is the compaction kernel, so
+  * compaction costs one pass over the base plus delta-sized insertions
+  * into warm graphs — not a from-scratch rebuild. Only a drift-triggered
+  * RETRAIN ([[retrainIfDrifted]]) rebuilds, because retraining moves the
+  * cells themselves.
+  *
+  * Versus [[HnswStore]] (id-hash segments): searches there fan out to
+  * every shard of every segment — exhaustive, recall-safe at any
+  * threshold, O(S) per probe; here a probe touches epochs·nProbe cell
+  * graphs — LINEAR routing with [[Hnsw.nearDupPairsRouted]]'s measured
+  * recall envelope (lossless for near-identical pairs, decaying at low
+  * pair cosines on weakly clustered corpora —
+  * [[Hnsw.RoutedRecallFloor]]). Pick by the same rule as the scan
+  * routes.
+  */
+object HnswGeoStore {
+
+  /** A loaded view as of `epoch`: the unioned committed segment rows in
+    * [base, epoch], the base's frozen index, and the epoch range the
+    * routing surfaces probe across.
+    */
+  case class Store(path: String, segments: DataFrame, epoch: Long,
+                   baseEpoch: Long, index: IVF.Index) {
+    /** Live epochs a probe must route across (one per committed batch
+      * since the base — appends allocate them consecutively).
+      */
+    def epochs: Seq[Long] = baseEpoch to epoch
+  }
+
+  /** Cell-in-epoch striding: epoch e, cell c → shard e·Stride + c —
+    * [[HnswStore.ShardStride]]'s globally-unique-shard contract with the
+    * cell id recoverable as `shard % CellStride` (what the routed
+    * surfaces key on).
+    */
+  val CellStride: Long = HnswStore.ShardStride.toLong
+
+  private def commitEpoch(spark: SparkSession, path: String, epoch: Long,
+                          isBase: Boolean): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  private def writeSegment(path: String, rows: DataFrame,
+                           epoch: Long): Unit =
+    rows.withColumn("shard", col("shard") + lit(epoch * CellStride))
+      .write.mode("overwrite").parquet(s"$path/segments/epoch=$epoch")
+
+  /** Build the store: epoch 0 is a base segment ([[Hnsw.buildGeo]] over
+    * the whole corpus), `index` is frozen beside it, and the
+    * [[IVF.cellStats]] snapshot taken here becomes the drift baseline.
+    * An empty corpus is a legal seed (the streaming sink's cold start);
+    * the index must still be trained — on a sample of the expected
+    * distribution — because cells are the routing geometry.
+    */
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+            index: IVF.Index, m: Int = 8,
+            efConstruction: Int = 64): Store = {
+    require(index.k < CellStride,
+      s"index.k=${index.k} must sit under the cell stride $CellStride")
+    val f = HnswStore.fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(p)) f.delete(p, true)
+    val corpus = graft.CacheRegistry.persist(
+      emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")))
+    writeSegment(path, Hnsw.buildGeo(corpus, index, m, efConstruction), 0L)
+    IVF.save(spark, index, s"$path/index/epoch=0")
+    IVF.cellStats(corpus, index)
+      .write.mode("overwrite").parquet(s"$path/drift/epoch=0")
+    commitEpoch(spark, path, 0L, isBase = true)
+    load(spark, path)
+  }
+
+  /** Load the latest committed epoch. */
+  def load(spark: SparkSession, path: String): Store =
+    loadAt(spark, path,
+      HnswStore.committedEpochs(spark, path).keys.max)
+
+  /** Load AS OF a committed epoch — segments in [latest base ≤ epoch,
+    * epoch] plus THAT base's index; deterministic re-reads for
+    * at-least-once replay (the streaming sink pins its pre-state with
+    * this).
+    */
+  def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
+    val commits = HnswStore.committedEpochs(spark, path)
+    require(commits.contains(epoch),
+      s"epoch $epoch is not committed at $path " +
+        s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
+    val base = commits.collect { case (e, true) if e <= epoch => e }.max
+    Store(path,
+      spark.read.parquet(s"$path/segments")
+        .filter(col("epoch") >= base && col("epoch") <= epoch)
+        .drop("epoch"),
+      epoch, base, IVF.load(spark, s"$path/index/epoch=$base"))
+  }
+
+  /** Driver-side sampled guard that the strided segment rows were
+    * assigned with the store's index ([[Hnsw.requireGeoStore]] adapted
+    * to strided shard ids: cell = shard % stride).
+    */
+  private def requireStridedGeo(st: DataFrame, index: IVF.Index): Unit = {
+    val bad = st.select(col("shard"), col("vec"))
+      .limit(Hnsw.ShardCheckSample)
+      .filter(IVF.assignExpr(col("vec"), index).cast("long") =!=
+        pmod(col("shard"), lit(CellStride)))
+      .count()
+    require(bad == 0L,
+      s"store segments were not assigned with this index: $bad of a " +
+        s"${Hnsw.ShardCheckSample}-row sample re-assign to a different " +
+        "cell — load the store's own index (loadAt pairs each epoch " +
+        "range with the base index it was built under)")
+  }
+
+  /** Fold a fresh batch in as epoch `store.epoch + 1`:
+    *
+    *  - delta (default): [[Hnsw.buildGeo]] over JUST the batch on the
+    *    frozen index — per-cell mini-graphs, batch-sized write at any
+    *    corpus size;
+    *  - `asBase`: COMPACTION-WITH-ADMISSION through the warm-insertion
+    *    kernel — [[Hnsw.addGeo]] folds every delta epoch's vectors plus
+    *    the fresh batch into the standing BASE graph (one pass over the
+    *    base + delta-sized insertions; for monotone ids bitwise the
+    *    from-scratch rebuild, by addGeo's theorem), and the unchanged
+    *    index + drift baseline are carried forward to the new base so
+    *    `loadAt` stays self-contained and vacuum can reclaim the old
+    *    range.
+    *
+    * Caller contract: vec_ids disjoint from the store's (the admission
+    * filter upholds it); violations fail loudly at the next compaction's
+    * addGeo, not silently.
+    */
+  def append(spark: SparkSession, store: Store, fresh: DataFrame,
+             asBase: Boolean = false, m: Int = 8,
+             efConstruction: Int = 64): Store = {
+    val epoch = store.epoch + 1
+    require(epoch < Long.MaxValue / CellStride,
+      s"epoch $epoch out of the stride range")
+    val freshRows = fresh.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val rows =
+      if (asBase) {
+        val baseLo = store.baseEpoch * CellStride
+        val baseRows = store.segments
+          .filter(col("shard") >= baseLo &&
+            col("shard") < baseLo + CellStride)
+          .withColumn("shard", col("shard") - lit(baseLo))
+        val deltaVecs = store.segments
+          .filter(col("shard") >= baseLo + CellStride)
+          .select(col("vec_id"), col("vec").as("embedding"))
+          .unionByName(freshRows)
+        Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction)
+      } else Hnsw.buildGeo(freshRows, store.index, m, efConstruction)
+    writeSegment(store.path, rows, epoch)
+    if (asBase) {
+      IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
+      spark.read.parquet(s"${store.path}/drift/epoch=${store.baseEpoch}")
+        .write.mode("overwrite")
+        .parquet(s"${store.path}/drift/epoch=$epoch")
+    }
+    commitEpoch(spark, store.path, epoch, asBase)
+    loadAt(spark, store.path, epoch)
+  }
+
+  /** Collapse the live segment range into one base — [[append]]'s
+    * compaction arm with an empty batch.
+    */
+  def compact(spark: SparkSession, store: Store, m: Int = 8,
+              efConstruction: Int = 64): Store =
+    append(spark, store,
+      spark.range(0).select(col("id").as("vec_id"),
+        lit(null).cast("array<double>").as("embedding")),
+      asBase = true, m = m, efConstruction = efConstruction)
+
+  /** Delete segment/commit dirs strictly older than the latest base ≤
+    * `store.epoch`, and index/drift dirs of superseded bases — all fully
+    * contained in (or carried forward to) that base.
+    */
+  def vacuum(spark: SparkSession, store: Store): Unit = {
+    val commits = HnswStore.committedEpochs(spark, store.path)
+    val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
+    for (e <- commits.keys if e < base;
+         dir <- Seq("segments", "commits", "index", "drift")) {
+      val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
+
+  private def emptyServe(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, Int)]
+      .toDF("probe_id", "vec_id", "cos", "rank")
+  }
+
+  /** Routed single-query top-k: the query's `nProbe` nearest cells
+    * (driver-side [[IVF.probeIds]] — one vector, no job) across every
+    * live epoch, then [[Hnsw.neighbors]] over ONLY those cell graphs —
+    * epochs·nProbe shard tasks instead of [[HnswStore.neighbors]]'s
+    * full fan-out. `nProbe <= 0` takes the audited general-kNN default
+    * fraction ([[IVF.defaultNProbe]]); near-identical lookups can drop
+    * toward [[Hnsw.DefaultNearDupNProbe]] per the routing envelope.
+    */
+  def neighbors(store: Store, query: Array[Double], k: Int,
+                efSearch: Int = 48, nProbe: Int = 0): DataFrame = {
+    val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
+    val cells = IVF.probeIds(store.index, query, np)
+    val targets = for (e <- store.epochs; c <- cells)
+      yield e * CellStride + c
+    Hnsw.neighbors(
+      store.segments.filter(
+        col("shard").isin(targets.map(java.lang.Long.valueOf): _*)),
+      query, k, efSearch)
+  }
+
+  /** Routed batch serving — [[Hnsw.batchNeighbors]] with the probe
+    * fan-out bounded by geometry instead of shard count: each probe
+    * explodes to its `nProbe` nearest cells ([[IVF.probeExpr]], a
+    * per-row explode) × the live epochs (a broadcast of at most a few
+    * dozen rows between compactions), so shuffle volume is
+    * |batch|·nProbe·epochs probe rows — independent of how many cells
+    * the corpus needs. Same output contract: (probe_id, vec_id, cos,
+    * rank), rank 1..k, 1e-6-rounded, zero-norm probes dropped; null or
+    * wrong-dim probes fail loudly before the scan.
+    */
+  def batchNeighbors(store: Store, probes: DataFrame, k: Int,
+                     efSearch: Int = 64, nProbe: Int = 0,
+                     parallelism: Int = 32): DataFrame = {
+    require(k >= 1 && efSearch >= k && parallelism >= 1,
+      s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val spark = store.segments.sparkSession
+    import spark.implicits._
+    val st = graft.CacheRegistry.persist(
+      store.segments.select(col("shard"), col("vec_id"), col("vec"),
+        col("level"), col("nbrs")))
+    val dim = st.select(size(col("vec"))).take(1)
+    if (dim.isEmpty) return emptyServe(spark)
+    val pr0 = probes.select(col("probe_id").as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
+    val epochsDf = store.epochs.toDF("epoch")
+    val pr = Hnsw.asProbes(pr0
+      .withColumn("cell",
+        explode(IVF.probeExpr(col("vec"), store.index, np)))
+      .crossJoin(broadcast(epochsDf))
+      .withColumn("shard",
+        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+    val numParts = math.max(parallelism,
+      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+    Hnsw.rankTopK(
+      Hnsw.batchScan(st.unionByName(pr), numParts, efSearch), k)
+  }
+
+  /** Corpus-wide near-dup pairs over the STANDING segmented geo store —
+    * [[Hnsw.nearDupPairsRouted]]'s linear scan shape (every stored
+    * vector probes its nProbe nearest cells) extended across the live
+    * epochs: n·nProbe·epochs shuffled probe rows, graph rows never
+    * replicated, one cell graph per task at a time. Same recall
+    * envelope, same (i < j, cos) output. Run post-[[compact]] when
+    * possible — epochs is the extra fan-out multiplier.
+    */
+  def nearDupPairs(store: Store, threshold: Double,
+                   nProbe: Int = Hnsw.DefaultNearDupNProbe,
+                   efSearch: Int = 64, parallelism: Int = 32): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    val spark = store.segments.sparkSession
+    import spark.implicits._
+    val st = graft.CacheRegistry.persist(
+      store.segments.select(col("shard"), col("vec_id"), col("vec"),
+        col("level"), col("nbrs")))
+    requireStridedGeo(st, store.index)
+    val epochsDf = store.epochs.toDF("epoch")
+    val probes = Hnsw.asProbes(st.select(col("vec_id"), col("vec"))
+      .withColumn("cell",
+        explode(IVF.probeExpr(col("vec"), store.index, nProbe)))
+      .crossJoin(broadcast(epochsDf))
+      .withColumn("shard",
+        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+    val numParts = math.max(parallelism,
+      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+    Hnsw.pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+  }
+
+  /** Admission filter — [[HnswStore.incrementalAdmit]]'s contract
+    * through the ROUTED batch search, with one structural upgrade: the
+    * probe set is a distributed frame end to end (never a driver-side
+    * closure literal), so there is NO batch-size cap here — the id-hash
+    * store's `MaxAdmitBatchRows` wall does not exist on this route. A
+    * batch vector is dropped when the routed search finds a stored
+    * neighbor at cosine ≥ `threshold` (the store's own — approximate,
+    * envelope-bounded — search semantics), when its vec_id is already
+    * stored, or when an exact within-batch near-dup with a smaller id
+    * exists. Returns kept rows of `fresh` unchanged.
+    */
+  def incrementalAdmit(store: Store, fresh: DataFrame, threshold: Double,
+                       efSearch: Int = 64, nProbe: Int = 0): DataFrame = {
+    val f = graft.CacheRegistry.persist(
+      fresh.join(store.segments.select(col("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    val vsStore = batchNeighbors(store,
+        f.select(col("vec_id").as("probe_id"), col("embedding")),
+        k = 1, efSearch = efSearch, nProbe = nProbe)
+      .filter(col("cos") >= threshold)
+      .select(col("probe_id").as("vec_id"))
+    val vsBatch = Similarity.cosineNearDups(f, threshold)
+      .select(greatest(col("i"), col("j")).as("vec_id")).distinct()
+    f.join(vsStore.unionByName(vsBatch).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** One admission step: filter, fold survivors in as the next segment
+    * (or compacted base), return (kept, new store) — what the streaming
+    * sink ([[graft.streaming.StreamingEvents.hnswGeoAdmissionStream]])
+    * replays per micro-batch.
+    */
+  def admit(spark: SparkSession, store: Store, fresh: DataFrame,
+            threshold: Double, asBase: Boolean = false)
+      : (DataFrame, Store) = {
+    val kept = graft.CacheRegistry.persist(
+      incrementalAdmit(store, fresh, threshold))
+    (kept, append(spark, store,
+      kept.select(col("vec_id"), col("embedding")), asBase))
+  }
+
+  /** One [[retrainIfDrifted]] decision, reported honestly: the drift
+    * ratio is current corpus-wide mean d² to its own centroid over the
+    * TRAIN-TIME baseline's ([[IVF.cellStats]] both times — rising mass
+    * off the trained geometry is exactly what that measurement exists
+    * for, q148's operator wired into the lifecycle).
+    */
+  case class DriftReport(retrained: Boolean, baselineMeanD2: Double,
+                         currentMeanD2: Double, ratio: Double,
+                         epoch: Long)
+
+  /** Drift-triggered retrain — the when-to-retrain measurement
+    * ([[IVF.cellStats]] vs the baseline snapshotted when the standing
+    * index was trained) wired to the retrain → rebuild → re-validate
+    * act, closing the loop that was previously "a measurement and a doc
+    * note". If current mean d² exceeds `driftFactor` × baseline: a fresh
+    * index is trained on a deterministic sample of the CURRENT corpus
+    * ([[IVF.train]]'s at-scale discipline), the corpus is rebuilt as a
+    * new BASE epoch under it — a retrain moves the cells themselves, so
+    * this is the one lifecycle event where a from-scratch
+    * [[Hnsw.buildGeo]] is the honest cost — the rebuilt rows are
+    * validated with the sampled re-assign guard BEFORE the commit marker
+    * lands, and the new [[IVF.cellStats]] snapshot becomes the next
+    * baseline. Otherwise the store is returned untouched. Either way the
+    * [[DriftReport]] carries the measured ratio.
+    */
+  def retrainIfDrifted(spark: SparkSession, store: Store,
+                       driftFactor: Double = 2.0, iters: Int = 5,
+                       maxTrainRows: Long = 0L, k: Int = 0, m: Int = 8,
+                       efConstruction: Int = 64): (Store, DriftReport) = {
+    require(driftFactor > 0.0, s"driftFactor=$driftFactor must be > 0")
+    def meanD2(stats: DataFrame): Option[Double] =
+      stats.agg((sum(col("inertia")) /
+          sum(col("n").cast("double"))).as("m"))
+        .take(1).headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
+    val corpus = graft.CacheRegistry.persist(
+      store.segments.select(col("vec_id"), col("vec").as("embedding")))
+    val baseline = meanD2(spark.read
+      .parquet(s"${store.path}/drift/epoch=${store.baseEpoch}"))
+    val current = meanD2(IVF.cellStats(corpus, store.index))
+    val ratio = (baseline, current) match {
+      case (Some(b), Some(c)) if b > 0.0 => c / b
+      case _ => 1.0 // empty baseline/corpus: nothing measurable drifted
+    }
+    if (ratio <= driftFactor)
+      (store, DriftReport(retrained = false, baseline.getOrElse(0.0),
+        current.getOrElse(0.0), ratio, store.epoch))
+    else {
+      val kk = if (k > 0) k else store.index.k
+      val cap = if (maxTrainRows > 0L) maxTrainRows else 100L * kk
+      val fresh = IVF.train(corpus, kk, iters, maxTrainRows = cap)
+      val epoch = store.epoch + 1
+      require(epoch < Long.MaxValue / CellStride && kk < CellStride,
+        s"epoch=$epoch k=$kk out of the stride range")
+      val rows = graft.CacheRegistry.persist(
+        Hnsw.buildGeo(corpus, fresh, m, efConstruction))
+      // validate BEFORE the marker lands: a mis-assigned rebuild must
+      // stay invisible to readers
+      Hnsw.requireGeoStore(rows, fresh)
+      writeSegment(store.path, rows, epoch)
+      IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch")
+      IVF.cellStats(corpus, fresh)
+        .write.mode("overwrite").parquet(s"${store.path}/drift/epoch=$epoch")
+      commitEpoch(spark, store.path, epoch, isBase = true)
+      (loadAt(spark, store.path, epoch),
+        DriftReport(retrained = true, baseline.getOrElse(0.0),
+          current.getOrElse(0.0), ratio, epoch))
+    }
+  }
+}

@@ -43,11 +43,11 @@ object HnswStore {
     */
   val ShardStride: Int = 1 << 16
 
-  private def fs(spark: SparkSession, path: String) =
+  private[operators] def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def committedEpochs(spark: SparkSession,
+  private[operators] def committedEpochs(spark: SparkSession,
                               path: String): Map[Long, Boolean] =
     spark.read.parquet(s"$path/commits")
       .select(col("epoch").cast("long"), col("is_base"))

@@ -189,6 +189,13 @@ object IVF {
     */
   def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42,
             maxTrainRows: Long = 0L): Index = {
+    // a sample cap below k is always caller error — without this check it
+    // would surface as "need at least k vectors to train", blaming the
+    // DATA when only the cap is too small
+    require(maxTrainRows <= 0L || maxTrainRows >= k.toLong,
+      s"maxTrainRows=$maxTrainRows < k=$k: the training sample cannot " +
+        "hold one row per centroid — raise maxTrainRows (or pass <= 0 " +
+        "to train on the full input)")
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val sampled =

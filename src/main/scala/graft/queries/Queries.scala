@@ -4733,7 +4733,68 @@ object Queries {
           k = 10, efSearch = 48)
       },
       None,
-      dynamicOracle = Some(hnswBatchServeOracleSql))
+      dynamicOracle = Some(hnswBatchServeOracleSql)),
+
+    // ── Q194: geo-store admission lifecycle ([[graft.operators.Hnsw.addGeo]])
+    //          — q190's admission theorem transplanted to the 100 TB
+    //          semantic-dedup default route: the index is trained ONCE on
+    //          the full distribution (the frozen-geometry discipline),
+    //          the store is built on vec_ids < 250 and GROWS by warm
+    //          per-cell insertion of the rest (monotone arrivals), and
+    //          the routed near-dup scan runs over the admitted store.
+    //          The oracle is q191's EXACT all-pairs SQL UNCHANGED — the
+    //          strongest claim available: by addGeo's monotone-id
+    //          bitwise-rebuild theorem (HnswSpec) the admitted store IS
+    //          the from-scratch buildGeo store, so the routed scan must
+    //          reproduce the exact route bitwise, exactly as q191's
+    //          does. Same deliberate recall-1.0 brittleness, same
+    //          tolerant backstops (HnswSpec's planted-twin lines). ───────
+    QueryDef("q194_hnsw_addgeo_neardup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = graft.operators.IVF.train(emb, 4, 5,
+          maxTrainRows = 400L)
+        val store = graft.operators.Hnsw.addGeo(
+          graft.operators.Hnsw.buildGeo(
+            emb.filter(col("vec_id") < 250), index),
+          emb.filter(col("vec_id") >= 250), index)
+        graft.operators.Hnsw.nearDupPairsRouted(store, index, 0.35,
+          nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q195: routed cross-corpus contamination
+    //          ([[graft.operators.Hnsw.crossNearDupsRouted]]) — q67's
+    //          train×eval audit rebuilt for corpus-sized EVAL sets: the
+    //          exact route broadcasts the eval side (impossible once eval
+    //          is itself a corpus); here the train corpus stands as a
+    //          geo index and each eval vector probes only its nProbe
+    //          nearest cells — n_eval·nProbe shuffled rows, train never
+    //          replicates. The oracle is q67's exact cross-join SQL
+    //          UNCHANGED (cells = 4 ≤ nProbe = 8 → routing is exhaustive
+    //          by construction, the q191 discipline). ─────────────────────
+    QueryDef("q195_routed_contamination",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val train = emb.filter(col("vec_id") < 400)
+        val index = graft.operators.IVF.train(train, 4, 5,
+          maxTrainRows = 400L)
+        graft.operators.Hnsw.crossNearDupsRouted(
+          graft.operators.Hnsw.buildGeo(train, index), index,
+          emb.filter(col("vec_id") >= 400)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          threshold = 0.35, nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a, e b
+             |WHERE a.vec_id < 400 AND b.vec_id >= 400
+             |  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same

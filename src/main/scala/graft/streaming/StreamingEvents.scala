@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.functions.TextFunctions
-import graft.operators.{Anonymize, DedupState, EmbeddingStore, HnswStore, Mape, MetricFamily}
+import graft.operators.{Anonymize, DedupState, EmbeddingStore, HnswGeoStore, HnswStore, Mape, MetricFamily}
 
 /** Structured Streaming surface (SURVEY.md §2.8/§7.6 — no reference
   * counterpart; the reference's only cross-run state, the uid→pseudonym
@@ -504,6 +504,50 @@ object StreamingEvents {
         // reclaim segments superseded by the PREVIOUS base only — a
         // replay of this batch must still find its source range
         if (asBase) HnswStore.vacuum(spark, store)
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
+  /** Continuous GEO-ROUTED graph-index admission —
+    * [[hnswAdmissionStream]]'s counterpart for
+    * [[graft.operators.HnswGeoStore]] (the 100 TB semantic-dedup default
+    * route): each micro-batch is filtered by the store's ROUTED batch
+    * search (probes explode to their nProbe nearest cells across the
+    * live epochs — never a full segment fan-out, and never a driver-side
+    * batch literal: the id-hash sink's `MaxAdmitBatchRows` wall does not
+    * exist here), survivors land in `outDir/batch_id=N` AND become their
+    * own per-cell delta segment as epoch `b+1` — batch-sized writes at
+    * any corpus size. Every `compactEvery`-th batch folds the delta
+    * epochs into the base by WARM insertion ([[graft.operators.Hnsw.addGeo]]
+    * is the compaction kernel — one pass over the base, delta-sized
+    * insertions, not a rebuild) and vacuums the superseded range. Same
+    * at-least-once replay contract as the other admission sinks:
+    * `loadAt(batchId)` pins the pre-state, epoch writes are idempotent
+    * behind commit markers. Caller seeds with
+    * [[graft.operators.HnswGeoStore.build]] (epoch 0; empty corpus works
+    * — the index, trained on a sample of the expected distribution, IS
+    * the routing geometry and stays frozen until
+    * [[graft.operators.HnswGeoStore.retrainIfDrifted]] replaces it
+    * between runs).
+    */
+  def hnswGeoAdmissionStream(stream: DataFrame, stateDir: String,
+                             outDir: String, checkpointDir: String,
+                             threshold: Double,
+                             compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswGeoStore.loadAt(spark, stateDir, batchId)
+        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        val (kept, _) =
+          HnswGeoStore.admit(spark, store, batch, threshold, asBase)
+        kept.write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        // reclaim segments superseded by the PREVIOUS base only — a
+        // replay of this batch must still find its source range
+        if (asBase) HnswGeoStore.vacuum(spark, store)
         graft.CacheRegistry.releaseAll()
       }
       .start()

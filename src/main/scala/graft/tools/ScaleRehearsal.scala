@@ -80,9 +80,9 @@ object ScaleRehearsal {
     val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
     suites.foreach(s =>
       require(Set("corpus", "jw", "tpch", "hnsw", "exactsubstr",
-          "neardup", "gen")(s),
+          "neardup", "geostore", "gen")(s),
         s"unknown suite '$s' " +
-          "(corpus|jw|tpch|hnsw|exactsubstr|neardup|gen)"))
+          "(corpus|jw|tpch|hnsw|exactsubstr|neardup|geostore|gen)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -102,6 +102,8 @@ object ScaleRehearsal {
     if (suites.contains("exactsubstr"))
       exactSubstrSuite(spark, srcDir, base, factor)
     if (suites.contains("neardup")) neardupSuite(spark, srcDir, base, factor)
+    if (suites.contains("geostore"))
+      geoStoreSuite(spark, srcDir, base, factor)
     // corpus generation only — lets other harnesses (StreamingBench's
     // scale-seeded run) reuse the upscaled tables without re-running a
     // measurement suite
@@ -403,6 +405,123 @@ object ScaleRehearsal {
       println(s"REHEARSAL x$factor neardup_exhaustive SKIPPED: would " +
         s"shuffle ${n * cells} probe rows (vs routed ${n * nProbe}) — " +
         "the quadratic shape this suite exists to retire")
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+
+  /** Geo-store LIFECYCLE at scale — the ×10/×100 evidence for the
+    * round-13 claims: (a) delta admission cost is BATCH-sized, flat as
+    * the standing store grows (each append is a buildGeo over just the
+    * batch — it never touches the store; the filtered `admit` adds one
+    * pass over the store, timed separately); (b) compaction by WARM
+    * insertion ([[graft.operators.Hnsw.addGeo]]) folds the deltas into
+    * the base cheaper than the from-scratch rebuild it replaces (both
+    * timed, same corpus, same index); (c) the compacted standing store
+    * still routes planted twins at the ≥ 0.999 envelope; (d) the drift
+    * check's negative arm — in-distribution growth measures a cellStats
+    * ratio ~1 and does NOT retrain. Seed = the low-id 3/5 of the replica
+    * blocks, deltas arrive as monotone batches (append-only ingest — the
+    * addGeo-theorem regime a real ingest pipeline sits in).
+    */
+  private def geoStoreSuite(spark: SparkSession, srcDir: String,
+                            base: String, factor: Int): Unit = {
+    import graft.operators.{Hnsw, HnswGeoStore, IVF}
+    val t = time(factor) _
+    val emb = ensureTwinEmbeddings(spark, srcDir, base, factor)
+    val n = emb.count()
+    val cells = 4 * factor
+    val nProbe = Hnsw.DefaultNearDupNProbe
+    val threshold = 0.98
+    val blk = 10000000L
+    val seedReps = math.max(1, factor * 3 / 5)
+    println(s"REHEARSAL x$factor geostore: $n vectors, $cells cells, " +
+      s"seed=$seedReps/$factor replica blocks, nProbe=$nProbe")
+    var index: IVF.Index = null
+    t("geostore_ivf_train") {
+      index = IVF.train(emb, cells, iters = 5, maxTrainRows = 100L * cells)
+      cells.toLong
+    }
+    val dir = s"$base/geo-lifecycle-store"
+    var store: HnswGeoStore.Store = null
+    t("geostore_seed_build") {
+      store = HnswGeoStore.build(spark,
+        emb.filter(col("vec_id") < seedReps * blk), dir, index)
+      store.segments.count()
+    }
+    // first delta goes through the FULL filtered admission (routed store
+    // search + within-batch exact + id anti-join) — the streaming sink's
+    // per-batch shape, distributed end to end
+    val restReps = seedReps until factor
+    val firstRep = restReps.head
+    t("geostore_admit_filtered") {
+      val batch = emb.filter(col("vec_id") >= firstRep * blk &&
+        col("vec_id") < (firstRep + 1) * blk)
+      val (kept, s2) = HnswGeoStore.admit(spark, store, batch, threshold)
+      store = s2
+      graft.CacheRegistry.releaseAll()
+      kept.count()
+    }
+    // remaining deltas append raw (pre-filtered upstream) — the flat
+    // batch-cost claim, one line per batch
+    restReps.drop(1).grouped(math.max(1, (restReps.size - 1 + 2) / 3))
+      .zipWithIndex.foreach { case (reps, i) =>
+        t(s"geostore_append_$i") {
+          val batch = emb.filter(col("vec_id") >= reps.head * blk &&
+            col("vec_id") < (reps.last + 1) * blk)
+          store = HnswGeoStore.append(spark, store, batch)
+          batch.count()
+        }
+      }
+    println(s"REHEARSAL x$factor geostore epochs=${store.epochs.size} " +
+      s"rows=${store.segments.count()}")
+    t("geostore_compact_warm") {
+      store = HnswGeoStore.compact(spark, store)
+      require(store.baseEpoch == store.epoch, "compaction must land a base")
+      store.segments.count()
+    }
+    // the counterfactual the warm kernel replaces: from-scratch buildGeo
+    // over the same corpus + index, to the same noop sink
+    t("geostore_rebuild_counterfactual") {
+      run(Hnsw.buildGeo(
+        emb.filter(col("vec_id") >= seedReps * blk ||
+          col("vec_id") < seedReps * blk), index))
+    }
+    // dropped twins (threshold 0.98 admission drops each twin of an
+    // admitted-epoch original!) — recall is asserted on pairs where BOTH
+    // endpoints survived admission, i.e. the seed blocks (unfiltered) +
+    // raw-append blocks; the filtered block's twins were deliberately
+    // dropped by the admission filter, which is its JOB
+    t("geostore_twin_recall_invariant") {
+      val pairs = HnswGeoStore.nearDupPairs(store, threshold, nProbe)
+      requireNoCartesian(pairs, "geostore_pairs")
+      val pairsPath = s"$base/geostore-pairs"
+      pairs.write.mode("overwrite").parquet(pairsPath)
+      graft.CacheRegistry.releaseAll()
+      val got = spark.read.parquet(pairsPath)
+      val inStore = store.segments.select(col("vec_id"))
+      val planted = emb.filter(col("vec_id") % blk < 5000000L)
+        .select(col("vec_id").as("i"), (col("vec_id") + 5000000L).as("j"))
+        .join(inStore.select(col("vec_id").as("i")), "i")
+        .join(inStore.select(col("vec_id").as("j")), "j")
+      val total = planted.count()
+      val found = planted.join(got, Seq("i", "j"), "left_semi").count()
+      println(s"REHEARSAL x$factor geostore_twin_recall $found/$total " +
+        f"(${found.toDouble / total}%.6f)")
+      require(found >= math.ceil(total * 0.999).toLong,
+        s"routed recall over the compacted store: $found/$total")
+      found
+    }
+    // the drift check's negative arm: same-distribution growth must NOT
+    // trigger a retrain, and the measured ratio is printed for BASELINE
+    t("geostore_drift_check") {
+      val (_, report) = HnswGeoStore.retrainIfDrifted(spark, store,
+        driftFactor = 2.0)
+      println(f"REHEARSAL x$factor geostore_drift ratio=${report.ratio}%.4f " +
+        s"retrained=${report.retrained}")
+      require(!report.retrained,
+        s"in-distribution growth retrained (ratio ${report.ratio})")
+      graft.CacheRegistry.releaseAll()
+      -1L
     }
     graft.CacheRegistry.releaseAll()
   }

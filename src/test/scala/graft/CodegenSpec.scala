@@ -15,10 +15,22 @@ import graft.operators.Anonymize
 class CodegenSpec extends SparkSpec {
   import spark.implicits._
 
+  /** CODEGEN_ONLY covers the expression-projection factory; the
+    * whole-stage path has its OWN silent fallback (a janino failure
+    * drops the stage to the non-codegen operators and logs), so
+    * `spark.sql.codegen.fallback=false` is set too — with both, any
+    * compile failure anywhere in the plan fails the test instead of
+    * passing on interpreted results (ADVICE r12: the k=400 kernel
+    * assertion was exactly the regression this would have masked).
+    */
   private def withCodegenOnly[T](f: => T): T = {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try f
-    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
   }
 
   test("all custom kernels compile under CODEGEN_ONLY") {
@@ -72,6 +84,23 @@ class CodegenSpec extends SparkSpec {
             .cast("array<double>"), bigIdx.centroids, 5).as("cs"))
         .collect().map(_.getSeq[Int](1))
       assert(cells.forall(_.length === 5))
+      // NearestCells at the 1e9-vector deployment sizing (~16k cells,
+      // HnswSpec's defaultShards line): the kernel's generated source is
+      // constant-size in k (one loop over a reference-array matrix), so
+      // the compile must succeed at ANY k — asserted at k=16384 because
+      // "holds by construction" is exactly what the k≈400 janino episode
+      // disproved for the struct form. Compile time is bounded: the
+      // wall-clock is logged for BASELINE's note.
+      val hugeIdx = Array.tabulate(16384, 8)((i, d) => math.sin(i * 8L + d))
+      val t0 = System.nanoTime()
+      val cells16k = emb.select(graft.functions.GraftFunctions
+          .nearest_cells(array_repeat(col("v")(0), 8)
+            .cast("array<double>"), hugeIdx, 4).as("cs"))
+        .collect().map(_.getSeq[Int](0))
+      info(f"nearest_cells k=16384 CODEGEN_ONLY pass: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      assert(cells16k.forall(_.length === 4))
+      assert(cells16k.forall(_.forall(c => c >= 0 && c < 16384)))
     }
   }
 

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Hnsw, HnswGeoStore, IVF, Similarity}
+
+/** Segmented geometry-routed HNSW store: epoch/commit round-trips,
+  * compaction-by-warm-insertion's bitwise theorem, the routed admission
+  * filter's three drop arms, and the drift-triggered retrain lifecycle.
+  */
+class HnswGeoStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // same deterministic hash-mix corpus as HnswSpec
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] =
+    (1L to n.toLong).map { id =>
+      val v = (0 until 64).map { d =>
+        val h = (id * 1315423911L + d * 2654435761L) ^ (id >> 3)
+        ((h % 2001L).toFloat - 1000f) / 1000f
+      }
+      (id, v)
+    }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("build/append/loadAt round-trip: delta epochs are immediately " +
+       "routable, batch serving matches the single-query surface, and " +
+       "history reads stay pinned") {
+    val base = corpus(300)
+    val emb = base.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 6, iters = 3)
+    val dir = tmp("hnsw-geo-rt")
+    var store = HnswGeoStore.build(spark, emb, dir, index)
+    assert(store.epoch === 0L && store.baseEpoch === 0L)
+    val b1 = corpus(340).filter(_._1 > 300L)
+    store = HnswGeoStore.append(spark, store,
+      b1.toDF("vec_id", "embedding"))
+    assert(store.epoch === 1L && store.epochs === Seq(0L, 1L))
+    assert(store.segments.count() === 340L)
+    // routed self-query finds the vector admitted one epoch ago
+    val probe = b1.last
+    val got = HnswGeoStore.neighbors(store,
+        probe._2.map(_.toDouble).toArray, 1, efSearch = 16)
+      .select("vec_id").as[Long].head()
+    assert(got === probe._1, "self-query must return the admitted vector")
+    // a batch of one reproduces the single-query surface value for value
+    val q = probe._2.map(_.toDouble)
+    val single = Seq((9001L, q)).toDF("probe_id", "embedding")
+    val batchGot = HnswGeoStore.batchNeighbors(store, single, k = 5,
+        efSearch = 16)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val want = HnswGeoStore.neighbors(store, q.toArray, 5, efSearch = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batchGot === want)
+    // as-of read does not see the delta epoch
+    assert(HnswGeoStore.loadAt(spark, dir, 0L).segments.count() === 300L)
+    // poison probes fail loudly, not as executor NPEs
+    val bad = Seq((1L, null.asInstanceOf[Seq[Double]]))
+      .toDF("probe_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      HnswGeoStore.batchNeighbors(store, bad, k = 1, efSearch = 16)
+    }
+    assert(e.getMessage.contains("null probe embeddings"), e.getMessage)
+    CacheRegistry.releaseAll()
+  }
+
+  test("compaction folds delta epochs into the base by WARM insertion " +
+       "(addGeo as the kernel) — bitwise the from-scratch buildGeo for " +
+       "monotone ids; vacuum reclaims the superseded range") {
+    val all = corpus(400)
+    val a = all.filter(_._1 <= 300L)
+    val b = all.filter(id => id._1 > 300L && id._1 <= 360L)
+    val c = all.filter(_._1 > 360L)
+    // index frozen over the full distribution — the standing-geometry
+    // discipline (growth assigns against it, never moves it)
+    val index = IVF.train(all.toDF("vec_id", "embedding"), k = 6, iters = 3)
+    val dir = tmp("hnsw-geo-compact")
+    var store = HnswGeoStore.build(spark,
+      a.toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store, b.toDF("vec_id", "embedding"))
+    store = HnswGeoStore.append(spark, store, c.toDF("vec_id", "embedding"),
+      asBase = true)
+    assert(store.baseEpoch === 2L && store.epochs === Seq(2L))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val unstrided = store.segments.withColumn("shard",
+      col("shard") - lit(2L * HnswGeoStore.CellStride))
+    assert(dump(unstrided) ===
+      dump(Hnsw.buildGeo(all.toDF("vec_id", "embedding"), index)),
+      "warm compaction must reproduce the from-scratch geo build")
+    // routed near-dups over the standing store: nProbe >= k is
+    // exhaustive-by-construction — equal to the fan-out on the same rows
+    assert(pairSet(HnswGeoStore.nearDupPairs(store, 0.3, nProbe = 8)) ===
+      pairSet(Hnsw.nearDupPairs(store.segments, 0.3)))
+    // vacuum reclaims everything before the new base; the store still answers
+    HnswGeoStore.vacuum(spark, store)
+    assert(!new java.io.File(s"$dir/segments/epoch=0").exists())
+    assert(!new java.io.File(s"$dir/index/epoch=0").exists())
+    val re = HnswGeoStore.load(spark, dir)
+    assert(re.segments.count() === 400L && re.baseEpoch === 2L)
+    assert(re.index.centroids.length === 6)
+    CacheRegistry.releaseAll()
+  }
+
+  test("incrementalAdmit drops store near-dups, re-sent ids, and " +
+       "within-batch dups — all through the ROUTED search, with no " +
+       "driver-side batch cap") {
+    val base = corpus(200)
+    val emb = base.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-admit")
+    val store = HnswGeoStore.build(spark, emb, dir, index)
+    val twinOf5 = base(4)._2.map(x => x * 1.0001f) // cos ~ 1 vs stored 5
+    val novel1 = (0 until 64).map(d => math.sin(d * 3.7).toFloat)
+    val batch = Seq(
+      (1000L, twinOf5),                    // near-dup of stored -> drop
+      (10L, novel1),                       // re-sent id -> drop
+      (1001L, novel1),                     // kept (smaller id of the pair)
+      (1002L, novel1.map(_ * 1.0001f)))    // in-batch dup of 1001 -> drop
+      .toDF("vec_id", "embedding")
+    val (kept, store2) = HnswGeoStore.admit(spark, store, batch, 0.9)
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(1001L))
+    assert(store2.epoch === 1L)
+    assert(store2.segments.select("vec_id").as[Long].collect().toSet ===
+      base.map(_._1).toSet + 1001L)
+    // replaying the same batch against the same pre-state is idempotent
+    val again = HnswGeoStore.incrementalAdmit(
+      HnswGeoStore.loadAt(spark, dir, 0L), batch, 0.9)
+    assert(again.select("vec_id").as[Long].collect().toSet === Set(1001L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("retrainIfDrifted: in-distribution growth does not retrain; an " +
+       "off-geometry corpus trips the cellStats ratio, retrains, " +
+       "advances the base, re-baselines, and the routed near-dup " +
+       "envelope holds on the rebuilt store") {
+    val a = corpus(200)
+    val emb = a.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 8, iters = 3)
+    val dir = tmp("hnsw-geo-drift")
+    var store = HnswGeoStore.build(spark, emb, dir, index)
+    // in-distribution growth: same generator, ratio stays ~1
+    val b = corpus(240).filter(_._1 > 200L)
+    store = HnswGeoStore.append(spark, store, b.toDF("vec_id", "embedding"))
+    val (s1, r1) = HnswGeoStore.retrainIfDrifted(spark, store,
+      driftFactor = 2.0)
+    assert(!r1.retrained && s1.epoch === store.epoch, s"ratio=${r1.ratio}")
+    assert(r1.ratio < 2.0 && r1.ratio > 0.0)
+    // off-geometry flood: every dim shifted +8 — far off every trained
+    // centroid, with planted jittered twins riding along
+    val shifted = corpus(600).filter(_._1 > 240L)
+      .map { case (id, v) => (id, v.map(_ + 8.0f)) }
+    val twins = shifted.take(50)
+      .map { case (id, v) => (id + 10000L, v.map(_ * 1.001f)) }
+    store = HnswGeoStore.append(spark, s1,
+      (shifted ++ twins).toDF("vec_id", "embedding"))
+    val (s2, r2) = HnswGeoStore.retrainIfDrifted(spark, store,
+      driftFactor = 2.0)
+    assert(r2.retrained, s"ratio=${r2.ratio} should trip driftFactor=2")
+    assert(r2.ratio > 2.0)
+    assert(s2.baseEpoch === s2.epoch && s2.baseEpoch > store.baseEpoch,
+      "retrain must land as a fresh base epoch")
+    assert(s2.index.centroids.length === 8)
+    // the rebuilt store routes the planted twins losslessly at 4x cell
+    // pruning — the recall-envelope restoration the retrain exists for
+    val got = pairSet(HnswGeoStore.nearDupPairs(s2, 0.98, nProbe = 2))
+      .map(p => (p._1, p._2))
+    val planted = shifted.take(50).map { case (id, _) => (id, id + 10000L) }
+      .toSet
+    val missed = planted -- got
+    assert(missed.isEmpty,
+      s"${missed.size}/${planted.size} planted twins missed post-retrain " +
+        s"(e.g. ${missed.take(3)})")
+    // the snapshot re-baselined: an immediate re-check does not retrain
+    val (_, r3) = HnswGeoStore.retrainIfDrifted(spark, s2, 2.0)
+    assert(!r3.retrained && math.abs(r3.ratio - 1.0) < 1e-9,
+      s"fresh baseline must measure ratio 1, got ${r3.ratio}")
+    CacheRegistry.releaseAll()
+  }
+}

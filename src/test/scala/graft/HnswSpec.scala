@@ -210,6 +210,80 @@ class HnswSpec extends SparkSpec {
       Set((1L, 2L), (11L, 12L)))
   }
 
+  test("addGeo: monotone-id admission into the geo store is BITWISE a " +
+       "from-scratch buildGeo; wrong index and duplicate ids fail loudly; " +
+       "admitted vectors route immediately") {
+    val all = corpus(400)
+    val (a, b) = all.partition(_._1 <= 300L)
+    val emb = all.toDF("vec_id", "embedding")
+    val index = graft.operators.IVF.train(emb, k = 6, iters = 3)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = Hnsw.buildGeo(emb, index)
+    val admitted = Hnsw.addGeo(
+      Hnsw.buildGeo(a.toDF("vec_id", "embedding"), index),
+      b.toDF("vec_id", "embedding"), index)
+    assert(dump(admitted) === dump(full),
+      "append-only geo admission must reproduce the from-scratch store")
+    // admitted vectors are immediately routable: the twin of a fresh
+    // vector added beside it is found by the routed pair scan
+    val pairs = Hnsw.nearDupPairsRouted(admitted, index, 0.3, nProbe = 8)
+    assert(pairSet(pairs) === pairSet(Hnsw.nearDupPairs(full, 0.3)),
+      "routed pairs over the admitted store must equal the rebuilt store's")
+    // wrong index fails the sampled re-assign guard driver-side
+    val other = graft.operators.IVF.train(emb, k = 5, iters = 2, seed = 9)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.addGeo(full, b.toDF("vec_id", "embedding"), other)
+    }
+    assert(e.getMessage.contains("was not built with this index"),
+      e.getMessage)
+    // duplicate ids fail loudly inside the admission task
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hnsw.addGeo(full, a.take(1).toDF("vec_id", "embedding"), index)
+        .count()
+    }
+    assert(ex.getMessage.contains("already in the store") ||
+      Option(ex.getCause).exists(_.getMessage.contains("already in the store")))
+  }
+
+  test("buildStream and admitStream are one-pass lazy scans: emitting a " +
+       "shard's rows consumes no rows of later shards (the one-shard-at-" +
+       "a-time memory contract, build side)") {
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 7 + d))
+    // build: 3 shards x 2 rows, pre-sorted by (shard, vec_id) exactly as
+    // buildShards delivers them
+    val buildRows = for (s <- 0L to 2L; i <- 1L to 2L)
+      yield (s, s * 10 + i, vec((s * 10 + i).toInt))
+    var consumed = 0
+    val counting = buildRows.iterator.map { r => consumed += 1; r }
+    val out = Hnsw.buildStream(counting, m = 4, efConstruction = 8)
+    val first = out.next()
+    assert(first._1 === 0L)
+    // shard 0's 2 rows + the BufferedIterator's 1-row boundary peek
+    assert(consumed <= 3,
+      s"buildStream consumed $consumed rows before emitting shard 0 — " +
+        "the build is materializing ahead instead of streaming")
+    assert(out.size === buildRows.size - 1)
+    assert(consumed === buildRows.size)
+    // admission: per shard, stored rows (level >= 0) then fresh (-1),
+    // the (shard, role, vec_id) order admitShards sorts into
+    val stored = Hnsw.buildStream(buildRows.iterator, 4, 8).toSeq
+    val freshRows = (0L to 2L).map(s => (s, s * 10 + 5,
+      vec((s * 10 + 5).toInt), -1, Seq.empty[Seq[Long]]))
+    val admitRows = (0L to 2L).flatMap(s =>
+      stored.filter(_._1 == s) ++ freshRows.filter(_._1 == s))
+    var consumed2 = 0
+    val counting2 = admitRows.iterator.map { r => consumed2 += 1; r }
+    val out2 = Hnsw.admitStream(counting2, 4, 8)
+    assert(out2.next()._1 === 0L)
+    // shard 0's 2 stored + 1 fresh + 1 peek
+    assert(consumed2 <= 4,
+      s"admitStream consumed $consumed2 rows before emitting shard 0")
+    assert(out2.size === admitRows.size - 1)
+    assert(consumed2 === admitRows.size)
+  }
+
   test("buildGeo: cell-sharded store is bitwise deterministic and " +
        "partitioning-invariant; every search surface reads it unchanged") {
     val rows = corpus(300)

@@ -760,6 +760,74 @@ class StreamingSpec extends SparkSpec {
       .select("vec_id").as[Long].head() === 11L)
   }
 
+  test("hnswGeoAdmissionStream: streamed geo-routed admission equals the " +
+       "batch-wise admit chain bitwise; delta epochs are batch-sized; " +
+       "compaction folds to one base by warm insertion") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geoadmit-state")
+    val chainDir = tmpDir("graft-geoadmit-chain")
+    val outDir = s"${tmpDir("graft-geoadmit-out")}/rows"
+    val ckpt = tmpDir("graft-geoadmit-ckpt")
+    def vecsDf(rows: (Long, Array[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val seed = vecsDf(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f))
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    val batch1 = Seq(
+      10L -> Array(0.98f, 0.1f, 0f, 0f), // routed-search dup of stored 1
+      11L -> Array(0f, 0f, 1f, 0f))      // novel
+    val batch2 = Seq(
+      20L -> Array(0f, 0f, 0f, 1f),      // novel
+      21L -> Array(0f, 0f, 0f, 0.99f))   // in-batch dup of 20
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.hnswGeoAdmissionStream(
+      stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+      threshold = 0.9, compactEvery = 2)
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(11L, 20L),
+      "routed dup and in-batch dup drop; novels admit")
+    // per-batch state cost is batch-sized: batch 0's delta epoch holds
+    // ONLY its own kept row, never a store rewrite
+    assert(spark.read.parquet(s"$stateDir/segments/epoch=1")
+      .select("vec_id").as[Long].collect().toSeq === Seq(11L))
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 2L && fin.baseEpoch === 2L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 20L))
+    // stream ≡ batch: the driver-side admit chain over the same batches
+    // produces the bitwise-identical final store
+    val chain = HnswGeoStore.build(spark, seed, chainDir, index)
+    val (k1, chain1) = HnswGeoStore.admit(spark, chain,
+      vecsDf(batch1: _*), 0.9)
+    val (k2, chain2) = HnswGeoStore.admit(spark, chain1,
+      vecsDf(batch2: _*), 0.9, asBase = true)
+    assert((k1.select("vec_id").as[Long].collect().toSet ++
+      k2.select("vec_id").as[Long].collect().toSet) === streamed)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(dump(chain2.segments) === dump(fin.segments),
+      "streamed store must equal the batch admit chain bitwise")
+    // as-of reads still answer after compaction (conservative vacuum)
+    assert(HnswGeoStore.loadAt(spark, stateDir, 0L).segments
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L))
+    // and the compacted store serves routed queries
+    assert(HnswGeoStore.neighbors(fin, Array(0.0, 0.0, 1.0, 0.0), 1,
+        efSearch = 8)
+      .select("vec_id").as[Long].head() === 11L)
+    CacheRegistry.releaseAll()
+  }
+
   test("hnswSearchStream: streamed batch serving equals batchNeighbors " +
        "on the same store, per batch; results are ranked and k-complete") {
     implicit val ctx = spark.sqlContext

@@ -246,7 +246,9 @@ object HnswGeoStore {
     * per-row explode) × the live epochs (a broadcast of at most a few
     * dozen rows between compactions), so shuffle volume is
     * |batch|·nProbe·epochs probe rows — independent of how many cells
-    * the corpus needs. Same output contract: (probe_id, vec_id, cos,
+    * the corpus needs — and the store-side pass is pruned to the PROBED
+    * cells by a broadcast semi-join, so a micro-batch's cost is probed
+    * cells, not corpus. Same output contract: (probe_id, vec_id, cos,
     * rank), rank 1..k, 1e-6-rounded, zero-norm probes dropped; null or
     * wrong-dim probes fail loudly before the scan.
     */
@@ -267,17 +269,27 @@ object HnswGeoStore {
       col("embedding").cast("array<double>").as("vec"))
     Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
-    val epochsDf = store.epochs.toDF("epoch")
+    // epochs is a driver-side handful — fan out as a literal-array
+    // explode (a Generate), never a join: between compactions the
+    // multiplier is a few dozen at most
     val pr = Hnsw.asProbes(pr0
       .withColumn("cell",
         explode(IVF.probeExpr(col("vec"), store.index, np)))
-      .crossJoin(broadcast(epochsDf))
+      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
       .withColumn("shard",
         col("epoch") * lit(CellStride) + col("cell").cast("long")))
+    // prune the store pass to the cells the batch actually probes — a
+    // broadcast SEMI-join on the strided shard id (equi-join, never a
+    // BNLJ): a micro-batch admission touches a handful of cells, so the
+    // graph-reconstruction pass shrinks from every cell to the probed
+    // ones; a corpus-sized serving batch saturates the set and the
+    // filter degenerates to a cheap broadcast membership no-op
+    val probedCells = pr.select(col("shard")).distinct()
+    val stProbed = st.join(broadcast(probedCells), Seq("shard"), "left_semi")
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     Hnsw.rankTopK(
-      Hnsw.batchScan(st.unionByName(pr), numParts, efSearch), k)
+      Hnsw.batchScan(stProbed.unionByName(pr), numParts, efSearch), k)
   }
 
   /** Corpus-wide near-dup pairs over the STANDING segmented geo store —
@@ -299,11 +311,10 @@ object HnswGeoStore {
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs")))
     requireStridedGeo(st, store.index)
-    val epochsDf = store.epochs.toDF("epoch")
     val probes = Hnsw.asProbes(st.select(col("vec_id"), col("vec"))
       .withColumn("cell",
         explode(IVF.probeExpr(col("vec"), store.index, nProbe)))
-      .crossJoin(broadcast(epochsDf))
+      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
       .withColumn("shard",
         col("epoch") * lit(CellStride) + col("cell").cast("long")))
     val numParts = math.max(parallelism,
@@ -321,9 +332,21 @@ object HnswGeoStore {
     * envelope-bounded — search semantics), when its vec_id is already
     * stored, or when an exact within-batch near-dup with a smaller id
     * exists. Returns kept rows of `fresh` unchanged.
+    *
+    * `nProbe` defaults to [[Hnsw.DefaultNearDupNProbe]] — the NEAR-DUP
+    * envelope's bounded fan-out, NOT [[IVF.defaultNProbe]]'s general-kNN
+    * fraction (0.75·k — which grows with the cell count and at a ×100
+    * store turned the batch fan-out into 75% of exhaustive: measured
+    * 225 s vs ~20 s for the same batch). Admission hunts near-identical
+    * neighbors (threshold ≥ ~0.9 in practice), exactly the regime the
+    * envelope routes losslessly; a LOW-threshold admission filter on a
+    * weakly clustered corpus under-drops within that envelope — raise
+    * nProbe there, the same trade every routed surface documents.
     */
   def incrementalAdmit(store: Store, fresh: DataFrame, threshold: Double,
-                       efSearch: Int = 64, nProbe: Int = 0): DataFrame = {
+                       efSearch: Int = 64,
+                       nProbe: Int = Hnsw.DefaultNearDupNProbe)
+      : DataFrame = {
     val f = graft.CacheRegistry.persist(
       fresh.join(store.segments.select(col("vec_id")),
         Seq("vec_id"), "left_anti"))

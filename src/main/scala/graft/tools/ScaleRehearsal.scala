@@ -480,11 +480,12 @@ object ScaleRehearsal {
       store.segments.count()
     }
     // the counterfactual the warm kernel replaces: from-scratch buildGeo
-    // over the same corpus + index, to the same noop sink
+    // over EXACTLY the corpus compaction folded (the store's own rows),
+    // same index, to the same noop sink
     t("geostore_rebuild_counterfactual") {
       run(Hnsw.buildGeo(
-        emb.filter(col("vec_id") >= seedReps * blk ||
-          col("vec_id") < seedReps * blk), index))
+        store.segments.select(col("vec_id"), col("vec").as("embedding")),
+        index))
     }
     // dropped twins (threshold 0.98 admission drops each twin of an
     // admitted-epoch original!) — recall is asserted on pairs where BOTH

@@ -49,8 +49,16 @@ class HnswGeoStoreSpec extends SparkSpec {
     // a batch of one reproduces the single-query surface value for value
     val q = probe._2.map(_.toDouble)
     val single = Seq((9001L, q)).toDF("probe_id", "embedding")
-    val batchGot = HnswGeoStore.batchNeighbors(store, single, k = 5,
-        efSearch = 16)
+    val served = HnswGeoStore.batchNeighbors(store, single, k = 5,
+      efSearch = 16)
+    // the epoch fan-out is a literal-array explode, never a join — a
+    // crossJoin(broadcast) here plans as BroadcastNestedLoopJoin and
+    // trips every cartesian tripwire in the repo
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"routed serving plan must not cross-join probes with epochs:\n$plan")
+    val batchGot = served
       .orderBy("rank").collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     val want = HnswGeoStore.neighbors(store, q.toArray, 5, efSearch = 16)

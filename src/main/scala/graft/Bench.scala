@@ -26,8 +26,11 @@ object Bench {
       // the biggest generated stage (q38's k×dim assignment). Any
       // production session serving a large query library wants this
       // raised; it is a static conf, so it must be set before the session
-      // exists.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // exists. Round 13 re-hit the wall at 2000 entries: the 194→196
+      // growth (three more IVF-training queries) evicted q38's stage
+      // again (reproducible 1.75 → ~4.0 s with a uniform ~15% drag on
+      // everything) — 6000 restores the measurement.
+      .config("spark.sql.codegen.cache.maxEntries", "6000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // q14 (label enum) and q16 (moving average) run global-order windows

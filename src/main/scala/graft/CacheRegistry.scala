@@ -40,7 +40,15 @@ object CacheRegistry {
       frames.clear()
       copy
     }
-    snapshot.forEach(df => { df.unpersist(false); () })
+    // BLOCKING unpersist: async removal (blocking = false) defers the
+    // block-manager work into whatever runs NEXT — measured in round 13
+    // as a reproducible ~2 s inflation of the first persist-heavy query
+    // following a store-lifecycle query in a shared session (q38 after
+    // q196: 4.1 s vs 2.2 s). A release point is a quiesce point by
+    // contract (the caller has consumed its results), so paying the
+    // removal HERE attributes the cost to its owner and hands the next
+    // query a clean block manager.
+    snapshot.forEach(df => { df.unpersist(true); () })
   }
 
   /** Number of tracked persisted frames (observability / tests). */

@@ -4794,7 +4794,41 @@ object Queries {
              |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
              |FROM e a, e b
              |WHERE a.vec_id < 400 AND b.vec_id >= 400
-             |  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
+             |  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q196: the PERSISTED geo-store lifecycle end-to-end
+    //          ([[graft.operators.HnswGeoStore]]) — q194 showed the
+    //          warm-insertion kernel; this drives the full STORE
+    //          discipline the streaming sink replays: build a base epoch
+    //          on the low third, append a monotone delta epoch, fold
+    //          both plus a second batch into a compacted base by warm
+    //          insertion, then run the routed near-dup scan over the
+    //          standing segments. By the addGeo theorem the compacted
+    //          base is bitwise the from-scratch buildGeo over the union,
+    //          so q191's exact all-pairs SQL remains the oracle — the
+    //          whole epoch/commit/stride/compaction machinery must be
+    //          value-invisible, and any striding or versioning slip
+    //          breaks the hash. ──────────────────────────────────────────
+    QueryDef("q196_geostore_lifecycle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = graft.operators.IVF.train(emb, 4, 5,
+          maxTrainRows = 400L)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q196"
+        val base = graft.operators.HnswGeoStore.build(s,
+          emb.filter(col("vec_id") < 200), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+        val compacted = graft.operators.HnswGeoStore.append(s, grown,
+          emb.filter(col("vec_id") >= 350), asBase = true)
+        graft.operators.HnswGeoStore.nearDupPairs(compacted, 0.35,
+          nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same

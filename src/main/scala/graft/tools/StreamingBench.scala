@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Sustained-throughput measurement for the heaviest streaming sinks
   * ([[graft.streaming.StreamingEvents.dedupAdmissionStream]],
-  * [[graft.streaming.StreamingEvents.embeddingAdmissionStream]] and
-  * [[graft.streaming.StreamingEvents.hnswAdmissionStream]]) —
+  * [[graft.streaming.StreamingEvents.embeddingAdmissionStream]],
+  * [[graft.streaming.StreamingEvents.hnswAdmissionStream]] and the
+  * geo-routed [[graft.streaming.StreamingEvents.hnswGeoAdmissionStream]]) —
   * StreamingSpec pins their SEMANTICS (stream = batch ×12+); this tool
   * measures their RATE, which no spec had ever done.
   *
@@ -173,6 +174,34 @@ object StreamingBench {
       val stream = MemoryStream[(Long, Array[Float])]
       drive("hnsw_admission", batches, stateDir, stream,
         () => graft.streaming.StreamingEvents.hnswAdmissionStream(
+          stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
+          threshold = 0.2, compactEvery = compactEvery))
+      graft.CacheRegistry.releaseAll()
+    }
+    // ── GEO-routed graph-index admission (segmented geo store) ──────────
+    {
+      val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val seedN = emb.size / 10
+      val (seed, rest) = emb.splitAt(seedN)
+      val stateDir = fresh("hnsw-geo-state")
+      val outDir = fresh("hnsw-geo-out")
+      val ckpt = fresh("hnsw-geo-ckpt")
+      // the frozen-geometry discipline: the index is trained once on the
+      // seed (a sample of the expected distribution) and every batch
+      // assigns against it; k = 8 matches the embedding section's cell
+      // count so the rates read side by side
+      val index = graft.operators.IVF.train(
+        seed.toDF("vec_id", "embedding"), k = 8, iters = 3)
+      graft.operators.HnswGeoStore.build(spark,
+        seed.toDF("vec_id", "embedding"), stateDir, index)
+      graft.CacheRegistry.releaseAll()
+      val batches = mkBatches(rest, "hnsw_geo_admission")
+      val stream = MemoryStream[(Long, Array[Float])]
+      drive("hnsw_geo_admission", batches, stateDir, stream,
+        () => graft.streaming.StreamingEvents.hnswGeoAdmissionStream(
           stream.toDF().toDF("vec_id", "embedding"), stateDir, outDir, ckpt,
           threshold = 0.2, compactEvery = compactEvery))
       graft.CacheRegistry.releaseAll()

@@ -56,6 +56,28 @@ object Bench {
     // (GC pause, host neighbor) without hiding real regressions — a
     // genuinely slow plan is slow on every pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // Per-query JVM-state diagnostics (SPARK_GRAFT_BENCH_DIAG=1): one
+    // stderr line per query with JIT code-cache / metaspace / class /
+    // GC readings. Exists to ATTRIBUTE full-session inflations (the
+    // round-13 IVF-family mystery): a query class that only slows down
+    // deep into a 196-query session is indistinguishable from a plan
+    // regression without the JVM counters next to the timing.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    def jvmDiag(name: String, sec: Double): Unit = if (diag) {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+      def mb(p: String): Long = pools.find(_.getName.contains(p))
+        .map(_.getUsage.getUsed / (1024 * 1024)).getOrElse(-1L)
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val classes = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      System.err.println(f"[diag] $name%-40s $sec%7.3f s " +
+        f"codeNonProf=${mb("non-profiled nmethods")}%4d MB " +
+        f"codeProf=${mb("profiled nmethods")}%4d MB " +
+        f"meta=${mb("Metaspace")}%5d MB classes=$classes%6d gc=${gcMs}%7d ms")
+    }
     // Local-iteration subset (regex over query names). The driver never
     // sets it, so the per-round artifact always measures everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
@@ -68,6 +90,7 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val t = (System.nanoTime() - t0) / 1e9
+          jvmDiag(name, t)
           timings(name) = timings.get(name).fold(t)(math.min(_, t))
           // a query is "errored" only if it NEVER succeeded: a transient
           // failure on one pass must not leave a contradictory report

@@ -642,6 +642,20 @@ object Dedup {
             "back to the exhaustive shard fan-out (n*shards rows). Pass " +
             "route=\"routed\" to accept the measured recall decay " +
             "(BASELINE's routing-envelope table), or raise nProbe.")
+        // the envelope is only measured LOSSLESS from pair cosine ~0.98
+        // up and already decaying at the floor — routing in the
+        // [floor, lossless) band is accepted (the decay is small) but
+        // must be VISIBLE, not silent (ADVICE r13)
+        else if (threshold < Hnsw.RoutedRecallLossless && cells > nProbe)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"hnswNearDupPairs: threshold=$threshold sits in the " +
+              s"decaying band of the routing envelope " +
+              s"[${Hnsw.RoutedRecallFloor}, " +
+              s"${Hnsw.RoutedRecallLossless}) with real cell pruning " +
+              s"(cells=$cells > nProbe=$nProbe) — routing anyway; a " +
+              "measurable recall loss on weakly clustered corpora is " +
+              "accepted (BASELINE's routing-envelope table). Raise " +
+              "nProbe or pass route=\"exhaustive\" to refuse it.")
         safe
     }
     if (wantRouted) {

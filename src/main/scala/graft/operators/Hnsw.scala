@@ -921,6 +921,16 @@ object Hnsw {
     */
   val RoutedRecallFloor = 0.9
 
+  /** The measured LOSSLESS edge of the routing envelope (recall ≥ 0.999
+    * for pair cosines ≥ 0.98 at 50× cell pruning). Between
+    * [[RoutedRecallFloor]] and this edge the envelope is already
+    * decaying — [[Dedup.hnswNearDupPairs]]'s auto route still routes
+    * there (the decay is small and the fan-out saving is the whole
+    * point), but WARNS so the accepted loss is visible instead of
+    * silent (ADVICE r13).
+    */
+  val RoutedRecallLossless = 0.98
+
   /** Corpus-wide embedding near-duplicate pairs through a
     * GEOMETRY-SHARDED graph index ([[buildGeo]]) — the 100 TB
     * semantic-dedup default: each vector probes only its
@@ -1047,7 +1057,7 @@ object Hnsw {
         "(pass the buildGeo-time index)")
   }
 
-  private def emptyPairs(spark: org.apache.spark.sql.SparkSession)
+  private[operators] def emptyPairs(spark: org.apache.spark.sql.SparkSession)
       : DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Long, Double)].toDF("i", "j", "cos")

@@ -61,6 +61,34 @@ object HnswGeoStore {
     */
   val CellStride: Long = HnswStore.ShardStride.toLong
 
+  /** Latest committed epoch at `path` — what a fresh writer (the
+    * streaming sink's first attempt at a batch) must pin its pre-state
+    * to, so epochs allocated OUT OF BAND (a [[retrainIfDrifted]] or
+    * [[compact]] between runs) shift the next allocation instead of
+    * being overwritten by it.
+    */
+  def latestEpoch(spark: SparkSession, path: String): Long =
+    HnswStore.committedEpochs(spark, path).keys.max
+
+  /** Fold per-epoch [[IVF.cellStats]] snapshots taken under ONE index
+    * into the corpus-wide frame a full recompute would produce. The
+    * algebra is mergeable (`n` by sum, `max_d2` by max), and `inertia`
+    * is folded in the snapshot's own 1e-6-quantized integer domain
+    * (each stored inertia is an exact multiple of 1e-6), so the fold
+    * reproduces the recompute EXACTLY — not a float re-association —
+    * which is what lets [[retrainIfDrifted]] price a drift check at
+    * epoch-count instead of a corpus scan.
+    */
+  private[operators] def foldStats(snaps: Seq[DataFrame]): DataFrame = {
+    val d2q = sum(round(col("inertia") * 1e6)).cast("double")
+    snaps.reduce(_ unionByName _)
+      .groupBy(col("cid"))
+      .agg(sum(col("n")).as("n"),
+        (d2q / 1e6).as("inertia"),
+        ((d2q / 1e6) / sum(col("n")).cast("double")).as("mean_d2"),
+        max(col("max_d2")).as("max_d2"))
+  }
+
   private def commitEpoch(spark: SparkSession, path: String, epoch: Long,
                           isBase: Boolean): Unit = {
     import spark.implicits._
@@ -93,8 +121,11 @@ object HnswGeoStore {
         col("embedding").cast("array<double>").as("embedding")))
     writeSegment(path, Hnsw.buildGeo(corpus, index, m, efConstruction), 0L)
     IVF.save(spark, index, s"$path/index/epoch=0")
-    IVF.cellStats(corpus, index)
-      .write.mode("overwrite").parquet(s"$path/drift/epoch=0")
+    // the train-time snapshot is both the drift BASELINE and epoch 0's
+    // incremental-stats leaf (the same frame, by definition)
+    val stats = graft.CacheRegistry.persist(IVF.cellStats(corpus, index))
+    stats.write.mode("overwrite").parquet(s"$path/drift/epoch=0")
+    stats.write.mode("overwrite").parquet(s"$path/stats/epoch=0")
     commitEpoch(spark, path, 0L, isBase = true)
     load(spark, path)
   }
@@ -153,18 +184,42 @@ object HnswGeoStore {
     *    `loadAt` stays self-contained and vacuum can reclaim the old
     *    range.
     *
-    * Caller contract: vec_ids disjoint from the store's (the admission
-    * filter upholds it); violations fail loudly at the next compaction's
-    * addGeo, not silently.
+    * Caller contract: vec_ids disjoint from the store's — and, unlike
+    * round 13, VERIFIED HERE by default: a one-probe broadcast semi-join
+    * (batch ids broadcast, store side column-pruned to `vec_id`, zero
+    * shuffle) fails the OFFENDING append instead of serving duplicate
+    * rows from every routed scan until the next compaction happens to
+    * run. Callers on the admission path ([[incrementalAdmit]] already
+    * left-anti-joins the batch against stored ids) pass
+    * `checkIds = false` to skip the redundant probe.
+    *
+    * Every epoch also writes its [[IVF.cellStats]] snapshot under
+    * `stats/epoch=N` — batch-sized for deltas, a fold of the live
+    * snapshots for compactions (the index is frozen, so the algebra
+    * merges) — which is what lets [[retrainIfDrifted]]'s drift CHECK
+    * cost epoch-count instead of a corpus scan.
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame,
              asBase: Boolean = false, m: Int = 8,
-             efConstruction: Int = 64): Store = {
+             efConstruction: Int = 64, checkIds: Boolean = true): Store = {
     val epoch = store.epoch + 1
     require(epoch < Long.MaxValue / CellStride,
       s"epoch $epoch out of the stride range")
-    val freshRows = fresh.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
+    val freshRows = graft.CacheRegistry.persist(
+      fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")))
+    if (checkIds) {
+      val dup = store.segments.select(col("vec_id"))
+        .join(broadcast(freshRows.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        "append batch shares vec_ids with the store — a duplicate id " +
+          "would serve duplicate rows from every routed scan and break " +
+          "the next compaction's addGeo; dedupe the batch (or route it " +
+          "through incrementalAdmit, which drops already-stored ids)")
+    }
+    val freshStats = IVF.cellStats(freshRows, store.index)
     val rows =
       if (asBase) {
         val baseLo = store.baseEpoch * CellStride
@@ -181,10 +236,42 @@ object HnswGeoStore {
     writeSegment(store.path, rows, epoch)
     if (asBase) {
       IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
-      spark.read.parquet(s"${store.path}/drift/epoch=${store.baseEpoch}")
+      // the compacted base's stats snapshot: fold the live epochs' leaves
+      // plus the fresh batch — epoch-count cost under the frozen index.
+      // Stores written before stats/ existed fall back to one pruned
+      // read-back of the segment just written (a compaction already paid
+      // a corpus pass, so the fallback stays honest).
+      val haveLeaves = store.epochs.forall { e =>
+        HnswStore.fs(spark, store.path).exists(
+          new org.apache.hadoop.fs.Path(s"${store.path}/stats/epoch=$e"))
+      }
+      val folded = graft.CacheRegistry.persist(
+        if (haveLeaves)
+          foldStats(store.epochs.map(e =>
+            spark.read.parquet(s"${store.path}/stats/epoch=$e")) :+ freshStats)
+        else IVF.cellStats(
+          spark.read.parquet(s"${store.path}/segments/epoch=$epoch")
+            .select(col("vec_id"), col("vec").as("embedding")),
+          store.index))
+      folded.write.mode("overwrite")
+        .parquet(s"${store.path}/stats/epoch=$epoch")
+      val carried =
+        spark.read.parquet(s"${store.path}/drift/epoch=${store.baseEpoch}")
+      val baselineUnmeasurable =
+        carried.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0) == 0L
+      // cold-start re-baseline (ADVICE r13): a store seeded on an empty
+      // corpus wrote an empty drift baseline — meanD2 is unmeasurable and
+      // retrainIfDrifted could never fire. The first non-empty compaction
+      // is the first moment the frozen index has a measurable corpus
+      // under it, so ITS snapshot becomes the baseline; a measurable
+      // baseline is carried forward unchanged (baselines follow retrains,
+      // never growth).
+      (if (baselineUnmeasurable) folded else carried)
         .write.mode("overwrite")
         .parquet(s"${store.path}/drift/epoch=$epoch")
-    }
+    } else
+      freshStats.write.mode("overwrite")
+        .parquet(s"${store.path}/stats/epoch=$epoch")
     commitEpoch(spark, store.path, epoch, asBase)
     loadAt(spark, store.path, epoch)
   }
@@ -197,17 +284,28 @@ object HnswGeoStore {
     append(spark, store,
       spark.range(0).select(col("id").as("vec_id"),
         lit(null).cast("array<double>").as("embedding")),
-      asBase = true, m = m, efConstruction = efConstruction)
+      asBase = true, m = m, efConstruction = efConstruction,
+      checkIds = false)
 
   /** Delete segment/commit dirs strictly older than the latest base ≤
-    * `store.epoch`, and index/drift dirs of superseded bases — all fully
-    * contained in (or carried forward to) that base.
+    * `store.epoch`, and index/drift/stats dirs of superseded bases — all
+    * fully contained in (or carried forward to) that base.
+    *
+    * Reader contract: vacuum removes the reclaimed epochs' COMMIT
+    * markers first in enumeration order, so a subsequent
+    * [[loadAt]] of a vacuumed epoch fails AT LOAD TIME on the
+    * commit-marker require — never as a file-not-found deep inside a
+    * scan. A [[Store]] handle loaded BEFORE the vacuum is a lazy plan
+    * over the deleted paths: evaluating it afterwards is a runtime
+    * read error by construction. Vacuum only after every reader of the
+    * superseded range has been released — the streaming sink upholds
+    * this by reclaiming only epochs below the PREVIOUS base.
     */
   def vacuum(spark: SparkSession, store: Store): Unit = {
     val commits = HnswStore.committedEpochs(spark, store.path)
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
-         dir <- Seq("segments", "commits", "index", "drift")) {
+         dir <- Seq("commits", "segments", "index", "drift", "stats")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
@@ -272,12 +370,16 @@ object HnswGeoStore {
     // epochs is a driver-side handful — fan out as a literal-array
     // explode (a Generate), never a join: between compactions the
     // multiplier is a few dozen at most
-    val pr = Hnsw.asProbes(pr0
+    // persisted because BOTH the probed-cell prune below and the unioned
+    // scan consume this frame — without it the routing kernel
+    // (IVF.probeExpr, a k×dim nearest-cells pass per probe) and the epoch
+    // explode would run twice per batch (ADVICE r13)
+    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(pr0
       .withColumn("cell",
         explode(IVF.probeExpr(col("vec"), store.index, np)))
       .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
       .withColumn("shard",
-        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+        col("epoch") * lit(CellStride) + col("cell").cast("long"))))
     // prune the store pass to the cells the batch actually probes — a
     // broadcast SEMI-join on the strided shard id (equi-join, never a
     // BNLJ): a micro-batch admission touches a handful of cells, so the
@@ -320,6 +422,54 @@ object HnswGeoStore {
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     Hnsw.pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+  }
+
+  /** Cross-corpus contamination over the STANDING segmented geo store —
+    * [[Hnsw.crossNearDupsRouted]] (q195's corpus-sized-eval audit)
+    * without the compact-to-one-base-and-unstride detour it previously
+    * required: each EVAL vector probes its `nProbe` nearest cells across
+    * every live epoch (the [[nearDupPairs]] epochs×nProbe routing), so
+    * shuffle volume is n_eval·nProbe·epochs probe rows, the stored train
+    * corpus never replicates, and both sides scale to corpus size.
+    * Output and guarantees are the flat route's: canonical (i < j, cos)
+    * at cos ≥ `threshold`, exact re-score (precision 1.0), recall per
+    * the routing envelope ([[Hnsw.RoutedRecallFloor]]; with
+    * cells ≤ nProbe routing is exhaustive by construction). Id
+    * namespaces MUST be disjoint — checked loudly, as on the flat route.
+    */
+  def crossNearDups(store: Store, probes: DataFrame, threshold: Double,
+                    nProbe: Int = Hnsw.DefaultNearDupNProbe,
+                    efSearch: Int = 64, parallelism: Int = 32): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
+      s"bad params: nProbe=$nProbe efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val spark = store.segments.sparkSession
+    val st = graft.CacheRegistry.persist(
+      store.segments.select(col("shard"), col("vec_id"), col("vec"),
+        col("level"), col("nbrs")))
+    requireStridedGeo(st, store.index)
+    val dim = st.select(size(col("vec"))).take(1)
+    if (dim.isEmpty) return Hnsw.emptyPairs(spark)
+    val pr0 = graft.CacheRegistry.persist(
+      probes.select(col("probe_id").as("vec_id"),
+        col("embedding").cast("array<double>").as("vec")))
+    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    val shared = st.select(col("vec_id"))
+      .join(pr0.select(col("vec_id")), Seq("vec_id")).limit(1).count()
+    require(shared == 0L,
+      "store and probe id namespaces overlap — a shared id would " +
+        "silently self-exclude from the pair scan; re-key one side")
+    val prs = Hnsw.asProbes(pr0
+      .withColumn("cell",
+        explode(IVF.probeExpr(col("vec"), store.index, nProbe)))
+      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
+      .withColumn("shard",
+        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+    val numParts = math.max(parallelism,
+      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+    Hnsw.pairScan(st.unionByName(prs), numParts, threshold, efSearch)
   }
 
   /** Admission filter — [[HnswStore.incrementalAdmit]]'s contract
@@ -371,8 +521,35 @@ object HnswGeoStore {
       : (DataFrame, Store) = {
     val kept = graft.CacheRegistry.persist(
       incrementalAdmit(store, fresh, threshold))
+    // checkIds = false: incrementalAdmit's left-anti against stored ids
+    // IS the disjointness proof — the append-time probe would be a
+    // redundant second pass
     (kept, append(spark, store,
-      kept.select(col("vec_id"), col("embedding")), asBase))
+      kept.select(col("vec_id"), col("embedding")), asBase,
+      checkIds = false))
+  }
+
+  /** The standing corpus's [[IVF.cellStats]] under the base's frozen
+    * index, priced at EPOCH-COUNT: a fold of the per-epoch snapshots
+    * written at append time ([[foldStats]] — exact in the snapshots'
+    * 1e-6-quantized integer domain, not a float re-association), with
+    * one corpus-recompute fallback for stores written before `stats/`
+    * snapshots existed. This is [[retrainIfDrifted]]'s drift
+    * measurement, exposed so a monitoring job can watch cell quality
+    * without paying a corpus scan per check (q198 drives it under
+    * q148's oracle: the fold must reproduce the full recompute).
+    */
+  def currentStats(spark: SparkSession, store: Store): DataFrame = {
+    val haveLeaves = store.epochs.forall { e =>
+      HnswStore.fs(spark, store.path).exists(
+        new org.apache.hadoop.fs.Path(s"${store.path}/stats/epoch=$e"))
+    }
+    if (haveLeaves)
+      foldStats(store.epochs.map(e =>
+        spark.read.parquet(s"${store.path}/stats/epoch=$e")))
+    else IVF.cellStats(
+      store.segments.select(col("vec_id"), col("vec").as("embedding")),
+      store.index)
   }
 
   /** One [[retrainIfDrifted]] decision, reported honestly: the drift
@@ -383,7 +560,7 @@ object HnswGeoStore {
     */
   case class DriftReport(retrained: Boolean, baselineMeanD2: Double,
                          currentMeanD2: Double, ratio: Double,
-                         epoch: Long)
+                         epoch: Long, measurable: Boolean = true)
 
   /** Drift-triggered retrain — the when-to-retrain measurement
     * ([[IVF.cellStats]] vs the baseline snapshotted when the standing
@@ -409,18 +586,26 @@ object HnswGeoStore {
       stats.agg((sum(col("inertia")) /
           sum(col("n").cast("double"))).as("m"))
         .take(1).headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
-    val corpus = graft.CacheRegistry.persist(
+    // corpus is only materialized on the paths that genuinely need a
+    // corpus pass: the retrain itself, or the recompute fallback for
+    // stores written before stats/ snapshots existed. The drift CHECK
+    // proper folds the per-epoch snapshots — epoch-count reads, cost
+    // independent of how large the standing store has grown.
+    lazy val corpus = graft.CacheRegistry.persist(
       store.segments.select(col("vec_id"), col("vec").as("embedding")))
     val baseline = meanD2(spark.read
       .parquet(s"${store.path}/drift/epoch=${store.baseEpoch}"))
-    val current = meanD2(IVF.cellStats(corpus, store.index))
-    val ratio = (baseline, current) match {
-      case (Some(b), Some(c)) if b > 0.0 => c / b
-      case _ => 1.0 // empty baseline/corpus: nothing measurable drifted
-    }
-    if (ratio <= driftFactor)
+    val current = meanD2(currentStats(spark, store))
+    // a baseline of zero mass (cold-started store before its first
+    // non-empty compaction re-snapshots it) or zero inertia makes the
+    // ratio undefined — reported as unmeasurable, never as a
+    // looks-healthy 1.0 (ADVICE r13)
+    val measurable = baseline.exists(_ > 0.0) && current.isDefined
+    val ratio =
+      if (measurable) current.get / baseline.get else Double.NaN
+    if (!measurable || ratio <= driftFactor)
       (store, DriftReport(retrained = false, baseline.getOrElse(0.0),
-        current.getOrElse(0.0), ratio, store.epoch))
+        current.getOrElse(0.0), ratio, store.epoch, measurable))
     else {
       val kk = if (k > 0) k else store.index.k
       val cap = if (maxTrainRows > 0L) maxTrainRows else 100L * kk
@@ -435,12 +620,15 @@ object HnswGeoStore {
       Hnsw.requireGeoStore(rows, fresh)
       writeSegment(store.path, rows, epoch)
       IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch")
-      IVF.cellStats(corpus, fresh)
-        .write.mode("overwrite").parquet(s"${store.path}/drift/epoch=$epoch")
+      // the new baseline AND the new base's stats leaf — one frame: the
+      // retrained index's train-time snapshot, by definition of both
+      val snap = graft.CacheRegistry.persist(IVF.cellStats(corpus, fresh))
+      snap.write.mode("overwrite").parquet(s"${store.path}/drift/epoch=$epoch")
+      snap.write.mode("overwrite").parquet(s"${store.path}/stats/epoch=$epoch")
       commitEpoch(spark, store.path, epoch, isBase = true)
       (loadAt(spark, store.path, epoch),
         DriftReport(retrained = true, baseline.getOrElse(0.0),
-          current.getOrElse(0.0), ratio, epoch))
+          current.getOrElse(0.0), ratio, epoch, measurable))
     }
   }
 }

@@ -4828,7 +4828,69 @@ object Queries {
              |SELECT a.vec_id AS i, b.vec_id AS j,
              |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q197: contamination audit over the PERSISTED segmented geo
+    //          store ([[graft.operators.HnswGeoStore.crossNearDups]]) —
+    //          q195's corpus-sized-eval route without the
+    //          compact-to-one-base detour: the standing store is left
+    //          MULTI-EPOCH (a base plus a delta segment), so the eval
+    //          probes must route across epochs×nProbe cell graphs and
+    //          any striding or epoch-versioning slip surfaces as a
+    //          missing or duplicated pair. The oracle is q67's exact
+    //          cross-join SQL UNCHANGED (cells = 4 ≤ nProbe = 8 →
+    //          routing exhaustive by construction, the q195
+    //          discipline). ────────────────────────────────────────────
+    QueryDef("q197_geostore_contamination",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val train = emb.filter(col("vec_id") < 300)
+        val index = graft.operators.IVF.train(train, 4, 5,
+          maxTrainRows = 400L)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q197"
+        val base = graft.operators.HnswGeoStore.build(s,
+          emb.filter(col("vec_id") < 150), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          emb.filter(col("vec_id") >= 150 && col("vec_id") < 300))
+        graft.operators.HnswGeoStore.crossNearDups(grown,
+          emb.filter(col("vec_id") >= 300)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          threshold = 0.35, nProbe = 8)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a, e b
+             |WHERE a.vec_id < 300 AND b.vec_id >= 300
+             |  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q198: incremental drift stats over the geo store
+    //          ([[graft.operators.HnswGeoStore.currentStats]]) — the
+    //          drift CHECK priced at epoch-count instead of a corpus
+    //          scan: every append writes its batch's
+    //          [[graft.operators.IVF.cellStats]] snapshot, and the
+    //          standing measurement is a FOLD of the snapshots in their
+    //          1e-6-quantized integer domain. The store is built in
+    //          three epochs covering the whole table, so the fold must
+    //          reproduce q148's full-recompute oracle EXACTLY — same
+    //          dynamic SQL, zero tolerance: a drifted fold (float
+    //          re-association, a lost epoch, a double-counted batch)
+    //          hash-fails. ─────────────────────────────────────────────
+    QueryDef("q198_geostore_drift_stats",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = graft.operators.IVF.train(emb, k = 16)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q198"
+        val base = graft.operators.HnswGeoStore.build(s,
+          emb.filter(col("vec_id") < 200), path, idx)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+        val full = graft.operators.HnswGeoStore.append(s, grown,
+          emb.filter(col("vec_id") >= 350))
+        graft.operators.HnswGeoStore.currentStats(s, full)
+      },
+      None,
+      dynamicOracle = Some(cellStatsOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same

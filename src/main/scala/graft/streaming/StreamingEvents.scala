@@ -485,7 +485,13 @@ object StreamingEvents {
     * (the Lucene segment-merge discipline) and vacuums the superseded
     * range. Same at-least-once replay contract as the other admission
     * sinks: `loadAt(batchId)` pins the pre-state, epoch writes are
-    * idempotent behind commit markers.
+    * idempotent behind commit markers. Because epochs are batchId-PINNED
+    * here, no out-of-band writer may allocate epochs between runs — an
+    * out-of-band compact would be overwritten by the resumed stream's
+    * next batch. Compact through `compactEvery`, in-stream;
+    * [[hnswGeoAdmissionStream]] lifts the restriction with a persisted
+    * batch→epoch mapping because ITS store has a lifecycle op
+    * (retrain-on-drift) that can only run between runs.
     */
   def hnswAdmissionStream(stream: DataFrame, stateDir: String,
                           outDir: String, checkpointDir: String,
@@ -521,14 +527,26 @@ object StreamingEvents {
     * epochs into the base by WARM insertion ([[graft.operators.Hnsw.addGeo]]
     * is the compaction kernel — one pass over the base, delta-sized
     * insertions, not a rebuild) and vacuums the superseded range. Same
-    * at-least-once replay contract as the other admission sinks:
-    * `loadAt(batchId)` pins the pre-state, epoch writes are idempotent
-    * behind commit markers. Caller seeds with
-    * [[graft.operators.HnswGeoStore.build]] (epoch 0; empty corpus works
-    * — the index, trained on a sample of the expected distribution, IS
-    * the routing geometry and stays frozen until
-    * [[graft.operators.HnswGeoStore.retrainIfDrifted]] replaces it
-    * between runs).
+    * at-least-once replay contract as the other admission sinks, but
+    * with the pre-state pinned by a PERSISTED batch→epoch mapping
+    * instead of assuming epoch = batchId: a batch's FIRST attempt reads
+    * the store's latest committed epoch, records it under
+    * `stateDir/stream_meta/batch_id=N` (before any epoch write), and
+    * appends epoch latest+1; a REPLAY re-reads the recorded epoch, so
+    * the rewrite stays idempotent. This is what makes the documented
+    * out-of-band lifecycle ops SAFE between runs: a
+    * [[graft.operators.HnswGeoStore.retrainIfDrifted]] or
+    * [[graft.operators.HnswGeoStore.compact]] allocates the next epoch
+    * itself, and the resumed stream's next batch sees it as the new
+    * latest and appends AFTER it — where a batchId-pinned sink would
+    * have overwritten the retrained base's segments and demoted its
+    * commit marker. The one unservable race — an out-of-band epoch
+    * landing between a crash and its replay, past the replay's recorded
+    * allocation — fails loudly instead of overwriting. Caller seeds
+    * with [[graft.operators.HnswGeoStore.build]] (epoch 0; empty corpus
+    * works — the index, trained on a sample of the expected
+    * distribution, IS the routing geometry, and its empty drift
+    * baseline is re-snapshotted at the first non-empty compaction).
     */
   def hnswGeoAdmissionStream(stream: DataFrame, stateDir: String,
                              outDir: String, checkpointDir: String,
@@ -539,15 +557,57 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store = HnswGeoStore.loadAt(spark, stateDir, batchId)
+        import spark.implicits._
+        val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
+        // replay detection: the mapping is written BEFORE any epoch
+        // write, so a half-finished attempt always left one behind; a
+        // partially written mapping dir (no readable parquet) means the
+        // attempt died before touching the store and counts as a first
+        // attempt
+        val recorded: Option[Long] =
+          try Some(spark.read.parquet(metaPath)
+            .select(col("epoch")).head().getLong(0))
+          catch { case _: Throwable => None }
+        val preEpoch = recorded.getOrElse {
+          val latest = HnswGeoStore.latestEpoch(spark, stateDir)
+          Seq(Tuple1(latest)).toDF("epoch").coalesce(1)
+            .write.mode("overwrite").parquet(metaPath)
+          latest
+        }
+        // divergence guard: epochs committed beyond this batch's own
+        // allocation (preEpoch + 1) mean an out-of-band writer raced the
+        // crash-replay window — overwriting would silently demote it
+        val latestNow = HnswGeoStore.latestEpoch(spark, stateDir)
+        require(latestNow <= preEpoch + 1,
+          s"geo-store stream replay of batch $batchId pinned pre-state " +
+            s"epoch $preEpoch, but epoch $latestNow is already " +
+            "committed — an out-of-band retrain/compact landed between " +
+            "the crash and this replay; re-run the out-of-band op after " +
+            "the stream catches up, or clear stream_meta to re-pin")
+        val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
         val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
         val (kept, _) =
           HnswGeoStore.admit(spark, store, batch, threshold, asBase)
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
         // reclaim segments superseded by the PREVIOUS base only — a
-        // replay of this batch must still find its source range
-        if (asBase) HnswGeoStore.vacuum(spark, store)
+        // replay of this batch must still find its source range; older
+        // batches' mappings can never replay again (checkpointed offsets
+        // only ever re-run the CURRENT batch), so they ride along
+        if (asBase) {
+          HnswGeoStore.vacuum(spark, store)
+          val fs = new org.apache.hadoop.fs.Path(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val metaRoot =
+            new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
+          if (fs.exists(metaRoot))
+            fs.listStatus(metaRoot).map(_.getPath)
+              .filter { p =>
+                val n = p.getName.stripPrefix("batch_id=")
+                n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
+              }
+              .foreach(p => fs.delete(p, true))
+        }
         graft.CacheRegistry.releaseAll()
       }
       .start()

@@ -474,6 +474,38 @@ object ScaleRehearsal {
       }
     println(s"REHEARSAL x$factor geostore epochs=${store.epochs.size} " +
       s"rows=${store.segments.count()}")
+    // contamination audit over the STANDING multi-epoch store (the one
+    // routed surface that previously had no executed scale line): eval
+    // side scales with the corpus (n/16 probes), shuffle volume is
+    // n_eval·nProbe·epochs probe rows, the stored corpus never
+    // replicates — the ×10/×100 slope of this line is the eval-side
+    // growth evidence
+    t("geostore_cross_contamination") {
+      val evalSide = emb
+        .filter(pmod(col("vec_id"), lit(16L)) === 0L)
+        .select((col("vec_id") + lit(1000000000000L)).as("probe_id"),
+          col("embedding"))
+      val pairs = graft.operators.HnswGeoStore.crossNearDups(
+        store, evalSide, threshold, nProbe)
+      requireNoCartesian(pairs, "geostore_cross")
+      val c = pairs.count()
+      require(c > 0L,
+        "cross-contamination audit found nothing over planted copies")
+      graft.CacheRegistry.releaseAll()
+      c
+    }
+    // the drift CHECK priced both ways over the multi-epoch store: the
+    // per-epoch fold (deployment path — epoch-count snapshot reads, cost
+    // independent of corpus size) vs the corpus rescan it replaces
+    t("geostore_drift_fold") {
+      HnswGeoStore.currentStats(spark, store)
+        .agg(sum(col("n"))).head().getLong(0)
+    }
+    t("geostore_drift_rescan_counterfactual") {
+      IVF.cellStats(store.segments.select(col("vec_id"),
+          col("vec").as("embedding")), index)
+        .agg(sum(col("n"))).head().getLong(0)
+    }
     t("geostore_compact_warm") {
       store = HnswGeoStore.compact(spark, store)
       require(store.baseEpoch == store.epoch, "compaction must land a base")

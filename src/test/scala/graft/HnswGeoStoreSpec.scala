@@ -142,6 +142,142 @@ class HnswGeoStoreSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("append fails LOUDLY on a duplicate vec_id at the offending " +
+       "append — not at the next compaction; the admission path skips " +
+       "the redundant probe") {
+    val base = corpus(120)
+    val emb = base.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-dupid")
+    val store = HnswGeoStore.build(spark, emb, dir, index)
+    val dup = Seq((60L, corpus(1).head._2)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      HnswGeoStore.append(spark, store, dup)
+    }
+    assert(e.getMessage.contains("shares vec_ids"), e.getMessage)
+    // the failed append left nothing committed
+    assert(HnswGeoStore.load(spark, dir).epoch === 0L)
+    // checkIds = false is the admission path's contract: the id was
+    // already proven disjoint there, so the probe is skipped
+    val fresh = Seq((500L, corpus(1).head._2.map(_ * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val s2 = HnswGeoStore.append(spark, store, fresh, checkIds = false)
+    assert(s2.epoch === 1L && s2.segments.count() === 121L)
+    CacheRegistry.releaseAll()
+  }
+
+  test("incremental drift stats: the per-epoch fold (currentStats) " +
+       "reproduces the full corpus recompute EXACTLY across deltas, " +
+       "compaction, and retrain") {
+    val all = corpus(360)
+    val emb = all.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 6, iters = 3)
+    val dir = tmp("hnsw-geo-stats")
+    var store = HnswGeoStore.build(spark,
+      all.filter(_._1 <= 200L).toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store,
+      all.filter(id => id._1 > 200L && id._1 <= 280L)
+        .toDF("vec_id", "embedding"))
+    store = HnswGeoStore.append(spark, store,
+      all.filter(_._1 > 280L).toDF("vec_id", "embedding"))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect().map(_.toString).toSeq
+    val recompute = IVF.cellStats(emb, index)
+    // fold over three epoch leaves ≡ one corpus scan — the quantized
+    // integer domain makes the inertia fold exact, not approximately so
+    assert(dump(HnswGeoStore.currentStats(spark, store)) ===
+      dump(recompute))
+    // compaction folds the leaves into the new base's single snapshot
+    store = HnswGeoStore.compact(spark, store)
+    assert(store.epochs === Seq(3L))
+    assert(dump(HnswGeoStore.currentStats(spark, store)) ===
+      dump(recompute))
+    assert(dump(spark.read.parquet(s"$dir/stats/epoch=3")) ===
+      dump(recompute))
+    // the drift check now reads epoch-count snapshots, not the corpus
+    val (_, r) = HnswGeoStore.retrainIfDrifted(spark, store, 2.0)
+    assert(!r.retrained && r.measurable)
+    CacheRegistry.releaseAll()
+  }
+
+  test("cold start: an empty-corpus build writes an UNMEASURABLE drift " +
+       "baseline (never a looks-healthy ratio); the first non-empty " +
+       "compaction re-snapshots it and drift becomes measurable") {
+    val sample = corpus(100)
+    val index = IVF.train(sample.toDF("vec_id", "embedding"),
+      k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-cold")
+    var store = HnswGeoStore.build(spark,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      dir, index)
+    // nothing measurable: reported as such, not as ratio 1.0
+    val (_, r0) = HnswGeoStore.retrainIfDrifted(spark, store, 2.0)
+    assert(!r0.retrained && !r0.measurable, s"ratio=${r0.ratio}")
+    // growth as deltas, then the first non-empty compaction
+    store = HnswGeoStore.append(spark, store,
+      sample.take(60).toDF("vec_id", "embedding"))
+    val (_, r1) = HnswGeoStore.retrainIfDrifted(spark, store, 2.0)
+    assert(!r1.retrained && !r1.measurable,
+      "an empty baseline must stay unmeasurable until a compaction " +
+        s"re-snapshots it, got ratio=${r1.ratio}")
+    store = HnswGeoStore.compact(spark, store)
+    val (_, r2) = HnswGeoStore.retrainIfDrifted(spark, store, 2.0)
+    assert(r2.measurable && !r2.retrained &&
+      math.abs(r2.ratio - 1.0) < 1e-9,
+      s"first non-empty compaction must re-baseline: ratio=${r2.ratio}")
+    CacheRegistry.releaseAll()
+  }
+
+  test("vacuum/loadAt contract: a vacuumed epoch fails AT LOAD TIME on " +
+       "the commit-marker require — never as a file-not-found inside a " +
+       "scan") {
+    val all = corpus(150)
+    val index = IVF.train(all.toDF("vec_id", "embedding"), k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-vac")
+    var store = HnswGeoStore.build(spark,
+      all.filter(_._1 <= 100L).toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store,
+      all.filter(_._1 > 100L).toDF("vec_id", "embedding"), asBase = true)
+    HnswGeoStore.vacuum(spark, store)
+    val e = intercept[IllegalArgumentException] {
+      HnswGeoStore.loadAt(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    // the surviving base still loads and answers
+    assert(HnswGeoStore.load(spark, dir).segments.count() === 150L)
+    CacheRegistry.releaseAll()
+  }
+
+  test("crossNearDups over the standing MULTI-EPOCH store matches the " +
+       "exact cross-corpus audit when routing is exhaustive by " +
+       "construction, and rejects overlapping id namespaces") {
+    val all = corpus(360)
+    val train = all.filter(_._1 <= 260L)
+    val evalSide = all.filter(_._1 > 260L)
+      .map { case (id, v) => (id + 5000L, v) }
+    val index = IVF.train(train.toDF("vec_id", "embedding"),
+      k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-cross")
+    var store = HnswGeoStore.build(spark,
+      train.filter(_._1 <= 150L).toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store,
+      train.filter(_._1 > 150L).toDF("vec_id", "embedding"))
+    val probes = evalSide.toDF("probe_id", "embedding")
+    val got = pairSet(HnswGeoStore.crossNearDups(store, probes, 0.3,
+      nProbe = 8))
+    val want = pairSet(Similarity.crossNearDups(
+      train.toDF("vec_id", "embedding"),
+      evalSide.toDF("vec_id", "embedding"), 0.3))
+    assert(got === want)
+    // shared ids self-exclude silently — so they must fail loudly
+    val clash = Seq((200L, all.head._2)).toDF("probe_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      HnswGeoStore.crossNearDups(store, clash, 0.3)
+    }
+    assert(e.getMessage.contains("namespaces overlap"), e.getMessage)
+    CacheRegistry.releaseAll()
+  }
+
   test("retrainIfDrifted: in-distribution growth does not retrain; an " +
        "off-geometry corpus trips the cellStats ratio, retrains, " +
        "advances the base, re-baselines, and the routed near-dup " +

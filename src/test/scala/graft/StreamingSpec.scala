@@ -828,6 +828,55 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("hnswGeoAdmissionStream: an out-of-band retrain/compact between " +
+       "runs SHIFTS the resumed stream's epoch allocation instead of " +
+       "being overwritten (the persisted batch→epoch mapping)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geooob-state")
+    val outDir = s"${tmpDir("graft-geooob-out")}/rows"
+    val ckpt = tmpDir("graft-geooob-ckpt")
+    def vecsDf(rows: (Long, Array[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val seed = vecsDf(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f))
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val src = stream.toDF().toDF("vec_id", "embedding")
+    val q1 = StreamingEvents.hnswGeoAdmissionStream(src, stateDir,
+      outDir, ckpt, threshold = 0.9)
+    try {
+      stream.addData(Seq(11L -> Array(0f, 0f, 1f, 0f)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(HnswGeoStore.load(spark, stateDir).epoch === 1L)
+    // the documented between-runs lifecycle op: a compaction allocates
+    // epoch 2 as a new base OUT OF BAND — a batchId-pinned sink's next
+    // batch (batch 1 → epoch 2) would overwrite it and demote its marker
+    val compacted = HnswGeoStore.compact(spark,
+      HnswGeoStore.load(spark, stateDir))
+    assert(compacted.baseEpoch === 2L)
+    val q2 = StreamingEvents.hnswGeoAdmissionStream(src, stateDir,
+      outDir, ckpt, threshold = 0.9)
+    try {
+      stream.addData(Seq(20L -> Array(0f, 0f, 0f, 1f)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 3L && fin.baseEpoch === 2L,
+      "the resumed batch must allocate PAST the out-of-band base, " +
+        s"not overwrite it (epoch=${fin.epoch} base=${fin.baseEpoch})")
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 20L))
+    // the out-of-band base's commit marker survived undemoted
+    assert(spark.read.parquet(s"$stateDir/commits/epoch=2")
+      .select("is_base").as[Boolean].head(),
+      "the out-of-band compaction's base marker must survive the resume")
+    CacheRegistry.releaseAll()
+  }
+
   test("hnswSearchStream: streamed batch serving equals batchNeighbors " +
        "on the same store, per batch; results are ranked and k-complete") {
     implicit val ctx = spark.sqlContext

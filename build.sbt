@@ -29,4 +29,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g left the bench
   // GC-bound (q22 measured 4x slower under sbt than with a 16g shell)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A ~200-query session JIT-compiles thousands of generated stages; at
+  // the JVM's default 240 MB code cache the sweeper starts flushing
+  // profiled compiled code mid-session (Bench's SPARK_GRAFT_BENCH_DIAG=1
+  // readings show the profiled code heap shrinking while total usage
+  // climbs). Headroom keeps steady-state sessions out of sweeper churn.
+  // NOTE: this was tested as a suspect for the round-13 IVF-family
+  // session inflation and RULED OUT (1g changed nothing) — that was JIT
+  // type-profile pollution on the nearest-cells ArrayData call site,
+  // fixed in the kernel itself (BASELINE round-14 note).
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -73,10 +73,20 @@ object Bench {
         .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
       val classes = java.lang.management.ManagementFactory
         .getClassLoadingMXBean.getLoadedClassCount
+      // canary: a fixed trivial JOB (schedule → run → collect one long) —
+      // its wall time is pure session overhead (scheduler, listener bus,
+      // accumulator registry, cleaner backlog). A query family whose
+      // plans run MANY SMALL JOBS (the IVF trainers: 5 Lloyd passes +
+      // assignment each) inflates in proportion to this number while
+      // one-job scans don't — which is exactly the attribution question.
+      val c0 = System.nanoTime()
+      spark.range(1024).selectExpr("sum(id)").head()
+      val canaryMs = (System.nanoTime() - c0) / 1e6
       System.err.println(f"[diag] $name%-40s $sec%7.3f s " +
         f"codeNonProf=${mb("non-profiled nmethods")}%4d MB " +
         f"codeProf=${mb("profiled nmethods")}%4d MB " +
-        f"meta=${mb("Metaspace")}%5d MB classes=$classes%6d gc=${gcMs}%7d ms")
+        f"meta=${mb("Metaspace")}%5d MB classes=$classes%6d " +
+        f"gc=${gcMs}%7d ms canary=$canaryMs%7.1f ms")
     }
     // Local-iteration subset (regex over query names). The driver never
     // sets it, so the per-round artifact always measures everything.

@@ -91,6 +91,30 @@ object CentroidOps {
   def nearest(v: ArrayData, centroids: Array[Array[Double]],
               c2: Array[Double], nProbe: Int): ArrayData = {
     val dim = v.numElements()
+    // Hoist every element read out of the k×dim loop through ONE bulk
+    // copy. `ArrayData.getDouble` is a virtual call, and this kernel is
+    // hot in sessions that feed the SAME call site several ArrayData
+    // subtypes (parquet ColumnarArray, shuffle UnsafeArrayData, the
+    // object-encoder GenericArrayData the graph stores emit): once a
+    // third type shows up, HotSpot's inline cache goes megamorphic and
+    // the whole loop recompiles with out-of-line Unsafe calls — measured
+    // as a PERMANENT ~2× on every IVF-family query after one geo-store
+    // compaction ran in-session (BASELINE round-14: JFR showed
+    // CentroidOps.nearest falling 68% → 31% of samples with the time
+    // moving into un-inlined Unsafe.getDouble/getLong). A per-row bulk
+    // toDoubleArray pays one dispatch + dim copies instead of k×dim
+    // polluted reads, and the loop below stays pure primitive-array
+    // arithmetic no matter what the session ran before. The null
+    // pre-check keeps the loud-null contract (UnsafeArrayData's bulk
+    // copy reads null slots as 0.0 silently).
+    var jn = 0
+    while (jn < dim) {
+      if (v.isNullAt(jn))
+        throw new IllegalArgumentException(
+          s"nearest_cells null element at index $jn — quarantine ragged/null embeddings first")
+      jn += 1
+    }
+    val vv = v.toDoubleArray()
     val k = centroids.length
     val m = math.min(nProbe, k)
     val bs = new Array[Double](m)
@@ -105,10 +129,7 @@ object CentroidOps {
       var dot = 0.0
       var j = 0
       while (j < dim) {
-        if (v.isNullAt(j))
-          throw new IllegalArgumentException(
-            s"nearest_cells null element at index $j — quarantine ragged/null embeddings first")
-        dot += v.getDouble(j) * c(j)
+        dot += vv(j) * c(j)
         j += 1
       }
       val s = c2(i) - 2.0 * dot

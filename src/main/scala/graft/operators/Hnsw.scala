@@ -138,6 +138,62 @@ object Hnsw {
     found.toVector.sorted(byDist)
   }
 
+  /** [[searchLayer]] with PREDICATE-AWARE collection — the standard
+    * filtered-HNSW form (what Lucene's filtered kNN and the vector DBs
+    * ship): the TRAVERSAL is unrestricted (filtering the walk itself
+    * would disconnect it — paths to allowed nodes legitimately cross
+    * disallowed regions), while a SECOND ef-bounded result heap collects
+    * only nodes with `ok(node)`. Every visited allowed node is
+    * considered for the result heap regardless of whether it makes the
+    * navigation frontier, so the result is the best-allowed over the
+    * whole visited set — strictly better than post-filtering the
+    * unfiltered top-ef, which returns < k once the filter is selective.
+    * Cost is the UNFILTERED search's (same frontier, same termination);
+    * recall within the allowed subset decays as selectivity drops below
+    * ~1/ef — raise `efSearch` with 1/selectivity, the documented knob.
+    */
+  private def searchLayerFiltered(g: Graph, ok: Array[Boolean],
+                                  q: Array[Double], nq: Double,
+                                  eps: Seq[(Double, Int)], ef: Int,
+                                  layer: Int): Vector[(Double, Int)] = {
+    val visited = new java.util.HashSet[Integer]()
+    val cand = scala.collection.mutable.PriorityQueue.empty(byDist.reverse)
+    val found = scala.collection.mutable.PriorityQueue.empty(byDist)
+    val res = scala.collection.mutable.PriorityQueue.empty(byDist)
+    def collect(dd: Double, e: Int): Unit =
+      if (ok(e) && (res.size < ef || byDist.lt((dd, e), res.head))) {
+        res.enqueue((dd, e))
+        if (res.size > ef) res.dequeue()
+      }
+    eps.foreach { case (dd, e) =>
+      if (visited.add(e)) {
+        cand.enqueue((dd, e)); found.enqueue((dd, e)); collect(dd, e)
+      }
+    }
+    while (cand.nonEmpty) {
+      val (cd, c) = cand.dequeue()
+      if (cd > found.head._1 && found.size >= ef) { cand.clear() }
+      else {
+        val nbrs = g.adj(c)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val e = nbrs(i)
+          if (visited.add(e)) {
+            val ed = g.d(q, nq, e)
+            collect(ed, e)
+            if (found.size < ef || byDist.lt((ed, e), found.head)) {
+              cand.enqueue((ed, e))
+              found.enqueue((ed, e))
+              if (found.size > ef) found.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res.toVector.sorted(byDist)
+  }
+
   /** Algorithm 4: heuristic neighbor selection — keep a candidate only
     * if it is closer to the query than to every already-kept neighbor
     * (edges point across, not into, one dense clump).
@@ -222,6 +278,22 @@ object Hnsw {
     var lc = g.levels(g.entry)
     while (lc > 0) { ep = searchLayer(g, q, nq, ep, 1, lc); lc -= 1 }
     searchLayer(g, q, nq, ep, ef, 0)
+  }
+
+  /** Algorithm 5 with predicate-aware layer-0 collection: the greedy
+    * upper-layer descent is UNFILTERED (navigation), the layer-0 search
+    * collects through [[searchLayerFiltered]]'s allowed-only result
+    * heap. Ascending (dist, local idx) over allowed nodes.
+    */
+  private def searchGraphFiltered(g: Graph, ok: Array[Boolean],
+                                  q: Array[Double],
+                                  ef: Int): Vector[(Double, Int)] = {
+    if (g.n == 0) return Vector.empty
+    val nq = norm(q)
+    var ep = Vector((g.d(q, nq, g.entry), g.entry))
+    var lc = g.levels(g.entry)
+    while (lc > 0) { ep = searchLayer(g, q, nq, ep, 1, lc); lc -= 1 }
+    searchLayerFiltered(g, ok, q, nq, ep, ef, 0)
   }
 
   /** Rows sampled by [[add]]'s driver-side shard-count guard. */
@@ -664,6 +736,76 @@ object Hnsw {
     rankTopK(batchScan(st.unionByName(pr), numParts, efSearch), k)
   }
 
+  /** FILTERED batch ANN serving — attribute-predicated top-k ("nearest
+    * neighbors WHERE lang = 'en'"), the standard vector-DB surface that
+    * post-filtering k results cannot provide (a selective predicate
+    * post-filters k hits down to near-zero). The predicate arrives
+    * PRE-EVALUATED as `allowed` — a frame whose `vec_id` column is the
+    * admissible set; evaluating it there keeps the predicate where
+    * Catalyst can push it into the ATTRIBUTE table's scan, and this
+    * side pays one equi-join (broadcast when the set is small, one
+    * honest shuffle otherwise) to pin an `ok` flag on each graph row.
+    * Inside each shard the predicate is pushed INTO the graph search
+    * ([[searchLayerFiltered]]): traversal unrestricted — paths to
+    * allowed nodes cross disallowed regions — while an allowed-only
+    * result heap collects the best-allowed over the whole visited set.
+    * Search cost equals the unfiltered search's; recall within the
+    * allowed subset decays once selectivity drops below ~1/efSearch —
+    * raise `efSearch` proportionally to 1/selectivity (the knob every
+    * filtered-HNSW deployment documents).
+    *
+    * Output contract is [[batchNeighbors]]'s — (probe_id, vec_id, cos,
+    * rank), rank 1..k over allowed nodes only; probes with fewer than k
+    * allowed reachable neighbors return the rows that exist.
+    */
+  def batchNeighborsFiltered(store: DataFrame, probes: DataFrame,
+                             allowed: DataFrame, k: Int,
+                             efSearch: Int = 64,
+                             parallelism: Int = 32): DataFrame = {
+    require(k >= 1 && efSearch >= k && parallelism >= 1,
+      s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val spark = store.sparkSession
+    import spark.implicits._
+    val okCol = allowed.select(col("vec_id")).distinct()
+      .withColumn("__ok", lit(true))
+    val st = graft.CacheRegistry.persist(
+      store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
+          col("nbrs"))
+        .join(okCol, Seq("vec_id"), "left")
+        .select(col("shard"), col("vec_id"), col("vec"), col("level"),
+          col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok")))
+    val shardIds = st.select(col("shard")).distinct()
+    val nShards = shardIds.count()
+    if (nShards == 0L)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("probe_id", "vec_id", "cos", "rank")
+    val pr0 = probes.select(col("probe_id").as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    requireCleanProbes(pr0,
+      st.select(size(col("vec"))).head().getInt(0))
+    val numParts = math.max(parallelism, math.min(nShards, 4096L).toInt)
+    val pr = asProbes(pr0.crossJoin(broadcast(shardIds)))
+      .withColumn("ok", lit(false))
+    val cands = st.unionByName(pr)
+      .repartition(numParts, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        (col("level") < 0).cast("int"), col("vec_id"))
+      .as[FNode]
+      .mapPartitions { rows =>
+        shardScanFiltered(rows) { (g, ok, pid, q, nq) =>
+          if (nq == 0.0 || g.n == 0) Iterator.empty
+          else searchGraphFiltered(g, ok, q, efSearch).iterator.collect {
+            case (_, li) if g.norms(li) != 0.0 =>
+              (pid, g.ids(li), exactCos(g, q, nq, li))
+          }
+        }
+      }
+      .toDF("probe_id", "vec_id", "cos")
+      .select(col("probe_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    rankTopK(cands, k)
+  }
+
   /** Candidate scan shared by [[batchNeighbors]] and the geo store's
     * routed batch search ([[HnswGeoStore.batchNeighbors]]): `tagged` =
     * store rows ∪ probe rows (each probe already carrying the shard it
@@ -745,6 +887,25 @@ object Hnsw {
     * iterator, stream that shard's probes one at a time through `f`,
     * drop the graph, move to the next shard.
     */
+  private def materializeGraph(
+      gRows: scala.collection.mutable.ArrayBuffer[Node],
+      shard: Long): Graph = {
+    requireUniqueIds(gRows.map(_._2).toSeq, shard)
+    val ids = gRows.map(_._2).toArray
+    val vecs = gRows.map(_._3.toArray).toArray
+    val g = new Graph(ids, vecs)
+    val local = ids.zipWithIndex.toMap
+    gRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
+      g.levels(li) = level
+      g.adj(li) = nbrs.map(layer => scala.collection.mutable
+        .ArrayBuffer(layer.map(local): _*)).toArray
+    }
+    g.entry =
+      if (g.n == 0) -1
+      else ids.indices.minBy(i => (-g.levels(i), ids(i)))
+    g
+  }
+
   private[operators] def shardScan[T](rows0: Iterator[Node])(
       f: (Graph, Long, Array[Double], Double) => Iterator[T]): Iterator[T] = {
     val it = rows0.buffered
@@ -753,19 +914,7 @@ object Hnsw {
       val gRows = scala.collection.mutable.ArrayBuffer.empty[Node]
       while (it.hasNext && it.head._1 == shard && it.head._4 >= 0)
         gRows += it.next()
-      requireUniqueIds(gRows.map(_._2).toSeq, shard)
-      val ids = gRows.map(_._2).toArray
-      val vecs = gRows.map(_._3.toArray).toArray
-      val g = new Graph(ids, vecs)
-      val local = ids.zipWithIndex.toMap
-      gRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
-        g.levels(li) = level
-        g.adj(li) = nbrs.map(layer => scala.collection.mutable
-          .ArrayBuffer(layer.map(local): _*)).toArray
-      }
-      g.entry =
-        if (g.n == 0) -1
-        else ids.indices.minBy(i => (-g.levels(i), ids(i)))
+      val g = materializeGraph(gRows, shard)
       val probes = new Iterator[Node] {
         def hasNext: Boolean = it.hasNext && it.head._1 == shard
         def next(): Node = it.next()
@@ -773,6 +922,43 @@ object Hnsw {
       probes.flatMap { case (_, pid, pv, _, _) =>
         val q = pv.toArray
         f(g, pid, q, norm(q))
+      }
+    }
+  }
+
+  /** Graph row + per-node allow flag — the filtered serving scan's wire
+    * shape ([[batchNeighborsFiltered]]). Probes ride with `ok = false`
+    * (their flag is never read).
+    */
+  private[operators] type FNode =
+    (Long, Long, Seq[Double], Int, Seq[Seq[Long]], Boolean)
+
+  /** [[shardScan]] over flagged rows: one shard's graph (plus its
+    * parallel `ok` array) at a time, probes streamed one by one —
+    * the same single-graph memory contract.
+    */
+  private def shardScanFiltered[T](rows0: Iterator[FNode])(
+      f: (Graph, Array[Boolean], Long, Array[Double], Double) => Iterator[T])
+      : Iterator[T] = {
+    val it = rows0.buffered
+    Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+      val shard = it.head._1
+      val gRows = scala.collection.mutable.ArrayBuffer.empty[Node]
+      val okBuf = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      while (it.hasNext && it.head._1 == shard && it.head._4 >= 0) {
+        val r = it.next()
+        gRows += ((r._1, r._2, r._3, r._4, r._5))
+        okBuf += r._6
+      }
+      val g = materializeGraph(gRows, shard)
+      val ok = okBuf.toArray
+      val probes = new Iterator[FNode] {
+        def hasNext: Boolean = it.hasNext && it.head._1 == shard
+        def next(): FNode = it.next()
+      }
+      probes.flatMap { case (_, pid, pv, _, _, _) =>
+        val q = pv.toArray
+        f(g, ok, pid, q, norm(q))
       }
     }
   }

@@ -4890,7 +4890,33 @@ object Queries {
         graft.operators.HnswGeoStore.currentStats(s, full)
       },
       None,
-      dynamicOracle = Some(cellStatsOracleSql))
+      dynamicOracle = Some(cellStatsOracleSql)),
+
+    // ── Q199: FILTERED batch ANN serving
+    //          ([[graft.operators.Hnsw.batchNeighborsFiltered]]) — the
+    //          attribute-predicated top-k every vector DB ships and
+    //          post-filtering can't provide: the predicate (vec_id % 3
+    //          = 0, standing in for "WHERE lang = 'en'") is pushed INTO
+    //          the per-shard graph search — traversal unrestricted, an
+    //          allowed-only result heap collects — so each probe's k
+    //          rows all satisfy the filter. Oracle contract extends
+    //          q193's: returned (probe, id) pairs are dump-time re-run
+    //          literals, DuckDB re-scores + re-ranks them AND re-applies
+    //          the predicate, so a wrong id, score, rank, or a single
+    //          filter-violating row all break the hash. ─────────────────
+    QueryDef("q199_hnsw_filtered_serve",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Hnsw.batchNeighborsFiltered(
+          graft.operators.Hnsw.build(
+            emb.filter(col("vec_id") >= 5), shards = 4),
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+          k = 10, efSearch = 64)
+      },
+      None,
+      dynamicOracle = Some(hnswFilteredServeOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -6118,6 +6144,44 @@ object Queries {
        |  FROM ids i
        |  JOIN e p ON p.vec_id = i.probe_id
        |  JOIN e c ON c.vec_id = i.vec_id
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
+  }
+
+  /** q199's oracle: q193's contract plus the PREDICATE re-applied by
+    * DuckDB — the (probe_id, vec_id) pairs are dump-time re-run literals
+    * of the same deterministic filtered search; the scored CTE joins the
+    * candidate side WITH the filter (vec_id % 3 = 0), so a single
+    * returned row violating the predicate vanishes from the oracle
+    * result and hash-fails, and every score and per-probe rank is
+    * recomputed from raw embeddings as usual.
+    */
+  private def hnswFilteredServeOracleSql(s: SparkSession,
+                                         dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = graft.operators.Hnsw.batchNeighborsFiltered(
+        graft.operators.Hnsw.build(
+          emb.filter(col("vec_id") >= 5), shards = 4),
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        emb.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        k = 10, efSearch = 64)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id % 3 = 0
        |)
        |SELECT CAST(probe_id AS BIGINT) AS probe_id,
        |       CAST(vec_id AS BIGINT) AS vec_id, cos,

@@ -390,6 +390,47 @@ class HnswSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("batchNeighborsFiltered: every hit satisfies the predicate, " +
+       "filtered recall clears brute force over the ALLOWED subset, and " +
+       "the k-cut beats post-filtering the unfiltered top-k") {
+    val rows = corpus(600)
+    val emb = rows.toDF("vec_id", "embedding")
+    val store = Hnsw.build(emb, shards = 4)
+    val probeRows = rows.take(5)
+    val probes = probeRows.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("probe_id", "embedding")
+    // predicate: vec_id % 3 == 0 — selectivity 1/3, the moderate regime
+    val allowedIds = rows.map(_._1).filter(_ % 3 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("vec_id")
+    val res = Hnsw.batchNeighborsFiltered(store, probes, allowed,
+        k = 10, efSearch = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val allowedRows = rows.filter(r => allowedIds(r._1))
+    probeRows.foreach { case (pid, v) =>
+      val mine = res.filter(_._1 == pid)
+      assert(mine.forall(h => allowedIds(h._2)),
+        s"probe $pid returned filter-violating ids: " +
+          mine.filterNot(h => allowedIds(h._2)).mkString(","))
+      assert(mine.map(_._3).toSeq.sorted === (1 to 10),
+        s"probe $pid must fill k from the allowed subset")
+      val brute = bruteTop(allowedRows, v.map(_.toDouble).toArray, 10).toSet
+      val recall = mine.map(_._2).count(brute) / 10.0
+      assert(recall >= 0.9, s"probe $pid filtered recall $recall")
+      // the shape post-filtering cannot provide: of the UNFILTERED
+      // top-10, only ~1/3 pass the predicate — the filtered search must
+      // return strictly more allowed hits than that cut
+      val postFiltered = bruteTop(rows, v.map(_.toDouble).toArray, 10)
+        .count(allowedIds)
+      assert(mine.length > postFiltered,
+        s"probe $pid: filtered search returned ${mine.length} allowed " +
+          s"hits vs $postFiltered surviving a post-filtered top-10")
+    }
+    // an empty allowed set returns zero rows, not an error
+    assert(Hnsw.batchNeighborsFiltered(store, probes,
+      Seq.empty[Long].toDF("vec_id"), k = 5, efSearch = 16).count() === 0L)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("defaultShards: the latency arm governs small corpora, the memory " +
        "arm governs 100TB-shaped ones; both round up") {
     // latency arm: 200k nodes / 65536 cap -> 4 shards (tiny memory)

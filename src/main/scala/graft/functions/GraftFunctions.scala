@@ -151,6 +151,73 @@ object CentroidOps {
   }
 }
 
+/** Tight-loop random-hyperplane LSH signature kernel — the
+  * [[CentroidOps]] discipline applied to the sign-bit family: the
+  * expression-tree form (one `when(dot_product(v, lit(plane)) >= 0, …)`
+  * tree per plane, OR-reduced) embeds P array literals and P dot trees
+  * in every plan, which costs a fixed ~0.6 s of planning + codegen per
+  * EXECUTION at P = 16 (q26's round-13 attribution — the plan, not the
+  * data, was the floor). One kernel over a reference-object plane
+  * matrix is constant-size source at any P. Per-plane dots accumulate
+  * sequentially 0→n exactly like [[VectorOps.dot]], so the sign bits —
+  * and therefore every signature — are bitwise the expression form's.
+  * Reads go through ONE bulk `toDoubleArray` per row (the
+  * profile-pollution-safe form; see [[CentroidOps.nearest]]).
+  */
+object HyperplaneOps {
+  def signature(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = v.numElements()
+    var jn = 0
+    while (jn < dim) {
+      if (v.isNullAt(jn))
+        throw new IllegalArgumentException(
+          s"hyperplane_sig null element at index $jn — quarantine " +
+            "ragged/null embeddings first")
+      jn += 1
+    }
+    val vv = v.toDoubleArray()
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      if (p.length != dim)
+        throw new IllegalArgumentException(
+          s"hyperplane_sig dimension mismatch: vector $dim vs plane ${p.length}")
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += vv(j) * p(j); j += 1 }
+      if (dot >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Native hyperplane-signature expression — P sign bits of a vector
+  * against a plan-constant plane matrix (reference object, never source
+  * text). See [[HyperplaneOps.signature]] for the planning-cost story.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    s"need 1..64 planes for a long signature, got ${planes.length}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneOps.signature(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refP = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneOps.signature($c, $refP)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 /** Native top-`nProbe` nearest-centroid ids of an `array<double>` vector
   * against a plan-constant centroid matrix (ridden as reference objects,
   * never source text) — see [[CentroidOps.nearest]] for why the
@@ -324,6 +391,14 @@ object GraftFunctions {
                     nProbe: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       NearestCells(expression(v), centroids, nProbe))
+
+  /** P sign bits of `v` against a constant plane matrix as one long —
+    * the [[HyperplaneSig]] native kernel (planes ride as a reference
+    * object; bitwise ≡ the per-plane `dot_product >= 0` tree).
+    */
+  def hyperplane_sig(v: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      HyperplaneSig(expression(v.cast("array<double>")), planes))
 
   /** MD5 digest as four unsigned 32-bit lanes (`array<long>`) — the native
     * form of `conv(substring(md5(x), 8i+1, 8), 16, 10)` with one digest

@@ -161,10 +161,13 @@ object Similarity {
     * searched in the query's bucket only.
     */
   def lshBucket(vec: String, planes: Array[Array[Double]]) =
-    (0 until planes.length).map { b =>
-      when(GraftFunctions.dot_product(col(vec), lit(planes(b))) >= 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+    // ONE native kernel over a reference-object plane matrix, not P
+    // when(dot >= 0) trees: the tree form embedded P array literals in
+    // the plan and cost a fixed ~0.6 s of planning + codegen per
+    // execution at P = 16 (q26's round-13 attribution). Bitwise
+    // identical signatures — the kernel's per-plane dots accumulate in
+    // dot_product's exact order.
+    GraftFunctions.hyperplane_sig(col(vec), planes)
 
   /** Driver-side signature of a constant query vector under `planes`. */
   def querySignature(query: Array[Double], planes: Array[Array[Double]]): Long =

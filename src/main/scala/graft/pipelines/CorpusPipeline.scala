@@ -76,6 +76,52 @@ object CorpusPipeline {
       .withColumn("fingerprint", TextFunctions.md5Fingerprint(col("text")))
   }
 
+  /** [[curate]] extended with the SEMANTIC leg — the full curation
+    * ladder a 100 TB training corpus runs, as one composition:
+    *
+    *   quality filter → language filter → exact + MinHash near-dup
+    *   removal (the text route, [[curate]] unchanged)
+    *   → embedding near-dup pairs over the SURVIVORS through the
+    *     geometry-routed graph index ([[Dedup.hnswNearDupPairs]] — the
+    *     100 TB semantic-dedup default; n·nProbe probe rows, linear)
+    *   → transitive closure → keep ONE representative per semantic
+    *     cluster by the (n_tokens desc, doc_id asc) argmax
+    *     (SemDeDup's keep-the-best-copy policy, Abbas et al. 2023).
+    *
+    * Output is [[curate]]'s frame with non-representative semantic
+    * cluster members REMOVED — the semantic leg is a row filter, so
+    * every feature column survives unchanged. Documents without an
+    * embedding row never enter the pair graph and are implicitly kept
+    * (both engines agree: no pair, no drop).
+    *
+    * Scale shape: the text legs are [[curate]]'s (scan-side expressions
+    * + bucketed equi-joins); the semantic leg inherits the routed
+    * scan's linear shuffle bound, the closure runs over the PAIR graph
+    * (not the corpus), and the final drop is one doc-keyed anti-join.
+    *
+    * @param emb (vec_id, embedding) with vec_id = doc_id
+    */
+  def curateSemantic(docs: DataFrame, emb: DataFrame,
+                     config: Config = Config(),
+                     semanticThreshold: Double = 0.95, shards: Int = 0,
+                     nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
+                     route: String = "auto"): DataFrame = {
+    val curated = graft.CacheRegistry.persist(curate(docs, config))
+    val embKept = emb.select(col("vec_id"), col("embedding"))
+      .join(curated.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    val comps = Dedup.connectedComponents(
+      Dedup.hnswNearDupPairs(embKept, semanticThreshold, shards,
+        nProbe = nProbe, route = route))
+    val reps = Dedup.clusterRepresentatives(comps,
+      curated.select(col("doc_id"), col("n_tokens")), "n_tokens")
+    val drops = comps
+      .join(reps.select(col("cluster"), col("keep_id")), "cluster")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    curated.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-source dataset card — the one-table summary a data consumer
     * reads before touching a corpus: volume (docs/chars/tokens),
     * exact-duplicate pressure (docs minus distinct content fingerprints),

@@ -4916,7 +4916,33 @@ object Queries {
           k = 10, efSearch = 64)
       },
       None,
-      dynamicOracle = Some(hnswFilteredServeOracleSql))
+      dynamicOracle = Some(hnswFilteredServeOracleSql)),
+
+    // ── Q200: the FULL curation ladder
+    //          ([[graft.pipelines.CorpusPipeline.curateSemantic]]) —
+    //          q85's flagship extended to the geo route: quality →
+    //          language → exact + MinHash near-dup (the q85 text legs,
+    //          bitwise unchanged) → geometry-routed SEMANTIC dedup over
+    //          the survivors' embeddings (q191's routed pair scan →
+    //          q192's closure + keep-best-copy argmax on n_tokens).
+    //          One composition, one oracle: q85's CTE chain + q192's
+    //          recursive replay restricted to the kept docs — a slip in
+    //          ANY leg (a lost survivor, a wrong pair, a wrong
+    //          representative) breaks the hash. shards=4 ≤ nProbe → the
+    //          routed leg is exhaustive by construction (the q191
+    //          discipline); threshold 0.35 keeps the pair graph
+    //          non-trivial on the near-isotropic testdata. ───────────────
+    QueryDef("q200_curate_semantic",
+      (s, dir) => graft.pipelines.CorpusPipeline.curateSemantic(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          t(s, dir, "embeddings"),
+          graft.pipelines.CorpusPipeline.Config(
+            permHash = Dedup.Md5PermHash),
+          semanticThreshold = 0.35, shards = 4)
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("stop_ratio"), col("predicted_lang"), col("dup_count"),
+          col("subword_tokens"), col("fingerprint")),
+      Some(curateSemanticOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -5167,8 +5193,8 @@ object Queries {
     * replay q40 over the SURVIVORS; the outer SELECT re-joins the feature
     * columns and adds the q28/q29 subword count and fingerprint.
     */
-  private lazy val curateOracleSql: String =
-    s"""WITH feat AS (
+  private lazy val curateCtes: String =
+    s"""feat AS (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS DOUBLE)
@@ -5193,13 +5219,58 @@ object Queries {
        |kept AS (
        |  SELECT r.doc_id, r.text, r.dup_count FROM reps r
        |  WHERE r.doc_id NOT IN (SELECT j FROM verified)
+       |)""".stripMargin
+
+  // lazy like its consumers: the queries list forces the oracle strings
+  // during object init, before later plain vals would be assigned
+  private lazy val curateFinalSelect: String =
+    """SELECT k.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio,
+      |       q.predicted_lang, k.dup_count,
+      |       CAST(len(regexp_extract_all(k.text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+      |         AS subword_tokens,
+      |       md5(k.text) AS fingerprint
+      |FROM kept k JOIN lang q USING (doc_id)""".stripMargin
+
+  private lazy val curateOracleSql: String =
+    s"WITH $curateCtes\n$curateFinalSelect"
+
+  /** q200's oracle: [[curateOracleSql]]'s full text-route replay (the
+    * q85 CTE chain UNCHANGED) composed with q192's semantic-leg replay
+    * restricted to the text route's survivors — exact cosine pairs over
+    * the kept docs' embeddings, recursive min-label closure, and the
+    * (n_tokens desc, doc_id asc) windowed argmax; non-representative
+    * cluster members drop from q85's final select. Docs without an
+    * embedding never enter the pair graph on either engine.
+    */
+  private lazy val curateSemanticOracleSql: String =
+    s"""WITH RECURSIVE $curateCtes,
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ekept AS (
+       |  SELECT e.vec_id, e.v FROM e JOIN kept k ON k.doc_id = e.vec_id
+       |), nd AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM ekept a JOIN ekept b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+       |), sedges AS (
+       |  SELECT i, j FROM nd UNION ALL SELECT j AS i, i AS j FROM nd
+       |), swalk(doc_id, lbl) AS (
+       |  SELECT DISTINCT i, i FROM sedges
+       |  UNION
+       |  SELECT s.i, w.lbl FROM swalk w JOIN sedges s ON s.j = w.doc_id
+       |), scomp AS (
+       |  SELECT doc_id, MIN(lbl) AS cluster FROM swalk GROUP BY doc_id
+       |), srep AS (
+       |  SELECT scomp.cluster, scomp.doc_id,
+       |         row_number() OVER (PARTITION BY scomp.cluster
+       |                            ORDER BY q.n_tokens DESC,
+       |                                     scomp.doc_id ASC) AS rn
+       |  FROM scomp JOIN lang q USING (doc_id)
+       |), semdrop AS (
+       |  SELECT doc_id FROM srep WHERE rn > 1
        |)
-       |SELECT k.doc_id, q.n_tokens, q.mean_tok_len, q.stop_ratio,
-       |       q.predicted_lang, k.dup_count,
-       |       CAST(len(regexp_extract_all(k.text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
-       |         AS subword_tokens,
-       |       md5(k.text) AS fingerprint
-       |FROM kept k JOIN lang q USING (doc_id)""".stripMargin
+       |$curateFinalSelect
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM semdrop)""".stripMargin
 
   /** q84's oracle: admission replayed arm by arm. `verified` comes from
     * the shared MinHash CTE chain over (corpus ∪ unseen) — the same

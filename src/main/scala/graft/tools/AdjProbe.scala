@@ -53,6 +53,22 @@ object AdjProbe {
       case "q196" =>
         graft.SparkEntry.queries("q196_geostore_lifecycle")(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+      case "prune" =>
+        // one-off plan check (VERDICT r13 "What's wrong #2"): the
+        // compaction's delta re-read must prune to (vec_id, vec) at the
+        // parquet scan — print the scan's ReadSchema to settle it
+        val index = graft.operators.IVF.train(emb, 4, 5, maxTrainRows = 400L)
+        val base = graft.operators.HnswGeoStore.build(spark,
+          emb.filter(col("vec_id") < 200), path, index)
+        val st = graft.operators.HnswGeoStore.append(spark, base,
+          emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+        val baseLo = st.baseEpoch * graft.operators.HnswGeoStore.CellStride
+        val deltaVecs = st.segments
+          .filter(col("shard") >= baseLo + graft.operators.HnswGeoStore.CellStride)
+          .select(col("vec_id"), col("vec").as("embedding"))
+        deltaVecs.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("ReadSchema") || l.contains("FileScan"))
+          .foreach(l => System.err.println(s"[adjprobe] $l"))
       case other => sys.error(s"unknown variant $other")
     }
 

@@ -137,6 +137,46 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_sig is bitwise the per-plane when(dot >= 0) tree and " +
+       "compiles under CODEGEN_ONLY") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(16, 8)
+    val vecs = (1 to 150).map { r =>
+      (r.toLong, (0 until 8).map(d => math.sin(r * 13 + d * 5) * 2.0).toArray)
+    }
+    val df = vecs.toDF("id", "v").repartition(3)
+    // the retired expression-tree form, rebuilt inline as the reference
+    val tree = (0 until planes.length).map { b =>
+      when(GraftFunctions.dot_product(col("v"), lit(planes(b))) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    def dump(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dump(GraftFunctions.hyperplane_sig(col("v"), planes)) ===
+      dump(tree))
+    // the driver-side signature agrees (lshNeighbors compares the two)
+    vecs.take(20).foreach { case (_, v) =>
+      assert(graft.functions.HyperplaneOps.signature(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        planes) === Similarity.querySignature(v, planes))
+    }
+    withCodegenOnly {
+      val sigs = df.select(GraftFunctions.hyperplane_sig(col("v"), planes))
+        .as[Long].collect()
+      assert(sigs.length === 150)
+    }
+    // loud nulls, as every vector kernel contracts
+    val bad = Seq((1L, Seq[java.lang.Double](1.0, null))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(GraftFunctions.hyperplane_sig(col("v"), planes)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("hyperplane_sig"), msgs)
+  }
+
   test("stable_lit generates value-invariant source and survives the optimizer") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
     // the whole point: two different constants → byte-identical generated

@@ -133,6 +133,45 @@ class PipelineSpec extends SparkSpec {
     assert(kept.filter(col("predicted_lang") =!= "en").count() === 0)
   }
 
+  test("CorpusPipeline.curateSemantic: the text legs are curate's, then " +
+       "semantic twins collapse to the (n_tokens desc, id asc) " +
+       "representative; docs without embeddings are implicitly kept") {
+    val longA = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog sleeps in the sun for a while longer"
+    val longB = "the theory and the notion of the motion keeps the " +
+      "attention of the nation during the session and the recession " +
+      "and then the procession follows the session"
+    val longC = "the meeting of the board was held in the morning and " +
+      "the agenda covered the budget and the hiring and the audit"
+    val corpus = Seq(
+      (1L, longA),            // kept; semantic twin of 6 (same embedding)
+      (4L, "too short"),      // quality-dropped before the semantic leg
+      (6L, longB),            // semantic twin of 1, MORE tokens → the rep
+      (7L, longC))            // kept, isolated vector
+      .toDF("doc_id", "text")
+    val vA = (0 until 8).map(d => math.sin(d * 1.3))
+    val vC = (0 until 8).map(d => math.cos(d * 2.7))
+    val emb = Seq(
+      (1L, vA), (6L, vA.map(_ * 1.0001)),  // cos ~ 1: one cluster
+      (4L, vC),                            // quality-dropped upstream
+      (7L, vC.map(_ * -1.0)))              // isolated (cos -1 vs 4's)
+      .toDF("vec_id", "embedding")
+    val kept = graft.pipelines.CorpusPipeline.curateSemantic(
+      corpus, emb, semanticThreshold = 0.95, shards = 2)
+    // 6 beats 1 on n_tokens; 7 isolated; 4 never reached the leg; and a
+    // doc with NO embedding row must survive untouched
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(6L, 7L))
+    val noEmb = graft.pipelines.CorpusPipeline.curateSemantic(
+      corpus, emb.filter(col("vec_id") =!= 7L),
+      semanticThreshold = 0.95, shards = 2)
+    assert(noEmb.select("doc_id").as[Long].collect().toSet === Set(6L, 7L),
+      "a kept doc without an embedding never enters the pair graph")
+    assert(kept.columns.toSet ===
+      graft.pipelines.CorpusPipeline.curate(corpus).columns.toSet,
+      "the semantic leg is a row filter — every feature column survives")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("CorpusPipeline.curate normalizeText: decomposed rendering collapses into its dup") {
     val base = "the quick brown fox jumps over the lazy dog cafe" +
       " and then the dog sleeps in the sun for a while longer"

@@ -787,7 +787,21 @@ object Hnsw {
     val numParts = math.max(parallelism, math.min(nShards, 4096L).toInt)
     val pr = asProbes(pr0.crossJoin(broadcast(shardIds)))
       .withColumn("ok", lit(false))
-    val cands = st.unionByName(pr)
+    rankTopK(batchScanFiltered(st.unionByName(pr), numParts, efSearch), k)
+  }
+
+  /** [[batchScan]] with the per-node allow flag riding along — shared by
+    * [[batchNeighborsFiltered]] and the geo store's routed filtered
+    * serving ([[HnswGeoStore.batchNeighborsFiltered]]). `tagged` =
+    * flagged store rows ∪ probe rows (ok = false, never read); same
+    * exchange/sort/lazy-scan shape, candidates restricted to allowed
+    * nodes by [[searchGraphFiltered]]'s collection heap.
+    */
+  private[operators] def batchScanFiltered(tagged: DataFrame, numParts: Int,
+                                           efSearch: Int): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged
       .repartition(numParts, col("shard"))
       .sortWithinPartitions(col("shard"),
         (col("level") < 0).cast("int"), col("vec_id"))
@@ -803,7 +817,6 @@ object Hnsw {
       }
       .toDF("probe_id", "vec_id", "cos")
       .select(col("probe_id"), col("vec_id"), round(col("cos"), 6).as("cos"))
-    rankTopK(cands, k)
   }
 
   /** Candidate scan shared by [[batchNeighbors]] and the geo store's

@@ -394,6 +394,57 @@ object HnswGeoStore {
       Hnsw.batchScan(stProbed.unionByName(pr), numParts, efSearch), k)
   }
 
+  /** ROUTED + FILTERED batch serving — [[batchNeighbors]] with the
+    * predicate pushed INTO each cell graph's search
+    * ([[Hnsw.batchNeighborsFiltered]]'s allowed-only collection heap):
+    * "nearest neighbors WHERE lang = 'en'" against the standing
+    * segmented store, the deployment combination (geometry bounds WHICH
+    * graphs a probe touches, the predicate bounds WHAT they may
+    * return). `allowed` is the pre-evaluated admissible vec_id set —
+    * one equi-join pins the flag on the store pass, which stays pruned
+    * to the probed cells. Same recall caveats as both parents: the
+    * routing envelope on which cells are probed, and the ~1/efSearch
+    * selectivity decay on what the filtered heap collects — raise
+    * `efSearch` with 1/selectivity.
+    */
+  def batchNeighborsFiltered(store: Store, probes: DataFrame,
+                             allowed: DataFrame, k: Int,
+                             efSearch: Int = 64, nProbe: Int = 0,
+                             parallelism: Int = 32): DataFrame = {
+    require(k >= 1 && efSearch >= k && parallelism >= 1,
+      s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
+        s"parallelism=$parallelism")
+    val spark = store.segments.sparkSession
+    import spark.implicits._
+    val okCol = allowed.select(col("vec_id")).distinct()
+      .withColumn("__ok", lit(true))
+    val st = graft.CacheRegistry.persist(
+      store.segments.select(col("shard"), col("vec_id"), col("vec"),
+          col("level"), col("nbrs"))
+        .join(okCol, Seq("vec_id"), "left")
+        .select(col("shard"), col("vec_id"), col("vec"), col("level"),
+          col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok")))
+    val dim = st.select(size(col("vec"))).take(1)
+    if (dim.isEmpty) return emptyServe(spark)
+    val pr0 = probes.select(col("probe_id").as("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
+    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(pr0
+      .withColumn("cell",
+        explode(IVF.probeExpr(col("vec"), store.index, np)))
+      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
+      .withColumn("shard",
+        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+      .withColumn("ok", lit(false)))
+    val probedCells = pr.select(col("shard")).distinct()
+    val stProbed = st.join(broadcast(probedCells), Seq("shard"), "left_semi")
+    val numParts = math.max(parallelism,
+      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+    Hnsw.rankTopK(
+      Hnsw.batchScanFiltered(stProbed.unionByName(pr), numParts, efSearch), k)
+  }
+
   /** Corpus-wide near-dup pairs over the STANDING segmented geo store —
     * [[Hnsw.nearDupPairsRouted]]'s linear scan shape (every stored
     * vector probes its nProbe nearest cells) extended across the live

@@ -27,7 +27,12 @@ object AdjProbe {
       .config("spark.sql.codegen.cache.maxEntries", "6000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q128 = graft.SparkEntry.queries("q128_ivfadc")
+    // the probed query defaults to q128 (the original reproducer); any
+    // inventory query can stand in via SPARK_GRAFT_ADJPROBE_QUERY —
+    // e.g. q25_cosine_pairs to test the array_dot call site
+    val probeName =
+      sys.env.getOrElse("SPARK_GRAFT_ADJPROBE_QUERY", "q128_ivfadc")
+    val q128 = graft.SparkEntry.queries(probeName)
     def emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-adjprobe"
 
@@ -107,7 +112,7 @@ object AdjProbe {
         scala.jdk.CollectionConverters.ListHasAsScala(a).asScala.toSeq
       }
       System.err.println(
-        f"[adjprobe] variant=$variant phase=$phase rep=$i q128=$t%6.3f s " +
+        f"[adjprobe] variant=$variant phase=$phase rep=$i $probeName=$t%6.3f s " +
           f"janinoCompiles=+$dn%3d jobs=${ds.size}%d " +
           f"jobSum=${ds.sum}%5d ms top=[${ds.sorted.reverse.take(6).mkString(",")}]")
     }

@@ -278,6 +278,49 @@ class HnswGeoStoreSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("batchNeighborsFiltered: routed + filtered serving returns only " +
+       "allowed ids with dense ranks, clears brute force over the " +
+       "ALLOWED subset, and an empty allowed set returns zero rows") {
+    val all = corpus(300)
+    val index = IVF.train(all.toDF("vec_id", "embedding"), k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-filt")
+    var store = HnswGeoStore.build(spark,
+      all.filter(_._1 <= 200L).toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store,
+      all.filter(_._1 > 200L).toDF("vec_id", "embedding"))
+    val allowedIds = all.map(_._1).filter(_ % 3 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("vec_id")
+    val probeRows = all.take(4)
+    val probes = probeRows.map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("probe_id", "embedding")
+    // nProbe 8 >= 4 cells: routing exhaustive by construction — what's
+    // under test is the filtered collection across the epoch stride
+    val res = HnswGeoStore.batchNeighborsFiltered(store, probes, allowed,
+        k = 5, efSearch = 64, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    def brute(q: Array[Double], k: Int): Seq[Long] =
+      all.filter(r => allowedIds(r._1)).map { case (id, v) =>
+        val dv = v.map(_.toDouble).toArray
+        val dot = dv.zip(q).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(dv.map(x => x * x).sum) *
+          math.sqrt(q.map(x => x * x).sum))
+        (id, math.rint(cos * 1e6) / 1e6)
+      }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    probeRows.foreach { case (pid, v) =>
+      val mine = res.filter(_._1 == pid)
+      assert(mine.forall(h => allowedIds(h._2)),
+        s"probe $pid returned filter-violating ids")
+      assert(mine.map(_._3).toSeq.sorted === (1 to 5), s"probe $pid ranks")
+      val want = brute(v.map(_.toDouble).toArray, 5).toSet
+      val recall = mine.map(_._2).count(want) / 5.0
+      assert(recall >= 0.9, s"probe $pid filtered routed recall $recall")
+    }
+    assert(HnswGeoStore.batchNeighborsFiltered(store, probes,
+      Seq.empty[Long].toDF("vec_id"), k = 3, efSearch = 16,
+      nProbe = 8).count() === 0L)
+    CacheRegistry.releaseAll()
+  }
+
   test("retrainIfDrifted: in-distribution growth does not retrain; an " +
        "off-geometry corpus trips the cellStats ratio, retrains, " +
        "advances the base, re-baselines, and the routed near-dup " +

@@ -18,6 +18,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
       // the default 100-entry codegen class cache thrashes once an
       // inventory this size (70 queries × several stages × 2 passes) runs

@@ -37,10 +37,21 @@ case class Blake2bExpr(child: Expression, digestSize: Int)
     copy(child = newChild)
 }
 
-/** Tight-loop vector kernels called from generated code. Operating on
-  * `ArrayData` accessors directly (no `toDoubleArray` copy) keeps the
-  * per-pair cost at the FLOP count — the all-pairs similarity path does
-  * O(n²) of these, so constant factors are the whole game.
+/** Tight-loop vector kernels called from generated code — in the
+  * profile-pollution-safe bulk form ([[CentroidOps.nearest]]'s round-14
+  * discipline): this call site is hot in sessions that feed it several
+  * `ArrayData` subtypes (parquet ColumnarArray, shuffle UnsafeArrayData,
+  * object-encoder GenericArrayData from the graph stores), and once a
+  * third type shows up HotSpot's inline cache on a virtual per-element
+  * `getDouble` goes megamorphic and the loop recompiles with
+  * out-of-line Unsafe calls, PERMANENTLY — the exact mechanism that
+  * inflated the IVF family 2× until round 14 fixed `nearest` at the
+  * source. One bulk `toDoubleArray` per side (a single dispatch + a
+  * primitive copy — UnsafeArrayData's is one `copyMemory`) after a
+  * loud-null pre-scan keeps the multiply loop pure primitive-array
+  * arithmetic no matter what the session ran before; the per-pair copy
+  * is dim-sized and young-gen-local, and the accumulation order is
+  * unchanged, so results are bitwise identical.
   */
 object VectorOps {
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -50,17 +61,23 @@ object VectorOps {
     if (b.numElements() != n)
       throw new IllegalArgumentException(
         s"array_dot dimension mismatch: $n vs ${b.numElements()}")
-    var s = 0.0
+    // strict: a null ELEMENT in an array<double> (containsNull=true
+    // survives the cast) bulk-copied through toDoubleArray would read as
+    // a silent 0.0 — a plausible-but-wrong similarity. Corrupt vectors
+    // fail loudly; filter/quarantine first.
     var i = 0
     while (i < n) {
-      // strict, matching the dimension check above: a null ELEMENT in an
-      // array<double> (containsNull=true survives the cast) read through
-      // getDouble would silently contribute 0 — a plausible-but-wrong
-      // similarity. Corrupt vectors fail loudly; filter/quarantine first.
       if (a.isNullAt(i) || b.isNullAt(i))
         throw new IllegalArgumentException(
           s"array_dot null element at index $i — quarantine ragged/null embeddings before the kernel")
-      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    val aa = a.toDoubleArray()
+    val bb = b.toDoubleArray()
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      s += aa(i) * bb(i)
       i += 1
     }
     s

@@ -79,8 +79,17 @@ object HnswGeoStore {
     * which is what lets [[retrainIfDrifted]] price a drift check at
     * epoch-count instead of a corpus scan.
     */
-  private[operators] def foldStats(snaps: Seq[DataFrame]): DataFrame = {
-    val d2q = sum(round(col("inertia") * 1e6)).cast("double")
+  private[graft] def foldStats(snaps: Seq[DataFrame]): DataFrame = {
+    // accumulate in the LONG domain, exactly like IVF.cellStats' sum of
+    // quantized d2q longs: summing the re-quantized doubles instead
+    // (sum(round(inertia*1e6)) — a double sum) silently loses exactness
+    // once a cell's total crosses 2^53 in the 1e-6 domain (inertia ≳ 9e9,
+    // reachable at corpus scale), breaking the fold ≡ recompute contract
+    // the epoch-count drift check rests on (ADVICE r14). Per-leaf values
+    // are exact multiples of 1e-6 by cellStats' contract, so the
+    // round().cast(long) recovers each leaf's long exactly; the long sum
+    // is then exact to 2^63.
+    val d2q = sum(round(col("inertia") * 1e6).cast("long")).cast("double")
     snaps.reduce(_ unionByName _)
       .groupBy(col("cid"))
       .agg(sum(col("n")).as("n"),
@@ -88,6 +97,56 @@ object HnswGeoStore {
         ((d2q / 1e6) / sum(col("n")).cast("double")).as("mean_d2"),
         max(col("max_d2")).as("max_d2"))
   }
+
+  /** Columns of a fresh frame beyond the (vec_id, embedding) contract —
+    * ATTRIBUTE PAYLOADS, stored beside the vectors so a filtered serve's
+    * predicate can be a Column expression the store evaluates in its own
+    * probed-cell-pruned scan ([[batchNeighborsFilteredExpr]]) instead of
+    * a caller-built, corpus-sized allowed-id frame.
+    */
+  private def payloadCols(df: DataFrame): Seq[String] =
+    df.columns.filterNot(Set("vec_id", "embedding")).toSeq
+
+  /** Write one epoch's attribute relation: (shard, vec_id, payload...)
+    * with `shard` the SAME strided cell id the epoch's segment rows
+    * carry (assignment under the frozen `index`), so a serving pass can
+    * prune attrs and graph rows with one probed-cell set and join them
+    * probed-size-to-probed-size — never corpus-sized.
+    */
+  private def writeAttrs(path: String, src: DataFrame, index: IVF.Index,
+                         epoch: Long, cols: Seq[String]): Unit =
+    src.select(col("vec_id") +:
+        IVF.assignExpr(col("embedding").cast("array<double>"), index)
+          .cast("long").as("shard") +: cols.map(col): _*)
+      .withColumn("shard", col("shard") + lit(epoch * CellStride))
+      .write.mode("overwrite").parquet(s"$path/attrs/epoch=$epoch")
+
+  /** Whether the live epochs carry attribute payloads — all of them do
+    * (an attr store) or none does (a plain store); a mixed range would
+    * silently fail every predicate on the unpayloaded rows, so it fails
+    * loudly here.
+    */
+  private[operators] def attrsPresent(spark: SparkSession,
+                                      store: Store): Boolean = {
+    val have = store.epochs.map(e =>
+      HnswStore.fs(spark, store.path).exists(
+        new org.apache.hadoop.fs.Path(s"${store.path}/attrs/epoch=$e")))
+    require(have.forall(identity) || !have.exists(identity),
+      s"store at ${store.path} has attribute payloads for only part of " +
+        s"its live epoch range ${store.epochs.mkString(",")} — an append " +
+        "without the payload columns slipped in; rebuild or re-append " +
+        "with the store's payload schema")
+    have.forall(identity) && have.nonEmpty
+  }
+
+  /** The live epochs' attribute relation (shard, vec_id, payload...),
+    * or None for a plain store.
+    */
+  def attrsOf(spark: SparkSession, store: Store): Option[DataFrame] =
+    if (!attrsPresent(spark, store)) None
+    else Some(store.epochs.map(e =>
+      spark.read.parquet(s"${store.path}/attrs/epoch=$e"))
+      .reduce(_ unionByName _))
 
   private def commitEpoch(spark: SparkSession, path: String, epoch: Long,
                           isBase: Boolean): Unit = {
@@ -107,6 +166,15 @@ object HnswGeoStore {
     * An empty corpus is a legal seed (the streaming sink's cold start);
     * the index must still be trained — on a sample of the expected
     * distribution — because cells are the routing geometry.
+    *
+    * Columns of `emb` beyond (vec_id, embedding) are ATTRIBUTE PAYLOADS:
+    * written beside the vectors as `attrs/epoch=N` relations (cell-
+    * strided like the segments, never inside the graph rows — appends
+    * and compaction stay bitwise on the vector/graph columns) so
+    * [[batchNeighborsFilteredExpr]] can evaluate a filter predicate in
+    * the store's own probed-cell-pruned scan. A store built with
+    * payloads requires every subsequent non-empty [[append]] batch to
+    * carry the same payload columns.
     */
   def build(spark: SparkSession, emb: DataFrame, path: String,
             index: IVF.Index, m: Int = 8,
@@ -116,10 +184,12 @@ object HnswGeoStore {
     val f = HnswStore.fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (f.exists(p)) f.delete(p, true)
-    val corpus = graft.CacheRegistry.persist(
-      emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding")))
+    val src = graft.CacheRegistry.persist(emb)
+    val corpus = src.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
     writeSegment(path, Hnsw.buildGeo(corpus, index, m, efConstruction), 0L)
+    val pcols = payloadCols(src)
+    if (pcols.nonEmpty) writeAttrs(path, src, index, 0L, pcols)
     IVF.save(spark, index, s"$path/index/epoch=0")
     // the train-time snapshot is both the drift BASELINE and epoch 0's
     // incremental-stats leaf (the same frame, by definition)
@@ -205,9 +275,37 @@ object HnswGeoStore {
     val epoch = store.epoch + 1
     require(epoch < Long.MaxValue / CellStride,
       s"epoch $epoch out of the stride range")
+    val freshSrc = graft.CacheRegistry.persist(fresh)
     val freshRows = graft.CacheRegistry.persist(
-      fresh.select(col("vec_id"),
+      freshSrc.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding")))
+    // attribute-payload contract: an attr store admits only batches
+    // carrying the SAME payload columns (a stored vector without attrs
+    // would silently fail every predicate), except the empty compaction
+    // batch; a plain store rejects payloads (seed them at build time —
+    // a mixed epoch range is the same silent-filter hazard)
+    val pcols = payloadCols(freshSrc)
+    val storeAttrs = attrsPresent(spark, store)
+    if (storeAttrs) {
+      if (pcols.isEmpty)
+        require(freshSrc.isEmpty,
+          "append into an attribute-payload store: the batch carries no " +
+            "payload columns — stored vectors without attrs would " +
+            "silently fail every predicate; append with the store's " +
+            "payload schema")
+      else {
+        val stored = spark.read
+          .parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+          .columns.filterNot(Set("vec_id", "shard")).toSet
+        require(pcols.toSet == stored,
+          s"append payload columns ${pcols.sorted.mkString(",")} do not " +
+            s"match the store's ${stored.toSeq.sorted.mkString(",")}")
+      }
+    } else require(pcols.isEmpty,
+      s"append carries payload columns ${pcols.sorted.mkString(",")} " +
+        "into a store built without attrs — a mixed epoch range would " +
+        "silently fail predicates on the unpayloaded rows; rebuild with " +
+        "payloads or drop them from the batch")
     if (checkIds) {
       val dup = store.segments.select(col("vec_id"))
         .join(broadcast(freshRows.select(col("vec_id"))),
@@ -234,6 +332,35 @@ object HnswGeoStore {
         Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction)
       } else Hnsw.buildGeo(freshRows, store.index, m, efConstruction)
     writeSegment(store.path, rows, epoch)
+    if (storeAttrs) {
+      if (asBase) {
+        // the compacted base's attrs: the live epochs' relations with
+        // their cells UN-strided (the frozen index never moves a cell)
+        // plus the fresh batch's — epoch-count reads, batch-sized
+        // assignment work, never a corpus re-assignment
+        val lives = store.epochs.map(e =>
+          spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+            .withColumn("shard", pmod(col("shard"), lit(CellStride))))
+          .reduce(_ unionByName _)
+        val merged =
+          if (pcols.isEmpty) lives
+          else lives.unionByName(freshSrc.select(col("vec_id") +:
+            IVF.assignExpr(col("embedding").cast("array<double>"),
+                store.index)
+              .cast("long").as("shard") +: pcols.map(col): _*))
+        merged.withColumn("shard", col("shard") + lit(epoch * CellStride))
+          .write.mode("overwrite")
+          .parquet(s"${store.path}/attrs/epoch=$epoch")
+      } else if (pcols.nonEmpty)
+        writeAttrs(store.path, freshSrc, store.index, epoch, pcols)
+      else
+        // empty payload-less delta into an attr store (guarded above to
+        // be empty): land an empty relation with the stored schema so
+        // the live range stays uniformly attributed
+        spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+          .limit(0).write.mode("overwrite")
+          .parquet(s"${store.path}/attrs/epoch=$epoch")
+    }
     if (asBase) {
       IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
       // the compacted base's stats snapshot: fold the live epochs' leaves
@@ -305,7 +432,8 @@ object HnswGeoStore {
     val commits = HnswStore.committedEpochs(spark, store.path)
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
-         dir <- Seq("commits", "segments", "index", "drift", "stats")) {
+         dir <- Seq("commits", "segments", "index", "drift", "stats",
+           "attrs")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
@@ -410,21 +538,62 @@ object HnswGeoStore {
   def batchNeighborsFiltered(store: Store, probes: DataFrame,
                              allowed: DataFrame, k: Int,
                              efSearch: Int = 64, nProbe: Int = 0,
-                             parallelism: Int = 32): DataFrame = {
+                             parallelism: Int = 32): DataFrame =
+    filteredServe(store, probes, k, efSearch, nProbe, parallelism)(
+      _ => allowed.select(col("vec_id")).distinct())
+
+  /** ROUTED + FILTERED serving with the predicate evaluated by the STORE
+    * ITSELF — [[batchNeighborsFiltered]] without the caller-built
+    * allowed-id frame: `predicate` is a Column expression over the
+    * attribute payload columns written beside the vectors at
+    * [[build]]/[[append]] time, and it is evaluated on the attrs
+    * relation AFTER the probed-cell prune — so a micro-batch's filter
+    * work is probed-cells-sized, where the pre-evaluated-frame form
+    * costs one corpus-sized attribute join per query when the attribute
+    * table lives outside the store. Everything downstream (allowed-only
+    * result heap, recall-vs-selectivity knob) is
+    * [[batchNeighborsFiltered]]'s; a plain store (no payloads) fails
+    * loudly.
+    */
+  def batchNeighborsFilteredExpr(store: Store, probes: DataFrame,
+                                 predicate: org.apache.spark.sql.Column,
+                                 k: Int, efSearch: Int = 64,
+                                 nProbe: Int = 0,
+                                 parallelism: Int = 32): DataFrame = {
+    val spark = store.segments.sparkSession
+    val at = attrsOf(spark, store).getOrElse(
+      throw new IllegalArgumentException(
+        s"store at ${store.path} carries no attribute payloads — build " +
+          "or append with payload columns, or pre-evaluate the " +
+          "predicate and use batchNeighborsFiltered"))
+    filteredServe(store, probes, k, efSearch, nProbe, parallelism) {
+      probedCells =>
+        // the predicate runs INSIDE the probed-cell-pruned attr scan:
+        // vec_ids are unique across live epochs (the append-time id
+        // guard), so no distinct pass is needed
+        at.join(broadcast(probedCells), Seq("shard"), "left_semi")
+          .filter(predicate).select(col("vec_id"))
+    }
+  }
+
+  /** Shared routed-filtered-serving core: probe explode (cells ×
+    * epochs), probed-cell prune of the store pass, the `ok` flag pinned
+    * from `allowedOf(probedCells)`, then [[Hnsw.batchScanFiltered]]'s
+    * allowed-only heap. The allowed provider sees the probed-cell set so
+    * it can prune its own scan ([[batchNeighborsFilteredExpr]]).
+    */
+  private def filteredServe(store: Store, probes: DataFrame, k: Int,
+                            efSearch: Int, nProbe: Int, parallelism: Int)(
+      allowedOf: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && efSearch >= k && parallelism >= 1,
       s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
         s"parallelism=$parallelism")
     val spark = store.segments.sparkSession
     import spark.implicits._
-    val okCol = allowed.select(col("vec_id")).distinct()
-      .withColumn("__ok", lit(true))
-    val st = graft.CacheRegistry.persist(
+    val st0 = graft.CacheRegistry.persist(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
-          col("level"), col("nbrs"))
-        .join(okCol, Seq("vec_id"), "left")
-        .select(col("shard"), col("vec_id"), col("vec"), col("level"),
-          col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok")))
-    val dim = st.select(size(col("vec"))).take(1)
+        col("level"), col("nbrs")))
+    val dim = st0.select(size(col("vec"))).take(1)
     if (dim.isEmpty) return emptyServe(spark)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
@@ -438,7 +607,13 @@ object HnswGeoStore {
         col("epoch") * lit(CellStride) + col("cell").cast("long")))
       .withColumn("ok", lit(false)))
     val probedCells = pr.select(col("shard")).distinct()
-    val stProbed = st.join(broadcast(probedCells), Seq("shard"), "left_semi")
+    val okCol = allowedOf(probedCells).withColumn("__ok", lit(true))
+    // prune FIRST, flag SECOND: the ok join runs probed-cells-sized on
+    // the store side instead of over the whole segment range
+    val stProbed = st0.join(broadcast(probedCells), Seq("shard"), "left_semi")
+      .join(okCol, Seq("vec_id"), "left")
+      .select(col("shard"), col("vec_id"), col("vec"), col("level"),
+        col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok"))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     Hnsw.rankTopK(
@@ -574,10 +749,9 @@ object HnswGeoStore {
       incrementalAdmit(store, fresh, threshold))
     // checkIds = false: incrementalAdmit's left-anti against stored ids
     // IS the disjointness proof — the append-time probe would be a
-    // redundant second pass
-    (kept, append(spark, store,
-      kept.select(col("vec_id"), col("embedding")), asBase,
-      checkIds = false))
+    // redundant second pass. `kept` carries the batch's columns
+    // unchanged, so attribute payloads flow into the new epoch.
+    (kept, append(spark, store, kept, asBase, checkIds = false))
   }
 
   /** The standing corpus's [[IVF.cellStats]] under the base's frozen
@@ -670,6 +844,17 @@ object HnswGeoStore {
       // stay invisible to readers
       Hnsw.requireGeoStore(rows, fresh)
       writeSegment(store.path, rows, epoch)
+      // a retrain MOVES the cells, so attribute payloads re-stride under
+      // the new assignment — one vec_id-keyed join against the corpus
+      // pass the rebuild already pays (the one honest corpus-sized attr
+      // write in the lifecycle, like the rebuild itself)
+      if (attrsPresent(spark, store)) {
+        val payload = store.epochs.map(e =>
+          spark.read.parquet(s"${store.path}/attrs/epoch=$e").drop("shard"))
+          .reduce(_ unionByName _)
+        writeAttrs(store.path, corpus.join(payload, Seq("vec_id")),
+          fresh, epoch, payload.columns.filterNot(_ == "vec_id").toSeq)
+      }
       IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch")
       // the new baseline AND the new base's stats leaf — one frame: the
       // retrained index's train-time snapshot, by definition of both

@@ -50,7 +50,18 @@ object CorpusPipeline {
     * [[graft.CacheRegistry]]; after consuming the result (write/collect),
     * call `CacheRegistry.releaseAll()` to free them.
     */
-  def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
+  /** The quality + language legs as one persisted frame — [[curate]]'s
+    * pre-dedup prefix factored out so batch ADMISSION ([[admitBatch]])
+    * applies bitwise the same predicates and feature columns a
+    * whole-corpus curation run would: normalization (when configured),
+    * the per-row quality features (`n_tokens`, `mean_tok_len`,
+    * `stop_ratio`) with their threshold filters, and the marker-trigram
+    * langId argmax with the language filter. Everything is scan-side
+    * expression work (zero UDFs, zero shuffles); persisted because every
+    * caller consumes it at least twice (the dedup pass + the feature
+    * re-join).
+    */
+  def qualityLang(docs: DataFrame, config: Config = Config()): DataFrame = {
     val normalized =
       if (config.normalizeText)
         docs.withColumn("text", TextFunctions.cleanText(col("text")))
@@ -58,7 +69,7 @@ object CorpusPipeline {
     // persisted: consumed by the dedup pass AND re-joined for the feature
     // columns — without it the 25-regex langId and quality projections
     // (the most expensive per-row work here) would run once per consumer
-    val quality = graft.CacheRegistry.persist(normalized
+    graft.CacheRegistry.persist(normalized
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("mean_tok_len", TextFunctions.meanTokenLength(col("text")))
       .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))
@@ -67,6 +78,10 @@ object CorpusPipeline {
         col("stop_ratio") >= config.minStopwordRatio)
       .withColumn("predicted_lang", TextFunctions.langId(col("text")))
       .filter(col("predicted_lang").isin(config.languages: _*)))
+  }
+
+  def curate(docs: DataFrame, config: Config = Config()): DataFrame = {
+    val quality = qualityLang(docs, config)
     val deduped = Dedup.dedupCorpus(
       quality.select(col("doc_id"), col("text")), config.dedupThreshold,
       permHash = config.permHash)
@@ -120,6 +135,142 @@ object CorpusPipeline {
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
     curated.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** The standing curated-corpus state [[admitBatch]] admits against —
+    * the two persistent stores whose generations/epochs together ARE the
+    * curated corpus: the text-route dedup store (fingerprints, df-capped
+    * shingle postings, MinHash signatures —
+    * [[graft.operators.DedupState]], q80/q84's machinery) and the
+    * embedding-route segmented geo graph store
+    * ([[graft.operators.HnswGeoStore]], q194/q196's). Seed both from the
+    * initial corpus (the text store over its curated texts, the geo
+    * store over their embeddings) and every subsequent increment flows
+    * through [[admitBatch]].
+    */
+  case class CorpusState(text: graft.operators.DedupState.Store,
+                         geo: graft.operators.HnswGeoStore.Store)
+
+  /** INCREMENTAL curation admission — [[curateSemantic]]'s full ladder
+    * applied to a daily BATCH against a standing 100 TB corpus, without
+    * re-curating the world (the q84 → q85 step repeated at the geo
+    * route):
+    *
+    *   quality filter → language filter (scan-side, [[qualityLang]] —
+    *     bitwise the whole-corpus predicates)
+    *   → exact + MinHash near-dup vs the STANDING TEXT STORE
+    *     ([[graft.operators.DedupState.incrementalDedup]]: within-batch
+    *     exact collapse to min-id reps, fingerprint anti-join against
+    *     stored hashes, near-dup drop vs stored docs and smaller-id
+    *     batch reps — batch-sized shingling, the corpus tables are never
+    *     re-read at corpus scale)
+    *   → SEMANTIC near-dup vs the STANDING GEO STORE over the text
+    *     survivors' embeddings
+    *     ([[graft.operators.HnswGeoStore.incrementalAdmit]]: the routed
+    *     batch search — |batch|·nProbe·epochs probe rows, stored vectors
+    *     never replicate — plus exact within-batch pairs; drop on a
+    *     stored neighbor at cos ≥ `semanticThreshold` or a smaller-id
+    *     batch twin)
+    *   → fold the survivors into BOTH stores (text generation G+1, geo
+    *     epoch E+1 — batch-sized writes at any corpus size; `asBase`
+    *     compacts each store's live range as it appends).
+    *
+    * The ORDER is the correctness trap this composition exists to
+    * close: the semantic leg must see exactly the POST-text-dedup
+    * survivors of corpus and batch — the standing geo store holds only
+    * admitted (hence text-surviving) docs' embeddings by construction
+    * of this very function, and `embBatch` is pruned to the batch's
+    * text survivors before any routed search — hand-wiring the legs in
+    * the other order semantically dedups docs the text route was about
+    * to drop anyway, wasting the routed scan AND admitting their
+    * embeddings into the store.
+    *
+    * Returns (kept, next state): `kept` is [[curate]]'s output schema
+    * for the batch's admitted rows (doc_id, text, dup_count, the
+    * quality/lang features, subword_tokens, fingerprint); docs without
+    * an embedding row pass the semantic leg implicitly (no pair, no
+    * drop — [[curateSemantic]]'s contract). `dup_count` counts within
+    * THIS batch (the representative's standing count lives with the
+    * generation that admitted it).
+    *
+    * Admission algebra: for id-MONOTONE batches (every id in batch N+1
+    * above every id in batch N — the append-only ingest case),
+    * admit-then-admit equals admit-the-union, with one deliberate,
+    * oracle-replayed conservatism shared with q84's text route: a batch
+    * doc near-dup ONLY to a batch sibling that itself got dropped
+    * against the store is dropped in the union form (pairs are computed
+    * over the pre-drop batch) but may admit in the sequential form —
+    * both engines replay whichever form ran, and the spec pins the
+    * equality on data without such chains.
+    *
+    * Scale shape: every per-row predicate is scan-side; both admission
+    * filters are batch-sized against generational/epochal state
+    * (ScaleRehearsal's `admit` suite measures the whole ladder flat in
+    * corpus size at a fixed batch); both folds write batch-sized
+    * deltas. Nothing in this function scans the standing corpus.
+    */
+  /** Lineage cut at [[admitBatch]]'s batch-sized seams. The admission
+    * ladder nests several persisted-frame layers (quality/lang → text
+    * admission → routed semantic admission → feature re-join → two
+    * store folds); a cached reference is cheap to EXECUTE but every
+    * occurrence prints/walks/optimizes its whole subtree, so plan
+    * handling grows exponentially in the nesting depth while the actual
+    * compute stays batch-sized. The frames at these seams are
+    * batch-sized by construction, so an eager cut costs one small
+    * materialization; reliable when a checkpoint dir is set (state
+    * survives executor loss at scale), executor-local otherwise —
+    * [[graft.operators.Dedup.connectedComponents]]'s discipline.
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = p.checkpoint(true)
+      p.unpersist(false)
+      c
+    } else df.localCheckpoint(true)
+  }
+
+  def admitBatch(spark: org.apache.spark.sql.SparkSession,
+                 state: CorpusState, docs: DataFrame, emb: DataFrame,
+                 config: Config = Config(),
+                 semanticThreshold: Double = 0.95,
+                 nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
+                 efSearch: Int = 64,
+                 asBase: Boolean = false): (DataFrame, CorpusState) = {
+    val ql = qualityLang(docs, config)
+    val textKept = cut(
+      graft.operators.DedupState.incrementalDedup(
+        state.text, ql.select(col("doc_id"), col("text")),
+        config.dedupThreshold))
+    // the semantic leg runs over the TEXT SURVIVORS' embeddings only —
+    // one batch-keyed left-semi prune, the composition's ordering trap
+    val embBatch = graft.CacheRegistry.persist(
+      emb.select(col("vec_id"), col("embedding"))
+        .join(textKept.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+    val semKept = cut(
+      graft.operators.HnswGeoStore.incrementalAdmit(
+        state.geo, embBatch, semanticThreshold, efSearch, nProbe))
+    val semDrops = embBatch.select(col("vec_id"))
+      .join(semKept.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("doc_id"))
+    val kept = cut(
+      textKept.join(semDrops, Seq("doc_id"), "left_anti")
+        .join(ql.drop("text"), Seq("doc_id"))
+        .withColumn("subword_tokens",
+          TextFunctions.subwordCount(col("text")))
+        .withColumn("fingerprint",
+          TextFunctions.md5Fingerprint(col("text"))))
+    val newText = graft.operators.DedupState.append(spark, state.text,
+      kept.select(col("doc_id"), col("text")), asBase)
+    // checkIds = false: incrementalAdmit's left-anti against stored ids
+    // is the disjointness proof (the HnswGeoStore.admit discipline)
+    val newGeo = graft.operators.HnswGeoStore.append(spark, state.geo,
+      semKept.select(col("vec_id"), col("embedding")), asBase,
+      checkIds = false)
+    (kept, CorpusState(newText, newGeo))
   }
 
   /** Per-source dataset card — the one-table summary a data consumer

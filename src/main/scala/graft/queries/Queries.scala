@@ -741,6 +741,7 @@ object Queries {
     QueryDef("q38_ivf_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val idx = graft.operators.IVF.train(emb, k = 16)
         graft.operators.IVF.neighbors(emb, idx, queryVector(s, dir), 20,
           nProbe = 8, excludeId = Some(0L))
@@ -2936,6 +2937,7 @@ object Queries {
     QueryDef("q148_cell_stats",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val idx = graft.operators.IVF.train(emb, k = 16)
         graft.operators.IVF.cellStats(emb, idx)
       },
@@ -4068,6 +4070,7 @@ object Queries {
     QueryDef("q164_ann_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val idx = graft.operators.IVF.train(emb, k = 16)
         Similarity.recallAudit(
           Similarity.topK(emb, queryVector(s, dir), 20, excludeId = Some(0L)),
@@ -4812,6 +4815,7 @@ object Queries {
     QueryDef("q196_geostore_lifecycle",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val index = graft.operators.IVF.train(emb, 4, 5,
           maxTrainRows = 400L)
         val path = s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q196"
@@ -4844,6 +4848,7 @@ object Queries {
     QueryDef("q197_geostore_contamination",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val train = emb.filter(col("vec_id") < 300)
         val index = graft.operators.IVF.train(train, 4, 5,
           maxTrainRows = 400L)
@@ -4879,6 +4884,7 @@ object Queries {
     QueryDef("q198_geostore_drift_stats",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
         val idx = graft.operators.IVF.train(emb, k = 16)
         val path = s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q198"
         val base = graft.operators.HnswGeoStore.build(s,
@@ -4942,7 +4948,89 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
           col("stop_ratio"), col("predicted_lang"), col("dup_count"),
           col("subword_tokens"), col("fingerprint")),
-      Some(curateSemanticOracleSql))
+      Some(curateSemanticOracleSql)),
+
+    // ── Q201: INCREMENTAL curation admission
+    //          ([[graft.pipelines.CorpusPipeline.admitBatch]]) — the
+    //          q84 → q85 step repeated at the geo route: a standing
+    //          corpus (quality+language survivors below doc_id 300)
+    //          lives as BOTH stores — the generational text-dedup store
+    //          and the segmented geo graph store over its embeddings —
+    //          and a batch (doc_id ≥ 300) runs the FULL curation ladder
+    //          against that standing state: quality → language → exact +
+    //          MinHash near-dup vs corpus → routed semantic near-dup vs
+    //          corpus, all batch-sized, nothing re-curating the world.
+    //          The oracle replays every arm over corpus ∪ batch (q84's
+    //          discipline + q200's semantic leg); 4 cells ≤ nProbe 8
+    //          keeps the routed arm exhaustive, so the replay is exact. ──
+    QueryDef("q201_admit_batch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, dir, "embeddings")
+        val config = graft.pipelines.CorpusPipeline.Config(
+          permHash = Dedup.Md5PermHash)
+        val corpus = graft.pipelines.CorpusPipeline.qualityLang(
+            docs.filter(col("doc_id") < 300), config)
+          .select(col("doc_id"), col("text"))
+        val tPath =
+          s"${System.getProperty("java.io.tmpdir")}/graft-admit-text-q201"
+        val gPath =
+          s"${System.getProperty("java.io.tmpdir")}/graft-admit-geo-q201"
+        val textStore = graft.operators.DedupState.build(
+          s, corpus, tPath, hashTag = "md5")
+        val corpusEmb = emb.select(col("vec_id"), col("embedding"))
+          .join(corpus.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val index = graft.operators.IVF.train(corpusEmb, 4, 5,
+          maxTrainRows = 400L)
+        val geoStore = graft.operators.HnswGeoStore.build(
+          s, corpusEmb, gPath, index)
+        val (kept, _) = graft.pipelines.CorpusPipeline.admitBatch(s,
+          graft.pipelines.CorpusPipeline.CorpusState(textStore, geoStore),
+          docs.filter(col("doc_id") >= 300), emb, config,
+          semanticThreshold = 0.35, nProbe = 8)
+        kept.select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("stop_ratio"), col("predicted_lang"), col("dup_count"),
+          col("subword_tokens"), col("fingerprint"))
+      },
+      Some(admitBatchOracleSql)),
+
+    // ── Q202: filtered ANN serving over STORED attribute payloads
+    //          ([[graft.operators.HnswGeoStore.batchNeighborsFilteredExpr]])
+    //          — q199's predicate pushdown completed to deployment shape:
+    //          the attribute (`bucket`) is written BESIDE the vectors at
+    //          build/append time (cell-strided attrs relations, the
+    //          graph/vector columns bitwise untouched), and the serve's
+    //          predicate is a Column expression the store evaluates in
+    //          its own probed-cell-pruned attr scan — no corpus-sized
+    //          attribute join per query. Two epochs exercise the attr
+    //          fan-out; 4 cells ≤ nProbe 8 → routing exhaustive. Oracle
+    //          contract extends q199's: returned (probe, id) pairs are
+    //          dump-time re-run literals, DuckDB re-scores + re-ranks
+    //          them AND re-derives the predicate from vec_id, so a wrong
+    //          id, score, rank, or one filter-violating row breaks the
+    //          hash. ─────────────────────────────────────────────────────
+    QueryDef("q202_geostore_attr_serve",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            pmod(col("vec_id"), lit(7L)).as("bucket"))
+        val index = graft.operators.IVF.train(corpus, 4, 5,
+          maxTrainRows = 400L)
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q202"
+        val base = graft.operators.HnswGeoStore.build(s,
+          corpus.filter(col("vec_id") < 300), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          corpus.filter(col("vec_id") >= 300))
+        graft.operators.HnswGeoStore.batchNeighborsFilteredExpr(grown,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
+      },
+      None,
+      dynamicOracle = Some(geoAttrServeOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -5193,7 +5281,12 @@ object Queries {
     * replay q40 over the SURVIVORS; the outer SELECT re-joins the feature
     * columns and adds the q28/q29 subword count and fingerprint.
     */
-  private lazy val curateCtes: String =
+  /** The quality + language CTE prefix ([[graft.pipelines.CorpusPipeline
+    * .qualityLang]]'s replay: q27 features + q30 langid argmax +
+    * Config-default thresholds) — shared by the whole-corpus curation
+    * oracles (q85/q200) and the batch-admission oracle (q201).
+    */
+  private lazy val qualityLangCtes: String =
     s"""feat AS (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -5212,7 +5305,10 @@ object Queries {
        |  WHERE n_tokens >= 10 AND mean_tok_len <= 15.0 AND stop_ratio >= 0.0
        |), lang AS (
        |  SELECT * FROM qual WHERE predicted_lang IN ('en')
-       |), reps AS (
+       |)""".stripMargin
+
+  private lazy val curateCtes: String =
+    s"""$qualityLangCtes, reps AS (
        |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
        |  FROM lang GROUP BY text
        |), ${minhashPairCtes("reps", 0.8)},
@@ -5268,6 +5364,55 @@ object Queries {
        |  FROM scomp JOIN lang q USING (doc_id)
        |), semdrop AS (
        |  SELECT doc_id FROM srep WHERE rn > 1
+       |)
+       |$curateFinalSelect
+       |WHERE k.doc_id NOT IN (SELECT doc_id FROM semdrop)""".stripMargin
+
+  /** q201's oracle: INCREMENTAL curation admission replayed arm by arm —
+    * q84's discipline extended with the quality/lang prefix and q200's
+    * semantic leg. `corpus` is the standing state's content (the
+    * quality+language survivors below the split — exactly what the query
+    * indexed into both stores); the text arms replay q84's (batch reps →
+    * md5 anti-join vs the corpus → one MinHash chain over corpus ∪
+    * unseen, dropping the j ≥ split side of verified pairs, which covers
+    * both vs-corpus and smaller-id-batch-rep drops because corpus ids
+    * all sort below batch ids); the semantic arm replays q200's policy
+    * in ADMISSION form (drop on any corpus embedding at cos ≥ 0.35, or
+    * any smaller-id batch survivor — the store-wins/min-id-kept rule,
+    * including the deliberate pre-drop-pair conservatism both engines
+    * share); the final select re-joins the feature columns. Exhaustive
+    * by construction: 4 cells ≤ nProbe 8, so the routed search equals
+    * the exact EXISTS.
+    */
+  private lazy val admitBatchOracleSql: String =
+    s"""WITH $qualityLangCtes, corpus AS (
+       |  SELECT doc_id, text FROM lang WHERE doc_id < 300
+       |), breps AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+       |  FROM lang WHERE doc_id >= 300 GROUP BY text
+       |), unseen AS (
+       |  SELECT r.doc_id, r.text, r.dup_count FROM breps r
+       |  WHERE md5(r.text) NOT IN (SELECT DISTINCT md5(text) FROM corpus)
+       |), adm_src AS (
+       |  SELECT doc_id, text FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id, text FROM unseen
+       |), ${minhashPairCtes("adm_src", 0.8)},
+       |kept AS (
+       |  SELECT u.doc_id, u.text, u.dup_count FROM unseen u
+       |  WHERE u.doc_id NOT IN (SELECT j FROM verified WHERE j >= 300)
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ecorp AS (
+       |  SELECT e.vec_id, e.v FROM e JOIN corpus c ON c.doc_id = e.vec_id
+       |), ebat AS (
+       |  SELECT e.vec_id, e.v FROM e JOIN kept k ON k.doc_id = e.vec_id
+       |), semdrop AS (
+       |  SELECT b.vec_id AS doc_id FROM ebat b
+       |  WHERE EXISTS (SELECT 1 FROM ecorp c
+       |                WHERE ROUND(list_cosine_similarity(b.v, c.v), 6) >= 0.35)
+       |     OR EXISTS (SELECT 1 FROM ebat a WHERE a.vec_id < b.vec_id
+       |                AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
        |)
        |$curateFinalSelect
        |WHERE k.doc_id NOT IN (SELECT doc_id FROM semdrop)""".stripMargin
@@ -6253,6 +6398,39 @@ object Queries {
        |  FROM ids i
        |  JOIN e p ON p.vec_id = i.probe_id
        |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id % 3 = 0
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
+  }
+
+  /** q202's oracle: the q199 contract over the ATTR-payload store — the
+    * query re-runs at dump time (deterministic: same index train, same
+    * store build at the same path), its (probe, id) pairs embed as
+    * literals, and DuckDB re-scores + re-ranks them while re-deriving
+    * the predicate from vec_id (the stored `bucket` IS vec_id % 7 by
+    * construction, so a payload slip anywhere in build/append/attrs
+    * surfaces as a filter-violating literal and breaks the hash).
+    */
+  private def geoAttrServeOracleSql(s: SparkSession,
+                                    dir: String): String = {
+    val pairs = byName("q202_geostore_attr_serve")(s, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    graft.CacheRegistry.releaseAll()
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id % 7 = 2
+       |             AND c.vec_id >= 5
        |)
        |SELECT CAST(probe_id AS BIGINT) AS probe_id,
        |       CAST(vec_id AS BIGINT) AS vec_id, cos,

@@ -540,9 +540,16 @@ object StreamingEvents {
     * itself, and the resumed stream's next batch sees it as the new
     * latest and appends AFTER it — where a batchId-pinned sink would
     * have overwritten the retrained base's segments and demoted its
-    * commit marker. The one unservable race — an out-of-band epoch
-    * landing between a crash and its replay, past the replay's recorded
-    * allocation — fails loudly instead of overwriting. Caller seeds
+    * commit marker. An out-of-band epoch landing between a crash and its
+    * replay, past the replay's recorded allocation, fails loudly instead
+    * of overwriting: epochs beyond the replay's own allocation trip the
+    * divergence guard, and an out-of-band write AT the allocation is
+    * distinguished from the crashed attempt's own commit by its is_base
+    * marker (a lifecycle op always commits a base; the batch's own
+    * asBase is deterministic from batchId) — the one residual blind spot
+    * is an out-of-band BASE landing exactly at the allocation of a
+    * replayed batch that is ITSELF a compaction boundary, which the
+    * marker cannot tell apart (ADVICE r14 discussion). Caller seeds
     * with [[graft.operators.HnswGeoStore.build]] (epoch 0; empty corpus
     * works — the index, trained on a sample of the expected
     * distribution, IS the routing geometry, and its empty drift
@@ -556,61 +563,103 @@ object StreamingEvents {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
-        // replay detection: the mapping is written BEFORE any epoch
-        // write, so a half-finished attempt always left one behind; a
-        // partially written mapping dir (no readable parquet) means the
-        // attempt died before touching the store and counts as a first
-        // attempt
-        val recorded: Option[Long] =
-          try Some(spark.read.parquet(metaPath)
-            .select(col("epoch")).head().getLong(0))
-          catch { case _: Throwable => None }
-        val preEpoch = recorded.getOrElse {
-          val latest = HnswGeoStore.latestEpoch(spark, stateDir)
-          Seq(Tuple1(latest)).toDF("epoch").coalesce(1)
-            .write.mode("overwrite").parquet(metaPath)
-          latest
-        }
-        // divergence guard: epochs committed beyond this batch's own
-        // allocation (preEpoch + 1) mean an out-of-band writer raced the
-        // crash-replay window — overwriting would silently demote it
-        val latestNow = HnswGeoStore.latestEpoch(spark, stateDir)
-        require(latestNow <= preEpoch + 1,
-          s"geo-store stream replay of batch $batchId pinned pre-state " +
-            s"epoch $preEpoch, but epoch $latestNow is already " +
-            "committed — an out-of-band retrain/compact landed between " +
-            "the crash and this replay; re-run the out-of-band op after " +
-            "the stream catches up, or clear stream_meta to re-pin")
-        val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
-        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-        val (kept, _) =
-          HnswGeoStore.admit(spark, store, batch, threshold, asBase)
-        kept.write.mode("overwrite").option("compression", "snappy")
-          .parquet(s"$outDir/batch_id=$batchId")
-        // reclaim segments superseded by the PREVIOUS base only — a
-        // replay of this batch must still find its source range; older
-        // batches' mappings can never replay again (checkpointed offsets
-        // only ever re-run the CURRENT batch), so they ride along
-        if (asBase) {
-          HnswGeoStore.vacuum(spark, store)
-          val fs = new org.apache.hadoop.fs.Path(stateDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val metaRoot =
-            new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
-          if (fs.exists(metaRoot))
-            fs.listStatus(metaRoot).map(_.getPath)
-              .filter { p =>
-                val n = p.getName.stripPrefix("batch_id=")
-                n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
-              }
-              .foreach(p => fs.delete(p, true))
-        }
-        graft.CacheRegistry.releaseAll()
+        geoAdmitBatch(batch, batchId, stateDir, outDir, threshold,
+          compactEvery)
       }
       .start()
+
+  /** One [[hnswGeoAdmissionStream]] micro-batch — the sink body, exposed
+    * package-private so the replay/divergence contracts are directly
+    * spec-testable (a crashed attempt is just "a mapping on disk without
+    * its epoch commit").
+    */
+  private[graft] def geoAdmitBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String, outDir: String,
+                                   threshold: Double,
+                                   compactEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(metaPath)
+    // replay detection: the mapping is written BEFORE any epoch write,
+    // so a half-finished attempt always left one behind. ABSENCE must be
+    // detected explicitly (no dir, or a dir whose write never committed
+    // a part file — the rename-on-commit protocol leaves none behind on
+    // a crash mid-write): only that is a first attempt. Any OTHER read
+    // failure rethrows — a catch-all here would let a transient FS error
+    // masquerade as a first attempt, re-pin preEpoch to the POST-batch
+    // epoch, and incrementalAdmit would then left-anti-drop the batch's
+    // own ids: silent data loss on the at-least-once path (ADVICE r14).
+    val mappingPresent = fs.exists(metaP) &&
+      fs.listStatus(metaP).exists(st =>
+        st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    val recorded: Option[Long] =
+      if (!mappingPresent) None
+      else Some(spark.read.parquet(metaPath)
+        .select(col("epoch")).head().getLong(0))
+    val preEpoch = recorded.getOrElse {
+      val latest = HnswGeoStore.latestEpoch(spark, stateDir)
+      Seq(Tuple1(latest)).toDF("epoch").coalesce(1)
+        .write.mode("overwrite").parquet(metaPath)
+      latest
+    }
+    val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    // divergence guard: epochs committed beyond this batch's own
+    // allocation (preEpoch + 1) mean an out-of-band writer raced the
+    // crash-replay window — overwriting would silently demote it
+    val latestNow = HnswGeoStore.latestEpoch(spark, stateDir)
+    require(latestNow <= preEpoch + 1,
+      s"geo-store stream replay of batch $batchId pinned pre-state " +
+        s"epoch $preEpoch, but epoch $latestNow is already " +
+        "committed — an out-of-band retrain/compact landed between " +
+        "the crash and this replay; re-run the out-of-band op after " +
+        "the stream catches up, or clear stream_meta to re-pin")
+    // an epoch committed AT the allocation is either this batch's own
+    // crashed attempt (overwrite is then idempotent) or an out-of-band
+    // retrain/compact that landed after the crash but before the replay.
+    // The is_base marker tells them apart: a lifecycle op ALWAYS commits
+    // a base, while the batch's own marker carries asBase (deterministic
+    // from batchId) — on mismatch the replay would overwrite the
+    // out-of-band base's segments and demote its marker, so fail loudly
+    // instead (ADVICE r14).
+    if (latestNow == preEpoch + 1) {
+      val committedBase = spark.read
+        .parquet(s"$stateDir/commits/epoch=$latestNow")
+        .select(col("is_base")).head().getBoolean(0)
+      require(committedBase == asBase,
+        s"geo-store stream replay of batch $batchId would overwrite " +
+          s"epoch $latestNow, which is committed with is_base=" +
+          s"$committedBase while this batch commits is_base=$asBase — " +
+          "an out-of-band retrain/compact landed at the replay's own " +
+          "allocation between the crash and this replay; re-run the " +
+          "out-of-band op after the stream catches up, or clear " +
+          "stream_meta to re-pin")
+    }
+    val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
+    val (kept, _) =
+      HnswGeoStore.admit(spark, store, batch, threshold, asBase)
+    kept.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outDir/batch_id=$batchId")
+    // reclaim segments superseded by the PREVIOUS base only — a
+    // replay of this batch must still find its source range; older
+    // batches' mappings can never replay again (checkpointed offsets
+    // only ever re-run the CURRENT batch), so they ride along
+    if (asBase) {
+      HnswGeoStore.vacuum(spark, store)
+      val metaRoot =
+        new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
+      if (fs.exists(metaRoot))
+        fs.listStatus(metaRoot).map(_.getPath)
+          .filter { p =>
+            val n = p.getName.stripPrefix("batch_id=")
+            n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
+          }
+          .foreach(p => fs.delete(p, true))
+    }
+    graft.CacheRegistry.releaseAll()
+  }
 
   /** Continuous ANN SERVING from the segmented graph store — the query
     * half [[hnswAdmissionStream]] leaves open, completing the index
@@ -642,6 +691,83 @@ object StreamingEvents {
         val store = HnswStore.load(spark, stateDir)
         graft.operators.Hnsw
           .batchNeighbors(store.segments, batch, k, efSearch)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
+  /** Continuous FILTERED ANN serving — [[hnswSearchStream]] with the
+    * predicate pushed INTO each shard's graph search
+    * ([[graft.operators.Hnsw.batchNeighborsFiltered]]'s allowed-only
+    * result heap): "stream nearest WHERE lang = 'en'" without the
+    * k-completeness loss post-filtering pays (a selective predicate
+    * post-filters k hits toward zero; the filtered heap returns k
+    * allowed rows at unfiltered search cost). The admissible set is a
+    * PARQUET-BACKED relation at `allowedDir` (one `vec_id` column),
+    * re-read per micro-batch — the deployment shape where the predicate
+    * is maintained as a table (an `is_allowed` materialization, a policy
+    * list) that can change between batches; each batch serves against
+    * the set as of its own execution, the same point-in-time semantics
+    * as the store snapshot. Same store/replay contract as the
+    * unfiltered stream; recall within the allowed subset follows the
+    * ~1/efSearch selectivity knob — raise `efSearch` with
+    * 1/selectivity.
+    *
+    * Spec contract (StreamingSpec): streamed filtered serving ≡
+    * [[graft.operators.Hnsw.batchNeighborsFiltered]] on the same store
+    * and allowed set, bit for bit.
+    */
+  def hnswFilteredSearchStream(queries: DataFrame, stateDir: String,
+                               allowedDir: String, outDir: String,
+                               checkpointDir: String, k: Int,
+                               efSearch: Int = 64): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswStore.load(spark, stateDir)
+        val allowed = spark.read.parquet(allowedDir).select(col("vec_id"))
+        graft.operators.Hnsw
+          .batchNeighborsFiltered(store.segments, batch, allowed, k,
+            efSearch)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
+  /** Continuous ROUTED + FILTERED ANN serving over the segmented GEO
+    * store — [[hnswFilteredSearchStream]]'s counterpart for
+    * [[graft.operators.HnswGeoStore]], completing the geo lifecycle's
+    * serving surface (admit, compact, retrain, and now predicated
+    * serving, continuously): each micro-batch of query vectors is
+    * served by [[graft.operators.HnswGeoStore.batchNeighborsFiltered]] —
+    * geometry bounds WHICH cell graphs a probe touches
+    * (|batch|·nProbe·epochs probe rows, the store pass pruned to the
+    * probed cells), the predicate bounds WHAT they may return (the
+    * allowed-only result heap). Reads the latest committed epoch per
+    * batch (commit markers keep half-written admission epochs
+    * invisible, so serving and admission streams share a store safely);
+    * the allowed set re-reads from `allowedDir` per batch as in the
+    * flat twin.
+    */
+  def hnswGeoFilteredSearchStream(queries: DataFrame, stateDir: String,
+                                  allowedDir: String, outDir: String,
+                                  checkpointDir: String, k: Int,
+                                  efSearch: Int = 64,
+                                  nProbe: Int = 0): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswGeoStore.load(spark, stateDir)
+        val allowed = spark.read.parquet(allowedDir).select(col("vec_id"))
+        HnswGeoStore
+          .batchNeighborsFiltered(store, batch, allowed, k, efSearch,
+            nProbe)
           .write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
         graft.CacheRegistry.releaseAll()

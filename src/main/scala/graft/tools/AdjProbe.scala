@@ -23,6 +23,7 @@ object AdjProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "6000")
       .getOrCreate()
@@ -34,6 +35,7 @@ object AdjProbe {
       sys.env.getOrElse("SPARK_GRAFT_ADJPROBE_QUERY", "q128_ivfadc")
     val q128 = graft.SparkEntry.queries(probeName)
     def emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-adjprobe"
 
     def runVariant(): Unit = variant match {
@@ -97,7 +99,15 @@ object AdjProbe {
         }
       })
     def one(phase: String, i: Int, inject: Boolean): Unit = {
-      if (inject) runVariant()
+      if (inject) {
+        // the injected leg is itself timed: with variants build/delta/
+        // compact/scan this doubles as q196's PER-LEG cost attribution
+        // (VERDICT r14 #7 — keep the one measured e2e number explainable)
+        val tv0 = System.nanoTime()
+        runVariant()
+        System.err.println(
+          f"[adjprobe] variant=$variant legTime=${(System.nanoTime() - tv0) / 1e9}%6.3f s")
+      }
       graft.CacheRegistry.releaseAll()
       val cg = org.apache.spark.metrics.source.CodegenMetrics
       val n0 = cg.METRIC_COMPILATION_TIME.getCount

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The recall-vs-selectivity curve for FILTERED ANN serving — the table a
+  * user sizes `efSearch` from (the documented "raise efSearch with
+  * 1/selectivity" knob, MEASURED instead of asserted): recall@10 of
+  * [[graft.operators.Hnsw.batchNeighborsFiltered]] against the exact
+  * brute-force top-10 over the allowed subset, swept over predicate
+  * selectivity 1/3, 1/10, 1/100 × efSearch 16..512, on a ×F upscaled
+  * embedding corpus (rotation replicas — the [[ScaleRehearsal]]
+  * contract: norms and within-replica geometry preserved).
+  *
+  * Results are recorded in BASELINE.md's filtered-serving section;
+  * HnswSpec asserts a floor at the measured operating points.
+  *
+  * Usage: sbt "runMain graft.tools.FilteredRecallSweep [factor]"
+  */
+object FilteredRecallSweep {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, srcDir: String, factor: Int): Unit = {
+    val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // rotation replicas (the ScaleRehearsal upscale contract)
+    val emb = graft.CacheRegistry.persist((0 until factor).map { k =>
+      if (k == 0) src
+      else src.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), k % 64 + 1, 64 - k % 64),
+            slice(col("embedding"), 1, k % 64)))
+    }.reduce(_ unionByName _)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding")))
+    // ~50 probes carved out of the corpus; the rest is the store
+    val probes = graft.CacheRegistry.persist(
+      emb.filter(pmod(col("vec_id"), lit(401L)) === 7L))
+    val corpus = graft.CacheRegistry.persist(
+      emb.join(probes.select("vec_id"), Seq("vec_id"), "left_anti"))
+    val nProbes = probes.count()
+    val n = corpus.count()
+    println(s"RECALLSWEEP x$factor: $n stored vectors, $nProbes probes")
+    val store = graft.CacheRegistry.persist(
+      graft.operators.Hnsw.build(corpus, shards = 8))
+    store.count()
+    val probeFrame = probes
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val pSide = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").cast("array<double>").as("pv"))
+    for (selDiv <- Seq(3L, 10L, 100L)) {
+      val allowed = graft.CacheRegistry.persist(
+        corpus.filter(pmod(col("vec_id"), lit(selDiv)) === 0L))
+      val nAllowed = allowed.count()
+      // exact brute-force top-10 over the allowed subset (bounded probe
+      // side broadcast — the audit shape, not the serving path)
+      val truth = graft.CacheRegistry.persist(
+        allowed.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("cv"))
+          .crossJoin(broadcast(pSide))
+          .select(col("probe_id"), col("vec_id"),
+            round(graft.functions.GraftFunctions.dot_product(
+                col("pv"), col("cv")) /
+              (graft.functions.GraftFunctions.l2_norm(col("pv")) *
+                graft.functions.GraftFunctions.l2_norm(col("cv"))), 6)
+              .as("cos"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("probe_id"))
+              .orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 10)
+          .select("probe_id", "vec_id"))
+      val truthN = truth.count()
+      for (ef <- Seq(16, 32, 64, 128, 256, 512)) {
+        val got = graft.operators.Hnsw.batchNeighborsFiltered(
+            store, probeFrame, allowed.select("vec_id"),
+            k = 10, efSearch = ef)
+          .select("probe_id", "vec_id")
+        val hit = got.join(truth, Seq("probe_id", "vec_id"), "left_semi")
+          .count()
+        println(f"RECALLSWEEP sel=1/$selDiv%d (allowed=$nAllowed) " +
+          f"ef=$ef%d recall@10=${hit.toDouble / truthN}%.4f " +
+          f"($hit/$truthN)")
+        // NOT releaseAll here: the sweep's own persisted frames (store,
+        // corpus, truth) must survive the loop; the serving path's
+        // internal persists are small and reclaimed at the end
+      }
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+}

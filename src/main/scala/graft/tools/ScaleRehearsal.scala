@@ -80,9 +80,9 @@ object ScaleRehearsal {
     val suites = if (args.length > 1) args.drop(1).toSeq else Seq("corpus")
     suites.foreach(s =>
       require(Set("corpus", "jw", "tpch", "hnsw", "exactsubstr",
-          "neardup", "geostore", "gen")(s),
+          "neardup", "geostore", "admit", "gen")(s),
         s"unknown suite '$s' " +
-          "(corpus|jw|tpch|hnsw|exactsubstr|neardup|geostore|gen)"))
+          "(corpus|jw|tpch|hnsw|exactsubstr|neardup|geostore|admit|gen)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
@@ -91,6 +91,7 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
@@ -104,6 +105,7 @@ object ScaleRehearsal {
     if (suites.contains("neardup")) neardupSuite(spark, srcDir, base, factor)
     if (suites.contains("geostore"))
       geoStoreSuite(spark, srcDir, base, factor)
+    if (suites.contains("admit")) admitSuite(spark, srcDir, base, factor)
     // corpus generation only — lets other harnesses (StreamingBench's
     // scale-seeded run) reuse the upscaled tables without re-running a
     // measurement suite
@@ -427,7 +429,10 @@ object ScaleRehearsal {
                             base: String, factor: Int): Unit = {
     import graft.operators.{Hnsw, HnswGeoStore, IVF}
     val t = time(factor) _
+    // pinned to the (vec_id, embedding) contract: a stray column would
+    // make every epoch an attribute-payload write
     val emb = ensureTwinEmbeddings(spark, srcDir, base, factor)
+      .select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val cells = 4 * factor
     val nProbe = Hnsw.DefaultNearDupNProbe
@@ -557,6 +562,59 @@ object ScaleRehearsal {
       -1L
     }
     graft.CacheRegistry.releaseAll()
+  }
+
+  /** Incremental curation admission at scale
+    * ([[graft.pipelines.CorpusPipeline.admitBatch]]): the standing state
+    * is replicas 1..F−1 (GROWS with the factor), the admitted batch is
+    * replica 0 (FIXED size) — so the `admit_batch_ladder` line's
+    * flatness across ×10 → ×100 is exactly the batch-sized-cost claim
+    * the composition's scaladoc makes: quality/lang scan, text admission
+    * vs the generational store, routed semantic admission vs the geo
+    * store, and both folds, none of them scanning the standing corpus.
+    * The seed build line is the one-time corpus-sized cost, printed for
+    * contrast. Quality/lang thresholds are permissive here because the
+    * upscale's token salting legitimately shifts the quality features —
+    * the rehearsal measures cost shape, not curation selectivity.
+    */
+  private def admitSuite(spark: SparkSession, srcDir: String,
+                         base: String, factor: Int): Unit = {
+    import graft.pipelines.CorpusPipeline
+    val t = time(factor) _
+    val docs = ensureDocuments(spark, srcDir, base, factor)
+    val emb = ensureEmbeddings(spark, srcDir, base, factor)
+      .select(col("vec_id"), col("embedding"))
+    val blk = 10000000L
+    val cfg = CorpusPipeline.Config(minTokens = 1,
+      maxMeanTokenLength = 1e9, languages = Seq("en", "und"))
+    var state: CorpusPipeline.CorpusState = null
+    t("admit_seed_state") {
+      val standing = CorpusPipeline.qualityLang(
+          docs.filter(col("doc_id") >= blk), cfg)
+        .select(col("doc_id"), col("text"))
+      val text = graft.operators.DedupState.build(spark, standing,
+        s"$base/admit-text-store")
+      val standingEmb = emb.filter(col("vec_id") >= blk)
+        .join(standing.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      val cells = 4 * factor
+      val index = graft.operators.IVF.train(standingEmb, cells,
+        iters = 5, maxTrainRows = 100L * cells)
+      val geo = graft.operators.HnswGeoStore.build(spark, standingEmb,
+        s"$base/admit-geo-store", index)
+      state = CorpusPipeline.CorpusState(text, geo)
+      val n = standing.count()
+      graft.CacheRegistry.releaseAll()
+      n
+    }
+    t("admit_batch_ladder") {
+      val (kept, _) = CorpusPipeline.admitBatch(spark, state,
+        docs.filter(col("doc_id") < blk), emb, cfg,
+        semanticThreshold = 0.9)
+      val n = kept.count()
+      graft.CacheRegistry.releaseAll()
+      n
+    }
   }
 
   // ─────────────── exactsubstr suite (char-span dedup) ────────────────────

@@ -200,6 +200,122 @@ class HnswGeoStoreSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("attribute payloads: attrs ride build/append/admit/compact/" +
+       "retrain/vacuum; the expr-filtered serve equals the allowed-frame " +
+       "form bitwise; graph columns stay bitwise payload-free") {
+    val all = corpus(360)
+    def withBucket(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket", pmod(col("vec_id"), lit(7L)))
+    val emb = all.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 4, iters = 3)
+    val dirA = tmp("hnsw-geo-attr")
+    val dirP = tmp("hnsw-geo-plain")
+    // attr store: build + delta append + admit, all with payloads
+    var sa = HnswGeoStore.build(spark,
+      withBucket(all.filter(_._1 <= 200L).toDF("vec_id", "embedding")),
+      dirA, index)
+    sa = HnswGeoStore.append(spark, sa,
+      withBucket(all.filter(id => id._1 > 200L && id._1 <= 280L)
+        .toDF("vec_id", "embedding")))
+    val (_, sa2) = HnswGeoStore.admit(spark, sa,
+      withBucket(all.filter(_._1 > 280L).toDF("vec_id", "embedding")),
+      threshold = 0.9999)
+    sa = sa2
+    // plain twin: the same lifecycle without payloads — graph/vector
+    // columns must be bitwise identical (payloads never enter the graph)
+    var sp = HnswGeoStore.build(spark,
+      all.filter(_._1 <= 200L).toDF("vec_id", "embedding"), dirP, index)
+    sp = HnswGeoStore.append(spark, sp,
+      all.filter(id => id._1 > 200L && id._1 <= 280L)
+        .toDF("vec_id", "embedding"))
+    val (_, sp2) = HnswGeoStore.admit(spark, sp,
+      all.filter(_._1 > 280L).toDF("vec_id", "embedding"),
+      threshold = 0.9999)
+    sp = sp2
+    def segDump(s: HnswGeoStore.Store) =
+      s.segments.collect().map(_.toString).sorted.toSeq
+    assert(segDump(sa) === segDump(sp),
+      "attribute payloads must not perturb the graph rows")
+    // the attrs relation covers every stored vector with its cell shard
+    val at = HnswGeoStore.attrsOf(spark, sa).get
+    assert(at.count() === sa.segments.count())
+    assert(at.join(sa.segments, Seq("shard", "vec_id"), "left_anti")
+      .count() === 0L, "attr rows must co-stride with their graph rows")
+    // expr-filtered serve ≡ allowed-frame serve, bitwise
+    val probes = all.filter(_._1 <= 5L).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaExpr = dump(HnswGeoStore.batchNeighborsFilteredExpr(sa, probes,
+      col("bucket") === lit(2L), k = 5, efSearch = 32, nProbe = 8))
+    val viaFrame = dump(HnswGeoStore.batchNeighborsFiltered(sa, probes,
+      emb.filter(col("vec_id") % 7 === 2).select("vec_id"),
+      k = 5, efSearch = 32, nProbe = 8))
+    assert(viaExpr === viaFrame)
+    assert(viaExpr.nonEmpty)
+    // compaction folds attrs into the new base; vacuum reclaims old attrs
+    val compacted = HnswGeoStore.compact(spark, sa)
+    val atc = HnswGeoStore.attrsOf(spark, compacted).get
+    assert(atc.count() === compacted.segments.count())
+    assert(dump(HnswGeoStore.batchNeighborsFilteredExpr(compacted, probes,
+      col("bucket") === lit(2L), k = 5, efSearch = 32, nProbe = 8))
+      === viaExpr, "compaction must preserve expr-filtered serving")
+    HnswGeoStore.vacuum(spark, compacted)
+    val fs = new org.apache.hadoop.fs.Path(dirA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirA/attrs/epoch=0")),
+      "vacuum must reclaim superseded attrs")
+    // retrain carries attrs under the NEW assignment
+    val (retrained, _) = {
+      // force a retrain by an absurdly low drift factor
+      HnswGeoStore.retrainIfDrifted(spark, compacted, driftFactor = 1e-9,
+        iters = 2)
+    }
+    assert(retrained.baseEpoch > compacted.baseEpoch, "retrain must land")
+    val atr = HnswGeoStore.attrsOf(spark, retrained).get
+    assert(atr.count() === retrained.segments.count())
+    assert(atr.join(retrained.segments, Seq("shard", "vec_id"),
+      "left_anti").count() === 0L,
+      "retrained attrs must re-stride with the new cells")
+    // mismatch guards fail loudly
+    val exNoAttr = intercept[IllegalArgumentException] {
+      HnswGeoStore.append(spark, retrained,
+        Seq((999L, all.head._2)).toDF("vec_id", "embedding"))
+    }
+    assert(exNoAttr.getMessage.contains("payload"))
+    val exPlain = intercept[IllegalArgumentException] {
+      HnswGeoStore.append(spark, sp,
+        withBucket(Seq((999L, all.head._2)).toDF("vec_id", "embedding")))
+    }
+    assert(exPlain.getMessage.contains("payload"))
+    // expr serving on a plain store names the problem
+    val exServe = intercept[IllegalArgumentException] {
+      HnswGeoStore.batchNeighborsFilteredExpr(sp, probes,
+        col("bucket") === lit(2L), k = 5, efSearch = 32, nProbe = 8)
+    }
+    assert(exServe.getMessage.contains("no attribute payloads"))
+    CacheRegistry.releaseAll()
+  }
+
+  test("foldStats accumulates inertia in the LONG domain: exact when a " +
+       "cell's quantized total crosses 2^53 (ADVICE r14)") {
+    // 7 leaves of 1.9e15+1 in the 1e-6-quantized domain: each leaf
+    // round-trips double→long exactly (< 2^51), every double PARTIAL sum
+    // past the fifth leaf sits above 2^53 where doubles step by 2 — a
+    // double-domain accumulation cannot represent the odd running totals
+    // and drifts, while the long fold stays exact to 2^63. The contract
+    // is cellStats-parity: the fold must equal the long-sum reference
+    // (sum as long, ONE cast, ONE divide — IVF.cellStats' algebra).
+    val q = 1900000000000001L
+    def leaf(i: Int) = Seq((0, 1L, q.toDouble / 1e6, q.toDouble / 1e6,
+      q.toDouble / 1e6)).toDF("cid", "n", "inertia", "mean_d2", "max_d2")
+    val folded = HnswGeoStore.foldStats((0 until 7).map(leaf))
+      .select("inertia", "mean_d2").head()
+    val want = (7L * q).toDouble / 1e6
+    assert(folded.getDouble(0) === want)
+    assert(folded.getDouble(1) === want / 7.0)
+  }
+
   test("cold start: an empty-corpus build writes an UNMEASURABLE drift " +
        "baseline (never a looks-healthy ratio); the first non-empty " +
        "compaction re-snapshots it and drift becomes measurable") {

@@ -877,6 +877,96 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("geoAdmitBatch replay: an out-of-band base landing AT the " +
+       "replay's own allocation fails loudly on the is_base marker " +
+       "instead of overwriting it (ADVICE r14)") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geooobat-state")
+    val outDir = s"${tmpDir("graft-geooobat-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    // a crashed first attempt: the mapping landed, the epoch commit never
+    // did — exactly the window the divergence guard exists for
+    Seq(Tuple1(0L)).toDF("epoch").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta/batch_id=0")
+    // ...and an out-of-band compaction races the replay, committing a
+    // BASE at epoch 1 — the replay's own allocation
+    HnswGeoStore.compact(spark, HnswGeoStore.load(spark, stateDir))
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 0)
+    }
+    assert(ex.getMessage.contains("out-of-band"))
+    // the out-of-band base survived undemoted
+    assert(spark.read.parquet(s"$stateDir/commits/epoch=1")
+      .select("is_base").as[Boolean].head())
+    CacheRegistry.releaseAll()
+  }
+
+  test("geoAdmitBatch replay: the batch's OWN crashed-but-committed " +
+       "attempt replays idempotently through the marker check") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-georeplay-state")
+    val outDir = s"${tmpDir("graft-georeplay-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0)
+    // replay of the same batch: mapping pins epoch 0, epoch 1 is already
+    // committed by the first attempt with the SAME is_base — overwrite
+    // must proceed and land the identical store
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0)
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 1L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L))
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .select("vec_id").as[Long].collect().toSet === Set(11L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("geoAdmitBatch replay: a mapping dir that EXISTS but cannot be " +
+       "read rethrows — a transient read failure must not masquerade " +
+       "as a first attempt (ADVICE r14)") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geocorrupt-state")
+    val outDir = s"${tmpDir("graft-geocorrupt-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    // a mapping with a committed-looking part file whose bytes are not
+    // parquet: the read must FAIL the batch, not silently re-pin
+    val metaDir = java.nio.file.Paths.get(
+      s"$stateDir/stream_meta/batch_id=0")
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.write(metaDir.resolve("part-00000.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    intercept[Throwable] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 0)
+    }
+    // the store was never touched: no epoch appended, no output written
+    assert(HnswGeoStore.latestEpoch(spark, stateDir) === 0L)
+    val outFs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!outFs.exists(
+      new org.apache.hadoop.fs.Path(s"$outDir/batch_id=0")))
+    CacheRegistry.releaseAll()
+  }
+
   test("hnswSearchStream: streamed batch serving equals batchNeighbors " +
        "on the same store, per batch; results are ranked and k-complete") {
     implicit val ctx = spark.sqlContext
@@ -921,6 +1011,97 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(_._4).toSeq.sorted === (1 to 5),
         s"probe $pid must carry dense ranks 1..5")
     }
+  }
+
+  test("hnswFilteredSearchStream: streamed filtered serving equals " +
+       "batchNeighborsFiltered on the same store and allowed set, bit " +
+       "for bit; every returned row satisfies the predicate") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Hnsw, HnswStore}
+    val stateDir = tmpDir("graft-hfserve-state")
+    val allowedDir = s"${tmpDir("graft-hfserve-allowed")}/ids"
+    val outDir = s"${tmpDir("graft-hfserve-out")}/rows"
+    val ckpt = tmpDir("graft-hfserve-ckpt")
+    val emb = graft.sources.Tables.table(spark, sf0001, "embeddings")
+    HnswStore.build(spark, emb.filter(col("vec_id") >= 10), stateDir,
+      shards = 3)
+    // the predicate as a maintained table: vec_id % 3 = 0
+    emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      .write.mode("overwrite").parquet(allowedDir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = probes.splitAt(5)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.hnswFilteredSearchStream(
+      stream.toDF().toDF("probe_id", "embedding"), stateDir, allowedDir,
+      outDir, ckpt, k = 5, efSearch = 32)
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("probe_id", "vec_id", "cos", "rank")
+      .collect().map(key).toSet
+    val store = HnswStore.load(spark, stateDir)
+    val want = Hnsw.batchNeighborsFiltered(store.segments,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        spark.read.parquet(allowedDir), k = 5, efSearch = 32)
+      .collect().map(key).toSet
+    CacheRegistry.releaseAll()
+    assert(streamed === want,
+      "streamed filtered serving must equal the batch filtered search")
+    assert(streamed.nonEmpty && streamed.forall(_._2 % 3 == 0),
+      "a filter-violating row reached the sink")
+  }
+
+  test("hnswGeoFilteredSearchStream: streamed routed+filtered serving " +
+       "equals the geo store's batchNeighborsFiltered, bit for bit") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-gfserve-state")
+    val allowedDir = s"${tmpDir("graft-gfserve-allowed")}/ids"
+    val outDir = s"${tmpDir("graft-gfserve-out")}/rows"
+    val ckpt = tmpDir("graft-gfserve-ckpt")
+    val emb = graft.sources.Tables.table(spark, sf0001, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val index = IVF.train(corpus, 4, 5, maxTrainRows = 400L)
+    // two epochs so the routed fan-out is exercised, not just one base
+    val base = HnswGeoStore.build(spark,
+      corpus.filter(col("vec_id") < 300), stateDir, index)
+    HnswGeoStore.append(spark, base, corpus.filter(col("vec_id") >= 300))
+    emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      .write.mode("overwrite").parquet(allowedDir)
+    val probes = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingEvents.hnswGeoFilteredSearchStream(
+      stream.toDF().toDF("probe_id", "embedding"), stateDir, allowedDir,
+      outDir, ckpt, k = 5, efSearch = 32, nProbe = 8)
+    try {
+      stream.addData(probes.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("probe_id", "vec_id", "cos", "rank")
+      .collect().map(key).toSet
+    val store = HnswGeoStore.load(spark, stateDir)
+    val want = HnswGeoStore.batchNeighborsFiltered(store,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        spark.read.parquet(allowedDir), k = 5, efSearch = 32, nProbe = 8)
+      .collect().map(key).toSet
+    CacheRegistry.releaseAll()
+    assert(streamed === want,
+      "streamed geo filtered serving must equal the batch routed search")
+    assert(streamed.nonEmpty && streamed.forall(_._2 % 3 == 0),
+      "a filter-violating row reached the sink")
   }
 
   test("embeddingAdmissionStream over an ANN store: every admitted epoch " +

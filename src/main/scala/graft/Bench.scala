@@ -324,6 +324,59 @@ object Bench {
       }
       CacheRegistry.releaseAll()
     }
+    // q196 per-leg attribution: the lifecycle query is ONE measured
+    // number covering train → build → delta append → compaction →
+    // routed scan; as rounds add lifecycle steps the total grows for
+    // honest reasons that a single figure can't show. These lines run
+    // the SAME body (same splits, same store discipline, fresh dir per
+    // pass) with each leg timed separately into scale_path, so any
+    // growth in q196 decomposes against q196_leg_*. Kept out of `total`
+    // like every scale line.
+    if (selected("q196_leg_scan")) {
+      import org.apache.spark.sql.functions.col
+      val legPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft-geostore-legs"
+      val legFs = new org.apache.hadoop.fs.Path(legPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def leg[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        val t = (System.nanoTime() - t0) / 1e9
+        scaleTimings(name) = scaleTimings.get(name).fold(t)(math.min(_, t))
+        r
+      }
+      for (_ <- 1 to passes) {
+        legFs.delete(new org.apache.hadoop.fs.Path(legPath), true)
+        try {
+          val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val index = leg("q196_leg_train") {
+            graft.operators.IVF.train(emb, 4, 5, maxTrainRows = 400L)
+          }
+          val base = leg("q196_leg_build") {
+            graft.operators.HnswGeoStore.build(spark,
+              emb.filter(col("vec_id") < 200), legPath, index)
+          }
+          val grown = leg("q196_leg_append") {
+            graft.operators.HnswGeoStore.append(spark, base,
+              emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+          }
+          val compacted = leg("q196_leg_compact") {
+            graft.operators.HnswGeoStore.append(spark, grown,
+              emb.filter(col("vec_id") >= 350), asBase = true)
+          }
+          leg("q196_leg_scan") {
+            graft.operators.HnswGeoStore.nearDupPairs(compacted, 0.35,
+                nProbe = 8)
+              .write.format("noop").mode("overwrite").save()
+          }
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] q196 leg attribution failed: ${e.getMessage}")
+        }
+        CacheRegistry.releaseAll()
+      }
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -377,6 +377,55 @@ object Bench {
         CacheRegistry.releaseAll()
       }
     }
+    // q201's deployment shape: the standing curated-corpus stores are
+    // pre-built OUTSIDE the timing (a deployment seeds once and admits
+    // daily), then ONE admitBatch of the 10% batch is timed — one pass
+    // only, because the admission folds new generations/epochs into the
+    // standing stores, so a second pass would measure a different
+    // (already-admitted) contract. xxhash64 defaults, like every scale
+    // line. q201 itself stays the honest in-measurement form (seed +
+    // admit) for the oracle.
+    if (selected("admit_batch_ladder")) {
+      import org.apache.spark.sql.functions.{col, max}
+      val tDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-admit-text-bench"
+      val gDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-admit-geo-bench"
+      try {
+        val hfs = new org.apache.hadoop.fs.Path(tDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(new org.apache.hadoop.fs.Path(tDir), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(gDir), true)
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cut = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+        val cfg = graft.pipelines.CorpusPipeline.Config()
+        val standing = graft.pipelines.CorpusPipeline.qualityLang(
+            docs.filter(col("doc_id") <= cut), cfg)
+          .select(col("doc_id"), col("text"))
+        val text = graft.operators.DedupState.build(spark, standing, tDir)
+        val standingEmb = emb.filter(col("vec_id") <= cut)
+          .join(standing.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val index = graft.operators.IVF.train(standingEmb, 8, 5,
+          maxTrainRows = 800L)
+        val geo = graft.operators.HnswGeoStore.build(spark, standingEmb,
+          gDir, index)
+        CacheRegistry.releaseAll()
+        val t0 = System.nanoTime()
+        val (kept, _) = graft.pipelines.CorpusPipeline.admitBatch(spark,
+          graft.pipelines.CorpusPipeline.CorpusState(text, geo),
+          docs.filter(col("doc_id") > cut), emb, cfg,
+          semanticThreshold = 0.9)
+        kept.write.format("noop").mode("overwrite").save()
+        scaleTimings("admit_batch_ladder") = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] admit_batch_ladder failed: ${e.getMessage}")
+      }
+      CacheRegistry.releaseAll()
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -148,11 +148,36 @@ object HnswGeoStore {
       spark.read.parquet(s"${store.path}/attrs/epoch=$e"))
       .reduce(_ unionByName _))
 
+  /** Write one epoch's commit marker. `writer` is the committing
+    * actor's identity — `"lifecycle"` for every batch-API op
+    * (build/append/compact/retrain), a per-batch tag (e.g.
+    * `stream:batch=N`) for the streaming admission sink — recorded so a
+    * crash-replay can tell ITS OWN crashed-but-committed attempt (same
+    * tag → overwrite is idempotent) from an out-of-band op that landed
+    * at the same allocation (different tag → overwriting would discard
+    * it), even when both commit a base — the case the is_base marker
+    * alone cannot split (ADVICE r14's residual blind spot).
+    */
   private def commitEpoch(spark: SparkSession, path: String, epoch: Long,
-                          isBase: Boolean): Unit = {
+                          isBase: Boolean,
+                          writer: String = "lifecycle"): Unit = {
     import spark.implicits._
-    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** One epoch's commit marker: (is_base, writer) — writer None for
+    * markers written before the writer-identity column existed.
+    */
+  private[graft] def commitMarker(spark: SparkSession, path: String,
+                                  epoch: Long): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
+    val row = df.select(
+      col("is_base") +:
+        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
+      .head()
+    (row.getBoolean(0),
+      if (row.size > 1) Option(row.getString(1)) else None)
   }
 
   private def writeSegment(path: String, rows: DataFrame,
@@ -271,7 +296,8 @@ object HnswGeoStore {
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame,
              asBase: Boolean = false, m: Int = 8,
-             efConstruction: Int = 64, checkIds: Boolean = true): Store = {
+             efConstruction: Int = 64, checkIds: Boolean = true,
+             writer: String = "lifecycle"): Store = {
     val epoch = store.epoch + 1
     require(epoch < Long.MaxValue / CellStride,
       s"epoch $epoch out of the stride range")
@@ -399,7 +425,7 @@ object HnswGeoStore {
     } else
       freshStats.write.mode("overwrite")
         .parquet(s"${store.path}/stats/epoch=$epoch")
-    commitEpoch(spark, store.path, epoch, asBase)
+    commitEpoch(spark, store.path, epoch, asBase, writer)
     loadAt(spark, store.path, epoch)
   }
 
@@ -743,7 +769,8 @@ object HnswGeoStore {
     * replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            threshold: Double, asBase: Boolean = false)
+            threshold: Double, asBase: Boolean = false,
+            writer: String = "lifecycle")
       : (DataFrame, Store) = {
     val kept = graft.CacheRegistry.persist(
       incrementalAdmit(store, fresh, threshold))
@@ -751,7 +778,8 @@ object HnswGeoStore {
     // IS the disjointness proof — the append-time probe would be a
     // redundant second pass. `kept` carries the batch's columns
     // unchanged, so attribute payloads flow into the new epoch.
-    (kept, append(spark, store, kept, asBase, checkIds = false))
+    (kept, append(spark, store, kept, asBase, checkIds = false,
+      writer = writer))
   }
 
   /** The standing corpus's [[IVF.cellStats]] under the base's frozen

@@ -544,12 +544,11 @@ object StreamingEvents {
     * replay, past the replay's recorded allocation, fails loudly instead
     * of overwriting: epochs beyond the replay's own allocation trip the
     * divergence guard, and an out-of-band write AT the allocation is
-    * distinguished from the crashed attempt's own commit by its is_base
-    * marker (a lifecycle op always commits a base; the batch's own
-    * asBase is deterministic from batchId) — the one residual blind spot
-    * is an out-of-band BASE landing exactly at the allocation of a
-    * replayed batch that is ITSELF a compaction boundary, which the
-    * marker cannot tell apart (ADVICE r14 discussion). Caller seeds
+    * distinguished from the crashed attempt's own commit by the marker's
+    * WRITER identity (the sink commits under `stream:batch=N`, lifecycle
+    * ops under `lifecycle`) — exact even when both commit a base, the
+    * case r14's is_base-only comparison could not split; pre-writer
+    * markers fall back to that is_base comparison. Caller seeds
     * with [[graft.operators.HnswGeoStore.build]] (epoch 0; empty corpus
     * works — the index, trained on a sample of the expected
     * distribution, IS the routing geometry, and its empty drift
@@ -619,27 +618,37 @@ object StreamingEvents {
     // an epoch committed AT the allocation is either this batch's own
     // crashed attempt (overwrite is then idempotent) or an out-of-band
     // retrain/compact that landed after the crash but before the replay.
-    // The is_base marker tells them apart: a lifecycle op ALWAYS commits
-    // a base, while the batch's own marker carries asBase (deterministic
-    // from batchId) — on mismatch the replay would overwrite the
-    // out-of-band base's segments and demote its marker, so fail loudly
-    // instead (ADVICE r14).
+    // The marker's WRITER identity tells them apart exactly: the sink
+    // commits under a per-batch tag, lifecycle ops under "lifecycle" —
+    // so even an out-of-band BASE landing at the allocation of a
+    // replayed batch that is ITSELF a compaction boundary (both markers
+    // is_base=true — the case is_base alone cannot split) fails loudly
+    // instead of being overwritten and demoted. Markers written before
+    // the writer column existed fall back to the is_base comparison
+    // (a lifecycle op always commits a base; the batch's own asBase is
+    // deterministic from batchId).
+    val writerTag = s"stream:batch=$batchId"
     if (latestNow == preEpoch + 1) {
-      val committedBase = spark.read
-        .parquet(s"$stateDir/commits/epoch=$latestNow")
-        .select(col("is_base")).head().getBoolean(0)
-      require(committedBase == asBase,
+      val (committedBase, committedWriter) =
+        HnswGeoStore.commitMarker(spark, stateDir, latestNow)
+      val ownAttempt = committedWriter match {
+        case Some(w) => w == writerTag
+        case None => committedBase == asBase
+      }
+      require(ownAttempt,
         s"geo-store stream replay of batch $batchId would overwrite " +
-          s"epoch $latestNow, which is committed with is_base=" +
-          s"$committedBase while this batch commits is_base=$asBase — " +
-          "an out-of-band retrain/compact landed at the replay's own " +
+          s"epoch $latestNow, which is committed by " +
+          s"'${committedWriter.getOrElse(s"is_base=$committedBase")}' " +
+          s"while this replay commits as '$writerTag' (is_base=$asBase) " +
+          "— an out-of-band retrain/compact landed at the replay's own " +
           "allocation between the crash and this replay; re-run the " +
           "out-of-band op after the stream catches up, or clear " +
           "stream_meta to re-pin")
     }
     val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
     val (kept, _) =
-      HnswGeoStore.admit(spark, store, batch, threshold, asBase)
+      HnswGeoStore.admit(spark, store, batch, threshold, asBase,
+        writer = writerTag)
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
     // reclaim segments superseded by the PREVIOUS base only — a

@@ -908,6 +908,68 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("geoAdmitBatch replay: an out-of-band base at the allocation of " +
+       "a replayed COMPACTION-BOUNDARY batch (both bases — the case " +
+       "is_base alone cannot split) fails loudly on writer identity") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geowriter-state")
+    val outDir = s"${tmpDir("graft-geowriter-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    // a crashed first attempt of batch 0 under compactEvery = 1 — the
+    // batch itself commits a BASE, so its marker is is_base=true, same
+    // as any lifecycle op's
+    Seq(Tuple1(0L)).toDF("epoch").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta/batch_id=0")
+    // the racing out-of-band compaction also commits a base at epoch 1
+    HnswGeoStore.compact(spark, HnswGeoStore.load(spark, stateDir))
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 1)
+    }
+    assert(ex.getMessage.contains("out-of-band"))
+    // the out-of-band base survived undemoted, its writer intact
+    val (isBase, writer) = HnswGeoStore.commitMarker(spark, stateDir, 1L)
+    assert(isBase && writer === Some("lifecycle"))
+    CacheRegistry.releaseAll()
+  }
+
+  test("geoAdmitBatch replay: a pre-writer-column marker falls back to " +
+       "the is_base comparison (legacy stores keep replaying)") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geolegacy-state")
+    val outDir = s"${tmpDir("graft-geolegacy-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0)
+    // strip the writer column, simulating a marker committed before the
+    // column existed
+    val legacy = spark.read.parquet(s"$stateDir/commits/epoch=1")
+      .select("is_base").collect().map(_.getBoolean(0)).toSeq
+    legacy.map(Tuple1(_)).toDF("is_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/commits/epoch=1")
+    assert(HnswGeoStore.commitMarker(spark, stateDir, 1L)._2.isEmpty)
+    // replay: same batch, non-base, legacy marker non-base → overwrite
+    // proceeds idempotently
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0)
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 1L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L))
+    CacheRegistry.releaseAll()
+  }
+
   test("geoAdmitBatch replay: the batch's OWN crashed-but-committed " +
        "attempt replays idempotently through the marker check") {
     import graft.operators.{HnswGeoStore, IVF}

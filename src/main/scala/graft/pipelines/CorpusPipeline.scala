@@ -238,7 +238,8 @@ object CorpusPipeline {
                  semanticThreshold: Double = 0.95,
                  nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
                  efSearch: Int = 64,
-                 asBase: Boolean = false): (DataFrame, CorpusState) = {
+                 asBase: Boolean = false,
+                 writer: String = "lifecycle"): (DataFrame, CorpusState) = {
     val ql = qualityLang(docs, config)
     val textKept = cut(
       graft.operators.DedupState.incrementalDedup(
@@ -269,7 +270,7 @@ object CorpusPipeline {
     // is the disjointness proof (the HnswGeoStore.admit discipline)
     val newGeo = graft.operators.HnswGeoStore.append(spark, state.geo,
       semKept.select(col("vec_id"), col("embedding")), asBase,
-      checkIds = false)
+      checkIds = false, writer = writer)
     (kept, CorpusState(newText, newGeo))
   }
 

@@ -572,25 +572,46 @@ object StreamingEvents {
     * spec-testable (a crashed attempt is just "a mapping on disk without
     * its epoch commit").
     */
-  private[graft] def geoAdmitBatch(batch: DataFrame, batchId: Long,
-                                   stateDir: String, outDir: String,
-                                   threshold: Double,
-                                   compactEvery: Int): Unit = {
-    val spark = batch.sparkSession
+  private def geoWriterTag(batchId: Long): String = s"stream:batch=$batchId"
+
+  /** Pin the geo store's pre-state epoch for a micro-batch and enforce
+    * the replay contracts — the prologue every geo-admitting sink runs
+    * BEFORE touching the store:
+    *
+    * Replay detection: the batch→epoch mapping is written BEFORE any
+    * epoch write, so a half-finished attempt always left one behind.
+    * ABSENCE must be detected explicitly (no dir, or a dir whose write
+    * never committed a part file — the rename-on-commit protocol leaves
+    * none behind on a crash mid-write): only that is a first attempt.
+    * Any OTHER read failure rethrows — a catch-all here would let a
+    * transient FS error masquerade as a first attempt, re-pin preEpoch
+    * to the POST-batch epoch, and incrementalAdmit would then
+    * left-anti-drop the batch's own ids: silent data loss on the
+    * at-least-once path (ADVICE r14).
+    *
+    * Divergence guard: epochs committed beyond this batch's own
+    * allocation (preEpoch + 1) mean an out-of-band writer raced the
+    * crash-replay window — overwriting would silently demote it. An
+    * epoch committed AT the allocation is either this batch's own
+    * crashed attempt (overwrite is then idempotent) or an out-of-band
+    * retrain/compact that landed after the crash but before the replay;
+    * the marker's WRITER identity tells them apart exactly — the sink
+    * commits under a per-batch tag, lifecycle ops under "lifecycle" —
+    * so even an out-of-band BASE landing at the allocation of a
+    * replayed batch that is ITSELF a compaction boundary (both markers
+    * is_base=true — the case is_base alone cannot split) fails loudly
+    * instead of being overwritten and demoted. Markers written before
+    * the writer column existed fall back to the is_base comparison
+    * (a lifecycle op always commits a base; the batch's own asBase is
+    * deterministic from batchId).
+    */
+  private def pinGeoPreEpoch(spark: SparkSession, stateDir: String,
+                             batchId: Long, asBase: Boolean): Long = {
     import spark.implicits._
     val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaP = new org.apache.hadoop.fs.Path(metaPath)
-    // replay detection: the mapping is written BEFORE any epoch write,
-    // so a half-finished attempt always left one behind. ABSENCE must be
-    // detected explicitly (no dir, or a dir whose write never committed
-    // a part file — the rename-on-commit protocol leaves none behind on
-    // a crash mid-write): only that is a first attempt. Any OTHER read
-    // failure rethrows — a catch-all here would let a transient FS error
-    // masquerade as a first attempt, re-pin preEpoch to the POST-batch
-    // epoch, and incrementalAdmit would then left-anti-drop the batch's
-    // own ids: silent data loss on the at-least-once path (ADVICE r14).
     val mappingPresent = fs.exists(metaP) &&
       fs.listStatus(metaP).exists(st =>
         st.getPath.getName.startsWith("part-") && st.getLen > 0)
@@ -604,10 +625,6 @@ object StreamingEvents {
         .write.mode("overwrite").parquet(metaPath)
       latest
     }
-    val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    // divergence guard: epochs committed beyond this batch's own
-    // allocation (preEpoch + 1) mean an out-of-band writer raced the
-    // crash-replay window — overwriting would silently demote it
     val latestNow = HnswGeoStore.latestEpoch(spark, stateDir)
     require(latestNow <= preEpoch + 1,
       s"geo-store stream replay of batch $batchId pinned pre-state " +
@@ -615,19 +632,7 @@ object StreamingEvents {
         "committed — an out-of-band retrain/compact landed between " +
         "the crash and this replay; re-run the out-of-band op after " +
         "the stream catches up, or clear stream_meta to re-pin")
-    // an epoch committed AT the allocation is either this batch's own
-    // crashed attempt (overwrite is then idempotent) or an out-of-band
-    // retrain/compact that landed after the crash but before the replay.
-    // The marker's WRITER identity tells them apart exactly: the sink
-    // commits under a per-batch tag, lifecycle ops under "lifecycle" —
-    // so even an out-of-band BASE landing at the allocation of a
-    // replayed batch that is ITSELF a compaction boundary (both markers
-    // is_base=true — the case is_base alone cannot split) fails loudly
-    // instead of being overwritten and demoted. Markers written before
-    // the writer column existed fall back to the is_base comparison
-    // (a lifecycle op always commits a base; the batch's own asBase is
-    // deterministic from batchId).
-    val writerTag = s"stream:batch=$batchId"
+    val writerTag = geoWriterTag(batchId)
     if (latestNow == preEpoch + 1) {
       val (committedBase, committedWriter) =
         HnswGeoStore.commitMarker(spark, stateDir, latestNow)
@@ -645,27 +650,134 @@ object StreamingEvents {
           "out-of-band op after the stream catches up, or clear " +
           "stream_meta to re-pin")
     }
+    preEpoch
+  }
+
+  /** The post-base reclaim every geo-admitting sink runs: vacuum
+    * segments superseded by the PREVIOUS base only — a replay of this
+    * batch must still find its source range — and drop older batches'
+    * mappings (checkpointed offsets only ever re-run the CURRENT batch,
+    * so they can never replay again).
+    */
+  private def reclaimGeoAfterBase(spark: SparkSession,
+                                  preStore: graft.operators.HnswGeoStore.Store,
+                                  stateDir: String, batchId: Long): Unit = {
+    HnswGeoStore.vacuum(spark, preStore)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
+    if (fs.exists(metaRoot))
+      fs.listStatus(metaRoot).map(_.getPath)
+        .filter { p =>
+          val n = p.getName.stripPrefix("batch_id=")
+          n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
+        }
+        .foreach(p => fs.delete(p, true))
+  }
+
+  private[graft] def geoAdmitBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String, outDir: String,
+                                   threshold: Double,
+                                   compactEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    val preEpoch = pinGeoPreEpoch(spark, stateDir, batchId, asBase)
     val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
     val (kept, _) =
       HnswGeoStore.admit(spark, store, batch, threshold, asBase,
-        writer = writerTag)
+        writer = geoWriterTag(batchId))
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
-    // reclaim segments superseded by the PREVIOUS base only — a
-    // replay of this batch must still find its source range; older
-    // batches' mappings can never replay again (checkpointed offsets
-    // only ever re-run the CURRENT batch), so they ride along
+    if (asBase) reclaimGeoAfterBase(spark, store, stateDir, batchId)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  /** CONTINUOUS CURATION ADMISSION — the streaming twin of
+    * [[graft.pipelines.CorpusPipeline.admitBatch]], completing the
+    * flagship composition's deployment story: each micro-batch of
+    * `(doc_id, text, embedding)` rows (embedding nullable — docs
+    * without one pass the semantic leg implicitly, admitBatch's
+    * contract) runs the FULL curation ladder against the standing
+    * stores — quality → language → exact/MinHash text dedup vs the
+    * generational text store → routed semantic dedup vs the segmented
+    * geo store — and folds the survivors into both, batch-sized at any
+    * corpus size. Admitted rows land in `outDir/batch_id=N` with
+    * [[graft.pipelines.CorpusPipeline.curate]]'s feature columns.
+    *
+    * Replay discipline is the two parents' composed: the TEXT store
+    * rides [[dedupAdmissionStream]]'s batch-id-pinned generation
+    * numbering (batch N reads generation N, commits N+1 — a replay
+    * re-reads its unchanged source generation and overwrites the same
+    * target); the GEO store rides [[hnswGeoAdmissionStream]]'s
+    * persisted batch→epoch mapping with the writer-identity guard, so
+    * out-of-band retrains/compactions between runs shift the resumed
+    * stream's allocation instead of being overwritten, and races into a
+    * crash-replay window fail loudly. A crash BETWEEN the two folds is
+    * safe: the replay recomputes the identical survivors from both
+    * stores' pinned pre-state views and overwrites both folds
+    * idempotently. Caller seeds with [[graft.operators.DedupState.build]]
+    * (generation 0, the corpus' curated texts) and
+    * [[graft.operators.HnswGeoStore.build]] (epoch 0, their
+    * embeddings) — empty corpora work for both (cold start).
+    *
+    * With `compactEvery = K > 0`, every K-th batch folds as a BASE in
+    * both stores (one-generation/epoch-per-batch numbering preserved)
+    * and both stores' superseded ranges are vacuumed conservatively
+    * (only below the previous base — a replay of the current batch
+    * still finds its complete source range).
+    */
+  def curationAdmissionStream(stream: DataFrame, textStateDir: String,
+                              geoStateDir: String, outDir: String,
+                              checkpointDir: String,
+                              config: graft.pipelines.CorpusPipeline.Config =
+                                graft.pipelines.CorpusPipeline.Config(),
+                              semanticThreshold: Double = 0.95,
+                              nProbe: Int =
+                                graft.operators.Hnsw.DefaultNearDupNProbe,
+                              efSearch: Int = 64,
+                              compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationAdmitBatch(batch, batchId, textStateDir, geoStateDir,
+          outDir, config, semanticThreshold, nProbe, efSearch,
+          compactEvery)
+      }
+      .start()
+
+  /** One [[curationAdmissionStream]] micro-batch — the sink body,
+    * exposed package-private so the stream ≡ batch and replay contracts
+    * are directly spec-testable.
+    */
+  private[graft] def curationAdmitBatch(
+      batch: DataFrame, batchId: Long, textStateDir: String,
+      geoStateDir: String, outDir: String,
+      config: graft.pipelines.CorpusPipeline.Config,
+      semanticThreshold: Double, nProbe: Int, efSearch: Int,
+      compactEvery: Int): Unit = {
+    import graft.operators.DedupState
+    import graft.pipelines.CorpusPipeline
+    val spark = batch.sparkSession
+    val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    // geo mapping FIRST (before any store write — the replay-detection
+    // contract), then both pre-state views pinned: text by generation =
+    // batchId, geo by the recorded pre-epoch
+    val preEpoch = pinGeoPreEpoch(spark, geoStateDir, batchId, asBase)
+    val text = DedupState.loadAt(spark, textStateDir, batchId)
+    val geo = HnswGeoStore.loadAt(spark, geoStateDir, preEpoch)
+    val docs = batch.select(col("doc_id"), col("text"))
+    val emb = batch.filter(col("embedding").isNotNull)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val (kept, _) = CorpusPipeline.admitBatch(spark,
+      CorpusPipeline.CorpusState(text, geo), docs, emb, config,
+      semanticThreshold, nProbe, efSearch, asBase,
+      writer = geoWriterTag(batchId))
+    kept.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outDir/batch_id=$batchId")
     if (asBase) {
-      HnswGeoStore.vacuum(spark, store)
-      val metaRoot =
-        new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
-      if (fs.exists(metaRoot))
-        fs.listStatus(metaRoot).map(_.getPath)
-          .filter { p =>
-            val n = p.getName.stripPrefix("batch_id=")
-            n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
-          }
-          .foreach(p => fs.delete(p, true))
+      DedupState.vacuum(spark, text)
+      reclaimGeoAfterBase(spark, geo, geoStateDir, batchId)
     }
     graft.CacheRegistry.releaseAll()
   }

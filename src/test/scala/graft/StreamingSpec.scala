@@ -908,6 +908,167 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("curationAdmissionStream: the streamed curation ladder equals " +
+       "sequential CorpusPipeline.admitBatch calls bitwise — kept rows " +
+       "per batch, text-store fingerprints, geo-store contents") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{DedupState, HnswGeoStore, IVF}
+    import graft.pipelines.CorpusPipeline
+    // ≥ 10 tokens, English trigrams — pass the default quality/language
+    // gates (AdmitBatchSpec's fixture texts)
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks along the river bank while a bird sings in " +
+      "the tall green tree near the old wooden bridge"
+    val t2 = "a steady rain falls on the quiet town and the empty " +
+      "streets shine under a pale lamp while the clock tower rings " +
+      "twice in the cold night air before the dawn arrives"
+    val ta1 = "a young engineer draws the long bridge plan on the " +
+      "wide desk and the lamp hums while a kettle warms near the " +
+      "window and the city sleeps under a thin fog"
+    val ta3 = "a slow train crosses the green valley and the " +
+      "passengers watch the river bend under the stone arches while " +
+      "the evening sun paints the hills in a soft amber glow"
+    val t1Swap = t1.split(' ').dropRight(1).mkString(" ") + " night"
+    val corpusDocs = Seq(1L -> t1, 2L -> t2).toDF("doc_id", "text")
+    val corpusEmb = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val cfg = CorpusPipeline.Config()
+    def seed(tag: String): (String, String) = {
+      val tDir = tmpDir(s"graft-curstream-text-$tag")
+      val gDir = tmpDir(s"graft-curstream-geo-$tag")
+      val corpus = CorpusPipeline.qualityLang(corpusDocs, cfg)
+        .select(col("doc_id"), col("text"))
+      DedupState.build(spark, corpus, tDir)
+      val index = IVF.train(corpusEmb, 2, iters = 2)
+      HnswGeoStore.build(spark, corpusEmb, gDir, index)
+      CacheRegistry.releaseAll()
+      (tDir, gDir)
+    }
+    // batch 0: exact within-batch dup (11/12), a MinHash near-dup of
+    // corpus t1 (13), a semantic twin of corpus emb 1 (14), a novel doc
+    // WITHOUT an embedding (15); batch 1: an exact copy of corpus t2
+    // (20) and a novel admit (22)
+    val b0: Seq[(Long, String, Array[Float])] = Seq(
+      (11L, ta1, Array(0f, 0f, 0f, 1f)),
+      (12L, ta1, null),
+      (13L, t1Swap, Array(0.5f, 0.5f, 0f, 0f)),
+      (14L, "the harbor master logs every ship that enters the " +
+        "narrow channel and notes the cargo weight in a worn ledger " +
+        "kept beside the window", Array(0.99f, 0.1f, 0f, 0f)),
+      (15L, ta3, null))
+    val b1: Seq[(Long, String, Array[Float])] = Seq(
+      (20L, t2, Array(0f, 1f, 0f, 0f)),
+      (22L, "the final report lists a dozen clear findings and the " +
+        "committee reads each page twice before the vote",
+        Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    // streamed path
+    val (tS, gS) = seed("stream")
+    val outDir = s"${tmpDir("graft-curstream-out")}/rows"
+    val ckpt = tmpDir("graft-curstream-ckpt")
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val src = stream.toDF().toDF("doc_id", "text", "embedding")
+    val q = StreamingEvents.curationAdmissionStream(src, tS, gS, outDir,
+      ckpt, cfg, semanticThreshold = 0.9, nProbe = 8)
+    try {
+      stream.addData(b0)
+      q.processAllAvailable()
+      stream.addData(b1)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch path: the same two admissions through admitBatch directly
+    val (tB, gB) = seed("batch")
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+    def embOf(rows: Seq[(Long, String, Array[Float])]) =
+      rows.filter(_._3 != null).map(r => (r._1, r._3))
+        .toDF("vec_id", "embedding")
+    val st0 = CorpusPipeline.CorpusState(
+      DedupState.load(spark, tB), HnswGeoStore.load(spark, gB))
+    val (keptA, st1) = CorpusPipeline.admitBatch(spark, st0,
+      df(b0).select("doc_id", "text"), embOf(b0), cfg,
+      semanticThreshold = 0.9, nProbe = 8)
+    val dumpA = keptA.collect().map(_.toString).sorted.toSeq
+    val (keptB, st2) = CorpusPipeline.admitBatch(spark, st1,
+      df(b1).select("doc_id", "text"), embOf(b1), cfg,
+      semanticThreshold = 0.9, nProbe = 8)
+    val dumpB = keptB.collect().map(_.toString).sorted.toSeq
+    val colsA = keptA.columns.toSeq
+    CacheRegistry.releaseAll()
+    // kept rows per batch, bitwise (same columns, same values)
+    def streamed(b: Long): Seq[String] =
+      spark.read.parquet(s"$outDir/batch_id=$b")
+        .select(colsA.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(streamed(0L) === dumpA,
+      "batch 0: streamed kept rows must equal admitBatch's")
+    assert(streamed(1L) === dumpB,
+      "batch 1: streamed kept rows must equal admitBatch's")
+    // both standing stores agree bitwise on content
+    val sFin = DedupState.load(spark, tS)
+    val bFin = DedupState.load(spark, tB)
+    assert(sFin.fingerprints.select("h").as[String].collect().sorted.toSeq
+      === bFin.fingerprints.select("h").as[String].collect().sorted.toSeq)
+    val gSFin = HnswGeoStore.load(spark, gS)
+    val gBFin = HnswGeoStore.load(spark, gB)
+    assert(gSFin.segments.select("vec_id").as[Long].collect().sorted.toSeq
+      === gBFin.segments.select("vec_id").as[Long].collect().sorted.toSeq)
+    assert(gSFin.epoch === gBFin.epoch,
+      "one epoch per micro-batch — the numbering replay depends on")
+    CacheRegistry.releaseAll()
+  }
+
+  test("curationAdmitBatch replay: a crash between the text fold and " +
+       "the geo fold recovers — the replay recomputes from both pinned " +
+       "pre-state views and overwrites both folds idempotently") {
+    import graft.operators.{DedupState, HnswGeoStore, IVF}
+    import graft.pipelines.CorpusPipeline
+    val tDir = tmpDir("graft-curreplay-text")
+    val gDir = tmpDir("graft-curreplay-geo")
+    val outDir = s"${tmpDir("graft-curreplay-out")}/rows"
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks along the river bank while a bird sings in " +
+      "the tall green tree near the old wooden bridge"
+    val cfg = CorpusPipeline.Config()
+    val corpus = CorpusPipeline.qualityLang(
+        Seq(1L -> t1).toDF("doc_id", "text"), cfg)
+      .select(col("doc_id"), col("text"))
+    DedupState.build(spark, corpus, tDir)
+    val seedEmb = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seedEmb, k = 2, iters = 2)
+    HnswGeoStore.build(spark,
+      seedEmb.filter(col("vec_id") === 1L), gDir, index)
+    val rows: Seq[(Long, String, Array[Float])] = Seq(
+      (11L, "a slow train crosses the green valley and the passengers " +
+        "watch the river bend under the stone arches while the evening " +
+        "sun paints the hills in a soft amber glow",
+        Array(0f, 0f, 1f, 0f)))
+    val batch = rows.toDF("doc_id", "text", "embedding")
+    // attempt 1
+    StreamingEvents.curationAdmitBatch(batch, 0L, tDir, gDir, outDir,
+      cfg, 0.9, 8, 64, 0)
+    // simulate "crashed after the text fold, before the geo fold": drop
+    // the geo epoch's commit (the state a mid-fold crash leaves — text
+    // gen 1 committed, geo epoch 1 not)
+    val fs = new org.apache.hadoop.fs.Path(gDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$gDir/commits/epoch=1"), true)
+    assert(HnswGeoStore.latestEpoch(spark, gDir) === 0L)
+    // replay: must land the identical end state, loudly failing nowhere
+    StreamingEvents.curationAdmitBatch(batch, 0L, tDir, gDir, outDir,
+      cfg, 0.9, 8, 64, 0)
+    assert(DedupState.load(spark, tDir).gen === 1L)
+    val g = HnswGeoStore.load(spark, gDir)
+    assert(g.epoch === 1L)
+    assert(g.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 11L))
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .select("doc_id").as[Long].collect().toSet === Set(11L))
+    CacheRegistry.releaseAll()
+  }
+
   test("geoAdmitBatch replay: an out-of-band base at the allocation of " +
        "a replayed COMPACTION-BOUNDARY batch (both bases — the case " +
        "is_base alone cannot split) fails loudly on writer identity") {

@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   * Results are recorded in BASELINE.md's filtered-serving section;
   * HnswSpec asserts a floor at the measured operating points.
   *
-  * Usage: sbt "runMain graft.tools.FilteredRecallSweep [factor]"
+  * Usage: sbt "runMain graft.tools.FilteredRecallSweep [factor] [shards]"
+  * (shards defaults to 8 — pass shards ∝ factor to hold per-shard
+  * graph size while the corpus grows, the scale rule the ×10-vs-×100
+  * comparison in BASELINE.md establishes)
   */
 object FilteredRecallSweep {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val shards = args.lift(1).map(_.toInt).getOrElse(8)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -31,11 +35,12 @@ object FilteredRecallSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, factor)
+    run(spark, srcDir, factor, shards)
     spark.stop()
   }
 
-  def run(spark: SparkSession, srcDir: String, factor: Int): Unit = {
+  def run(spark: SparkSession, srcDir: String, factor: Int,
+          shards: Int = 8): Unit = {
     val src = graft.sources.Tables.table(spark, srcDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // rotation replicas (the ScaleRehearsal upscale contract)
@@ -55,9 +60,9 @@ object FilteredRecallSweep {
       emb.join(probes.select("vec_id"), Seq("vec_id"), "left_anti"))
     val nProbes = probes.count()
     val n = corpus.count()
-    println(s"RECALLSWEEP x$factor: $n stored vectors, $nProbes probes")
+    println(s"RECALLSWEEP x$factor shards=$shards: $n stored vectors, $nProbes probes")
     val store = graft.CacheRegistry.persist(
-      graft.operators.Hnsw.build(corpus, shards = 8))
+      graft.operators.Hnsw.build(corpus, shards = shards))
     store.count()
     val probeFrame = probes
       .select(col("vec_id").as("probe_id"), col("embedding"))

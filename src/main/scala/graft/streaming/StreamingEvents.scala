@@ -895,6 +895,39 @@ object StreamingEvents {
       }
       .start()
 
+  /** [[hnswGeoFilteredSearchStream]] with the predicate evaluated by the
+    * STORE ITSELF — continuous filtered serving over the attribute
+    * payloads written beside the vectors at build/append/admit time
+    * ([[graft.operators.HnswGeoStore.batchNeighborsFilteredExpr]]):
+    * `predicate` is a Column expression over the stored payload columns,
+    * evaluated per micro-batch in the store's own probed-cell-pruned
+    * attr scan — no allowed-id table to maintain beside the store, and
+    * the filter work stays probed-cells-sized per batch. Each batch
+    * serves against the latest committed epoch AND its attrs as of its
+    * own execution (the store snapshot semantics of the parent). A
+    * store without payloads fails the batch loudly
+    * (batchNeighborsFilteredExpr's contract).
+    */
+  def hnswGeoAttrFilteredSearchStream(queries: DataFrame, stateDir: String,
+                                      predicate: org.apache.spark.sql.Column,
+                                      outDir: String, checkpointDir: String,
+                                      k: Int, efSearch: Int = 64,
+                                      nProbe: Int = 0): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = HnswGeoStore.load(spark, stateDir)
+        HnswGeoStore
+          .batchNeighborsFilteredExpr(store, batch, predicate, k,
+            efSearch, nProbe)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(s"$outDir/batch_id=$batchId")
+        graft.CacheRegistry.releaseAll()
+      }
+      .start()
+
   /** Continuous distribution-drift alerts — q125's PSI made streaming:
     * tumbling windows of a numeric column's binned histogram, each CLOSED
     * window scored against a static baseline histogram, windows over

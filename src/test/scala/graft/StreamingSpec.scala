@@ -1327,6 +1327,52 @@ class StreamingSpec extends SparkSpec {
       "a filter-violating row reached the sink")
   }
 
+  test("hnswGeoAttrFilteredSearchStream: streamed serving with a STORED-" +
+       "attribute predicate equals batchNeighborsFilteredExpr, bit for " +
+       "bit, and no filter-violating row reaches the sink") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-gaserve-state")
+    val outDir = s"${tmpDir("graft-gaserve-out")}/rows"
+    val ckpt = tmpDir("graft-gaserve-ckpt")
+    val emb = graft.sources.Tables.table(spark, sf0001, "embeddings")
+    // bucket payload stored BESIDE the vectors — the predicate's input
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(3L)).as("bucket"))
+    val index = IVF.train(corpus, 4, 5, maxTrainRows = 400L)
+    val base = HnswGeoStore.build(spark,
+      corpus.filter(col("vec_id") < 300), stateDir, index)
+    HnswGeoStore.append(spark, base, corpus.filter(col("vec_id") >= 300))
+    val probes = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val pred = col("bucket") === lit(0L)
+    val q = StreamingEvents.hnswGeoAttrFilteredSearchStream(
+      stream.toDF().toDF("probe_id", "embedding"), stateDir, pred,
+      outDir, ckpt, k = 5, efSearch = 32, nProbe = 8)
+    try {
+      stream.addData(probes.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("probe_id", "vec_id", "cos", "rank")
+      .collect().map(key).toSet
+    val store = HnswGeoStore.load(spark, stateDir)
+    val want = HnswGeoStore.batchNeighborsFilteredExpr(store,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        pred, k = 5, efSearch = 32, nProbe = 8)
+      .collect().map(key).toSet
+    CacheRegistry.releaseAll()
+    assert(streamed === want,
+      "streamed attr-filtered serving must equal the batch expr search")
+    assert(streamed.nonEmpty && streamed.forall(_._2 % 3 == 0),
+      "a filter-violating row reached the sink")
+  }
+
   test("embeddingAdmissionStream over an ANN store: every admitted epoch " +
        "materializes codes, and the stored-codes query answers post-stream") {
     implicit val ctx = spark.sqlContext

@@ -275,7 +275,8 @@ object DedupState {
     * numbering that replay determinism depends on.
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame,
-             asBase: Boolean = false): Store = {
+             asBase: Boolean = false,
+             writer: String = "lifecycle"): Store = {
     require(store.gen >= 0,
       "append needs a generational store; catalog snapshots are " +
         "read-optimized and rebuilt, not appended (see class doc)")
@@ -301,7 +302,7 @@ object DedupState {
       newFps =
         if (asBase) store.fingerprints.unionByName(freshFps).distinct()
         else freshFps,
-      isBase = asBase)
+      isBase = asBase, writer = writer)
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -334,13 +335,14 @@ object DedupState {
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
             threshold: Double = 0.8,
-            asBase: Boolean = false): (DataFrame, Store) = {
+            asBase: Boolean = false,
+            writer: String = "lifecycle"): (DataFrame, Store) = {
     // materialize the kept set before append re-derives state from it —
     // both consumers otherwise recompute the whole admission plan
     val kept = graft.CacheRegistry.persist(
       incrementalDedup(store, fresh, threshold))
     val next = append(spark, store, kept.select(col("doc_id"), col("text")),
-      asBase)
+      asBase, writer)
     (kept, next)
   }
 
@@ -385,14 +387,37 @@ object DedupState {
   private def writeGeneration(spark: SparkSession, path: String, gen: Long,
                               newPosting: DataFrame, dfs: DataFrame,
                               sigs: DataFrame, newFps: DataFrame,
-                              isBase: Boolean = false): Unit = {
+                              isBase: Boolean = false,
+                              writer: String = "lifecycle"): Unit = {
     import spark.implicits._
     newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
     newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
     dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
     sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
-    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+    // writer identity (the [[graft.operators.HnswGeoStore]] marker
+    // discipline): lifecycle ops vs the streaming sink's per-batch tag,
+    // so a crash-replay can tell its own crashed commit from an
+    // out-of-band op at the same allocation even when both are bases
+    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/gen=$gen")
+  }
+
+  /** The latest committed generation at `path`. */
+  def latestGen(spark: SparkSession, path: String): Long =
+    committedGens(spark, path).keys.max
+
+  /** One generation's commit marker: (is_base, writer) — writer None for
+    * markers written before the writer-identity column existed.
+    */
+  private[graft] def commitMarker(spark: SparkSession, path: String,
+                                  gen: Long): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(s"$path/commits/gen=$gen")
+    val row = df.select(
+      col("is_base") +:
+        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
+      .head()
+    (row.getBoolean(0),
+      if (row.size > 1) Option(row.getString(1)) else None)
   }
 
   private def writeParams(spark: SparkSession, path: String,

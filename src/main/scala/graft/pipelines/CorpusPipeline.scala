@@ -265,7 +265,7 @@ object CorpusPipeline {
         .withColumn("fingerprint",
           TextFunctions.md5Fingerprint(col("text"))))
     val newText = graft.operators.DedupState.append(spark, state.text,
-      kept.select(col("doc_id"), col("text")), asBase)
+      kept.select(col("doc_id"), col("text")), asBase, writer)
     // checkIds = false: incrementalAdmit's left-anti against stored ids
     // is the disjointness proof (the HnswGeoStore.admit discipline)
     val newGeo = graft.operators.HnswGeoStore.append(spark, state.geo,

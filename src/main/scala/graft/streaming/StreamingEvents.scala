@@ -396,17 +396,22 @@ object StreamingEvents {
     * of the reference's persist-state/upsert-per-run key-table pattern
     * applied to corpus curation.
     *
-    * The store is GENERATIONAL ([[DedupState]] class doc): batch `b`
-    * reads the state AS OF generation `b` (`loadAt` — partition pruning
-    * hides anything newer) and commits generation `b+1`, which writes
-    * only the batch's own posting/fingerprint rows plus the small
-    * dfs/signature snapshots — the corpus-scale tables are never
+    * The store is GENERATIONAL ([[DedupState]] class doc): each batch
+    * reads the state AS OF its PINNED pre-generation (`loadAt` —
+    * partition pruning hides anything newer) and commits the next one,
+    * which writes only the batch's own posting/fingerprint rows plus the
+    * small dfs/signature snapshots — the corpus-scale tables are never
     * rewritten, so per-batch state cost stays batch-sized at any corpus
-    * size. At-least-once replay is idempotent: a replayed epoch re-reads
-    * its unchanged source generation and overwrites the same target
-    * generation + `batch_id=b` output partition. Caller seeds the store
-    * with [[DedupState.build]] (generation 0; empty corpus works) before
-    * starting the stream.
+    * size. The pre-generation is recorded in a persisted batch→gen
+    * mapping BEFORE any store write ([[pinTextPreGen]] — the geo sink's
+    * discipline), so at-least-once replay is idempotent (a replay
+    * re-reads its unchanged source generation and overwrites the same
+    * target generation + `batch_id=b` output partition), an out-of-band
+    * [[DedupState]] compact/append BETWEEN runs shifts the resumed
+    * stream's allocation instead of being overwritten, and one landing
+    * inside a crash-replay window fails loudly on the writer-identity
+    * marker. Caller seeds the store with [[DedupState.build]]
+    * (generation 0; empty corpus works) before starting the stream.
     *
     * With `compactEvery = K > 0`, every K-th epoch is written as a full
     * BASE generation (append-with-compaction fused — the
@@ -423,21 +428,43 @@ object StreamingEvents {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val store = DedupState.loadAt(spark, stateDir, batchId)
-        val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-        val (kept, _) = DedupState.admit(spark, store, batch, threshold, asBase)
-        kept.write.mode("overwrite").option("compression", "snappy")
-          .parquet(s"$outDir/batch_id=$batchId")
-        // reclaim generations superseded by the PREVIOUS base (the
-        // pre-admit store view's latest base) — never the range a replay
-        // of THIS batch would re-read
-        if (asBase) DedupState.vacuum(spark, store)
-        // drop the admission's persisted intermediates (posting lists,
-        // merged dfs) — state lives on disk between batches, not in cache
-        graft.CacheRegistry.releaseAll()
+        dedupAdmitBatch(batch, batchId, stateDir, outDir, threshold,
+          compactEvery)
       }
       .start()
+
+  /** One [[dedupAdmissionStream]] micro-batch — the sink body, exposed
+    * package-private so the replay contracts are directly spec-testable.
+    * Pre-state is pinned through the persisted batch→generation mapping
+    * ([[pinTextPreGen]] — the geo sink's discipline), which LIFTS the
+    * historical one-writer restriction: an out-of-band [[DedupState]]
+    * compact/append between runs shifts the resumed stream's generation
+    * allocation instead of being overwritten, and one landing inside a
+    * crash-replay window fails loudly on the writer-identity marker.
+    */
+  private[graft] def dedupAdmitBatch(batch: DataFrame, batchId: Long,
+                                     stateDir: String, outDir: String,
+                                     threshold: Double,
+                                     compactEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    val preGen = pinTextPreGen(spark, stateDir, batchId, asBase)
+    val store = DedupState.loadAt(spark, stateDir, preGen)
+    val (kept, _) = DedupState.admit(spark, store, batch, threshold,
+      asBase, writer = geoWriterTag(batchId))
+    kept.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outDir/batch_id=$batchId")
+    // reclaim generations superseded by the PREVIOUS base (the
+    // pre-admit store view's latest base) — never the range a replay
+    // of THIS batch would re-read
+    if (asBase) {
+      DedupState.vacuum(spark, store)
+      pruneStreamMeta(spark, stateDir, batchId)
+    }
+    // drop the admission's persisted intermediates (posting lists,
+    // merged dfs) — state lives on disk between batches, not in cache
+    graft.CacheRegistry.releaseAll()
+  }
 
   /** Continuous EMBEDDING admission over the persisted similarity store —
     * the vector counterpart of [[dedupAdmissionStream]]: each micro-batch
@@ -605,8 +632,16 @@ object StreamingEvents {
     * (a lifecycle op always commits a base; the batch's own asBase is
     * deterministic from batchId).
     */
-  private def pinGeoPreEpoch(spark: SparkSession, stateDir: String,
-                             batchId: Long, asBase: Boolean): Long = {
+  /** Store-generic core of [[pinGeoPreEpoch]]/[[pinTextPreGen]]: read or
+    * write the batch→state mapping under `stateDir/stream_meta`, then
+    * enforce the divergence and writer-identity guards against the
+    * store's latest committed state id (epoch or generation — `metaCol`
+    * names the mapping column, `what` the store kind in messages).
+    */
+  private def pinPreState(spark: SparkSession, stateDir: String,
+                          batchId: Long, asBase: Boolean, what: String,
+                          metaCol: String, latest: => Long,
+                          marker: Long => (Boolean, Option[String])): Long = {
     import spark.implicits._
     val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
     val fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -618,31 +653,30 @@ object StreamingEvents {
     val recorded: Option[Long] =
       if (!mappingPresent) None
       else Some(spark.read.parquet(metaPath)
-        .select(col("epoch")).head().getLong(0))
-    val preEpoch = recorded.getOrElse {
-      val latest = HnswGeoStore.latestEpoch(spark, stateDir)
-      Seq(Tuple1(latest)).toDF("epoch").coalesce(1)
+        .select(col(metaCol)).head().getLong(0))
+    val pre = recorded.getOrElse {
+      val l = latest
+      Seq(Tuple1(l)).toDF(metaCol).coalesce(1)
         .write.mode("overwrite").parquet(metaPath)
-      latest
+      l
     }
-    val latestNow = HnswGeoStore.latestEpoch(spark, stateDir)
-    require(latestNow <= preEpoch + 1,
-      s"geo-store stream replay of batch $batchId pinned pre-state " +
-        s"epoch $preEpoch, but epoch $latestNow is already " +
+    val latestNow = latest
+    require(latestNow <= pre + 1,
+      s"$what stream replay of batch $batchId pinned pre-state " +
+        s"$metaCol $pre, but $metaCol $latestNow is already " +
         "committed — an out-of-band retrain/compact landed between " +
         "the crash and this replay; re-run the out-of-band op after " +
         "the stream catches up, or clear stream_meta to re-pin")
     val writerTag = geoWriterTag(batchId)
-    if (latestNow == preEpoch + 1) {
-      val (committedBase, committedWriter) =
-        HnswGeoStore.commitMarker(spark, stateDir, latestNow)
+    if (latestNow == pre + 1) {
+      val (committedBase, committedWriter) = marker(latestNow)
       val ownAttempt = committedWriter match {
         case Some(w) => w == writerTag
         case None => committedBase == asBase
       }
       require(ownAttempt,
-        s"geo-store stream replay of batch $batchId would overwrite " +
-          s"epoch $latestNow, which is committed by " +
+        s"$what stream replay of batch $batchId would overwrite " +
+          s"$metaCol $latestNow, which is committed by " +
           s"'${committedWriter.getOrElse(s"is_base=$committedBase")}' " +
           s"while this replay commits as '$writerTag' (is_base=$asBase) " +
           "— an out-of-band retrain/compact landed at the replay's own " +
@@ -650,19 +684,35 @@ object StreamingEvents {
           "out-of-band op after the stream catches up, or clear " +
           "stream_meta to re-pin")
     }
-    preEpoch
+    pre
   }
 
-  /** The post-base reclaim every geo-admitting sink runs: vacuum
-    * segments superseded by the PREVIOUS base only — a replay of this
-    * batch must still find its source range — and drop older batches'
-    * mappings (checkpointed offsets only ever re-run the CURRENT batch,
-    * so they can never replay again).
+  private def pinGeoPreEpoch(spark: SparkSession, stateDir: String,
+                             batchId: Long, asBase: Boolean): Long =
+    pinPreState(spark, stateDir, batchId, asBase, "geo-store", "epoch",
+      HnswGeoStore.latestEpoch(spark, stateDir),
+      HnswGeoStore.commitMarker(spark, stateDir, _))
+
+  /** [[pinGeoPreEpoch]]'s twin for the generational TEXT dedup store —
+    * what lifts [[dedupAdmissionStream]]'s historical restriction that
+    * nothing else may write generations while the stream exists: the
+    * resumed stream allocates PAST an out-of-band compaction instead of
+    * overwriting it, and races into a crash-replay window fail loudly on
+    * the writer-identity marker ([[graft.operators.DedupState]] commits
+    * carry the same (is_base, writer) marker as the geo store's).
     */
-  private def reclaimGeoAfterBase(spark: SparkSession,
-                                  preStore: graft.operators.HnswGeoStore.Store,
-                                  stateDir: String, batchId: Long): Unit = {
-    HnswGeoStore.vacuum(spark, preStore)
+  private def pinTextPreGen(spark: SparkSession, stateDir: String,
+                            batchId: Long, asBase: Boolean): Long =
+    pinPreState(spark, stateDir, batchId, asBase, "dedup-store", "gen",
+      graft.operators.DedupState.latestGen(spark, stateDir),
+      graft.operators.DedupState.commitMarker(spark, stateDir, _))
+
+  /** Drop mappings of batches older than the current one (checkpointed
+    * offsets only ever re-run the CURRENT batch, so they can never
+    * replay again).
+    */
+  private def pruneStreamMeta(spark: SparkSession, stateDir: String,
+                              batchId: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
@@ -673,6 +723,18 @@ object StreamingEvents {
           n.forall(_.isDigit) && n.nonEmpty && n.toLong < batchId
         }
         .foreach(p => fs.delete(p, true))
+  }
+
+  /** The post-base reclaim every geo-admitting sink runs: vacuum
+    * segments superseded by the PREVIOUS base only — a replay of this
+    * batch must still find its source range — and drop older batches'
+    * mappings.
+    */
+  private def reclaimGeoAfterBase(spark: SparkSession,
+                                  preStore: graft.operators.HnswGeoStore.Store,
+                                  stateDir: String, batchId: Long): Unit = {
+    HnswGeoStore.vacuum(spark, preStore)
+    pruneStreamMeta(spark, stateDir, batchId)
   }
 
   private[graft] def geoAdmitBatch(batch: DataFrame, batchId: Long,
@@ -704,14 +766,13 @@ object StreamingEvents {
     * corpus size. Admitted rows land in `outDir/batch_id=N` with
     * [[graft.pipelines.CorpusPipeline.curate]]'s feature columns.
     *
-    * Replay discipline is the two parents' composed: the TEXT store
-    * rides [[dedupAdmissionStream]]'s batch-id-pinned generation
-    * numbering (batch N reads generation N, commits N+1 — a replay
-    * re-reads its unchanged source generation and overwrites the same
-    * target); the GEO store rides [[hnswGeoAdmissionStream]]'s
-    * persisted batch→epoch mapping with the writer-identity guard, so
-    * out-of-band retrains/compactions between runs shift the resumed
-    * stream's allocation instead of being overwritten, and races into a
+    * Replay discipline: BOTH stores are pinned through persisted
+    * batch→state mappings with the writer-identity guard (text
+    * generation via [[pinTextPreGen]], geo epoch via
+    * [[pinGeoPreEpoch]] — written before any store write), so a replay
+    * re-reads the exact pre-state each fold saw, out-of-band lifecycle
+    * ops on either store between runs shift the resumed stream's
+    * allocation instead of being overwritten, and races into a
     * crash-replay window fail loudly. A crash BETWEEN the two folds is
     * safe: the replay recomputes the identical survivors from both
     * stores' pinned pre-state views and overwrites both folds
@@ -760,11 +821,14 @@ object StreamingEvents {
     import graft.pipelines.CorpusPipeline
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    // geo mapping FIRST (before any store write — the replay-detection
-    // contract), then both pre-state views pinned: text by generation =
-    // batchId, geo by the recorded pre-epoch
+    // BOTH mappings FIRST (before any store write — the replay-detection
+    // contract), then both pre-state views pinned: text by the recorded
+    // pre-generation, geo by the recorded pre-epoch — so out-of-band
+    // lifecycle ops on EITHER store between runs shift the resumed
+    // stream's allocation instead of being overwritten
+    val preGen = pinTextPreGen(spark, textStateDir, batchId, asBase)
     val preEpoch = pinGeoPreEpoch(spark, geoStateDir, batchId, asBase)
-    val text = DedupState.loadAt(spark, textStateDir, batchId)
+    val text = DedupState.loadAt(spark, textStateDir, preGen)
     val geo = HnswGeoStore.loadAt(spark, geoStateDir, preEpoch)
     val docs = batch.select(col("doc_id"), col("text"))
     val emb = batch.filter(col("embedding").isNotNull)
@@ -777,6 +841,7 @@ object StreamingEvents {
       .parquet(s"$outDir/batch_id=$batchId")
     if (asBase) {
       DedupState.vacuum(spark, text)
+      pruneStreamMeta(spark, textStateDir, batchId)
       reclaimGeoAfterBase(spark, geo, geoStateDir, batchId)
     }
     graft.CacheRegistry.releaseAll()

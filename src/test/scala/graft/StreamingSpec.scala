@@ -908,6 +908,83 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("dedupAdmissionStream: an out-of-band DedupState compact between " +
+       "runs SHIFTS the resumed stream's generation allocation instead " +
+       "of being overwritten (the persisted batch→gen mapping)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.DedupState
+    val stateDir = tmpDir("graft-dedupoob-state")
+    val outDir = s"${tmpDir("graft-dedupoob-out")}/rows"
+    val ckpt = tmpDir("graft-dedupoob-ckpt")
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks along the river bank while a bird sings"
+    val t2 = "a steady rain falls on the quiet town and the empty " +
+      "streets shine under a pale lamp while the clock tower rings"
+    val t3 = "the captain steers a small boat across the wide bay " +
+      "and the morning wind pushes a torn sail toward the rocky shore"
+    DedupState.build(spark, Seq(1L -> t1).toDF("doc_id", "text"), stateDir)
+    val stream = MemoryStream[(Long, String)]
+    val src = stream.toDF().toDF("doc_id", "text")
+    val q1 = StreamingEvents.dedupAdmissionStream(src, stateDir, outDir,
+      ckpt, threshold = 0.8)
+    try {
+      stream.addData(Seq(2L -> t2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(DedupState.load(spark, stateDir).gen === 1L)
+    // out-of-band lifecycle op between runs: a compaction commits gen 2
+    // as a base — a batchId-pinned sink's next batch (batch 1 → gen 2)
+    // would overwrite it and demote its marker
+    DedupState.compact(spark, DedupState.load(spark, stateDir))
+    assert(DedupState.load(spark, stateDir).gen === 2L)
+    val q2 = StreamingEvents.dedupAdmissionStream(src, stateDir, outDir,
+      ckpt, threshold = 0.8)
+    try {
+      stream.addData(Seq(3L -> t3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = DedupState.load(spark, stateDir)
+    assert(fin.gen === 3L,
+      "the resumed batch must allocate PAST the out-of-band base " +
+        s"(gen=${fin.gen})")
+    // the out-of-band base's marker survived undemoted, and all three
+    // docs' fingerprints are live
+    val (isBase, writer) = DedupState.commitMarker(spark, stateDir, 2L)
+    assert(isBase && writer === Some("lifecycle"))
+    assert(fin.fingerprints.count() === 3L)
+    CacheRegistry.releaseAll()
+  }
+
+  test("dedupAdmitBatch replay: an out-of-band compact landing AT the " +
+       "replay's own allocation fails loudly on writer identity, the " +
+       "out-of-band base undemoted") {
+    import graft.operators.DedupState
+    val stateDir = tmpDir("graft-dedupwriter-state")
+    val outDir = s"${tmpDir("graft-dedupwriter-out")}/rows"
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks along the river bank while a bird sings"
+    DedupState.build(spark, Seq(1L -> t1).toDF("doc_id", "text"), stateDir)
+    // a crashed first attempt: the mapping landed, the generation commit
+    // never did
+    Seq(Tuple1(0L)).toDF("gen").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta/batch_id=0")
+    // ...and an out-of-band compaction races the replay, committing a
+    // BASE at gen 1 — the replay's own allocation
+    DedupState.compact(spark, DedupState.load(spark, stateDir))
+    val batch = Seq(2L -> ("a steady rain falls on the quiet town and " +
+      "the empty streets shine under a pale lamp while the clock rings"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEvents.dedupAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.8, compactEvery = 0)
+    }
+    assert(ex.getMessage.contains("out-of-band"))
+    val (isBase, writer) = DedupState.commitMarker(spark, stateDir, 1L)
+    assert(isBase && writer === Some("lifecycle"))
+    CacheRegistry.releaseAll()
+  }
+
   test("curationAdmissionStream: the streamed curation ladder equals " +
        "sequential CorpusPipeline.admitBatch calls bitwise — kept rows " +
        "per batch, text-store fingerprints, geo-store contents") {

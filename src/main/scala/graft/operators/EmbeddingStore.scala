@@ -80,7 +80,8 @@ object EmbeddingStore {
     */
   private def writeEpoch(spark: SparkSession, path: String, idx: IVF.Index,
                          vectors: DataFrame, epoch: Long,
-                         isBase: Boolean = false): Unit = {
+                         isBase: Boolean = false,
+                         writer: String = "lifecycle"): Unit = {
     import spark.implicits._
     val assigned = vectors.select(col("vec_id"), col("embedding"),
       IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
@@ -93,8 +94,30 @@ object EmbeddingStore {
     }
     out.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/vectors/epoch=$epoch")
-    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+    // writer identity (the HnswGeoStore marker discipline): lifecycle
+    // ops vs the streaming sink's per-batch tag — lets a crash-replay
+    // tell its own crashed commit from an out-of-band op at the same
+    // allocation even when both are bases
+    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** The latest committed epoch at `path`. */
+  def latestEpoch(spark: SparkSession, path: String): Long =
+    committedEpochs(spark, path).keys.max
+
+  /** One epoch's commit marker: (is_base, writer) — writer None for
+    * markers written before the writer-identity column existed.
+    */
+  private[graft] def commitMarker(spark: SparkSession, path: String,
+                                  epoch: Long): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
+    val row = df.select(
+      col("is_base") +:
+        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
+      .head()
+    (row.getBoolean(0),
+      if (row.size > 1) Option(row.getString(1)) else None)
   }
 
   /** Build an ANN store: the similarity store plus residual PQ codebooks
@@ -219,13 +242,15 @@ object EmbeddingStore {
     * an append — a new index re-cells every vector by design.
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame,
-             asBase: Boolean = false): Store = {
+             asBase: Boolean = false,
+             writer: String = "lifecycle"): Store = {
     val rows =
       if (asBase)
         store.vectors.select(col("vec_id"), col("embedding"))
           .unionByName(fresh.select(col("vec_id"), col("embedding")))
       else fresh
-    writeEpoch(spark, store.path, store.index, rows, store.epoch + 1, asBase)
+    writeEpoch(spark, store.path, store.index, rows, store.epoch + 1,
+      asBase, writer)
     loadAt(spark, store.path, store.epoch + 1)
   }
 
@@ -258,11 +283,12 @@ object EmbeddingStore {
     * streaming embedding-admission sink replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            threshold: Double, asBase: Boolean = false): (DataFrame, Store) = {
+            threshold: Double, asBase: Boolean = false,
+            writer: String = "lifecycle"): (DataFrame, Store) = {
     val kept = graft.CacheRegistry.persist(
       incrementalAdmit(store, fresh, threshold))
     (kept, append(spark, store,
-      kept.select(col("vec_id"), col("embedding")), asBase))
+      kept.select(col("vec_id"), col("embedding")), asBase, writer))
   }
 
   /** Same-cell near-dup pairs between the stored corpus and a fresh

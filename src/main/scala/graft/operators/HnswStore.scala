@@ -60,7 +60,8 @@ object HnswStore {
   private[graft] def writeEpoch(spark: SparkSession, path: String,
                          rows: DataFrame, epoch: Long, shards: Int,
                          m: Int, efConstruction: Int,
-                         isBase: Boolean): Unit = {
+                         isBase: Boolean,
+                         writer: String = "lifecycle"): Unit = {
     import spark.implicits._
     require(shards < ShardStride && epoch >= 0 &&
         epoch < Long.MaxValue / ShardStride,
@@ -68,8 +69,30 @@ object HnswStore {
     Hnsw.build(rows, shards, m, efConstruction)
       .withColumn("shard", col("shard") + lit(epoch * ShardStride.toLong))
       .write.mode("overwrite").parquet(s"$path/segments/epoch=$epoch")
-    Seq(Tuple1(isBase)).toDF("is_base").coalesce(1)
+    // writer identity (the HnswGeoStore marker discipline): lifecycle
+    // ops vs the streaming sink's per-batch tag — lets a crash-replay
+    // tell its own crashed commit from an out-of-band op at the same
+    // allocation even when both are bases
+    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+  }
+
+  /** The latest committed epoch at `path`. */
+  def latestEpoch(spark: SparkSession, path: String): Long =
+    committedEpochs(spark, path).keys.max
+
+  /** One epoch's commit marker: (is_base, writer) — writer None for
+    * markers written before the writer-identity column existed.
+    */
+  private[graft] def commitMarker(spark: SparkSession, path: String,
+                                  epoch: Long): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
+    val row = df.select(
+      col("is_base") +:
+        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
+      .head()
+    (row.getBoolean(0),
+      if (row.size > 1) Option(row.getString(1)) else None)
   }
 
   /** Build the store: epoch 0 is a base segment over the whole corpus. */
@@ -114,7 +137,8 @@ object HnswStore {
     */
   def append(spark: SparkSession, store: Store, fresh: DataFrame,
              asBase: Boolean = false, shards: Int = 1, m: Int = 8,
-             efConstruction: Int = 64): Store = {
+             efConstruction: Int = 64,
+             writer: String = "lifecycle"): Store = {
     val rows =
       if (asBase)
         // persisted around the sizing count — compaction would otherwise
@@ -137,7 +161,7 @@ object HnswStore {
           .min(ShardStride - 1)
       } else shards
     writeEpoch(spark, store.path, rows, store.epoch + 1, segShards, m,
-      efConstruction, asBase)
+      efConstruction, asBase, writer)
     loadAt(spark, store.path, store.epoch + 1)
   }
 
@@ -247,11 +271,12 @@ object HnswStore {
     * replays per micro-batch.
     */
   def admit(spark: SparkSession, store: Store, fresh: DataFrame,
-            threshold: Double, asBase: Boolean = false)
+            threshold: Double, asBase: Boolean = false,
+            writer: String = "lifecycle")
       : (DataFrame, Store) = {
     val kept = graft.CacheRegistry.persist(
       incrementalAdmit(store, fresh, threshold))
     (kept, append(spark, store,
-      kept.select(col("vec_id"), col("embedding")), asBase))
+      kept.select(col("vec_id"), col("embedding")), asBase, writer = writer))
   }
 }

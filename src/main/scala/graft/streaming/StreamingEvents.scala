@@ -488,16 +488,28 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store = EmbeddingStore.loadAt(spark, stateDir, batchId)
         val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        // pre-state pinned through the persisted batch→epoch mapping +
+        // writer-identity guard (the geo sink's discipline): replays are
+        // idempotent, out-of-band compacts between runs shift the
+        // resumed allocation, races into a crash window fail loudly
+        val preEpoch = pinPreState(spark, stateDir, batchId, asBase,
+          "embedding-store", "epoch",
+          EmbeddingStore.latestEpoch(spark, stateDir),
+          EmbeddingStore.commitMarker(spark, stateDir, _))
+        val store = EmbeddingStore.loadAt(spark, stateDir, preEpoch)
         val (kept, _) =
-          EmbeddingStore.admit(spark, store, batch, threshold, asBase)
+          EmbeddingStore.admit(spark, store, batch, threshold, asBase,
+            writer = geoWriterTag(batchId))
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
         // reclaim epochs superseded by the PREVIOUS base only — a replay
         // of this batch must still find its source range (see
         // dedupAdmissionStream)
-        if (asBase) EmbeddingStore.vacuum(spark, store)
+        if (asBase) {
+          EmbeddingStore.vacuum(spark, store)
+          pruneStreamMeta(spark, stateDir, batchId)
+        }
         graft.CacheRegistry.releaseAll()
       }
       .start()
@@ -511,14 +523,13 @@ object StreamingEvents {
     * `compactEvery`-th batch rebuilds the union into one base segment
     * (the Lucene segment-merge discipline) and vacuums the superseded
     * range. Same at-least-once replay contract as the other admission
-    * sinks: `loadAt(batchId)` pins the pre-state, epoch writes are
-    * idempotent behind commit markers. Because epochs are batchId-PINNED
-    * here, no out-of-band writer may allocate epochs between runs — an
-    * out-of-band compact would be overwritten by the resumed stream's
-    * next batch. Compact through `compactEvery`, in-stream;
-    * [[hnswGeoAdmissionStream]] lifts the restriction with a persisted
-    * batch→epoch mapping because ITS store has a lifecycle op
-    * (retrain-on-drift) that can only run between runs.
+    * sinks: the pre-state epoch is pinned through the persisted
+    * batch→epoch mapping with the writer-identity guard (the
+    * [[hnswGeoAdmissionStream]] discipline), so epoch writes replay
+    * idempotently, an out-of-band [[HnswStore.compact]]/append between
+    * runs shifts the resumed stream's allocation instead of being
+    * overwritten, and one landing inside a crash-replay window fails
+    * loudly.
     */
   def hnswAdmissionStream(stream: DataFrame, stateDir: String,
                           outDir: String, checkpointDir: String,
@@ -529,14 +540,26 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store = HnswStore.loadAt(spark, stateDir, batchId)
         val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-        val (kept, _) = HnswStore.admit(spark, store, batch, threshold, asBase)
+        // pre-state pinned through the persisted batch→epoch mapping +
+        // writer-identity guard (the geo sink's discipline): replays are
+        // idempotent, out-of-band compacts between runs shift the
+        // resumed allocation, races into a crash window fail loudly
+        val preEpoch = pinPreState(spark, stateDir, batchId, asBase,
+          "hnsw-store", "epoch",
+          HnswStore.latestEpoch(spark, stateDir),
+          HnswStore.commitMarker(spark, stateDir, _))
+        val store = HnswStore.loadAt(spark, stateDir, preEpoch)
+        val (kept, _) = HnswStore.admit(spark, store, batch, threshold,
+          asBase, writer = geoWriterTag(batchId))
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
         // reclaim segments superseded by the PREVIOUS base only — a
         // replay of this batch must still find its source range
-        if (asBase) HnswStore.vacuum(spark, store)
+        if (asBase) {
+          HnswStore.vacuum(spark, store)
+          pruneStreamMeta(spark, stateDir, batchId)
+        }
         graft.CacheRegistry.releaseAll()
       }
       .start()

@@ -985,6 +985,47 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("hnswAdmissionStream: an out-of-band HnswStore compact between " +
+       "runs SHIFTS the resumed stream's epoch allocation instead of " +
+       "being overwritten (the mapping now covers every admission sink)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.HnswStore
+    val stateDir = tmpDir("graft-hnswoob-state")
+    val outDir = s"${tmpDir("graft-hnswoob-out")}/rows"
+    val ckpt = tmpDir("graft-hnswoob-ckpt")
+    val seed = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(0.0, 1.0, 0.0, 0.0)).toDF("vec_id", "embedding")
+    HnswStore.build(spark, seed, stateDir, shards = 1)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val src = stream.toDF().toDF("vec_id", "embedding")
+    val q1 = StreamingEvents.hnswAdmissionStream(src, stateDir, outDir,
+      ckpt, threshold = 0.9)
+    try {
+      stream.addData(Seq(11L -> Array(0f, 0f, 1f, 0f)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(HnswStore.load(spark, stateDir).epoch === 1L)
+    // out-of-band lifecycle op between runs: compaction commits epoch 2
+    HnswStore.compact(spark, HnswStore.load(spark, stateDir))
+    val q2 = StreamingEvents.hnswAdmissionStream(src, stateDir, outDir,
+      ckpt, threshold = 0.9)
+    try {
+      stream.addData(Seq(20L -> Array(0f, 0f, 0f, 1f)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = HnswStore.load(spark, stateDir)
+    assert(fin.epoch === 3L,
+      "the resumed batch must allocate PAST the out-of-band base " +
+        s"(epoch=${fin.epoch})")
+    assert(spark.read.parquet(s"$stateDir/commits/epoch=2")
+      .select("is_base").as[Boolean].head(),
+      "the out-of-band compaction's base marker must survive the resume")
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 20L))
+    CacheRegistry.releaseAll()
+  }
+
   test("curationAdmissionStream: the streamed curation ladder equals " +
        "sequential CorpusPipeline.admitBatch calls bitwise — kept rows " +
        "per batch, text-store fingerprints, geo-store contents") {

@@ -126,7 +126,7 @@ object HnswGeoStore {
     * silently fail every predicate on the unpayloaded rows, so it fails
     * loudly here.
     */
-  private[operators] def attrsPresent(spark: SparkSession,
+  private[graft] def attrsPresent(spark: SparkSession,
                                       store: Store): Boolean = {
     val have = store.epochs.map(e =>
       HnswStore.fs(spark, store.path).exists(

@@ -189,7 +189,13 @@ object CorpusPipeline {
     * for the batch's admitted rows (doc_id, text, dup_count, the
     * quality/lang features, subword_tokens, fingerprint); docs without
     * an embedding row pass the semantic leg implicitly (no pair, no
-    * drop — [[curateSemantic]]'s contract). `dup_count` counts within
+    * drop — [[curateSemantic]]'s contract). When the standing geo store
+    * carries ATTRIBUTE PAYLOADS, every `emb` column beyond (vec_id,
+    * embedding) flows through the admission into the new epoch's attrs
+    * relation — the curated store stays attr-filter-serveable
+    * ([[graft.operators.HnswGeoStore.batchNeighborsFilteredExpr]]); a
+    * plain store prunes `emb` to (vec_id, embedding), so incidental
+    * wide frames don't trip the payload-uniformity contract. `dup_count` counts within
     * THIS batch (the representative's standing count lives with the
     * generation that admitted it).
     *
@@ -245,12 +251,23 @@ object CorpusPipeline {
       graft.operators.DedupState.incrementalDedup(
         state.text, ql.select(col("doc_id"), col("text")),
         config.dedupThreshold))
+    // ATTRIBUTE PAYLOADS flow through the admission iff the standing geo
+    // store carries them (then every `emb` column beyond (vec_id,
+    // embedding) lands beside the admitted vectors, keeping the curated
+    // store attr-filter-serveable); against a PLAIN store the batch is
+    // pruned to (vec_id, embedding) so a wide embeddings frame — e.g. a
+    // label column riding along — does not silently become a payload
+    // schema mismatch (HnswGeoStore.append's uniformity contract)
+    val geoHasAttrs =
+      graft.operators.HnswGeoStore.attrsPresent(spark, state.geo)
+    val embSrc =
+      if (geoHasAttrs) emb
+      else emb.select(col("vec_id"), col("embedding"))
     // the semantic leg runs over the TEXT SURVIVORS' embeddings only —
     // one batch-keyed left-semi prune, the composition's ordering trap
     val embBatch = graft.CacheRegistry.persist(
-      emb.select(col("vec_id"), col("embedding"))
-        .join(textKept.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi"))
+      embSrc.join(textKept.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"))
     val semKept = cut(
       graft.operators.HnswGeoStore.incrementalAdmit(
         state.geo, embBatch, semanticThreshold, efSearch, nProbe))
@@ -268,9 +285,10 @@ object CorpusPipeline {
       kept.select(col("doc_id"), col("text")), asBase, writer)
     // checkIds = false: incrementalAdmit's left-anti against stored ids
     // is the disjointness proof (the HnswGeoStore.admit discipline)
+    // semKept carries embBatch's columns, so payloads (when flowing)
+    // land in the new epoch's attrs relation
     val newGeo = graft.operators.HnswGeoStore.append(spark, state.geo,
-      semKept.select(col("vec_id"), col("embedding")), asBase,
-      checkIds = false, writer = writer)
+      semKept, asBase, checkIds = false, writer = writer)
     (kept, CorpusState(newText, newGeo))
   }
 

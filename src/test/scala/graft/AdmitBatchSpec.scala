@@ -137,6 +137,48 @@ class AdmitBatchSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("admitBatch over an ATTRIBUTE-payload geo store: payload columns " +
+       "flow through the admission into the new epoch's attrs — the " +
+       "curated store stays attr-filter-serveable; a plain store still " +
+       "prunes a wide embeddings frame to (vec_id, embedding)") {
+    val corpusDocs = docsDf(1L -> t1, 2L -> t2, 3L -> t3)
+    val corpusEmb = embDf(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f))
+      .withColumn("bucket", pmod(col("vec_id"), lit(2L)))
+    val batch = docsDf(11L -> ta1, 12L -> ta2)
+    val batchEmb = embDf(
+      11L -> Array(0f, 0f, 0f, 1f),
+      12L -> Array(0.5f, 0.5f, 0.5f, 0.5f))
+      .withColumn("bucket", pmod(col("vec_id"), lit(2L)))
+    val cfg = CorpusPipeline.Config()
+    val corpus = CorpusPipeline.qualityLang(corpusDocs, cfg)
+      .select(col("doc_id"), col("text"))
+    val text = DedupState.build(spark, corpus, tmpDir("admit-attr-text"))
+    val index = IVF.train(corpusEmb, 2, iters = 3)
+    val geo = HnswGeoStore.build(spark, corpusEmb,
+      tmpDir("admit-attr-geo"), index)
+    val (kept, st1) = CorpusPipeline.admitBatch(spark,
+      CorpusPipeline.CorpusState(text, geo), batch,
+      corpusEmb.unionByName(batchEmb), cfg,
+      semanticThreshold = 0.9, nProbe = 8)
+    assert(kept.select("doc_id").as[Long].collect().toSet ===
+      Set(11L, 12L))
+    // the admitted epoch carries the payloads: the store itself can
+    // evaluate a bucket predicate over EVERY live vector, old and new
+    val served = HnswGeoStore.batchNeighborsFilteredExpr(st1.geo,
+        batchEmb.select(col("vec_id").as("probe_id"), col("embedding"))
+          .limit(1),
+        col("bucket") === lit(1L), k = 5, efSearch = 32, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.nonEmpty && served.forall(_ % 2 == 1),
+      s"filtered serve must honor the stored bucket payload: $served")
+    assert(served.contains(11L),
+      "the batch-admitted vector's payload must be serveable")
+    CacheRegistry.releaseAll()
+  }
+
   test("admitBatch on sf0.001 documents: kept set equals the q201 " +
        "composition arms replayed relationally") {
     val docs = graft.sources.Tables.table(spark, sf0001, "documents")

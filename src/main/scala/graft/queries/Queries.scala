@@ -5030,7 +5030,56 @@ object Queries {
           col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
       },
       None,
-      dynamicOracle = Some(geoAttrServeOracleSql))
+      dynamicOracle = Some(geoAttrServeOracleSql)),
+
+    // ── Q203: the ROUND-TRIP of incremental curation INTO filtered
+    //          serving — q201's admission ladder run over an
+    //          ATTRIBUTE-payload geo store (payload columns flow through
+    //          [[graft.pipelines.CorpusPipeline.admitBatch]] into the
+    //          admitted epoch's attrs), then q202's store-evaluated
+    //          filtered serve over the RESULTING standing state (corpus
+    //          base + admitted epoch). The composition a production
+    //          curated corpus actually runs: curate incrementally, serve
+    //          filtered. Oracle is q202's contract: dump-time re-run
+    //          literals, DuckDB re-scores + re-ranks them AND re-derives
+    //          the predicate from vec_id (`bucket` IS vec_id % 7), so a
+    //          payload slip anywhere along build → admission → attrs
+    //          fan-out → filtered heap breaks the hash. ─────────────────
+    QueryDef("q203_admit_attr_serve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            pmod(col("vec_id"), lit(7L)).as("bucket"))
+        val config = graft.pipelines.CorpusPipeline.Config(
+          permHash = Dedup.Md5PermHash)
+        val corpus = graft.pipelines.CorpusPipeline.qualityLang(
+            docs.filter(col("doc_id") >= 5 && col("doc_id") < 300), config)
+          .select(col("doc_id"), col("text"))
+        val tPath =
+          s"${System.getProperty("java.io.tmpdir")}/graft-admit-text-q203"
+        val gPath =
+          s"${System.getProperty("java.io.tmpdir")}/graft-admit-geo-q203"
+        val textStore = graft.operators.DedupState.build(
+          s, corpus, tPath, hashTag = "md5")
+        val corpusEmb = emb
+          .join(corpus.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val index = graft.operators.IVF.train(corpusEmb, 4, 5,
+          maxTrainRows = 400L)
+        val geoStore = graft.operators.HnswGeoStore.build(
+          s, corpusEmb, gPath, index)
+        val (_, st) = graft.pipelines.CorpusPipeline.admitBatch(s,
+          graft.pipelines.CorpusPipeline.CorpusState(textStore, geoStore),
+          docs.filter(col("doc_id") >= 300), emb, config,
+          semanticThreshold = 0.35, nProbe = 8)
+        graft.operators.HnswGeoStore.batchNeighborsFilteredExpr(st.geo,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
+      },
+      None,
+      dynamicOracle = Some(admitAttrServeOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -6418,6 +6467,39 @@ object Queries {
   private def geoAttrServeOracleSql(s: SparkSession,
                                     dir: String): String = {
     val pairs = byName("q202_geostore_attr_serve")(s, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    graft.CacheRegistry.releaseAll()
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id % 7 = 2
+       |             AND c.vec_id >= 5
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
+  }
+
+  /** q203's oracle: [[geoAttrServeOracleSql]]'s contract over the
+    * ADMITTED standing state — the query re-runs at dump time
+    * (deterministic: same seeds, same ladder, same store paths), its
+    * (probe, id) pairs embed as literals, and DuckDB re-scores +
+    * re-ranks them while re-deriving the predicate from vec_id (the
+    * stored `bucket` IS vec_id % 7 by construction). The membership
+    * floor (vec_id >= 5) pins that no probe row leaked into the store.
+    */
+  private def admitAttrServeOracleSql(s: SparkSession,
+                                      dir: String): String = {
+    val pairs = byName("q203_admit_attr_serve")(s, dir)
       .select(col("probe_id"), col("vec_id"))
       .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
     graft.CacheRegistry.releaseAll()

@@ -410,15 +410,8 @@ object DedupState {
     * markers written before the writer-identity column existed.
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
-                                  gen: Long): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(s"$path/commits/gen=$gen")
-    val row = df.select(
-      col("is_base") +:
-        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
-      .head()
-    (row.getBoolean(0),
-      if (row.size > 1) Option(row.getString(1)) else None)
-  }
+                                  gen: Long): (Boolean, Option[String]) =
+    StoreCommits.read(spark, s"$path/commits/gen=$gen")
 
   private def writeParams(spark: SparkSession, path: String,
                           params: Params): Unit = {

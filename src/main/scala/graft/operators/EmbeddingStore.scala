@@ -110,15 +110,8 @@ object EmbeddingStore {
     * markers written before the writer-identity column existed.
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
-                                  epoch: Long): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
-    val row = df.select(
-      col("is_base") +:
-        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
-      .head()
-    (row.getBoolean(0),
-      if (row.size > 1) Option(row.getString(1)) else None)
-  }
+                                  epoch: Long): (Boolean, Option[String]) =
+    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
 
   /** Build an ANN store: the similarity store plus residual PQ codebooks
     * ([[PQ.trainResidual]] under the store's own index) persisted at

@@ -170,15 +170,8 @@ object HnswGeoStore {
     * markers written before the writer-identity column existed.
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
-                                  epoch: Long): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
-    val row = df.select(
-      col("is_base") +:
-        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
-      .head()
-    (row.getBoolean(0),
-      if (row.size > 1) Option(row.getString(1)) else None)
-  }
+                                  epoch: Long): (Boolean, Option[String]) =
+    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
 
   private def writeSegment(path: String, rows: DataFrame,
                            epoch: Long): Unit =
@@ -776,9 +769,15 @@ object HnswGeoStore {
       incrementalAdmit(store, fresh, threshold))
     // checkIds = false: incrementalAdmit's left-anti against stored ids
     // IS the disjointness proof — the append-time probe would be a
-    // redundant second pass. `kept` carries the batch's columns
-    // unchanged, so attribute payloads flow into the new epoch.
-    (kept, append(spark, store, kept, asBase, checkIds = false,
+    // redundant second pass. Payload columns flow into the new epoch
+    // iff the store carries attrs; against a PLAIN store the fold is
+    // pruned to (vec_id, embedding), so an incidental extra column in
+    // the batch (a source tag riding along) is ignored rather than
+    // tripping append's payload-uniformity contract.
+    val foldRows =
+      if (attrsPresent(spark, store)) kept
+      else kept.select(col("vec_id"), col("embedding"))
+    (kept, append(spark, store, foldRows, asBase, checkIds = false,
       writer = writer))
   }
 

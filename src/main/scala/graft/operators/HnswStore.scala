@@ -3,6 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The one-row commit-marker layout every generational/epochal store
+  * shares (`<store>/commits/<key>=N` holding `is_base` and, since the
+  * writer-identity hardening, `writer`). Centralized so a marker-schema
+  * change lands once, not once per store.
+  */
+private[graft] object StoreCommits {
+  /** (is_base, writer) of one marker dir — writer None for markers
+    * written before the writer-identity column existed.
+    */
+  def read(spark: SparkSession, dir: String): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(dir)
+    val row = df.select(
+      col("is_base") +:
+        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
+      .head()
+    (row.getBoolean(0),
+      if (row.size > 1) Option(row.getString(1)) else None)
+  }
+}
+
 /** Persistent, SEGMENTED HNSW store — the graph-index counterpart of
   * [[EmbeddingStore]], under the same commit-marker epoch protocol
   * ([[DedupState]]'s crash-invisibility discipline: write data first,
@@ -85,15 +105,8 @@ object HnswStore {
     * markers written before the writer-identity column existed.
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
-                                  epoch: Long): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(s"$path/commits/epoch=$epoch")
-    val row = df.select(
-      col("is_base") +:
-        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
-      .head()
-    (row.getBoolean(0),
-      if (row.size > 1) Option(row.getString(1)) else None)
-  }
+                                  epoch: Long): (Boolean, Option[String]) =
+    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
 
   /** Build the store: epoch 0 is a base segment over the whole corpus. */
   def build(spark: SparkSession, emb: DataFrame, path: String,

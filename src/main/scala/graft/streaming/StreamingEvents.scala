@@ -651,9 +651,12 @@ object StreamingEvents {
     * replayed batch that is ITSELF a compaction boundary (both markers
     * is_base=true — the case is_base alone cannot split) fails loudly
     * instead of being overwritten and demoted. Markers written before
-    * the writer column existed fall back to the is_base comparison
-    * (a lifecycle op always commits a base; the batch's own asBase is
-    * deterministic from batchId).
+    * the writer column existed fall back to the is_base comparison —
+    * which catches the compact/retrain races (those commit bases while
+    * the typical replayed batch does not) but is genuinely blind to a
+    * legacy NON-base out-of-band append landing at a non-base replay's
+    * allocation; the ambiguity dies with the legacy markers, since
+    * every post-upgrade commit carries its writer.
     */
   /** Store-generic core of [[pinGeoPreEpoch]]/[[pinTextPreGen]]: read or
     * write the batch→state mapping under `stateDir/stream_meta`, then
@@ -679,9 +682,29 @@ object StreamingEvents {
         .select(col(metaCol)).head().getLong(0))
     val pre = recorded.getOrElse {
       val l = latest
-      Seq(Tuple1(l)).toDF(metaCol).coalesce(1)
+      // first-attempt vs replay-without-mapping disambiguation (the
+      // MIGRATION guard): a crashed post-upgrade attempt always left a
+      // mapping behind, but a checkpoint created BEFORE the mapping
+      // existed can replay its final batch with no mapping while the
+      // batch's own commit already landed — pinning to `latest` would
+      // then pin the POST-batch state, and the admission's left-anti
+      // would drop the batch's own rows (empty-output data loss). Two
+      // signals recover the true pre-state: the marker at `l` carries
+      // THIS batch's writer tag (its own post-upgrade commit), or it is
+      // a LEGACY marker (no writer column) sitting exactly at
+      // batchId + 1 — the old code's deterministic allocation, where
+      // old-code replay semantics overwrote that slot anyway. In both
+      // cases the commit is the replayed batch's own, so pre-state is
+      // one below it.
+      val pinned = if (l >= 1) {
+        val (_, w) = marker(l)
+        if (w.contains(geoWriterTag(batchId))) l - 1
+        else if (w.isEmpty && l == batchId + 1) batchId
+        else l
+      } else l
+      Seq(Tuple1(pinned)).toDF(metaCol).coalesce(1)
         .write.mode("overwrite").parquet(metaPath)
-      l
+      pinned
     }
     val latestNow = latest
     require(latestNow <= pre + 1,
@@ -854,8 +877,15 @@ object StreamingEvents {
     val text = DedupState.loadAt(spark, textStateDir, preGen)
     val geo = HnswGeoStore.loadAt(spark, geoStateDir, preEpoch)
     val docs = batch.select(col("doc_id"), col("text"))
+    // every batch column beyond (doc_id, text) rides the embedding side:
+    // against an attribute-payload geo store they flow through the
+    // admission into the admitted epoch's attrs (admitBatch's payload
+    // contract — without this the attr-store stream would fail append's
+    // uniformity require on its first admission); a plain store prunes
+    // them inside admitBatch, so they are ignored there
+    val embCols = batch.columns.filterNot(Set("doc_id", "text")).toSeq
     val emb = batch.filter(col("embedding").isNotNull)
-      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .select(col("doc_id").as("vec_id") +: embCols.map(col): _*)
     val (kept, _) = CorpusPipeline.admitBatch(spark,
       CorpusPipeline.CorpusState(text, geo), docs, emb, config,
       semanticThreshold, nProbe, efSearch, asBase,

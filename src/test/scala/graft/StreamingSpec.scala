@@ -1026,6 +1026,95 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("geoAdmitBatch migration: a PRE-mapping checkpoint replaying its " +
+       "final committed batch (legacy markers, no stream_meta) pins the " +
+       "old code's batchId allocation — not the post-batch state that " +
+       "would empty the output") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geomigrate-state")
+    val outDir = s"${tmpDir("graft-geomigrate-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    val base = HnswGeoStore.build(spark, seed, stateDir, index)
+    // the pre-upgrade crashed-after-commit state: batch 0 fully
+    // committed epoch 1 under the OLD code (no mapping, no writer
+    // column in any marker)
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    HnswGeoStore.admit(spark, base, batch, threshold = 0.9)
+    for (e <- 0L to 1L) {
+      val legacy = spark.read.parquet(s"$stateDir/commits/epoch=$e")
+        .select("is_base").collect().map(_.getBoolean(0)).toSeq
+      legacy.map(Tuple1(_)).toDF("is_base").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/commits/epoch=$e")
+    }
+    // new-code replay of batch 0: pinning to latest (epoch 1) would see
+    // id 11 already stored, admit nothing, and overwrite the output
+    // with an empty partition — the migration guard must pin epoch 0
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0)
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .select("vec_id").as[Long].collect().toSet === Set(11L),
+      "the replayed batch's output must contain its own admitted rows")
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 1L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("curationAdmissionStream over an ATTRIBUTE-payload geo store: " +
+       "batch payload columns flow into the admitted epoch's attrs and " +
+       "the store serves them filtered") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{DedupState, HnswGeoStore, IVF}
+    import graft.pipelines.CorpusPipeline
+    val tDir = tmpDir("graft-curattr-text")
+    val gDir = tmpDir("graft-curattr-geo")
+    val outDir = s"${tmpDir("graft-curattr-out")}/rows"
+    val ckpt = tmpDir("graft-curattr-ckpt")
+    val t1 = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat walks along the river bank while a bird sings in " +
+      "the tall green tree near the old wooden bridge"
+    val cfg = CorpusPipeline.Config()
+    val corpus = CorpusPipeline.qualityLang(
+        Seq(1L -> t1).toDF("doc_id", "text"), cfg)
+      .select(col("doc_id"), col("text"))
+    DedupState.build(spark, corpus, tDir)
+    val seedEmb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 1L),
+      (2L, Array(0f, 1f, 0f, 0f), 0L))
+      .toDF("vec_id", "embedding", "bucket")
+    val index = IVF.train(seedEmb, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seedEmb.filter(col("vec_id") === 1L),
+      gDir, index)
+    val rows: Seq[(Long, String, Array[Float], Long)] = Seq(
+      (11L, "a slow train crosses the green valley and the passengers " +
+        "watch the river bend under the stone arches while the evening " +
+        "sun paints the hills in a soft amber glow",
+        Array(0f, 0f, 1f, 0f), 1L))
+    val stream = MemoryStream[(Long, String, Array[Float], Long)]
+    val src = stream.toDF().toDF("doc_id", "text", "embedding", "bucket")
+    val q = StreamingEvents.curationAdmissionStream(src, tDir, gDir,
+      outDir, ckpt, cfg, semanticThreshold = 0.9, nProbe = 8)
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .select("doc_id").as[Long].collect().toSet === Set(11L))
+    val st = HnswGeoStore.load(spark, gDir)
+    val served = HnswGeoStore.batchNeighborsFilteredExpr(st,
+        Seq(5L -> Array(0f, 0f, 1f, 0f))
+          .toDF("probe_id", "embedding"),
+        col("bucket") === lit(1L), k = 5, efSearch = 32, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served === Set(1L, 11L),
+      s"the admitted vector's stored payload must be serveable: $served")
+    CacheRegistry.releaseAll()
+  }
+
   test("curationAdmissionStream: the streamed curation ladder equals " +
        "sequential CorpusPipeline.admitBatch calls bitwise — kept rows " +
        "per batch, text-store fingerprints, geo-store contents") {

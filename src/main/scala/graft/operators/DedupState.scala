@@ -113,7 +113,10 @@ object DedupState {
         writeParams(spark, path, params)
         writeGeneration(spark, path, gen = 0L,
           newPosting = posting, dfs = dfs, sigs = sigs, newFps = fps,
-          isBase = true)
+          isBase = true,
+          docFps = Some(corpus.select(col("doc_id"),
+            graft.functions.TextFunctions.md5Fingerprint(col("text"))
+              .as("h"))))
         load(spark, path)
     }
   }
@@ -155,6 +158,17 @@ object DedupState {
     * the exact state it saw the first time. The append-only tables read
     * the [latest base ≤ gen, gen] range: a base generation ([[build]],
     * [[compact]]) contains everything before it.
+    *
+    * DELETION masking ([[forget]]): the append-only tables cannot remove
+    * rows, so a forget generation writes TOMBSTONES (`tombstones/gen=G`
+    * holding erased doc_ids, `fp_tombstones/gen=G` holding text hashes no
+    * live doc carries anymore) and the loaded view anti-joins them out —
+    * a tombstone-count-sized broadcast anti-join, applied only when the
+    * live range actually contains tombstones so deletion-free stores keep
+    * their exact plans. The dfs/signature SNAPSHOTS need no masking: the
+    * forget generation writes them already-erased (with the df-cap
+    * down-flip repair). Physical removal happens at the next [[compact]],
+    * which carries forward the MASKED views.
     */
   def loadAt(spark: SparkSession, path: String, gen: Long): Store = {
     import spark.implicits._
@@ -169,12 +183,58 @@ object DedupState {
         .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
     def at(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir").filter(col("gen") === gen).drop("gen")
+    val tombs = optionalLive(spark, path, "tombstones", base, gen)
+    val fpTombs = optionalLive(spark, path, "fp_tombstones", base, gen)
     Store(
-      posting = live("posting"),       // append-only: union of generations
+      posting = tombs.fold(live("posting"))(t =>   // append-only union,
+        live("posting")                            // erased docs masked
+          .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
+            "left_anti")),
       shingleDf = at("shingle_df"),    // per-generation snapshot
       signatures = at("signatures"),   // per-generation snapshot
-      fingerprints = live("fingerprints"),
+      fingerprints = fpTombs.fold(live("fingerprints"))(t =>
+        live("fingerprints")
+          .join(broadcast(t.select(col("h"))), Seq("h"), "left_anti")),
       params = params, path = path, gen = gen)
+  }
+
+  /** The live [base, gen] view of an OPTIONAL append-only relation (the
+    * deletion sidecars, absent until the first [[forget]]): None when the
+    * dir does not exist or holds no generation partitions — so stores
+    * without deletions pay no masking joins at all.
+    */
+  private def optionalLive(spark: SparkSession, path: String, dir: String,
+                           base: Long, gen: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else if (!(base to gen).exists(g => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/$dir/gen=$g")))) None
+    else Some(spark.read.parquet(s"$path/$dir")
+      .filter(col("gen") >= base && col("gen") <= gen).drop("gen"))
+  }
+
+  /** The live (doc_id, h) fingerprint REGISTRY — which stored doc carries
+    * which text hash, the relation [[forget]] needs to decide whether an
+    * erased doc's fingerprint is still held by a surviving doc. Written
+    * per generation since the deletion round; None when any live
+    * generation predates it (a partial registry would silently treat old
+    * docs as unregistered — worse than failing).
+    */
+  private def liveDocFps(spark: SparkSession, path: String, base: Long,
+                         gen: Long): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val complete = (base to gen).forall(g => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/doc_fps/gen=$g")))
+    if (!complete) None
+    else {
+      val raw = spark.read.parquet(s"$path/doc_fps")
+        .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
+      Some(optionalLive(spark, path, "tombstones", base, gen)
+        .fold(raw)(t => raw.join(broadcast(t.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")))
+    }
   }
 
   /** Collapse the live generation range into one new BASE generation:
@@ -190,12 +250,20 @@ object DedupState {
   def compact(spark: SparkSession, store: Store): Store = {
     require(store.gen >= 0,
       "compact needs a generational store; catalog snapshots have no generations")
+    val commits = committedGens(spark, store.path)
+    val base = commits.collect { case (g, true) if g <= store.gen => g }.max
+    // the MASKED views are what gets carried forward — a compaction after
+    // [[forget]] is the physical erasure point (the new base holds no
+    // tombstoned row, and no tombstone dirs are written at it); the
+    // registry carries forward masked too, or stays honestly absent on a
+    // legacy store
     writeGeneration(spark, store.path, gen = store.gen + 1,
       newPosting = store.posting,
       dfs = store.shingleDf,
       sigs = store.signatures,
       newFps = store.fingerprints.distinct(),
-      isBase = true)
+      isBase = true,
+      docFps = liveDocFps(spark, store.path, base, store.gen))
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -211,7 +279,7 @@ object DedupState {
     val conf = spark.sparkContext.hadoopConfiguration
     for (g <- commits.keys if g < base;
          dir <- Seq("posting", "fingerprints", "shingle_df", "signatures",
-                    "commits")) {
+                    "doc_fps", "tombstones", "fp_tombstones", "commits")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/gen=$g")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
@@ -294,6 +362,22 @@ object DedupState {
     val freshFps = fresh.select(
       graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
       .distinct()
+    val freshDocFps = fresh.select(col("doc_id"),
+      graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
+    // registry rows: the batch's for a delta; carried-live ∪ batch for a
+    // base — UNLESS the live range predates the registry, where a partial
+    // carry would silently mark old docs unregistered ([[liveDocFps]]);
+    // the base then stays honestly registry-less and [[forget]] stays
+    // loud until a rebuild
+    val docFps =
+      if (!asBase) Some(freshDocFps)
+      else {
+        val commits = committedGens(spark, store.path)
+        val base =
+          commits.collect { case (g, true) if g <= store.gen => g }.max
+        liveDocFps(spark, store.path, base, store.gen)
+          .map(_.unionByName(freshDocFps))
+      }
     writeGeneration(spark, store.path, gen = store.gen + 1,
       newPosting =
         if (asBase) store.posting.unionByName(freshPosting) else freshPosting,
@@ -302,7 +386,7 @@ object DedupState {
       newFps =
         if (asBase) store.fingerprints.unionByName(freshFps).distinct()
         else freshFps,
-      isBase = asBase, writer = writer)
+      isBase = asBase, writer = writer, docFps = docFps)
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -344,6 +428,126 @@ object DedupState {
     val next = append(spark, store, kept.select(col("doc_id"), col("text")),
       asBase, writer)
     (kept, next)
+  }
+
+  /** ERASE documents from the standing store — the takedown/right-to-be-
+    * forgotten dual of [[admit]] (the reference's anonymization module,
+    * `/root/reference/anonymize_datasets.py:27-84`, is privacy machinery
+    * for rows in flight; this is erasure against persisted derived
+    * STATE). Written as one new generation `store.gen + 1` holding only
+    * deltas — the corpus-scale tables are never rewritten:
+    *
+    *  - `tombstones/gen=G`: the erased doc_ids; [[loadAt]] anti-joins
+    *    them out of the posting list and registry (broadcast,
+    *    tombstone-count-sized);
+    *  - `fp_tombstones/gen=G`: text hashes whose LAST carrier was erased
+    *    (a hash still held by a surviving doc must keep deduping — the
+    *    (doc_id, h) registry written since the deletion round decides,
+    *    and a store predating it fails loudly with the rebuild contract);
+    *  - fresh dfs/signature SNAPSHOTS with the df-cap DOWN-flip repair:
+    *    erasing rows can only LOWER a shingle's df, so a shingle can
+    *    cross UNDER `maxDf` and every surviving doc containing it gains
+    *    capped shingles — their signatures are recomputed from the
+    *    stored posting list (never from text), the exact dual of
+    *    [[append]]'s up-flip repair.
+    *
+    * Contract (spec-pinned, q205's oracle): the post-forget store is
+    * VALUE-IDENTICAL to [[build]] over corpus-minus-erased — every
+    * loaded relation, hence every subsequent [[incrementalDedup]] /
+    * [[incrementalNearDups]] answer. A re-submitted erased text is a NEW
+    * admission (its fingerprint and id are gone — GDPR semantics).
+    * Physical removal happens at the next [[compact]] (the masked views
+    * are what it carries forward); generations BEFORE the forget stay
+    * byte-identical (the q154 purge-through-storage discipline, untouched
+    * segments never rewritten). Erasing ids the store never held is a
+    * no-op that still commits the generation (idempotent replays).
+    *
+    * Scale shape: every store-side frame is read through a broadcast
+    * prune on the erased set (posting/registry scans stream, never
+    * shuffle); the snapshots are rewritten as at every generation. Cost
+    * is erasure-sized plus the snapshot writes, at any corpus size.
+    */
+  def forget(spark: SparkSession, store: Store, ids: DataFrame,
+             writer: String = "lifecycle"): Store = {
+    require(store.gen >= 0,
+      "forget needs a generational store; catalog snapshots are " +
+        "read-optimized and rebuilt, not edited")
+    val p = store.params
+    val permHash = PermHashes(p.hashTag)
+    val commits = committedGens(spark, store.path)
+    val base = commits.collect { case (g, true) if g <= store.gen => g }.max
+    val registry = liveDocFps(spark, store.path, base, store.gen)
+      .getOrElse(throw new IllegalArgumentException(
+        s"store at ${store.path} predates the (doc_id, h) fingerprint " +
+          "registry (doc_fps/), so forget cannot decide which erased " +
+          "texts' fingerprints are still carried by surviving docs — " +
+          "rebuild the store with build() to migrate"))
+    val del = graft.CacheRegistry.persist(
+      ids.select(col("doc_id")).distinct()
+        .join(registry.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    // the erased docs' posting rows: one broadcast-pruned scan feeds the
+    // df decrements AND (by anti) the surviving posting view
+    val delPosting = graft.CacheRegistry.persist(
+      store.posting.join(broadcast(del), Seq("doc_id"), "left_semi"))
+    val delDf = graft.CacheRegistry.persist(
+      delPosting.groupBy(col("s")).agg(count(lit(1)).as("ddf")))
+    val newDfs = graft.CacheRegistry.persist(
+      store.shingleDf.join(broadcast(delDf), Seq("s"), "left")
+        .select(col("s"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0))
+    // DOWN-flips: shingles whose df crossed under the cap — only shingles
+    // the erased docs actually contained can move, so flipped ⊆ delDf.s
+    val flipped = store.shingleDf.join(broadcast(delDf), Seq("s"))
+      .filter(col("df") > p.maxDf && col("df") - col("ddf") <= p.maxDf)
+      .select(col("s"))
+    val livePosting = store.posting
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val affected = graft.CacheRegistry.persist(
+      livePosting.join(broadcast(flipped), Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct())
+    // affected docs' FULL capped sets under the NEW dfs (their shingles
+    // reach beyond the erased docs' — the one place the batch-key prune
+    // must widen to the affected docs' own keys, still broadcast-sized)
+    val affPosting = livePosting
+      .join(broadcast(affected), Seq("doc_id"), "left_semi")
+    val affCapped = store.shingleDf
+      .join(broadcast(affPosting), Seq("s"))
+      .join(broadcast(delDf), Seq("s"), "left")
+      .filter(col("df") - coalesce(col("ddf"), lit(0L)) <= p.maxDf)
+      .select(col("doc_id"), col("s"))
+    val repaired = Dedup.sizedSignatures(affCapped, p.numPerms, permHash)
+    val newSigs = store.signatures
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+      .unionByName(repaired)
+    // fingerprint tombstones: hashes whose every live carrier is erased
+    val delHs = registry.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .select(col("h")).distinct()
+    val removedHs = delHs.join(
+      registry.join(broadcast(del), Seq("doc_id"), "left_anti")
+        .join(broadcast(delHs), Seq("h"), "left_semi"),
+      Seq("h"), "left_anti")
+    val gen = store.gen + 1
+    del.write.mode("overwrite")
+      .parquet(s"${store.path}/tombstones/gen=$gen")
+    removedHs.select(col("h")).write.mode("overwrite")
+      .parquet(s"${store.path}/fp_tombstones/gen=$gen")
+    // empty delta rows keep the per-generation layout uniform
+    store.posting.limit(0).write.mode("overwrite")
+      .parquet(s"${store.path}/posting/gen=$gen")
+    store.fingerprints.limit(0).write.mode("overwrite")
+      .parquet(s"${store.path}/fingerprints/gen=$gen")
+    registry.limit(0).write.mode("overwrite")
+      .parquet(s"${store.path}/doc_fps/gen=$gen")
+    newDfs.write.mode("overwrite")
+      .parquet(s"${store.path}/shingle_df/gen=$gen")
+    newSigs.write.mode("overwrite")
+      .parquet(s"${store.path}/signatures/gen=$gen")
+    import spark.implicits._
+    Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
+      .write.mode("overwrite").parquet(s"${store.path}/commits/gen=$gen")
+    loadAt(spark, store.path, gen)
   }
 
   /** Stored dfs full-outer-merged with the batch's: (s, cdf, fdf).
@@ -388,10 +592,15 @@ object DedupState {
                               newPosting: DataFrame, dfs: DataFrame,
                               sigs: DataFrame, newFps: DataFrame,
                               isBase: Boolean = false,
-                              writer: String = "lifecycle"): Unit = {
+                              writer: String = "lifecycle",
+                              docFps: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
     newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
+    // the (doc_id, h) registry behind [[forget]] — None keeps a legacy
+    // store's registry honestly incomplete rather than silently partial
+    docFps.foreach(_.write.mode("overwrite")
+      .parquet(s"$path/doc_fps/gen=$gen"))
     dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
     sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
     // writer identity (the [[graft.operators.HnswGeoStore]] marker
@@ -400,11 +609,18 @@ object DedupState {
     // out-of-band op at the same allocation even when both are bases
     Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/gen=$gen")
+    // base commits also UPGRADE any legacy (pre-writer-column) markers
+    // still in the tree, so the replay guard's is_base-fallback blind
+    // spot decays deterministically instead of living as long as the
+    // store does ([[StoreCommits.upgradeLegacy]])
+    if (isBase) StoreCommits.upgradeLegacy(spark, path, "gen")
   }
 
   /** The latest committed generation at `path`. */
-  def latestGen(spark: SparkSession, path: String): Long =
+  def latestGen(spark: SparkSession, path: String): Long = {
+    StoreCommits.requireSeeded(spark, path, "dedup store")
     committedGens(spark, path).keys.max
+  }
 
   /** One generation's commit marker: (is_base, writer) — writer None for
     * markers written before the writer-identity column existed.

@@ -100,11 +100,16 @@ object EmbeddingStore {
     // allocation even when both are bases
     Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // base commits upgrade legacy (pre-writer-column) markers so the
+    // replay guard's is_base-fallback blind spot decays deterministically
+    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** The latest committed epoch at `path`. */
-  def latestEpoch(spark: SparkSession, path: String): Long =
+  def latestEpoch(spark: SparkSession, path: String): Long = {
+    StoreCommits.requireSeeded(spark, path, "embedding store")
     committedEpochs(spark, path).keys.max
+  }
 
   /** One epoch's commit marker: (is_base, writer) — writer None for
     * markers written before the writer-identity column existed.

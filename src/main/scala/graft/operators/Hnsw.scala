@@ -381,8 +381,11 @@ object Hnsw {
           rows.foreach { case (_, id, _, level, nbrs) =>
             val li = local(id)
             g.levels(li) = level
+            // dangling neighbor ids are DROPPED, not errors: a store with
+            // tombstoned (deleted) nodes serves with their edges elided
+            // until compaction rebuilds the touched cells
             g.adj(li) = nbrs.map(layer => scala.collection.mutable
-              .ArrayBuffer(layer.map(local): _*)).toArray
+              .ArrayBuffer(layer.flatMap(local.get): _*)).toArray
           }
           // stored entry contract: the max-level node, min id on ties —
           // exactly what buildGraph ends with (levels only ever grow)
@@ -628,8 +631,9 @@ object Hnsw {
       val local = ids.zipWithIndex.toMap
       oldRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
         g.levels(li) = level
+        // deleted-node tolerance: see the dangling-id note in perShard
         g.adj(li) = nbrs.map(layer => scala.collection.mutable
-          .ArrayBuffer(layer.map(local): _*)).toArray
+          .ArrayBuffer(layer.flatMap(local.get): _*)).toArray
       }
       g.entry =
         if (oldRows.isEmpty) -1
@@ -910,8 +914,9 @@ object Hnsw {
     val local = ids.zipWithIndex.toMap
     gRows.zipWithIndex.foreach { case ((_, _, _, level, nbrs), li) =>
       g.levels(li) = level
+      // deleted-node tolerance: see the dangling-id note in perShard
       g.adj(li) = nbrs.map(layer => scala.collection.mutable
-        .ArrayBuffer(layer.map(local): _*)).toArray
+        .ArrayBuffer(layer.flatMap(local.get): _*)).toArray
     }
     g.entry =
       if (g.n == 0) -1

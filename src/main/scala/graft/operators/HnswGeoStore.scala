@@ -67,8 +67,10 @@ object HnswGeoStore {
     * [[compact]] between runs) shift the next allocation instead of
     * being overwritten by it.
     */
-  def latestEpoch(spark: SparkSession, path: String): Long =
+  def latestEpoch(spark: SparkSession, path: String): Long = {
+    StoreCommits.requireSeeded(spark, path, "geo store")
     HnswStore.committedEpochs(spark, path).keys.max
+  }
 
   /** Fold per-epoch [[IVF.cellStats]] snapshots taken under ONE index
     * into the corpus-wide frame a full recompute would produce. The
@@ -96,6 +98,10 @@ object HnswGeoStore {
         (d2q / 1e6).as("inertia"),
         ((d2q / 1e6) / sum(col("n")).cast("double")).as("mean_d2"),
         max(col("max_d2")).as("max_d2"))
+      // a cell fully emptied by NEGATED delete leaves ([[delete]]) nets
+      // to n = 0 — absent from a recompute, so absent from the fold too;
+      // a no-op for append-only folds, where every cell has n > 0
+      .filter(col("n") > 0)
   }
 
   /** Columns of a fresh frame beyond the (vec_id, embedding) contract —
@@ -144,9 +150,15 @@ object HnswGeoStore {
     */
   def attrsOf(spark: SparkSession, store: Store): Option[DataFrame] =
     if (!attrsPresent(spark, store)) None
-    else Some(store.epochs.map(e =>
-      spark.read.parquet(s"${store.path}/attrs/epoch=$e"))
-      .reduce(_ unionByName _))
+    else {
+      val raw = store.epochs.map(e =>
+        spark.read.parquet(s"${store.path}/attrs/epoch=$e"))
+        .reduce(_ unionByName _)
+      // erased rows' attrs masked with the same tombstones as the rows
+      Some(liveTombstones(spark, store.path, store.baseEpoch, store.epoch)
+        .fold(raw)(t => raw.join(broadcast(t.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")))
+    }
 
   /** Write one epoch's commit marker. `writer` is the committing
     * actor's identity — `"lifecycle"` for every batch-API op
@@ -164,6 +176,9 @@ object HnswGeoStore {
     import spark.implicits._
     Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // base commits upgrade legacy (pre-writer-column) markers so the
+    // replay guard's is_base-fallback blind spot decays deterministically
+    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** One epoch's commit marker: (is_base, writer) — writer None for
@@ -227,6 +242,17 @@ object HnswGeoStore {
     * epoch] plus THAT base's index; deterministic re-reads for
     * at-least-once replay (the streaming sink pins its pre-state with
     * this).
+    *
+    * DELETION masking ([[delete]]): a delete epoch writes only a
+    * tombstone relation; the loaded segment view anti-joins the live
+    * tombstones out (broadcast, tombstone-count-sized, applied only when
+    * the live range has any — deletion-free stores keep their exact
+    * plans). Every surface downstream — routed serving, near-dup scans,
+    * admission's already-stored check, retrain's corpus — therefore sees
+    * corpus-minus-deleted; surviving nodes' edges INTO deleted nodes are
+    * elided at graph reconstruction (the [[Hnsw]] dangling-id tolerance),
+    * which narrows traversal until the next [[compact]] physically
+    * removes the nodes and rebuilds the touched cells.
     */
   def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
     val commits = HnswStore.committedEpochs(spark, path)
@@ -234,11 +260,32 @@ object HnswGeoStore {
       s"epoch $epoch is not committed at $path " +
         s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
+    val segs = spark.read.parquet(s"$path/segments")
+      .filter(col("epoch") >= base && col("epoch") <= epoch)
+      .drop("epoch")
     Store(path,
-      spark.read.parquet(s"$path/segments")
-        .filter(col("epoch") >= base && col("epoch") <= epoch)
-        .drop("epoch"),
+      liveTombstones(spark, path, base, epoch).fold(segs)(t =>
+        segs.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti")),
       epoch, base, IVF.load(spark, s"$path/index/epoch=$base"))
+  }
+
+  /** The live [base, epoch] tombstoned vec_ids, or None when the range
+    * has none (the deletion-free fast path: no masking join at all).
+    */
+  private def liveTombstones(spark: SparkSession, path: String,
+                             base: Long, epoch: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else {
+      val inRange = (base to epoch).exists(e => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/tombstones/epoch=$e")))
+      if (!inRange) None
+      else Some(spark.read.parquet(s"$path/tombstones")
+        .filter(col("epoch") >= base && col("epoch") <= epoch)
+        .drop("epoch"))
+    }
   }
 
   /** Driver-side sampled guard that the strided segment rows were
@@ -337,13 +384,43 @@ object HnswGeoStore {
           "through incrementalAdmit, which drops already-stored ids)")
     }
     val freshStats = IVF.cellStats(freshRows, store.index)
+    val tombs = liveTombstones(spark, store.path, store.baseEpoch,
+      store.epoch)
     val rows =
       if (asBase) {
         val baseLo = store.baseEpoch * CellStride
-        val baseRows = store.segments
-          .filter(col("shard") >= baseLo &&
-            col("shard") < baseLo + CellStride)
-          .withColumn("shard", col("shard") - lit(baseLo))
+        val baseRows = tombs match {
+          case None =>
+            store.segments
+              .filter(col("shard") >= baseLo &&
+                col("shard") < baseLo + CellStride)
+              .withColumn("shard", col("shard") - lit(baseLo))
+          case Some(t) =>
+            // TOMBSTONE REPAIR — the physical-erasure point: deleted
+            // nodes' edges live inside their cell's graph rows, so
+            // exactly the base cells that CONTAINED a deleted node are
+            // rebuilt from their surviving vectors (per-cell build,
+            // ascending ids — for monotone ids bitwise the cell a
+            // never-saw-the-docs build produces) while every clean cell
+            // carries its graph rows untouched; the raw epoch dir is
+            // read because the masked view cannot rebuild a cell. Deleted
+            // DELTA vectors need no repair — they simply drop out of the
+            // masked deltaVecs re-insertion below.
+            val raw = spark.read
+              .parquet(s"${store.path}/segments/epoch=${store.baseEpoch}")
+              .withColumn("shard", col("shard") - lit(baseLo))
+            val del = t.select(col("vec_id"))
+            val dirty = graft.CacheRegistry.persist(
+              raw.join(broadcast(del), Seq("vec_id"), "left_semi")
+                .select(col("shard")).distinct())
+            val clean = raw.join(broadcast(dirty), Seq("shard"), "left_anti")
+            val dirtyLive = raw
+              .join(broadcast(dirty), Seq("shard"), "left_semi")
+              .join(broadcast(del), Seq("vec_id"), "left_anti")
+              .select(col("vec_id"), col("vec").as("embedding"))
+            clean.unionByName(
+              Hnsw.buildGeo(dirtyLive, store.index, m, efConstruction))
+        }
         val deltaVecs = store.segments
           .filter(col("shard") >= baseLo + CellStride)
           .select(col("vec_id"), col("vec").as("embedding"))
@@ -357,10 +434,14 @@ object HnswGeoStore {
         // their cells UN-strided (the frozen index never moves a cell)
         // plus the fresh batch's — epoch-count reads, batch-sized
         // assignment work, never a corpus re-assignment
-        val lives = store.epochs.map(e =>
+        val lives0 = store.epochs.map(e =>
           spark.read.parquet(s"${store.path}/attrs/epoch=$e")
             .withColumn("shard", pmod(col("shard"), lit(CellStride))))
           .reduce(_ unionByName _)
+        // erased rows' attrs are physically dropped with their nodes
+        val lives = tombs.fold(lives0)(t =>
+          lives0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+            "left_anti"))
         val merged =
           if (pcols.isEmpty) lives
           else lives.unionByName(freshSrc.select(col("vec_id") +:
@@ -391,8 +472,12 @@ object HnswGeoStore {
         HnswStore.fs(spark, store.path).exists(
           new org.apache.hadoop.fs.Path(s"${store.path}/stats/epoch=$e"))
       }
+      // a tombstoned range takes the recompute arm: the fold's negated
+      // delete leaves keep n/inertia exact but leave max_d2 an upper
+      // bound, and a compaction already pays a corpus pass — so the new
+      // base's PERSISTED leaf (which outlives the tombstones) is exact
       val folded = graft.CacheRegistry.persist(
-        if (haveLeaves)
+        if (haveLeaves && tombs.isEmpty)
           foldStats(store.epochs.map(e =>
             spark.read.parquet(s"${store.path}/stats/epoch=$e")) :+ freshStats)
         else IVF.cellStats(
@@ -433,6 +518,65 @@ object HnswGeoStore {
       asBase = true, m = m, efConstruction = efConstruction,
       checkIds = false)
 
+  /** ERASE vectors from the standing store — the takedown/right-to-be-
+    * forgotten dual of [[admit]], as a TOMBSTONE EPOCH: epoch N+1 holds
+    * only the erased vec_ids (no segment rows), [[loadAt]] masks them out
+    * of every surface, and the epoch's stats leaf is the erased vectors'
+    * [[IVF.cellStats]] NEGATED (exact in the same quantized-long domain,
+    * so the epoch-count drift fold stays exact on n/inertia/mean;
+    * `max_d2` becomes an upper bound until compaction). For an attribute
+    * store an empty attrs relation keeps the live range uniform — the
+    * erased rows' attrs are masked by the same tombstones in [[attrsOf]].
+    *
+    * Between the delete and the next [[compact]], serving works on the
+    * masked graphs with deleted nodes' edges elided (recall narrows with
+    * the deleted fraction — bulk deletes should compact promptly); the
+    * COMPACTION physically removes the nodes and rebuilds exactly the
+    * base cells that contained one (clean cells carry their graph rows
+    * bitwise, deltas re-insert through the warm kernel), so for monotone
+    * ids the compacted store is BITWISE the [[build]] over
+    * corpus-minus-erased — the store that never saw the docs (q204's
+    * contract, HnswSpec-pinned). A re-submitted erased id is a new
+    * admission (its node is gone — GDPR semantics). Erasing unknown ids
+    * is a no-op that still commits (idempotent replays).
+    *
+    * Scale shape: one broadcast-pruned scan of the segments (the erased
+    * vectors' rows, for the stats leaf), a tombstone-sized write, and the
+    * marker — never a corpus rewrite; the corpus-sized repair bill is
+    * deferred to compaction and pays only for DIRTY cells.
+    */
+  def delete(spark: SparkSession, store: Store, ids: DataFrame,
+             writer: String = "lifecycle"): Store = {
+    val epoch = store.epoch + 1
+    require(epoch < Long.MaxValue / CellStride,
+      s"epoch $epoch out of the stride range")
+    // restrict to ids the store actually holds (store.segments is the
+    // already-masked live view, so re-deleting is a committed no-op)
+    val del = graft.CacheRegistry.persist(
+      ids.select(col("vec_id")).distinct()
+        .join(store.segments.select(col("vec_id")), Seq("vec_id"),
+          "left_semi"))
+    val delVecs = store.segments
+      .join(broadcast(del), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("vec").as("embedding"))
+    // the negated stats leaf: same per-point quantized d2q longs the
+    // positive leaves carry, so the fold subtracts them EXACTLY
+    val negStats = IVF.cellStats(delVecs, store.index)
+      .select(col("cid"), (-col("n")).as("n"),
+        (-col("inertia")).as("inertia"), col("mean_d2"),
+        lit(0.0).as("max_d2"))
+    del.write.mode("overwrite")
+      .parquet(s"${store.path}/tombstones/epoch=$epoch")
+    negStats.write.mode("overwrite")
+      .parquet(s"${store.path}/stats/epoch=$epoch")
+    if (attrsPresent(spark, store))
+      spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+        .limit(0).write.mode("overwrite")
+        .parquet(s"${store.path}/attrs/epoch=$epoch")
+    commitEpoch(spark, store.path, epoch, isBase = false, writer)
+    loadAt(spark, store.path, epoch)
+  }
+
   /** Delete segment/commit dirs strictly older than the latest base ≤
     * `store.epoch`, and index/drift/stats dirs of superseded bases — all
     * fully contained in (or carried forward to) that base.
@@ -452,7 +596,7 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
          dir <- Seq("commits", "segments", "index", "drift", "stats",
-           "attrs")) {
+           "attrs", "tombstones")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
@@ -790,6 +934,11 @@ object HnswGeoStore {
     * measurement, exposed so a monitoring job can watch cell quality
     * without paying a corpus scan per check (q198 drives it under
     * q148's oracle: the fold must reproduce the full recompute).
+    *
+    * With [[delete]] tombstones in the live range the fold includes
+    * their NEGATED leaves: n/inertia/mean_d2 stay exact (same quantized
+    * longs subtracted), `max_d2` is an upper bound until the next
+    * compaction re-snapshots exactly (HnswSpec pins both).
     */
   def currentStats(spark: SparkSession, store: Store): DataFrame = {
     val haveLeaves = store.epochs.forall { e =>

@@ -21,6 +21,57 @@ private[graft] object StoreCommits {
     (row.getBoolean(0),
       if (row.size > 1) Option(row.getString(1)) else None)
   }
+
+  /** Fail with the seed contract NAMED when a store at `path` was never
+    * seeded — the `latest*` entry points otherwise surface an opaque
+    * parquet PATH_NOT_FOUND (or `empty.max`) from inside a streaming
+    * sink's prologue (ADVICE r15). `what` names the store kind; the
+    * message states the build-seeds-state-zero contract the sinks
+    * document.
+    */
+  def requireSeeded(spark: SparkSession, path: String, what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.listStatus(p).nonEmpty,
+      s"$what at $path has no committed state — seed it with build() " +
+        "(generation/epoch 0; an empty corpus is a legal seed for the " +
+        "streaming sinks) before loading or admitting")
+  }
+
+  /** Rewrite LEGACY commit markers (written before the writer-identity
+    * column existed) with an explicit `writer = "legacy"` column — the
+    * marker-upgrade migration (round-15 verdict): a legacy marker at a
+    * replay's allocation slot forces the is_base fallback comparison,
+    * which is blind to a non-base out-of-band append racing a non-base
+    * replay; post-upgrade every marker carries a writer, so that replay
+    * fails loudly instead. `is_base` is preserved bit-for-bit; upgraded
+    * markers compare as "not this replay's own attempt" exactly like any
+    * other out-of-band writer. Runs at every BASE commit (build starts
+    * clean, so compaction/retrain is the first opportunity a legacy
+    * store meets post-upgrade code) — one merged-schema read of the
+    * marker tree (epoch-count-sized), rewrites only when legacy markers
+    * exist, so a fully-upgraded store pays a no-op read.
+    */
+  def upgradeLegacy(spark: SparkSession, path: String,
+                    keyCol: String): Unit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(s"$path/commits")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/commits")
+    val legacy =
+      if (df.columns.contains("writer"))
+        df.filter(col("writer").isNull)
+          .select(col(keyCol).cast("long"), col("is_base"))
+          .collect()
+      else df.select(col(keyCol).cast("long"), col("is_base")).collect()
+    legacy.foreach { r =>
+      Seq((r.getBoolean(1), "legacy")).toDF("is_base", "writer").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$path/commits/$keyCol=${r.getLong(0)}")
+    }
+  }
 }
 
 /** Persistent, SEGMENTED HNSW store — the graph-index counterpart of
@@ -95,11 +146,16 @@ object HnswStore {
     // allocation even when both are bases
     Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // base commits upgrade legacy (pre-writer-column) markers so the
+    // replay guard's is_base-fallback blind spot decays deterministically
+    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** The latest committed epoch at `path`. */
-  def latestEpoch(spark: SparkSession, path: String): Long =
+  def latestEpoch(spark: SparkSession, path: String): Long = {
+    StoreCommits.requireSeeded(spark, path, "HNSW store")
     committedEpochs(spark, path).keys.max
+  }
 
   /** One epoch's commit marker: (is_base, writer) — writer None for
     * markers written before the writer-identity column existed.

@@ -448,7 +448,7 @@ object StreamingEvents {
                                      compactEvery: Int): Unit = {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    val preGen = pinTextPreGen(spark, stateDir, batchId, asBase)
+    val preGen = pinTextPreGen(spark, stateDir, outDir, batchId, asBase)
     val store = DedupState.loadAt(spark, stateDir, preGen)
     val (kept, _) = DedupState.admit(spark, store, batch, threshold,
       asBase, writer = geoWriterTag(batchId))
@@ -493,7 +493,7 @@ object StreamingEvents {
         // writer-identity guard (the geo sink's discipline): replays are
         // idempotent, out-of-band compacts between runs shift the
         // resumed allocation, races into a crash window fail loudly
-        val preEpoch = pinPreState(spark, stateDir, batchId, asBase,
+        val preEpoch = pinPreState(spark, stateDir, outDir, batchId, asBase,
           "embedding-store", "epoch",
           EmbeddingStore.latestEpoch(spark, stateDir),
           EmbeddingStore.commitMarker(spark, stateDir, _))
@@ -545,7 +545,7 @@ object StreamingEvents {
         // writer-identity guard (the geo sink's discipline): replays are
         // idempotent, out-of-band compacts between runs shift the
         // resumed allocation, races into a crash window fail loudly
-        val preEpoch = pinPreState(spark, stateDir, batchId, asBase,
+        val preEpoch = pinPreState(spark, stateDir, outDir, batchId, asBase,
           "hnsw-store", "epoch",
           HnswStore.latestEpoch(spark, stateDir),
           HnswStore.commitMarker(spark, stateDir, _))
@@ -655,8 +655,13 @@ object StreamingEvents {
     * which catches the compact/retrain races (those commit bases while
     * the typical replayed batch does not) but is genuinely blind to a
     * legacy NON-base out-of-band append landing at a non-base replay's
-    * allocation; the ambiguity dies with the legacy markers, since
-    * every post-upgrade commit carries its writer.
+    * allocation. That decay is now DETERMINISTIC, not hopeful: every
+    * BASE commit runs the marker-upgrade migration
+    * ([[graft.operators.StoreCommits.upgradeLegacy]] — legacy markers
+    * rewritten with `writer = "legacy"`, is_base preserved), so the
+    * blind spot survives only until the store's next compaction; after
+    * it, the formerly-ambiguous scenario trips the writer comparison
+    * loudly (StreamingSpec pins it).
     */
   /** Store-generic core of [[pinGeoPreEpoch]]/[[pinTextPreGen]]: read or
     * write the batch→state mapping under `stateDir/stream_meta`, then
@@ -665,6 +670,7 @@ object StreamingEvents {
     * names the mapping column, `what` the store kind in messages).
     */
   private def pinPreState(spark: SparkSession, stateDir: String,
+                          outDir: String,
                           batchId: Long, asBase: Boolean, what: String,
                           metaCol: String, latest: => Long,
                           marker: Long => (Boolean, Option[String])): Long = {
@@ -692,14 +698,40 @@ object StreamingEvents {
       // signals recover the true pre-state: the marker at `l` carries
       // THIS batch's writer tag (its own post-upgrade commit), or it is
       // a LEGACY marker (no writer column) sitting exactly at
-      // batchId + 1 — the old code's deterministic allocation, where
-      // old-code replay semantics overwrote that slot anyway. In both
-      // cases the commit is the replayed batch's own, so pre-state is
-      // one below it.
+      // batchId + 1 — the old code's deterministic allocation — WITH
+      // corroborating evidence that a prior attempt of this batch
+      // actually ran (its committed output under outDir/batch_id=N;
+      // ADVICE r15: without the corroboration a FRESH stream starting at
+      // batch 0 over a pre-upgrade store whose latest legacy epoch
+      // happens to be 1 — seed build plus one legacy lifecycle append —
+      // would silently pin pre-state 0, admit against a stale view, and
+      // overwrite the legacy commit). A legacy marker at the allocation
+      // WITHOUT the output evidence is ambiguous between those two
+      // worlds, so it fails loudly instead of guessing either way.
       val pinned = if (l >= 1) {
         val (_, w) = marker(l)
         if (w.contains(geoWriterTag(batchId))) l - 1
-        else if (w.isEmpty && l == batchId + 1) batchId
+        else if (w.isEmpty && l == batchId + 1) {
+          val outP = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
+          val outFs = outP.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val replayEvidence = outFs.exists(outP) &&
+            outFs.listStatus(outP).exists(st =>
+              st.getPath.getName.startsWith("part-"))
+          require(replayEvidence,
+            s"$what stream batch $batchId has no batch→$metaCol " +
+              s"mapping, and $metaCol ${l} is committed by a LEGACY " +
+              "(pre-writer-column) marker at exactly this batch's " +
+              "allocation with no committed output under " +
+              s"$outDir/batch_id=$batchId to corroborate a replay. " +
+              "This is either a fresh stream resuming over a " +
+              "pre-upgrade store (stamp the store with one post-upgrade " +
+              "lifecycle commit — e.g. compact(), which also upgrades " +
+              "legacy markers — then restart) or a pre-mapping " +
+              "checkpoint's replay that crashed before its output " +
+              "write (recover the batch manually); refusing to guess")
+          batchId
+        }
         else l
       } else l
       Seq(Tuple1(pinned)).toDF(metaCol).coalesce(1)
@@ -734,8 +766,10 @@ object StreamingEvents {
   }
 
   private def pinGeoPreEpoch(spark: SparkSession, stateDir: String,
+                             outDir: String,
                              batchId: Long, asBase: Boolean): Long =
-    pinPreState(spark, stateDir, batchId, asBase, "geo-store", "epoch",
+    pinPreState(spark, stateDir, outDir, batchId, asBase, "geo-store",
+      "epoch",
       HnswGeoStore.latestEpoch(spark, stateDir),
       HnswGeoStore.commitMarker(spark, stateDir, _))
 
@@ -748,8 +782,10 @@ object StreamingEvents {
     * carry the same (is_base, writer) marker as the geo store's).
     */
   private def pinTextPreGen(spark: SparkSession, stateDir: String,
+                            outDir: String,
                             batchId: Long, asBase: Boolean): Long =
-    pinPreState(spark, stateDir, batchId, asBase, "dedup-store", "gen",
+    pinPreState(spark, stateDir, outDir, batchId, asBase, "dedup-store",
+      "gen",
       graft.operators.DedupState.latestGen(spark, stateDir),
       graft.operators.DedupState.commitMarker(spark, stateDir, _))
 
@@ -789,7 +825,7 @@ object StreamingEvents {
                                    compactEvery: Int): Unit = {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    val preEpoch = pinGeoPreEpoch(spark, stateDir, batchId, asBase)
+    val preEpoch = pinGeoPreEpoch(spark, stateDir, outDir, batchId, asBase)
     val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
     val (kept, _) =
       HnswGeoStore.admit(spark, store, batch, threshold, asBase,
@@ -872,8 +908,8 @@ object StreamingEvents {
     // pre-generation, geo by the recorded pre-epoch — so out-of-band
     // lifecycle ops on EITHER store between runs shift the resumed
     // stream's allocation instead of being overwritten
-    val preGen = pinTextPreGen(spark, textStateDir, batchId, asBase)
-    val preEpoch = pinGeoPreEpoch(spark, geoStateDir, batchId, asBase)
+    val preGen = pinTextPreGen(spark, textStateDir, outDir, batchId, asBase)
+    val preEpoch = pinGeoPreEpoch(spark, geoStateDir, outDir, batchId, asBase)
     val text = DedupState.loadAt(spark, textStateDir, preGen)
     val geo = HnswGeoStore.loadAt(spark, geoStateDir, preEpoch)
     val docs = batch.select(col("doc_id"), col("text"))

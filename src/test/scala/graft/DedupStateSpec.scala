@@ -258,6 +258,167 @@ class DedupStateSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ── forget: erasure from the standing store ────────────────────────────
+
+  private def relRows(df: DataFrame): Set[Seq[String]] =
+    df.collect().map(_.toSeq.map {
+      case null => "NULL"; case x => x.toString
+    }).toSet
+
+  private def sameStore(a: DedupState.Store, b: DedupState.Store,
+                        clue: String): Unit = {
+    assert(relRows(a.posting) === relRows(b.posting), s"$clue: posting")
+    assert(relRows(a.shingleDf) === relRows(b.shingleDf), s"$clue: dfs")
+    assert(relRows(a.fingerprints) === relRows(b.fingerprints),
+      s"$clue: fingerprints")
+    assert(relRows(a.signatures.select(b.signatures.columns.map(col): _*))
+      === relRows(b.signatures), s"$clue: signatures")
+  }
+
+  test("forget erases docs from a grown store: every loaded relation and " +
+       "every subsequent admission answer is value-identical to a store " +
+       "that never saw them") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+    val probe = docs.filter(col("doc_id") >= 350)
+    // erased set spans BOTH generations (build + append)
+    val erased = col("doc_id") % 7 === 3
+    var store = DedupState.build(spark, corpus, tmpDir("dforgA"))
+    store = DedupState.append(spark, store, batch1)
+    store = DedupState.forget(spark, store,
+      docs.filter(col("doc_id") < 350 && erased).select("doc_id"))
+    assert(store.gen === 2L, "forget commits its own generation")
+    CacheRegistry.releaseAll()
+    val never = DedupState.build(spark,
+      corpus.unionByName(batch1).filter(!erased), tmpDir("dforgB"))
+    CacheRegistry.releaseAll()
+    sameStore(store, never, "post-forget vs never-saw")
+    val overForgotten = pairKey(DedupState.incrementalNearDups(store, probe))
+    CacheRegistry.releaseAll()
+    val overNever = pairKey(DedupState.incrementalNearDups(never, probe))
+    CacheRegistry.releaseAll()
+    assert(overForgotten === overNever)
+    assert(overForgotten.nonEmpty, "vacuous: no pairs against survivors")
+    // the erased docs genuinely stop deduping: re-submitting one of their
+    // texts admits it as NEW (GDPR semantics — the fingerprint is gone)
+    val gone = docs.filter(col("doc_id") === 3)
+      .select(lit(9001L).as("doc_id"), col("text"))
+    assert(DedupState.incrementalDedup(store, gone).count() === 1L,
+      "an erased text must be admissible again")
+    CacheRegistry.releaseAll()
+    // but a fingerprint SHARED with a surviving doc keeps deduping: erase
+    // one of two docs holding the same text and re-submit it
+    val twin = docsDf(1L -> "aa bb cc dd ee", 2L -> "aa bb cc dd ee",
+      3L -> "ff gg hh ii jj")
+    val tw0 = DedupState.build(spark, twin, tmpDir("dforgT"))
+    val tw1 = DedupState.forget(spark, tw0, Seq(1L).toDF("doc_id"))
+    assert(DedupState.incrementalDedup(tw1,
+      docsDf(10L -> "aa bb cc dd ee")).count() === 0L,
+      "a hash still carried by doc 2 must keep deduping")
+    CacheRegistry.releaseAll()
+  }
+
+  test("forget df-cap DOWN-flip: erasing a doc drops a shingle under " +
+       "maxDf and surviving docs' signatures are repaired to the " +
+       "never-saw store's, from the posting list alone") {
+    // maxDf = 2: the "a b c d e ..." prefix shingles have df 3 (docs
+    // 1,2,3 — OVER the cap, so they are in nobody's capped set); erasing
+    // doc 3 drops them to df 2, and docs 1,2 must GAIN capped shingles —
+    // doc 2's signature appears for the FIRST time (its whole set was
+    // over-cap, so the stored signatures have no row to start from)
+    val corpusAll = docsDf(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i",
+      3L -> "a b c d e f g h i l",
+      4L -> "p q r s t u v w x y")
+    val store = DedupState.build(spark, corpusAll, tmpDir("dflipF"),
+      n = 3, numPerms = 16, bands = 4, maxDf = 2)
+    assert(store.signatures.filter(col("doc_id") === 2L).count() === 0L,
+      "construction error: doc 2 must have no capped shingles pre-forget")
+    val forgotten = DedupState.forget(spark, store, Seq(3L).toDF("doc_id"))
+    CacheRegistry.releaseAll()
+    val never = DedupState.build(spark,
+      corpusAll.filter(col("doc_id") =!= 3L), tmpDir("dflipG"),
+      n = 3, numPerms = 16, bands = 4, maxDf = 2)
+    CacheRegistry.releaseAll()
+    sameStore(forgotten, never, "down-flip repair")
+    // the flip genuinely fired: doc 2 GAINED its signature
+    assert(forgotten.signatures.filter(col("doc_id") === 2L).count() === 1L)
+    // a later batch over the repaired store answers as over never-saw,
+    // non-vacuously (fresh doc 10 near-dups the untouched doc 4)
+    val fresh = docsDf(10L -> "p q r s t u v w x z")
+    val a = pairKey(DedupState.incrementalNearDups(forgotten, fresh,
+      threshold = 0.5))
+    CacheRegistry.releaseAll()
+    val b = pairKey(DedupState.incrementalNearDups(never, fresh,
+      threshold = 0.5))
+    CacheRegistry.releaseAll()
+    assert(a === b)
+    assert(a.exists { case (i, j, _) => i == 4L && j == 10L },
+      "vacuous: the (4,10) near-dup pair must verify")
+  }
+
+  test("forget is purge-through-storage: untouched generations stay " +
+       "byte-identical; the next compact physically removes erased rows " +
+       "and the registry entry") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 200)
+    val dir = tmpDir("dpurge")
+    val s0 = DedupState.build(spark, corpus, dir)
+    def genBytes(g: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/posting/gen=$g")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val before = genBytes(0L)
+    val s1 = DedupState.forget(spark, s0,
+      corpus.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    CacheRegistry.releaseAll()
+    assert(genBytes(0L) === before,
+      "forget must never rewrite a prior generation's files")
+    // pre-compaction the masking hides the rows; post-compaction they are
+    // physically gone from the new base's files
+    assert(s1.posting.filter(col("doc_id") % 5 === 1).count() === 0L)
+    val s2 = DedupState.compact(spark, s1)
+    CacheRegistry.releaseAll()
+    val baseRaw = spark.read.parquet(s"$dir/posting/gen=${s2.gen}")
+    assert(baseRaw.filter(col("doc_id") % 5 === 1).count() === 0L,
+      "compaction must physically drop tombstoned posting rows")
+    assert(spark.read.parquet(s"$dir/doc_fps/gen=${s2.gen}")
+      .filter(col("doc_id") % 5 === 1).count() === 0L,
+      "compaction must physically drop tombstoned registry rows")
+    DedupState.vacuum(spark, s2)
+    assert(!new java.io.File(s"$dir/tombstones/gen=1").exists(),
+      "vacuum must reclaim superseded tombstone generations")
+    // a forget against the compacted store still works (fresh registry)
+    val s3 = DedupState.forget(spark, s2,
+      corpus.filter(col("doc_id") % 5 === 2).select("doc_id"))
+    assert(s3.posting.filter(col("doc_id") % 5 === 2).count() === 0L)
+    CacheRegistry.releaseAll()
+  }
+
+  test("forget fails LOUDLY on a store predating the fingerprint " +
+       "registry, and erasing unknown ids is a committed no-op") {
+    val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")
+    val dir = tmpDir("dlegacyF")
+    val s0 = DedupState.build(spark, corpus, dir)
+    // unknown ids: a no-op that still commits (idempotent replays)
+    val s1 = DedupState.forget(spark, s0, Seq(999L).toDF("doc_id"))
+    assert(s1.gen === 1L && s1.posting.count() === s0.posting.count())
+    CacheRegistry.releaseAll()
+    // strip the registry, simulating a store written before it existed
+    val p = new org.apache.hadoop.fs.Path(s"$dir/doc_fps")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val e = intercept[IllegalArgumentException] {
+      DedupState.forget(spark, DedupState.load(spark, dir),
+        Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("doc_fps") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+    CacheRegistry.releaseAll()
+  }
+
   test("IVF index round-trips through parquet: same centroids, same neighbors") {
     val emb = Tables.table(spark, sf0001, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select("embedding")

@@ -297,6 +297,124 @@ class HnswGeoStoreSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("delete: tombstoned vectors vanish from every surface, the drift " +
+       "fold stays exact, a re-sent id re-admits, and the next compact " +
+       "is bitwise the store that never saw them") {
+    val all = corpus(400)
+    val emb = all.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 6, iters = 3)
+    val dir = tmp("hnsw-geo-del")
+    var store = HnswGeoStore.build(spark,
+      all.filter(_._1 <= 300L).toDF("vec_id", "embedding"), dir, index)
+    store = HnswGeoStore.append(spark, store,
+      all.filter(_._1 > 300L).toDF("vec_id", "embedding"))
+    def epochBytes(e: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/segments/epoch=$e")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val before = (epochBytes(0L), epochBytes(1L))
+    // erased set spans the base AND the delta epoch
+    val erased = all.map(_._1).filter(id => id % 5 == 1).toSet
+    store = HnswGeoStore.delete(spark, store,
+      erased.toSeq.toDF("vec_id"))
+    assert(store.epoch === 2L, "delete commits its own epoch")
+    assert((epochBytes(0L), epochBytes(1L)) === before,
+      "delete must never rewrite a prior epoch's segment files")
+    // masked from the segment view, hence from every scan surface
+    assert(store.segments.filter(col("vec_id") % 5 === 1).count() === 0L)
+    val live = all.filterNot(t => erased(t._1))
+    assert(store.segments.count() === live.size.toLong)
+    val served = HnswGeoStore.batchNeighbors(store,
+      Seq((9001L, all.head._2.map(_.toDouble)))
+        .toDF("probe_id", "embedding"),
+      k = 20, efSearch = 64, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.nonEmpty && served.intersect(erased).isEmpty,
+      "routed serving must never return a deleted id")
+    val pairs = HnswGeoStore.nearDupPairs(store, 0.3, nProbe = 8)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.intersect(erased).isEmpty,
+      "near-dup pairs must never touch a deleted id")
+    // drift fold: NEGATED delete leaf keeps n/inertia/mean exact (max_d2
+    // is documented as an upper bound until compaction)
+    def nim(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "n", "inertia", "mean_d2")
+        .orderBy("cid").collect().map(_.toString).toSeq
+    val liveStats = IVF.cellStats(live.toDF("vec_id", "embedding"), index)
+    assert(nim(HnswGeoStore.currentStats(spark, store)) === nim(liveStats))
+    // a deleted id is a NEW admission again (GDPR semantics) — and the
+    // append-time id guard agrees the slot is free
+    val resent = Seq((1L, all.head._2)).toDF("vec_id", "embedding")
+    val kept = HnswGeoStore.incrementalAdmit(store, resent,
+      threshold = 0.99999)
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(1L),
+      "an erased id must be admissible again")
+    CacheRegistry.releaseAll()
+    // compaction physically removes the nodes and repairs exactly the
+    // dirty cells: bitwise the never-saw build (monotone ids)
+    val compacted = HnswGeoStore.compact(spark, store)
+    assert(compacted.epochs === Seq(3L))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val unstrided = compacted.segments.withColumn("shard",
+      col("shard") - lit(3L * HnswGeoStore.CellStride))
+    assert(dump(unstrided) ===
+      dump(Hnsw.buildGeo(live.toDF("vec_id", "embedding"), index)),
+      "post-delete compaction must be bitwise the never-saw geo build")
+    // the new base's persisted stats leaf is the exact recompute
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect().map(_.toString).toSeq
+    assert(full(spark.read.parquet(s"$dir/stats/epoch=3")) ===
+      full(liveStats))
+    // vacuum reclaims the superseded tombstones with the old range
+    HnswGeoStore.vacuum(spark, compacted)
+    assert(!new java.io.File(s"$dir/tombstones/epoch=2").exists(),
+      "vacuum must reclaim superseded tombstone epochs")
+    assert(dump(HnswGeoStore.load(spark, dir).segments) ===
+      dump(compacted.segments))
+    // deleting unknown ids is a committed no-op (idempotent replays)
+    val noop = HnswGeoStore.delete(spark, compacted,
+      Seq(999999L).toDF("vec_id"))
+    assert(noop.epoch === 4L &&
+      noop.segments.count() === compacted.segments.count())
+    CacheRegistry.releaseAll()
+  }
+
+  test("delete on an ATTRIBUTE store: attrs mask with their nodes, the " +
+       "expr-filtered serve never returns an erased id, and compaction " +
+       "drops the erased attrs physically") {
+    val all = corpus(300)
+    def withBucket(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket", pmod(col("vec_id"), lit(7L)))
+    val emb = all.toDF("vec_id", "embedding")
+    val index = IVF.train(emb, k = 4, iters = 3)
+    val dir = tmp("hnsw-geo-delattr")
+    var store = HnswGeoStore.build(spark, withBucket(emb), dir, index)
+    val erased = all.map(_._1).filter(id => id % 7 == 2 && id % 3 == 0).toSet
+    assert(erased.nonEmpty)
+    store = HnswGeoStore.delete(spark, store, erased.toSeq.toDF("vec_id"))
+    // the live range stays uniformly attributed (empty attrs relation at
+    // the delete epoch) and the masked attrs cover exactly the live rows
+    val at = HnswGeoStore.attrsOf(spark, store).get
+    assert(at.count() === store.segments.count())
+    assert(at.filter(col("vec_id").isin(erased.toSeq: _*)).count() === 0L)
+    val probes = all.filter(_._1 <= 5L).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val got = HnswGeoStore.batchNeighborsFilteredExpr(store, probes,
+      col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
+    val ids = got.select("vec_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.intersect(erased).isEmpty,
+      "filtered serving must never return an erased id")
+    assert(ids.forall(_ % 7 == 2), "the predicate must still hold")
+    val compacted = HnswGeoStore.compact(spark, store)
+    val atc = spark.read.parquet(s"$dir/attrs/epoch=${compacted.epoch}")
+    assert(atc.filter(col("vec_id").isin(erased.toSeq: _*)).count() === 0L,
+      "compaction must physically drop erased attrs")
+    assert(atc.count() === compacted.segments.count())
+    CacheRegistry.releaseAll()
+  }
+
   test("foldStats accumulates inertia in the LONG domain: exact when a " +
        "cell's quantized total crosses 2^53 (ADVICE r14)") {
     // 7 leaves of 1.9e15+1 in the 1e-6-quantized domain: each leaf

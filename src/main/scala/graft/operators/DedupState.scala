@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   * rewrites the corpus-scale tables: the posting list and fingerprints —
   * the tables that grow with the corpus (shingle-rows × corpus) — are
   * append-only `gen=G` partitions holding only each generation's NEW
-  * rows, while the dfs and signature snapshots (distinct-shingle- and
-  * doc-count-sized, orders of magnitude smaller than the posting list)
-  * are rewritten per generation. A one-row commit marker under
+  * rows, and (since the round-16 sub-linear rework) the dfs and
+  * signature tables are base snapshots plus per-generation DELTAS of
+  * only the batch-touched rows (latest generation wins for dfs;
+  * `sig_gone` markers supersede repaired/erased docs' older signature
+  * rows), resolved at load through broadcast-sized joins — so a
+  * generation write is batch-sized end to end and full snapshots land
+  * only at BASE generations. A one-row commit marker under
   * `commits/gen=G`, written LAST, makes a generation visible: readers
   * take the max committed generation and partition-prune everything
   * newer, so a crashed half-written append is invisible and re-running
@@ -181,21 +185,77 @@ object DedupState {
     def live(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir")
         .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
-    def at(dir: String): DataFrame =
-      spark.read.parquet(s"$path/$dir").filter(col("gen") === gen).drop("gen")
-    val tombs = optionalLive(spark, path, "tombstones", base, gen)
-    val fpTombs = optionalLive(spark, path, "fp_tombstones", base, gen)
+    val tombs = optionalLive(spark, path, "tombstones", base, gen,
+      keepGen = true)
+    val fpTombs = optionalLive(spark, path, "fp_tombstones", base, gen,
+      keepGen = true)
+    // GEN-AWARE masking: a tombstone kills rows written AT OR BEFORE its
+    // generation only, so a doc_id (or text hash) re-admitted AFTER a
+    // forget is live again — gen-blind masking would resurrect the
+    // erasure and silently stop deduping the re-admitted text
+    def masked(df: DataFrame, t: Option[DataFrame], key: String) =
+      t.fold(df.drop("gen")) { tdf =>
+        val tmax = tdf.groupBy(col(key)).agg(max(col("gen")).as("__tgen"))
+        df.join(broadcast(tmax), Seq(key), "left")
+          .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
+          .drop("gen", "__tgen")
+      }
+    def liveG(dir: String): DataFrame =
+      spark.read.parquet(s"$path/$dir")
+        .filter(col("gen") >= base && col("gen") <= gen)
     Store(
-      posting = tombs.fold(live("posting"))(t =>   // append-only union,
-        live("posting")                            // erased docs masked
-          .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"),
-            "left_anti")),
-      shingleDf = at("shingle_df"),    // per-generation snapshot
-      signatures = at("signatures"),   // per-generation snapshot
-      fingerprints = fpTombs.fold(live("fingerprints"))(t =>
-        live("fingerprints")
-          .join(broadcast(t.select(col("h"))), Seq("h"), "left_anti")),
+      posting = masked(liveG("posting"), tombs, "doc_id"),
+      shingleDf = resolvedDfs(spark, path, base, gen),
+      signatures = resolvedSignatures(spark, path, base, gen),
+      fingerprints = masked(liveG("fingerprints"), fpTombs, "h"),
       params = params, path = path, gen = gen)
+  }
+
+  /** The dfs view at `gen`: the base generation's FULL snapshot plus the
+    * per-generation DELTAS since (each holding only the shingles that
+    * batch/erasure touched, latest generation wins, zero-df rows
+    * dropped). Deltas are batch-vocab-sized and bounded in number by the
+    * compaction cadence, so the resolve is a broadcast anti over the
+    * streamed base snapshot — where a full per-generation snapshot WRITE
+    * was the admission path's last corpus-sized cost per batch.
+    */
+  private def resolvedDfs(spark: SparkSession, path: String,
+                          base: Long, gen: Long): DataFrame = {
+    val snap = spark.read.parquet(s"$path/shingle_df")
+      .filter(col("gen") === base).drop("gen")
+    if (gen == base) snap
+    else {
+      val deltas = spark.read.parquet(s"$path/shingle_df")
+        .filter(col("gen") > base && col("gen") <= gen)
+      val latest = deltas.groupBy(col("s"))
+        .agg(max_by(col("df"), col("gen")).as("df"))
+      snap.join(broadcast(latest.select(col("s"))), Seq("s"), "left_anti")
+        .unionByName(latest)
+        .filter(col("df") > 0)
+    }
+  }
+
+  /** The signatures view at `gen`: the base generation's FULL snapshot
+    * plus per-generation delta rows (admitted + cap-flip-repaired docs),
+    * with `sig_gone/gen=G` markers killing a doc's rows from STRICTLY
+    * OLDER generations (a repair supersedes, an erasure removes — the
+    * repaired row written beside its own marker survives). Same cost
+    * shape as [[resolvedDfs]]: batch-sized deltas, broadcast-masked
+    * base stream, full rewrites only at bases.
+    */
+  private def resolvedSignatures(spark: SparkSession, path: String,
+                                 base: Long, gen: Long): DataFrame = {
+    val all = spark.read.parquet(s"$path/signatures")
+      .filter(col("gen") >= base && col("gen") <= gen)
+    if (gen == base) all.drop("gen")
+    else optionalLive(spark, path, "sig_gone", base, gen, keepGen = true)
+      .fold(all.drop("gen")) { gone =>
+        val gmax = gone.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("__ggen"))
+        all.join(broadcast(gmax), Seq("doc_id"), "left")
+          .filter(col("__ggen").isNull || col("gen") >= col("__ggen"))
+          .drop("gen", "__ggen")
+      }
   }
 
   /** The live [base, gen] view of an OPTIONAL append-only relation (the
@@ -204,14 +264,18 @@ object DedupState {
     * without deletions pay no masking joins at all.
     */
   private def optionalLive(spark: SparkSession, path: String, dir: String,
-                           base: Long, gen: Long): Option[DataFrame] = {
+                           base: Long, gen: Long,
+                           keepGen: Boolean = false): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$dir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
     else if (!(base to gen).exists(g => fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/$dir/gen=$g")))) None
-    else Some(spark.read.parquet(s"$path/$dir")
-      .filter(col("gen") >= base && col("gen") <= gen).drop("gen"))
+    else {
+      val df = spark.read.parquet(s"$path/$dir")
+        .filter(col("gen") >= base && col("gen") <= gen)
+      Some(if (keepGen) df else df.drop("gen"))
+    }
   }
 
   /** The live (doc_id, h) fingerprint REGISTRY — which stored doc carries
@@ -230,10 +294,18 @@ object DedupState {
     if (!complete) None
     else {
       val raw = spark.read.parquet(s"$path/doc_fps")
-        .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
-      Some(optionalLive(spark, path, "tombstones", base, gen)
-        .fold(raw)(t => raw.join(broadcast(t.select(col("doc_id"))),
-          Seq("doc_id"), "left_anti")))
+        .filter(col("gen") >= base && col("gen") <= gen)
+      Some(optionalLive(spark, path, "tombstones", base, gen,
+        keepGen = true)
+        .fold(raw.drop("gen")) { t =>
+          // gen-aware, like loadAt: a re-admitted doc's registry row
+          // post-dates its tombstone and must survive it
+          val tmax = t.groupBy(col("doc_id"))
+            .agg(max(col("gen")).as("__tgen"))
+          raw.join(broadcast(tmax), Seq("doc_id"), "left")
+            .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
+            .drop("gen", "__tgen")
+        })
     }
   }
 
@@ -279,7 +351,8 @@ object DedupState {
     val conf = spark.sparkContext.hadoopConfiguration
     for (g <- commits.keys if g < base;
          dir <- Seq("posting", "fingerprints", "shingle_df", "signatures",
-                    "doc_fps", "tombstones", "fp_tombstones", "commits")) {
+                    "doc_fps", "tombstones", "fp_tombstones", "sig_gone",
+                    "commits")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/gen=$g")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
@@ -292,6 +365,18 @@ object DedupState {
     * comes entirely from the store. Output (i, j, jac), `j` always fresh.
     * Caller contract: stored and fresh doc_ids are disjoint.
     */
+  /** SCALE SHAPE (round-16: the sub-linear admission rework): every
+    * store-side frame here is consumed through a BROADCAST prune on the
+    * batch's keys — shingles, band keys, fingerprints — so the
+    * corpus-scale tables are SCANNED (column-pruned, streamed through a
+    * broadcast hash join) but never SHUFFLED per batch. The previous
+    * shape full-outer-joined the store's whole vocabulary and shuffled
+    * the corpus posting list every batch — a per-batch exchange growing
+    * with the standing corpus (the round-15 verdict's named residual).
+    * Exactness is by key-universe identity (a store row whose key the
+    * batch does not carry cannot join), pinned by the unchanged
+    * batch ≡ from-scratch specs and the q80/q84/q201 oracles.
+    */
   def incrementalNearDups(store: Store, fresh: DataFrame,
                           threshold: Double = 0.8): DataFrame = {
     val p = store.params
@@ -299,25 +384,39 @@ object DedupState {
     val freshPosting = graft.CacheRegistry.persist(
       Dedup.docShingles(fresh, p.n))
     val merged = mergedDfs(store, freshPosting)
+    // batch shingles under the MERGED (union) cap — batch-vocab-sized
     val keep = merged.filter(col("cdf") + col("fdf") <= p.maxDf)
       .select(col("s"))
-    val corpusCapped = store.posting.join(keep, "s")
-    val freshCapped = freshPosting.join(keep, "s")
-    // the union-capped posting list — what a from-scratch run calls `sh`;
+    // corpus posting restricted to the batch's capped shingles: the only
+    // corpus rows that can intersect a fresh doc's capped set (verify
+    // needs intersections with FRESH docs only; `ni` rides the repaired
+    // signatures, never this frame)
+    val corpusCapped = store.posting.join(broadcast(keep), Seq("s"))
+    val freshCapped = freshPosting.join(broadcast(keep), Seq("s"))
+    // the batch-relevant slice of the union-capped posting list;
     // persisted because verify fans candidates out over it twice
     val sh = graft.CacheRegistry.persist(corpusCapped.unionByName(freshCapped))
-    val corpusSigs = repairedSignatures(store, merged, corpusCapped, permHash)
+    val corpusSigs = repairedView(store, sigRepair(store, merged, permHash))
     val freshSigs = Dedup.sizedSignatures(freshCapped, p.numPerms, permHash)
-    val banded = graft.CacheRegistry.persist(
-      corpusSigs.withColumn("is_new", lit(false))
-        .unionByName(freshSigs.withColumn("is_new", lit(true)))
+    val bandedFresh = graft.CacheRegistry.persist(
+      freshSigs.withColumn("is_new", lit(true))
         .select(col("doc_id"), col("sz"), col("is_new"),
           explode(array(Dedup.bandKeys(p.numPerms, p.bands): _*)).as("bk")))
+    // corpus signatures banded then PRUNED to the batch's band keys — a
+    // no-op for the inner candidate join below, but it turns the
+    // doc-count-sized corpus side into a batch-matched frame before the
+    // join plans
+    val bandedCorpus = corpusSigs.withColumn("is_new", lit(false))
+      .select(col("doc_id"), col("sz"), col("is_new"),
+        explode(array(Dedup.bandKeys(p.numPerms, p.bands): _*)).as("bk"))
+      .join(broadcast(bandedFresh.select(col("bk")).distinct()),
+        Seq("bk"), "left_semi")
+    val banded = bandedCorpus.unionByName(bandedFresh)
     // identical candidate shape to Dedup.incrementalNearDups: the RIGHT
     // side is fresh-only, the left admits corpus docs unconditionally and
     // fresh docs only as the smaller id
     val cands = banded.as("a")
-      .join(banded.filter(col("is_new")).as("b"),
+      .join(broadcast(bandedFresh.as("b")),
         col("a.bk") === col("b.bk") &&
           (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")) &&
           col("a.doc_id") =!= col("b.doc_id") &&
@@ -355,10 +454,9 @@ object DedupState {
     val merged = mergedDfs(store, freshPosting)
     val keep = merged.filter(col("cdf") + col("fdf") <= p.maxDf)
       .select(col("s"))
-    val corpusSigs = repairedSignatures(
-      store, merged, store.posting.join(keep, "s"), permHash)
+    val repair = sigRepair(store, merged, permHash)
     val freshSigs = Dedup.sizedSignatures(
-      freshPosting.join(keep, "s"), p.numPerms, permHash)
+      freshPosting.join(broadcast(keep), Seq("s")), p.numPerms, permHash)
     val freshFps = fresh.select(
       graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
       .distinct()
@@ -381,8 +479,27 @@ object DedupState {
     writeGeneration(spark, store.path, gen = store.gen + 1,
       newPosting =
         if (asBase) store.posting.unionByName(freshPosting) else freshPosting,
-      dfs = merged.select(col("s"), (col("cdf") + col("fdf")).as("df")),
-      sigs = corpusSigs.unionByName(freshSigs),
+      // dfs: a BASE gets the full merged snapshot (untouched rows stream
+      // from the resolved view through a broadcast anti — scan + write,
+      // no shuffle); a DELTA writes only the batch-touched shingles'
+      // merged counts — the former per-batch full-vocab snapshot write
+      // was the admission fold's last corpus-sized cost
+      dfs =
+        if (asBase)
+          store.shingleDf
+            .join(broadcast(merged.select(col("s"))), Seq("s"), "left_anti")
+            .unionByName(
+              merged.select(col("s"), (col("cdf") + col("fdf")).as("df")))
+        else merged.select(col("s"), (col("cdf") + col("fdf")).as("df")),
+      // signatures: a BASE snapshots the full repaired view ∪ fresh; a
+      // DELTA writes repaired ∪ fresh rows plus sig_gone markers for the
+      // flip-affected docs whose older rows they supersede
+      sigs =
+        if (asBase) repairedView(store, repair).unionByName(freshSigs)
+        else repair.fold(freshSigs) { case (_, repaired) =>
+          repaired.unionByName(freshSigs)
+        },
+      sigGone = if (asBase) None else repair.map(_._1),
       newFps =
         if (asBase) store.fingerprints.unionByName(freshFps).distinct()
         else freshFps,
@@ -403,9 +520,15 @@ object DedupState {
     val freshReps = fresh.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("text"), col("dup_count"))
-    val unseen = freshReps
-      .withColumn("h", graft.functions.TextFunctions.md5Fingerprint(col("text")))
-      .join(store.fingerprints, Seq("h"), "left_anti")
+    // stored fingerprints pruned to the batch's hashes FIRST (broadcast
+    // semi — the corpus-doc-sized table streams, never shuffles), then
+    // the batch anti-joins the tiny hit set
+    val withH = freshReps.withColumn("h",
+      graft.functions.TextFunctions.md5Fingerprint(col("text")))
+    val storedHits = store.fingerprints
+      .join(broadcast(withH.select(col("h"))), Seq("h"), "left_semi")
+    val unseen = withH
+      .join(broadcast(storedHits), Seq("h"), "left_anti")
       .drop("h")
     val dupOfExisting = incrementalNearDups(store, unseen, threshold)
       .select(col("j").as("doc_id")).distinct()
@@ -444,12 +567,12 @@ object DedupState {
     *    (a hash still held by a surviving doc must keep deduping — the
     *    (doc_id, h) registry written since the deletion round decides,
     *    and a store predating it fails loudly with the rebuild contract);
-    *  - fresh dfs/signature SNAPSHOTS with the df-cap DOWN-flip repair:
-    *    erasing rows can only LOWER a shingle's df, so a shingle can
-    *    cross UNDER `maxDf` and every surviving doc containing it gains
-    *    capped shingles — their signatures are recomputed from the
-    *    stored posting list (never from text), the exact dual of
-    *    [[append]]'s up-flip repair.
+    *  - dfs/signature DELTAS with the df-cap DOWN-flip repair: erasing
+    *    rows can only LOWER a shingle's df, so a shingle can cross UNDER
+    *    `maxDf` and every surviving doc containing it gains capped
+    *    shingles — their signatures are recomputed from the stored
+    *    posting list (never from text), the exact dual of [[append]]'s
+    *    up-flip repair, written as delta rows beside `sig_gone` markers.
     *
     * Contract (spec-pinned, q205's oracle): the post-forget store is
     * VALUE-IDENTICAL to [[build]] over corpus-minus-erased — every
@@ -506,21 +629,17 @@ object DedupState {
     val affected = graft.CacheRegistry.persist(
       livePosting.join(broadcast(flipped), Seq("s"), "left_semi")
         .select(col("doc_id")).distinct())
-    // affected docs' FULL capped sets under the NEW dfs (their shingles
-    // reach beyond the erased docs' — the one place the batch-key prune
-    // must widen to the affected docs' own keys, still broadcast-sized)
+    // affected docs' FULL capped sets under the NEW dfs: their posting
+    // rows minus the over-cap complement — the Zipf head (df > maxDf
+    // post-decrement), a scan-side filter broadcast as an anti, so
+    // nothing corpus-sized shuffles (the repairedSignatures discipline)
     val affPosting = livePosting
       .join(broadcast(affected), Seq("doc_id"), "left_semi")
-    val affCapped = store.shingleDf
-      .join(broadcast(affPosting), Seq("s"))
-      .join(broadcast(delDf), Seq("s"), "left")
-      .filter(col("df") - coalesce(col("ddf"), lit(0L)) <= p.maxDf)
+    val overCap = newDfs.filter(col("df") > p.maxDf).select(col("s"))
+    val affCapped = affPosting
+      .join(broadcast(overCap), Seq("s"), "left_anti")
       .select(col("doc_id"), col("s"))
     val repaired = Dedup.sizedSignatures(affCapped, p.numPerms, permHash)
-    val newSigs = store.signatures
-      .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .join(broadcast(affected), Seq("doc_id"), "left_anti")
-      .unionByName(repaired)
     // fingerprint tombstones: hashes whose every live carrier is erased
     val delHs = registry.join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("h")).distinct()
@@ -540,48 +659,94 @@ object DedupState {
       .parquet(s"${store.path}/fingerprints/gen=$gen")
     registry.limit(0).write.mode("overwrite")
       .parquet(s"${store.path}/doc_fps/gen=$gen")
-    newDfs.write.mode("overwrite")
+    // DELTA dfs: only the shingles the erasure decremented (a zero means
+    // gone — the resolve drops it); DELTA signatures: the down-flip
+    // repairs, with sig_gone markers for erased AND repaired docs
+    store.shingleDf.join(broadcast(delDf), Seq("s"))
+      .select(col("s"), (col("df") - col("ddf")).as("df"))
+      .write.mode("overwrite")
       .parquet(s"${store.path}/shingle_df/gen=$gen")
-    newSigs.write.mode("overwrite")
+    repaired.write.mode("overwrite")
       .parquet(s"${store.path}/signatures/gen=$gen")
+    del.unionByName(affected).distinct().write.mode("overwrite")
+      .parquet(s"${store.path}/sig_gone/gen=$gen")
     import spark.implicits._
     Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"${store.path}/commits/gen=$gen")
     loadAt(spark, store.path, gen)
   }
 
-  /** Stored dfs full-outer-merged with the batch's: (s, cdf, fdf).
-    * Persisted — both the keep set and the flip set read it.
+  /** Stored dfs for the BATCH's shingles merged with the batch's own:
+    * (s, cdf, fdf), batch-vocab-sized. The stored dfs table is read once
+    * through a broadcast inner join (streamed, no shuffle) plus a
+    * broadcast anti for the store-unseen remainder — replacing the
+    * former corpus-vocab full-outer shuffle. Shingles the batch does not
+    * carry never appear here: [[append]] handles their (unchanged)
+    * snapshot rows separately, and [[repairedSignatures]] handles their
+    * cap status through the over-cap complement. Persisted — the keep
+    * set, the flip set, and append's snapshot write all read it.
     */
   private def mergedDfs(store: Store, freshPosting: DataFrame): DataFrame = {
     val freshDf = freshPosting.groupBy(col("s")).agg(count(lit(1)).as("fdf"))
-    graft.CacheRegistry.persist(
-      store.shingleDf.join(freshDf, Seq("s"), "full_outer")
-        .select(col("s"),
-          coalesce(col("df"), lit(0L)).as("cdf"),
-          coalesce(col("fdf"), lit(0L)).as("fdf")))
+    val inStore = store.shingleDf.join(broadcast(freshDf), Seq("s"))
+      .select(col("s"), col("df").as("cdf"), col("fdf"))
+    val unseen = freshDf
+      .join(broadcast(inStore.select(col("s"))), Seq("s"), "left_anti")
+      .select(col("s"), lit(0L).as("cdf"), col("fdf"))
+    graft.CacheRegistry.persist(inStore.unionByName(unseen))
   }
 
-  /** Corpus signatures valid under the MERGED cap: stored signatures for
-    * every doc untouched by a cap flip, recomputed (from the stored
-    * posting list — never from text) for docs containing a shingle whose
-    * df crossed `maxDf` only once the batch arrived. A doc whose entire
-    * capped set vanishes drops out, exactly as in a from-scratch run.
+  /** The df-cap FLIP repair product: (affected corpus docs, their
+    * recomputed signatures under the MERGED cap) — None when no shingle
+    * crossed the cap (the COMMON case: flips are Zipf-boundary events,
+    * detected with one batch-sized action on the persisted merged frame,
+    * and the short-circuit skips the posting scans entirely). Recompute
+    * reads the stored posting list — never text; a doc whose entire
+    * capped set vanishes gets a marker but no new row, exactly as in a
+    * from-scratch run.
+    *
+    * Flipped shingles carry batch mass by definition (fdf ≥ 1), so the
+    * affected-doc hunt is a broadcast semi over the posting scan; the
+    * affected docs' FULL capped sets (their shingles reach beyond the
+    * batch's) come from the over-cap COMPLEMENT — the Zipf head
+    * (df > maxDf), a scan-side filter of the dfs view, broadcast as an
+    * anti — so nothing corpus-sized shuffles here either.
     */
-  private def repairedSignatures(store: Store, merged: DataFrame,
-      corpusCapped: DataFrame,
-      permHash: (Column, Int) => Column): DataFrame = {
+  private def sigRepair(store: Store, merged: DataFrame,
+      permHash: (Column, Int) => Column)
+      : Option[(DataFrame, DataFrame)] = {
     val p = store.params
     val flipped = merged.filter(
       col("cdf") <= p.maxDf && col("cdf") + col("fdf") > p.maxDf)
       .select(col("s"))
-    val affected = store.posting.join(flipped, "s")
-      .select(col("doc_id")).distinct()
-    val repaired = Dedup.sizedSignatures(
-      corpusCapped.join(affected, "doc_id"), p.numPerms, permHash)
-    store.signatures.join(affected, Seq("doc_id"), "left_anti")
-      .unionByName(repaired)
+    if (flipped.isEmpty) None
+    else {
+      val affected = graft.CacheRegistry.persist(
+        store.posting.join(broadcast(flipped), Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct())
+      val affPosting = store.posting
+        .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      val overCap = store.shingleDf.filter(col("df") > p.maxDf)
+        .select(col("s"))
+        .unionByName(merged.filter(col("cdf") + col("fdf") > p.maxDf)
+          .select(col("s")))
+      val repaired = Dedup.sizedSignatures(
+        affPosting.join(broadcast(overCap), Seq("s"), "left_anti"),
+        p.numPerms, permHash)
+      Some((affected, repaired))
+    }
   }
+
+  /** The full corpus-signature view under the merged cap — stored rows
+    * for unaffected docs, repaired rows for flip-affected ones.
+    */
+  private def repairedView(store: Store,
+      repair: Option[(DataFrame, DataFrame)]): DataFrame =
+    repair.fold(store.signatures) { case (affected, repaired) =>
+      store.signatures
+        .join(broadcast(affected), Seq("doc_id"), "left_anti")
+        .unionByName(repaired)
+    }
 
   /** Write one generation: the batch's NEW posting/fingerprint rows into
     * their `gen=G` partitions, the full (small) dfs/signature snapshots
@@ -593,7 +758,8 @@ object DedupState {
                               sigs: DataFrame, newFps: DataFrame,
                               isBase: Boolean = false,
                               writer: String = "lifecycle",
-                              docFps: Option[DataFrame] = None): Unit = {
+                              docFps: Option[DataFrame] = None,
+                              sigGone: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
     newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
@@ -601,6 +767,9 @@ object DedupState {
     // store's registry honestly incomplete rather than silently partial
     docFps.foreach(_.write.mode("overwrite")
       .parquet(s"$path/doc_fps/gen=$gen"))
+    // superseded-signature markers for a DELTA generation's repairs
+    sigGone.foreach(_.write.mode("overwrite")
+      .parquet(s"$path/sig_gone/gen=$gen"))
     dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
     sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
     // writer identity (the [[graft.operators.HnswGeoStore]] marker

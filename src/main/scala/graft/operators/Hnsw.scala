@@ -1024,6 +1024,71 @@ object Hnsw {
     df.select(col("shard"), col("vec_id"), col("vec"),
       lit(-1).as("level"), typedLit(Seq.empty[Seq[Long]]).as("nbrs"))
 
+  /** The measured filtered-serving recall calibration (round 15's
+    * `tools/FilteredRecallSweep`, BASELINE.md "Filtered-serving recall
+    * vs selectivity"): recall@10 of [[batchNeighborsFiltered]] against
+    * exact brute force over the ALLOWED subset, keyed by PER-SHARD node
+    * count — the quantity the sweep proved the curve transfers on
+    * (holding per-shard size, the ×100 curve dominates ×10 at every
+    * operating point; letting per-shard size grow 10× roughly halves
+    * recall). Rows: (efSearch → recall at selectivity 1/3, 1/10, 1/100).
+    */
+  private val EfCalibration: Seq[(Long, Seq[(Int, Seq[Double])])] = Seq(
+    // ~2.5k nodes/shard (×10 sweep, 19,950 vectors / 8 shards)
+    2500L -> Seq(
+      16 -> Seq(0.492, 0.420, 0.268),
+      32 -> Seq(0.688, 0.602, 0.446),
+      64 -> Seq(0.850, 0.832, 0.622),
+      128 -> Seq(0.946, 0.942, 0.822),
+      256 -> Seq(0.992, 0.990, 0.958),
+      512 -> Seq(1.000, 1.000, 0.994)),
+    // ~25k nodes/shard (×100 sweep, shards PINNED at 8)
+    25000L -> Seq(
+      64 -> Seq(0.485, 0.414, 0.293),
+      128 -> Seq(0.659, 0.594, 0.439),
+      256 -> Seq(0.820, 0.775, 0.629),
+      512 -> Seq(0.938, 0.908, 0.807)))
+
+  private val EfCalibrationSelectivities = Seq(1.0 / 3, 1.0 / 10, 1.0 / 100)
+
+  /** The MEASURED ef-sizing rule as an API — the smallest `efSearch`
+    * whose calibrated filtered-serving recall meets `targetRecall` at
+    * `selectivity`, for a store whose shards hold `nodesPerShard`
+    * vectors ([[EfCalibration]] — round 15's sweep, interpolated
+    * CONSERVATIVELY: the next-smaller calibrated selectivity bucket and
+    * the next-larger calibrated shard size answer for anything between
+    * operating points). None means the target is OUTSIDE the calibrated
+    * envelope — no measured ef reaches it — and the companion knob is
+    * per-shard size, not ef: rebuild with more shards
+    * ([[defaultShards]]'s `maxNodesPerShard` bound; the sweep showed
+    * recall is governed by per-shard size, so shrinking shards moves
+    * the whole curve up where raising ef past the envelope just burns
+    * evals).
+    */
+  def recommendEf(selectivity: Double, targetRecall: Double,
+                  nodesPerShard: Long): Option[Int] = {
+    require(selectivity > 0.0 && selectivity <= 1.0,
+      s"selectivity=$selectivity must be in (0, 1]")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1]")
+    require(nodesPerShard >= 1, s"nodesPerShard=$nodesPerShard must be >= 1")
+    // conservative selectivity bucket: recall rises with selectivity,
+    // so the LARGEST calibrated selectivity <= the request bounds its
+    // recall from below (the list is descending — first match wins);
+    // anything rarer than 1/100 is outside the envelope
+    val bucket = EfCalibrationSelectivities
+      .indexWhere(_ <= selectivity + 1e-12)
+    if (bucket < 0) None
+    // conservative shard-size bucket: the next-LARGER calibrated size
+    // (bigger shards always read lower — the sweep's transfer rule)
+    else EfCalibration.find(_._1 >= nodesPerShard).flatMap {
+      case (_, grid) =>
+        grid.collectFirst {
+          case (ef, recalls) if recalls(bucket) >= targetRecall => ef
+        }
+    }
+  }
+
   /** Loud null/raggedness guard on a probe frame — the [[Dedup]]
     * admission-side discipline mirrored onto the SERVING paths: a null
     * probe embedding NPEs at `pv.toArray` inside a task, and a wrong-dim

@@ -152,12 +152,12 @@ object HnswGeoStore {
     if (!attrsPresent(spark, store)) None
     else {
       val raw = store.epochs.map(e =>
-        spark.read.parquet(s"${store.path}/attrs/epoch=$e"))
+        spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+          .withColumn("epoch", lit(e)))
         .reduce(_ unionByName _)
-      // erased rows' attrs masked with the same tombstones as the rows
-      Some(liveTombstones(spark, store.path, store.baseEpoch, store.epoch)
-        .fold(raw)(t => raw.join(broadcast(t.select(col("vec_id"))),
-          Seq("vec_id"), "left_anti")))
+      // erased rows' attrs masked with the same (epoch-aware) tombstones
+      Some(maskTombstoned(spark, store.path, store.baseEpoch, store.epoch,
+        raw))
     }
 
   /** Write one epoch's commit marker. `writer` is the committing
@@ -262,16 +262,13 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
     val segs = spark.read.parquet(s"$path/segments")
       .filter(col("epoch") >= base && col("epoch") <= epoch)
-      .drop("epoch")
     Store(path,
-      liveTombstones(spark, path, base, epoch).fold(segs)(t =>
-        segs.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
-          "left_anti")),
+      maskTombstoned(spark, path, base, epoch, segs),
       epoch, base, IVF.load(spark, s"$path/index/epoch=$base"))
   }
 
-  /** The live [base, epoch] tombstoned vec_ids, or None when the range
-    * has none (the deletion-free fast path: no masking join at all).
+  /** The live [base, epoch] tombstones as (vec_id, epoch), or None when
+    * the range has none (the deletion-free fast path: no masking join).
     */
   private def liveTombstones(spark: SparkSession, path: String,
                              base: Long, epoch: Long): Option[DataFrame] = {
@@ -283,10 +280,26 @@ object HnswGeoStore {
         new org.apache.hadoop.fs.Path(s"$path/tombstones/epoch=$e")))
       if (!inRange) None
       else Some(spark.read.parquet(s"$path/tombstones")
-        .filter(col("epoch") >= base && col("epoch") <= epoch)
-        .drop("epoch"))
+        .filter(col("epoch") >= base && col("epoch") <= epoch))
     }
   }
+
+  /** EPOCH-AWARE tombstone masking of a frame carrying its `epoch`
+    * column: a tombstone kills rows written AT OR BEFORE its epoch only,
+    * so a vec_id re-admitted AFTER its deletion is live again (epoch-
+    * blind masking would resurrect the erasure). Drops `epoch` either
+    * way. Broadcast-sized: tombstones are erasure-count rows.
+    */
+  private def maskTombstoned(spark: SparkSession, path: String,
+                             base: Long, epoch: Long,
+                             rows: DataFrame): DataFrame =
+    liveTombstones(spark, path, base, epoch).fold(rows.drop("epoch")) { t =>
+      val tmax = t.groupBy(col("vec_id"))
+        .agg(max(col("epoch")).as("__tepoch"))
+      rows.join(broadcast(tmax), Seq("vec_id"), "left")
+        .filter(col("__tepoch").isNull || col("epoch") > col("__tepoch"))
+        .drop("epoch", "__tepoch")
+    }
 
   /** Driver-side sampled guard that the strided segment rows were
     * assigned with the store's index ([[Hnsw.requireGeoStore]] adapted
@@ -436,12 +449,13 @@ object HnswGeoStore {
         // assignment work, never a corpus re-assignment
         val lives0 = store.epochs.map(e =>
           spark.read.parquet(s"${store.path}/attrs/epoch=$e")
-            .withColumn("shard", pmod(col("shard"), lit(CellStride))))
+            .withColumn("shard", pmod(col("shard"), lit(CellStride)))
+            .withColumn("epoch", lit(e)))
           .reduce(_ unionByName _)
         // erased rows' attrs are physically dropped with their nodes
-        val lives = tombs.fold(lives0)(t =>
-          lives0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
-            "left_anti"))
+        // (epoch-aware: a re-admitted id's newer attrs survive)
+        val lives = maskTombstoned(spark, store.path, store.baseEpoch,
+          store.epoch, lives0)
         val merged =
           if (pcols.isEmpty) lives
           else lives.unionByName(freshSrc.select(col("vec_id") +:
@@ -886,9 +900,14 @@ object HnswGeoStore {
                        efSearch: Int = 64,
                        nProbe: Int = Hnsw.DefaultNearDupNProbe)
       : DataFrame = {
+    // already-stored ids, pruned to the batch's FIRST (broadcast semi —
+    // the corpus-sized id column streams through the scan, never
+    // shuffles per batch), then the batch anti-joins the tiny hit set
+    val storedHits = store.segments.select(col("vec_id"))
+      .join(broadcast(fresh.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
     val f = graft.CacheRegistry.persist(
-      fresh.join(store.segments.select(col("vec_id")),
-        Seq("vec_id"), "left_anti"))
+      fresh.join(broadcast(storedHits), Seq("vec_id"), "left_anti"))
     val vsStore = batchNeighbors(store,
         f.select(col("vec_id").as("probe_id"), col("embedding")),
         k = 1, efSearch = efSearch, nProbe = nProbe)
@@ -978,10 +997,25 @@ object HnswGeoStore {
     * baseline. Otherwise the store is returned untouched. Either way the
     * [[DriftReport]] carries the measured ratio.
     */
+  /** `foldIn` (round 16): an already-admission-filtered batch folded
+    * INTO the retrained base when the retrain fires — what lets the
+    * streaming sink run the drift decision AT ITS COMPACTION BOUNDARY
+    * (the base commit it already owns) instead of as an out-of-band op
+    * racing the replay guards: the batch's vectors (payload columns
+    * riding along for an attr store) join the rebuild corpus, the whole
+    * thing lands as ONE base epoch `store.epoch + 1` under `writer` —
+    * one-epoch-per-batch numbering preserved, no separate allocation.
+    * The drift MEASUREMENT stays the standing corpus vs the train-time
+    * baseline (the batch is folded either way — by the caller's normal
+    * compaction append when the check says healthy).
+    */
   def retrainIfDrifted(spark: SparkSession, store: Store,
                        driftFactor: Double = 2.0, iters: Int = 5,
                        maxTrainRows: Long = 0L, k: Int = 0, m: Int = 8,
-                       efConstruction: Int = 64): (Store, DriftReport) = {
+                       efConstruction: Int = 64,
+                       foldIn: Option[DataFrame] = None,
+                       writer: String = "lifecycle")
+      : (Store, DriftReport) = {
     require(driftFactor > 0.0, s"driftFactor=$driftFactor must be > 0")
     def meanD2(stats: DataFrame): Option[Double] =
       stats.agg((sum(col("inertia")) /
@@ -993,7 +1027,11 @@ object HnswGeoStore {
     // proper folds the per-epoch snapshots — epoch-count reads, cost
     // independent of how large the standing store has grown.
     lazy val corpus = graft.CacheRegistry.persist(
-      store.segments.select(col("vec_id"), col("vec").as("embedding")))
+      store.segments.select(col("vec_id"), col("vec").as("embedding"))
+        .unionByName(foldIn.map(_.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")))
+          .getOrElse(spark.range(0).select(col("id").as("vec_id"),
+            lit(null).cast("array<double>").as("embedding")))))
     val baseline = meanD2(spark.read
       .parquet(s"${store.path}/drift/epoch=${store.baseEpoch}"))
     val current = meanD2(currentStats(spark, store))
@@ -1025,11 +1063,19 @@ object HnswGeoStore {
       // pass the rebuild already pays (the one honest corpus-sized attr
       // write in the lifecycle, like the rebuild itself)
       if (attrsPresent(spark, store)) {
-        val payload = store.epochs.map(e =>
-          spark.read.parquet(s"${store.path}/attrs/epoch=$e").drop("shard"))
-          .reduce(_ unionByName _)
-        writeAttrs(store.path, corpus.join(payload, Seq("vec_id")),
-          fresh, epoch, payload.columns.filterNot(_ == "vec_id").toSeq)
+        val payload = maskTombstoned(spark, store.path, store.baseEpoch,
+          store.epoch,
+          store.epochs.map(e =>
+            spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+              .drop("shard").withColumn("epoch", lit(e)))
+            .reduce(_ unionByName _))
+        val pcols = payload.columns.filterNot(_ == "vec_id").toSeq
+        val foldPayload = foldIn.map(_.select(col("vec_id") +:
+            pcols.map(col): _*))
+          .getOrElse(payload.limit(0))
+        writeAttrs(store.path,
+          corpus.join(payload.unionByName(foldPayload), Seq("vec_id")),
+          fresh, epoch, pcols)
       }
       IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch")
       // the new baseline AND the new base's stats leaf — one frame: the
@@ -1037,7 +1083,7 @@ object HnswGeoStore {
       val snap = graft.CacheRegistry.persist(IVF.cellStats(corpus, fresh))
       snap.write.mode("overwrite").parquet(s"${store.path}/drift/epoch=$epoch")
       snap.write.mode("overwrite").parquet(s"${store.path}/stats/epoch=$epoch")
-      commitEpoch(spark, store.path, epoch, isBase = true)
+      commitEpoch(spark, store.path, epoch, isBase = true, writer)
       (loadAt(spark, store.path, epoch),
         DriftReport(retrained = true, baseline.getOrElse(0.0),
           current.getOrElse(0.0), ratio, epoch, measurable))

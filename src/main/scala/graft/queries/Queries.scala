@@ -4976,6 +4976,13 @@ object Queries {
           s"${System.getProperty("java.io.tmpdir")}/graft-admit-text-q201"
         val gPath =
           s"${System.getProperty("java.io.tmpdir")}/graft-admit-geo-q201"
+        // delete-first (q154's discipline, ADVICE r15): stale state from
+        // a prior run against a DIFFERENT dataset in the same tmpdir must
+        // not leak into the dump-time oracle re-run
+        val fsq = new org.apache.hadoop.fs.Path(tPath)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsq.delete(new org.apache.hadoop.fs.Path(tPath), true)
+        fsq.delete(new org.apache.hadoop.fs.Path(gPath), true)
         val textStore = graft.operators.DedupState.build(
           s, corpus, tPath, hashTag = "md5")
         val corpusEmb = emb.select(col("vec_id"), col("embedding"))
@@ -5060,6 +5067,11 @@ object Queries {
           s"${System.getProperty("java.io.tmpdir")}/graft-admit-text-q203"
         val gPath =
           s"${System.getProperty("java.io.tmpdir")}/graft-admit-geo-q203"
+        // delete-first (q154's discipline, ADVICE r15)
+        val fsq = new org.apache.hadoop.fs.Path(tPath)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsq.delete(new org.apache.hadoop.fs.Path(tPath), true)
+        fsq.delete(new org.apache.hadoop.fs.Path(gPath), true)
         val textStore = graft.operators.DedupState.build(
           s, corpus, tPath, hashTag = "md5")
         val corpusEmb = emb
@@ -5079,7 +5091,71 @@ object Queries {
           col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
       },
       None,
-      dynamicOracle = Some(admitAttrServeOracleSql))
+      dynamicOracle = Some(admitAttrServeOracleSql)),
+
+    // ── Q204: DELETION from the standing geo store, round-tripped into
+    //          routed serving — the takedown/GDPR lifecycle op a curated
+    //          corpus receives against its STATE (round-15 verdict #1):
+    //          build + append the store, DELETE a swath of stored ids
+    //          spanning both epochs ([[graft.operators.HnswGeoStore
+    //          .delete]] — a tombstone epoch, no corpus rewrite), COMPACT
+    //          (physical removal; for monotone ids bitwise the never-saw
+    //          build — HnswGeoStoreSpec pins that), then serve. Oracle is
+    //          q202's dump-time-literal contract with the erased set
+    //          re-derived from vec_id: DuckDB re-scores + re-ranks the
+    //          returned pairs under membership `vec_id >= 5 AND
+    //          vec_id % 5 <> 1`, so ONE erased id surviving anywhere
+    //          along delete → compact → routed scan breaks the hash. ─────
+    QueryDef("q204_geostore_delete",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"))
+        val index = graft.operators.IVF.train(corpus, 4, 5,
+          maxTrainRows = 400L)
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q204"
+        val base = graft.operators.HnswGeoStore.build(s,
+          corpus.filter(col("vec_id") < 300), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          corpus.filter(col("vec_id") >= 300))
+        val erased = graft.operators.HnswGeoStore.delete(s, grown,
+          corpus.filter(col("vec_id") % 5 === 1).select(col("vec_id")))
+        val compacted = graft.operators.HnswGeoStore.compact(s, erased)
+        graft.operators.HnswGeoStore.batchNeighbors(compacted,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          k = 10, efSearch = 64, nProbe = 8)
+      },
+      None,
+      dynamicOracle = Some(geoDeleteServeOracleSql)),
+
+    // ── Q205: FORGET from the standing text-dedup store, round-tripped
+    //          into incremental admission — [[graft.operators.DedupState
+    //          .forget]]'s value-identity contract under the full q84
+    //          oracle: erase a swath of stored docs (tombstone
+    //          generation, down-flip df-cap repair, fingerprint-registry
+    //          arbitration), then admit a fresh batch over the
+    //          post-forget store. The oracle replays the ENTIRE admission
+    //          (reps → md5 anti-join → the md5 MinHash pipeline) over
+    //          corpus-MINUS-erased — exactly what a store that never saw
+    //          the erased docs computes — so a leftover posting row,
+    //          fingerprint, or unrepaired signature anywhere breaks the
+    //          hash. ─────────────────────────────────────────────────────
+    QueryDef("q205_dedupstore_forget",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-dedup-state-q205"
+        val store = graft.operators.DedupState.build(
+          s, docs.filter(col("doc_id") < 300), path, hashTag = "md5")
+        val forgotten = graft.operators.DedupState.forget(s, store,
+          docs.filter(col("doc_id") < 300 && col("doc_id") % 7 === 3)
+            .select(col("doc_id")))
+        graft.operators.DedupState.incrementalDedup(
+          forgotten, docs.filter(col("doc_id") >= 300))
+      },
+      Some(forgetAdmissionOracleSql))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -6521,6 +6597,64 @@ object Queries {
        |         AS rank
        |FROM scored""".stripMargin
   }
+
+  /** q204's oracle: the q202 dump-time-literal contract over the
+    * DELETED-then-compacted store — the query re-runs at dump time
+    * (deterministic: same index train, same store lifecycle at the same
+    * path), its (probe, id) pairs embed as literals, and DuckDB
+    * re-scores + re-ranks them under the membership predicate
+    * `vec_id >= 5 AND vec_id % 5 <> 1` re-derived from vec_id — one
+    * erased id surviving delete → compact → routed scan, or one wrong
+    * score/rank, breaks the hash.
+    */
+  private def geoDeleteServeOracleSql(s: SparkSession,
+                                      dir: String): String = {
+    val pairs = byName("q204_geostore_delete")(s, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    graft.CacheRegistry.releaseAll()
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id >= 5
+       |             AND c.vec_id % 5 <> 1
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
+  }
+
+  /** q205's oracle: [[admissionOracleSql]] (q84's full arm-by-arm
+    * admission replay) with the corpus REDUCED to the un-erased docs —
+    * exactly the answer a store that never saw the erased docs computes,
+    * which is [[graft.operators.DedupState.forget]]'s contract.
+    */
+  private lazy val forgetAdmissionOracleSql: String =
+    s"""WITH reps AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS dup_count
+       |  FROM documents WHERE doc_id >= 300 GROUP BY text
+       |), corpus_h AS (
+       |  SELECT DISTINCT md5(text) AS h FROM documents
+       |  WHERE doc_id < 300 AND doc_id % 7 <> 3
+       |), unseen AS (
+       |  SELECT r.doc_id, r.text, r.dup_count FROM reps r
+       |  WHERE md5(r.text) NOT IN (SELECT h FROM corpus_h)
+       |), adm_src AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 300 AND doc_id % 7 <> 3
+       |  UNION ALL
+       |  SELECT doc_id, text FROM unseen
+       |), ${minhashPairCtes("adm_src", 0.8)}
+       |SELECT doc_id, text, dup_count FROM unseen
+       |WHERE doc_id NOT IN (SELECT j FROM verified WHERE j >= 300)""".stripMargin
 
   /** q82's oracle: retrain the deterministic index (≡ the one the query
     * saved and reloaded) and replay cell assignment with the same argmin

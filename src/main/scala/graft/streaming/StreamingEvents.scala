@@ -604,16 +604,29 @@ object StreamingEvents {
     * distribution, IS the routing geometry, and its empty drift
     * baseline is re-snapshotted at the first non-empty compaction).
     */
+  /** With `driftFactor > 0`, every compaction batch ALSO runs the
+    * epoch-count drift check ([[graft.operators.HnswGeoStore
+    * .retrainIfDrifted]]'s fold) and, when it trips, RETRAINS as part of
+    * the base commit the sink already owns — the admitted batch folds
+    * into the retrained base as the same epoch `preEpoch + 1` under the
+    * batch's writer tag, so one-epoch-per-batch numbering, replay
+    * idempotence, and the divergence guards all hold by construction.
+    * This removes the operational race the out-of-band
+    * `retrainIfDrifted` documented ("stop the stream, retrain,
+    * restart"): a continuously-admitting store now retrains at its own
+    * compaction cadence.
+    */
   def hnswGeoAdmissionStream(stream: DataFrame, stateDir: String,
                              outDir: String, checkpointDir: String,
                              threshold: Double,
-                             compactEvery: Int = 0): StreamingQuery =
+                             compactEvery: Int = 0,
+                             driftFactor: Double = 0.0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         geoAdmitBatch(batch, batchId, stateDir, outDir, threshold,
-          compactEvery)
+          compactEvery, driftFactor)
       }
       .start()
 
@@ -822,14 +835,34 @@ object StreamingEvents {
   private[graft] def geoAdmitBatch(batch: DataFrame, batchId: Long,
                                    stateDir: String, outDir: String,
                                    threshold: Double,
-                                   compactEvery: Int): Unit = {
+                                   compactEvery: Int,
+                                   driftFactor: Double = 0.0): Unit = {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
     val preEpoch = pinGeoPreEpoch(spark, stateDir, outDir, batchId, asBase)
     val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
-    val (kept, _) =
-      HnswGeoStore.admit(spark, store, batch, threshold, asBase,
-        writer = geoWriterTag(batchId))
+    val kept =
+      if (asBase && driftFactor > 0.0) {
+        // drift decision at the compaction boundary (see the sink doc):
+        // filter first, then either RETRAIN-with-fold-in or the normal
+        // compaction append — both commit the same epoch preEpoch + 1
+        // under the batch's tag, so a replay re-derives the identical
+        // decision from the identical pinned pre-state
+        val k0 = graft.CacheRegistry.persist(
+          HnswGeoStore.incrementalAdmit(store, batch, threshold))
+        val foldRows =
+          if (HnswGeoStore.attrsPresent(spark, store)) k0
+          else k0.select(col("vec_id"), col("embedding"))
+        val (_, report) = HnswGeoStore.retrainIfDrifted(spark, store,
+          driftFactor, foldIn = Some(foldRows),
+          writer = geoWriterTag(batchId))
+        if (!report.retrained)
+          HnswGeoStore.append(spark, store, foldRows, asBase = true,
+            checkIds = false, writer = geoWriterTag(batchId))
+        k0
+      } else
+        HnswGeoStore.admit(spark, store, batch, threshold, asBase,
+          writer = geoWriterTag(batchId))._1
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
     if (asBase) reclaimGeoAfterBase(spark, store, stateDir, batchId)

@@ -615,6 +615,43 @@ object ScaleRehearsal {
       graft.CacheRegistry.releaseAll()
       n
     }
+    // per-leg attribution of the ladder (the admitBatch composition
+    // re-run leg by leg against the SAME pre-state): where any residual
+    // standing-state slope lives — admission filters vs store folds
+    val batchDocs = docs.filter(col("doc_id") < blk)
+    var textKept: DataFrame = null
+    t("admit_leg_text_admission") {
+      val ql = CorpusPipeline.qualityLang(batchDocs, cfg)
+        .select(col("doc_id"), col("text"))
+      textKept = graft.operators.DedupState
+        .incrementalDedup(state.text, ql).localCheckpoint(true)
+      val n = textKept.count()
+      graft.CacheRegistry.releaseAll()
+      n
+    }
+    var semKept: DataFrame = null
+    t("admit_leg_sem_admission") {
+      val embBatch = emb
+        .join(textKept.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      semKept = graft.operators.HnswGeoStore.incrementalAdmit(
+        state.geo, embBatch, threshold = 0.9).localCheckpoint(true)
+      val n = semKept.count()
+      graft.CacheRegistry.releaseAll()
+      n
+    }
+    t("admit_leg_text_fold") {
+      graft.operators.DedupState.append(spark, state.text,
+        textKept.select(col("doc_id"), col("text")))
+      graft.CacheRegistry.releaseAll()
+      -1L
+    }
+    t("admit_leg_geo_fold") {
+      graft.operators.HnswGeoStore.append(spark, state.geo, semKept,
+        checkIds = false)
+      graft.CacheRegistry.releaseAll()
+      -1L
+    }
   }
 
   // ─────────────── exactsubstr suite (char-span dedup) ────────────────────

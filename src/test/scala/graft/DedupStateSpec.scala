@@ -398,6 +398,36 @@ class DedupStateSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("re-admission after forget: the same doc_id and text admitted " +
+       "again are fully live (tombstones are generation-aware), and a " +
+       "second forget erases them again") {
+    val dir = tmpDir("dreadmit")
+    val s0 = DedupState.build(spark,
+      docsDf(1L -> "a b c d e f g", 2L -> "h i j k l m n"), dir)
+    val s1 = DedupState.forget(spark, s0, Seq(1L).toDF("doc_id"))
+    assert(s1.posting.filter(col("doc_id") === 1L).count() === 0L)
+    // the SAME id + text comes back as a new admission
+    val s2 = DedupState.append(spark, s1, docsDf(1L -> "a b c d e f g"))
+    CacheRegistry.releaseAll()
+    assert(s2.posting.filter(col("doc_id") === 1L).count() > 0L,
+      "a re-admitted doc's posting rows must survive the OLD tombstone")
+    // its fingerprint dedupes again — value-identical to never-forgetting
+    assert(DedupState.incrementalDedup(s2,
+      docsDf(10L -> "a b c d e f g")).count() === 0L,
+      "a re-admitted text's fingerprint must be live again")
+    CacheRegistry.releaseAll()
+    val never = DedupState.build(spark,
+      docsDf(1L -> "a b c d e f g", 2L -> "h i j k l m n"),
+      tmpDir("dreadmitB"))
+    sameStore(s2, never, "forget + re-admit vs never-forgot")
+    // and a second erasure works on the re-admitted generation
+    val s3 = DedupState.forget(spark, s2, Seq(1L).toDF("doc_id"))
+    assert(s3.posting.filter(col("doc_id") === 1L).count() === 0L)
+    assert(DedupState.incrementalDedup(s3,
+      docsDf(11L -> "a b c d e f g")).count() === 1L)
+    CacheRegistry.releaseAll()
+  }
+
   test("forget fails LOUDLY on a store predating the fingerprint " +
        "registry, and erasing unknown ids is a committed no-op") {
     val corpus = docsDf(1L -> "a b c d e f", 2L -> "g h i j k l")

@@ -343,8 +343,7 @@ class HnswGeoStoreSpec extends SparkSpec {
         .orderBy("cid").collect().map(_.toString).toSeq
     val liveStats = IVF.cellStats(live.toDF("vec_id", "embedding"), index)
     assert(nim(HnswGeoStore.currentStats(spark, store)) === nim(liveStats))
-    // a deleted id is a NEW admission again (GDPR semantics) — and the
-    // append-time id guard agrees the slot is free
+    // a deleted id is a NEW admission again (GDPR semantics)
     val resent = Seq((1L, all.head._2)).toDF("vec_id", "embedding")
     val kept = HnswGeoStore.incrementalAdmit(store, resent,
       threshold = 0.99999)
@@ -378,6 +377,25 @@ class HnswGeoStoreSpec extends SparkSpec {
       Seq(999999L).toDF("vec_id"))
     assert(noop.epoch === 4L &&
       noop.segments.count() === compacted.segments.count())
+    // re-admission round-trip: once re-appended, the id's new row
+    // survives the OLD tombstone (epoch-aware masking — delete id 7
+    // first, then bring it back), and a SECOND delete erases it again
+    val gone7 = HnswGeoStore.delete(spark, noop, Seq(7L).toDF("vec_id"))
+    assert(gone7.segments.filter(col("vec_id") === 7L).count() === 0L)
+    val back7 = HnswGeoStore.append(spark, gone7,
+      all.filter(_._1 == 7L).toDF("vec_id", "embedding"),
+      checkIds = false)
+    assert(back7.segments.filter(col("vec_id") === 7L).count() === 1L,
+      "a re-admitted id's row must survive the old tombstone")
+    val served7 = HnswGeoStore.batchNeighbors(back7,
+      Seq((9002L, all.find(_._1 == 7L).get._2.map(_.toDouble)))
+        .toDF("probe_id", "embedding"),
+      k = 1, efSearch = 32, nProbe = 8)
+      .select("vec_id").as[Long].head()
+    assert(served7 === 7L, "the re-admitted vector must serve again")
+    val gone7b = HnswGeoStore.delete(spark, back7, Seq(7L).toDF("vec_id"))
+    assert(gone7b.segments.filter(col("vec_id") === 7L).count() === 0L,
+      "a second delete must erase the re-admitted row")
     CacheRegistry.releaseAll()
   }
 

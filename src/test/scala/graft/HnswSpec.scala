@@ -448,6 +448,32 @@ class HnswSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Hnsw.defaultShards(10L, dim = 0))
   }
 
+  test("recommendEf: the measured ef-sizing rule as an API — answers " +
+       "pinned at the sweep's operating points, conservative between " +
+       "them, None outside the envelope (per-shard size is the knob)") {
+    // the BASELINE operating guidance verbatim: recall >= 0.94 needs
+    // ef ~ 128 down to selectivity 1/10 and ~ 256 at 1/100 (~2.5k-node
+    // shards)
+    assert(Hnsw.recommendEf(0.1, 0.94, 2500L) === Some(128))
+    assert(Hnsw.recommendEf(0.01, 0.94, 2500L) === Some(256))
+    assert(Hnsw.recommendEf(1.0 / 3, 0.99, 2500L) === Some(256))
+    assert(Hnsw.recommendEf(1.0, 0.8, 2500L) === Some(64))
+    // between calibrated selectivities: the next-RARER bucket answers
+    // (recall falls with selectivity, so it bounds from below)
+    assert(Hnsw.recommendEf(0.2, 0.94, 2500L) === Some(128))
+    // between calibrated shard sizes: the next-LARGER grid answers
+    // (bigger shards always read lower — the transfer rule)
+    assert(Hnsw.recommendEf(1.0 / 3, 0.9, 10000L) === Some(512))
+    // outside the envelope: no calibrated ef reaches the target — the
+    // documented remedy is more shards (defaultShards maxNodesPerShard),
+    // not a bigger ef
+    assert(Hnsw.recommendEf(0.01, 0.9, 25000L) === None)
+    assert(Hnsw.recommendEf(0.001, 0.9, 2500L) === None)
+    assert(Hnsw.recommendEf(0.1, 0.95, 100000L) === None)
+    assertThrows[IllegalArgumentException](Hnsw.recommendEf(0.0, 0.9, 1L))
+    assertThrows[IllegalArgumentException](Hnsw.recommendEf(0.5, 1.5, 1L))
+  }
+
   test("semanticDedup composes pairs -> components -> quality argmax: " +
        "every cluster keeps its (quality desc, id asc) best member") {
     val dir = "/root/testdata/sf0.001"

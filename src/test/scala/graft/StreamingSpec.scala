@@ -1043,6 +1043,9 @@ class StreamingSpec extends SparkSpec {
     // column in any marker)
     val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
     HnswGeoStore.admit(spark, base, batch, threshold = 0.9)
+    // the old attempt ran to its output write before dying — the
+    // corroborating evidence the heuristic requires (ADVICE r15)
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=0")
     for (e <- 0L to 1L) {
       val legacy = spark.read.parquet(s"$stateDir/commits/epoch=$e")
         .select("is_base").collect().map(_.getBoolean(0)).toSeq
@@ -1061,6 +1064,148 @@ class StreamingSpec extends SparkSpec {
     assert(fin.epoch === 1L)
     assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
       Set(1L, 2L, 11L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("geoAdmitBatch migration guard: a legacy marker at the batch's " +
+       "allocation WITHOUT committed output is AMBIGUOUS and fails " +
+       "loudly — a fresh stream over a pre-upgrade store must not pin " +
+       "a stale view and overwrite the legacy epoch (ADVICE r15)") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geoambig-state")
+    val outDir = s"${tmpDir("graft-geoambig-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    val base = HnswGeoStore.build(spark, seed, stateDir, index)
+    // a pre-upgrade store whose latest epoch happens to be 1: seed build
+    // plus ONE legacy lifecycle append — exactly the shape a fresh
+    // stream's batch 0 would previously have misread as its own replay
+    HnswGeoStore.append(spark, base,
+      Seq(5L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding"))
+    for (e <- 0L to 1L) {
+      val legacy = spark.read.parquet(s"$stateDir/commits/epoch=$e")
+        .select("is_base").collect().map(_.getBoolean(0)).toSeq
+      legacy.map(Tuple1(_)).toDF("is_base").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/commits/epoch=$e")
+    }
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 0)
+    }
+    assert(e.getMessage.contains("LEGACY") &&
+      e.getMessage.contains("refusing to guess"), e.getMessage)
+    // the legacy epoch survived untouched
+    assert(HnswGeoStore.load(spark, stateDir).segments
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("legacy-marker upgrade migration: a base commit rewrites " +
+       "pre-writer markers with writer='legacy', and the formerly-blind " +
+       "scenario (legacy non-base marker at a non-base replay's " +
+       "allocation) then fails loudly on writer identity") {
+    import graft.operators.{HnswGeoStore, IVF, StoreCommits}
+    val stateDir = tmpDir("graft-geomigr2-state")
+    val outDir = s"${tmpDir("graft-geomigr2-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    val base = HnswGeoStore.build(spark, seed, stateDir, index)
+    val grown = HnswGeoStore.append(spark, base,
+      Seq(5L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding"))
+    // strip epoch 1's writer — the out-of-band legacy non-base append
+    val legacy = spark.read.parquet(s"$stateDir/commits/epoch=1")
+      .select("is_base").collect().map(_.getBoolean(0)).toSeq
+    legacy.map(Tuple1(_)).toDF("is_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/commits/epoch=1")
+    assert(HnswGeoStore.commitMarker(spark, stateDir, 1L)._2.isEmpty)
+    // the next base commit migrates it (compact runs upgradeLegacy);
+    // exercised here directly so the epoch numbering stays put and the
+    // allocation-slot comparison below is the one under test
+    StoreCommits.upgradeLegacy(spark, stateDir, "epoch")
+    assert(HnswGeoStore.commitMarker(spark, stateDir, 1L) ===
+      ((false, Some("legacy"))))
+    // the blind spot, post-migration: a crashed batch 0 pinned pre-epoch
+    // 0 (mapping on disk), the upgraded NON-base marker sits at its
+    // allocation, the replay is non-base — is_base alone cannot split
+    // this, the writer now does
+    Seq(Tuple1(0L)).toDF("epoch").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta/batch_id=0")
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 0)
+    }
+    assert(e.getMessage.contains("legacy") &&
+      e.getMessage.contains("out-of-band"), e.getMessage)
+    // and compact() itself runs the migration: rebuild the legacy shape
+    // at a second path and verify the base commit upgrades every marker
+    val dir2 = tmpDir("graft-geomigr3-state")
+    val b2 = HnswGeoStore.build(spark, seed, dir2, index)
+    val g2 = HnswGeoStore.append(spark, b2,
+      Seq(5L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding"))
+    for (e2 <- 0L to 1L) {
+      val lg = spark.read.parquet(s"$dir2/commits/epoch=$e2")
+        .select("is_base").collect().map(_.getBoolean(0)).toSeq
+      lg.map(Tuple1(_)).toDF("is_base").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir2/commits/epoch=$e2")
+    }
+    HnswGeoStore.compact(spark, g2)
+    for (e2 <- 0L to 1L)
+      assert(HnswGeoStore.commitMarker(spark, dir2, e2)._2 ===
+        Some("legacy"), s"epoch $e2 must be upgraded at the base commit")
+    assert(HnswGeoStore.commitMarker(spark, dir2, 2L)._2 ===
+      Some("lifecycle"))
+    CacheRegistry.releaseAll()
+  }
+
+  test("delete is an out-of-band lifecycle op under the replay guards: " +
+       "between runs it shifts the resumed stream's allocation; inside " +
+       "a crash-replay window it fails loudly on writer identity") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geodelstream-state")
+    val outDir = s"${tmpDir("graft-geodelstream-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0.9f, 0.1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    // batch 0 lands epoch 1
+    StreamingEvents.geoAdmitBatch(
+      Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding"),
+      0L, stateDir, outDir, threshold = 0.9, compactEvery = 0)
+    // an out-of-band DELETE between runs: epoch 2, writer "lifecycle"
+    val afterDel = HnswGeoStore.delete(spark,
+      HnswGeoStore.load(spark, stateDir), Seq(3L).toDF("vec_id"))
+    assert(afterDel.epoch === 2L)
+    // the resumed stream's next batch allocates PAST it (epoch 3) and
+    // admits against the post-delete view: id 12 is IDENTICAL to the
+    // ERASED id 3 (cos 1.0) and below threshold vs everything live
+    // (cos vs id 1 ≈ 0.994), so it must now be admitted
+    StreamingEvents.geoAdmitBatch(
+      Seq(12L -> Array(0.9f, 0.1f, 0f, 0f)).toDF("vec_id", "embedding"),
+      1L, stateDir, outDir, threshold = 0.999, compactEvery = 0)
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 3L)
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 12L))
+    // a delete landing INSIDE batch 2's crash-replay window, at its
+    // allocation: the writer guard refuses the overwrite
+    Seq(Tuple1(3L)).toDF("epoch").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta/batch_id=2")
+    HnswGeoStore.delete(spark, fin, Seq(2L).toDF("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(
+        Seq(13L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding"),
+        2L, stateDir, outDir, threshold = 0.9, compactEvery = 0)
+    }
+    assert(e.getMessage.contains("lifecycle") &&
+      e.getMessage.contains("out-of-band"), e.getMessage)
     CacheRegistry.releaseAll()
   }
 
@@ -1335,6 +1480,71 @@ class StreamingSpec extends SparkSpec {
     assert(fin.epoch === 1L)
     assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
       Set(1L, 2L, 11L))
+    CacheRegistry.releaseAll()
+  }
+
+  test("drift-triggered retrain at the sink's COMPACTION boundary: a " +
+       "drifted stream retrains as part of the base commit it already " +
+       "owns (same epoch, batch writer tag), keeps admitting, and " +
+       "equals the batch-wise chain with an interleaved " +
+       "retrainIfDrifted — no out-of-band op, no replay conflict") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geodrift-state")
+    val outDir = s"${tmpDir("graft-geodrift-out")}/rows"
+    val ckpt = tmpDir("graft-geodrift-ckpt")
+    // seed distribution on the e0/e1 axes (small spread -> a small but
+    // MEASURABLE baseline); the stream arrives on e2/e3 — far off the
+    // trained geometry, exactly what the drift ratio exists to catch
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.98f, 0.02f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0.02f, 0.98f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 3)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    val b0 = Seq(11L -> Array(0f, 0f, 1f, 0f))
+    val b1 = Seq(12L -> Array(0f, 0f, 0f, 1f))
+    val b2 = Seq(13L -> Array(0f, 0f, 0.7071f, 0.7071f))
+    val stream = MemoryStream[(Long, Array[Float])]
+    val src = stream.toDF().toDF("vec_id", "embedding")
+    val q = StreamingEvents.hnswGeoAdmissionStream(src, stateDir, outDir,
+      ckpt, threshold = 0.9, compactEvery = 2, driftFactor = 2.0)
+    try {
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()  // compaction + drift
+      stream.addData(b2); q.processAllAvailable()  // keeps admitting
+    } finally q.stop()
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 3L && fin.baseEpoch === 2L,
+      "the retrain must land AS batch 1's own base epoch")
+    assert(HnswGeoStore.commitMarker(spark, stateDir, 2L) ===
+      ((true, Some("stream:batch=1"))),
+      "the retrained base carries the BATCH's writer tag, not an " +
+        "out-of-band lifecycle marker")
+    assert(fin.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 11L, 12L, 13L))
+    assert(fin.index.centroids.map(_.toSeq).toSet !==
+      index.centroids.map(_.toSeq).toSet,
+      "the index must have been retrained on the drifted corpus")
+    // ≡ the batch-wise chain with an interleaved retrainIfDrifted
+    val dir2 = tmpDir("graft-geodrift-twin")
+    var twin = HnswGeoStore.build(spark, seed, dir2, index)
+    twin = HnswGeoStore.admit(spark, twin,
+      b0.toDF("vec_id", "embedding"), threshold = 0.9)._2
+    val k1 = HnswGeoStore.incrementalAdmit(twin,
+      b1.toDF("vec_id", "embedding"), threshold = 0.9)
+    val (twin2, report) = HnswGeoStore.retrainIfDrifted(spark, twin,
+      driftFactor = 2.0, foldIn = Some(k1))
+    assert(report.retrained && report.measurable, report.toString)
+    twin = HnswGeoStore.admit(spark, twin2,
+      b2.toDF("vec_id", "embedding"), threshold = 0.9)._2
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(dump(fin.segments) === dump(twin.segments),
+      "stream ≡ batch-wise chain, value for value")
+    assert(fin.index.centroids.map(_.toSeq).toSeq ===
+      twin.index.centroids.map(_.toSeq).toSeq)
     CacheRegistry.releaseAll()
   }
 

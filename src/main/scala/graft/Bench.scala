@@ -426,6 +426,102 @@ object Bench {
       }
       CacheRegistry.releaseAll()
     }
+    // q204/q205 per-leg attribution (round 16): the deletion queries
+    // bracket the expensive end of the inventory because they build
+    // their stores in-measurement (the q201 honesty discipline). These
+    // lines run the same bodies with each leg timed separately into
+    // scale_path — any growth in the e2e numbers decomposes against
+    // q204_leg_* / q205_leg_*. Kept out of `total` like every scale line.
+    if (selected("q204_leg_serve")) {
+      import org.apache.spark.sql.functions.col
+      val legPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q204legs"
+      val legFs = new org.apache.hadoop.fs.Path(legPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def leg[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        val t = (System.nanoTime() - t0) / 1e9
+        scaleTimings(name) = scaleTimings.get(name).fold(t)(math.min(_, t))
+        r
+      }
+      for (_ <- 1 to passes) {
+        legFs.delete(new org.apache.hadoop.fs.Path(legPath), true)
+        try {
+          val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+          val corpus = emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id"), col("embedding"))
+          val index = leg("q204_leg_train") {
+            graft.operators.IVF.train(corpus, 4, 5, maxTrainRows = 400L)
+          }
+          val base = leg("q204_leg_build") {
+            graft.operators.HnswGeoStore.build(spark,
+              corpus.filter(col("vec_id") < 300), legPath, index)
+          }
+          val grown = leg("q204_leg_append") {
+            graft.operators.HnswGeoStore.append(spark, base,
+              corpus.filter(col("vec_id") >= 300))
+          }
+          val erased = leg("q204_leg_delete") {
+            graft.operators.HnswGeoStore.delete(spark, grown,
+              corpus.filter(col("vec_id") % 5 === 1).select(col("vec_id")))
+          }
+          val compacted = leg("q204_leg_compact") {
+            graft.operators.HnswGeoStore.compact(spark, erased)
+          }
+          leg("q204_leg_serve") {
+            graft.operators.HnswGeoStore.batchNeighbors(compacted,
+              emb.filter(col("vec_id") < 5)
+                .select(col("vec_id").as("probe_id"), col("embedding")),
+              k = 10, efSearch = 64, nProbe = 8)
+              .write.format("noop").mode("overwrite").save()
+          }
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] q204 leg attribution failed: ${e.getMessage}")
+        }
+        CacheRegistry.releaseAll()
+      }
+    }
+    if (selected("q205_leg_admit")) {
+      import org.apache.spark.sql.functions.col
+      val legPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft-dedupstate-q205legs"
+      val legFs = new org.apache.hadoop.fs.Path(legPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def leg[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        val t = (System.nanoTime() - t0) / 1e9
+        scaleTimings(name) = scaleTimings.get(name).fold(t)(math.min(_, t))
+        r
+      }
+      for (_ <- 1 to passes) {
+        legFs.delete(new org.apache.hadoop.fs.Path(legPath), true)
+        try {
+          val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+            .select(col("doc_id"), col("text"))
+          val store = leg("q205_leg_build") {
+            graft.operators.DedupState.build(spark,
+              docs.filter(col("doc_id") < 300), legPath, hashTag = "md5")
+          }
+          val forgotten = leg("q205_leg_forget") {
+            graft.operators.DedupState.forget(spark, store,
+              docs.filter(col("doc_id") < 300 && col("doc_id") % 7 === 3)
+                .select(col("doc_id")))
+          }
+          leg("q205_leg_admit") {
+            graft.operators.DedupState.incrementalDedup(
+                forgotten, docs.filter(col("doc_id") >= 300))
+              .write.format("noop").mode("overwrite").save()
+          }
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] q205 leg attribution failed: ${e.getMessage}")
+        }
+        CacheRegistry.releaseAll()
+      }
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

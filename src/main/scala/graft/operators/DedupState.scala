@@ -605,9 +605,12 @@ object DedupState {
           "registry (doc_fps/), so forget cannot decide which erased " +
           "texts' fingerprints are still carried by surviving docs — " +
           "rebuild the store with build() to migrate"))
+    // registry doc-id column streamed through a broadcast of the (small)
+    // erasure set — never a corpus-side shuffle
     val del = graft.CacheRegistry.persist(
-      ids.select(col("doc_id")).distinct()
-        .join(registry.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      registry.select(col("doc_id"))
+        .join(broadcast(ids.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi").distinct())
     // the erased docs' posting rows: one broadcast-pruned scan feeds the
     // df decrements AND (by anti) the surviving posting view
     val delPosting = graft.CacheRegistry.persist(

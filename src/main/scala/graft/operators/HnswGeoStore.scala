@@ -267,39 +267,17 @@ object HnswGeoStore {
       epoch, base, IVF.load(spark, s"$path/index/epoch=$base"))
   }
 
-  /** The live [base, epoch] tombstones as (vec_id, epoch), or None when
-    * the range has none (the deletion-free fast path: no masking join).
+  /** The live [base, epoch] tombstones / the epoch-aware masking —
+    * shared with the id-hash store ([[Tombstones]]).
     */
   private def liveTombstones(spark: SparkSession, path: String,
-                             base: Long, epoch: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
-    else {
-      val inRange = (base to epoch).exists(e => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/tombstones/epoch=$e")))
-      if (!inRange) None
-      else Some(spark.read.parquet(s"$path/tombstones")
-        .filter(col("epoch") >= base && col("epoch") <= epoch))
-    }
-  }
+                             base: Long, epoch: Long): Option[DataFrame] =
+    Tombstones.live(spark, path, base, epoch)
 
-  /** EPOCH-AWARE tombstone masking of a frame carrying its `epoch`
-    * column: a tombstone kills rows written AT OR BEFORE its epoch only,
-    * so a vec_id re-admitted AFTER its deletion is live again (epoch-
-    * blind masking would resurrect the erasure). Drops `epoch` either
-    * way. Broadcast-sized: tombstones are erasure-count rows.
-    */
   private def maskTombstoned(spark: SparkSession, path: String,
                              base: Long, epoch: Long,
                              rows: DataFrame): DataFrame =
-    liveTombstones(spark, path, base, epoch).fold(rows.drop("epoch")) { t =>
-      val tmax = t.groupBy(col("vec_id"))
-        .agg(max(col("epoch")).as("__tepoch"))
-      rows.join(broadcast(tmax), Seq("vec_id"), "left")
-        .filter(col("__tepoch").isNull || col("epoch") > col("__tepoch"))
-        .drop("epoch", "__tepoch")
-    }
+    Tombstones.mask(spark, path, base, epoch, rows)
 
   /** Driver-side sampled guard that the strided segment rows were
     * assigned with the store's index ([[Hnsw.requireGeoStore]] adapted
@@ -565,11 +543,13 @@ object HnswGeoStore {
     require(epoch < Long.MaxValue / CellStride,
       s"epoch $epoch out of the stride range")
     // restrict to ids the store actually holds (store.segments is the
-    // already-masked live view, so re-deleting is a committed no-op)
+    // already-masked live view, so re-deleting is a committed no-op);
+    // stored-ids column streamed through a broadcast of the (small)
+    // erasure set — never a corpus-side shuffle
     val del = graft.CacheRegistry.persist(
-      ids.select(col("vec_id")).distinct()
-        .join(store.segments.select(col("vec_id")), Seq("vec_id"),
-          "left_semi"))
+      store.segments.select(col("vec_id"))
+        .join(broadcast(ids.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_semi"))
     val delVecs = store.segments
       .join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("vec").as("embedding"))

@@ -74,6 +74,45 @@ private[graft] object StoreCommits {
   }
 }
 
+/** Shared tombstone machinery for the epochal vector stores: a DELETE
+  * is an epoch holding only erased vec_ids under `<store>/tombstones/
+  * epoch=N`, and readers mask them out EPOCH-AWARE (a tombstone kills
+  * rows written at or before its epoch only, so a re-admitted id is
+  * live again). Centralized so the id-hash and geo stores share one
+  * masking semantics.
+  */
+private[operators] object Tombstones {
+  /** The live [base, epoch] tombstones as (vec_id, epoch), or None when
+    * the range has none (the deletion-free fast path: no masking join).
+    */
+  def live(spark: SparkSession, path: String,
+           base: Long, epoch: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else {
+      val inRange = (base to epoch).exists(e => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/tombstones/epoch=$e")))
+      if (!inRange) None
+      else Some(spark.read.parquet(s"$path/tombstones")
+        .filter(col("epoch") >= base && col("epoch") <= epoch))
+    }
+  }
+
+  /** Epoch-aware masking of a frame carrying its `epoch` column; drops
+    * `epoch` either way. Broadcast-sized: tombstones are erasure-count.
+    */
+  def mask(spark: SparkSession, path: String, base: Long, epoch: Long,
+           rows: DataFrame): DataFrame =
+    live(spark, path, base, epoch).fold(rows.drop("epoch")) { t =>
+      val tmax = t.groupBy(col("vec_id"))
+        .agg(max(col("epoch")).as("__tepoch"))
+      rows.join(broadcast(tmax), Seq("vec_id"), "left")
+        .filter(col("__tepoch").isNull || col("epoch") > col("__tepoch"))
+        .drop("epoch", "__tepoch")
+    }
+}
+
 /** Persistent, SEGMENTED HNSW store — the graph-index counterpart of
   * [[EmbeddingStore]], under the same commit-marker epoch protocol
   * ([[DedupState]]'s crash-invisibility discipline: write data first,
@@ -182,6 +221,10 @@ object HnswStore {
 
   /** Load AS OF a committed epoch — the [latest base ≤ epoch, epoch]
     * segment range; deterministic re-reads for at-least-once replay.
+    * [[delete]] tombstones in the range are masked out epoch-aware
+    * ([[Tombstones.mask]] — deletion-free stores keep their exact
+    * plans); deleted nodes' edges are elided at graph reconstruction
+    * until the next [[compact]] physically removes the rows.
     */
   def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
     val commits = committedEpochs(spark, path)
@@ -190,10 +233,38 @@ object HnswStore {
         s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
     Store(path,
-      spark.read.parquet(s"$path/segments")
-        .filter(col("epoch") >= base && col("epoch") <= epoch)
-        .drop("epoch"),
+      Tombstones.mask(spark, path, base, epoch,
+        spark.read.parquet(s"$path/segments")
+          .filter(col("epoch") >= base && col("epoch") <= epoch)),
       epoch)
+  }
+
+  /** ERASE vectors from the standing id-hash store — [[HnswGeoStore
+    * .delete]]'s tombstone-epoch contract on this route: epoch N+1
+    * holds only the erased vec_ids, every surface reads the masked
+    * view, and the next [[compact]] (a from-scratch rebuild over the
+    * masked rows here — this store's compaction was always a rebuild)
+    * physically removes them, bitwise the store that never saw the
+    * docs. Erased ids re-admit as new; unknown ids are a committed
+    * no-op (idempotent replays).
+    */
+  def delete(spark: SparkSession, store: Store, ids: DataFrame,
+             writer: String = "lifecycle"): Store = {
+    val epoch = store.epoch + 1
+    require(epoch < Long.MaxValue / ShardStride,
+      s"epoch $epoch out of the stride range")
+    // stored-ids column streamed through a broadcast of the (small)
+    // erasure set — never a corpus-side shuffle
+    val del = store.segments.select(col("vec_id"))
+      .join(broadcast(ids.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+    del.write.mode("overwrite")
+      .parquet(s"${store.path}/tombstones/epoch=$epoch")
+    import spark.implicits._
+    Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${store.path}/commits/epoch=$epoch")
+    loadAt(spark, store.path, epoch)
   }
 
   /** Fold a fresh batch in as epoch `store.epoch + 1`: its own new
@@ -251,7 +322,8 @@ object HnswStore {
   def vacuum(spark: SparkSession, store: Store): Unit = {
     val commits = committedEpochs(spark, store.path)
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
-    for (e <- commits.keys if e < base; dir <- Seq("segments", "commits")) {
+    for (e <- commits.keys if e < base;
+         dir <- Seq("segments", "tombstones", "commits")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)

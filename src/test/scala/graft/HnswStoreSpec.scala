@@ -151,6 +151,59 @@ class HnswStoreSpec extends SparkSpec {
       .select("vec_id").as[Long].head() === 10L)
   }
 
+  test("delete: a tombstone epoch masks the vectors from every surface, " +
+       "compaction physically removes them (bitwise the never-saw " +
+       "rebuild), re-admission revives the id, and unknown ids are a " +
+       "committed no-op") {
+    val dir = tmp("hnswstore-del")
+    val rows = (1L to 40L).map(id =>
+      id -> Array(math.sin(id * 0.7).toFloat, math.cos(id * 1.3).toFloat,
+        math.sin(id * 2.1).toFloat))
+    val s0 = HnswStore.build(spark, rows.toDF("vec_id", "embedding"), dir,
+      shards = 3)
+    val erased = rows.map(_._1).filter(_ % 4 == 1).toSet
+    val s1 = HnswStore.delete(spark, s0, erased.toSeq.toDF("vec_id"))
+    assert(s1.epoch === 1L)
+    assert(s1.segments.filter(col("vec_id") % 4 === 1).count() === 0L)
+    val got = HnswStore.neighbors(s1,
+        rows.head._2.map(_.toDouble), 40, efSearch = 48)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.intersect(erased).isEmpty,
+      "search must never return a deleted id")
+    // admission: the erased id is free again
+    val kept = HnswStore.incrementalAdmit(s1,
+      vecsDf(1L -> rows.head._2), threshold = 0.999999)
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(1L))
+    CacheRegistry.releaseAll()
+    // compaction physically removes the rows — bitwise the compaction of
+    // a store that never saw them (same sizing path on both sides)
+    val s2 = HnswStore.compact(spark, s1)
+    def dump(df: org.apache.spark.sql.DataFrame, e: Long) =
+      df.withColumn("shard",
+          col("shard") - lit(e * HnswStore.ShardStride.toLong))
+        .collect().map(_.toString).sorted.toSeq
+    val never = HnswStore.compact(spark, HnswStore.build(spark,
+      rows.filterNot(r => erased(r._1)).toDF("vec_id", "embedding"),
+      tmp("hnswstore-delB"), shards = 3))
+    assert(dump(s2.segments, 2L) === dump(never.segments, 1L),
+      "post-delete compaction must equal the never-saw rebuild")
+    val raw = spark.read.parquet(s"$dir/segments/epoch=${s2.epoch}")
+    assert(raw.filter(col("vec_id") % 4 === 1).count() === 0L)
+    // vacuum reclaims the superseded tombstones; unknown ids no-op
+    HnswStore.vacuum(spark, s2)
+    assert(!new java.io.File(s"$dir/tombstones/epoch=1").exists())
+    val noop = HnswStore.delete(spark, s2, Seq(9999L).toDF("vec_id"))
+    assert(noop.epoch === 3L &&
+      noop.segments.count() === s2.segments.count())
+    // re-admission round-trip: append the erased id back — its new row
+    // survives the old (vacuumed or not) tombstone and serves again
+    val back = HnswStore.append(spark, noop, vecsDf(5L -> rows(4)._2))
+    assert(back.segments.filter(col("vec_id") === 5L).count() === 1L)
+    assert(HnswStore.neighbors(back, rows(4)._2.map(_.toDouble), 1)
+      .select("vec_id").as[Long].head() === 5L)
+    CacheRegistry.releaseAll()
+  }
+
   test("batchNeighborMax: best stored cosine per probe, one pass") {
     val store = Hnsw.build(
       vecsDf(1L -> Array(1f, 0f), 2L -> Array(0f, 1f)), shards = 2)

@@ -238,6 +238,14 @@ object CorpusPipeline {
     } else df.localCheckpoint(true)
   }
 
+  /** `driftFactor > 0` (round 16): a BASE fold (`asBase`) additionally
+    * runs the geo store's epoch-count drift check and, when it trips,
+    * RETRAINS as part of this fold's own base commit
+    * ([[graft.operators.HnswGeoStore.retrainIfDrifted]] with the
+    * admitted survivors folded in — same epoch allocation, same writer,
+    * so the streaming twin's replay guards hold by construction). The
+    * text store has no geometry to drift; its fold is unchanged.
+    */
   def admitBatch(spark: org.apache.spark.sql.SparkSession,
                  state: CorpusState, docs: DataFrame, emb: DataFrame,
                  config: Config = Config(),
@@ -245,7 +253,8 @@ object CorpusPipeline {
                  nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
                  efSearch: Int = 64,
                  asBase: Boolean = false,
-                 writer: String = "lifecycle"): (DataFrame, CorpusState) = {
+                 writer: String = "lifecycle",
+                 driftFactor: Double = 0.0): (DataFrame, CorpusState) = {
     val ql = qualityLang(docs, config)
     val textKept = cut(
       graft.operators.DedupState.incrementalDedup(
@@ -287,8 +296,16 @@ object CorpusPipeline {
     // is the disjointness proof (the HnswGeoStore.admit discipline)
     // semKept carries embBatch's columns, so payloads (when flowing)
     // land in the new epoch's attrs relation
-    val newGeo = graft.operators.HnswGeoStore.append(spark, state.geo,
-      semKept, asBase, checkIds = false, writer = writer)
+    val newGeo =
+      if (asBase && driftFactor > 0.0) {
+        val (retrained, report) = graft.operators.HnswGeoStore
+          .retrainIfDrifted(spark, state.geo, driftFactor,
+            foldIn = Some(semKept), writer = writer)
+        if (report.retrained) retrained
+        else graft.operators.HnswGeoStore.append(spark, state.geo,
+          semKept, asBase = true, checkIds = false, writer = writer)
+      } else graft.operators.HnswGeoStore.append(spark, state.geo,
+        semKept, asBase, checkIds = false, writer = writer)
     (kept, CorpusState(newText, newGeo))
   }
 

@@ -902,6 +902,12 @@ object StreamingEvents {
     * (only below the previous base — a replay of the current batch
     * still finds its complete source range).
     */
+  /** With `driftFactor > 0`, every compaction batch also runs the geo
+    * store's drift check and retrains AS the base commit it already
+    * owns ([[graft.pipelines.CorpusPipeline.admitBatch]]'s drift arm —
+    * same epoch, batch writer tag), so the curated corpus's geometry
+    * heals at the stream's own compaction cadence.
+    */
   def curationAdmissionStream(stream: DataFrame, textStateDir: String,
                               geoStateDir: String, outDir: String,
                               checkpointDir: String,
@@ -911,14 +917,15 @@ object StreamingEvents {
                               nProbe: Int =
                                 graft.operators.Hnsw.DefaultNearDupNProbe,
                               efSearch: Int = 64,
-                              compactEvery: Int = 0): StreamingQuery =
+                              compactEvery: Int = 0,
+                              driftFactor: Double = 0.0): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curationAdmitBatch(batch, batchId, textStateDir, geoStateDir,
           outDir, config, semanticThreshold, nProbe, efSearch,
-          compactEvery)
+          compactEvery, driftFactor)
       }
       .start()
 
@@ -931,7 +938,7 @@ object StreamingEvents {
       geoStateDir: String, outDir: String,
       config: graft.pipelines.CorpusPipeline.Config,
       semanticThreshold: Double, nProbe: Int, efSearch: Int,
-      compactEvery: Int): Unit = {
+      compactEvery: Int, driftFactor: Double = 0.0): Unit = {
     import graft.operators.DedupState
     import graft.pipelines.CorpusPipeline
     val spark = batch.sparkSession
@@ -958,7 +965,7 @@ object StreamingEvents {
     val (kept, _) = CorpusPipeline.admitBatch(spark,
       CorpusPipeline.CorpusState(text, geo), docs, emb, config,
       semanticThreshold, nProbe, efSearch, asBase,
-      writer = geoWriterTag(batchId))
+      writer = geoWriterTag(batchId), driftFactor = driftFactor)
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
     if (asBase) {

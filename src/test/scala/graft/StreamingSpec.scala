@@ -1483,6 +1483,77 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("curationAdmissionStream with driftFactor: the flagship " +
+       "composition's geo store retrains at the stream's own compaction " +
+       "boundary (same epoch, batch writer tag) and keeps curating") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{DedupState, HnswGeoStore, IVF}
+    import graft.pipelines.CorpusPipeline
+    val tDir = tmpDir("graft-curdrift-text")
+    val gDir = tmpDir("graft-curdrift-geo")
+    val outDir = s"${tmpDir("graft-curdrift-out")}/rows"
+    val ckpt = tmpDir("graft-curdrift-ckpt")
+    val cfg = CorpusPipeline.Config()
+    val seedText = "the quick brown fox jumps over the lazy dog and " +
+      "then the small cat walks along the river bank while a bird " +
+      "sings in the tall green tree near the old wooden bridge"
+    val corpus = CorpusPipeline.qualityLang(
+        Seq(1L -> seedText).toDF("doc_id", "text"), cfg)
+      .select(col("doc_id"), col("text"))
+    DedupState.build(spark, corpus, tDir)
+    // geo seeded on the e0/e1 axes (measurable baseline); the stream
+    // arrives on e2/e3 — off the trained geometry
+    val seedEmb = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.98f, 0.02f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0.02f, 0.98f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seedEmb, k = 2, iters = 3)
+    HnswGeoStore.build(spark, seedEmb, gDir, index)
+    val texts = Map(
+      11L -> ("a slow train crosses the green valley and the " +
+        "passengers watch the river bend under the stone arches while " +
+        "the evening sun paints the hills in a soft amber glow"),
+      12L -> ("heavy rain fell on the quiet harbor all through the " +
+        "night and the fishing boats rocked gently against the wooden " +
+        "pier while distant thunder rolled over the dark water"),
+      13L -> ("the old library smelled of dust and paper as the " +
+        "students turned the brittle pages of forgotten maps tracing " +
+        "routes that merchants once sailed across the southern seas"))
+    def b(id: Long, v: Array[Float]) = Seq((id, texts(id), v))
+    val stream = MemoryStream[(Long, String, Array[Float])]
+    val src = stream.toDF().toDF("doc_id", "text", "embedding")
+    val q = StreamingEvents.curationAdmissionStream(src, tDir, gDir,
+      outDir, ckpt, cfg, semanticThreshold = 0.9, nProbe = 8,
+      compactEvery = 2, driftFactor = 2.0)
+    try {
+      stream.addData(b(11L, Array(0f, 0f, 1f, 0f))); q.processAllAvailable()
+      stream.addData(b(12L, Array(0f, 0f, 0f, 1f))); q.processAllAvailable()
+      stream.addData(b(13L, Array(0f, 0.6f, 0f, 0.8f))); q.processAllAvailable()
+    } finally q.stop()
+    val geo = HnswGeoStore.load(spark, gDir)
+    assert(geo.epoch === 3L && geo.baseEpoch === 2L,
+      "the retrain must land AS batch 1's own base epoch")
+    assert(HnswGeoStore.commitMarker(spark, gDir, 2L) ===
+      ((true, Some("stream:batch=1"))))
+    assert(geo.index.centroids.map(_.toSeq).toSet !==
+      index.centroids.map(_.toSeq).toSet,
+      "the curated corpus's geometry must have been retrained")
+    assert(geo.segments.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L, 11L, 12L, 13L))
+    // the text store compacted normally at the same boundary
+    val text = DedupState.load(spark, tDir)
+    assert(text.gen === 3L)
+    assert(DedupState.commitMarker(spark, tDir, 2L) ===
+      ((true, Some("stream:batch=1"))))
+    // every admitted doc's output landed
+    assert((0L to 2L).flatMap(i =>
+      spark.read.parquet(s"$outDir/batch_id=$i")
+        .select("doc_id").as[Long].collect()).toSet ===
+      Set(11L, 12L, 13L))
+    CacheRegistry.releaseAll()
+  }
+
   test("drift-triggered retrain at the sink's COMPACTION boundary: a " +
        "drifted stream retrains as part of the base commit it already " +
        "owns (same epoch, batch writer tag), keeps admitting, and " +

@@ -352,7 +352,7 @@ object DedupState {
     for (g <- commits.keys if g < base;
          dir <- Seq("posting", "fingerprints", "shingle_df", "signatures",
                     "doc_fps", "tombstones", "fp_tombstones", "sig_gone",
-                    "commits")) {
+                    "commits", "commits_writer")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/gen=$g")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
@@ -651,10 +651,17 @@ object DedupState {
         .join(broadcast(delHs), Seq("h"), "left_semi"),
       Seq("h"), "left_anti")
     val gen = store.gen + 1
-    del.write.mode("overwrite")
-      .parquet(s"${store.path}/tombstones/gen=$gen")
-    removedHs.select(col("h")).write.mode("overwrite")
-      .parquet(s"${store.path}/fp_tombstones/gen=$gen")
+    // an erasure of ids the store never held is a committed no-op — and
+    // it must not WRITE tombstone/marker partitions, which would flip
+    // every later read into the masking arm for nothing (the
+    // deletion-free fast-path contract)
+    val delEmpty = del.isEmpty
+    if (!delEmpty) {
+      del.write.mode("overwrite")
+        .parquet(s"${store.path}/tombstones/gen=$gen")
+      removedHs.select(col("h")).write.mode("overwrite")
+        .parquet(s"${store.path}/fp_tombstones/gen=$gen")
+    }
     // empty delta rows keep the per-generation layout uniform
     store.posting.limit(0).write.mode("overwrite")
       .parquet(s"${store.path}/posting/gen=$gen")
@@ -671,8 +678,9 @@ object DedupState {
       .parquet(s"${store.path}/shingle_df/gen=$gen")
     repaired.write.mode("overwrite")
       .parquet(s"${store.path}/signatures/gen=$gen")
-    del.unionByName(affected).distinct().write.mode("overwrite")
-      .parquet(s"${store.path}/sig_gone/gen=$gen")
+    if (!delEmpty)
+      del.unionByName(affected).distinct().write.mode("overwrite")
+        .parquet(s"${store.path}/sig_gone/gen=$gen")
     import spark.implicits._
     Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite").parquet(s"${store.path}/commits/gen=$gen")
@@ -691,8 +699,11 @@ object DedupState {
     */
   private def mergedDfs(store: Store, freshPosting: DataFrame): DataFrame = {
     val freshDf = freshPosting.groupBy(col("s")).agg(count(lit(1)).as("fdf"))
-    val inStore = store.shingleDf.join(broadcast(freshDf), Seq("s"))
-      .select(col("s"), col("df").as("cdf"), col("fdf"))
+    // persisted: the union leg AND the broadcast anti both consume it —
+    // without it the store-side dfs resolve would scan twice per call
+    val inStore = graft.CacheRegistry.persist(
+      store.shingleDf.join(broadcast(freshDf), Seq("s"))
+        .select(col("s"), col("df").as("cdf"), col("fdf")))
     val unseen = freshDf
       .join(broadcast(inStore.select(col("s"))), Seq("s"), "left_anti")
       .select(col("s"), lit(0L).as("cdf"), col("fdf"))
@@ -799,7 +810,7 @@ object DedupState {
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
                                   gen: Long): (Boolean, Option[String]) =
-    StoreCommits.read(spark, s"$path/commits/gen=$gen")
+    StoreCommits.read(spark, path, s"gen=$gen")
 
   private def writeParams(spark: SparkSession, path: String,
                           params: Params): Unit = {

@@ -116,7 +116,7 @@ object EmbeddingStore {
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
                                   epoch: Long): (Boolean, Option[String]) =
-    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
+    StoreCommits.read(spark, path, s"epoch=$epoch")
 
   /** Build an ANN store: the similarity store plus residual PQ codebooks
     * ([[PQ.trainResidual]] under the store's own index) persisted at
@@ -223,7 +223,7 @@ object EmbeddingStore {
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     val conf = spark.sparkContext.hadoopConfiguration
     for (e <- commits.keys if e < base;
-         dir <- Seq("vectors", "commits")) {
+         dir <- Seq("vectors", "commits", "commits_writer")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)

@@ -383,7 +383,14 @@ object Hnsw {
             g.levels(li) = level
             // dangling neighbor ids are DROPPED, not errors: a store with
             // tombstoned (deleted) nodes serves with their edges elided
-            // until compaction rebuilds the touched cells
+            // until compaction rebuilds the touched cells. Trade, stated
+            // honestly: the previous map-lookup crash doubled as an
+            // accidental integrity tripwire for a segment file missing
+            // node rows — but deletions make dangling ids a LEGAL state,
+            // parquet footers make silent row loss the unlikely
+            // corruption mode, and a per-shard "is this dangling id a
+            // deletion or corruption" test would need the tombstone set
+            // in every task
             g.adj(li) = nbrs.map(layer => scala.collection.mutable
               .ArrayBuffer(layer.flatMap(local.get): _*)).toArray
           }

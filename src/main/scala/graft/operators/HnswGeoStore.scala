@@ -186,7 +186,7 @@ object HnswGeoStore {
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
                                   epoch: Long): (Boolean, Option[String]) =
-    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
+    StoreCommits.read(spark, path, s"epoch=$epoch")
 
   private def writeSegment(path: String, rows: DataFrame,
                            epoch: Long): Unit =
@@ -550,6 +550,11 @@ object HnswGeoStore {
       store.segments.select(col("vec_id"))
         .join(broadcast(ids.select(col("vec_id")).distinct()),
           Seq("vec_id"), "left_semi"))
+    // an erasure of ids the store never held is a committed no-op — and
+    // it must not WRITE a tombstone partition, which would flip every
+    // later read into the masking/repair arm for nothing (the
+    // deletion-free fast-path contract)
+    val delEmpty = del.isEmpty
     val delVecs = store.segments
       .join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("vec").as("embedding"))
@@ -559,8 +564,9 @@ object HnswGeoStore {
       .select(col("cid"), (-col("n")).as("n"),
         (-col("inertia")).as("inertia"), col("mean_d2"),
         lit(0.0).as("max_d2"))
-    del.write.mode("overwrite")
-      .parquet(s"${store.path}/tombstones/epoch=$epoch")
+    if (!delEmpty)
+      del.write.mode("overwrite")
+        .parquet(s"${store.path}/tombstones/epoch=$epoch")
     negStats.write.mode("overwrite")
       .parquet(s"${store.path}/stats/epoch=$epoch")
     if (attrsPresent(spark, store))
@@ -589,8 +595,8 @@ object HnswGeoStore {
     val commits = HnswStore.committedEpochs(spark, store.path)
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
-         dir <- Seq("commits", "segments", "index", "drift", "stats",
-           "attrs", "tombstones")) {
+         dir <- Seq("commits", "commits_writer", "segments", "index",
+           "drift", "stats", "attrs", "tombstones")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)

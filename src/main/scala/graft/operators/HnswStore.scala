@@ -9,17 +9,38 @@ import org.apache.spark.sql.functions._
   * change lands once, not once per store.
   */
 private[graft] object StoreCommits {
-  /** (is_base, writer) of one marker dir — writer None for markers
-    * written before the writer-identity column existed.
+  /** (is_base, writer) of the marker at `$path/commits/$key` — writer
+    * None for markers written before the writer-identity column existed
+    * AND never upgraded. An upgraded legacy marker's writer lives in a
+    * SIDECAR (`$path/commits_writer/$key`) so the migration never
+    * rewrites a COMMITTED marker in place: an overwrite would delete the
+    * marker before re-creating it, and a crash (or concurrent reader) in
+    * that window loses a committed generation/epoch — the exact
+    * crash-invisibility protocol the markers exist for. Losing a torn
+    * sidecar merely degrades that one marker back to the legacy
+    * fallback, never the commit itself.
     */
-  def read(spark: SparkSession, dir: String): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(dir)
+  def read(spark: SparkSession, path: String,
+           key: String): (Boolean, Option[String]) = {
+    val df = spark.read.parquet(s"$path/commits/$key")
     val row = df.select(
       col("is_base") +:
         (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
       .head()
-    (row.getBoolean(0),
-      if (row.size > 1) Option(row.getString(1)) else None)
+    val w =
+      if (row.size > 1) Option(row.getString(1))
+      else sidecarWriter(spark, path, key)
+    (row.getBoolean(0), w)
+  }
+
+  private def sidecarWriter(spark: SparkSession, path: String,
+                            key: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/commits_writer/$key")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.getPath.getName.startsWith("part-") && st.getLen > 0)) None
+    else Some(spark.read.parquet(s"$path/commits_writer/$key")
+      .select(col("writer")).head().getString(0))
   }
 
   /** Fail with the seed contract NAMED when a store at `path` was never
@@ -38,19 +59,22 @@ private[graft] object StoreCommits {
         "streaming sinks) before loading or admitting")
   }
 
-  /** Rewrite LEGACY commit markers (written before the writer-identity
-    * column existed) with an explicit `writer = "legacy"` column — the
+  /** Upgrade LEGACY commit markers (written before the writer-identity
+    * column existed) to an explicit `writer = "legacy"` — the
     * marker-upgrade migration (round-15 verdict): a legacy marker at a
     * replay's allocation slot forces the is_base fallback comparison,
     * which is blind to a non-base out-of-band append racing a non-base
     * replay; post-upgrade every marker carries a writer, so that replay
-    * fails loudly instead. `is_base` is preserved bit-for-bit; upgraded
-    * markers compare as "not this replay's own attempt" exactly like any
-    * other out-of-band writer. Runs at every BASE commit (build starts
-    * clean, so compaction/retrain is the first opportunity a legacy
-    * store meets post-upgrade code) — one merged-schema read of the
-    * marker tree (epoch-count-sized), rewrites only when legacy markers
-    * exist, so a fully-upgraded store pays a no-op read.
+    * fails loudly instead. The writer lands in a SIDECAR
+    * (`commits_writer/<key>` — see [[read]]): committed markers are
+    * NEVER rewritten in place, so there is no window where a crash or a
+    * concurrent reader loses one. `is_base` is untouched; upgraded
+    * markers compare as "not this replay's own attempt" exactly like
+    * any other out-of-band writer. Runs at every BASE commit (build
+    * starts clean, so compaction/retrain is the first opportunity a
+    * legacy store meets post-upgrade code) — one merged-schema read of
+    * the marker tree (epoch-count-sized), sidecar writes only when
+    * legacy markers exist, so a fully-upgraded store pays a no-op read.
     */
   def upgradeLegacy(spark: SparkSession, path: String,
                     keyCol: String): Unit = {
@@ -63,13 +87,12 @@ private[graft] object StoreCommits {
     val legacy =
       if (df.columns.contains("writer"))
         df.filter(col("writer").isNull)
-          .select(col(keyCol).cast("long"), col("is_base"))
-          .collect()
-      else df.select(col(keyCol).cast("long"), col("is_base")).collect()
+          .select(col(keyCol).cast("long")).collect()
+      else df.select(col(keyCol).cast("long")).collect()
     legacy.foreach { r =>
-      Seq((r.getBoolean(1), "legacy")).toDF("is_base", "writer").coalesce(1)
+      Seq(Tuple1("legacy")).toDF("writer").coalesce(1)
         .write.mode("overwrite")
-        .parquet(s"$path/commits/$keyCol=${r.getLong(0)}")
+        .parquet(s"$path/commits_writer/$keyCol=${r.getLong(0)}")
     }
   }
 }
@@ -201,7 +224,7 @@ object HnswStore {
     */
   private[graft] def commitMarker(spark: SparkSession, path: String,
                                   epoch: Long): (Boolean, Option[String]) =
-    StoreCommits.read(spark, s"$path/commits/epoch=$epoch")
+    StoreCommits.read(spark, path, s"epoch=$epoch")
 
   /** Build the store: epoch 0 is a base segment over the whole corpus. */
   def build(spark: SparkSession, emb: DataFrame, path: String,
@@ -254,12 +277,15 @@ object HnswStore {
     require(epoch < Long.MaxValue / ShardStride,
       s"epoch $epoch out of the stride range")
     // stored-ids column streamed through a broadcast of the (small)
-    // erasure set — never a corpus-side shuffle
+    // erasure set — never a corpus-side shuffle; an empty erasure
+    // commits WITHOUT writing a tombstone partition (the deletion-free
+    // fast-path contract)
     val del = store.segments.select(col("vec_id"))
       .join(broadcast(ids.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_semi")
-    del.write.mode("overwrite")
-      .parquet(s"${store.path}/tombstones/epoch=$epoch")
+    if (!del.isEmpty)
+      del.write.mode("overwrite")
+        .parquet(s"${store.path}/tombstones/epoch=$epoch")
     import spark.implicits._
     Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
       .write.mode("overwrite")
@@ -323,7 +349,8 @@ object HnswStore {
     val commits = committedEpochs(spark, store.path)
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
-         dir <- Seq("segments", "tombstones", "commits")) {
+         dir <- Seq("segments", "tombstones", "commits",
+           "commits_writer")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)

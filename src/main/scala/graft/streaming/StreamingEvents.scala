@@ -725,12 +725,23 @@ object StreamingEvents {
         val (_, w) = marker(l)
         if (w.contains(geoWriterTag(batchId))) l - 1
         else if (w.isEmpty && l == batchId + 1) {
+          // committed output = part files OR the _SUCCESS marker (an
+          // EMPTY admitted batch legitimately writes zero part files).
+          // Caveat, stated honestly: the corroboration is evidence of "a
+          // prior attempt of this batch number wrote output here" — an
+          // operator who wipes a checkpoint but reuses BOTH stateDir and
+          // outDir leaves stale batch-0 output that satisfies it; the
+          // deterministic protection for that workflow is the
+          // marker-upgrade migration (stamp the store with one
+          // post-upgrade lifecycle commit — the ambiguous-case error
+          // below says so), after which no legacy heuristic applies.
           val outP = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
           val outFs = outP.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val replayEvidence = outFs.exists(outP) &&
             outFs.listStatus(outP).exists(st =>
-              st.getPath.getName.startsWith("part-"))
+              st.getPath.getName.startsWith("part-") ||
+                st.getPath.getName == "_SUCCESS")
           require(replayEvidence,
             s"$what stream batch $batchId has no batch→$metaCol " +
               s"mapping, and $metaCol ${l} is committed by a LEGACY " +

@@ -607,17 +607,13 @@ object ScaleRehearsal {
       graft.CacheRegistry.releaseAll()
       n
     }
-    t("admit_batch_ladder") {
-      val (kept, _) = CorpusPipeline.admitBatch(spark, state,
-        docs.filter(col("doc_id") < blk), emb, cfg,
-        semanticThreshold = 0.9)
-      val n = kept.count()
-      graft.CacheRegistry.releaseAll()
-      n
-    }
-    // per-leg attribution of the ladder (the admitBatch composition
-    // re-run leg by leg against the SAME pre-state): where any residual
-    // standing-state slope lives — admission filters vs store folds
+    // per-leg attribution of the ladder (the admitBatch composition run
+    // leg by leg against the seed pre-state): where any residual
+    // standing-state slope lives — admission filters vs store folds.
+    // The legs run BEFORE the e2e ladder so their fold timings write
+    // fresh generation/epoch dirs (the ladder's own fold afterwards
+    // overwrites them idempotently, which is the replay semantics the
+    // e2e number legitimately includes).
     val batchDocs = docs.filter(col("doc_id") < blk)
     var textKept: DataFrame = null
     t("admit_leg_text_admission") {
@@ -651,6 +647,14 @@ object ScaleRehearsal {
         checkIds = false)
       graft.CacheRegistry.releaseAll()
       -1L
+    }
+    t("admit_batch_ladder") {
+      val (kept, _) = CorpusPipeline.admitBatch(spark, state,
+        docs.filter(col("doc_id") < blk), emb, cfg,
+        semanticThreshold = 0.9)
+      val n = kept.count()
+      graft.CacheRegistry.releaseAll()
+      n
     }
   }
 

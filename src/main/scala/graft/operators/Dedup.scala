@@ -600,7 +600,8 @@ object Dedup {
                        efSearch: Int = 64,
                        nProbe: Int = Hnsw.DefaultNearDupNProbe,
                        ivfIters: Int = 5,
-                       route: String = "auto"): DataFrame = {
+                       route: String = "auto",
+                       maxCellNodes: Int = 0): DataFrame = {
     require(Set("auto", "routed", "exhaustive")(route),
       s"route=$route must be auto, routed, or exhaustive")
     val spark = emb.sparkSession
@@ -665,7 +666,11 @@ object Dedup {
       // are bounded
       val index = IVF.train(e, cells, ivfIters,
         maxTrainRows = 100L * cells)
-      Hnsw.nearDupPairsRouted(Hnsw.buildGeo(e, index, m, efConstruction),
+      // maxCellNodes > 0 bounds the hot cell by construction
+      // ([[Hnsw.GeoLayout]] sub-shards); the routed scan fans probes to
+      // a probed cell's sub-shards, so the output contract is unchanged
+      Hnsw.nearDupPairsRouted(
+        Hnsw.buildGeo(e, index, m, efConstruction, maxCellNodes),
         index, threshold, nProbe, efSearch)
     } else
       // id-hash shards for the exhaustive fan-out: no index to train, and

@@ -316,6 +316,12 @@ object Hnsw {
     *
     * At 100 TB the memory arm dominates (1e9 × 1024-dim nodes →
     * ~16k shards of 512 MB); at local test scale the latency arm does.
+    *
+    * For GEOMETRY sharding this sizes the MEAN cell; the max is bounded
+    * by construction when [[buildGeo]] is given `maxCellNodes` (hot
+    * cells split into sub-shards under the same centroid —
+    * [[GeoLayout]]), so the policy pair is: k from here, the per-task
+    * cap from `maxNodesPerShard` passed through as the cell cap.
     */
   def defaultShards(n: Long, dim: Int, m: Int = 8, targetTaskMb: Int = 512,
                     maxNodesPerShard: Long = 65536L): Int = {
@@ -332,6 +338,105 @@ object Hnsw {
 
   private def shardCol(shards: Int) =
     pmod(xxhash64(col("vec_id")), lit(shards.toLong))
+
+  /** SUB-SHARD layout of a geometry-sharded store — the hard bound on
+    * the one data-dependent term in the routed path: cell population.
+    * Cells whose population exceeds the build cap split into `n_sub`
+    * id-hash sub-shards UNDER THE SAME CENTROID; the logical shard id
+    * becomes `sub · k + cell` (cell recoverable as `shard % k`), so an
+    * unsplit store's shard ids ARE its cell ids — the pre-layout format,
+    * bitwise. The map holds only split cells (absent ⇒ n_sub = 1);
+    * it is FROZEN with the store exactly like the index (admission and
+    * rebuild assign `sub = hash(vec_id) mod n_sub` — id-deterministic,
+    * so the monotone-id compaction≡rebuild theorem survives under a
+    * fixed layout), and a retrain re-derives it with the new cells.
+    * Probes fan to a probed cell's sub-shards: routing stays ≤ nProbe
+    * CELLS while per-task graph memory is capped by construction.
+    */
+  type GeoLayout = Map[Long, Int]
+
+  /** Derive the sub-shard layout that caps every cell of `emb` (columns
+    * vec_id, embedding) at `maxCellNodes` vectors under `index`: one
+    * cell-count aggregation (≤ k rows to the driver — the same bounded
+    * collect as [[IVF.cellStats]] audits), n_sub = ⌈population / cap⌉.
+    */
+  private[graft] def geoLayout(emb: DataFrame, index: IVF.Index,
+                               maxCellNodes: Int): GeoLayout = {
+    require(maxCellNodes >= 1, s"maxCellNodes=$maxCellNodes must be >= 1")
+    emb.select(IVF.assignExpr(
+          col("embedding").cast("array<double>"), index)
+        .cast("long").as("cell"))
+      .groupBy(col("cell")).count()
+      .filter(col("count") > maxCellNodes.toLong)
+      .collect()
+      .map { r =>
+        val n = (r.getLong(1) + maxCellNodes - 1L) / maxCellNodes.toLong
+        r.getLong(0) -> n.toInt
+      }.toMap
+  }
+
+  /** Recover a store's frozen layout from its own shard ids (one
+    * column-pruned distinct — ≤ k·maxSub group rows): cell = shard % k,
+    * sub = shard / k, n_sub = max sub + 1. Segmented stores carry the
+    * layout PERSISTED beside the index instead
+    * ([[HnswGeoStore]] `layout/epoch=N`) — this derivation is for naked
+    * [[buildGeo]] frames, and under-counts only a cell whose top
+    * sub-shards are ALL empty (impossible on the build/append paths,
+    * which never write an empty sub-shard's peers without the layout).
+    */
+  private[graft] def layoutOfStore(store: DataFrame,
+                                   index: IVF.Index): GeoLayout = {
+    val k = index.k.toLong
+    store.select((col("shard") % lit(k)).as("cell"),
+        floor(col("shard") / lit(k)).cast("long").as("sub"))
+      .groupBy(col("cell")).agg(max(col("sub")).as("maxsub"))
+      .filter(col("maxsub") > 0L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1).toInt + 1)).toMap
+  }
+
+  /** Assign geometry shard ids under a frozen layout: cell by
+    * [[IVF.assignExpr]], sub by id hash within the cell's n_sub. Empty
+    * layout short-circuits to the plain cell id — the exact pre-layout
+    * expression, so unsplit stores keep bitwise plans.
+    */
+  private[graft] def withGeoShard(rows: DataFrame, index: IVF.Index,
+                                  layout: GeoLayout): DataFrame = {
+    val cell = IVF.assignExpr(col("vec"), index).cast("long")
+    if (layout.isEmpty) rows.withColumn("shard", cell)
+    else {
+      val spark = rows.sparkSession
+      import spark.implicits._
+      val lay = layout.toSeq.toDF("__cell", "__nsub")
+      rows.withColumn("__cell", cell)
+        .join(broadcast(lay), Seq("__cell"), "left")
+        .withColumn("shard", col("__cell") +
+          pmod(xxhash64(col("vec_id")),
+            coalesce(col("__nsub"), lit(1)).cast("long")) *
+            lit(index.k.toLong))
+        .drop("__cell", "__nsub")
+    }
+  }
+
+  /** Fan a probe frame's exploded `cellCol` out to every sub-shard of
+    * that cell under `layout`, as a new `shard` column. Empty layout is
+    * the identity cast — the pre-layout plan, bitwise.
+    */
+  private[graft] def fanToSubShards(pr: DataFrame, cellCol: String,
+                                    layout: GeoLayout, k: Int): DataFrame =
+    if (layout.isEmpty) pr.withColumn("shard", col(cellCol).cast("long"))
+    else {
+      val spark = pr.sparkSession
+      import spark.implicits._
+      val lay = layout.toSeq.toDF("__lcell", "__lnsub")
+      pr.join(broadcast(lay), col(cellCol).cast("long") === col("__lcell"),
+          "left")
+        .withColumn("__sub", explode(sequence(lit(0L),
+          coalesce(col("__lnsub"), lit(1)).cast("long") - 1L)))
+        .withColumn("shard",
+          col(cellCol).cast("long") + col("__sub") * lit(k.toLong))
+        .drop("__lcell", "__lnsub", "__sub")
+    }
 
   /** Duplicate vec_ids would silently corrupt the local-index mapping
     * (two rows, one adjacency slot) — fail loudly instead, the same
@@ -390,7 +495,12 @@ object Hnsw {
             // parquet footers make silent row loss the unlikely
             // corruption mode, and a per-shard "is this dangling id a
             // deletion or corruption" test would need the tombstone set
-            // in every task
+            // in every task. The tripwire is re-armed at COMPACTION
+            // instead (ADVICE r16): [[HnswGeoStore]]'s repair arm
+            // asserts every id a rebuilt cell references has a stored
+            // row in the raw epoch — where tombstoned nodes still exist
+            // — so row loss fails loudly at the next compaction rather
+            // than never
             g.adj(li) = nbrs.map(layer => scala.collection.mutable
               .ArrayBuffer(layer.flatMap(local.get): _*)).toArray
           }
@@ -428,9 +538,12 @@ object Hnsw {
     * sharding co-locates geometric neighbors — which is what lets
     * [[nearDupPairsRouted]] route each probe to a BOUNDED number of
     * cells instead of fanning out to every shard. Cell population is
-    * data-dependent (a hot cell makes a big shard); size `index.k` with
-    * [[defaultShards]] so the MEAN cell obeys the memory/latency arms,
-    * and audit skew with [[IVF.cellStats]].
+    * data-dependent; size `index.k` with [[defaultShards]] so the MEAN
+    * cell obeys the memory/latency arms, and pass `maxCellNodes` to
+    * BOUND the max: cells past the cap split into id-hash sub-shards
+    * under the same centroid ([[GeoLayout]]), so one hot cell can no
+    * longer become one giant task — skew is bounded by construction,
+    * not merely audited ([[IVF.cellStats]] remains the audit).
     *
     * Incremental admission ([[add]]) targets ID-HASH stores only — its
     * driver-side guard rejects a geo store loudly (cell ids don't
@@ -440,16 +553,29 @@ object Hnsw {
     * centroid drift degrades the audited recall.
     */
   def buildGeo(emb: DataFrame, index: IVF.Index, m: Int = 8,
-               efConstruction: Int = 64): DataFrame = {
+               efConstruction: Int = 64, maxCellNodes: Int = 0): DataFrame =
+    buildGeoWithLayout(emb, index, m, efConstruction,
+      if (maxCellNodes > 0) geoLayout(emb, index, maxCellNodes)
+      else Map.empty)
+
+  /** [[buildGeo]] under a FIXED [[GeoLayout]] — the delta-epoch /
+    * dirty-cell-rebuild arm: a segmented store's appends and tombstone
+    * repairs must assign with the layout frozen at base-build time (the
+    * [[IVF]] frozen-index discipline applied to sub-shards), never
+    * re-derive one from their own batch's counts.
+    */
+  private[graft] def buildGeoWithLayout(emb: DataFrame, index: IVF.Index,
+                                        m: Int, efConstruction: Int,
+                                        layout: GeoLayout): DataFrame = {
     require(m >= 2 && efConstruction >= m,
       s"bad params: m=$m efConstruction=$efConstruction")
     buildShards(
-      emb.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("vec"))
-        .withColumn("shard",
-          IVF.assignExpr(col("vec"), index).cast("long"))
+      withGeoShard(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec")),
+        index, layout)
         .select(col("shard"), col("vec_id"), col("vec")),
-      index.k, m, efConstruction)
+      index.k + layout.valuesIterator.map(_ - 1).sum, m, efConstruction)
   }
 
   /** Shared build tail: one hash shuffle on `shard` with an
@@ -576,14 +702,20 @@ object Hnsw {
     * from a from-scratch build, as with any HNSW insertion order.
     */
   def addGeo(store: DataFrame, fresh: DataFrame, index: IVF.Index,
-             m: Int = 8, efConstruction: Int = 64): DataFrame = {
+             m: Int = 8, efConstruction: Int = 64,
+             layout: Option[GeoLayout] = None): DataFrame = {
     require(m >= 2 && efConstruction >= m,
       s"bad params: m=$m efConstruction=$efConstruction")
     requireGeoStore(store, index)
-    val freshRows = asProbes(fresh.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("vec"))
-      .withColumn("shard", IVF.assignExpr(col("vec"), index).cast("long")))
-    admitShards(store, freshRows, index.k, m, efConstruction)
+    // the frozen sub-shard layout: the segmented store passes its
+    // persisted one; a naked frame's is recovered from its shard ids
+    val lay = layout.getOrElse(layoutOfStore(store, index))
+    val freshRows = asProbes(withGeoShard(
+      fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec")),
+      index, lay))
+    admitShards(store, freshRows,
+      index.k + lay.valuesIterator.map(_ - 1).sum, m, efConstruction)
   }
 
   /** Shared admission tail of [[add]]/[[addGeo]]: union the store with
@@ -1254,10 +1386,13 @@ object Hnsw {
     val st = graft.CacheRegistry.persist(
       store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
         col("nbrs")))
+    val layout = layoutOfStore(st, index)
     val numParts = math.max(parallelism, math.min(index.k, 4096))
-    val probes = asProbes(st.select(col("vec_id"), col("vec"))
-      .withColumn("__cell", explode(IVF.probeExpr(col("vec"), index, nProbe)))
-      .withColumn("shard", col("__cell").cast("long")))
+    val probes = asProbes(fanToSubShards(
+      st.select(col("vec_id"), col("vec"))
+        .withColumn("__cell",
+          explode(IVF.probeExpr(col("vec"), index, nProbe))),
+      "__cell", layout, index.k).drop("__cell"))
     pairScan(st.unionByName(probes), numParts, threshold, efSearch)
   }
 
@@ -1304,10 +1439,10 @@ object Hnsw {
     require(shared == 0L,
       "store and probe id namespaces overlap — a shared id would " +
         "silently self-exclude from the pair scan; re-key one side")
-    val prs = asProbes(pr0
-      .withColumn("__cell",
-        explode(IVF.probeExpr(col("vec"), index, nProbe)))
-      .withColumn("shard", col("__cell").cast("long")))
+    val prs = asProbes(fanToSubShards(
+      pr0.withColumn("__cell",
+        explode(IVF.probeExpr(col("vec"), index, nProbe))),
+      "__cell", layoutOfStore(st, index), index.k))
     val numParts = math.max(parallelism, math.min(index.k, 4096))
     pairScan(st.unionByName(prs), numParts, threshold, efSearch)
   }
@@ -1321,10 +1456,12 @@ object Hnsw {
     */
   private[operators] def requireGeoStore(store: DataFrame,
                                          index: IVF.Index): Unit = {
+    // cell = shard % k under the sub-shard layout ([[GeoLayout]]);
+    // an unsplit store's shard ids sit in [0, k), where % k is identity
     val badSample = store.select(col("shard"), col("vec"))
       .limit(ShardCheckSample)
       .filter(IVF.assignExpr(col("vec"), index).cast("long") =!=
-        col("shard"))
+        pmod(col("shard"), lit(index.k.toLong)))
       .count()
     require(badSample == 0L,
       s"store was not built with this index: $badSample of a " +

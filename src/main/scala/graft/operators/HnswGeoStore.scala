@@ -47,7 +47,9 @@ object HnswGeoStore {
     * routing surfaces probe across.
     */
   case class Store(path: String, segments: DataFrame, epoch: Long,
-                   baseEpoch: Long, index: IVF.Index) {
+                   baseEpoch: Long, index: IVF.Index,
+                   layout: Hnsw.GeoLayout = Map.empty,
+                   maxCellNodes: Int = 0) {
     /** Live epochs a probe must route across (one per committed batch
       * since the base — appends allocate them consecutively).
       */
@@ -193,6 +195,44 @@ object HnswGeoStore {
     rows.withColumn("shard", col("shard") + lit(epoch * CellStride))
       .write.mode("overwrite").parquet(s"$path/segments/epoch=$epoch")
 
+  /** Persist a base epoch's frozen sub-shard layout
+    * ([[Hnsw.GeoLayout]]) beside its index: (cell, n_sub) rows for the
+    * SPLIT cells plus the build-time cap on every row (self-describing,
+    * so a retrain can re-derive a fresh layout under its new cells with
+    * the same policy). Written only for capped stores — an uncapped
+    * store has no layout dir and loads as the pre-layout format,
+    * bitwise.
+    */
+  private def writeLayout(spark: SparkSession, path: String, epoch: Long,
+                          layout: Hnsw.GeoLayout,
+                          maxCellNodes: Int): Unit = {
+    import spark.implicits._
+    val rows =
+      if (layout.isEmpty) Seq((-1L, 1)) else layout.toSeq
+    rows.toDF("cell", "n_sub")
+      .withColumn("max_cell_nodes", lit(maxCellNodes))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/layout/epoch=$epoch")
+  }
+
+  /** A base epoch's persisted layout + cap, or (empty, 0) for stores
+    * built without a cell cap.
+    */
+  private[graft] def layoutAt(spark: SparkSession, path: String,
+                              epoch: Long): (Hnsw.GeoLayout, Int) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/layout/epoch=$epoch")
+    if (!HnswStore.fs(spark, path).exists(dir)) (Map.empty, 0)
+    else {
+      val rows = spark.read.parquet(dir.toString).collect()
+      val cap = rows.headOption
+        .map(_.getAs[Int]("max_cell_nodes")).getOrElse(0)
+      (rows.iterator
+        .filter(_.getAs[Long]("cell") >= 0L)
+        .map(r => r.getAs[Long]("cell") -> r.getAs[Int]("n_sub"))
+        .filter(_._2 > 1).toMap, cap)
+    }
+  }
+
   /** Build the store: epoch 0 is a base segment ([[Hnsw.buildGeo]] over
     * the whole corpus), `index` is frozen beside it, and the
     * [[IVF.cellStats]] snapshot taken here becomes the drift baseline.
@@ -211,7 +251,7 @@ object HnswGeoStore {
     */
   def build(spark: SparkSession, emb: DataFrame, path: String,
             index: IVF.Index, m: Int = 8,
-            efConstruction: Int = 64): Store = {
+            efConstruction: Int = 64, maxCellNodes: Int = 0): Store = {
     require(index.k < CellStride,
       s"index.k=${index.k} must sit under the cell stride $CellStride")
     val f = HnswStore.fs(spark, path)
@@ -220,7 +260,21 @@ object HnswGeoStore {
     val src = graft.CacheRegistry.persist(emb)
     val corpus = src.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    writeSegment(path, Hnsw.buildGeo(corpus, index, m, efConstruction), 0L)
+    // the hot-cell bound: cells past maxCellNodes split into id-hash
+    // sub-shards under the same centroid, frozen beside the index — the
+    // logical shard range must still sit under the epoch stride
+    val layout =
+      if (maxCellNodes > 0) Hnsw.geoLayout(corpus, index, maxCellNodes)
+      else Map.empty[Long, Int]
+    require(layout.valuesIterator.forall(n =>
+        n.toLong * index.k <= CellStride),
+      s"sub-shard layout overflows the cell stride: max n_sub " +
+        s"${layout.values.max} × k=${index.k} > $CellStride — raise " +
+        "maxCellNodes or lower k")
+    writeSegment(path,
+      Hnsw.buildGeoWithLayout(corpus, index, m, efConstruction, layout), 0L)
+    if (maxCellNodes > 0)
+      writeLayout(spark, path, 0L, layout, maxCellNodes)
     val pcols = payloadCols(src)
     if (pcols.nonEmpty) writeAttrs(path, src, index, 0L, pcols)
     IVF.save(spark, index, s"$path/index/epoch=0")
@@ -262,9 +316,11 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
     val segs = spark.read.parquet(s"$path/segments")
       .filter(col("epoch") >= base && col("epoch") <= epoch)
+    val (layout, cap) = layoutAt(spark, path, base)
     Store(path,
       maskTombstoned(spark, path, base, epoch, segs),
-      epoch, base, IVF.load(spark, s"$path/index/epoch=$base"))
+      epoch, base, IVF.load(spark, s"$path/index/epoch=$base"),
+      layout, cap)
   }
 
   /** The live [base, epoch] tombstones / the epoch-aware masking —
@@ -284,10 +340,12 @@ object HnswGeoStore {
     * to strided shard ids: cell = shard % stride).
     */
   private def requireStridedGeo(st: DataFrame, index: IVF.Index): Unit = {
+    // cell = (shard % stride) % k: the epoch stride above the sub-shard
+    // encoding ([[Hnsw.GeoLayout]] — unsplit stores are the k-identity)
     val bad = st.select(col("shard"), col("vec"))
       .limit(Hnsw.ShardCheckSample)
       .filter(IVF.assignExpr(col("vec"), index).cast("long") =!=
-        pmod(col("shard"), lit(CellStride)))
+        pmod(pmod(col("shard"), lit(CellStride)), lit(index.k.toLong)))
       .count()
     require(bad == 0L,
       s"store segments were not assigned with this index: $bad of a " +
@@ -405,19 +463,47 @@ object HnswGeoStore {
               raw.join(broadcast(del), Seq("vec_id"), "left_semi")
                 .select(col("shard")).distinct())
             val clean = raw.join(broadcast(dirty), Seq("shard"), "left_anti")
-            val dirtyLive = raw
-              .join(broadcast(dirty), Seq("shard"), "left_semi")
+            val dirtyRows = graft.CacheRegistry.persist(
+              raw.join(broadcast(dirty), Seq("shard"), "left_semi"))
+            // ADVICE r16: the dangling-id tolerance at graph
+            // reconstruction masks genuine row loss, so compaction —
+            // the one moment the full raw epoch and the tombstone set
+            // are both at hand — re-arms the corruption tripwire on
+            // exactly the cells it rebuilds: tombstoned nodes are still
+            // PRESENT in the raw epoch (delete writes no segment rows),
+            // so any id a dirty cell's edges reference that is absent
+            // from the raw rows is real corruption, never a deletion.
+            // Dirty-cell-bounded, one equi-join, no per-task shipping.
+            val lostRef = dirtyRows
+              .select(col("shard"), explode(col("nbrs")).as("__layer"))
+              .select(col("shard"), explode(col("__layer")).as("nbr"))
+              .join(dirtyRows.select(col("shard"),
+                col("vec_id").as("nbr")), Seq("shard", "nbr"), "left_anti")
+              .limit(1).count()
+            require(lostRef == 0L,
+              s"segment corruption at ${store.path} epoch " +
+                s"${store.baseEpoch}: a rebuilt cell's graph references " +
+                "a node id with no stored row — dangling ids are legal " +
+                "only for tombstoned nodes, which are still present in " +
+                "the raw epoch; restore the segment from a replica " +
+                "before compacting")
+            val dirtyLive = dirtyRows
               .join(broadcast(del), Seq("vec_id"), "left_anti")
               .select(col("vec_id"), col("vec").as("embedding"))
-            clean.unionByName(
-              Hnsw.buildGeo(dirtyLive, store.index, m, efConstruction))
+            // rebuild under the FROZEN layout: sub assignment is
+            // id-deterministic, so survivors land back in their own
+            // sub-shard — only the dirty sub-shards' graphs change
+            clean.unionByName(Hnsw.buildGeoWithLayout(
+              dirtyLive, store.index, m, efConstruction, store.layout))
         }
         val deltaVecs = store.segments
           .filter(col("shard") >= baseLo + CellStride)
           .select(col("vec_id"), col("vec").as("embedding"))
           .unionByName(freshRows)
-        Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction)
-      } else Hnsw.buildGeo(freshRows, store.index, m, efConstruction)
+        Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction,
+          layout = Some(store.layout))
+      } else Hnsw.buildGeoWithLayout(freshRows, store.index, m,
+        efConstruction, store.layout)
     writeSegment(store.path, rows, epoch)
     if (storeAttrs) {
       if (asBase) {
@@ -455,6 +541,11 @@ object HnswGeoStore {
     }
     if (asBase) {
       IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
+      // the layout is frozen with the index — carried forward to the
+      // new base unchanged (only a retrain re-derives it)
+      if (store.maxCellNodes > 0)
+        writeLayout(spark, store.path, epoch, store.layout,
+          store.maxCellNodes)
       // the compacted base's stats snapshot: fold the live epochs' leaves
       // plus the fresh batch — epoch-count cost under the frozen index.
       // Stores written before stats/ existed fall back to one pruned
@@ -596,12 +687,26 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= store.epoch => e }.max
     for (e <- commits.keys if e < base;
          dir <- Seq("commits", "commits_writer", "segments", "index",
-           "drift", "stats", "attrs", "tombstones")) {
+           "drift", "stats", "attrs", "tombstones", "layout")) {
       val p = new org.apache.hadoop.fs.Path(s"${store.path}/$dir/epoch=$e")
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
     }
   }
+
+  /** The probe fan every routed surface shares: an exploded `cell`
+    * column × the live epochs × the cell's sub-shards under the frozen
+    * layout ([[Hnsw.fanToSubShards]] — a broadcast layout join that
+    * exists only for capped stores; an unsplit store keeps the
+    * pre-layout plan), strided into the stored shard-id space. Routing
+    * stays ≤ nProbe CELLS; the sub fan is what makes the per-task graph
+    * bound hold on the serve side too.
+    */
+  private def stridedFan(pr: DataFrame, store: Store): DataFrame =
+    Hnsw.fanToSubShards(
+      pr.withColumn("epoch", explode(typedLit(store.epochs.toArray))),
+      "cell", store.layout, store.index.k)
+      .withColumn("shard", col("epoch") * lit(CellStride) + col("shard"))
 
   private def emptyServe(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -621,8 +726,9 @@ object HnswGeoStore {
                 efSearch: Int = 48, nProbe: Int = 0): DataFrame = {
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     val cells = IVF.probeIds(store.index, query, np)
-    val targets = for (e <- store.epochs; c <- cells)
-      yield e * CellStride + c
+    val targets = for (e <- store.epochs; c <- cells;
+                       s <- 0 until store.layout.getOrElse(c.toLong, 1))
+      yield e * CellStride + s.toLong * store.index.k + c
     Hnsw.neighbors(
       store.segments.filter(
         col("shard").isin(targets.map(java.lang.Long.valueOf): _*)),
@@ -665,12 +771,9 @@ object HnswGeoStore {
     // scan consume this frame — without it the routing kernel
     // (IVF.probeExpr, a k×dim nearest-cells pass per probe) and the epoch
     // explode would run twice per batch (ADVICE r13)
-    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(pr0
+    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, np)))
-      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
-      .withColumn("shard",
-        col("epoch") * lit(CellStride) + col("cell").cast("long"))))
+        explode(IVF.probeExpr(col("vec"), store.index, np))), store)))
     // prune the store pass to the cells the batch actually probes — a
     // broadcast SEMI-join on the strided shard id (equi-join, never a
     // BNLJ): a micro-batch admission touches a handful of cells, so the
@@ -733,8 +836,18 @@ object HnswGeoStore {
       probedCells =>
         // the predicate runs INSIDE the probed-cell-pruned attr scan:
         // vec_ids are unique across live epochs (the append-time id
-        // guard), so no distinct pass is needed
-        at.join(broadcast(probedCells), Seq("shard"), "left_semi")
+        // guard), so no distinct pass is needed. Attrs are keyed by
+        // PLAIN cell (sub-sharding lives only in the segment graph
+        // rows), so a capped store's probed shard ids project down to
+        // attr space first: cell = (shard % stride) % k under the
+        // epoch stride
+        val attrCells =
+          if (store.layout.isEmpty) probedCells
+          else probedCells.select(
+            (col("shard") - pmod(col("shard"), lit(CellStride)) +
+              pmod(pmod(col("shard"), lit(CellStride)),
+                lit(store.index.k.toLong))).as("shard")).distinct()
+        at.join(broadcast(attrCells), Seq("shard"), "left_semi")
           .filter(predicate).select(col("vec_id"))
     }
   }
@@ -762,12 +875,9 @@ object HnswGeoStore {
       col("embedding").cast("array<double>").as("vec"))
     Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
-    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(pr0
+    val pr = graft.CacheRegistry.persist(Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, np)))
-      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
-      .withColumn("shard",
-        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+        explode(IVF.probeExpr(col("vec"), store.index, np))), store))
       .withColumn("ok", lit(false)))
     val probedCells = pr.select(col("shard")).distinct()
     val okCol = allowedOf(probedCells).withColumn("__ok", lit(true))
@@ -802,12 +912,11 @@ object HnswGeoStore {
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs")))
     requireStridedGeo(st, store.index)
-    val probes = Hnsw.asProbes(st.select(col("vec_id"), col("vec"))
-      .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, nProbe)))
-      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
-      .withColumn("shard",
-        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+    val probes = Hnsw.asProbes(stridedFan(
+      st.select(col("vec_id"), col("vec"))
+        .withColumn("cell",
+          explode(IVF.probeExpr(col("vec"), store.index, nProbe))),
+      store))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     Hnsw.pairScan(st.unionByName(probes), numParts, threshold, efSearch)
@@ -850,12 +959,10 @@ object HnswGeoStore {
     require(shared == 0L,
       "store and probe id namespaces overlap — a shared id would " +
         "silently self-exclude from the pair scan; re-key one side")
-    val prs = Hnsw.asProbes(pr0
+    val prs = Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, nProbe)))
-      .withColumn("epoch", explode(typedLit(store.epochs.toArray)))
-      .withColumn("shard",
-        col("epoch") * lit(CellStride) + col("cell").cast("long")))
+        explode(IVF.probeExpr(col("vec"), store.index, nProbe))),
+      store))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     Hnsw.pairScan(st.unionByName(prs), numParts, threshold, efSearch)
@@ -1038,12 +1145,24 @@ object HnswGeoStore {
       val epoch = store.epoch + 1
       require(epoch < Long.MaxValue / CellStride && kk < CellStride,
         s"epoch=$epoch k=$kk out of the stride range")
+      // a retrain moves the cells, so the hot-cell layout re-derives
+      // under the NEW geometry with the cap the store was built with
+      val layout =
+        if (store.maxCellNodes > 0)
+          Hnsw.geoLayout(corpus, fresh, store.maxCellNodes)
+        else Map.empty[Long, Int]
+      require(layout.valuesIterator.forall(n =>
+          n.toLong * kk <= CellStride),
+        s"retrained sub-shard layout overflows the cell stride: max " +
+          s"n_sub ${layout.values.max} × k=$kk > $CellStride")
       val rows = graft.CacheRegistry.persist(
-        Hnsw.buildGeo(corpus, fresh, m, efConstruction))
+        Hnsw.buildGeoWithLayout(corpus, fresh, m, efConstruction, layout))
       // validate BEFORE the marker lands: a mis-assigned rebuild must
       // stay invisible to readers
       Hnsw.requireGeoStore(rows, fresh)
       writeSegment(store.path, rows, epoch)
+      if (store.maxCellNodes > 0)
+        writeLayout(spark, store.path, epoch, layout, store.maxCellNodes)
       // a retrain MOVES the cells, so attribute payloads re-stride under
       // the new assignment — one vec_id-keyed join against the corpus
       // pass the rebuild already pays (the one honest corpus-sized attr

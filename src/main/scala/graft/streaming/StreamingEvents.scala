@@ -429,7 +429,8 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupAdmitBatch(batch, batchId, stateDir, outDir, threshold,
-          compactEvery)
+          compactEvery,
+          streamInstanceId(batch.sparkSession, checkpointDir))
       }
       .start()
 
@@ -445,15 +446,19 @@ object StreamingEvents {
   private[graft] def dedupAdmitBatch(batch: DataFrame, batchId: Long,
                                      stateDir: String, outDir: String,
                                      threshold: Double,
-                                     compactEvery: Int): Unit = {
+                                     compactEvery: Int,
+                                     instanceId: Option[String] = None)
+      : Unit = {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    val preGen = pinTextPreGen(spark, stateDir, outDir, batchId, asBase)
+    val preGen = pinTextPreGen(spark, stateDir, outDir, batchId, asBase,
+      instanceId)
     val store = DedupState.loadAt(spark, stateDir, preGen)
     val (kept, _) = DedupState.admit(spark, store, batch, threshold,
       asBase, writer = geoWriterTag(batchId))
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
+    writeInstanceSidecar(spark, outDir, batchId, instanceId)
     // reclaim generations superseded by the PREVIOUS base (the
     // pre-admit store view's latest base) — never the range a replay
     // of THIS batch would re-read
@@ -493,16 +498,18 @@ object StreamingEvents {
         // writer-identity guard (the geo sink's discipline): replays are
         // idempotent, out-of-band compacts between runs shift the
         // resumed allocation, races into a crash window fail loudly
+        val instanceId = streamInstanceId(spark, checkpointDir)
         val preEpoch = pinPreState(spark, stateDir, outDir, batchId, asBase,
           "embedding-store", "epoch",
           EmbeddingStore.latestEpoch(spark, stateDir),
-          EmbeddingStore.commitMarker(spark, stateDir, _))
+          EmbeddingStore.commitMarker(spark, stateDir, _), instanceId)
         val store = EmbeddingStore.loadAt(spark, stateDir, preEpoch)
         val (kept, _) =
           EmbeddingStore.admit(spark, store, batch, threshold, asBase,
             writer = geoWriterTag(batchId))
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
+        writeInstanceSidecar(spark, outDir, batchId, instanceId)
         // reclaim epochs superseded by the PREVIOUS base only — a replay
         // of this batch must still find its source range (see
         // dedupAdmissionStream)
@@ -545,15 +552,17 @@ object StreamingEvents {
         // writer-identity guard (the geo sink's discipline): replays are
         // idempotent, out-of-band compacts between runs shift the
         // resumed allocation, races into a crash window fail loudly
+        val instanceId = streamInstanceId(spark, checkpointDir)
         val preEpoch = pinPreState(spark, stateDir, outDir, batchId, asBase,
           "hnsw-store", "epoch",
           HnswStore.latestEpoch(spark, stateDir),
-          HnswStore.commitMarker(spark, stateDir, _))
+          HnswStore.commitMarker(spark, stateDir, _), instanceId)
         val store = HnswStore.loadAt(spark, stateDir, preEpoch)
         val (kept, _) = HnswStore.admit(spark, store, batch, threshold,
           asBase, writer = geoWriterTag(batchId))
         kept.write.mode("overwrite").option("compression", "snappy")
           .parquet(s"$outDir/batch_id=$batchId")
+        writeInstanceSidecar(spark, outDir, batchId, instanceId)
         // reclaim segments superseded by the PREVIOUS base only — a
         // replay of this batch must still find its source range
         if (asBase) {
@@ -626,7 +635,8 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         geoAdmitBatch(batch, batchId, stateDir, outDir, threshold,
-          compactEvery, driftFactor)
+          compactEvery, driftFactor,
+          streamInstanceId(batch.sparkSession, checkpointDir))
       }
       .start()
 
@@ -682,11 +692,66 @@ object StreamingEvents {
     * store's latest committed state id (epoch or generation — `metaCol`
     * names the mapping column, `what` the store kind in messages).
     */
+  /** This stream incarnation's identity: the query id Structured
+    * Streaming mints ONCE at checkpoint creation and persists in
+    * `checkpointDir/metadata` — a wiped-and-recreated checkpoint gets a
+    * fresh id, which is exactly the token that tells incarnations
+    * apart. None only when the metadata file is missing (a caller
+    * outside a running query, e.g. a spec driving the batch body
+    * directly).
+    */
+  private[graft] def streamInstanceId(spark: SparkSession,
+                                      checkpointDir: String)
+      : Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
+  /** Stamp a batch's committed output with the incarnation that wrote
+    * it (ADVICE r16): a `_stream_instance` sidecar beside the part
+    * files, so the legacy-replay corroboration can refuse STALE output
+    * left by a prior incarnation over a reused outDir instead of being
+    * satisfied by it. Written after the parquet commit — a crash
+    * between the two leaves sidecar-less output, which corroborates
+    * only under the documented pre-sidecar fallback.
+    */
+  private def writeInstanceSidecar(spark: SparkSession, outDir: String,
+                                   batchId: Long,
+                                   instanceId: Option[String]): Unit =
+    instanceId.foreach { id =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$outDir/batch_id=$batchId/_stream_instance")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+    }
+
+  private def readInstanceSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                  outP: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(outP, "_stream_instance")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   private def pinPreState(spark: SparkSession, stateDir: String,
                           outDir: String,
                           batchId: Long, asBase: Boolean, what: String,
                           metaCol: String, latest: => Long,
-                          marker: Long => (Boolean, Option[String])): Long = {
+                          marker: Long => (Boolean, Option[String]),
+                          instanceId: Option[String] = None): Long = {
     import spark.implicits._
     val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
     val fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -727,14 +792,19 @@ object StreamingEvents {
         else if (w.isEmpty && l == batchId + 1) {
           // committed output = part files OR the _SUCCESS marker (an
           // EMPTY admitted batch legitimately writes zero part files).
-          // Caveat, stated honestly: the corroboration is evidence of "a
-          // prior attempt of this batch number wrote output here" — an
-          // operator who wipes a checkpoint but reuses BOTH stateDir and
-          // outDir leaves stale batch-0 output that satisfies it; the
-          // deterministic protection for that workflow is the
-          // marker-upgrade migration (stamp the store with one
-          // post-upgrade lifecycle commit — the ambiguous-case error
-          // below says so), after which no legacy heuristic applies.
+          // The output's `_stream_instance` sidecar (ADVICE r16) must
+          // name THIS incarnation when both sides carry one: stale
+          // output left by a wiped-checkpoint-reused-outDir workflow
+          // carries the PRIOR incarnation's id and fails loudly here
+          // instead of corroborating a fresh stream's batch 0.
+          // Sidecar-less output (written before the sidecar existed, or
+          // by an attempt that crashed between the parquet commit and
+          // the stamp) keeps the previous acceptance — that residual is
+          // documented and decays with the fleet; the deterministic
+          // protection either way is the marker-upgrade migration
+          // (stamp the store with one post-upgrade lifecycle commit —
+          // the ambiguous-case error below says so), after which no
+          // legacy heuristic applies.
           val outP = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
           val outFs = outP.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
@@ -742,6 +812,18 @@ object StreamingEvents {
             outFs.listStatus(outP).exists(st =>
               st.getPath.getName.startsWith("part-") ||
                 st.getPath.getName == "_SUCCESS")
+          val sidecar =
+            if (replayEvidence) readInstanceSidecar(outFs, outP) else None
+          for (sid <- sidecar; iid <- instanceId)
+            require(sid == iid,
+              s"$what stream batch $batchId: the committed output under " +
+                s"$outDir/batch_id=$batchId was written by stream " +
+                s"incarnation '$sid', not this one ('$iid') — a wiped " +
+                "checkpoint reusing this outDir cannot be corroborated " +
+                "by the previous incarnation's output; point the fresh " +
+                "stream at a fresh outDir, or stamp the store with one " +
+                "post-upgrade lifecycle commit (e.g. compact()) and " +
+                "restart")
           require(replayEvidence,
             s"$what stream batch $batchId has no batch→$metaCol " +
               s"mapping, and $metaCol ${l} is committed by a LEGACY " +
@@ -791,11 +873,12 @@ object StreamingEvents {
 
   private def pinGeoPreEpoch(spark: SparkSession, stateDir: String,
                              outDir: String,
-                             batchId: Long, asBase: Boolean): Long =
+                             batchId: Long, asBase: Boolean,
+                             instanceId: Option[String] = None): Long =
     pinPreState(spark, stateDir, outDir, batchId, asBase, "geo-store",
       "epoch",
       HnswGeoStore.latestEpoch(spark, stateDir),
-      HnswGeoStore.commitMarker(spark, stateDir, _))
+      HnswGeoStore.commitMarker(spark, stateDir, _), instanceId)
 
   /** [[pinGeoPreEpoch]]'s twin for the generational TEXT dedup store —
     * what lifts [[dedupAdmissionStream]]'s historical restriction that
@@ -807,11 +890,13 @@ object StreamingEvents {
     */
   private def pinTextPreGen(spark: SparkSession, stateDir: String,
                             outDir: String,
-                            batchId: Long, asBase: Boolean): Long =
+                            batchId: Long, asBase: Boolean,
+                            instanceId: Option[String] = None): Long =
     pinPreState(spark, stateDir, outDir, batchId, asBase, "dedup-store",
       "gen",
       graft.operators.DedupState.latestGen(spark, stateDir),
-      graft.operators.DedupState.commitMarker(spark, stateDir, _))
+      graft.operators.DedupState.commitMarker(spark, stateDir, _),
+      instanceId)
 
   /** Drop mappings of batches older than the current one (checkpointed
     * offsets only ever re-run the CURRENT batch, so they can never
@@ -847,10 +932,13 @@ object StreamingEvents {
                                    stateDir: String, outDir: String,
                                    threshold: Double,
                                    compactEvery: Int,
-                                   driftFactor: Double = 0.0): Unit = {
+                                   driftFactor: Double = 0.0,
+                                   instanceId: Option[String] = None)
+      : Unit = {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
-    val preEpoch = pinGeoPreEpoch(spark, stateDir, outDir, batchId, asBase)
+    val preEpoch = pinGeoPreEpoch(spark, stateDir, outDir, batchId, asBase,
+      instanceId)
     val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
     val kept =
       if (asBase && driftFactor > 0.0) {
@@ -876,6 +964,7 @@ object StreamingEvents {
           writer = geoWriterTag(batchId))._1
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
+    writeInstanceSidecar(spark, outDir, batchId, instanceId)
     if (asBase) reclaimGeoAfterBase(spark, store, stateDir, batchId)
     graft.CacheRegistry.releaseAll()
   }
@@ -936,7 +1025,8 @@ object StreamingEvents {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curationAdmitBatch(batch, batchId, textStateDir, geoStateDir,
           outDir, config, semanticThreshold, nProbe, efSearch,
-          compactEvery, driftFactor)
+          compactEvery, driftFactor,
+          streamInstanceId(batch.sparkSession, checkpointDir))
       }
       .start()
 
@@ -949,7 +1039,8 @@ object StreamingEvents {
       geoStateDir: String, outDir: String,
       config: graft.pipelines.CorpusPipeline.Config,
       semanticThreshold: Double, nProbe: Int, efSearch: Int,
-      compactEvery: Int, driftFactor: Double = 0.0): Unit = {
+      compactEvery: Int, driftFactor: Double = 0.0,
+      instanceId: Option[String] = None): Unit = {
     import graft.operators.DedupState
     import graft.pipelines.CorpusPipeline
     val spark = batch.sparkSession
@@ -959,8 +1050,10 @@ object StreamingEvents {
     // pre-generation, geo by the recorded pre-epoch — so out-of-band
     // lifecycle ops on EITHER store between runs shift the resumed
     // stream's allocation instead of being overwritten
-    val preGen = pinTextPreGen(spark, textStateDir, outDir, batchId, asBase)
-    val preEpoch = pinGeoPreEpoch(spark, geoStateDir, outDir, batchId, asBase)
+    val preGen = pinTextPreGen(spark, textStateDir, outDir, batchId,
+      asBase, instanceId)
+    val preEpoch = pinGeoPreEpoch(spark, geoStateDir, outDir, batchId,
+      asBase, instanceId)
     val text = DedupState.loadAt(spark, textStateDir, preGen)
     val geo = HnswGeoStore.loadAt(spark, geoStateDir, preEpoch)
     val docs = batch.select(col("doc_id"), col("text"))
@@ -979,6 +1072,7 @@ object StreamingEvents {
       writer = geoWriterTag(batchId), driftFactor = driftFactor)
     kept.write.mode("overwrite").option("compression", "snappy")
       .parquet(s"$outDir/batch_id=$batchId")
+    writeInstanceSidecar(spark, outDir, batchId, instanceId)
     if (asBase) {
       DedupState.vacuum(spark, text)
       pruneStreamMeta(spark, textStateDir, batchId)

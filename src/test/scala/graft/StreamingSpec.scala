@@ -1103,6 +1103,66 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("stream-instance corroboration (ADVICE r16): stale output " +
+       "stamped by a PRIOR incarnation cannot corroborate a fresh " +
+       "stream's batch 0, while the SAME incarnation's own crashed " +
+       "output still does") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-geoinst-state")
+    val outDir = s"${tmpDir("graft-geoinst-out")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    val base = HnswGeoStore.build(spark, seed, stateDir, index)
+    // the pre-mapping crashed-after-commit shape (first migration test):
+    // batch 0 committed epoch 1 under legacy markers, output written —
+    // but the output is STAMPED by an incarnation
+    val batch = Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    HnswGeoStore.admit(spark, base, batch, threshold = 0.9)
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+    val sidecar = new org.apache.hadoop.fs.Path(
+      s"$outDir/batch_id=0/_stream_instance")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    out.write("incarnation-old".getBytes("UTF-8")); out.close()
+    for (e <- 0L to 1L) {
+      val legacy = spark.read.parquet(s"$stateDir/commits/epoch=$e")
+        .select("is_base").collect().map(_.getBoolean(0)).toSeq
+      legacy.map(Tuple1(_)).toDF("is_base").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/commits/epoch=$e")
+    }
+    // a DIFFERENT incarnation (wiped checkpoint, reused stateDir+outDir)
+    // must refuse the stale corroboration loudly
+    val err = intercept[IllegalArgumentException] {
+      StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+        threshold = 0.9, compactEvery = 0,
+        instanceId = Some("incarnation-new"))
+    }
+    assert(err.getMessage.contains("incarnation-old") &&
+      err.getMessage.contains("incarnation-new"), err.getMessage)
+    // the legacy epoch survived untouched and no mapping was pinned
+    assert(HnswGeoStore.load(spark, stateDir).segments
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stateDir/stream_meta/batch_id=0")),
+      "a refused corroboration must not pin a mapping")
+    // the SAME incarnation replaying its own crash is corroborated and
+    // pins the old allocation exactly as before
+    StreamingEvents.geoAdmitBatch(batch, 0L, stateDir, outDir,
+      threshold = 0.9, compactEvery = 0,
+      instanceId = Some("incarnation-old"))
+    assert(spark.read.parquet(s"$outDir/batch_id=0")
+      .select("vec_id").as[Long].collect().toSet === Set(11L))
+    // and the replay re-stamped its output with its own identity
+    val in = fs.open(sidecar)
+    val stamped =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(stamped === "incarnation-old")
+    CacheRegistry.releaseAll()
+  }
+
   test("legacy-marker upgrade migration: a base commit rewrites " +
        "pre-writer markers with writer='legacy', and the formerly-blind " +
        "scenario (legacy non-base marker at a non-base replay's " +

@@ -81,9 +81,27 @@ object DedupState {
     * — so the store needs no corpus TEXT at all. `gen` is -1 for catalog
     * snapshots, which cannot [[append]].
     */
+  /** `buckets` > 0 marks the HASH-BUCKET-PARTITIONED generational
+    * layout (round-16 verdict #2): every generation's tables are
+    * written with a `bucket = hash(key) mod buckets` PARTITION column
+    * (posting/signatures/doc_fps by doc_id, shingle_df by s,
+    * fingerprints by h), so an erasure- or batch-keyed read prunes to
+    * the key set's buckets at the SCAN instead of streaming the whole
+    * table through a broadcast filter. `bucketed` carries the
+    * bucket-retaining masked views the pruned reads filter
+    * ([[prunedView]]); the public frames stay bucket-free so every
+    * downstream schema is unchanged. Honest pigeonhole note: pruning
+    * bites only while |key set| ≪ buckets — erasure sets and
+    * batch fingerprints qualify; a batch's SHINGLE vocabulary
+    * (~10⁵ keys) hashes into every bucket, so the admission-side
+    * posting/dfs scans stay column-pruned linear reads by
+    * construction, not by accident (BASELINE names the measurement).
+    */
   case class Store(posting: DataFrame, shingleDf: DataFrame,
                    signatures: DataFrame, fingerprints: DataFrame,
-                   params: Params, path: String, gen: Long)
+                   params: Params, path: String, gen: Long,
+                   buckets: Int = 0,
+                   bucketed: Map[String, DataFrame] = Map.empty)
 
   /** Build a store from a corpus (doc_id, text) at `path` as generation
     * 0 (any stale contents of `path` are cleared first). With
@@ -96,7 +114,11 @@ object DedupState {
   def build(spark: SparkSession, corpus: DataFrame, path: String,
             n: Int = 3, numPerms: Int = 16, bands: Int = 4,
             maxDf: Int = Dedup.DefaultMaxShingleDf, hashTag: String = "xx",
-            catalog: Option[(String, Int)] = None): Store = {
+            catalog: Option[(String, Int)] = None,
+            buckets: Int = 0): Store = {
+    require(buckets == 0 || catalog.isEmpty,
+      "buckets applies to the generational layout; the catalog layout " +
+        "has its own bucketing (the second member of `catalog`)")
     val permHash = PermHashes(hashTag)
     val posting = graft.CacheRegistry.persist(Dedup.docShingles(corpus, n))
     val dfs = posting.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -115,12 +137,14 @@ object DedupState {
       case None =>
         cleanDir(spark, path)
         writeParams(spark, path, params)
+        if (buckets > 0) writeBucketsMarker(spark, path, buckets)
         writeGeneration(spark, path, gen = 0L,
           newPosting = posting, dfs = dfs, sigs = sigs, newFps = fps,
           isBase = true,
           docFps = Some(corpus.select(col("doc_id"),
             graft.functions.TextFunctions.md5Fingerprint(col("text"))
-              .as("h"))))
+              .as("h"))),
+          buckets = buckets)
         load(spark, path)
     }
   }
@@ -203,12 +227,23 @@ object DedupState {
     def liveG(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir")
         .filter(col("gen") >= base && col("gen") <= gen)
+    val nb = storeBuckets(spark, path)
+    // bucket-retaining masked views feed [[prunedView]]'s
+    // partition-pruned reads; the public frames drop the partition
+    // column so every downstream schema is unchanged (drop of an
+    // absent column is a no-op on legacy stores)
+    val postingM = masked(liveG("posting"), tombs, "doc_id")
+    val fpsM = masked(liveG("fingerprints"), fpTombs, "h")
     Store(
-      posting = masked(liveG("posting"), tombs, "doc_id"),
+      posting = postingM.drop("bucket"),
       shingleDf = resolvedDfs(spark, path, base, gen),
       signatures = resolvedSignatures(spark, path, base, gen),
-      fingerprints = masked(liveG("fingerprints"), fpTombs, "h"),
-      params = params, path = path, gen = gen)
+      fingerprints = fpsM.drop("bucket"),
+      params = params, path = path, gen = gen,
+      buckets = nb,
+      bucketed =
+        if (nb > 0) Map("posting" -> postingM, "fingerprints" -> fpsM)
+        else Map.empty)
   }
 
   /** The dfs view at `gen`: the base generation's FULL snapshot plus the
@@ -222,7 +257,7 @@ object DedupState {
   private def resolvedDfs(spark: SparkSession, path: String,
                           base: Long, gen: Long): DataFrame = {
     val snap = spark.read.parquet(s"$path/shingle_df")
-      .filter(col("gen") === base).drop("gen")
+      .filter(col("gen") === base).drop("gen", "bucket")
     if (gen == base) snap
     else {
       val deltas = spark.read.parquet(s"$path/shingle_df")
@@ -247,14 +282,14 @@ object DedupState {
                                  base: Long, gen: Long): DataFrame = {
     val all = spark.read.parquet(s"$path/signatures")
       .filter(col("gen") >= base && col("gen") <= gen)
-    if (gen == base) all.drop("gen")
+    if (gen == base) all.drop("gen", "bucket")
     else optionalLive(spark, path, "sig_gone", base, gen, keepGen = true)
-      .fold(all.drop("gen")) { gone =>
+      .fold(all.drop("gen", "bucket")) { gone =>
         val gmax = gone.groupBy(col("doc_id"))
           .agg(max(col("gen")).as("__ggen"))
         all.join(broadcast(gmax), Seq("doc_id"), "left")
           .filter(col("__ggen").isNull || col("gen") >= col("__ggen"))
-          .drop("gen", "__ggen")
+          .drop("gen", "__ggen", "bucket")
       }
   }
 
@@ -286,25 +321,30 @@ object DedupState {
     * docs as unregistered — worse than failing).
     */
   private def liveDocFps(spark: SparkSession, path: String, base: Long,
-                         gen: Long): Option[DataFrame] = {
+                         gen: Long,
+                         sel: Option[Column] = None): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val complete = (base to gen).forall(g => fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/doc_fps/gen=$g")))
     if (!complete) None
     else {
-      val raw = spark.read.parquet(s"$path/doc_fps")
+      // `sel` is a bucket-partition filter ([[forget]]'s erasure-keyed
+      // prune) — applied before the partition column is dropped so the
+      // scan reads only the selected buckets
+      val raw0 = spark.read.parquet(s"$path/doc_fps")
         .filter(col("gen") >= base && col("gen") <= gen)
+      val raw = sel.fold(raw0)(raw0.filter)
       Some(optionalLive(spark, path, "tombstones", base, gen,
         keepGen = true)
-        .fold(raw.drop("gen")) { t =>
+        .fold(raw.drop("gen", "bucket")) { t =>
           // gen-aware, like loadAt: a re-admitted doc's registry row
           // post-dates its tombstone and must survive it
           val tmax = t.groupBy(col("doc_id"))
             .agg(max(col("gen")).as("__tgen"))
           raw.join(broadcast(tmax), Seq("doc_id"), "left")
             .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
-            .drop("gen", "__tgen")
+            .drop("gen", "__tgen", "bucket")
         })
     }
   }
@@ -335,7 +375,8 @@ object DedupState {
       sigs = store.signatures,
       newFps = store.fingerprints.distinct(),
       isBase = true,
-      docFps = liveDocFps(spark, store.path, base, store.gen))
+      docFps = liveDocFps(spark, store.path, base, store.gen),
+      buckets = store.buckets)
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -503,7 +544,8 @@ object DedupState {
       newFps =
         if (asBase) store.fingerprints.unionByName(freshFps).distinct()
         else freshFps,
-      isBase = asBase, writer = writer, docFps = docFps)
+      isBase = asBase, writer = writer, docFps = docFps,
+      buckets = store.buckets)
     loadAt(spark, store.path, store.gen + 1)
   }
 
@@ -520,12 +562,15 @@ object DedupState {
     val freshReps = fresh.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("text"), col("dup_count"))
-    // stored fingerprints pruned to the batch's hashes FIRST (broadcast
-    // semi — the corpus-doc-sized table streams, never shuffles), then
-    // the batch anti-joins the tiny hit set
+    // stored fingerprints pruned to the batch's hashes FIRST — a
+    // partition prune on a bucketed store when the batch's hash set
+    // leaves buckets unread, then the broadcast semi either way (the
+    // corpus-doc-sized table streams, never shuffles) — and the batch
+    // anti-joins the tiny hit set
     val withH = freshReps.withColumn("h",
       graft.functions.TextFunctions.md5Fingerprint(col("text")))
-    val storedHits = store.fingerprints
+    val storedHits = prunedView(store, "fingerprints", withH, "h",
+        store.fingerprints)
       .join(broadcast(withH.select(col("h"))), Seq("h"), "left_semi")
     val unseen = withH
       .join(broadcast(storedHits), Seq("h"), "left_anti")
@@ -605,16 +650,35 @@ object DedupState {
           "registry (doc_fps/), so forget cannot decide which erased " +
           "texts' fingerprints are still carried by surviving docs — " +
           "rebuild the store with build() to migrate"))
+    // erasure-keyed PARTITION prunes (the bucketed layout's payoff —
+    // round-16 verdict #2): the erased-id set is takedown-sized, so the
+    // doc-keyed scans read only its buckets; unbucketed stores keep the
+    // broadcast-pruned full scans, and the survivor-side reads below
+    // (removedHs' anti-join over the whole registry) legitimately stay
+    // full either way
+    val idsK = graft.CacheRegistry.persist(
+      ids.select(col("doc_id")).distinct())
+    val regSel: Option[Column] =
+      if (store.buckets > 0) {
+        val bs = idsK
+          .select(bucketOf(col("doc_id"), store.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (bs.size >= store.buckets) None
+        else Some(col("bucket").isin(bs.map(Integer.valueOf): _*))
+      } else None
+    val regForDel = regSel.fold(registry)(s =>
+      liveDocFps(spark, store.path, base, store.gen, Some(s)).get)
     // registry doc-id column streamed through a broadcast of the (small)
     // erasure set — never a corpus-side shuffle
     val del = graft.CacheRegistry.persist(
-      registry.select(col("doc_id"))
-        .join(broadcast(ids.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi").distinct())
-    // the erased docs' posting rows: one broadcast-pruned scan feeds the
-    // df decrements AND (by anti) the surviving posting view
+      regForDel.select(col("doc_id"))
+        .join(broadcast(idsK), Seq("doc_id"), "left_semi").distinct())
+    // the erased docs' posting rows: one bucket- and broadcast-pruned
+    // scan feeds the df decrements AND (by anti) the surviving posting
+    // view
     val delPosting = graft.CacheRegistry.persist(
-      store.posting.join(broadcast(del), Seq("doc_id"), "left_semi"))
+      prunedView(store, "posting", del, "doc_id", store.posting)
+        .join(broadcast(del), Seq("doc_id"), "left_semi"))
     val delDf = graft.CacheRegistry.persist(
       delPosting.groupBy(col("s")).agg(count(lit(1)).as("ddf")))
     val newDfs = graft.CacheRegistry.persist(
@@ -639,12 +703,11 @@ object DedupState {
     val affPosting = livePosting
       .join(broadcast(affected), Seq("doc_id"), "left_semi")
     val overCap = newDfs.filter(col("df") > p.maxDf).select(col("s"))
-    val affCapped = affPosting
-      .join(broadcast(overCap), Seq("s"), "left_anti")
+    val affCapped = antiOverCap(affPosting, overCap)
       .select(col("doc_id"), col("s"))
     val repaired = Dedup.sizedSignatures(affCapped, p.numPerms, permHash)
     // fingerprint tombstones: hashes whose every live carrier is erased
-    val delHs = registry.join(broadcast(del), Seq("doc_id"), "left_semi")
+    val delHs = regForDel.join(broadcast(del), Seq("doc_id"), "left_semi")
       .select(col("h")).distinct()
     val removedHs = delHs.join(
       registry.join(broadcast(del), Seq("doc_id"), "left_anti")
@@ -662,22 +725,22 @@ object DedupState {
       removedHs.select(col("h")).write.mode("overwrite")
         .parquet(s"${store.path}/fp_tombstones/gen=$gen")
     }
-    // empty delta rows keep the per-generation layout uniform
-    store.posting.limit(0).write.mode("overwrite")
-      .parquet(s"${store.path}/posting/gen=$gen")
-    store.fingerprints.limit(0).write.mode("overwrite")
-      .parquet(s"${store.path}/fingerprints/gen=$gen")
-    registry.limit(0).write.mode("overwrite")
-      .parquet(s"${store.path}/doc_fps/gen=$gen")
+    // empty delta rows keep the per-generation layout uniform (bucketed
+    // stores write them through the same partitioned writer — an empty
+    // frame writes no partition dirs, which discovery ignores)
+    writeTable(store.posting.limit(0), store.path, "posting", gen,
+      store.buckets)
+    writeTable(store.fingerprints.limit(0), store.path, "fingerprints",
+      gen, store.buckets)
+    writeTable(registry.limit(0), store.path, "doc_fps", gen,
+      store.buckets)
     // DELTA dfs: only the shingles the erasure decremented (a zero means
     // gone — the resolve drops it); DELTA signatures: the down-flip
     // repairs, with sig_gone markers for erased AND repaired docs
-    store.shingleDf.join(broadcast(delDf), Seq("s"))
-      .select(col("s"), (col("df") - col("ddf")).as("df"))
-      .write.mode("overwrite")
-      .parquet(s"${store.path}/shingle_df/gen=$gen")
-    repaired.write.mode("overwrite")
-      .parquet(s"${store.path}/signatures/gen=$gen")
+    writeTable(store.shingleDf.join(broadcast(delDf), Seq("s"))
+        .select(col("s"), (col("df") - col("ddf")).as("df")),
+      store.path, "shingle_df", gen, store.buckets)
+    writeTable(repaired, store.path, "signatures", gen, store.buckets)
     if (!delEmpty)
       del.unionByName(affected).distinct().write.mode("overwrite")
         .parquet(s"${store.path}/sig_gone/gen=$gen")
@@ -708,6 +771,29 @@ object DedupState {
       .join(broadcast(inStore.select(col("s"))), Seq("s"), "left_anti")
       .select(col("s"), lit(0L).as("cdf"), col("fdf"))
     graft.CacheRegistry.persist(inStore.unionByName(unseen))
+  }
+
+  /** Broadcast budget for the over-cap complement, in rows: 4M shingle
+    * hashes ≈ 32 MB serialized — comfortably under executor/driver
+    * broadcast headroom, far above any rehearsed vocabulary head.
+    */
+  private[graft] val OverCapBroadcastMaxRows = 4000000L
+
+  /** Anti-join a posting frame against the over-cap complement. Every
+    * other repair-side frame is batch- or erasure-bounded, but the
+    * complement is the Zipf HEAD of the STANDING vocabulary — the one
+    * frame here whose size grows with the corpus (ADVICE r16) — so the
+    * broadcast is guarded by a count and falls back to a plain shuffle
+    * anti-join past the budget. The repair arm is a rare Zipf-boundary
+    * event; an occasional shuffle there is the honest cost of never
+    * shipping an unbounded set to the driver.
+    */
+  private def antiOverCap(affPosting: DataFrame,
+                          overCap: DataFrame): DataFrame = {
+    val head = graft.CacheRegistry.persist(overCap)
+    if (head.count() <= OverCapBroadcastMaxRows)
+      affPosting.join(broadcast(head), Seq("s"), "left_anti")
+    else affPosting.join(head, Seq("s"), "left_anti")
   }
 
   /** The df-cap FLIP repair product: (affected corpus docs, their
@@ -745,8 +831,7 @@ object DedupState {
         .unionByName(merged.filter(col("cdf") + col("fdf") > p.maxDf)
           .select(col("s")))
       val repaired = Dedup.sizedSignatures(
-        affPosting.join(broadcast(overCap), Seq("s"), "left_anti"),
-        p.numPerms, permHash)
+        antiOverCap(affPosting, overCap), p.numPerms, permHash)
       Some((affected, repaired))
     }
   }
@@ -767,25 +852,54 @@ object DedupState {
     * into theirs, and the commit marker LAST — a crash before the marker
     * leaves the generation invisible to every reader.
     */
+  /** The per-table bucket KEYS of the bucketed layout — chosen by each
+    * table's BOUNDED-key-set read (the one partition pruning can serve;
+    * see the [[Store]] pigeonhole note): posting/signatures/doc_fps by
+    * doc_id (erasure and repair are doc-keyed), shingle_df by s,
+    * fingerprints by h. Deterministic in the key, so every generation —
+    * build, append, forget delta, compaction — lands rows of one key in
+    * one bucket forever.
+    */
+  private val BucketKeys = Map(
+    "posting" -> "doc_id", "signatures" -> "doc_id",
+    "doc_fps" -> "doc_id", "shingle_df" -> "s", "fingerprints" -> "h")
+
+  private[graft] def bucketOf(key: Column, nb: Int): Column =
+    pmod(xxhash64(key), lit(nb.toLong)).cast("int")
+
+  /** Write one generation table, hash-bucket-partitioned when the store
+    * is bucketed (empty deltas write no partition dirs — uniform-depth
+    * discovery is preserved because bucketed-ness is decided once at
+    * [[build]] and never mixed within a store).
+    */
+  private def writeTable(df: DataFrame, path: String, table: String,
+                         gen: Long, buckets: Int): Unit =
+    if (buckets > 0)
+      df.withColumn("bucket", bucketOf(col(BucketKeys(table)), buckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/$table/gen=$gen")
+    else df.write.mode("overwrite").parquet(s"$path/$table/gen=$gen")
+
   private def writeGeneration(spark: SparkSession, path: String, gen: Long,
                               newPosting: DataFrame, dfs: DataFrame,
                               sigs: DataFrame, newFps: DataFrame,
                               isBase: Boolean = false,
                               writer: String = "lifecycle",
                               docFps: Option[DataFrame] = None,
-                              sigGone: Option[DataFrame] = None): Unit = {
+                              sigGone: Option[DataFrame] = None,
+                              buckets: Int = 0): Unit = {
     import spark.implicits._
-    newPosting.write.mode("overwrite").parquet(s"$path/posting/gen=$gen")
-    newFps.write.mode("overwrite").parquet(s"$path/fingerprints/gen=$gen")
+    writeTable(newPosting, path, "posting", gen, buckets)
+    writeTable(newFps, path, "fingerprints", gen, buckets)
     // the (doc_id, h) registry behind [[forget]] — None keeps a legacy
     // store's registry honestly incomplete rather than silently partial
-    docFps.foreach(_.write.mode("overwrite")
-      .parquet(s"$path/doc_fps/gen=$gen"))
+    docFps.foreach(writeTable(_, path, "doc_fps", gen, buckets))
     // superseded-signature markers for a DELTA generation's repairs
+    // (doc-count-bounded — never worth a bucket layout)
     sigGone.foreach(_.write.mode("overwrite")
       .parquet(s"$path/sig_gone/gen=$gen"))
-    dfs.write.mode("overwrite").parquet(s"$path/shingle_df/gen=$gen")
-    sigs.write.mode("overwrite").parquet(s"$path/signatures/gen=$gen")
+    writeTable(dfs, path, "shingle_df", gen, buckets)
+    writeTable(sigs, path, "signatures", gen, buckets)
     // writer identity (the [[graft.operators.HnswGeoStore]] marker
     // discipline): lifecycle ops vs the streaming sink's per-batch tag,
     // so a crash-replay can tell its own crashed commit from an
@@ -811,6 +925,45 @@ object DedupState {
   private[graft] def commitMarker(spark: SparkSession, path: String,
                                   gen: Long): (Boolean, Option[String]) =
     StoreCommits.read(spark, path, s"gen=$gen")
+
+  private def writeBucketsMarker(spark: SparkSession, path: String,
+                                 nb: Int): Unit = {
+    import spark.implicits._
+    Seq(nb).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** The store-wide bucket count (0 = the unbucketed legacy layout) —
+    * decided once at [[build]]; appends/forgets/compactions inherit it
+    * so partition-dir depth never mixes within a table.
+    */
+  private def storeBuckets(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else spark.read.parquet(p.toString).head().getInt(0)
+  }
+
+  /** Partition-pruned view of a bucketed table for a BOUNDED key set:
+    * filter the bucket-retaining masked view to the keys' buckets (one
+    * key-frame-sized action), falling back to the full view when the
+    * store is unbucketed or the key set saturates the buckets (the
+    * pigeonhole case — every bucket would be read anyway, so the
+    * filter would only add plan noise).
+    */
+  private def prunedView(store: Store, table: String, keys: DataFrame,
+                         keyCol: String, full: => DataFrame): DataFrame =
+    store.bucketed.get(table) match {
+      case Some(raw) if store.buckets > 0 =>
+        val bs = keys
+          .select(bucketOf(col(keyCol), store.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (bs.size >= store.buckets) full
+        else raw.filter(col("bucket")
+            .isin(bs.map(Integer.valueOf): _*))
+          .drop("bucket")
+      case _ => full
+    }
 
   private def writeParams(spark: SparkSession, path: String,
                           params: Params): Unit = {

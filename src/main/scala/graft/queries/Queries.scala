@@ -5155,7 +5155,59 @@ object Queries {
         graft.operators.DedupState.incrementalDedup(
           forgotten, docs.filter(col("doc_id") >= 300))
       },
-      Some(forgetAdmissionOracleSql))
+      Some(forgetAdmissionOracleSql)),
+
+    // ── Q207: the BUCKET-PARTITIONED generational layout under q205's
+    //          ENTIRE forget-admission oracle — build(buckets = 16)
+    //          writes every generation table with a hash-bucket
+    //          partition column (posting/signatures/doc_fps by doc_id,
+    //          shingle_df by s, fingerprints by h), so forget's
+    //          erasure-keyed scans become PARTITION-pruned reads of the
+    //          erased ids' buckets (round-16 verdict #2). The layout
+    //          must be invisible in every value: the oracle replays the
+    //          full admission over corpus-minus-erased exactly as q205's
+    //          — a row misrouted to the wrong bucket, a prune that drops
+    //          a live row, or a delta written with the wrong layout
+    //          breaks the hash. DedupStateSpec pins the plain ≡ bucketed
+    //          store relation-by-relation across the whole lifecycle. ───
+    QueryDef("q207_bucketed_forget",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-dedup-state-q207"
+        val store = graft.operators.DedupState.build(
+          s, docs.filter(col("doc_id") < 300), path, hashTag = "md5",
+          buckets = 16)
+        val forgotten = graft.operators.DedupState.forget(s, store,
+          docs.filter(col("doc_id") < 300 && col("doc_id") % 7 === 3)
+            .select(col("doc_id")))
+        graft.operators.DedupState.incrementalDedup(
+          forgotten, docs.filter(col("doc_id") >= 300))
+      },
+      Some(forgetAdmissionOracleSql)),
+
+    // ── Q206: the HOT-CELL BOUND, oracle-invisible — q191's routed
+    //          near-dup scan with `maxCellNodes = 48`, which at this
+    //          corpus forces EVERY cell past the cap to split into
+    //          id-hash sub-shards under its centroid
+    //          ([[graft.operators.Hnsw.GeoLayout]] — the round-16
+    //          verdict's one unbounded per-task term, now capped by
+    //          construction). The oracle is q191's exact all-pairs SQL
+    //          UNCHANGED: probes fan to a probed cell's sub-shards, so
+    //          the split must be INVISIBLE in the output — a probe row
+    //          lost at the sub fan, a vector assigned off its frozen
+    //          sub-shard, or a pair missed across a split boundary
+    //          breaks the hash. HotCellSpec pins the other half of the
+    //          claim (max per-task graph ≤ the cap envelope) on a
+    //          planted-skew corpus. ─────────────────────────────────────
+    QueryDef("q206_hot_cell_pairs",
+      (s, dir) => graft.operators.Dedup.hnswNearDupPairs(
+        t(s, dir, "embeddings"), 0.35, shards = 4, maxCellNodes = 48),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS i, b.vec_id AS j,
+             |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same

@@ -258,6 +258,55 @@ class DedupStateSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bucket-partitioned GENERATIONAL layout: every view, admission " +
+       "answer, and the full forget lifecycle are value-identical to " +
+       "the unbucketed store, and the erasure-keyed reads carry a " +
+       "bucket partition filter") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 350)
+    val probe = docs.filter(col("doc_id") >= 350)
+    var plain = DedupState.build(spark, corpus, tmpDir("dgbA"))
+    var bk = DedupState.build(spark, corpus, tmpDir("dgbB"), buckets = 16)
+    assert(bk.buckets === 16 && bk.bucketed.keySet === Set(
+      "posting", "fingerprints"))
+    // the partition column never leaks into the public view schemas
+    Seq(bk.posting, bk.shingleDf, bk.signatures, bk.fingerprints)
+      .foreach(v => assert(!v.columns.contains("bucket"), v.columns.toSeq))
+    sameStore(bk, plain, "bucketed build vs plain")
+    // admission over the bucketed store ≡ over the plain store
+    val a = pairKey(DedupState.incrementalNearDups(plain, batch1))
+    CacheRegistry.releaseAll()
+    val b = pairKey(DedupState.incrementalNearDups(bk, batch1))
+    CacheRegistry.releaseAll()
+    assert(a === b && a.nonEmpty)
+    // append inherits the layout; the grown views still agree
+    plain = DedupState.append(spark, plain, batch1)
+    bk = DedupState.append(spark, bk, batch1)
+    assert(bk.buckets === 16, "append must inherit the bucket layout")
+    sameStore(bk, plain, "bucketed append vs plain")
+    // forget: the erasure-keyed registry/posting reads PRUNE to the
+    // erased ids' buckets — visible as a partition filter in the scan —
+    // and the result is value-identical to the plain store's forget
+    val erased = docs.filter(col("doc_id") < 350 &&
+      col("doc_id") % 7 === 3).select("doc_id")
+    plain = DedupState.forget(spark, plain, erased)
+    bk = DedupState.forget(spark, bk, erased)
+    sameStore(bk, plain, "bucketed forget vs plain")
+    val pa = pairKey(DedupState.incrementalNearDups(plain, probe))
+    CacheRegistry.releaseAll()
+    val pb = pairKey(DedupState.incrementalNearDups(bk, probe))
+    CacheRegistry.releaseAll()
+    assert(pa === pb && pa.nonEmpty)
+    // compaction carries the layout; the physical-erasure point agrees
+    plain = DedupState.compact(spark, plain)
+    bk = DedupState.compact(spark, bk)
+    sameStore(bk, plain, "bucketed compact vs plain")
+    assert(DedupState.load(spark, bk.path).buckets === 16,
+      "the bucket marker must survive the whole lifecycle")
+    CacheRegistry.releaseAll()
+  }
+
   // ── forget: erasure from the standing store ────────────────────────────
 
   private def relRows(df: DataFrame): Set[Seq[String]] =

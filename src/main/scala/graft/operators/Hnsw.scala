@@ -564,9 +564,18 @@ object Hnsw {
     * [[IVF]] frozen-index discipline applied to sub-shards), never
     * re-derive one from their own batch's counts.
     */
+  /** `parallelism` > 0 overrides the default one-partition-per-shard
+    * task layout — the DELTA-build knob: a batch-sized delta touching a
+    * handful of cells must not schedule k near-empty tasks (the
+    * admit-ladder's measured task-count floor); shards group within a
+    * partition and [[buildStream]] still materializes one at a time, so
+    * partition count is a scheduling choice, never a memory or
+    * correctness one.
+    */
   private[graft] def buildGeoWithLayout(emb: DataFrame, index: IVF.Index,
                                         m: Int, efConstruction: Int,
-                                        layout: GeoLayout): DataFrame = {
+                                        layout: GeoLayout,
+                                        parallelism: Int = 0): DataFrame = {
     require(m >= 2 && efConstruction >= m,
       s"bad params: m=$m efConstruction=$efConstruction")
     buildShards(
@@ -575,7 +584,9 @@ object Hnsw {
           col("embedding").cast("array<double>").as("vec")),
         index, layout)
         .select(col("shard"), col("vec_id"), col("vec")),
-      index.k + layout.valuesIterator.map(_ - 1).sum, m, efConstruction)
+      if (parallelism > 0) parallelism
+      else index.k + layout.valuesIterator.map(_ - 1).sum,
+      m, efConstruction)
   }
 
   /** Shared build tail: one hash shuffle on `shard` with an
@@ -1037,6 +1048,52 @@ object Hnsw {
           }
       }
     }
+
+  /** [[pairStream]] over FLAGGED rows — the traversal-only-tombstone
+    * pair scan (round-16 verdict #4): disallowed (tombstoned) nodes
+    * stay ROUTABLE — traversal walks their edges exactly as live
+    * nodes', so recall does not narrow with the deleted fraction — but
+    * the collection heap ([[searchLayerFiltered]]) never returns one,
+    * and only live vectors probe (the caller unions masked probes).
+    */
+  private[graft] def pairStreamFiltered(rows0: Iterator[FNode],
+                                        efSearch: Int, margin: Double)
+      : Iterator[(Long, Long, Double)] =
+    shardScanFiltered(rows0) { (g, ok, pid, q, nq) =>
+      if (nq == 0.0 || g.n == 0) Iterator.empty
+      else searchGraphFiltered(g, ok, q, efSearch).iterator.flatMap {
+        case (_, li) =>
+          val cid = g.ids(li)
+          if (cid == pid || g.norms(li) == 0.0) Iterator.empty
+          else {
+            val cos = exactCos(g, q, nq, li)
+            if (cos >= margin)
+              Iterator.single((math.min(pid, cid), math.max(pid, cid), cos))
+            else Iterator.empty
+          }
+      }
+    }
+
+  /** [[pairScan]] over flagged rows ([[pairStreamFiltered]]) — same
+    * exchange/sort/round/threshold tail.
+    */
+  private[operators] def pairScanFiltered(tagged: DataFrame, numParts: Int,
+                                          threshold: Double,
+                                          efSearch: Int): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val margin = threshold - 5e-7
+    tagged
+      .repartition(numParts, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        (col("level") < 0).cast("int"), col("vec_id"))
+      .as[FNode]
+      .mapPartitions(it => pairStreamFiltered(it, efSearch, margin))
+      .toDF("i", "j", "cos")
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
 
   /** The lazy shard-scan skeleton behind [[pairStream]] and the
     * batch-search scan: materialize ONE shard's graph from the sorted

@@ -93,13 +93,35 @@ object HnswGeoStore {
     // are exact multiples of 1e-6 by cellStats' contract, so the
     // round().cast(long) recovers each leaf's long exactly; the long sum
     // is then exact to 2^63.
+    //
+    // max_d2 across DELETES (round-16 verdict #7): a max can't be
+    // un-maxed by negation, so a [[delete]] leaf carries the EXACT
+    // recomputed survivor max for each touched cell with
+    // `replace_max = true`, and the fold takes, per cell, the max over
+    // leaves AT OR AFTER the cell's latest replace leaf — snaps arrive
+    // in epoch order, so the tag index is the epoch order. Leaves
+    // written before the column existed (and all append leaves) default
+    // to false, preserving the plain running max.
+    val tagged = snaps.zipWithIndex.map { case (s, i) =>
+      val withFlag =
+        if (s.columns.contains("replace_max")) s
+        else s.withColumn("replace_max", lit(false))
+      withFlag.withColumn("__idx", lit(i))
+    }.reduce(_ unionByName _)
     val d2q = sum(round(col("inertia") * 1e6).cast("long")).cast("double")
-    snaps.reduce(_ unionByName _)
+    val lastReplace = tagged.filter(col("replace_max"))
+      .groupBy(col("cid")).agg(max(col("__idx")).as("__ri"))
+    val maxes = tagged.join(broadcast(lastReplace), Seq("cid"), "left")
+      .filter(col("__ri").isNull || col("__idx") >= col("__ri"))
+      .groupBy(col("cid")).agg(max(col("max_d2")).as("max_d2"))
+    tagged
       .groupBy(col("cid"))
       .agg(sum(col("n")).as("n"),
         (d2q / 1e6).as("inertia"),
-        ((d2q / 1e6) / sum(col("n")).cast("double")).as("mean_d2"),
-        max(col("max_d2")).as("max_d2"))
+        ((d2q / 1e6) / sum(col("n")).cast("double")).as("mean_d2"))
+      .join(maxes, Seq("cid"))
+      .select(col("cid"), col("n"), col("inertia"), col("mean_d2"),
+        col("max_d2"))
       // a cell fully emptied by NEGATED delete leaves ([[delete]]) nets
       // to n = 0 — absent from a recompute, so absent from the fold too;
       // a no-op for append-only folds, where every cell has n > 0
@@ -432,7 +454,8 @@ object HnswGeoStore {
           "the next compaction's addGeo; dedupe the batch (or route it " +
           "through incrementalAdmit, which drops already-stored ids)")
     }
-    val freshStats = IVF.cellStats(freshRows, store.index)
+    val freshStats = graft.CacheRegistry.persist(
+      IVF.cellStats(freshRows, store.index))
     val tombs = liveTombstones(spark, store.path, store.baseEpoch,
       store.epoch)
     val rows =
@@ -502,8 +525,22 @@ object HnswGeoStore {
           .unionByName(freshRows)
         Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction,
           layout = Some(store.layout))
-      } else Hnsw.buildGeoWithLayout(freshRows, store.index, m,
-        efConstruction, store.layout)
+      } else {
+        // DELTA build partitioned to the batch's TOUCHED cells, not
+        // k tasks (round-16 verdict #6: the per-batch geo fold was a
+        // pure task-count floor — k near-empty tasks for a batch
+        // touching a handful of cells). freshStats is already the
+        // batch's per-cell relation, so its row count IS the touched
+        // cell count; sub-shards of a touched cell at most double it,
+        // and partition count is a scheduling choice (one graph at a
+        // time per task regardless)
+        val touched = freshStats.count()
+        val numParts = math.max(
+          spark.sparkContext.defaultParallelism,
+          math.min(2L * touched, 4096L).toInt)
+        Hnsw.buildGeoWithLayout(freshRows, store.index, m,
+          efConstruction, store.layout, numParts)
+      }
     writeSegment(store.path, rows, epoch)
     if (storeAttrs) {
       if (asBase) {
@@ -555,10 +592,13 @@ object HnswGeoStore {
         HnswStore.fs(spark, store.path).exists(
           new org.apache.hadoop.fs.Path(s"${store.path}/stats/epoch=$e"))
       }
-      // a tombstoned range takes the recompute arm: the fold's negated
-      // delete leaves keep n/inertia exact but leave max_d2 an upper
-      // bound, and a compaction already pays a corpus pass — so the new
-      // base's PERSISTED leaf (which outlives the tombstones) is exact
+      // a tombstoned range takes the recompute arm: the live fold is
+      // exact on every column for leaves written since delete leaves
+      // carried replace_max survivor maxes, but a PRE-replace_max
+      // delete leaf in the range would leave max_d2 an upper bound —
+      // and a compaction already pays a corpus pass — so the new base's
+      // PERSISTED leaf (which outlives the tombstones) recomputes
+      // unconditionally rather than trusting leaf vintage
       val folded = graft.CacheRegistry.persist(
         if (haveLeaves && tombs.isEmpty)
           foldStats(store.epochs.map(e =>
@@ -606,14 +646,20 @@ object HnswGeoStore {
     * only the erased vec_ids (no segment rows), [[loadAt]] masks them out
     * of every surface, and the epoch's stats leaf is the erased vectors'
     * [[IVF.cellStats]] NEGATED (exact in the same quantized-long domain,
-    * so the epoch-count drift fold stays exact on n/inertia/mean;
-    * `max_d2` becomes an upper bound until compaction). For an attribute
+    * so the epoch-count drift fold stays exact on n/inertia/mean) plus
+    * the touched cells' recomputed survivor `max_d2` under
+    * `replace_max` — the fold is exact on EVERY column across deletes
+    * (a touched-cell-bounded recompute; see the leaf construction
+    * below). For an attribute
     * store an empty attrs relation keeps the live range uniform — the
     * erased rows' attrs are masked by the same tombstones in [[attrsOf]].
     *
-    * Between the delete and the next [[compact]], serving works on the
-    * masked graphs with deleted nodes' edges elided (recall narrows with
-    * the deleted fraction — bulk deletes should compact promptly); the
+    * Between the delete and the next [[compact]], serving runs
+    * TRAVERSAL-ONLY tombstones ([[flaggedSegments]] — round-16 verdict
+    * #4): deleted nodes stay ROUTABLE in the raw graphs and the
+    * filtered result heap excludes them, so recall holds at the
+    * pre-delete level instead of narrowing with the deleted fraction
+    * as the masked read's elided edges did; the
     * COMPACTION physically removes the nodes and rebuilds exactly the
     * base cells that contained one (clean cells carry their graph rows
     * bitwise, deltas re-insert through the warm kernel), so for monotone
@@ -651,10 +697,35 @@ object HnswGeoStore {
       .select(col("vec_id"), col("vec").as("embedding"))
     // the negated stats leaf: same per-point quantized d2q longs the
     // positive leaves carry, so the fold subtracts them EXACTLY
-    val negStats = IVF.cellStats(delVecs, store.index)
+    val negStats0 = graft.CacheRegistry.persist(
+      IVF.cellStats(delVecs, store.index))
+    // EXACT max_d2 across deletes (round-16 verdict #7): a max can't be
+    // un-maxed by negation, so the touched cells' survivor max is
+    // recomputed here and the leaf carries it with `replace_max` — the
+    // fold ([[foldStats]]) then supersedes older maxes for exactly
+    // these cells. The recompute is touched-cell-bounded: the shard
+    // list (touched cells × live epochs × sub-shards) is
+    // erasure-bounded and driver-built, and segment files are sorted
+    // by shard, so the isin prunes at the row-group stats.
+    val touchedCells = negStats0.select(col("cid")).collect()
+      .map(_.getInt(0))
+    val touchedShards = for (e <- store.epochs; c <- touchedCells;
+                             s <- 0 until store.layout.getOrElse(c.toLong, 1))
+      yield e * CellStride + s.toLong * store.index.k + c
+    val survivors = store.segments
+      .filter(col("shard")
+        .isin(touchedShards.map(java.lang.Long.valueOf): _*))
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val survMax = IVF.cellStats(survivors, store.index)
+      .select(col("cid"), col("max_d2").as("__smax"))
+    val negStats = negStats0
       .select(col("cid"), (-col("n")).as("n"),
-        (-col("inertia")).as("inertia"), col("mean_d2"),
-        lit(0.0).as("max_d2"))
+        (-col("inertia")).as("inertia"), col("mean_d2"))
+      .join(broadcast(survMax), Seq("cid"), "left")
+      .select(col("cid"), col("n"), col("inertia"), col("mean_d2"),
+        coalesce(col("__smax"), lit(0.0)).as("max_d2"),
+        lit(true).as("replace_max"))
     if (!delEmpty)
       del.write.mode("overwrite")
         .parquet(s"${store.path}/tombstones/epoch=$epoch")
@@ -708,6 +779,33 @@ object HnswGeoStore {
       "cell", store.layout, store.index.k)
       .withColumn("shard", col("epoch") * lit(CellStride) + col("shard"))
 
+  /** The TRAVERSAL-ONLY tombstone serve frame (round-16 verdict #4):
+    * between a [[delete]] and its compaction the deleted nodes' ROWS
+    * stay in the served graphs — surviving nodes' edges through them
+    * remain walkable, so recall does not narrow with the deleted
+    * fraction the way the masked read's elided edges did — and the
+    * per-row `__live` flag (epoch-aware, exactly [[loadAt]]'s masking
+    * rule: a re-admitted id's newer row is live) is what excludes them
+    * from every result heap ([[Hnsw.searchLayerFiltered]]). None when
+    * the live range has no tombstones — the deletion-free fast path
+    * keeps its exact plans and the cheaper unfiltered scan.
+    */
+  private def flaggedSegments(spark: SparkSession,
+                              store: Store): Option[DataFrame] =
+    liveTombstones(spark, store.path, store.baseEpoch, store.epoch).map {
+      t =>
+        val raw = spark.read.parquet(s"${store.path}/segments")
+          .filter(col("epoch") >= store.baseEpoch &&
+            col("epoch") <= store.epoch)
+        val tmax = t.groupBy(col("vec_id"))
+          .agg(max(col("epoch")).as("__tepoch"))
+        raw.join(broadcast(tmax), Seq("vec_id"), "left")
+          .withColumn("__live",
+            col("__tepoch").isNull || col("epoch") > col("__tepoch"))
+          .select(col("shard"), col("vec_id"), col("vec"), col("level"),
+            col("nbrs"), col("__live"))
+    }
+
   private def emptyServe(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Long, Double, Int)]
@@ -724,6 +822,15 @@ object HnswGeoStore {
     */
   def neighbors(store: Store, query: Array[Double], k: Int,
                 efSearch: Int = 48, nProbe: Int = 0): DataFrame = {
+    val spark = store.segments.sparkSession
+    import spark.implicits._
+    // tombstoned range → the traversal-only filtered route, through the
+    // batch surface (a batch of one is spec-pinned value-identical)
+    if (flaggedSegments(spark, store).isDefined)
+      return batchNeighbors(store,
+          Seq((0L, query.toSeq)).toDF("probe_id", "embedding"),
+          k, math.max(efSearch, k), nProbe)
+        .select(col("vec_id"), col("cos"))
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     val cells = IVF.probeIds(store.index, query, np)
     val targets = for (e <- store.epochs; c <- cells;
@@ -755,6 +862,17 @@ object HnswGeoStore {
         s"parallelism=$parallelism")
     val spark = store.segments.sparkSession
     import spark.implicits._
+    // tombstoned range → traversal-only tombstones: serve from the RAW
+    // graphs through the filtered heap with the LIVE ids as the
+    // allowed set (deleted nodes stay routable, never returned — recall
+    // parity with the pre-delete store instead of the masked read's
+    // edge-elision narrowing); clean range → the exact unfiltered plans
+    if (flaggedSegments(spark, store).isDefined)
+      return filteredServe(store, probes, k, efSearch, nProbe,
+        parallelism)(probedCells =>
+        store.segments
+          .join(broadcast(probedCells), Seq("shard"), "left_semi")
+          .select(col("vec_id")))
     val st = graft.CacheRegistry.persist(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs")))
@@ -780,10 +898,17 @@ object HnswGeoStore {
     // graph-reconstruction pass shrinks from every cell to the probed
     // ones; a corpus-sized serving batch saturates the set and the
     // filter degenerates to a cheap broadcast membership no-op
-    val probedCells = pr.select(col("shard")).distinct()
+    val probedCells = graft.CacheRegistry.persist(
+      pr.select(col("shard")).distinct())
     val stProbed = st.join(broadcast(probedCells), Seq("shard"), "left_semi")
+    // partitions sized by the PROBED shard count, not k·epochs: a
+    // micro-batch probing a handful of cells schedules ~parallelism
+    // tasks instead of a per-batch k·epochs task floor (round-16
+    // verdict #6), while a corpus-sized serving batch saturates
+    // probedCells and recovers the full spread — the count is one agg
+    // on the persisted probe frame
     val numParts = math.max(parallelism,
-      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+      math.min(probedCells.count(), 4096L).toInt)
     Hnsw.rankTopK(
       Hnsw.batchScan(stProbed.unionByName(pr), numParts, efSearch), k)
   }
@@ -866,9 +991,13 @@ object HnswGeoStore {
         s"parallelism=$parallelism")
     val spark = store.segments.sparkSession
     import spark.implicits._
-    val st0 = graft.CacheRegistry.persist(
+    // tombstoned range → serve from the RAW graphs with the per-row
+    // live flag folded into `ok` (traversal-only tombstones); clean
+    // range → the exact pre-deletion plans
+    val flagged = flaggedSegments(spark, store)
+    val st0 = graft.CacheRegistry.persist(flagged.getOrElse(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
-        col("level"), col("nbrs")))
+        col("level"), col("nbrs"))))
     val dim = st0.select(size(col("vec"))).take(1)
     if (dim.isEmpty) return emptyServe(spark)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
@@ -879,16 +1008,24 @@ object HnswGeoStore {
       .withColumn("cell",
         explode(IVF.probeExpr(col("vec"), store.index, np))), store))
       .withColumn("ok", lit(false)))
-    val probedCells = pr.select(col("shard")).distinct()
+    val probedCells = graft.CacheRegistry.persist(
+      pr.select(col("shard")).distinct())
     val okCol = allowedOf(probedCells).withColumn("__ok", lit(true))
     // prune FIRST, flag SECOND: the ok join runs probed-cells-sized on
-    // the store side instead of over the whole segment range
+    // the store side instead of over the whole segment range. A
+    // tombstoned node is allowed only if it is BOTH caller-allowed and
+    // live — routable either way
+    val liveFlag = if (flagged.isDefined) col("__live") else lit(true)
     val stProbed = st0.join(broadcast(probedCells), Seq("shard"), "left_semi")
       .join(okCol, Seq("vec_id"), "left")
       .select(col("shard"), col("vec_id"), col("vec"), col("level"),
-        col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok"))
+        col("nbrs"),
+        (liveFlag && coalesce(col("__ok"), lit(false))).as("ok"))
+    // probed-count-sized partitions (see batchNeighbors): no k·epochs
+    // task floor per micro-batch; corpus batches saturate and recover
+    // the full spread
     val numParts = math.max(parallelism,
-      math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
+      math.min(probedCells.count(), 4096L).toInt)
     Hnsw.rankTopK(
       Hnsw.batchScanFiltered(stProbed.unionByName(pr), numParts, efSearch), k)
   }
@@ -919,7 +1056,20 @@ object HnswGeoStore {
       store))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
-    Hnsw.pairScan(st.unionByName(probes), numParts, threshold, efSearch)
+    // tombstoned range → traversal-only tombstones: the GRAPH side is
+    // the raw rows with the live flag (deleted nodes routable, never
+    // collected), while only live vectors probe (st is the masked view)
+    flaggedSegments(spark, store) match {
+      case Some(fl) =>
+        val graph = graft.CacheRegistry.persist(
+          fl.withColumnRenamed("__live", "ok"))
+        Hnsw.pairScanFiltered(
+          graph.unionByName(probes.withColumn("ok", lit(false))),
+          numParts, threshold, efSearch)
+      case None =>
+        Hnsw.pairScan(st.unionByName(probes), numParts, threshold,
+          efSearch)
+    }
   }
 
   /** Cross-corpus contamination over the STANDING segmented geo store —
@@ -965,7 +1115,18 @@ object HnswGeoStore {
       store))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
-    Hnsw.pairScan(st.unionByName(prs), numParts, threshold, efSearch)
+    // tombstoned range → the traversal-only filtered scan (see
+    // nearDupPairs); clean range → the exact unfiltered plans
+    flaggedSegments(spark, store) match {
+      case Some(fl) =>
+        val graph = graft.CacheRegistry.persist(
+          fl.withColumnRenamed("__live", "ok"))
+        Hnsw.pairScanFiltered(
+          graph.unionByName(prs.withColumn("ok", lit(false))),
+          numParts, threshold, efSearch)
+      case None =>
+        Hnsw.pairScan(st.unionByName(prs), numParts, threshold, efSearch)
+    }
   }
 
   /** Admission filter — [[HnswStore.incrementalAdmit]]'s contract
@@ -1049,8 +1210,10 @@ object HnswGeoStore {
     *
     * With [[delete]] tombstones in the live range the fold includes
     * their NEGATED leaves: n/inertia/mean_d2 stay exact (same quantized
-    * longs subtracted), `max_d2` is an upper bound until the next
-    * compaction re-snapshots exactly (HnswSpec pins both).
+    * longs subtracted) and `max_d2` is exact too — each delete leaf
+    * carries the touched cells' recomputed survivor max under
+    * `replace_max`, which the fold honors in epoch order
+    * (HnswGeoStoreSpec pins fold ≡ recompute on every column).
     */
   def currentStats(spark: SparkSession, store: Store): DataFrame = {
     val haveLeaves = store.epochs.forall { e =>

@@ -167,6 +167,47 @@ object DedupState {
       path = path, gen = -1L)
   }
 
+  /** One-shot CATALOG → GENERATIONAL migration — the erasure answer for
+    * the read-optimized layout (round-16 verdict #5): the catalog is
+    * "rebuilt, not edited" by design, which made the layout recommended
+    * for the largest corpora the one where a takedown cost a full
+    * corpus re-shingling. This migration copies the catalog's RELATIONS
+    * (posting/dfs/signatures/fingerprints — no corpus text is touched,
+    * no shingling or MinHash recomputation anywhere) into generation 0
+    * of a generational store at `path` — hash-bucket-partitioned when
+    * `buckets` > 0, so the subsequent [[forget]]s' erasure-keyed reads
+    * are partition-pruned — after which erasure is the standard
+    * delta-priced tombstone op and a later [[build]] with `catalog` can
+    * re-snapshot the read-optimized layout over the survivors.
+    *
+    * The (doc_id, h) fingerprint REGISTRY behind [[forget]] is not part
+    * of the catalog layout, so it must be supplied: `docFps` = the
+    * corpus's (doc_id, h) md5-fingerprint relation — ONE cheap
+    * fingerprint pass over corpus text (no shingling), or a stored
+    * copy. Omitted, the migrated store is honestly registry-less and
+    * [[forget]] stays loud with the rebuild remedy, exactly as on a
+    * pre-registry generational store.
+    */
+  def migrateCatalog(spark: SparkSession, catalog: Store, path: String,
+                     buckets: Int = 0,
+                     docFps: Option[DataFrame] = None): Store = {
+    require(catalog.gen == -1L,
+      "migrateCatalog takes a catalog snapshot (loadCatalog); a " +
+        "generational store needs no migration")
+    cleanDir(spark, path)
+    writeParams(spark, path, catalog.params)
+    if (buckets > 0) writeBucketsMarker(spark, path, buckets)
+    writeGeneration(spark, path, gen = 0L,
+      newPosting = catalog.posting,
+      dfs = catalog.shingleDf,
+      sigs = catalog.signatures,
+      newFps = catalog.fingerprints,
+      isBase = true,
+      docFps = docFps,
+      buckets = buckets)
+    load(spark, path)
+  }
+
   /** Committed generations at `path`: gen → is_base. One tiny parquet row
     * per generation; collected on the driver (generation-count-sized).
     */
@@ -639,7 +680,9 @@ object DedupState {
              writer: String = "lifecycle"): Store = {
     require(store.gen >= 0,
       "forget needs a generational store; catalog snapshots are " +
-        "read-optimized and rebuilt, not edited")
+        "read-optimized and rebuilt, not edited — migrate once with " +
+        "migrateCatalog (a relation copy, no re-shingling) and forget " +
+        "there")
     val p = store.params
     val permHash = PermHashes(p.hashTag)
     val commits = committedGens(spark, store.path)

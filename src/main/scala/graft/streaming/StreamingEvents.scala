@@ -751,9 +751,18 @@ object StreamingEvents {
                           batchId: Long, asBase: Boolean, what: String,
                           metaCol: String, latest: => Long,
                           marker: Long => (Boolean, Option[String]),
-                          instanceId: Option[String] = None): Long = {
+                          instanceId: Option[String] = None,
+                          metaDir: String = "stream_meta",
+                          tag: Option[String] = None): Long = {
     import spark.implicits._
-    val metaPath = s"$stateDir/stream_meta/batch_id=$batchId"
+    // `metaDir`/`tag` separate SINK IDENTITIES on one store: an erasure
+    // stream runs beside an admission stream with its own batch-id
+    // space (stream_meta_erase) and its own writer tag, so the two
+    // sinks' mappings never collide and an interleaved commit from the
+    // other sink reads as exactly what it is — an out-of-band writer —
+    // under the unchanged shift/loud-fail discipline
+    val writerTag = tag.getOrElse(geoWriterTag(batchId))
+    val metaPath = s"$stateDir/$metaDir/batch_id=$batchId"
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaP = new org.apache.hadoop.fs.Path(metaPath)
@@ -788,7 +797,7 @@ object StreamingEvents {
       // worlds, so it fails loudly instead of guessing either way.
       val pinned = if (l >= 1) {
         val (_, w) = marker(l)
-        if (w.contains(geoWriterTag(batchId))) l - 1
+        if (w.contains(writerTag)) l - 1
         else if (w.isEmpty && l == batchId + 1) {
           // committed output = part files OR the _SUCCESS marker (an
           // EMPTY admitted batch legitimately writes zero part files).
@@ -851,7 +860,6 @@ object StreamingEvents {
         "committed — an out-of-band retrain/compact landed between " +
         "the crash and this replay; re-run the out-of-band op after " +
         "the stream catches up, or clear stream_meta to re-pin")
-    val writerTag = geoWriterTag(batchId)
     if (latestNow == pre + 1) {
       val (committedBase, committedWriter) = marker(latestNow)
       val ownAttempt = committedWriter match {
@@ -903,10 +911,11 @@ object StreamingEvents {
     * replay again).
     */
   private def pruneStreamMeta(spark: SparkSession, stateDir: String,
-                              batchId: Long): Unit = {
+                              batchId: Long,
+                              metaDir: String = "stream_meta"): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta")
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/$metaDir")
     if (fs.exists(metaRoot))
       fs.listStatus(metaRoot).map(_.getPath)
         .filter { p =>
@@ -966,6 +975,122 @@ object StreamingEvents {
       .parquet(s"$outDir/batch_id=$batchId")
     writeInstanceSidecar(spark, outDir, batchId, instanceId)
     if (asBase) reclaimGeoAfterBase(spark, store, stateDir, batchId)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  /** The erasure sinks' writer identity — distinct from the admission
+    * sinks' [[geoWriterTag]], so interleaved commits from the two sink
+    * kinds on one store arbitrate loudly on the marker instead of
+    * being mistaken for each other's replays.
+    */
+  private[graft] def eraseWriterTag(batchId: Long): String =
+    s"erase:batch=$batchId"
+
+  /** CONTINUOUS ERASURE from the standing GEO store — the streaming
+    * twin of [[graft.operators.HnswGeoStore.delete]] (round-16 verdict
+    * #3: every other lifecycle op had a streaming twin; takedown/GDPR
+    * queues are continuous in production, so erasure gets one too).
+    * Each micro-batch of `vec_id` rows commits ONE tombstone epoch
+    * (erasure-sized — never a corpus rewrite) and writes the erased ids
+    * to `outDir/batch_id=N` as the erasure LEDGER (audit trail + the
+    * same replay-corroboration evidence the admission sinks keep).
+    *
+    * Replay discipline: the pre-state epoch is pinned through a
+    * mapping in its OWN namespace (`stream_meta_erase`) under its own
+    * writer tag ([[eraseWriterTag]]), so an erasure stream COMPOSES
+    * with a live admission stream on the same store: their epochs
+    * interleave under the writer-identity discipline — an admission
+    * epoch landing between erasure batches shifts the erasure
+    * allocation (and vice versa), one landing inside the other's
+    * crash-replay window fails loudly, and replays are idempotent
+    * (same pinned pre-state, same tombstone epoch, overwritten in
+    * place). Between a delete and the next compaction serving runs
+    * traversal-only tombstones, so recall holds; compaction stays on
+    * the ADMISSION stream's `compactEvery` cadence (or a lifecycle
+    * [[graft.operators.HnswGeoStore.compact]]) — a fused
+    * delete+compact would need two epochs per batch and break the
+    * one-epoch-per-batch replay numbering.
+    */
+  def geoErasureStream(stream: DataFrame, stateDir: String,
+                       outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        geoEraseBatch(batch, batchId, stateDir, outDir,
+          streamInstanceId(batch.sparkSession, checkpointDir))
+      }
+      .start()
+
+  /** One [[geoErasureStream]] micro-batch — the sink body, exposed so
+    * the crash/replay/interleave contracts are directly spec-testable.
+    */
+  private[graft] def geoEraseBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String, outDir: String,
+                                   instanceId: Option[String] = None)
+      : Unit = {
+    val spark = batch.sparkSession
+    val preEpoch = pinPreState(spark, stateDir, outDir, batchId,
+      asBase = false, "geo-store", "epoch",
+      HnswGeoStore.latestEpoch(spark, stateDir),
+      HnswGeoStore.commitMarker(spark, stateDir, _), instanceId,
+      metaDir = "stream_meta_erase",
+      tag = Some(eraseWriterTag(batchId)))
+    val store = HnswGeoStore.loadAt(spark, stateDir, preEpoch)
+    val ids = graft.CacheRegistry.persist(batch.select(col("vec_id")))
+    HnswGeoStore.delete(spark, store, ids,
+      writer = eraseWriterTag(batchId))
+    ids.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outDir/batch_id=$batchId")
+    writeInstanceSidecar(spark, outDir, batchId, instanceId)
+    // checkpointed offsets only ever re-run the current batch, so older
+    // erasure mappings can never replay again
+    pruneStreamMeta(spark, stateDir, batchId, "stream_meta_erase")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  /** [[geoErasureStream]]'s twin for the generational TEXT dedup store —
+    * each micro-batch of `doc_id` rows commits one
+    * [[graft.operators.DedupState.forget]] generation (tombstones,
+    * df-cap down-flip signature repair, fingerprint-registry
+    * arbitration — the full erasure semantics, streamed). Same
+    * composition contract as the geo sink: own mapping namespace, own
+    * writer tag, idempotent replays, interleaves with
+    * [[dedupAdmissionStream]] under the writer-identity discipline.
+    */
+  def dedupErasureStream(stream: DataFrame, stateDir: String,
+                         outDir: String,
+                         checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupEraseBatch(batch, batchId, stateDir, outDir,
+          streamInstanceId(batch.sparkSession, checkpointDir))
+      }
+      .start()
+
+  /** One [[dedupErasureStream]] micro-batch — the sink body. */
+  private[graft] def dedupEraseBatch(batch: DataFrame, batchId: Long,
+                                     stateDir: String, outDir: String,
+                                     instanceId: Option[String] = None)
+      : Unit = {
+    val spark = batch.sparkSession
+    val preGen = pinPreState(spark, stateDir, outDir, batchId,
+      asBase = false, "dedup-store", "gen",
+      DedupState.latestGen(spark, stateDir),
+      DedupState.commitMarker(spark, stateDir, _), instanceId,
+      metaDir = "stream_meta_erase",
+      tag = Some(eraseWriterTag(batchId)))
+    val store = DedupState.loadAt(spark, stateDir, preGen)
+    val ids = graft.CacheRegistry.persist(batch.select(col("doc_id")))
+    DedupState.forget(spark, store, ids,
+      writer = eraseWriterTag(batchId))
+    ids.write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$outDir/batch_id=$batchId")
+    writeInstanceSidecar(spark, outDir, batchId, instanceId)
+    pruneStreamMeta(spark, stateDir, batchId, "stream_meta_erase")
     graft.CacheRegistry.releaseAll()
   }
 

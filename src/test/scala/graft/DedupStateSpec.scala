@@ -307,6 +307,51 @@ class DedupStateSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("migrateCatalog: the read-optimized layout becomes a (bucketed) " +
+       "generational store by relation copy — no re-shingling — and " +
+       "forget there equals the never-saw store") {
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val probe = docs.filter(col("doc_id") >= 300)
+    val cat = DedupState.build(spark, corpus, tmpDir("dmigC"),
+      catalog = Some(("dedupstate_migr", 4)))
+    // catalog snapshots cannot forget — the loud remedy names the
+    // migration
+    val err = intercept[IllegalArgumentException] {
+      DedupState.forget(spark, cat, Seq(3L).toDF("doc_id"))
+    }
+    assert(err.getMessage.contains("migrateCatalog"), err.getMessage)
+    // migration = relation copy + the supplied registry
+    val docFps = corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.md5Fingerprint(col("text")).as("h"))
+    val mig = DedupState.migrateCatalog(spark, cat, tmpDir("dmigG"),
+      buckets = 8, docFps = Some(docFps))
+    assert(mig.gen === 0L && mig.buckets === 8)
+    val plain = DedupState.build(spark, corpus, tmpDir("dmigP"))
+    sameStore(mig, plain, "migrated vs built-from-text")
+    // forget over the migrated store ≡ the store that never saw them
+    val erased = col("doc_id") % 7 === 3
+    val f = DedupState.forget(spark, mig,
+      corpus.filter(erased).select("doc_id"))
+    CacheRegistry.releaseAll()
+    val never = DedupState.build(spark, corpus.filter(!erased),
+      tmpDir("dmigN"))
+    CacheRegistry.releaseAll()
+    sameStore(f, never, "migrated forget vs never-saw")
+    val a = pairKey(DedupState.incrementalNearDups(f, probe))
+    CacheRegistry.releaseAll()
+    val b = pairKey(DedupState.incrementalNearDups(never, probe))
+    CacheRegistry.releaseAll()
+    assert(a === b && a.nonEmpty)
+    // a registry-less migration stays honestly loud on forget
+    val bare = DedupState.migrateCatalog(spark, cat, tmpDir("dmigB"))
+    val err2 = intercept[IllegalArgumentException] {
+      DedupState.forget(spark, bare, Seq(3L).toDF("doc_id"))
+    }
+    assert(err2.getMessage.contains("registry"), err2.getMessage)
+    CacheRegistry.releaseAll()
+  }
+
   // ── forget: erasure from the standing store ────────────────────────────
 
   private def relRows(df: DataFrame): Set[Seq[String]] =

@@ -1103,6 +1103,104 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("streaming erasure (geo): streamed delete ≡ the batch-wise " +
+       "delete chain bitwise, replays are idempotent, and an admission " +
+       "stream interleaves without losing a batch or resurrecting an " +
+       "erased doc") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateA = tmpDir("graft-geoers-a")
+    val stateB = tmpDir("graft-geoers-b")
+    val outAdm = s"${tmpDir("graft-geoers-adm")}/rows"
+    val outErs = s"${tmpDir("graft-geoers-ers")}/rows"
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 2)
+    HnswGeoStore.build(spark, seed, stateA, index)
+    var sb = HnswGeoStore.build(spark, seed, stateB, index)
+    val b0 = Seq(11L -> Array(0f, 0f, 0f, 1f),
+      12L -> Array(0.6f, 0.6f, 0f, 0f)).toDF("vec_id", "embedding")
+    val e0 = Seq(2L, 11L).toDF("vec_id")
+    val b1 = Seq(21L -> Array(0f, 0.6f, 0.6f, 0f))
+      .toDF("vec_id", "embedding")
+    // STREAMED: admit b0 → erase e0 → CRASH-REPLAY of erase e0 →
+    // admit b1 (the erasure epoch shifted the admission allocation)
+    StreamingEvents.geoAdmitBatch(b0, 0L, stateA, outAdm, 0.9, 0)
+    StreamingEvents.geoEraseBatch(e0, 0L, stateA, outErs)
+    StreamingEvents.geoEraseBatch(e0, 0L, stateA, outErs) // replay
+    StreamingEvents.geoAdmitBatch(b1, 1L, stateA, outAdm, 0.9, 0)
+    // BATCH-WISE mirror on store B
+    sb = HnswGeoStore.admit(spark, sb, b0, 0.9)._2
+    sb = HnswGeoStore.delete(spark, sb, e0)
+    sb = HnswGeoStore.admit(spark, sb, b1, 0.9)._2
+    val sa = HnswGeoStore.load(spark, stateA)
+    assert(sa.epoch === 3L && sb.epoch === 3L,
+      s"idempotent replay must not allocate a new epoch " +
+        s"(A=${sa.epoch}, B=${sb.epoch})")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "vec_id", "vec", "level", "nbrs")
+        .collect().map(_.toString).sorted.toSeq
+    assert(dump(sa.segments) === dump(sb.segments),
+      "streamed erasure must be bitwise the batch-wise chain")
+    // the erasure ledger carries the erased ids
+    assert(spark.read.parquet(s"$outErs/batch_id=0")
+      .as[Long].collect().toSet === Set(2L, 11L))
+    // no lost batch (21 admitted), no resurrection (2, 11 gone)
+    val served = HnswGeoStore.batchNeighbors(sa,
+        Seq((900L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("probe_id", "embedding"),
+        k = 10, efSearch = 16, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.contains(21L), "the post-erasure batch must be live")
+    assert(served.intersect(Set(2L, 11L)).isEmpty,
+      "an erased id must never serve")
+    CacheRegistry.releaseAll()
+  }
+
+  test("streaming erasure (text): streamed forget ≡ the batch-wise " +
+       "forget chain on every relation, interleaved with admission") {
+    import graft.operators.DedupState
+    val stateA = tmpDir("graft-txters-a")
+    val stateB = tmpDir("graft-txters-b")
+    val outAdm = s"${tmpDir("graft-txters-adm")}/rows"
+    val outErs = s"${tmpDir("graft-txters-ers")}/rows"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "six seven eight nine ten")).toDF("doc_id", "text")
+    DedupState.build(spark, corpus, stateA)
+    var sb = DedupState.build(spark, corpus, stateB)
+    val b0 = Seq((10L, "eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text")
+    val e0 = Seq(2L, 10L).toDF("doc_id")
+    val b1 = Seq((20L, "sixteen seventeen eighteen nineteen twenty"))
+      .toDF("doc_id", "text")
+    StreamingEvents.dedupAdmitBatch(b0, 0L, stateA, outAdm, 0.5, 0)
+    StreamingEvents.dedupEraseBatch(e0, 0L, stateA, outErs)
+    StreamingEvents.dedupEraseBatch(e0, 0L, stateA, outErs) // replay
+    StreamingEvents.dedupAdmitBatch(b1, 1L, stateA, outAdm, 0.5, 0)
+    sb = DedupState.admit(spark, sb, b0, 0.5)._2
+    sb = DedupState.forget(spark, sb, e0)
+    sb = DedupState.admit(spark, sb, b1, 0.5)._2
+    val sa = DedupState.load(spark, stateA)
+    assert(sa.gen === 3L && sb.gen === 3L,
+      s"idempotent replay must not allocate (A=${sa.gen}, B=${sb.gen})")
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).toSeq).toSet
+    assert(rel(sa.posting) === rel(sb.posting), "posting")
+    assert(rel(sa.shingleDf) === rel(sb.shingleDf), "dfs")
+    assert(rel(sa.fingerprints) === rel(sb.fingerprints), "fingerprints")
+    assert(rel(sa.signatures) === rel(sb.signatures), "signatures")
+    // the erased text is admissible again (GDPR), the survivors dedup
+    val again = DedupState.incrementalDedup(sa,
+      Seq((30L, "one two three four five"),
+          (31L, "six seven eight nine ten")).toDF("doc_id", "text"),
+      threshold = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(again === Set(30L),
+      "erased text re-admits; surviving text still dedups")
+    CacheRegistry.releaseAll()
+  }
+
   test("stream-instance corroboration (ADVICE r16): stale output " +
        "stamped by a PRIOR incarnation cannot corroborate a fresh " +
        "stream's batch 0, while the SAME incarnation's own crashed " +

@@ -918,7 +918,16 @@ object DedupState {
   private def writeTable(df: DataFrame, path: String, table: String,
                          gen: Long, buckets: Int): Unit =
     if (buckets > 0)
+      // cluster rows by bucket BEFORE partitionBy: without it every
+      // write task emits a file per bucket it happens to hold (up to
+      // tasks × buckets tiny files — measured 4-6× wall on both the
+      // write and every subsequent footer-listing read); clustered,
+      // a generation lands exactly one file per TOUCHED bucket. The
+      // shuffle is the layout cost the bucketed store pays at write
+      // time by design — corpus-sized only at build/compaction, delta-
+      // sized on the admission/forget paths.
       df.withColumn("bucket", bucketOf(col(BucketKeys(table)), buckets))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/$table/gen=$gen")
     else df.write.mode("overwrite").parquet(s"$path/$table/gen=$gen")

@@ -704,11 +704,12 @@ object Dedup {
   def semanticDedup(emb: DataFrame, quality: DataFrame, qualityCol: String,
                     threshold: Double, shards: Int = 0, m: Int = 8,
                     efConstruction: Int = 64, efSearch: Int = 64,
-                    route: String = "auto"): DataFrame =
+                    route: String = "auto",
+                    maxCellNodes: Int = 0): DataFrame =
     clusterRepresentatives(
       connectedComponents(
         hnswNearDupPairs(emb, threshold, shards, m, efConstruction,
-          efSearch, route = route)),
+          efSearch, route = route, maxCellNodes = maxCellNodes)),
       quality, qualityCol)
 
   /** Default SimHash token hash: seeded xxhash64 — the fast scale path. */

@@ -703,8 +703,14 @@ object DedupState {
       ids.select(col("doc_id")).distinct())
     val regSel: Option[Column] =
       if (store.buckets > 0) {
+        // hash with the STORED key type (see prunedView): an uncast
+        // IntegerType erasure frame would prune the wrong buckets and
+        // silently erase nothing — a takedown that reports success
+        val keyType = registry.schema("doc_id").dataType
         val bs = idsK
-          .select(bucketOf(col("doc_id"), store.buckets).as("b"))
+          .filter(col("doc_id").isNotNull)
+          .select(bucketOf(col("doc_id").cast(keyType), store.buckets)
+            .as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         if (bs.size >= store.buckets) None
         else Some(col("bucket").isin(bs.map(Integer.valueOf): _*))
@@ -1007,8 +1013,16 @@ object DedupState {
                          keyCol: String, full: => DataFrame): DataFrame =
     store.bucketed.get(table) match {
       case Some(raw) if store.buckets > 0 =>
+        // the key must hash EXACTLY as the write side hashed it: cast
+        // to the stored column's type first (xxhash64 of int 3 and
+        // long 3 differ — an uncast IntegerType erasure frame would
+        // prune the wrong buckets and silently miss every row), and
+        // drop null keys (they join nothing either way)
+        val keyType = raw.schema(keyCol).dataType
         val bs = keys
-          .select(bucketOf(col(keyCol), store.buckets).as("b"))
+          .filter(col(keyCol).isNotNull)
+          .select(bucketOf(col(keyCol).cast(keyType), store.buckets)
+            .as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         if (bs.size >= store.buckets) full
         else raw.filter(col("bucket")

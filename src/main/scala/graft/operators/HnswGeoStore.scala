@@ -708,10 +708,8 @@ object HnswGeoStore {
     // erasure-bounded and driver-built, and segment files are sorted
     // by shard, so the isin prunes at the row-group stats.
     val touchedCells = negStats0.select(col("cid")).collect()
-      .map(_.getInt(0))
-    val touchedShards = for (e <- store.epochs; c <- touchedCells;
-                             s <- 0 until store.layout.getOrElse(c.toLong, 1))
-      yield e * CellStride + s.toLong * store.index.k + c
+      .map(_.getInt(0).toLong)
+    val touchedShards = stridedShardIds(store, touchedCells.toSeq)
     val survivors = store.segments
       .filter(col("shard")
         .isin(touchedShards.map(java.lang.Long.valueOf): _*))
@@ -779,6 +777,17 @@ object HnswGeoStore {
       "cell", store.layout, store.index.k)
       .withColumn("shard", col("epoch") * lit(CellStride) + col("shard"))
 
+  /** Driver-side form of [[stridedFan]] — THE one place the strided
+    * sub-shard enumeration (epochs × cells × the cell's n_sub) is
+    * spelled out for literal shard-id lists ([[neighbors]]' probe
+    * targets, [[delete]]'s touched-shard recompute scope); keep it in
+    * lockstep with the column form above.
+    */
+  private def stridedShardIds(store: Store, cells: Seq[Long]): Seq[Long] =
+    for (e <- store.epochs; c <- cells;
+         s <- 0 until store.layout.getOrElse(c, 1))
+      yield e * CellStride + s.toLong * store.index.k + c
+
   /** The TRAVERSAL-ONLY tombstone serve frame (round-16 verdict #4):
     * between a [[delete]] and its compaction the deleted nodes' ROWS
     * stay in the served graphs — surviving nodes' edges through them
@@ -822,20 +831,24 @@ object HnswGeoStore {
     */
   def neighbors(store: Store, query: Array[Double], k: Int,
                 efSearch: Int = 48, nProbe: Int = 0): DataFrame = {
+    require(k >= 1 && efSearch >= k,
+      s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch")
     val spark = store.segments.sparkSession
     import spark.implicits._
     // tombstoned range → the traversal-only filtered route, through the
-    // batch surface (a batch of one is spec-pinned value-identical)
+    // batch surface (a batch of one is spec-pinned value-identical);
+    // the clean path's explicit (cos desc, vec_id) ordering is restored
+    // after the rank projection — rank order is a window artifact, not
+    // a frame guarantee
     if (flaggedSegments(spark, store).isDefined)
       return batchNeighbors(store,
           Seq((0L, query.toSeq)).toDF("probe_id", "embedding"),
-          k, math.max(efSearch, k), nProbe)
+          k, efSearch, nProbe)
         .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     val cells = IVF.probeIds(store.index, query, np)
-    val targets = for (e <- store.epochs; c <- cells;
-                       s <- 0 until store.layout.getOrElse(c.toLong, 1))
-      yield e * CellStride + s.toLong * store.index.k + c
+    val targets = stridedShardIds(store, cells.map(_.toLong))
     Hnsw.neighbors(
       store.segments.filter(
         col("shard").isin(targets.map(java.lang.Long.valueOf): _*)),
@@ -867,9 +880,10 @@ object HnswGeoStore {
     // allowed set (deleted nodes stay routable, never returned — recall
     // parity with the pre-delete store instead of the masked read's
     // edge-elision narrowing); clean range → the exact unfiltered plans
-    if (flaggedSegments(spark, store).isDefined)
+    val flagged0 = flaggedSegments(spark, store)
+    if (flagged0.isDefined)
       return filteredServe(store, probes, k, efSearch, nProbe,
-        parallelism)(probedCells =>
+        parallelism, flagged0)(probedCells =>
         store.segments
           .join(broadcast(probedCells), Seq("shard"), "left_semi")
           .select(col("vec_id")))
@@ -930,7 +944,8 @@ object HnswGeoStore {
                              allowed: DataFrame, k: Int,
                              efSearch: Int = 64, nProbe: Int = 0,
                              parallelism: Int = 32): DataFrame =
-    filteredServe(store, probes, k, efSearch, nProbe, parallelism)(
+    filteredServe(store, probes, k, efSearch, nProbe, parallelism,
+      flaggedSegments(store.segments.sparkSession, store))(
       _ => allowed.select(col("vec_id")).distinct())
 
   /** ROUTED + FILTERED serving with the predicate evaluated by the STORE
@@ -957,7 +972,8 @@ object HnswGeoStore {
         s"store at ${store.path} carries no attribute payloads — build " +
           "or append with payload columns, or pre-evaluate the " +
           "predicate and use batchNeighborsFiltered"))
-    filteredServe(store, probes, k, efSearch, nProbe, parallelism) {
+    filteredServe(store, probes, k, efSearch, nProbe, parallelism,
+      flaggedSegments(spark, store)) {
       probedCells =>
         // the predicate runs INSIDE the probed-cell-pruned attr scan:
         // vec_ids are unique across live epochs (the append-time id
@@ -984,7 +1000,8 @@ object HnswGeoStore {
     * it can prune its own scan ([[batchNeighborsFilteredExpr]]).
     */
   private def filteredServe(store: Store, probes: DataFrame, k: Int,
-                            efSearch: Int, nProbe: Int, parallelism: Int)(
+                            efSearch: Int, nProbe: Int, parallelism: Int,
+                            flagged: Option[DataFrame])(
       allowedOf: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && efSearch >= k && parallelism >= 1,
       s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
@@ -993,8 +1010,9 @@ object HnswGeoStore {
     import spark.implicits._
     // tombstoned range → serve from the RAW graphs with the per-row
     // live flag folded into `ok` (traversal-only tombstones); clean
-    // range → the exact pre-deletion plans
-    val flagged = flaggedSegments(spark, store)
+    // range → the exact pre-deletion plans. The flagged frame is
+    // computed ONCE by each public entry (tombstone listing + plan
+    // construction per call, not per layer) and passed down.
     val st0 = graft.CacheRegistry.persist(flagged.getOrElse(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs"))))

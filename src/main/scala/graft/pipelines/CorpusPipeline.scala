@@ -120,14 +120,15 @@ object CorpusPipeline {
                      config: Config = Config(),
                      semanticThreshold: Double = 0.95, shards: Int = 0,
                      nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
-                     route: String = "auto"): DataFrame = {
+                     route: String = "auto",
+                     maxCellNodes: Int = 0): DataFrame = {
     val curated = graft.CacheRegistry.persist(curate(docs, config))
     val embKept = emb.select(col("vec_id"), col("embedding"))
       .join(curated.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
     val comps = Dedup.connectedComponents(
       Dedup.hnswNearDupPairs(embKept, semanticThreshold, shards,
-        nProbe = nProbe, route = route))
+        nProbe = nProbe, route = route, maxCellNodes = maxCellNodes))
     val reps = Dedup.clusterRepresentatives(comps,
       curated.select(col("doc_id"), col("n_tokens")), "n_tokens")
     val drops = comps

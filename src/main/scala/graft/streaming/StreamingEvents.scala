@@ -448,7 +448,7 @@ object StreamingEvents {
                                      threshold: Double,
                                      compactEvery: Int,
                                      instanceId: Option[String] = None)
-      : Unit = {
+      : Unit = withStoreLock(stateDir) {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
     val preGen = pinTextPreGen(spark, stateDir, outDir, batchId, asBase,
@@ -492,6 +492,7 @@ object StreamingEvents {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withStoreLock(stateDir) {
         val spark = batch.sparkSession
         val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
         // pre-state pinned through the persisted batch→epoch mapping +
@@ -518,6 +519,7 @@ object StreamingEvents {
           pruneStreamMeta(spark, stateDir, batchId)
         }
         graft.CacheRegistry.releaseAll()
+        }
       }
       .start()
 
@@ -546,6 +548,7 @@ object StreamingEvents {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withStoreLock(stateDir) {
         val spark = batch.sparkSession
         val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
         // pre-state pinned through the persisted batch→epoch mapping +
@@ -570,6 +573,7 @@ object StreamingEvents {
           pruneStreamMeta(spark, stateDir, batchId)
         }
         graft.CacheRegistry.releaseAll()
+        }
       }
       .start()
 
@@ -943,7 +947,7 @@ object StreamingEvents {
                                    compactEvery: Int,
                                    driftFactor: Double = 0.0,
                                    instanceId: Option[String] = None)
-      : Unit = {
+      : Unit = withStoreLock(stateDir) {
     val spark = batch.sparkSession
     val asBase = compactEvery > 0 && (batchId + 1) % compactEvery == 0
     val preEpoch = pinGeoPreEpoch(spark, stateDir, outDir, batchId, asBase,
@@ -985,6 +989,26 @@ object StreamingEvents {
     */
   private[graft] def eraseWriterTag(batchId: Long): String =
     s"erase:batch=$batchId"
+
+  /** Per-store-path commit locks: two sinks on ONE store (an erasure
+    * stream beside an admission stream — the documented composition)
+    * run their foreachBatch bodies under the same driver, but Spark
+    * does not serialize bodies across queries — without this lock both
+    * could pass the pre-state divergence check and allocate the same
+    * epoch concurrently (check-then-act), silently overwriting each
+    * other's stats/marker writes. The lock serializes whole batch
+    * bodies per stateDir on this driver; WRITERS ON ANOTHER DRIVER are
+    * outside it and keep the documented out-of-band contract (their
+    * commits shift allocations between batches and fail loudly on the
+    * writer-identity marker inside a crash window).
+    */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withStoreLock[T](stateDir: String)(body: => T): T = {
+    val lock = storeLocks.computeIfAbsent(stateDir, _ => new Object)
+    lock.synchronized(body)
+  }
 
   /** CONTINUOUS ERASURE from the standing GEO store — the streaming
     * twin of [[graft.operators.HnswGeoStore.delete]] (round-16 verdict
@@ -1029,7 +1053,7 @@ object StreamingEvents {
   private[graft] def geoEraseBatch(batch: DataFrame, batchId: Long,
                                    stateDir: String, outDir: String,
                                    instanceId: Option[String] = None)
-      : Unit = {
+      : Unit = withStoreLock(stateDir) {
     val spark = batch.sparkSession
     val preEpoch = pinPreState(spark, stateDir, outDir, batchId,
       asBase = false, "geo-store", "epoch",
@@ -1075,7 +1099,7 @@ object StreamingEvents {
   private[graft] def dedupEraseBatch(batch: DataFrame, batchId: Long,
                                      stateDir: String, outDir: String,
                                      instanceId: Option[String] = None)
-      : Unit = {
+      : Unit = withStoreLock(stateDir) {
     val spark = batch.sparkSession
     val preGen = pinPreState(spark, stateDir, outDir, batchId,
       asBase = false, "dedup-store", "gen",
@@ -1165,7 +1189,10 @@ object StreamingEvents {
       config: graft.pipelines.CorpusPipeline.Config,
       semanticThreshold: Double, nProbe: Int, efSearch: Int,
       compactEvery: Int, driftFactor: Double = 0.0,
-      instanceId: Option[String] = None): Unit = {
+      instanceId: Option[String] = None): Unit =
+    // both stores locked, FIXED order (text, then geo): single-store
+    // sinks hold one lock, so no cycle is possible
+    withStoreLock(textStateDir) { withStoreLock(geoStateDir) {
     import graft.operators.DedupState
     import graft.pipelines.CorpusPipeline
     val spark = batch.sparkSession
@@ -1204,7 +1231,7 @@ object StreamingEvents {
       reclaimGeoAfterBase(spark, geo, geoStateDir, batchId)
     }
     graft.CacheRegistry.releaseAll()
-  }
+  } }
 
   /** Continuous ANN SERVING from the segmented graph store — the query
     * half [[hnswAdmissionStream]] leaves open, completing the index

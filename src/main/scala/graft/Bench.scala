@@ -14,6 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // CLEAN-SCRATCH HARNESS (round-17 verdict #5): the store-lifecycle
+    // queries are commit-heavy writers, and stale tmp litter from prior
+    // runs measurably taxes them (round-17 attribution: clearing ~2,100
+    // stale graft-* dirs recovered 12–17% on isolated re-runs). Every
+    // bench run therefore gets a FRESH scratch root — re-pointing
+    // java.io.tmpdir BEFORE the session exists, so Spark local dirs and
+    // every query's store path land inside it — torn down afterwards.
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft-bench-scratch-")
+    System.setProperty("java.io.tmpdir", scratch.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -563,5 +573,16 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries_count":${timings.size},"errors_count":${errors.size},"errors_head":$esCompact,"q_order":"query names sorted ascending","q_sec":$qArr,"scale_path":$sp,"sf":"${esc(sfDir)}"}""")
+    // tear the scratch root down AFTER the JSON lines land — best
+    // effort, stderr only (the driver parses stdout)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch).iterator().asScala.toSeq
+        .reverseIterator.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scratch teardown failed: ${e.getMessage}")
+    }
   }
 }

@@ -668,10 +668,15 @@ object Dedup {
         maxTrainRows = 100L * cells)
       // maxCellNodes > 0 bounds the hot cell by construction
       // ([[Hnsw.GeoLayout]] sub-shards); the routed scan fans probes to
-      // a probed cell's sub-shards, so the output contract is unchanged
+      // a probed cell's sub-shards, so the output contract is unchanged.
+      // The layout is derived ONCE here and passed to both the build
+      // and the scan — unsplit stores skip the derivation groupBy
+      val lay =
+        if (maxCellNodes > 0) Hnsw.geoLayout(e, index, maxCellNodes)
+        else Map.empty[Long, Int]
       Hnsw.nearDupPairsRouted(
-        Hnsw.buildGeo(e, index, m, efConstruction, maxCellNodes),
-        index, threshold, nProbe, efSearch)
+        Hnsw.buildGeoWithLayout(e, index, m, efConstruction, lay),
+        index, threshold, nProbe, efSearch, knownLayout = Some(lay))
     } else
       // id-hash shards for the exhaustive fan-out: no index to train, and
       // hashing balances shard populations where cell sharding would

@@ -923,7 +923,7 @@ object DedupState {
     */
   private def writeTable(df: DataFrame, path: String, table: String,
                          gen: Long, buckets: Int): Unit =
-    if (buckets > 0)
+    if (buckets > 0) {
       // cluster rows by bucket BEFORE partitionBy: without it every
       // write task emits a file per bucket it happens to hold (up to
       // tasks × buckets tiny files — measured 4-6× wall on both the
@@ -936,7 +936,23 @@ object DedupState {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/$table/gen=$gen")
-    else df.write.mode("overwrite").parquet(s"$path/$table/gen=$gen")
+      // A partitioned write of an EMPTY frame emits no part files
+      // (ADVICE r17): a bucketed build over an empty corpus would
+      // leave a store whose loadAt fails schema inference, where the
+      // unbucketed layout writes schema-carrying empty files. Detect
+      // by FS listing (one driver-side stat, no extra job) and
+      // backfill a schema-only empty file into a `bucket=0` partition
+      // dir — uniform partition depth, zero rows, inference restored.
+      val genP = new org.apache.hadoop.fs.Path(s"$path/$table/gen=$gen")
+      val fs = genP.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val hasBucketDirs = fs.exists(genP) &&
+        fs.listStatus(genP).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      if (!hasBucketDirs)
+        df.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/$table/gen=$gen/bucket=0")
+    } else df.write.mode("overwrite").parquet(s"$path/$table/gen=$gen")
 
   private def writeGeneration(spark: SparkSession, path: String, gen: Long,
                               newPosting: DataFrame, dfs: DataFrame,

@@ -355,6 +355,44 @@ object Hnsw {
     */
   type GeoLayout = Map[Long, Int]
 
+  /** WITHIN-CELL probe routing for an over-cap (hot) cell (round-17
+    * verdict #2) — the hot cell's COMPUTE bound, where [[GeoLayout]]
+    * alone bounds only its memory: under a pure id-hash split a probe
+    * into a hot cell must fan to ALL ⌈pop/cap⌉ sub-shards, so per-probe
+    * work stays linear in the cell's population. A [[SubRouting]] gives
+    * the cell a SECONDARY GEOMETRY: `centroids(i)` are mini-IVF
+    * sub-centroids trained once on the cell's own vectors (frozen with
+    * the layout, like the index), and `split(i)` is the id-hash split
+    * factor that re-caps sub-cell `i` by construction (k-means balance
+    * is a heuristic; the hash backstop is the guarantee — a hot cell of
+    * NEAR-IDENTICAL vectors collapses into one sub-cell and honestly
+    * degenerates to today's exhaustive fan, which is also the correct
+    * answer there). Slot encoding: slot = offsets(sub) + hash(id) mod
+    * split(sub), shard = slot·k + cell — sum(split) slots, exactly the
+    * [[GeoLayout]] n_sub of the cell, so every slot-count consumer
+    * (stride bounds, exhaustive fans, driver-side shard enumeration) is
+    * unchanged. A probe routes to its `nProbeSub` nearest sub-cells and
+    * fans only to THEIR slots; `nProbeSub ≤ 0` (or ≥ the sub-cell
+    * count) is the exhaustive fan bitwise — the oracle route.
+    */
+  case class SubRouting(centroids: Array[Array[Double]],
+                        split: Array[Int]) {
+    require(centroids.nonEmpty && centroids.length == split.length &&
+      split.forall(_ >= 1),
+      s"malformed sub-routing: ${centroids.length} centroids / " +
+        s"${split.length} splits")
+    /** first slot of each geometric sub-cell */
+    val offsets: Array[Int] = split.scanLeft(0)(_ + _).init
+    def slots: Int = split.sum
+  }
+
+  /** Per-cell sub-routing of the split cells that carry one — always a
+    * subset of the [[GeoLayout]] keys, with `slots == layout(cell)`.
+    * Empty on pure-hash layouts (the round-17 format): every consumer
+    * falls back to the exhaustive fan / plain hash slot, bitwise.
+    */
+  type GeoRouting = Map[Long, SubRouting]
+
   /** Derive the sub-shard layout that caps every cell of `emb` (columns
     * vec_id, embedding) at `maxCellNodes` vectors under `index`: one
     * cell-count aggregation (≤ k rows to the driver — the same bounded
@@ -373,6 +411,63 @@ object Hnsw {
         val n = (r.getLong(1) + maxCellNodes - 1L) / maxCellNodes.toLong
         r.getLong(0) -> n.toInt
       }.toMap
+  }
+
+  /** Derive the layout AND the within-cell routing of every over-cap
+    * cell ([[SubRouting]]): per hot cell, s = ⌈pop/cap⌉ mini-IVF
+    * sub-centroids trained on the cell's own vectors (the [[IVF.train]]
+    * sampling discipline — Lloyd passes bounded at 100 rows/centroid),
+    * then each geometric sub-cell re-capped by an id-hash split of
+    * ⌈pop_i/cap⌉ — the hash backstop that keeps the memory bound BY
+    * CONSTRUCTION where k-means balance alone could not. The returned
+    * layout's n_sub is sum(split), so every slot-count consumer is the
+    * pure-hash format's. Cost: one bounded count collect + per-hot-cell
+    * trains over column-pruned cell scans — hot cells are few by
+    * construction (they are the exception the cap exists for).
+    */
+  private[graft] def geoRoutingOf(emb: DataFrame, index: IVF.Index,
+                                  maxCellNodes: Int, iters: Int = 5)
+      : (GeoLayout, GeoRouting) = {
+    require(maxCellNodes >= 1, s"maxCellNodes=$maxCellNodes must be >= 1")
+    val src = graft.CacheRegistry.persist(
+      emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")))
+    val hot = src
+      .select(IVF.assignExpr(col("embedding"), index)
+        .cast("long").as("cell"))
+      .groupBy(col("cell")).count()
+      .filter(col("count") > maxCellNodes.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val routing = hot.map { case (c, pop) =>
+      c -> subRoutingFor(
+        src.filter(
+          IVF.assignExpr(col("embedding"), index).cast("long") === c),
+        pop, maxCellNodes, iters)
+    }.toMap
+    (routing.map { case (c, r) => c -> r.slots }, routing)
+  }
+
+  /** Train ONE cell's [[SubRouting]] from its live vectors — the
+    * per-cell kernel [[geoRoutingOf]] and the compaction re-split
+    * share: s = ⌈pop/cap⌉ mini-IVF sub-centroids (sampled Lloyd), then
+    * the per-sub-cell id-hash re-cap (≤ s count rows to the driver).
+    */
+  private[graft] def subRoutingFor(cellVecs: DataFrame, pop: Long,
+                                   maxCellNodes: Int,
+                                   iters: Int = 5): SubRouting = {
+    val s = ((pop + maxCellNodes - 1L) / maxCellNodes.toLong).toInt
+    val sub = IVF.train(cellVecs, s, iters, maxTrainRows = 100L * s)
+    val counts = cellVecs
+      .select(element_at(graft.functions.GraftFunctions.nearest_cells(
+        col("embedding").cast("array<double>"), sub.centroids, 1), 1)
+        .as("sub"))
+      .groupBy(col("sub")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val split = Array.tabulate(s) { i =>
+      val n = counts.getOrElse(i, 0L)
+      math.max(1L, (n + maxCellNodes - 1L) / maxCellNodes.toLong).toInt
+    }
+    SubRouting(sub.centroids, split)
   }
 
   /** Recover a store's frozen layout from its own shard ids (one
@@ -401,19 +496,34 @@ object Hnsw {
     * expression, so unsplit stores keep bitwise plans.
     */
   private[graft] def withGeoShard(rows: DataFrame, index: IVF.Index,
-                                  layout: GeoLayout): DataFrame = {
+                                  layout: GeoLayout,
+                                  routing: GeoRouting = Map.empty)
+      : DataFrame = {
     val cell = IVF.assignExpr(col("vec"), index).cast("long")
     if (layout.isEmpty) rows.withColumn("shard", cell)
     else {
       val spark = rows.sparkSession
       import spark.implicits._
       val lay = layout.toSeq.toDF("__cell", "__nsub")
+      val hashSlot = pmod(xxhash64(col("vec_id")),
+        coalesce(col("__nsub"), lit(1)).cast("long"))
+      // routed cells assign slot = offsets(sub) + hash mod split(sub)
+      // under their frozen mini-IVF ([[SubRouting]]); a CASE chain over
+      // the routed cells only — hot cells are few by construction, and
+      // the chain stays inside codegen ([[GraftFunctions.nearest_cells]]
+      // is a native kernel). Non-routed cells keep the pure-hash slot
+      // expression BITWISE.
+      val slot = routing.foldLeft(hashSlot) { case (acc, (c, r)) =>
+        val sub = element_at(graft.functions.GraftFunctions
+          .nearest_cells(col("vec"), r.centroids, 1), 1)
+        val off = element_at(typedLit(r.offsets), sub + 1).cast("long")
+        val spl = element_at(typedLit(r.split), sub + 1).cast("long")
+        when(col("__cell") === c,
+          off + pmod(xxhash64(col("vec_id")), spl)).otherwise(acc)
+      }
       rows.withColumn("__cell", cell)
         .join(broadcast(lay), Seq("__cell"), "left")
-        .withColumn("shard", col("__cell") +
-          pmod(xxhash64(col("vec_id")),
-            coalesce(col("__nsub"), lit(1)).cast("long")) *
-            lit(index.k.toLong))
+        .withColumn("shard", col("__cell") + slot * lit(index.k.toLong))
         .drop("__cell", "__nsub")
     }
   }
@@ -423,16 +533,40 @@ object Hnsw {
     * the identity cast — the pre-layout plan, bitwise.
     */
   private[graft] def fanToSubShards(pr: DataFrame, cellCol: String,
-                                    layout: GeoLayout, k: Int): DataFrame =
+                                    layout: GeoLayout, k: Int,
+                                    routing: GeoRouting = Map.empty,
+                                    nProbeSub: Int = 0,
+                                    vecCol: String = "vec"): DataFrame =
     if (layout.isEmpty) pr.withColumn("shard", col(cellCol).cast("long"))
     else {
       val spark = pr.sparkSession
       import spark.implicits._
       val lay = layout.toSeq.toDF("__lcell", "__lnsub")
+      val exhaustive = sequence(lit(0L),
+        coalesce(col("__lnsub"), lit(1)).cast("long") - 1L)
+      // nProbeSub > 0 routes a probe into a [[SubRouting]]-carrying
+      // cell to its nProbeSub nearest sub-cells and fans only to THEIR
+      // id-hash slots; every other cell — and nProbeSub ≥ the sub-cell
+      // count — keeps the exhaustive slot list (the oracle route,
+      // bitwise the pre-routing plan when routing is empty)
+      val slots =
+        if (nProbeSub <= 0 || routing.isEmpty) exhaustive
+        else routing.foldLeft(exhaustive) { case (acc, (c, r)) =>
+          if (nProbeSub >= r.centroids.length) acc
+          else {
+            val subs = graft.functions.GraftFunctions.nearest_cells(
+              col(vecCol).cast("array<double>"), r.centroids, nProbeSub)
+            val chosen = flatten(transform(subs, s =>
+              sequence(
+                element_at(typedLit(r.offsets), s + 1).cast("long"),
+                element_at(typedLit(r.offsets), s + 1).cast("long") +
+                  element_at(typedLit(r.split), s + 1).cast("long") - 1L)))
+            when(col("__lcell") === c, chosen).otherwise(acc)
+          }
+        }
       pr.join(broadcast(lay), col(cellCol).cast("long") === col("__lcell"),
           "left")
-        .withColumn("__sub", explode(sequence(lit(0L),
-          coalesce(col("__lnsub"), lit(1)).cast("long") - 1L)))
+        .withColumn("__sub", explode(slots))
         .withColumn("shard",
           col(cellCol).cast("long") + col("__sub") * lit(k.toLong))
         .drop("__lcell", "__lnsub", "__sub")
@@ -575,14 +709,16 @@ object Hnsw {
   private[graft] def buildGeoWithLayout(emb: DataFrame, index: IVF.Index,
                                         m: Int, efConstruction: Int,
                                         layout: GeoLayout,
-                                        parallelism: Int = 0): DataFrame = {
+                                        parallelism: Int = 0,
+                                        routing: GeoRouting = Map.empty)
+      : DataFrame = {
     require(m >= 2 && efConstruction >= m,
       s"bad params: m=$m efConstruction=$efConstruction")
     buildShards(
       withGeoShard(
         emb.select(col("vec_id"),
           col("embedding").cast("array<double>").as("vec")),
-        index, layout)
+        index, layout, routing)
         .select(col("shard"), col("vec_id"), col("vec")),
       if (parallelism > 0) parallelism
       else index.k + layout.valuesIterator.map(_ - 1).sum,
@@ -714,7 +850,8 @@ object Hnsw {
     */
   def addGeo(store: DataFrame, fresh: DataFrame, index: IVF.Index,
              m: Int = 8, efConstruction: Int = 64,
-             layout: Option[GeoLayout] = None): DataFrame = {
+             layout: Option[GeoLayout] = None,
+             routing: GeoRouting = Map.empty): DataFrame = {
     require(m >= 2 && efConstruction >= m,
       s"bad params: m=$m efConstruction=$efConstruction")
     requireGeoStore(store, index)
@@ -724,7 +861,7 @@ object Hnsw {
     val freshRows = asProbes(withGeoShard(
       fresh.select(col("vec_id"),
         col("embedding").cast("array<double>").as("vec")),
-      index, lay))
+      index, lay, routing))
     admitShards(store, freshRows,
       index.k + lay.valuesIterator.map(_ - 1).sum, m, efConstruction)
   }
@@ -1433,7 +1570,10 @@ object Hnsw {
                          threshold: Double,
                          nProbe: Int = DefaultNearDupNProbe,
                          efSearch: Int = 64,
-                         parallelism: Int = 32): DataFrame = {
+                         parallelism: Int = 32,
+                         knownLayout: Option[GeoLayout] = None,
+                         routing: GeoRouting = Map.empty,
+                         nProbeSub: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
     require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
@@ -1443,13 +1583,16 @@ object Hnsw {
     val st = graft.CacheRegistry.persist(
       store.select(col("shard"), col("vec_id"), col("vec"), col("level"),
         col("nbrs")))
-    val layout = layoutOfStore(st, index)
+    // callers that built (or loaded) the store with the layout in hand
+    // pass it — sparing unsplit stores an unconditional full-store
+    // groupBy whose answer is always empty (ADVICE r17)
+    val layout = knownLayout.getOrElse(layoutOfStore(st, index))
     val numParts = math.max(parallelism, math.min(index.k, 4096))
     val probes = asProbes(fanToSubShards(
       st.select(col("vec_id"), col("vec"))
         .withColumn("__cell",
           explode(IVF.probeExpr(col("vec"), index, nProbe))),
-      "__cell", layout, index.k).drop("__cell"))
+      "__cell", layout, index.k, routing, nProbeSub).drop("__cell"))
     pairScan(st.unionByName(probes), numParts, threshold, efSearch)
   }
 
@@ -1475,7 +1618,9 @@ object Hnsw {
                           probes: DataFrame, threshold: Double,
                           nProbe: Int = DefaultNearDupNProbe,
                           efSearch: Int = 64,
-                          parallelism: Int = 32): DataFrame = {
+                          parallelism: Int = 32,
+                          knownLayout: Option[GeoLayout] = None)
+      : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
     require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
@@ -1499,7 +1644,8 @@ object Hnsw {
     val prs = asProbes(fanToSubShards(
       pr0.withColumn("__cell",
         explode(IVF.probeExpr(col("vec"), index, nProbe))),
-      "__cell", layoutOfStore(st, index), index.k))
+      "__cell", knownLayout.getOrElse(layoutOfStore(st, index)),
+      index.k))
     val numParts = math.max(parallelism, math.min(index.k, 4096))
     pairScan(st.unionByName(prs), numParts, threshold, efSearch)
   }

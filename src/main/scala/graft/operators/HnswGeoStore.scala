@@ -49,7 +49,9 @@ object HnswGeoStore {
   case class Store(path: String, segments: DataFrame, epoch: Long,
                    baseEpoch: Long, index: IVF.Index,
                    layout: Hnsw.GeoLayout = Map.empty,
-                   maxCellNodes: Int = 0) {
+                   maxCellNodes: Int = 0,
+                   routing: Hnsw.GeoRouting = Map.empty,
+                   subRouted: Boolean = false) {
     /** Live epochs a probe must route across (one per committed batch
       * since the base — appends allocate them consecutively).
       */
@@ -62,6 +64,14 @@ object HnswGeoStore {
     * surfaces key on).
     */
   val CellStride: Long = HnswStore.ShardStride.toLong
+
+  /** Largest literal shard-id list worth spelling as an `isin` (which
+    * pushes to parquet row-group stats on the shard-sorted segment
+    * files); past it the same restriction runs as a broadcast
+    * semi-join — an O(list) per-row isin over thousands of ids is plan
+    * bloat with no pushdown payoff (ADVICE r17).
+    */
+  private[graft] val IsinPushdownMaxIds = 4096
 
   /** Latest committed epoch at `path` — what a fresh writer (the
     * streaming sink's first attempt at a batch) must pin its pre-state
@@ -170,19 +180,52 @@ object HnswGeoStore {
   }
 
   /** The live epochs' attribute relation (shard, vec_id, payload...),
-    * or None for a plain store.
+    * or None for a plain store. With [[updateAttrs]] epochs in the live
+    * range the view resolves LATEST-WINS per vec_id; update-free ranges
+    * keep their exact pre-update plans (no window, no extra column —
+    * the deletion-free fast-path discipline applied to updates).
     */
   def attrsOf(spark: SparkSession, store: Store): Option[DataFrame] =
     if (!attrsPresent(spark, store)) None
-    else {
-      val raw = store.epochs.map(e =>
+    else Some(resolveLatestAttrs(attrsRawOf(spark, store),
+      hasAttrUpdates(spark, store)))
+
+  /** The masked union of the live epochs' attr relations with the
+    * writing epoch retained as `__aepoch` (tombstone masking consumes
+    * the `epoch` column) — the pre-resolution frame
+    * [[batchNeighborsFilteredExpr]] prunes to probed cells BEFORE the
+    * latest-wins window, so a serving query's window runs
+    * probed-cells-sized, never corpus-sized.
+    */
+  private def attrsRawOf(spark: SparkSession, store: Store): DataFrame =
+    maskTombstoned(spark, store.path, store.baseEpoch, store.epoch,
+      store.epochs.map(e =>
         spark.read.parquet(s"${store.path}/attrs/epoch=$e")
-          .withColumn("epoch", lit(e)))
-        .reduce(_ unionByName _)
-      // erased rows' attrs masked with the same (epoch-aware) tombstones
-      Some(maskTombstoned(spark, store.path, store.baseEpoch, store.epoch,
-        raw))
-    }
+          .withColumn("epoch", lit(e))
+          .withColumn("__aepoch", lit(e)))
+        .reduce(_ unionByName _))
+
+  /** Latest-wins per vec_id over a frame carrying `__aepoch` — a
+    * no-op column drop when the range holds no update epochs, so
+    * update-free stores keep bitwise plans.
+    */
+  private[graft] def resolveLatestAttrs(df: DataFrame,
+                                        hasUpdates: Boolean): DataFrame =
+    if (!hasUpdates) df.drop("__aepoch")
+    else df.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("__aepoch").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "__aepoch")
+
+  /** Whether any live epoch is an [[updateAttrs]] commit — an
+    * epoch-count FS probe for the `_attr_update` sidecar, the same
+    * bounded-driver-check discipline as [[attrsPresent]].
+    */
+  private[graft] def hasAttrUpdates(spark: SparkSession,
+                                    store: Store): Boolean =
+    store.epochs.exists(e => HnswStore.fs(spark, store.path).exists(
+      new org.apache.hadoop.fs.Path(
+        s"${store.path}/attrs/epoch=$e/_attr_update")))
 
   /** Write one epoch's commit marker. `writer` is the committing
     * actor's identity — `"lifecycle"` for every batch-API op
@@ -227,31 +270,71 @@ object HnswGeoStore {
     */
   private def writeLayout(spark: SparkSession, path: String, epoch: Long,
                           layout: Hnsw.GeoLayout,
-                          maxCellNodes: Int): Unit = {
+                          maxCellNodes: Int,
+                          routing: Hnsw.GeoRouting = Map.empty,
+                          subRouted: Boolean = false): Unit = {
     import spark.implicits._
     val rows =
-      if (layout.isEmpty) Seq((-1L, 1)) else layout.toSeq
-    rows.toDF("cell", "n_sub")
+      if (layout.isEmpty)
+        Seq((-1L, 1, null: Seq[Seq[Double]], null: Seq[Int]))
+      else layout.toSeq.map { case (c, n) =>
+        // a routed cell persists its frozen mini-IVF beside the slot
+        // count ([[Hnsw.SubRouting]]); pure-hash cells carry nulls, so
+        // the relation stays the round-17 shape plus nullable columns
+        routing.get(c) match {
+          case Some(r) =>
+            (c, n, r.centroids.map(_.toSeq).toSeq, r.split.toSeq)
+          case None => (c, n, null: Seq[Seq[Double]], null: Seq[Int])
+        }
+      }
+    rows.toDF("cell", "n_sub", "sub_centroids", "sub_split")
       .withColumn("max_cell_nodes", lit(maxCellNodes))
+      // the POLICY flag, persisted so compaction/retrain on a routed
+      // store know to re-train mini-IVFs for cells they (re-)split —
+      // routing.nonEmpty can't carry it: a routed store cold-built on
+      // an un-skewed corpus has no routed cell yet
+      .withColumn("sub_routed", lit(subRouted))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/layout/epoch=$epoch")
   }
 
-  /** A base epoch's persisted layout + cap, or (empty, 0) for stores
-    * built without a cell cap.
+  /** A base epoch's persisted layout + cap + within-cell routing, or
+    * (empty, 0, empty) for stores built without a cell cap. Layout
+    * relations written before the routing columns existed load with an
+    * empty routing — the exhaustive-fan behavior they were built under.
     */
   private[graft] def layoutAt(spark: SparkSession, path: String,
-                              epoch: Long): (Hnsw.GeoLayout, Int) = {
+                              epoch: Long)
+      : (Hnsw.GeoLayout, Int, Hnsw.GeoRouting, Boolean) = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/layout/epoch=$epoch")
-    if (!HnswStore.fs(spark, path).exists(dir)) (Map.empty, 0)
+    if (!HnswStore.fs(spark, path).exists(dir))
+      (Map.empty, 0, Map.empty, false)
     else {
-      val rows = spark.read.parquet(dir.toString).collect()
+      val df = spark.read.parquet(dir.toString)
+      val hasRouting = df.columns.contains("sub_centroids")
+      val hasFlag = df.columns.contains("sub_routed")
+      val rows = df.collect()
       val cap = rows.headOption
         .map(_.getAs[Int]("max_cell_nodes")).getOrElse(0)
-      (rows.iterator
+      val layout = rows.iterator
         .filter(_.getAs[Long]("cell") >= 0L)
         .map(r => r.getAs[Long]("cell") -> r.getAs[Int]("n_sub"))
-        .filter(_._2 > 1).toMap, cap)
+        .filter(_._2 > 1).toMap
+      val routing =
+        if (!hasRouting) Map.empty[Long, Hnsw.SubRouting]
+        else rows.iterator
+          .filter(r => r.getAs[Long]("cell") >= 0L &&
+            !r.isNullAt(r.fieldIndex("sub_centroids")))
+          .map { r =>
+            val cents = r.getSeq[scala.collection.Seq[Double]](
+                r.fieldIndex("sub_centroids"))
+              .map(_.toArray).toArray
+            val split = r.getSeq[Int](r.fieldIndex("sub_split")).toArray
+            r.getAs[Long]("cell") -> Hnsw.SubRouting(cents, split)
+          }.toMap
+      val subRouted = hasFlag &&
+        rows.headOption.exists(_.getAs[Boolean]("sub_routed"))
+      (layout, cap, routing, subRouted)
     }
   }
 
@@ -273,9 +356,13 @@ object HnswGeoStore {
     */
   def build(spark: SparkSession, emb: DataFrame, path: String,
             index: IVF.Index, m: Int = 8,
-            efConstruction: Int = 64, maxCellNodes: Int = 0): Store = {
+            efConstruction: Int = 64, maxCellNodes: Int = 0,
+            subRouted: Boolean = false): Store = {
     require(index.k < CellStride,
       s"index.k=${index.k} must sit under the cell stride $CellStride")
+    require(!subRouted || maxCellNodes > 0,
+      "subRouted needs maxCellNodes > 0 — within-cell routing is a " +
+        "refinement of the hot-cell cap, not a standalone mode")
     val f = HnswStore.fs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (f.exists(p)) f.delete(p, true)
@@ -284,19 +371,27 @@ object HnswGeoStore {
       col("embedding").cast("array<double>").as("embedding"))
     // the hot-cell bound: cells past maxCellNodes split into id-hash
     // sub-shards under the same centroid, frozen beside the index — the
-    // logical shard range must still sit under the epoch stride
-    val layout =
-      if (maxCellNodes > 0) Hnsw.geoLayout(corpus, index, maxCellNodes)
-      else Map.empty[Long, Int]
+    // logical shard range must still sit under the epoch stride.
+    // `subRouted` additionally trains a frozen mini-IVF inside each hot
+    // cell ([[Hnsw.SubRouting]] — the hot cell's COMPUTE bound) whose
+    // sub-cells the id-hash re-cap still bounds by construction.
+    val (layout, routing) =
+      if (maxCellNodes > 0) {
+        if (subRouted) Hnsw.geoRoutingOf(corpus, index, maxCellNodes)
+        else (Hnsw.geoLayout(corpus, index, maxCellNodes),
+          Map.empty[Long, Hnsw.SubRouting])
+      } else (Map.empty[Long, Int], Map.empty[Long, Hnsw.SubRouting])
     require(layout.valuesIterator.forall(n =>
         n.toLong * index.k <= CellStride),
       s"sub-shard layout overflows the cell stride: max n_sub " +
         s"${layout.values.max} × k=${index.k} > $CellStride — raise " +
         "maxCellNodes or lower k")
     writeSegment(path,
-      Hnsw.buildGeoWithLayout(corpus, index, m, efConstruction, layout), 0L)
+      Hnsw.buildGeoWithLayout(corpus, index, m, efConstruction, layout,
+        routing = routing), 0L)
     if (maxCellNodes > 0)
-      writeLayout(spark, path, 0L, layout, maxCellNodes)
+      writeLayout(spark, path, 0L, layout, maxCellNodes, routing,
+        subRouted)
     val pcols = payloadCols(src)
     if (pcols.nonEmpty) writeAttrs(path, src, index, 0L, pcols)
     IVF.save(spark, index, s"$path/index/epoch=0")
@@ -338,11 +433,11 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
     val segs = spark.read.parquet(s"$path/segments")
       .filter(col("epoch") >= base && col("epoch") <= epoch)
-    val (layout, cap) = layoutAt(spark, path, base)
+    val (layout, cap, routing, subRouted) = layoutAt(spark, path, base)
     Store(path,
       maskTombstoned(spark, path, base, epoch, segs),
       epoch, base, IVF.load(spark, s"$path/index/epoch=$base"),
-      layout, cap)
+      layout, cap, routing, subRouted)
   }
 
   /** The live [base, epoch] tombstones / the epoch-aware masking —
@@ -458,6 +553,93 @@ object HnswGeoStore {
       IVF.cellStats(freshRows, store.index))
     val tombs = liveTombstones(spark, store.path, store.baseEpoch,
       store.epoch)
+    // KEEP THE CAP TRUE UNDER ADMISSION (round-17 verdict #1): the
+    // layout is frozen between retrains and retrain triggers on
+    // GEOMETRIC drift, so a cell that accretes vectors without moving
+    // the centroid could outrun `maxCellNodes` unboundedly. Compaction
+    // is the one moment the full base is in hand anyway, so it GROWS
+    // the layout for exactly the over-cap cells (n_sub = ⌈n/cap⌉,
+    // never shrunk — a retrain re-derives from scratch) and rebuilds
+    // just those cells from their live vectors under the new split;
+    // every other cell keeps the warm addGeo path bitwise. Counts come
+    // from the epoch-count stats fold (exact on n across deletes by the
+    // negated-leaf algebra) — ≤ k rows to the driver, the [[layoutAt]]
+    // bounded-collect discipline — with a corpus-side aggregation
+    // fallback for pre-stats legacy stores. Re-splitting is
+    // oracle-invisible by q206's exhaustive-fan argument: probes fan to
+    // ALL of a cell's sub-shards, so the served surface is unchanged.
+    val (newLayout, newRouting, resplitCells)
+        : (Hnsw.GeoLayout, Hnsw.GeoRouting, Set[Long]) =
+      if (!asBase || store.maxCellNodes <= 0)
+        (store.layout, store.routing, Set.empty[Long])
+      else {
+        val cap = store.maxCellNodes.toLong
+        val haveLeaves = store.epochs.forall { e =>
+          HnswStore.fs(spark, store.path).exists(
+            new org.apache.hadoop.fs.Path(s"${store.path}/stats/epoch=$e"))
+        }
+        val perCell =
+          if (haveLeaves)
+            foldStats(store.epochs.map(e =>
+              spark.read.parquet(s"${store.path}/stats/epoch=$e"))
+              :+ freshStats)
+              .select(col("cid").cast("long").as("cid"), col("n"))
+          else
+            store.segments
+              .select(pmod(pmod(col("shard"), lit(CellStride)),
+                lit(store.index.k.toLong)).as("cid"))
+              .unionByName(freshRows.select(
+                IVF.assignExpr(col("embedding"), store.index)
+                  .cast("long").as("cid")))
+              .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        // cells whose live population outgrew their slot budget
+        val grownPop = perCell.filter(col("n") > cap).collect()
+          .flatMap { r =>
+            val c = r.getLong(0)
+            val need = ((r.getLong(1) + cap - 1L) / cap).toInt
+            if (need > store.layout.getOrElse(c, 1))
+              Some(c -> r.getLong(1))
+            else None
+          }.toMap
+        if (grownPop.isEmpty)
+          (store.layout, store.routing, Set.empty[Long])
+        else {
+          val grownR: Hnsw.GeoRouting =
+            if (!store.subRouted) Map.empty
+            else {
+              // a routed store's re-split cells re-train their frozen
+              // mini-IVF on their full live vector sets (the same
+              // corpus the rebuild below reads) — the slot budget then
+              // comes from the per-sub-cell id-hash re-cap
+              val kL = store.index.k.toLong
+              val gIds = grownPop.keySet.toSeq
+                .map(java.lang.Long.valueOf)
+              val gSrc = graft.CacheRegistry.persist(store.segments
+                .filter(pmod(pmod(col("shard"), lit(CellStride)),
+                  lit(kL)).isin(gIds: _*))
+                .select(col("vec_id"), col("vec").as("embedding"))
+                .unionByName(freshRows.filter(
+                  IVF.assignExpr(col("embedding"), store.index)
+                    .cast("long").isin(gIds: _*))))
+              grownPop.map { case (c, n) =>
+                c -> Hnsw.subRoutingFor(
+                  gSrc.filter(IVF.assignExpr(col("embedding"),
+                    store.index).cast("long") === c),
+                  n, store.maxCellNodes)
+              }
+            }
+          val grown =
+            if (store.subRouted) grownR.map { case (c, r) => c -> r.slots }
+            else grownPop.map { case (c, n) =>
+              c -> ((n + cap - 1L) / cap).toInt
+            }
+          require((store.layout ++ grown).valuesIterator.forall(n =>
+              n.toLong * store.index.k <= CellStride),
+            "compaction re-split overflows the cell stride: raise " +
+              "maxCellNodes or lower k")
+          (store.layout ++ grown, store.routing ++ grownR, grown.keySet)
+        }
+      }
     val rows =
       if (asBase) {
         val baseLo = store.baseEpoch * CellStride
@@ -510,21 +692,76 @@ object HnswGeoStore {
                 "only for tombstoned nodes, which are still present in " +
                 "the raw epoch; restore the segment from a replica " +
                 "before compacting")
+            // dirty cells being RE-SPLIT this compaction skip the
+            // repair rebuild — they are rebuilt below from their full
+            // live vector set under the new layout (the tripwire above
+            // still covered them: corruption checks are layout-blind)
+            val dirtyRebuild =
+              if (resplitCells.isEmpty) dirty
+              else dirty.filter(
+                !pmod(col("shard"), lit(store.index.k.toLong))
+                  .isin(resplitCells.toSeq
+                    .map(java.lang.Long.valueOf): _*))
             val dirtyLive = dirtyRows
+              .join(broadcast(dirtyRebuild), Seq("shard"), "left_semi")
               .join(broadcast(del), Seq("vec_id"), "left_anti")
               .select(col("vec_id"), col("vec").as("embedding"))
             // rebuild under the FROZEN layout: sub assignment is
             // id-deterministic, so survivors land back in their own
             // sub-shard — only the dirty sub-shards' graphs change
             clean.unionByName(Hnsw.buildGeoWithLayout(
-              dirtyLive, store.index, m, efConstruction, store.layout))
+              dirtyLive, store.index, m, efConstruction, newLayout,
+              routing = newRouting))
         }
-        val deltaVecs = store.segments
+        val k = store.index.k.toLong
+        val rsIds = resplitCells.toSeq.map(java.lang.Long.valueOf)
+        // warm path excludes the re-split cells everywhere: their base
+        // graph rows (built under the old n_sub) and their delta/fresh
+        // vectors all route to the from-scratch rebuild instead
+        val baseKeep =
+          if (resplitCells.isEmpty) baseRows
+          else baseRows.filter(!pmod(col("shard"), lit(k)).isin(rsIds: _*))
+        val deltaSegs = store.segments
           .filter(col("shard") >= baseLo + CellStride)
+        val deltaKeep =
+          if (resplitCells.isEmpty) deltaSegs
+          else deltaSegs.filter(
+            !pmod(pmod(col("shard"), lit(CellStride)), lit(k))
+              .isin(rsIds: _*))
+        val freshKeep =
+          if (resplitCells.isEmpty) freshRows
+          else freshRows.filter(
+            !IVF.assignExpr(col("embedding"), store.index).cast("long")
+              .isin(rsIds: _*))
+        val deltaVecs = deltaKeep
           .select(col("vec_id"), col("vec").as("embedding"))
-          .unionByName(freshRows)
-        Hnsw.addGeo(baseRows, deltaVecs, store.index, m, efConstruction,
-          layout = Some(store.layout))
+          .unionByName(freshKeep)
+        val warm = Hnsw.addGeo(baseKeep, deltaVecs, store.index, m,
+          efConstruction, layout = Some(newLayout),
+          routing = newRouting)
+        if (resplitCells.isEmpty) warm
+        else {
+          // the re-split cells' FULL live vector sets (store.segments
+          // is the tombstone-masked view across every live epoch, so
+          // erased rows are already out) rebuilt from scratch under the
+          // grown layout — ascending-id per-sub-shard builds, so for
+          // monotone ids the result is bitwise the from-scratch
+          // buildGeoWithLayout over corpus-minus-erased (the
+          // compaction ≡ rebuild theorem carried to the re-split arm)
+          val rsVecs = store.segments
+            .filter(pmod(pmod(col("shard"), lit(CellStride)), lit(k))
+              .isin(rsIds: _*))
+            .select(col("vec_id"), col("vec").as("embedding"))
+            .unionByName(freshRows.filter(
+              IVF.assignExpr(col("embedding"), store.index).cast("long")
+                .isin(rsIds: _*)))
+          val rsParts = math.max(spark.sparkContext.defaultParallelism,
+            math.min(resplitCells.toSeq
+              .map(c => newLayout.getOrElse(c, 1)).sum, 4096))
+          warm.unionByName(Hnsw.buildGeoWithLayout(
+            rsVecs, store.index, m, efConstruction, newLayout, rsParts,
+            routing = newRouting))
+        }
       } else {
         // DELTA build partitioned to the batch's TOUCHED cells, not
         // k tasks (round-16 verdict #6: the per-batch geo fold was a
@@ -539,7 +776,7 @@ object HnswGeoStore {
           spark.sparkContext.defaultParallelism,
           math.min(2L * touched, 4096L).toInt)
         Hnsw.buildGeoWithLayout(freshRows, store.index, m,
-          efConstruction, store.layout, numParts)
+          efConstruction, store.layout, numParts, store.routing)
       }
     writeSegment(store.path, rows, epoch)
     if (storeAttrs) {
@@ -551,12 +788,18 @@ object HnswGeoStore {
         val lives0 = store.epochs.map(e =>
           spark.read.parquet(s"${store.path}/attrs/epoch=$e")
             .withColumn("shard", pmod(col("shard"), lit(CellStride)))
-            .withColumn("epoch", lit(e)))
+            .withColumn("epoch", lit(e))
+            .withColumn("__aepoch", lit(e)))
           .reduce(_ unionByName _)
         // erased rows' attrs are physically dropped with their nodes
-        // (epoch-aware: a re-admitted id's newer attrs survive)
-        val lives = maskTombstoned(spark, store.path, store.baseEpoch,
-          store.epoch, lives0)
+        // (epoch-aware: a re-admitted id's newer attrs survive), and
+        // [[updateAttrs]] epochs resolve LATEST-WINS here — the new
+        // base carries exactly one (current) payload row per survivor,
+        // so post-compaction reads regain their exact update-free plans
+        val lives = resolveLatestAttrs(
+          maskTombstoned(spark, store.path, store.baseEpoch,
+            store.epoch, lives0),
+          hasAttrUpdates(spark, store))
         val merged =
           if (pcols.isEmpty) lives
           else lives.unionByName(freshSrc.select(col("vec_id") +:
@@ -578,11 +821,12 @@ object HnswGeoStore {
     }
     if (asBase) {
       IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
-      // the layout is frozen with the index — carried forward to the
-      // new base unchanged (only a retrain re-derives it)
+      // the layout rides the index to the new base — grown for the
+      // over-cap cells this compaction re-split, otherwise carried
+      // forward unchanged (only a retrain re-derives it from scratch)
       if (store.maxCellNodes > 0)
-        writeLayout(spark, store.path, epoch, store.layout,
-          store.maxCellNodes)
+        writeLayout(spark, store.path, epoch, newLayout,
+          store.maxCellNodes, newRouting, store.subRouted)
       // the compacted base's stats snapshot: fold the live epochs' leaves
       // plus the fresh batch — epoch-count cost under the frozen index.
       // Stores written before stats/ existed fall back to one pruned
@@ -710,9 +954,23 @@ object HnswGeoStore {
     val touchedCells = negStats0.select(col("cid")).collect()
       .map(_.getInt(0).toLong)
     val touchedShards = stridedShardIds(store, touchedCells.toSeq)
-    val survivors = store.segments
-      .filter(col("shard")
-        .isin(touchedShards.map(java.lang.Long.valueOf): _*))
+    // small lists stay a literal isin (pushes to row-group stats on
+    // the shard-sorted segment files); a BULK erasure touching
+    // thousands of cells × epochs × sub-shards would bloat the plan
+    // with an O(list) per-row isin (ADVICE r17), so past the pushdown-
+    // friendly size the same restriction runs as a broadcast semi-join
+    // on the shard-id frame instead
+    val shardRestricted =
+      if (touchedShards.size <= IsinPushdownMaxIds)
+        store.segments.filter(col("shard")
+          .isin(touchedShards.map(java.lang.Long.valueOf): _*))
+      else {
+        import spark.implicits._
+        store.segments.join(
+          broadcast(touchedShards.toDS.toDF("shard")),
+          Seq("shard"), "left_semi")
+      }
+    val survivors = shardRestricted
       .join(broadcast(del), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vec").as("embedding"))
     val survMax = IVF.cellStats(survivors, store.index)
@@ -733,6 +991,93 @@ object HnswGeoStore {
       spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
         .limit(0).write.mode("overwrite")
         .parquet(s"${store.path}/attrs/epoch=$epoch")
+    commitEpoch(spark, store.path, epoch, isBase = false, writer)
+    loadAt(spark, store.path, epoch)
+  }
+
+  /** ATTRIBUTE UPDATE on the standing store (round-17 verdict #3) —
+    * the metadata-backfill op: quality scores re-computed, language IDs
+    * re-run, license flags corrected. A PAYLOAD-ONLY commit: epoch N+1
+    * holds one attr relation with the updated rows (update-sized —
+    * never a corpus rewrite) and an empty stats leaf; the graph and
+    * vector rows are untouched BITWISE (no segment dir — the [[delete]]
+    * precedent), so every geometric surface keeps its exact plans.
+    * Readers resolve LATEST-WINS per vec_id, switched on by the
+    * `_attr_update` sidecar so update-free stores keep their exact
+    * pre-update plans; the next [[append]]-as-base/[[compact]] folds
+    * the resolution into the new base and the sidecar disappears.
+    *
+    * Semantics: updates must carry the store's full payload schema
+    * (a partial-column update would silently null the rest); ids not
+    * live in the store — never admitted, or erased — are EXCLUDED
+    * (committed no-op, the [[delete]] idempotency discipline), so an
+    * update can never resurrect a tombstoned id's payload; duplicate
+    * vec_ids within one update batch fail loudly (ambiguous). Replays
+    * overwrite in place under the writer-identity discipline like
+    * every other commit.
+    *
+    * Scale shape: one broadcast-pruned pass over the stored id column,
+    * one update-sized cell-recovery join against the broadcast update
+    * ids, an update-sized write, and the marker.
+    */
+  def updateAttrs(spark: SparkSession, store: Store, updates: DataFrame,
+                  writer: String = "lifecycle"): Store = {
+    val epoch = store.epoch + 1
+    require(epoch < Long.MaxValue / CellStride,
+      s"epoch $epoch out of the stride range")
+    require(attrsPresent(spark, store),
+      s"store at ${store.path} carries no attribute payloads — there " +
+        "is nothing to update; build with payload columns")
+    val stored = spark.read
+      .parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+      .columns.filterNot(Set("vec_id", "shard")).toSet
+    val pcols = updates.columns.filterNot(_ == "vec_id").toSeq
+    require(pcols.toSet == stored,
+      s"update payload columns ${pcols.sorted.mkString(",")} do not " +
+        s"match the store's ${stored.toSeq.sorted.mkString(",")} — a " +
+        "partial-column update would silently null the rest")
+    val src = graft.CacheRegistry.persist(updates)
+    val dup = src.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1L).limit(1).count()
+    require(dup == 0L,
+      "update batch carries duplicate vec_ids — latest-wins within " +
+        "one epoch is ambiguous; resolve the batch before committing")
+    // live targets only: the stored-id column streams through a
+    // broadcast of the (small) update id set — never a corpus shuffle
+    val liveIds = graft.CacheRegistry.persist(
+      store.segments.select(col("vec_id"))
+        .join(broadcast(src.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi"))
+    // each id's frozen plain cell, recovered from the standing attr
+    // relation (the index is frozen, so the cell never moves across
+    // updates — chained updates share it); update-sized either side
+    val cellOf = store.epochs.map(e =>
+        spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+          .select(col("vec_id"), col("shard")))
+      .reduce(_ unionByName _)
+      .join(broadcast(liveIds), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        pmod(col("shard"), lit(CellStride)).as("__cell"))
+      .distinct()
+    src.join(broadcast(liveIds), Seq("vec_id"), "left_semi")
+      .join(broadcast(cellOf), Seq("vec_id"))
+      .select(col("vec_id") +:
+        (col("__cell") + lit(epoch * CellStride)).as("shard") +:
+        pcols.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(s"${store.path}/attrs/epoch=$epoch")
+    // the latest-wins switch, written INSIDE the epoch's own dir so it
+    // rides the commit (readers only see committed epochs) and dies
+    // with the next base's resolution
+    val flag = new org.apache.hadoop.fs.Path(
+      s"${store.path}/attrs/epoch=$epoch/_attr_update")
+    val out = HnswStore.fs(spark, store.path).create(flag, true)
+    out.close()
+    // zero-mass stats leaf: the payload moved, the geometry did not —
+    // the epoch-count drift fold sees nothing
+    spark.read.parquet(s"${store.path}/stats/epoch=${store.baseEpoch}")
+      .limit(0).write.mode("overwrite")
+      .parquet(s"${store.path}/stats/epoch=$epoch")
     commitEpoch(spark, store.path, epoch, isBase = false, writer)
     loadAt(spark, store.path, epoch)
   }
@@ -771,10 +1116,11 @@ object HnswGeoStore {
     * stays ≤ nProbe CELLS; the sub fan is what makes the per-task graph
     * bound hold on the serve side too.
     */
-  private def stridedFan(pr: DataFrame, store: Store): DataFrame =
+  private def stridedFan(pr: DataFrame, store: Store,
+                         nProbeSub: Int = 0): DataFrame =
     Hnsw.fanToSubShards(
       pr.withColumn("epoch", explode(typedLit(store.epochs.toArray))),
-      "cell", store.layout, store.index.k)
+      "cell", store.layout, store.index.k, store.routing, nProbeSub)
       .withColumn("shard", col("epoch") * lit(CellStride) + col("shard"))
 
   /** Driver-side form of [[stridedFan]] — THE one place the strided
@@ -869,7 +1215,8 @@ object HnswGeoStore {
     */
   def batchNeighbors(store: Store, probes: DataFrame, k: Int,
                      efSearch: Int = 64, nProbe: Int = 0,
-                     parallelism: Int = 32): DataFrame = {
+                     parallelism: Int = 32,
+                     nProbeSub: Int = 0): DataFrame = {
     require(k >= 1 && efSearch >= k && parallelism >= 1,
       s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
         s"parallelism=$parallelism")
@@ -883,7 +1230,7 @@ object HnswGeoStore {
     val flagged0 = flaggedSegments(spark, store)
     if (flagged0.isDefined)
       return filteredServe(store, probes, k, efSearch, nProbe,
-        parallelism, flagged0)(probedCells =>
+        parallelism, flagged0, nProbeSub)(probedCells =>
         store.segments
           .join(broadcast(probedCells), Seq("shard"), "left_semi")
           .select(col("vec_id")))
@@ -905,7 +1252,8 @@ object HnswGeoStore {
     // explode would run twice per batch (ADVICE r13)
     val pr = graft.CacheRegistry.persist(Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, np))), store)))
+        explode(IVF.probeExpr(col("vec"), store.index, np))), store,
+      nProbeSub)))
     // prune the store pass to the cells the batch actually probes — a
     // broadcast SEMI-join on the strided shard id (equi-join, never a
     // BNLJ): a micro-batch admission touches a handful of cells, so the
@@ -943,9 +1291,10 @@ object HnswGeoStore {
   def batchNeighborsFiltered(store: Store, probes: DataFrame,
                              allowed: DataFrame, k: Int,
                              efSearch: Int = 64, nProbe: Int = 0,
-                             parallelism: Int = 32): DataFrame =
+                             parallelism: Int = 32,
+                             nProbeSub: Int = 0): DataFrame =
     filteredServe(store, probes, k, efSearch, nProbe, parallelism,
-      flaggedSegments(store.segments.sparkSession, store))(
+      flaggedSegments(store.segments.sparkSession, store), nProbeSub)(
       _ => allowed.select(col("vec_id")).distinct())
 
   /** ROUTED + FILTERED serving with the predicate evaluated by the STORE
@@ -965,19 +1314,23 @@ object HnswGeoStore {
                                  predicate: org.apache.spark.sql.Column,
                                  k: Int, efSearch: Int = 64,
                                  nProbe: Int = 0,
-                                 parallelism: Int = 32): DataFrame = {
+                                 parallelism: Int = 32,
+                                 nProbeSub: Int = 0): DataFrame = {
     val spark = store.segments.sparkSession
-    val at = attrsOf(spark, store).getOrElse(
-      throw new IllegalArgumentException(
-        s"store at ${store.path} carries no attribute payloads — build " +
-          "or append with payload columns, or pre-evaluate the " +
-          "predicate and use batchNeighborsFiltered"))
+    require(attrsPresent(spark, store),
+      s"store at ${store.path} carries no attribute payloads — build " +
+        "or append with payload columns, or pre-evaluate the " +
+        "predicate and use batchNeighborsFiltered")
+    val at = attrsRawOf(spark, store)
+    val hasUpd = hasAttrUpdates(spark, store)
     filteredServe(store, probes, k, efSearch, nProbe, parallelism,
-      flaggedSegments(spark, store)) {
+      flaggedSegments(spark, store), nProbeSub) {
       probedCells =>
         // the predicate runs INSIDE the probed-cell-pruned attr scan:
         // vec_ids are unique across live epochs (the append-time id
-        // guard), so no distinct pass is needed. Attrs are keyed by
+        // guard) and stale update payloads are resolved LATEST-WINS
+        // AFTER the prune, so the resolution window — like the
+        // predicate — runs probed-cells-sized. Attrs are keyed by
         // PLAIN cell (sub-sharding lives only in the segment graph
         // rows), so a capped store's probed shard ids project down to
         // attr space first: cell = (shard % stride) % k under the
@@ -988,7 +1341,9 @@ object HnswGeoStore {
             (col("shard") - pmod(col("shard"), lit(CellStride)) +
               pmod(pmod(col("shard"), lit(CellStride)),
                 lit(store.index.k.toLong))).as("shard")).distinct()
-        at.join(broadcast(attrCells), Seq("shard"), "left_semi")
+        resolveLatestAttrs(
+            at.join(broadcast(attrCells), Seq("shard"), "left_semi"),
+            hasUpd)
           .filter(predicate).select(col("vec_id"))
     }
   }
@@ -1001,7 +1356,8 @@ object HnswGeoStore {
     */
   private def filteredServe(store: Store, probes: DataFrame, k: Int,
                             efSearch: Int, nProbe: Int, parallelism: Int,
-                            flagged: Option[DataFrame])(
+                            flagged: Option[DataFrame],
+                            nProbeSub: Int = 0)(
       allowedOf: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && efSearch >= k && parallelism >= 1,
       s"need efSearch >= k >= 1, got k=$k efSearch=$efSearch " +
@@ -1024,7 +1380,8 @@ object HnswGeoStore {
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     val pr = graft.CacheRegistry.persist(Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
-        explode(IVF.probeExpr(col("vec"), store.index, np))), store))
+        explode(IVF.probeExpr(col("vec"), store.index, np))), store,
+      nProbeSub))
       .withColumn("ok", lit(false)))
     val probedCells = graft.CacheRegistry.persist(
       pr.select(col("shard")).distinct())
@@ -1058,7 +1415,8 @@ object HnswGeoStore {
     */
   def nearDupPairs(store: Store, threshold: Double,
                    nProbe: Int = Hnsw.DefaultNearDupNProbe,
-                   efSearch: Int = 64, parallelism: Int = 32): DataFrame = {
+                   efSearch: Int = 64, parallelism: Int = 32,
+                   nProbeSub: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
     val spark = store.segments.sparkSession
@@ -1071,7 +1429,7 @@ object HnswGeoStore {
       st.select(col("vec_id"), col("vec"))
         .withColumn("cell",
           explode(IVF.probeExpr(col("vec"), store.index, nProbe))),
-      store))
+      store, nProbeSub))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     // tombstoned range → traversal-only tombstones: the GRAPH side is
@@ -1105,7 +1463,8 @@ object HnswGeoStore {
     */
   def crossNearDups(store: Store, probes: DataFrame, threshold: Double,
                     nProbe: Int = Hnsw.DefaultNearDupNProbe,
-                    efSearch: Int = 64, parallelism: Int = 32): DataFrame = {
+                    efSearch: Int = 64, parallelism: Int = 32,
+                    nProbeSub: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
     require(nProbe >= 1 && efSearch >= 1 && parallelism >= 1,
@@ -1130,7 +1489,7 @@ object HnswGeoStore {
     val prs = Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
         explode(IVF.probeExpr(col("vec"), store.index, nProbe))),
-      store))
+      store, nProbeSub))
     val numParts = math.max(parallelism,
       math.min(store.index.k.toLong * store.epochs.size, 4096L).toInt)
     // tombstoned range → the traversal-only filtered scan (see
@@ -1170,7 +1529,8 @@ object HnswGeoStore {
     */
   def incrementalAdmit(store: Store, fresh: DataFrame, threshold: Double,
                        efSearch: Int = 64,
-                       nProbe: Int = Hnsw.DefaultNearDupNProbe)
+                       nProbe: Int = Hnsw.DefaultNearDupNProbe,
+                       nProbeSub: Int = 0)
       : DataFrame = {
     // already-stored ids, pruned to the batch's FIRST (broadcast semi —
     // the corpus-sized id column streams through the scan, never
@@ -1182,7 +1542,8 @@ object HnswGeoStore {
       fresh.join(broadcast(storedHits), Seq("vec_id"), "left_anti"))
     val vsStore = batchNeighbors(store,
         f.select(col("vec_id").as("probe_id"), col("embedding")),
-        k = 1, efSearch = efSearch, nProbe = nProbe)
+        k = 1, efSearch = efSearch, nProbe = nProbe,
+        nProbeSub = nProbeSub)
       .filter(col("cos") >= threshold)
       .select(col("probe_id").as("vec_id"))
     val vsBatch = Similarity.cosineNearDups(f, threshold)
@@ -1326,35 +1687,47 @@ object HnswGeoStore {
       val epoch = store.epoch + 1
       require(epoch < Long.MaxValue / CellStride && kk < CellStride,
         s"epoch=$epoch k=$kk out of the stride range")
-      // a retrain moves the cells, so the hot-cell layout re-derives
-      // under the NEW geometry with the cap the store was built with
-      val layout =
-        if (store.maxCellNodes > 0)
-          Hnsw.geoLayout(corpus, fresh, store.maxCellNodes)
-        else Map.empty[Long, Int]
+      // a retrain moves the cells, so the hot-cell layout — and a
+      // routed store's mini-IVFs — re-derive under the NEW geometry
+      // with the cap the store was built with
+      val (layout, routing) =
+        if (store.maxCellNodes > 0) {
+          if (store.subRouted)
+            Hnsw.geoRoutingOf(corpus, fresh, store.maxCellNodes)
+          else (Hnsw.geoLayout(corpus, fresh, store.maxCellNodes),
+            Map.empty[Long, Hnsw.SubRouting])
+        } else (Map.empty[Long, Int], Map.empty[Long, Hnsw.SubRouting])
       require(layout.valuesIterator.forall(n =>
           n.toLong * kk <= CellStride),
         s"retrained sub-shard layout overflows the cell stride: max " +
           s"n_sub ${layout.values.max} × k=$kk > $CellStride")
       val rows = graft.CacheRegistry.persist(
-        Hnsw.buildGeoWithLayout(corpus, fresh, m, efConstruction, layout))
+        Hnsw.buildGeoWithLayout(corpus, fresh, m, efConstruction, layout,
+          routing = routing))
       // validate BEFORE the marker lands: a mis-assigned rebuild must
       // stay invisible to readers
       Hnsw.requireGeoStore(rows, fresh)
       writeSegment(store.path, rows, epoch)
       if (store.maxCellNodes > 0)
-        writeLayout(spark, store.path, epoch, layout, store.maxCellNodes)
+        writeLayout(spark, store.path, epoch, layout, store.maxCellNodes,
+          routing, store.subRouted)
       // a retrain MOVES the cells, so attribute payloads re-stride under
       // the new assignment — one vec_id-keyed join against the corpus
       // pass the rebuild already pays (the one honest corpus-sized attr
       // write in the lifecycle, like the rebuild itself)
       if (attrsPresent(spark, store)) {
-        val payload = maskTombstoned(spark, store.path, store.baseEpoch,
-          store.epoch,
-          store.epochs.map(e =>
-            spark.read.parquet(s"${store.path}/attrs/epoch=$e")
-              .drop("shard").withColumn("epoch", lit(e)))
-            .reduce(_ unionByName _))
+        // stale [[updateAttrs]] payloads resolve latest-wins before the
+        // vec_id join — a duplicate payload row would duplicate corpus
+        // rows in the rebuilt segment
+        val payload = resolveLatestAttrs(
+          maskTombstoned(spark, store.path, store.baseEpoch,
+            store.epoch,
+            store.epochs.map(e =>
+              spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+                .drop("shard").withColumn("epoch", lit(e))
+                .withColumn("__aepoch", lit(e)))
+              .reduce(_ unionByName _)),
+          hasAttrUpdates(spark, store))
         val pcols = payload.columns.filterNot(_ == "vec_id").toSeq
         val foldPayload = foldIn.map(_.select(col("vec_id") +:
             pcols.map(col): _*))

@@ -5207,7 +5207,113 @@ object Queries {
              |SELECT a.vec_id AS i, b.vec_id AS j,
              |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
              |FROM e a JOIN e b ON a.vec_id < b.vec_id
-             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin))
+             |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin)),
+
+    // ── Q208: ATTRIBUTE UPDATE on the standing geo store
+    //          ([[graft.operators.HnswGeoStore.updateAttrs]] — round-17
+    //          verdict #3): the metadata-backfill lifecycle op. Build +
+    //          append an attr store (`bucket` = vec_id % 7), then
+    //          RE-SCORE a third of the corpus (vec_id % 3 = 0 →
+    //          bucket = (vec_id % 7 + 3) % 7) as a PAYLOAD-ONLY update
+    //          epoch — graph/vector rows bitwise untouched
+    //          (AttrUpdateSpec pins that half) — then serve filtered on
+    //          the UPDATED payloads through the latest-wins read path.
+    //          Oracle is q202's dump-time-literal contract with the
+    //          predicate re-derived from vec_id under the UPDATE rule:
+    //          a STALE attr read anywhere (the old bucket passing the
+    //          filter, or the new one missed) surfaces as a
+    //          filter-violating literal and breaks the hash. ────────────
+    QueryDef("q208_geostore_attr_update",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            pmod(col("vec_id"), lit(7L)).as("bucket"))
+        val index = graft.operators.IVF.train(corpus, 4, 5,
+          maxTrainRows = 400L)
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q208"
+        val base = graft.operators.HnswGeoStore.build(s,
+          corpus.filter(col("vec_id") < 300), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          corpus.filter(col("vec_id") >= 300))
+        val updated = graft.operators.HnswGeoStore.updateAttrs(s, grown,
+          corpus.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+            .select(col("vec_id"),
+              pmod(pmod(col("vec_id"), lit(7L)) + lit(3L), lit(7L))
+                .as("bucket")))
+        graft.operators.HnswGeoStore.batchNeighborsFilteredExpr(updated,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding")),
+          col("bucket") === lit(2L), k = 10, efSearch = 64, nProbe = 8)
+      },
+      None,
+      dynamicOracle = Some(geoAttrUpdateOracleSql)),
+
+    // ── Q209: STORE-LEVEL digest ([[graft.operators.StoreDigest]] —
+    //          round-17 verdict #4): the one-call replica/migration/
+    //          restore audit, composed from q161's [[TableDigest]]
+    //          algebra over a store's full relation set. The query runs
+    //          the q208 lifecycle (build + append + attr-update) and
+    //          digests the store; the output row is the RESOLVED attrs
+    //          relation's digest — the one relation whose logical
+    //          content is fully rule-derived (bucket from vec_id under
+    //          the update rule, membership vec_id ≥ 5), so DuckDB
+    //          recomputes the identical 63-bit md5-lane digest from the
+    //          embeddings table INDEPENDENTLY (q161's cross-engine
+    //          discipline): a stale payload, a lost row, or a
+    //          resurrected erased id anywhere in the lifecycle moves
+    //          xor/sum/count and breaks the hash. The geometry-shaped
+    //          relations (vectors/graph/index/layout) ride the same
+    //          digest call and are pinned by StoreDigestSpec
+    //          (replica-reload, compaction invariance, addGeo ≡
+    //          buildGeo). ──────────────────────────────────────────────
+    QueryDef("q209_store_digest",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            pmod(col("vec_id"), lit(7L)).as("bucket"))
+        val index = graft.operators.IVF.train(corpus, 4, 5,
+          maxTrainRows = 400L)
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-geostore-q209"
+        val base = graft.operators.HnswGeoStore.build(s,
+          corpus.filter(col("vec_id") < 300), path, index)
+        val grown = graft.operators.HnswGeoStore.append(s, base,
+          corpus.filter(col("vec_id") >= 300))
+        val updated = graft.operators.HnswGeoStore.updateAttrs(s, grown,
+          corpus.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+            .select(col("vec_id"),
+              pmod(pmod(col("vec_id"), lit(7L)) + lit(3L), lit(7L))
+                .as("bucket")))
+        graft.operators.StoreDigest.digestGeo(s, updated)
+          .filter(col("relation") === "attrs")
+      },
+      Some {
+        def esc(c: String) =
+          s"COALESCE(replace(replace(replace(CAST($c AS VARCHAR), " +
+            "chr(2), chr(2) || chr(2)), chr(1), chr(2) || '1'), " +
+            "chr(4), chr(2) || '4'), chr(4))"
+        def lane(i: Int) =
+          s"CAST(('0x' || substring(md5(s), ${1 + 8 * i}, 8)) AS BIGINT)"
+        s"""WITH rel AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |         CASE WHEN vec_id % 3 = 0 THEN (vec_id % 7 + 3) % 7
+           |              ELSE vec_id % 7 END AS bucket
+           |  FROM embeddings WHERE vec_id >= 5
+           |), canon AS (
+           |  SELECT ${esc("bucket")} || chr(1) || ${esc("vec_id")} AS s
+           |  FROM rel
+           |), hashed AS (
+           |  SELECT xor(${lane(0)} << 31, ${lane(1)}) AS rh FROM canon
+           |)
+           |SELECT 'attrs' AS relation, COUNT(*) AS n_rows,
+           |       CAST(bit_xor(rh) AS BIGINT) AS xor_digest,
+           |       CAST(SUM(rh % 1000000007) % 1000000007 AS BIGINT)
+           |         AS sum_digest
+           |FROM hashed""".stripMargin
+      })
   )
 
   /** q118's oracle: the identical entropy algebra generated from the same
@@ -6641,6 +6747,44 @@ object Queries {
        |  JOIN e p ON p.vec_id = i.probe_id
        |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id % 7 = 2
        |             AND c.vec_id >= 5
+       |)
+       |SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |       CAST(vec_id AS BIGINT) AS vec_id, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY cos DESC, vec_id) AS INT)
+       |         AS rank
+       |FROM scored""".stripMargin
+  }
+
+  /** q208's oracle: [[geoAttrServeOracleSql]]'s contract over the
+    * UPDATED store — the query re-runs at dump time (deterministic:
+    * same index train, same lifecycle at the same path), its
+    * (probe, id) pairs embed as literals, and DuckDB re-scores +
+    * re-ranks them while re-deriving the predicate from vec_id under
+    * the UPDATE rule: un-updated ids (vec_id % 3 ≠ 0) must carry
+    * bucket = vec_id % 7, updated ids (vec_id % 3 = 0) must carry
+    * bucket = (vec_id % 7 + 3) % 7 — so a stale payload served
+    * anywhere along update → latest-wins read → filtered heap is a
+    * filter-violating literal and breaks the hash.
+    */
+  private def geoAttrUpdateOracleSql(s: SparkSession,
+                                     dir: String): String = {
+    val pairs = byName("q208_geostore_attr_update")(s, dir)
+      .select(col("probe_id"), col("vec_id"))
+      .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+    graft.CacheRegistry.releaseAll()
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ids AS (SELECT * FROM (VALUES ${pairs.mkString(", ")})
+       |        AS t(probe_id, vec_id)),
+       |scored AS (
+       |  SELECT i.probe_id, i.vec_id,
+       |         ROUND(list_cosine_similarity(p.v, c.v), 6) AS cos
+       |  FROM ids i
+       |  JOIN e p ON p.vec_id = i.probe_id
+       |  JOIN e c ON c.vec_id = i.vec_id AND c.vec_id >= 5
+       |             AND ((c.vec_id % 3 <> 0 AND c.vec_id % 7 = 2)
+       |               OR (c.vec_id % 3 = 0
+       |                   AND (c.vec_id % 7 + 3) % 7 = 2))
        |)
        |SELECT CAST(probe_id AS BIGINT) AS probe_id,
        |       CAST(vec_id AS BIGINT) AS vec_id, cos,

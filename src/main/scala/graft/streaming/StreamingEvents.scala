@@ -725,7 +725,11 @@ object StreamingEvents {
     * left by a prior incarnation over a reused outDir instead of being
     * satisfied by it. Written after the parquet commit — a crash
     * between the two leaves sidecar-less output, which corroborates
-    * only under the documented pre-sidecar fallback.
+    * only under the documented pre-sidecar fallback. Written via
+    * temp-then-rename (ADVICE r17): a crash mid-write must leave the
+    * sidecar ABSENT (the documented fallback), never truncated — a
+    * truncated id would fail the SAME incarnation's own replay with a
+    * misleading different-incarnation error.
     */
   private def writeInstanceSidecar(spark: SparkSession, outDir: String,
                                    batchId: Long,
@@ -733,9 +737,13 @@ object StreamingEvents {
     instanceId.foreach { id =>
       val p = new org.apache.hadoop.fs.Path(
         s"$outDir/batch_id=$batchId/_stream_instance")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$outDir/batch_id=$batchId/._stream_instance.tmp")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
     }
 
   private def readInstanceSidecar(fs: org.apache.hadoop.fs.FileSystem,
@@ -858,12 +866,30 @@ object StreamingEvents {
       pinned
     }
     val latestNow = latest
-    require(latestNow <= pre + 1,
-      s"$what stream replay of batch $batchId pinned pre-state " +
-        s"$metaCol $pre, but $metaCol $latestNow is already " +
-        "committed — an out-of-band retrain/compact landed between " +
-        "the crash and this replay; re-run the out-of-band op after " +
-        "the stream catches up, or clear stream_meta to re-pin")
+    if (latestNow > pre + 1) {
+      // Epochs exist ABOVE the replayed batch's own allocation. That is
+      // legal in exactly one shape: the batch's own attempt ALREADY
+      // COMMITTED (crash between the commit and the checkpoint) and a
+      // live PEER SINK then advanced the store — the admission×erasure
+      // composition, including a drift retrain base landing inside the
+      // replay window (round-17 verdict #6). The replay then overwrites
+      // its own epoch with content re-derived from the SAME pinned
+      // pre-state — bitwise identical by the replay discipline, so the
+      // epochs above (which consumed this one's content) stay
+      // consistent. Anything else — the allocation committed by another
+      // writer, or not committed at all while later epochs exist — is a
+      // genuine conflict and fails loudly as before.
+      val (_, committedWriter) = marker(pre + 1)
+      require(committedWriter.contains(writerTag),
+        s"$what stream replay of batch $batchId pinned pre-state " +
+          s"$metaCol $pre, but $metaCol $latestNow is already " +
+          s"committed and $metaCol ${pre + 1} carries writer " +
+          s"'${committedWriter.getOrElse("<legacy>")}', not this " +
+          s"batch's '$writerTag' — an out-of-band retrain/compact " +
+          "landed between the crash and this replay; re-run the " +
+          "out-of-band op after the stream catches up, or clear " +
+          "stream_meta to re-pin")
+    }
     if (latestNow == pre + 1) {
       val (committedBase, committedWriter) = marker(latestNow)
       val ownAttempt = committedWriter match {
@@ -1006,7 +1032,25 @@ object StreamingEvents {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def withStoreLock[T](stateDir: String)(body: => T): T = {
-    val lock = storeLocks.computeIfAbsent(stateDir, _ => new Object)
+    // Key on the FILESYSTEM-QUALIFIED URI, not the raw string (ADVICE
+    // r17): two sinks addressing one store through different spellings
+    // (trailing slash, file:-scheme vs plain path) must land on the
+    // SAME lock, or the cross-sink epoch serialization silently
+    // vanishes for exactly the composition it protects.
+    val key = {
+      val p = new org.apache.hadoop.fs.Path(stateDir)
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map { s =>
+          val conf = s.sparkContext.hadoopConfiguration
+          p.getFileSystem(conf).makeQualified(p).toUri.toString
+        }
+        // No session (shouldn't happen on a sink path): Path still
+        // normalizes slashes, which covers the spelling variants
+        // short of scheme qualification.
+        .getOrElse(p.toUri.toString)
+    }
+    val lock = storeLocks.computeIfAbsent(key, _ => new Object)
     lock.synchronized(body)
   }
 

@@ -85,8 +85,16 @@ object ScaleRehearsal {
           "(corpus|jw|tpch|hnsw|exactsubstr|neardup|geostore|admit|gen|" +
           "hotcell|erase)"))
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val base = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-x$factor")
+    // CLEAN-SCRATCH HARNESS (round-17 verdict #5): evidence runs get a
+    // FRESH per-run base by default, torn down afterwards — stale store
+    // litter from prior runs measurably taxes the commit-heavy writers
+    // (the round-17 tmp-churn attribution). SPARK_GRAFT_REHEARSAL_DIR
+    // opts back into a persistent base (iteration caching of the
+    // scaled inputs) and is then never torn down.
+    val explicitBase = sys.env.get("SPARK_GRAFT_REHEARSAL_DIR")
+    val base = explicitBase.getOrElse(
+      java.nio.file.Files.createTempDirectory(
+        s"graft-rehearsal-x$factor-").toString)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -117,6 +125,21 @@ object ScaleRehearsal {
       ensureEmbeddings(spark, srcDir, base, factor)
     }
     spark.stop()
+    // tear the default per-run base down (an explicit
+    // SPARK_GRAFT_REHEARSAL_DIR — including `gen`'s shared-corpus use —
+    // is the caller's to keep)
+    if (explicitBase.isEmpty && !suites.contains("gen")) {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Path.of(base)).iterator()
+          .asScala.toSeq.reverseIterator.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[rehearsal] scratch teardown failed: ${e.getMessage}")
+      }
+    }
   }
 
   private def fsOf(spark: SparkSession, base: String) =
@@ -684,6 +707,46 @@ object ScaleRehearsal {
       graft.CacheRegistry.releaseAll()
       spark.read.parquet(cappedPairsPath).count()
     }
+    // WITHIN-CELL routing (round-17 verdict #2): the capped store bounds
+    // the hot cell's MEMORY, but its pair scan still fans every probe to
+    // all ⌈pop/cap⌉ sub-shards — the O(pop²/cap) compute term. The
+    // routed store trains a frozen mini-IVF inside the hot cell
+    // ([[graft.operators.Hnsw.SubRouting]]); each probe then searches
+    // only its nProbeSub nearest sub-cells. Twin pairs are EXACT
+    // duplicates (same jitter key → same frozen sub-cell), so recall
+    // must hold at any nProbeSub ≥ 1 while the scan drops from
+    // cell-population-linear to nProbeSub·cap per probe.
+    var routedLayout: Hnsw.GeoLayout = Map.empty
+    var routedRouting: Hnsw.GeoRouting = Map.empty
+    val routedPath = s"$base/hotcell-routed"
+    t("hotcell_routed_build") {
+      val (lay, rt) = Hnsw.geoRoutingOf(emb, index, cap)
+      routedLayout = lay; routedRouting = rt
+      Hnsw.buildGeoWithLayout(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        index, 8, 64, lay, routing = rt)
+        .write.mode("overwrite").parquet(routedPath)
+      graft.CacheRegistry.releaseAll()
+      spark.read.parquet(routedPath).count()
+    }
+    val routedStore = spark.read.parquet(routedPath)
+    val routedMax = maxShard(routedStore)
+    require(routedMax <= cap * 13L / 10L,
+      s"routed max shard $routedMax exceeds the cap envelope " +
+        s"($cap × 1.3) — the id-hash re-cap failed")
+    val routedPairsPaths = Seq(1, 2).map { nps =>
+      val p = s"$base/hotcell-pairs-routed-nps$nps"
+      t(s"hotcell_routed_pairs_nps$nps") {
+        Hnsw.nearDupPairsRouted(routedStore, index, 0.9999,
+            knownLayout = Some(routedLayout), routing = routedRouting,
+            nProbeSub = nps)
+          .write.mode("overwrite").parquet(p)
+        graft.CacheRegistry.releaseAll()
+        spark.read.parquet(p).count()
+      }
+      nps -> p
+    }
     t("hotcell_twin_recall_invariant") {
       // the planted ground truth: twin pairs (2k, 2k+1), both hot
       val twinPairs = spark.range(2L, n + 1L, 2L)
@@ -705,9 +768,21 @@ object ScaleRehearsal {
       }
       val flatRecall = audit(flatPairsPath, "unsplit")
       val cappedRecall = audit(cappedPairsPath, "capped")
+      val routedRecalls = routedPairsPaths.map { case (nps, p) =>
+        nps -> audit(p, s"routed nps=$nps")
+      }
       println(f"REHEARSAL x$factor hotcell_twin_recall " +
         f"unsplit=$flatRecall%.4f capped=$cappedRecall%.4f " +
-        f"(n_twins=$total)")
+        routedRecalls.map { case (nps, r) =>
+          f"routed_nps$nps=$r%.4f" }.mkString(" ") +
+        f" (n_twins=$total)")
+      // the routed-scan recall contract: exact twins co-locate under
+      // the frozen sub-assignment, so even nProbeSub = 1 must keep the
+      // pinned envelope
+      routedRecalls.foreach { case (nps, r) =>
+        require(r >= 0.99,
+          f"routed twin recall $r%.4f below 0.99 at nProbeSub=$nps")
+      }
       // splitting never LOSES a twin — the probe still fans to its
       // twin's sub-shard, and smaller graphs search better at the same
       // efSearch — so capped recall must dominate (measured ×10:

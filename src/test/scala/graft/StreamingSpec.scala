@@ -2231,4 +2231,89 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == "b" && p._2 == "2024-01-02" && p._5))
     assert(streamed.exists(p => p._1 == "b" && p._2 == "2024-01-03" && !p._5))
   }
+
+  test("THREE-WAY composition (round-17 verdict #6): a drift retrain " +
+       "landing at the admission stream's compaction boundary INSIDE a " +
+       "live erasure stream neither resurrects an erased id nor loses " +
+       "a tombstone, erasure replay across the retrain boundary is " +
+       "idempotent, and post-retrain erasure lands on the new base") {
+    import graft.operators.{HnswGeoStore, IVF}
+    val stateDir = tmpDir("graft-3way-state")
+    val outAdm = s"${tmpDir("graft-3way-adm")}/rows"
+    val outErs = s"${tmpDir("graft-3way-ers")}/rows"
+    // seed geometry on the e0/e1 axes (measurable baseline); the
+    // admission stream arrives on e2/e3 — the drifted regime the
+    // retrain trigger exists for
+    val seed = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.98f, 0.02f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0.02f, 0.98f, 0f, 0f)).toDF("vec_id", "embedding")
+    val index = IVF.train(seed, k = 2, iters = 3)
+    HnswGeoStore.build(spark, seed, stateDir, index)
+    // the live erasure stream's first batch: erase id 2 (epoch 1)
+    StreamingEvents.geoEraseBatch(Seq(2L).toDF("vec_id"), 0L, stateDir,
+      outErs)
+    // the admission stream runs beside it; batch 1 is its compaction
+    // boundary, the corpus has drifted to e2/e3 → the RETRAIN lands as
+    // batch 1's own base commit, with the erasure epoch inside the
+    // range it rebuilds
+    StreamingEvents.geoAdmitBatch(
+      Seq(11L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding"),
+      0L, stateDir, outAdm, 0.9, compactEvery = 2, driftFactor = 2.0)
+    StreamingEvents.geoAdmitBatch(
+      Seq(12L -> Array(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding"),
+      1L, stateDir, outAdm, 0.9, compactEvery = 2, driftFactor = 2.0)
+    val retrained = HnswGeoStore.load(spark, stateDir)
+    assert(retrained.epoch === 3L && retrained.baseEpoch === 3L,
+      s"the retrain must land as batch 1's own base " +
+        s"(epoch=${retrained.epoch}, base=${retrained.baseEpoch})")
+    assert(retrained.index.centroids.map(_.toSeq).toSet !==
+      index.centroids.map(_.toSeq).toSet,
+      "the index must have been retrained on the drifted corpus")
+    // the tombstone was NOT lost: the rebuild physically removed the
+    // erased id (its rows are gone, not just masked)
+    assert(!retrained.segments.select("vec_id").as[Long].collect()
+      .contains(2L),
+      "the retrained base must not resurrect the erased id")
+    // erasure replay ACROSS the retrain boundary (at-least-once
+    // delivery): same pinned pre-state, same tombstone epoch,
+    // overwritten in place — no new allocation, store unchanged
+    def dump(st: HnswGeoStore.Store) =
+      st.segments.select("shard", "vec_id", "vec", "level", "nbrs")
+        .collect().map(_.toString).sorted.toSeq
+    val preReplay = dump(retrained)
+    StreamingEvents.geoEraseBatch(Seq(2L).toDF("vec_id"), 0L, stateDir,
+      outErs)
+    val replayed = HnswGeoStore.load(spark, stateDir)
+    assert(replayed.epoch === 3L,
+      "erasure replay across the retrain must not allocate an epoch")
+    assert(dump(replayed) === preReplay,
+      "erasure replay across the retrain must leave the store bitwise")
+    // the erasure stream CONTINUES against the new base: erase a
+    // pre-retrain admitted id, then admit once more
+    StreamingEvents.geoEraseBatch(Seq(11L).toDF("vec_id"), 1L, stateDir,
+      outErs)
+    StreamingEvents.geoAdmitBatch(
+      Seq(13L -> Array(0f, 0f, 0.7f, 0.7f)).toDF("vec_id", "embedding"),
+      2L, stateDir, outAdm, 0.9, compactEvery = 2, driftFactor = 2.0)
+    val fin = HnswGeoStore.load(spark, stateDir)
+    assert(fin.epoch === 5L && fin.baseEpoch === 3L,
+      s"post-retrain erasure + admission must stack on the new base " +
+        s"(epoch=${fin.epoch}, base=${fin.baseEpoch})")
+    val served = HnswGeoStore.batchNeighbors(fin,
+        Seq((900L, Seq(0.5, 0.5, 0.5, 0.5))).toDF("probe_id", "embedding"),
+        k = 10, efSearch = 16, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.intersect(Set(2L, 11L)).isEmpty,
+      "no erased id may serve across the retrain boundary")
+    assert(Set(12L, 13L).subsetOf(served),
+      "no admitted batch may be lost across the composition")
+    // both erasure ledger batches intact
+    assert(spark.read.parquet(s"$outErs/batch_id=0")
+      .as[Long].collect().toSet === Set(2L))
+    assert(spark.read.parquet(s"$outErs/batch_id=1")
+      .as[Long].collect().toSet === Set(11L))
+    CacheRegistry.releaseAll()
+  }
 }

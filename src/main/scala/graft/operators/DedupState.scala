@@ -145,7 +145,7 @@ object DedupState {
             graft.functions.TextFunctions.md5Fingerprint(col("text"))
               .as("h"))),
           buckets = buckets)
-        load(spark, path)
+        loadAtWith(spark, path, 0L, Some(params), Some(buckets))
     }
   }
 
@@ -205,7 +205,7 @@ object DedupState {
       isBase = true,
       docFps = docFps,
       buckets = buckets)
-    load(spark, path)
+    loadAtWith(spark, path, 0L, Some(catalog.params), Some(buckets))
   }
 
   /** Committed generations at `path`: gen → is_base. One tiny parquet row
@@ -213,9 +213,7 @@ object DedupState {
     */
   private def committedGens(spark: SparkSession,
                             path: String): Map[Long, Boolean] =
-    spark.read.parquet(s"$path/commits")
-      .select(col("gen").cast("long"), col("is_base"))
-      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    StoreCommits.committedMap(spark, path, "gen")
 
   /** Load the latest COMMITTED generation of a generational store. */
   def load(spark: SparkSession, path: String): Store =
@@ -239,14 +237,26 @@ object DedupState {
     * down-flip repair). Physical removal happens at the next [[compact]],
     * which carries forward the MASKED views.
     */
-  def loadAt(spark: SparkSession, path: String, gen: Long): Store = {
+  def loadAt(spark: SparkSession, path: String, gen: Long): Store =
+    loadAtWith(spark, path, gen, None, None)
+
+  /** [[loadAt]] with the store's IMMUTABLE metadata (params, bucket
+    * count — both written once at [[build]] and never changed) already in
+    * hand: the lifecycle ops' return path, where re-reading them per op
+    * is two driver jobs of pure overhead. The commit verification read
+    * stays — it is the op's visibility proof.
+    */
+  private def loadAtWith(spark: SparkSession, path: String, gen: Long,
+                         knownParams: Option[Params],
+                         knownBuckets: Option[Int]): Store = {
     import spark.implicits._
     val commits = committedGens(spark, path)
     require(commits.contains(gen),
       s"generation $gen is not committed at $path " +
         s"(committed: ${commits.keys.toSeq.sorted.mkString(",")})")
     val base = commits.collect { case (g, true) if g <= gen => g }.max
-    val params = spark.read.parquet(s"$path/params").as[Params].head()
+    val params = knownParams.getOrElse(
+      spark.read.parquet(s"$path/params").as[Params].head())
     def live(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir")
         .filter(col("gen") >= base && col("gen") <= gen).drop("gen")
@@ -268,7 +278,7 @@ object DedupState {
     def liveG(dir: String): DataFrame =
       spark.read.parquet(s"$path/$dir")
         .filter(col("gen") >= base && col("gen") <= gen)
-    val nb = storeBuckets(spark, path)
+    val nb = knownBuckets.getOrElse(storeBuckets(spark, path))
     // bucket-retaining masked views feed [[prunedView]]'s
     // partition-pruned reads; the public frames drop the partition
     // column so every downstream schema is unchanged (drop of an
@@ -418,7 +428,8 @@ object DedupState {
       isBase = true,
       docFps = liveDocFps(spark, store.path, base, store.gen),
       buckets = store.buckets)
-    loadAt(spark, store.path, store.gen + 1)
+    loadAtWith(spark, store.path, store.gen + 1,
+      Some(store.params), Some(store.buckets))
   }
 
   /** Delete generation directories strictly older than the latest base ≤
@@ -587,7 +598,8 @@ object DedupState {
         else freshFps,
       isBase = asBase, writer = writer, docFps = docFps,
       buckets = store.buckets)
-    loadAt(spark, store.path, store.gen + 1)
+    loadAtWith(spark, store.path, store.gen + 1,
+      Some(store.params), Some(store.buckets))
   }
 
   /** Admission filter over the store — [[Dedup.incrementalDedup]] without
@@ -768,35 +780,39 @@ object DedupState {
     // every later read into the masking arm for nothing (the
     // deletion-free fast-path contract)
     val delEmpty = del.isEmpty
-    if (!delEmpty) {
-      del.write.mode("overwrite")
-        .parquet(s"${store.path}/tombstones/gen=$gen")
-      removedHs.select(col("h")).write.mode("overwrite")
-        .parquet(s"${store.path}/fp_tombstones/gen=$gen")
-    }
-    // empty delta rows keep the per-generation layout uniform (bucketed
-    // stores write them through the same partitioned writer — an empty
-    // frame writes no partition dirs, which discovery ignores)
-    writeTable(store.posting.limit(0), store.path, "posting", gen,
-      store.buckets)
-    writeTable(store.fingerprints.limit(0), store.path, "fingerprints",
-      gen, store.buckets)
-    writeTable(registry.limit(0), store.path, "doc_fps", gen,
-      store.buckets)
-    // DELTA dfs: only the shingles the erasure decremented (a zero means
-    // gone — the resolve drops it); DELTA signatures: the down-flip
-    // repairs, with sig_gone markers for erased AND repaired docs
-    writeTable(store.shingleDf.join(broadcast(delDf), Seq("s"))
-        .select(col("s"), (col("df") - col("ddf")).as("df")),
-      store.path, "shingle_df", gen, store.buckets)
-    writeTable(repaired, store.path, "signatures", gen, store.buckets)
-    if (!delEmpty)
-      del.unionByName(affected).distinct().write.mode("overwrite")
-        .parquet(s"${store.path}/sig_gone/gen=$gen")
-    import spark.implicits._
-    Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite").parquet(s"${store.path}/commits/gen=$gen")
-    loadAt(spark, store.path, gen)
+    // the forget generation's relations are independent (each reads
+    // committed gens ≤ current plus persisted erasure-sized frames, and
+    // writes its own gen=G dir), so they overlap ([[ParWrites]], guide
+    // §2.6); the commit marker below still lands strictly LAST
+    ParWrites.run(
+      (if (delEmpty) Seq.empty[() => Unit] else Seq[() => Unit](
+        () => del.write.mode("overwrite")
+          .parquet(s"${store.path}/tombstones/gen=$gen"),
+        () => removedHs.select(col("h")).write.mode("overwrite")
+          .parquet(s"${store.path}/fp_tombstones/gen=$gen"),
+        () => del.unionByName(affected).distinct().write.mode("overwrite")
+          .parquet(s"${store.path}/sig_gone/gen=$gen"))) ++ Seq[() => Unit](
+      // empty delta rows keep the per-generation layout uniform (bucketed
+      // stores write them through the same partitioned writer — an empty
+      // frame writes no partition dirs, which discovery ignores)
+      () => writeTable(store.posting.limit(0), store.path, "posting", gen,
+        store.buckets),
+      () => writeTable(store.fingerprints.limit(0), store.path,
+        "fingerprints", gen, store.buckets),
+      () => writeTable(registry.limit(0), store.path, "doc_fps", gen,
+        store.buckets),
+      // DELTA dfs: only the shingles the erasure decremented (a zero means
+      // gone — the resolve drops it); DELTA signatures: the down-flip
+      // repairs, with sig_gone markers for erased AND repaired docs
+      () => writeTable(store.shingleDf.join(broadcast(delDf), Seq("s"))
+          .select(col("s"), (col("df") - col("ddf")).as("df")),
+        store.path, "shingle_df", gen, store.buckets),
+      () => writeTable(repaired, store.path, "signatures", gen,
+        store.buckets)))
+    StoreCommits.writeMarker(spark, store.path, s"gen=$gen",
+      isBase = false, writer = writer)
+    loadAtWith(spark, store.path, gen,
+      Some(store.params), Some(store.buckets))
   }
 
   /** Stored dfs for the BATCH's shingles merged with the batch's own:
@@ -963,28 +979,35 @@ object DedupState {
                               sigGone: Option[DataFrame] = None,
                               buckets: Int = 0): Unit = {
     import spark.implicits._
-    writeTable(newPosting, path, "posting", gen, buckets)
-    writeTable(newFps, path, "fingerprints", gen, buckets)
-    // the (doc_id, h) registry behind [[forget]] — None keeps a legacy
-    // store's registry honestly incomplete rather than silently partial
-    docFps.foreach(writeTable(_, path, "doc_fps", gen, buckets))
-    // superseded-signature markers for a DELTA generation's repairs
-    // (doc-count-bounded — never worth a bucket layout)
-    sigGone.foreach(_.write.mode("overwrite")
-      .parquet(s"$path/sig_gone/gen=$gen"))
-    writeTable(dfs, path, "shingle_df", gen, buckets)
-    writeTable(sigs, path, "signatures", gen, buckets)
+    // the generation's table writes are INDEPENDENT (each reads only
+    // committed gens ≤ current and persisted batch frames, and writes its
+    // own gen=G dir), so they run overlapped ([[ParWrites]], guide §2.6)
+    // — only the commit marker below must land after ALL of them
+    ParWrites.run(Seq(
+      () => writeTable(newPosting, path, "posting", gen, buckets),
+      () => writeTable(newFps, path, "fingerprints", gen, buckets)) ++
+      // the (doc_id, h) registry behind [[forget]] — None keeps a legacy
+      // store's registry honestly incomplete rather than silently partial
+      docFps.map(d => () => writeTable(d, path, "doc_fps", gen, buckets)) ++
+      // superseded-signature markers for a DELTA generation's repairs
+      // (doc-count-bounded — never worth a bucket layout)
+      sigGone.map(sg => () => sg.write.mode("overwrite")
+        .parquet(s"$path/sig_gone/gen=$gen"): Unit) ++ Seq(
+      () => writeTable(dfs, path, "shingle_df", gen, buckets),
+      () => writeTable(sigs, path, "signatures", gen, buckets)))
     // writer identity (the [[graft.operators.HnswGeoStore]] marker
     // discipline): lifecycle ops vs the streaming sink's per-batch tag,
     // so a crash-replay can tell its own crashed commit from an
     // out-of-band op at the same allocation even when both are bases
-    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/commits/gen=$gen")
+    // driver-side one-row write — no Spark job ([[StoreCommits.writeMarker]])
+    StoreCommits.writeMarker(spark, path, s"gen=$gen", isBase, writer)
     // base commits also UPGRADE any legacy (pre-writer-column) markers
     // still in the tree, so the replay guard's is_base-fallback blind
     // spot decays deterministically instead of living as long as the
-    // store does ([[StoreCommits.upgradeLegacy]])
-    if (isBase) StoreCommits.upgradeLegacy(spark, path, "gen")
+    // store does ([[StoreCommits.upgradeLegacy]]). Gen 0 is exempt:
+    // [[build]]/[[migrateCatalog]] clean the dir first, so the upgrade
+    // scan there would be a guaranteed-no-op read job
+    if (isBase && gen > 0L) StoreCommits.upgradeLegacy(spark, path, "gen")
   }
 
   /** The latest committed generation at `path`. */

@@ -42,8 +42,11 @@ object EmbeddingStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val idx = index.getOrElse(IVF.train(emb, k, iters))
-    IVF.save(spark, idx, s"$path/index")
-    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true)
+    // the index save and the epoch-0 vector write are independent —
+    // overlapped ([[ParWrites]], guide §2.6); the marker (inside
+    // writeEpoch) still lands after the vectors
+    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true,
+      alongside = Seq(() => IVF.save(spark, idx, s"$path/index")))
     load(spark, path)
   }
 
@@ -52,9 +55,7 @@ object EmbeddingStore {
     */
   private def committedEpochs(spark: SparkSession,
                               path: String): Map[Long, Boolean] =
-    spark.read.parquet(s"$path/commits")
-      .select(col("epoch").cast("long"), col("is_base"))
-      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    StoreCommits.committedMap(spark, path, "epoch")
 
   /** The store's residual PQ codebooks, when it was built with
     * [[buildAnn]]; None for a plain similarity store.
@@ -81,7 +82,8 @@ object EmbeddingStore {
   private def writeEpoch(spark: SparkSession, path: String, idx: IVF.Index,
                          vectors: DataFrame, epoch: Long,
                          isBase: Boolean = false,
-                         writer: String = "lifecycle"): Unit = {
+                         writer: String = "lifecycle",
+                         alongside: Seq[() => Unit] = Nil): Unit = {
     import spark.implicits._
     val assigned = vectors.select(col("vec_id"), col("embedding"),
       IVF.assignExpr(col("embedding").cast("array<double>"), idx).as("cid"))
@@ -92,17 +94,23 @@ object EmbeddingStore {
         .withColumn("codes", PQ.encodeExpr(col("__resid"), cb))
         .drop("__resid")
     }
-    out.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path/vectors/epoch=$epoch")
+    // `alongside` = independent sibling writes (e.g. build's index save)
+    // overlapped with the vector write ([[ParWrites]], guide §2.6); the
+    // marker below still lands strictly after ALL of them
+    ParWrites.run(Seq[() => Unit](() =>
+      out.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/vectors/epoch=$epoch")) ++ alongside)
     // writer identity (the HnswGeoStore marker discipline): lifecycle
     // ops vs the streaming sink's per-batch tag — lets a crash-replay
     // tell its own crashed commit from an out-of-band op at the same
-    // allocation even when both are bases
-    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // allocation even when both are bases. Driver-side one-row write —
+    // no Spark job ([[StoreCommits.writeMarker]]).
+    StoreCommits.writeMarker(spark, path, s"epoch=$epoch", isBase, writer)
     // base commits upgrade legacy (pre-writer-column) markers so the
-    // replay guard's is_base-fallback blind spot decays deterministically
-    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
+    // replay guard's is_base-fallback blind spot decays deterministically.
+    // Epoch 0 is exempt: [[build]]/[[buildAnn]] clean the dir first, so
+    // the upgrade scan there would be a guaranteed-no-op read job
+    if (isBase && epoch > 0L) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** The latest committed epoch at `path`. */
@@ -134,9 +142,12 @@ object EmbeddingStore {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val cb = PQ.trainResidual(emb, idx, dim, m, pqK,
       if (pqIters > 0) pqIters else iters)
-    IVF.save(spark, idx, s"$path/index")
+    // the codebook save must precede the epoch write (its on-disk
+    // presence is what makes writeEpoch materialize codes); the index
+    // save is independent and rides alongside the vector write
     PQ.save(spark, cb, s"$path/codebooks")
-    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true)
+    writeEpoch(spark, path, idx, emb, epoch = 0L, isBase = true,
+      alongside = Seq(() => IVF.save(spark, idx, s"$path/index")))
     load(spark, path)
   }
 

@@ -240,12 +240,14 @@ object HnswGeoStore {
   private def commitEpoch(spark: SparkSession, path: String, epoch: Long,
                           isBase: Boolean,
                           writer: String = "lifecycle"): Unit = {
-    import spark.implicits._
-    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // driver-side one-row write — no Spark job ([[StoreCommits.writeMarker]])
+    StoreCommits.writeMarker(spark, path, s"epoch=$epoch", isBase, writer)
     // base commits upgrade legacy (pre-writer-column) markers so the
-    // replay guard's is_base-fallback blind spot decays deterministically
-    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
+    // replay guard's is_base-fallback blind spot decays deterministically.
+    // Epoch 0 is exempt: [[build]] cleans the dir first, so the only
+    // marker in the tree is the one just written — the upgrade scan would
+    // be a guaranteed-no-op read job
+    if (isBase && epoch > 0L) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** One epoch's commit marker: (is_base, writer) — writer None for
@@ -386,22 +388,29 @@ object HnswGeoStore {
       s"sub-shard layout overflows the cell stride: max n_sub " +
         s"${layout.values.max} × k=${index.k} > $CellStride — raise " +
         "maxCellNodes or lower k")
-    writeSegment(path,
-      Hnsw.buildGeoWithLayout(corpus, index, m, efConstruction, layout,
-        routing = routing), 0L)
-    if (maxCellNodes > 0)
-      writeLayout(spark, path, 0L, layout, maxCellNodes, routing,
-        subRouted)
     val pcols = payloadCols(src)
-    if (pcols.nonEmpty) writeAttrs(path, src, index, 0L, pcols)
-    IVF.save(spark, index, s"$path/index/epoch=0")
-    // the train-time snapshot is both the drift BASELINE and epoch 0's
-    // incremental-stats leaf (the same frame, by definition)
+    // the epoch-0 relations are independent (each reads `src`/`corpus` —
+    // persisted — and writes its own dir), so they overlap
+    // ([[ParWrites]], guide §2.6); the commit marker lands strictly LAST,
+    // so crash-invisibility is unchanged
     val stats = graft.CacheRegistry.persist(IVF.cellStats(corpus, index))
-    stats.write.mode("overwrite").parquet(s"$path/drift/epoch=0")
-    stats.write.mode("overwrite").parquet(s"$path/stats/epoch=0")
+    ParWrites.run(Seq[() => Unit](
+      () => writeSegment(path,
+        Hnsw.buildGeoWithLayout(corpus, index, m, efConstruction, layout,
+          routing = routing), 0L),
+      () => IVF.save(spark, index, s"$path/index/epoch=0"),
+      // the train-time snapshot is both the drift BASELINE and epoch 0's
+      // incremental-stats leaf (the same frame, by definition)
+      () => stats.write.mode("overwrite").parquet(s"$path/drift/epoch=0"),
+      () => stats.write.mode("overwrite").parquet(s"$path/stats/epoch=0")) ++
+      (if (maxCellNodes > 0) Seq[() => Unit](() =>
+        writeLayout(spark, path, 0L, layout, maxCellNodes, routing,
+          subRouted)) else Nil) ++
+      (if (pcols.nonEmpty) Seq[() => Unit](() =>
+        writeAttrs(path, src, index, 0L, pcols)) else Nil))
     commitEpoch(spark, path, 0L, isBase = true)
-    load(spark, path)
+    loadAtWith(spark, path, 0L,
+      Some(BaseMeta(0L, index, layout, maxCellNodes, routing, subRouted)))
   }
 
   /** Load the latest committed epoch. */
@@ -425,7 +434,27 @@ object HnswGeoStore {
     * which narrows traversal until the next [[compact]] physically
     * removes the nodes and rebuilds the touched cells.
     */
-  def loadAt(spark: SparkSession, path: String, epoch: Long): Store = {
+  def loadAt(spark: SparkSession, path: String, epoch: Long): Store =
+    loadAtWith(spark, path, epoch, None)
+
+  /** [[loadAt]] with the base's immutable metadata (index / layout /
+    * routing) already IN HAND — the lifecycle ops' return path: build /
+    * append / delete / updateAttrs / retrain know exactly the base
+    * metadata the epoch they just committed loads under (the persisted
+    * round-trips are bit-exact by IVF's 1e-9 quantization and the layout
+    * relation's integer/double columns — spec-pinned), so re-reading the
+    * index and layout dirs per op is two driver jobs of pure overhead.
+    * The COMMIT verification read stays — the op's visibility proof —
+    * and a base mismatch (an out-of-band op landed between the write and
+    * this load) falls back to the full disk read.
+    */
+  /** A base epoch's immutable metadata, as the lifecycle ops hold it. */
+  private case class BaseMeta(baseEpoch: Long, index: IVF.Index,
+                              layout: Hnsw.GeoLayout, maxCellNodes: Int,
+                              routing: Hnsw.GeoRouting, subRouted: Boolean)
+
+  private def loadAtWith(spark: SparkSession, path: String, epoch: Long,
+                         known: Option[BaseMeta]): Store = {
     val commits = HnswStore.committedEpochs(spark, path)
     require(commits.contains(epoch),
       s"epoch $epoch is not committed at $path " +
@@ -433,11 +462,16 @@ object HnswGeoStore {
     val base = commits.collect { case (e, true) if e <= epoch => e }.max
     val segs = spark.read.parquet(s"$path/segments")
       .filter(col("epoch") >= base && col("epoch") <= epoch)
-    val (layout, cap, routing, subRouted) = layoutAt(spark, path, base)
+    val (index, layout, cap, routing, subRouted) = known match {
+      case Some(k) if k.baseEpoch == base =>
+        (k.index, k.layout, k.maxCellNodes, k.routing, k.subRouted)
+      case _ =>
+        val (l, c, r, s) = layoutAt(spark, path, base)
+        (IVF.load(spark, s"$path/index/epoch=$base"), l, c, r, s)
+    }
     Store(path,
       maskTombstoned(spark, path, base, epoch, segs),
-      epoch, base, IVF.load(spark, s"$path/index/epoch=$base"),
-      layout, cap, routing, subRouted)
+      epoch, base, index, layout, cap, routing, subRouted)
   }
 
   /** The live [base, epoch] tombstones / the epoch-aware masking —
@@ -778,8 +812,13 @@ object HnswGeoStore {
         Hnsw.buildGeoWithLayout(freshRows, store.index, m,
           efConstruction, store.layout, numParts, store.routing)
       }
-    writeSegment(store.path, rows, epoch)
-    if (storeAttrs) {
+    // the delta arm's three writes (segment / attrs / stats) are
+    // independent, so they overlap ([[ParWrites]], guide §2.6) with the
+    // marker still strictly last; the BASE arm writes the segment first —
+    // its stats recompute fallback below reads that very dir back — then
+    // overlaps the rest
+    val attrsWrite: Option[() => Unit] = if (!storeAttrs) None
+    else Some(() => {
       if (asBase) {
         // the compacted base's attrs: the live epochs' relations with
         // their cells UN-strided (the frozen index never moves a cell)
@@ -818,15 +857,13 @@ object HnswGeoStore {
         spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
           .limit(0).write.mode("overwrite")
           .parquet(s"${store.path}/attrs/epoch=$epoch")
-    }
+      ()
+    })
     if (asBase) {
-      IVF.save(spark, store.index, s"${store.path}/index/epoch=$epoch")
-      // the layout rides the index to the new base — grown for the
-      // over-cap cells this compaction re-split, otherwise carried
-      // forward unchanged (only a retrain re-derives it from scratch)
-      if (store.maxCellNodes > 0)
-        writeLayout(spark, store.path, epoch, newLayout,
-          store.maxCellNodes, newRouting, store.subRouted)
+      // the BASE arm's stats snapshot may need to read the new segment
+      // back (the recompute fallback below), so the segment write runs
+      // first; everything after it is independent and overlaps
+      writeSegment(store.path, rows, epoch)
       // the compacted base's stats snapshot: fold the live epochs' leaves
       // plus the fresh batch — epoch-count cost under the frozen index.
       // Stores written before stats/ existed fall back to one pruned
@@ -851,8 +888,6 @@ object HnswGeoStore {
           spark.read.parquet(s"${store.path}/segments/epoch=$epoch")
             .select(col("vec_id"), col("vec").as("embedding")),
           store.index))
-      folded.write.mode("overwrite")
-        .parquet(s"${store.path}/stats/epoch=$epoch")
       val carried =
         spark.read.parquet(s"${store.path}/drift/epoch=${store.baseEpoch}")
       val baselineUnmeasurable =
@@ -864,14 +899,35 @@ object HnswGeoStore {
       // under it, so ITS snapshot becomes the baseline; a measurable
       // baseline is carried forward unchanged (baselines follow retrains,
       // never growth).
-      (if (baselineUnmeasurable) folded else carried)
-        .write.mode("overwrite")
-        .parquet(s"${store.path}/drift/epoch=$epoch")
+      ParWrites.run(Seq[() => Unit](
+        () => IVF.save(spark, store.index,
+          s"${store.path}/index/epoch=$epoch"),
+        () => folded.write.mode("overwrite")
+          .parquet(s"${store.path}/stats/epoch=$epoch"),
+        () => (if (baselineUnmeasurable) folded else carried)
+          .write.mode("overwrite")
+          .parquet(s"${store.path}/drift/epoch=$epoch")) ++
+        // the layout rides the index to the new base — grown for the
+        // over-cap cells this compaction re-split, otherwise carried
+        // forward unchanged (only a retrain re-derives it from scratch)
+        (if (store.maxCellNodes > 0) Seq[() => Unit](() =>
+          writeLayout(spark, store.path, epoch, newLayout,
+            store.maxCellNodes, newRouting, store.subRouted)) else Nil) ++
+        attrsWrite.toSeq)
     } else
-      freshStats.write.mode("overwrite")
-        .parquet(s"${store.path}/stats/epoch=$epoch")
+      ParWrites.run(Seq[() => Unit](
+        () => writeSegment(store.path, rows, epoch),
+        () => freshStats.write.mode("overwrite")
+          .parquet(s"${store.path}/stats/epoch=$epoch")) ++
+        attrsWrite.toSeq)
     commitEpoch(spark, store.path, epoch, asBase, writer)
-    loadAt(spark, store.path, epoch)
+    loadAtWith(spark, store.path, epoch,
+      Some(if (asBase)
+        BaseMeta(epoch, store.index, newLayout, store.maxCellNodes,
+          newRouting, store.subRouted)
+      else
+        BaseMeta(store.baseEpoch, store.index, store.layout,
+          store.maxCellNodes, store.routing, store.subRouted)))
   }
 
   /** Collapse the live segment range into one base — [[append]]'s
@@ -982,17 +1038,24 @@ object HnswGeoStore {
       .select(col("cid"), col("n"), col("inertia"), col("mean_d2"),
         coalesce(col("__smax"), lit(0.0)).as("max_d2"),
         lit(true).as("replace_max"))
-    if (!delEmpty)
-      del.write.mode("overwrite")
-        .parquet(s"${store.path}/tombstones/epoch=$epoch")
-    negStats.write.mode("overwrite")
-      .parquet(s"${store.path}/stats/epoch=$epoch")
-    if (attrsPresent(spark, store))
-      spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
-        .limit(0).write.mode("overwrite")
-        .parquet(s"${store.path}/attrs/epoch=$epoch")
+    // the tombstone / stats / attrs relations are independent
+    // erasure-sized writes — overlapped ([[ParWrites]], guide §2.6),
+    // marker still strictly last
+    ParWrites.run(
+      (if (delEmpty) Seq.empty[() => Unit] else Seq[() => Unit](() =>
+        del.write.mode("overwrite")
+          .parquet(s"${store.path}/tombstones/epoch=$epoch"))) ++
+      Seq[() => Unit](() =>
+        negStats.write.mode("overwrite")
+          .parquet(s"${store.path}/stats/epoch=$epoch")) ++
+      (if (attrsPresent(spark, store)) Seq[() => Unit](() =>
+        spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+          .limit(0).write.mode("overwrite")
+          .parquet(s"${store.path}/attrs/epoch=$epoch")) else Nil))
     commitEpoch(spark, store.path, epoch, isBase = false, writer)
-    loadAt(spark, store.path, epoch)
+    loadAtWith(spark, store.path, epoch,
+      Some(BaseMeta(store.baseEpoch, store.index, store.layout,
+        store.maxCellNodes, store.routing, store.subRouted)))
   }
 
   /** ATTRIBUTE UPDATE on the standing store (round-17 verdict #3) —
@@ -1059,13 +1122,24 @@ object HnswGeoStore {
       .select(col("vec_id"),
         pmod(col("shard"), lit(CellStride)).as("__cell"))
       .distinct()
-    src.join(broadcast(liveIds), Seq("vec_id"), "left_semi")
-      .join(broadcast(cellOf), Seq("vec_id"))
-      .select(col("vec_id") +:
-        (col("__cell") + lit(epoch * CellStride)).as("shard") +:
-        pcols.map(col): _*)
-      .write.mode("overwrite")
-      .parquet(s"${store.path}/attrs/epoch=$epoch")
+    // the attrs write and the zero-mass stats leaf are independent —
+    // overlapped ([[ParWrites]], guide §2.6); the `_attr_update` sidecar
+    // lands AFTER the attrs dir write (the overwrite would delete it),
+    // and the marker stays strictly last
+    ParWrites.run(
+      () => src.join(broadcast(liveIds), Seq("vec_id"), "left_semi")
+        .join(broadcast(cellOf), Seq("vec_id"))
+        .select(col("vec_id") +:
+          (col("__cell") + lit(epoch * CellStride)).as("shard") +:
+          pcols.map(col): _*)
+        .write.mode("overwrite")
+        .parquet(s"${store.path}/attrs/epoch=$epoch"),
+      // zero-mass stats leaf: the payload moved, the geometry did not —
+      // the epoch-count drift fold sees nothing
+      () => spark.read
+        .parquet(s"${store.path}/stats/epoch=${store.baseEpoch}")
+        .limit(0).write.mode("overwrite")
+        .parquet(s"${store.path}/stats/epoch=$epoch"))
     // the latest-wins switch, written INSIDE the epoch's own dir so it
     // rides the commit (readers only see committed epochs) and dies
     // with the next base's resolution
@@ -1073,13 +1147,10 @@ object HnswGeoStore {
       s"${store.path}/attrs/epoch=$epoch/_attr_update")
     val out = HnswStore.fs(spark, store.path).create(flag, true)
     out.close()
-    // zero-mass stats leaf: the payload moved, the geometry did not —
-    // the epoch-count drift fold sees nothing
-    spark.read.parquet(s"${store.path}/stats/epoch=${store.baseEpoch}")
-      .limit(0).write.mode("overwrite")
-      .parquet(s"${store.path}/stats/epoch=$epoch")
     commitEpoch(spark, store.path, epoch, isBase = false, writer)
-    loadAt(spark, store.path, epoch)
+    loadAtWith(spark, store.path, epoch,
+      Some(BaseMeta(store.baseEpoch, store.index, store.layout,
+        store.maxCellNodes, store.routing, store.subRouted)))
   }
 
   /** Delete segment/commit dirs strictly older than the latest base ≤
@@ -1234,9 +1305,12 @@ object HnswGeoStore {
         store.segments
           .join(broadcast(probedCells), Seq("shard"), "left_semi")
           .select(col("vec_id")))
-    val st = graft.CacheRegistry.persist(
-      store.segments.select(col("shard"), col("vec_id"), col("vec"),
-        col("level"), col("nbrs")))
+    // NOT persisted (guide §5): the view has exactly one full consumer —
+    // the probed-cell-pruned scan below; the dim probe reads one row.
+    // Persisting wrote the whole corpus into the block manager per serve
+    // for zero reuse (and defeated the scan's column pruning at scale).
+    val st = store.segments.select(col("shard"), col("vec_id"), col("vec"),
+      col("level"), col("nbrs"))
     val dim = st.select(size(col("vec"))).take(1)
     if (dim.isEmpty) return emptyServe(spark)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
@@ -1369,9 +1443,12 @@ object HnswGeoStore {
     // range → the exact pre-deletion plans. The flagged frame is
     // computed ONCE by each public entry (tombstone listing + plan
     // construction per call, not per layer) and passed down.
-    val st0 = graft.CacheRegistry.persist(flagged.getOrElse(
+    // NOT persisted (guide §5): one full consumer (the probed-cell-pruned
+    // scan) + a one-row dim probe — persisting wrote the corpus into the
+    // block manager per serve for zero reuse (see batchNeighbors)
+    val st0 = flagged.getOrElse(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
-        col("level"), col("nbrs"))))
+        col("level"), col("nbrs")))
     val dim = st0.select(size(col("vec"))).take(1)
     if (dim.isEmpty) return emptyServe(spark)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
@@ -1707,43 +1784,51 @@ object HnswGeoStore {
       // validate BEFORE the marker lands: a mis-assigned rebuild must
       // stay invisible to readers
       Hnsw.requireGeoStore(rows, fresh)
-      writeSegment(store.path, rows, epoch)
-      if (store.maxCellNodes > 0)
-        writeLayout(spark, store.path, epoch, layout, store.maxCellNodes,
-          routing, store.subRouted)
-      // a retrain MOVES the cells, so attribute payloads re-stride under
-      // the new assignment — one vec_id-keyed join against the corpus
-      // pass the rebuild already pays (the one honest corpus-sized attr
-      // write in the lifecycle, like the rebuild itself)
-      if (attrsPresent(spark, store)) {
-        // stale [[updateAttrs]] payloads resolve latest-wins before the
-        // vec_id join — a duplicate payload row would duplicate corpus
-        // rows in the rebuilt segment
-        val payload = resolveLatestAttrs(
-          maskTombstoned(spark, store.path, store.baseEpoch,
-            store.epoch,
-            store.epochs.map(e =>
-              spark.read.parquet(s"${store.path}/attrs/epoch=$e")
-                .drop("shard").withColumn("epoch", lit(e))
-                .withColumn("__aepoch", lit(e)))
-              .reduce(_ unionByName _)),
-          hasAttrUpdates(spark, store))
-        val pcols = payload.columns.filterNot(_ == "vec_id").toSeq
-        val foldPayload = foldIn.map(_.select(col("vec_id") +:
-            pcols.map(col): _*))
-          .getOrElse(payload.limit(0))
-        writeAttrs(store.path,
-          corpus.join(payload.unionByName(foldPayload), Seq("vec_id")),
-          fresh, epoch, pcols)
-      }
-      IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch")
       // the new baseline AND the new base's stats leaf — one frame: the
       // retrained index's train-time snapshot, by definition of both
       val snap = graft.CacheRegistry.persist(IVF.cellStats(corpus, fresh))
-      snap.write.mode("overwrite").parquet(s"${store.path}/drift/epoch=$epoch")
-      snap.write.mode("overwrite").parquet(s"${store.path}/stats/epoch=$epoch")
+      // the retrained base's relations are independent (`rows`, `corpus`
+      // and `snap` are persisted; the attr re-stride reads only OLD
+      // epochs) — overlapped ([[ParWrites]], guide §2.6), marker LAST
+      ParWrites.run(Seq[() => Unit](
+        () => writeSegment(store.path, rows, epoch),
+        () => IVF.save(spark, fresh, s"${store.path}/index/epoch=$epoch"),
+        () => snap.write.mode("overwrite")
+          .parquet(s"${store.path}/drift/epoch=$epoch"),
+        () => snap.write.mode("overwrite")
+          .parquet(s"${store.path}/stats/epoch=$epoch")) ++
+        (if (store.maxCellNodes > 0) Seq[() => Unit](() =>
+          writeLayout(spark, store.path, epoch, layout,
+            store.maxCellNodes, routing, store.subRouted)) else Nil) ++
+        // a retrain MOVES the cells, so attribute payloads re-stride
+        // under the new assignment — one vec_id-keyed join against the
+        // corpus pass the rebuild already pays (the one honest
+        // corpus-sized attr write in the lifecycle, like the rebuild)
+        (if (!attrsPresent(spark, store)) Nil else Seq[() => Unit](() => {
+          // stale [[updateAttrs]] payloads resolve latest-wins before
+          // the vec_id join — a duplicate payload row would duplicate
+          // corpus rows in the rebuilt segment
+          val payload = resolveLatestAttrs(
+            maskTombstoned(spark, store.path, store.baseEpoch,
+              store.epoch,
+              store.epochs.map(e =>
+                spark.read.parquet(s"${store.path}/attrs/epoch=$e")
+                  .drop("shard").withColumn("epoch", lit(e))
+                  .withColumn("__aepoch", lit(e)))
+                .reduce(_ unionByName _)),
+            hasAttrUpdates(spark, store))
+          val pcols = payload.columns.filterNot(_ == "vec_id").toSeq
+          val foldPayload = foldIn.map(_.select(col("vec_id") +:
+              pcols.map(col): _*))
+            .getOrElse(payload.limit(0))
+          writeAttrs(store.path,
+            corpus.join(payload.unionByName(foldPayload), Seq("vec_id")),
+            fresh, epoch, pcols)
+        })))
       commitEpoch(spark, store.path, epoch, isBase = true, writer)
-      (loadAt(spark, store.path, epoch),
+      (loadAtWith(spark, store.path, epoch,
+        Some(BaseMeta(epoch, fresh, layout, store.maxCellNodes, routing,
+          store.subRouted))),
         DriftReport(retrained = true, baseline.getOrElse(0.0),
           current.getOrElse(0.0), ratio, epoch, measurable))
     }

@@ -9,6 +9,133 @@ import org.apache.spark.sql.functions._
   * change lands once, not once per store.
   */
 private[graft] object StoreCommits {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.api.ReadSupport
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+  import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+  import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+  /** One-row marker relations are read and written DRIVER-SIDE through
+    * parquet-mr (no Spark job): a lifecycle op pays a marker write plus
+    * at least one marker-tree read, and submitting a full Spark job —
+    * plan, schedule, task, commit protocol — for one row each way was a
+    * measured ~40-100 ms per marker, a visible slice of every
+    * build/append/delete/forget at small batch sizes (QueryProfile r18:
+    * the geo lifecycle queries run 70-200 jobs at < 10 ms of task time
+    * per job). The files stay ORDINARY PARQUET — `spark.read.parquet`
+    * reads driver-written markers and parquet-mr reads Spark-written
+    * ones, so stores written by either vintage interoperate.
+    */
+  private val MarkerSchema: MessageType = MessageTypeParser.parseMessageType(
+    "message commit { optional boolean is_base; optional binary writer (UTF8); }")
+  private val SidecarSchema: MessageType = MessageTypeParser.parseMessageType(
+    "message commit_writer { optional binary writer (UTF8); }")
+
+  private def conf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Write the one-row marker at `dir` driver-side: temp file + rename,
+    * so a concurrent or crashed writer leaves the marker either absent
+    * (invisible epoch — the protocol's normal crash state) or complete,
+    * exactly like the job-based overwrite write it replaces.
+    */
+  private def writeOneRow(spark: SparkSession, dir: String,
+                          schema: MessageType,
+                          fill: SimpleGroup => Unit): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf(spark))
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val tmp = new Path(d,
+      s".part-00000-${java.util.UUID.randomUUID}.parquet.tmp")
+    val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(tmp, conf(spark)))
+      .withConf(conf(spark)).withType(schema).build()
+    val g = new SimpleGroup(schema)
+    fill(g)
+    w.write(g)
+    w.close()
+    fs.rename(tmp, new Path(d, "part-00000-marker.parquet"))
+  }
+
+  /** Write the commit marker at `$path/commits/$key` (one row:
+    * is_base, writer) — driver-side, atomic-rename, no Spark job.
+    */
+  def writeMarker(spark: SparkSession, path: String, key: String,
+                  isBase: Boolean, writer: String): Unit =
+    writeOneRow(spark, s"$path/commits/$key", MarkerSchema, { g =>
+      g.add("is_base", isBase)
+      g.add("writer", writer)
+    })
+
+  /** Driver-side read of the single row of one marker dir. Returns the
+    * values of the requested field names that EXIST in the file (legacy
+    * markers predate the writer column), or None when the dir holds no
+    * non-empty part file.
+    */
+  private def readOneRow(fs: FileSystem, dir: Path,
+                         spark: SparkSession)
+      : Option[(Boolean, Option[String])] = {
+    if (!fs.exists(dir)) return None
+    val part = fs.listStatus(dir).find(st =>
+      st.isFile && st.getLen > 0 &&
+        st.getPath.getName.startsWith("part-"))
+    part.flatMap { st =>
+      val in = HadoopInputFile.fromPath(st.getPath, conf(spark))
+      val fileSchema = {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      }
+      // project with the FILE's own field types (legacy markers wrote
+      // is_base as required where the template says optional — parquet's
+      // schema-containment check rejects a repetition mismatch)
+      import scala.jdk.CollectionConverters._
+      val wantedNames = MarkerSchema.getFields.asScala.map(_.getName).toSet
+      val requested = new MessageType("commit",
+        fileSchema.getFields.asScala
+          .filter(f => wantedNames.contains(f.getName)).asJava)
+      val c = new org.apache.hadoop.conf.Configuration(conf(spark))
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), st.getPath).withConf(c).build()
+      try {
+        val g = r.read()
+        if (g == null) None
+        else {
+          val isBase = requested.containsField("is_base") &&
+            g.getFieldRepetitionCount("is_base") > 0 &&
+            g.getBoolean("is_base", 0)
+          val writer =
+            if (requested.containsField("writer") &&
+                g.getFieldRepetitionCount("writer") > 0)
+              Some(g.getString("writer", 0))
+            else None
+          Some((isBase, writer))
+        }
+      } finally r.close()
+    }
+  }
+
+  /** Every committed key under `$path/commits` as key-value → is_base —
+    * the `committedEpochs`/`committedGens` primitive, driver-side (one
+    * FS listing + one tiny footer/page read per marker; no Spark job).
+    */
+  def committedMap(spark: SparkSession, path: String,
+                   keyCol: String): Map[Long, Boolean] = {
+    val root = new Path(s"$path/commits")
+    val fs = root.getFileSystem(conf(spark))
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).iterator.flatMap { st =>
+      val name = st.getPath.getName
+      if (!st.isDirectory || !name.startsWith(s"$keyCol=")) Iterator.empty
+      else readOneRow(fs, st.getPath, spark).iterator.map { case (b, _) =>
+        name.stripPrefix(s"$keyCol=").toLong -> b
+      }
+    }.toMap
+  }
+
   /** (is_base, writer) of the marker at `$path/commits/$key` — writer
     * None for markers written before the writer-identity column existed
     * AND never upgraded. An upgraded legacy marker's writer lives in a
@@ -22,25 +149,22 @@ private[graft] object StoreCommits {
     */
   def read(spark: SparkSession, path: String,
            key: String): (Boolean, Option[String]) = {
-    val df = spark.read.parquet(s"$path/commits/$key")
-    val row = df.select(
-      col("is_base") +:
-        (if (df.columns.contains("writer")) Seq(col("writer")) else Nil): _*)
-      .head()
-    val w =
-      if (row.size > 1) Option(row.getString(1))
-      else sidecarWriter(spark, path, key)
-    (row.getBoolean(0), w)
+    val dir = new Path(s"$path/commits/$key")
+    val fs = dir.getFileSystem(conf(spark))
+    readOneRow(fs, dir, spark) match {
+      case Some((isBase, w)) =>
+        (isBase, w.orElse(sidecarWriter(spark, path, key)))
+      case None =>
+        throw new IllegalArgumentException(
+          s"no commit marker at $path/commits/$key")
+    }
   }
 
   private def sidecarWriter(spark: SparkSession, path: String,
                             key: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/commits_writer/$key")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
-        st.getPath.getName.startsWith("part-") && st.getLen > 0)) None
-    else Some(spark.read.parquet(s"$path/commits_writer/$key")
-      .select(col("writer")).head().getString(0))
+    val p = new Path(s"$path/commits_writer/$key")
+    val fs = p.getFileSystem(conf(spark))
+    readOneRow(fs, p, spark).flatMap(_._2)
   }
 
   /** Fail with the seed contract NAMED when a store at `path` was never
@@ -78,21 +202,18 @@ private[graft] object StoreCommits {
     */
   def upgradeLegacy(spark: SparkSession, path: String,
                     keyCol: String): Unit = {
-    import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(s"$path/commits")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$path/commits")
+    val fs = root.getFileSystem(conf(spark))
     if (!fs.exists(root)) return
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(s"$path/commits")
-    val legacy =
-      if (df.columns.contains("writer"))
-        df.filter(col("writer").isNull)
-          .select(col(keyCol).cast("long")).collect()
-      else df.select(col(keyCol).cast("long")).collect()
-    legacy.foreach { r =>
-      Seq(Tuple1("legacy")).toDF("writer").coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$path/commits_writer/$keyCol=${r.getLong(0)}")
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(s"$keyCol=")) {
+        val legacy = readOneRow(fs, st.getPath, spark)
+          .exists(_._2.isEmpty)
+        if (legacy)
+          writeOneRow(spark, s"$path/commits_writer/$name",
+            SidecarSchema, g => g.add("writer", "legacy"))
+      }
     }
   }
 }
@@ -182,9 +303,7 @@ object HnswStore {
 
   private[operators] def committedEpochs(spark: SparkSession,
                               path: String): Map[Long, Boolean] =
-    spark.read.parquet(s"$path/commits")
-      .select(col("epoch").cast("long"), col("is_base"))
-      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    StoreCommits.committedMap(spark, path, "epoch")
 
   /** Write one epoch's segment (an [[Hnsw.build]] over exactly `rows`,
     * shard ids offset into the epoch's stride range), marker LAST.
@@ -205,12 +324,14 @@ object HnswStore {
     // writer identity (the HnswGeoStore marker discipline): lifecycle
     // ops vs the streaming sink's per-batch tag — lets a crash-replay
     // tell its own crashed commit from an out-of-band op at the same
-    // allocation even when both are bases
-    Seq((isBase, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/commits/epoch=$epoch")
+    // allocation even when both are bases. Driver-side one-row write —
+    // no Spark job ([[StoreCommits.writeMarker]]).
+    StoreCommits.writeMarker(spark, path, s"epoch=$epoch", isBase, writer)
     // base commits upgrade legacy (pre-writer-column) markers so the
-    // replay guard's is_base-fallback blind spot decays deterministically
-    if (isBase) StoreCommits.upgradeLegacy(spark, path, "epoch")
+    // replay guard's is_base-fallback blind spot decays deterministically.
+    // Epoch 0 is exempt: [[build]] cleans the dir first, so the upgrade
+    // scan there would be a guaranteed no-op listing
+    if (isBase && epoch > 0L) StoreCommits.upgradeLegacy(spark, path, "epoch")
   }
 
   /** The latest committed epoch at `path`. */
@@ -286,10 +407,8 @@ object HnswStore {
     if (!del.isEmpty)
       del.write.mode("overwrite")
         .parquet(s"${store.path}/tombstones/epoch=$epoch")
-    import spark.implicits._
-    Seq((false, writer)).toDF("is_base", "writer").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"${store.path}/commits/epoch=$epoch")
+    StoreCommits.writeMarker(spark, store.path, s"epoch=$epoch",
+      isBase = false, writer = writer)
     loadAt(spark, store.path, epoch)
   }
 

@@ -122,7 +122,16 @@ object CorpusPipeline {
                      nProbe: Int = graft.operators.Hnsw.DefaultNearDupNProbe,
                      route: String = "auto",
                      maxCellNodes: Int = 0): DataFrame = {
-    val curated = graft.CacheRegistry.persist(curate(docs, config))
+    // lineage CUT, not a plain persist (the [[admitBatch]] `cut`
+    // discipline): `curated` is referenced THREE times downstream
+    // (embKept's semi-join, the representatives' quality join, the final
+    // anti-join), and a persisted frame still re-renders and re-optimizes
+    // its whole logical subtree per reference — measured on q200 as a
+    // 13.7M-char plan string and ~8 s of driver time against 1.5 s of
+    // task time. The cut materializes exactly what the persist already
+    // materialized (one corpus-survivor-sized frame) and truncates the
+    // plan to a leaf.
+    val curated = cut(curate(docs, config))
     val embKept = emb.select(col("vec_id"), col("embedding"))
       .join(curated.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -291,22 +300,33 @@ object CorpusPipeline {
           TextFunctions.subwordCount(col("text")))
         .withColumn("fingerprint",
           TextFunctions.md5Fingerprint(col("text"))))
-    val newText = graft.operators.DedupState.append(spark, state.text,
-      kept.select(col("doc_id"), col("text")), asBase, writer)
-    // checkIds = false: incrementalAdmit's left-anti against stored ids
-    // is the disjointness proof (the HnswGeoStore.admit discipline)
-    // semKept carries embBatch's columns, so payloads (when flowing)
-    // land in the new epoch's attrs relation
-    val newGeo =
-      if (asBase && driftFactor > 0.0) {
-        val (retrained, report) = graft.operators.HnswGeoStore
-          .retrainIfDrifted(spark, state.geo, driftFactor,
-            foldIn = Some(semKept), writer = writer)
-        if (report.retrained) retrained
-        else graft.operators.HnswGeoStore.append(spark, state.geo,
-          semKept, asBase = true, checkIds = false, writer = writer)
-      } else graft.operators.HnswGeoStore.append(spark, state.geo,
-        semKept, asBase, checkIds = false, writer = writer)
+    // the two store FOLDS are independent of each other (the text fold
+    // consumes `kept`, the geo fold `semKept` — both already
+    // checkpoint-cut batch-sized frames at different paths), so they run
+    // OVERLAPPED ([[graft.operators.ParWrites]], guide §2.6): each fold
+    // is a chain of small jobs whose driver latency otherwise
+    // serializes. Commit order between the two stores was never a
+    // contract — a crash between the folds leaves one store one batch
+    // ahead, exactly as before, and the replay re-runs both idempotently.
+    @volatile var newText: graft.operators.DedupState.Store = null
+    @volatile var newGeo: graft.operators.HnswGeoStore.Store = null
+    graft.operators.ParWrites.run(
+      () => newText = graft.operators.DedupState.append(spark, state.text,
+        kept.select(col("doc_id"), col("text")), asBase, writer),
+      // checkIds = false: incrementalAdmit's left-anti against stored ids
+      // is the disjointness proof (the HnswGeoStore.admit discipline)
+      // semKept carries embBatch's columns, so payloads (when flowing)
+      // land in the new epoch's attrs relation
+      () => newGeo =
+        if (asBase && driftFactor > 0.0) {
+          val (retrained, report) = graft.operators.HnswGeoStore
+            .retrainIfDrifted(spark, state.geo, driftFactor,
+              foldIn = Some(semKept), writer = writer)
+          if (report.retrained) retrained
+          else graft.operators.HnswGeoStore.append(spark, state.geo,
+            semKept, asBase = true, checkIds = false, writer = writer)
+        } else graft.operators.HnswGeoStore.append(spark, state.geo,
+          semKept, asBase, checkIds = false, writer = writer))
     (kept, CorpusState(newText, newGeo))
   }
 

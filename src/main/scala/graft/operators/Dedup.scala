@@ -1017,7 +1017,14 @@ object Dedup {
     require(minLen >= 2 && minCount >= 2,
       s"need minLen >= 2 and minCount >= 2, got minLen=$minLen minCount=$minCount")
     val win = TextFunctions.charShingles(col("text"), minLen)
-    val occ = docs.select(col("doc_id"), posexplode(win).as(Seq("pos", "sh")))
+    // spread the scan FIRST ([[graft.sources.Tables.ensureParallelism]],
+    // the docShingles discipline): the window explode emits one row per
+    // CHARACTER, and a small single-file corpus scan otherwise runs that
+    // blow-up — the operator's dominant per-task work — on 1-4 input
+    // splits (QueryProfile r18: q186 ran 3.9 task-seconds on 21 tasks).
+    // Output is partitioning-invariant by the span construction.
+    val occ = graft.sources.Tables.ensureParallelism(docs)
+      .select(col("doc_id"), posexplode(win).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),
         (if (hashed) xxhash64(col("sh")) else col("sh")).as("k"))
     val dup = occ.groupBy(col("k")).agg(count(lit(1)).as("c"))

@@ -40,3 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fixed in the kernel itself (BASELINE round-14 note).
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
+// Tests allocate every store/checkpoint dir via Files.createTempDirectory
+// (java.io.tmpdir) and rely on the OS to reclaim it. On a host whose /tmp
+// is small, shared, or already littered, a 500-test run can fill it and
+// kill a streaming micro-batch mid-write (the failure then surfaces as a
+// MicroBatchExecution stack from inside processAllAvailable — exactly the
+// round-18 driver-only test failure signature). Point the forked test
+// JVM's tmpdir at a per-run-wiped dir under target/ instead: same
+// behavior everywhere, no dependence on the host's /tmp state.
+Test / javaOptions += s"-Djava.io.tmpdir=${(target.value / "test-tmp").getAbsolutePath}"
+Test / testOptions += {
+  val d = target.value / "test-tmp"
+  Tests.Setup(() => { IO.delete(d); IO.createDirectory(d) })
+}

@@ -42,6 +42,20 @@ object Bench {
       // again (reproducible 1.75 → ~4.0 s with a uniform ~15% drag on
       // everything) — 6000 restores the measurement.
       .config("spark.sql.codegen.cache.maxEntries", "6000")
+      // NEVER take the bypass-merge shuffle writer (round-19 diagnostic
+      // of the "8 cores beats 32" cluster): the bypass writer opens one
+      // FILE PER REDUCE PARTITION per map task — M×R file creates per
+      // shuffle, all cores concurrently in FileOutputStream.open0
+      // (thread-dump-attributed; taskSec on q40/q182/q22/q171 inflated
+      // 8-20× at local[32] vs local[8], GC ≈ 0, pure file-create
+      // contention, then the N-way concat). The sort writer lands ONE
+      // data+index file per map task at any R — the shape that scales
+      // (it is why sort-based shuffle replaced hash shuffle; the bypass
+      // path is the hash writer's remnant). Measured same-window at 32
+      // cores: q40 7.3→1.1 s, q182 7.3→1.7, q171 5.2→1.8, q109 taskSec
+      // 70→27; at 8 cores every reading also improved — cluster-valid,
+      // not a core-count tune.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // q14 (label enum) and q16 (moving average) run global-order windows

@@ -23,6 +23,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1000000")
       .config("spark.ui.enabled", "false")
+      // sort writer, never bypass — see the Bench.scala session note
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // silence the ≤30-row q14/q16 global-window warning flood (see Bench)

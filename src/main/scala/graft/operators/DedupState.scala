@@ -215,6 +215,30 @@ object DedupState {
                             path: String): Map[Long, Boolean] =
     StoreCommits.committedMap(spark, path, "gen")
 
+  /** Lineage cut at a BATCH-SIZED seam (the [[graft.pipelines
+    * .CorpusPipeline]] `cut` discipline brought into the store's own
+    * admission plans): the admission-over-store trees repeat the
+    * 16-md5-lane signature aggregations across repair unions and banded
+    * references, so q205/q207-class final plans reached ~1-2 MB of
+    * rendered text — and every ACTION re-analyzes/re-optimizes that tree
+    * (measured on q200 as seconds of driver time against ~1 s of task
+    * time). The frames cut here are batch-vocab- or flip-set-sized by
+    * construction — never corpus-sized — so the eager materialization
+    * costs one small job and collapses the subtree to a leaf everywhere
+    * it is referenced. Reliable checkpoint when a checkpoint dir is set,
+    * executor-local otherwise ([[Dedup.connectedComponents]]'s rule).
+    */
+  private def cut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = p.checkpoint(true)
+      p.unpersist(false)
+      c
+    } else df.localCheckpoint(true)
+  }
+
   /** Load the latest COMMITTED generation of a generational store. */
   def load(spark: SparkSession, path: String): Store =
     loadAt(spark, path, committedGens(spark, path).keys.max)
@@ -491,7 +515,10 @@ object DedupState {
     val sh = graft.CacheRegistry.persist(corpusCapped.unionByName(freshCapped))
     val corpusSigs = repairedView(store, sigRepair(store, merged, permHash))
     val freshSigs = Dedup.sizedSignatures(freshCapped, p.numPerms, permHash)
-    val bandedFresh = graft.CacheRegistry.persist(
+    // CUT (batch-sized): bandedFresh is referenced THREE times (its own
+    // band-key distinct, the candidate join's broadcast side, and the
+    // banded union) and carries the whole 16-lane fresh-signature subtree
+    val bandedFresh = cut(
       freshSigs.withColumn("is_new", lit(true))
         .select(col("doc_id"), col("sz"), col("is_new"),
           explode(array(Dedup.bandKeys(p.numPerms, p.bands): _*)).as("bk")))
@@ -713,20 +740,26 @@ object DedupState {
     // full either way
     val idsK = graft.CacheRegistry.persist(
       ids.select(col("doc_id")).distinct())
-    val regSel: Option[Column] =
-      if (store.buckets > 0) {
-        // hash with the STORED key type (see prunedView): an uncast
-        // IntegerType erasure frame would prune the wrong buckets and
-        // silently erase nothing — a takedown that reports success
+    // the erasure key set's bucket list, collected ONCE and shared by
+    // every erasure-keyed partition prune below (registry AND posting —
+    // the posting prune previously re-collected the same set through
+    // prunedView: one distinct+collect job of pure overhead per forget).
+    // Hashed with the STORED key type (see prunedView): an uncast
+    // IntegerType erasure frame would prune the wrong buckets and
+    // silently erase nothing — a takedown that reports success
+    val delBuckets: Option[Seq[Int]] =
+      if (store.buckets <= 0) None
+      else {
         val keyType = registry.schema("doc_id").dataType
         val bs = idsK
           .filter(col("doc_id").isNotNull)
           .select(bucketOf(col("doc_id").cast(keyType), store.buckets)
             .as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        if (bs.size >= store.buckets) None
-        else Some(col("bucket").isin(bs.map(Integer.valueOf): _*))
-      } else None
+        if (bs.size >= store.buckets) None else Some(bs)
+      }
+    val regSel: Option[Column] = delBuckets.map(bs =>
+      col("bucket").isin(bs.map(Integer.valueOf): _*))
     val regForDel = regSel.fold(registry)(s =>
       liveDocFps(spark, store.path, base, store.gen, Some(s)).get)
     // registry doc-id column streamed through a broadcast of the (small)
@@ -737,9 +770,21 @@ object DedupState {
     // the erased docs' posting rows: one bucket- and broadcast-pruned
     // scan feeds the df decrements AND (by anti) the surviving posting
     // view
+    // posting pruned with the SAME collected bucket list (del ⊆ idsK by
+    // construction, so idsK's buckets are a correct superset of del's;
+    // the semi-join below restores exactness) — guarded on the key types
+    // matching, since the bucket hash is type-sensitive
+    val postingPruned = store.bucketed.get("posting") match {
+      case Some(raw) if delBuckets.isDefined &&
+          raw.schema("doc_id").dataType ==
+            registry.schema("doc_id").dataType =>
+        raw.filter(col("bucket")
+            .isin(delBuckets.get.map(Integer.valueOf): _*))
+          .drop("bucket")
+      case _ => prunedView(store, "posting", del, "doc_id", store.posting)
+    }
     val delPosting = graft.CacheRegistry.persist(
-      prunedView(store, "posting", del, "doc_id", store.posting)
-        .join(broadcast(del), Seq("doc_id"), "left_semi"))
+      postingPruned.join(broadcast(del), Seq("doc_id"), "left_semi"))
     val delDf = graft.CacheRegistry.persist(
       delPosting.groupBy(col("s")).agg(count(lit(1)).as("ddf")))
     val newDfs = graft.CacheRegistry.persist(
@@ -792,15 +837,15 @@ object DedupState {
           .parquet(s"${store.path}/fp_tombstones/gen=$gen"),
         () => del.unionByName(affected).distinct().write.mode("overwrite")
           .parquet(s"${store.path}/sig_gone/gen=$gen"))) ++ Seq[() => Unit](
-      // empty delta rows keep the per-generation layout uniform (bucketed
-      // stores write them through the same partitioned writer — an empty
-      // frame writes no partition dirs, which discovery ignores)
-      () => writeTable(store.posting.limit(0), store.path, "posting", gen,
-        store.buckets),
-      () => writeTable(store.fingerprints.limit(0), store.path,
+      // empty delta rows keep the per-generation layout uniform — landed
+      // DRIVER-SIDE ([[StoreCommits.writeEmptyRelation]]): a full Spark
+      // job per zero-row table was three jobs of pure overhead per forget
+      () => writeEmptyTable(spark, store.posting.schema, store.path,
+        "posting", gen, store.buckets),
+      () => writeEmptyTable(spark, store.fingerprints.schema, store.path,
         "fingerprints", gen, store.buckets),
-      () => writeTable(registry.limit(0), store.path, "doc_fps", gen,
-        store.buckets),
+      () => writeEmptyTable(spark, registry.schema, store.path,
+        "doc_fps", gen, store.buckets),
       // DELTA dfs: only the shingles the erasure decremented (a zero means
       // gone — the resolve drops it); DELTA signatures: the down-flip
       // repairs, with sig_gone markers for erased AND repaired docs
@@ -835,7 +880,13 @@ object DedupState {
     val unseen = freshDf
       .join(broadcast(inStore.select(col("s"))), Seq("s"), "left_anti")
       .select(col("s"), lit(0L).as("cdf"), col("fdf"))
-    graft.CacheRegistry.persist(inStore.unionByName(unseen))
+    // CUT, not a bare persist: merged is referenced by the keep set, the
+    // flip probe, the over-cap union, and append's dfs writes — each
+    // reference otherwise re-renders and re-optimizes the whole
+    // store-dfs-join subtree. It was already materialized eagerly (the
+    // sigRepair flip probe is the first action), so the cut costs no
+    // extra pass — it just truncates the plan to a leaf.
+    cut(inStore.unionByName(unseen))
   }
 
   /** Broadcast budget for the over-cap complement, in rows: 4M shingle
@@ -886,7 +937,9 @@ object DedupState {
       .select(col("s"))
     if (flipped.isEmpty) None
     else {
-      val affected = graft.CacheRegistry.persist(
+      // flip-set-sized seams, CUT so the repair union does not duplicate
+      // the 16-lane recompute subtree into every downstream reference
+      val affected = cut(
         store.posting.join(broadcast(flipped), Seq("s"), "left_semi")
           .select(col("doc_id")).distinct())
       val affPosting = store.posting
@@ -895,8 +948,8 @@ object DedupState {
         .select(col("s"))
         .unionByName(merged.filter(col("cdf") + col("fdf") > p.maxDf)
           .select(col("s")))
-      val repaired = Dedup.sizedSignatures(
-        antiOverCap(affPosting, overCap), p.numPerms, permHash)
+      val repaired = cut(Dedup.sizedSignatures(
+        antiOverCap(affPosting, overCap), p.numPerms, permHash))
       Some((affected, repaired))
     }
   }
@@ -966,9 +1019,28 @@ object DedupState {
         fs.listStatus(genP).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith("bucket="))
       if (!hasBucketDirs)
-        df.limit(0).coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/$table/gen=$gen/bucket=0")
+        StoreCommits.writeEmptyRelation(df.sparkSession,
+          s"$path/$table/gen=$gen/bucket=0", df.schema)
     } else df.write.mode("overwrite").parquet(s"$path/$table/gen=$gen")
+
+  /** One generation's EMPTY delta table, landed driver-side with the
+    * live schema (into a `bucket=0` partition dir on bucketed stores —
+    * the [[writeTable]] backfill layout). Overwrite semantics: a replay
+    * over a previously non-empty generation wipes the whole gen dir
+    * first, exactly like the job-based overwrite it replaces.
+    */
+  private def writeEmptyTable(spark: SparkSession,
+                              schema: org.apache.spark.sql.types.StructType,
+                              path: String, table: String, gen: Long,
+                              buckets: Int): Unit = {
+    val genP = new org.apache.hadoop.fs.Path(s"$path/$table/gen=$gen")
+    val fs = genP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(genP)) fs.delete(genP, true)
+    StoreCommits.writeEmptyRelation(spark,
+      if (buckets > 0) s"$path/$table/gen=$gen/bucket=0"
+      else s"$path/$table/gen=$gen",
+      schema)
+  }
 
   private def writeGeneration(spark: SparkSession, path: String, gen: Long,
                               newPosting: DataFrame, dfs: DataFrame,

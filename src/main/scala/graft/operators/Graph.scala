@@ -178,7 +178,7 @@ object Graph {
         // evaluation) — no separate broadcast-exchange job per iteration.
         val obs = org.apache.spark.sql.Observation(s"pr_dmass_$k")
         val prev = ranks
-        ranks = cut(nodesDeg
+        val next = nodesDeg
           .join(inflow, Seq("node"), "left")
           .select(col("node"), col("outdeg"),
             (lit(85L) * (coalesce(col("inflow"), lit(0L)) + dshare))
@@ -189,7 +189,8 @@ object Graph {
             (lit(base) + expr("num div 100L")).as("r"))
           .observe(obs,
             coalesce(sum(when(col("outdeg").isNull, col("r"))), lit(0L))
-              .as("dmass")))
+              .as("dmass"))
+        ranks = cut(next)
         dmass = obs.get("dmass").asInstanceOf[Long]
         freeGeneration(prev)
       }

@@ -674,6 +674,12 @@ object HnswGeoStore {
           (store.layout ++ grown, store.routing ++ grownR, grown.keySet)
         }
       }
+    // the compaction corruption tripwire (see below) runs OVERLAPPED with
+    // the segment write instead of serializing before it: both fail the
+    // op BEFORE the marker lands, so a tripped probe still leaves the new
+    // epoch unmarked and invisible — same guarantee, one less serialized
+    // job round-trip
+    var corruptionProbe: Option[() => Unit] = None
     val rows =
       if (asBase) {
         val baseLo = store.baseEpoch * CellStride
@@ -713,19 +719,21 @@ object HnswGeoStore {
             // so any id a dirty cell's edges reference that is absent
             // from the raw rows is real corruption, never a deletion.
             // Dirty-cell-bounded, one equi-join, no per-task shipping.
-            val lostRef = dirtyRows
-              .select(col("shard"), explode(col("nbrs")).as("__layer"))
-              .select(col("shard"), explode(col("__layer")).as("nbr"))
-              .join(dirtyRows.select(col("shard"),
-                col("vec_id").as("nbr")), Seq("shard", "nbr"), "left_anti")
-              .limit(1).count()
-            require(lostRef == 0L,
-              s"segment corruption at ${store.path} epoch " +
-                s"${store.baseEpoch}: a rebuilt cell's graph references " +
-                "a node id with no stored row — dangling ids are legal " +
-                "only for tombstoned nodes, which are still present in " +
-                "the raw epoch; restore the segment from a replica " +
-                "before compacting")
+            corruptionProbe = Some(() => {
+              val lostRef = dirtyRows
+                .select(col("shard"), explode(col("nbrs")).as("__layer"))
+                .select(col("shard"), explode(col("__layer")).as("nbr"))
+                .join(dirtyRows.select(col("shard"),
+                  col("vec_id").as("nbr")), Seq("shard", "nbr"), "left_anti")
+                .limit(1).count()
+              require(lostRef == 0L,
+                s"segment corruption at ${store.path} epoch " +
+                  s"${store.baseEpoch}: a rebuilt cell's graph references " +
+                  "a node id with no stored row — dangling ids are legal " +
+                  "only for tombstoned nodes, which are still present in " +
+                  "the raw epoch; restore the segment from a replica " +
+                  "before compacting")
+            })
             // dirty cells being RE-SPLIT this compaction skip the
             // repair rebuild — they are rebuilt below from their full
             // live vector set under the new layout (the tripwire above
@@ -853,17 +861,23 @@ object HnswGeoStore {
       else
         // empty payload-less delta into an attr store (guarded above to
         // be empty): land an empty relation with the stored schema so
-        // the live range stays uniformly attributed
-        spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
-          .limit(0).write.mode("overwrite")
-          .parquet(s"${store.path}/attrs/epoch=$epoch")
+        // the live range stays uniformly attributed — driver-side, no
+        // Spark job for a zero-row write
+        StoreCommits.writeEmptyRelation(spark,
+          s"${store.path}/attrs/epoch=$epoch",
+          spark.read
+            .parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+            .schema)
       ()
     })
     if (asBase) {
       // the BASE arm's stats snapshot may need to read the new segment
       // back (the recompute fallback below), so the segment write runs
-      // first; everything after it is independent and overlaps
-      writeSegment(store.path, rows, epoch)
+      // first; everything after it is independent and overlaps. The
+      // corruption tripwire overlaps the segment write (both fail before
+      // the marker; both read only persisted frames)
+      ParWrites.run(Seq[() => Unit](() =>
+        writeSegment(store.path, rows, epoch)) ++ corruptionProbe.toSeq)
       // the compacted base's stats snapshot: fold the live epochs' leaves
       // plus the fresh batch — epoch-count cost under the frozen index.
       // Stores written before stats/ existed fall back to one pruned
@@ -890,8 +904,6 @@ object HnswGeoStore {
           store.index))
       val carried =
         spark.read.parquet(s"${store.path}/drift/epoch=${store.baseEpoch}")
-      val baselineUnmeasurable =
-        carried.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0) == 0L
       // cold-start re-baseline (ADVICE r13): a store seeded on an empty
       // corpus wrote an empty drift baseline — meanD2 is unmeasurable and
       // retrainIfDrifted could never fire. The first non-empty compaction
@@ -904,9 +916,16 @@ object HnswGeoStore {
           s"${store.path}/index/epoch=$epoch"),
         () => folded.write.mode("overwrite")
           .parquet(s"${store.path}/stats/epoch=$epoch"),
-        () => (if (baselineUnmeasurable) folded else carried)
-          .write.mode("overwrite")
-          .parquet(s"${store.path}/drift/epoch=$epoch")) ++
+        () => {
+          // the measurability probe runs INSIDE the drift thunk so its
+          // one-row job overlaps the sibling writes instead of
+          // serializing before them — same decision, same write
+          val baselineUnmeasurable = carried
+            .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0) == 0L
+          (if (baselineUnmeasurable) folded else carried)
+            .write.mode("overwrite")
+            .parquet(s"${store.path}/drift/epoch=$epoch")
+        }) ++
         // the layout rides the index to the new base — grown for the
         // over-cap cells this compaction re-split, otherwise carried
         // forward unchanged (only a retrain re-derives it from scratch)
@@ -987,11 +1006,6 @@ object HnswGeoStore {
       store.segments.select(col("vec_id"))
         .join(broadcast(ids.select(col("vec_id")).distinct()),
           Seq("vec_id"), "left_semi"))
-    // an erasure of ids the store never held is a committed no-op — and
-    // it must not WRITE a tombstone partition, which would flip every
-    // later read into the masking/repair arm for nothing (the
-    // deletion-free fast-path contract)
-    val delEmpty = del.isEmpty
     val delVecs = store.segments
       .join(broadcast(del), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("vec").as("embedding"))
@@ -1009,6 +1023,14 @@ object HnswGeoStore {
     // by shard, so the isin prunes at the row-group stats.
     val touchedCells = negStats0.select(col("cid")).collect()
       .map(_.getInt(0).toLong)
+    // an erasure of ids the store never held is a committed no-op — and
+    // it must not WRITE a tombstone partition, which would flip every
+    // later read into the masking/repair arm for nothing (the
+    // deletion-free fast-path contract). Derived from the collect above
+    // instead of a separate `del.isEmpty` probe job: del is non-empty iff
+    // some stored segment row carries a deleted id iff the erased
+    // vectors' cellStats has a row (every vector has exactly one cell)
+    val delEmpty = touchedCells.isEmpty
     val touchedShards = stridedShardIds(store, touchedCells.toSeq)
     // small lists stay a literal isin (pushes to row-group stats on
     // the shard-sorted segment files); a BULK erasure touching
@@ -1049,9 +1071,11 @@ object HnswGeoStore {
         negStats.write.mode("overwrite")
           .parquet(s"${store.path}/stats/epoch=$epoch")) ++
       (if (attrsPresent(spark, store)) Seq[() => Unit](() =>
-        spark.read.parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
-          .limit(0).write.mode("overwrite")
-          .parquet(s"${store.path}/attrs/epoch=$epoch")) else Nil))
+        StoreCommits.writeEmptyRelation(spark,
+          s"${store.path}/attrs/epoch=$epoch",
+          spark.read
+            .parquet(s"${store.path}/attrs/epoch=${store.baseEpoch}")
+            .schema)) else Nil))
     commitEpoch(spark, store.path, epoch, isBase = false, writer)
     loadAtWith(spark, store.path, epoch,
       Some(BaseMeta(store.baseEpoch, store.index, store.layout,
@@ -1135,11 +1159,12 @@ object HnswGeoStore {
         .write.mode("overwrite")
         .parquet(s"${store.path}/attrs/epoch=$epoch"),
       // zero-mass stats leaf: the payload moved, the geometry did not —
-      // the epoch-count drift fold sees nothing
-      () => spark.read
-        .parquet(s"${store.path}/stats/epoch=${store.baseEpoch}")
-        .limit(0).write.mode("overwrite")
-        .parquet(s"${store.path}/stats/epoch=$epoch"))
+      // the epoch-count drift fold sees nothing (driver-side empty write)
+      () => StoreCommits.writeEmptyRelation(spark,
+        s"${store.path}/stats/epoch=$epoch",
+        spark.read
+          .parquet(s"${store.path}/stats/epoch=${store.baseEpoch}")
+          .schema))
     // the latest-wins switch, written INSIDE the epoch's own dir so it
     // rides the commit (readers only see committed epochs) and dies
     // with the next base's resolution

@@ -70,6 +70,33 @@ private[graft] object StoreCommits {
       g.add("writer", writer)
     })
 
+  /** Land a schema-carrying EMPTY parquet relation at `dir` driver-side
+    * (temp file + atomic rename, overwrite semantics) — the zero-row
+    * uniformity writes the store layouts require (a forget generation's
+    * empty posting/fingerprint/registry deltas, an erasure epoch's empty
+    * attrs relation) each previously paid a full Spark job to write
+    * nothing. The schema converts exactly as Spark's own parquet writer
+    * would, so `spark.read.parquet` round-trips it like the job-written
+    * empty file it replaces.
+    */
+  def writeEmptyRelation(spark: SparkSession, dir: String,
+                         schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf(spark))
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val tmp = new Path(d,
+      s".part-00000-${java.util.UUID.randomUUID}.parquet.tmp")
+    val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(tmp, conf(spark)))
+      .withConf(conf(spark))
+      .withType(org.apache.spark.sql.GraftShim.parquetMessageType(schema))
+      .build()
+    w.close()
+    fs.rename(tmp, new Path(d, "part-00000-empty.parquet"))
+  }
+
   /** Driver-side read of the single row of one marker dir. Returns the
     * values of the requested field names that EXIST in the file (legacy
     * markers predate the writer column), or None when the dir holds no

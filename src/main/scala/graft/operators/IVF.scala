@@ -65,12 +65,47 @@ object IVF {
     * the same cell as the original (spec-pinned).
     */
   def save(spark: SparkSession, index: Index, path: String): Unit = {
-    import spark.implicits._
-    index.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "centroid")
-      .coalesce(1) // k×dim doubles — centroid-sized, never data-sized
-      .write.mode("overwrite").parquet(path)
+    // DRIVER-SIDE parquet-mr write, no Spark job (the StoreCommits
+    // marker discipline): the index is k×dim doubles — centroid-sized,
+    // never data-sized — and a full Spark job (plan, schedule, task,
+    // commit protocol) per save was a ~50-100 ms slice of every
+    // build/compact/retrain in every store family. Temp file + atomic
+    // rename keeps the crash states of the old overwrite (absent or
+    // complete); the file is ordinary parquet with the exact logical
+    // schema the old job wrote, so [[load]] reads either vintage.
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  optional int32 cid;
+        |  optional group centroid (LIST) {
+        |    repeated group list {
+        |      optional double element;
+        |    }
+        |  }
+        |}""".stripMargin)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(path)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".part-00000-${java.util.UUID.randomUUID}.parquet.tmp")
+    val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf).withType(schema).build()
+    index.centroids.zipWithIndex.foreach { case (c, i) =>
+      val g = new SimpleGroup(schema)
+      g.add("cid", i)
+      val cent = g.addGroup("centroid")
+      c.foreach(x => cent.addGroup("list").add("element", x))
+      w.write(g)
+    }
+    w.close()
+    fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(d, "part-00000-index.parquet"))
   }
 
   /** Load an index persisted by [[save]]. Fails fast on a corrupt store
@@ -187,6 +222,27 @@ object IVF {
     * assign stage silently falls back to interpreted mode (measured 13
     * min for k=400 over 400k×64 at full corpus vs ~1 min sampled).
     */
+  /** Row bound for the DRIVER-SIDE Lloyd arm below: a sampled train
+    * already bounds its input, and under this many rows the sample fits
+    * the driver trivially (64 Ki × 64-dim doubles ≈ 32 MB), so the
+    * 1 init + `iters` collect JOBS of the distributed loop collapse to
+    * ONE sample collect and pure driver arithmetic — the lifecycle
+    * queries train ~6-8 such indexes per bench at ≤ 800 sample rows,
+    * each paying ~6 jobs of scheduler latency for microseconds of math.
+    * Larger samples keep the distributed loop.
+    */
+  private[operators] val DriverLloydMaxRows = 65536L
+
+  /** Spec hook: force the DISTRIBUTED sampled loop below the
+    * driver-side bound, so IVFTrainParitySpec can pin driver ≡
+    * distributed bitwise on the same sample. Never set in production
+    * code paths.
+    */
+  private[graft] val forceDistributedLloyd =
+    new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+    }
+
   def train(emb: DataFrame, k: Int, iters: Int = 5, seed: Int = 42,
             maxTrainRows: Long = 0L): Index = {
     // a sample cap below k is always caller error — without this check it
@@ -198,6 +254,9 @@ object IVF {
         "to train on the full input)")
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    if (!forceDistributedLloyd.get() &&
+        maxTrainRows > 0L && maxTrainRows <= DriverLloydMaxRows)
+      return trainDriverSide(base, k, iters, seed, maxTrainRows.toInt)
     val sampled =
       if (maxTrainRows <= 0L) base
       else {
@@ -236,6 +295,61 @@ object IVF {
       }
       Index(centroids)
     } finally v.unpersist(false)
+  }
+
+  /** The driver-side Lloyd arm: collect the seeded-hash sample ONCE (one
+    * job — where the distributed loop paid one collect job per pass plus
+    * the init pick) and iterate in driver memory through the SAME
+    * arithmetic, value-identically:
+    *
+    *  - the sample and init pick are the same (xxhash64(vec_id, seed),
+    *    vec_id) total order the distributed form sorts/limits by;
+    *  - assignment calls [[graft.functions.CentroidOps.nearest]] — the
+    *    very kernel `assignExpr` compiles to — with the identical
+    *    driver-precomputed c² terms, so every (score, cid, tie) decision
+    *    is the same machine arithmetic;
+    *  - per-cell means quantize through [[q9]] exactly like the
+    *    distributed `avg`; the accumulation ORDER differs from Spark's
+    *    partition-merge order, which the sampled form already declares
+    *    immaterial post-q9 (its own `repartition(parts)` reassociates
+    *    the sum the same way — the spec-pinned resample-stability
+    *    contract); IVFTrainParitySpec pins driver ≡ distributed on the
+    *    test corpora bitwise;
+    *  - empty cells keep their previous centroid, as in the loop above.
+    */
+  private def trainDriverSide(base: DataFrame, k: Int, iters: Int,
+                              seed: Int, limN: Int): Index = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rows = base
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(limN).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var centroids = rows.take(k).map(_.map(q9))
+    require(centroids.length == k,
+      s"need at least $k vectors to train, got ${centroids.length}")
+    val ads = rows.map(r => new GenericArrayData(r))
+    for (_ <- 1 to iters) {
+      val c2 = centroids.map(_.map(x => x * x).sum)
+      val sums = new Array[Array[Double]](k)
+      val cnts = new Array[Long](k)
+      var i = 0
+      while (i < rows.length) {
+        val cid = graft.functions.CentroidOps
+          .nearest(ads(i), centroids, c2, 1).getInt(0)
+        val vv = rows(i)
+        if (sums(cid) == null) sums(cid) = new Array[Double](vv.length)
+        val s = sums(cid)
+        var j = 0
+        while (j < vv.length) { s(j) += vv(j); j += 1 }
+        cnts(cid) += 1L
+        i += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (cnts(c) == 0L) old // empty clusters keep their previous centroid
+        else sums(c).map(s => q9(s / cnts(c).toDouble))
+      }
+    }
+    Index(centroids)
   }
 
   /** The `nProbe` centroid ids nearest the query (ascending dist², ties on

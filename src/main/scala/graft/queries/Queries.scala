@@ -4983,15 +4983,25 @@ object Queries {
           .getFileSystem(s.sessionState.newHadoopConf())
         fsq.delete(new org.apache.hadoop.fs.Path(tPath), true)
         fsq.delete(new org.apache.hadoop.fs.Path(gPath), true)
-        val textStore = graft.operators.DedupState.build(
-          s, corpus, tPath, hashTag = "md5")
+        // the two standing-store SEEDS are independent (text store over the
+        // corpus texts, geo store over their embeddings — both read only
+        // the persisted qualityLang frame) — overlapped like admitBatch's
+        // folds ([[graft.operators.ParWrites]], guide §2.6): each seed is a
+        // chain of small jobs whose driver latency otherwise serializes
         val corpusEmb = emb.select(col("vec_id"), col("embedding"))
           .join(corpus.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-        val index = graft.operators.IVF.train(corpusEmb, 4, 5,
-          maxTrainRows = 400L)
-        val geoStore = graft.operators.HnswGeoStore.build(
-          s, corpusEmb, gPath, index)
+        @volatile var textStore: graft.operators.DedupState.Store = null
+        @volatile var geoStore: graft.operators.HnswGeoStore.Store = null
+        graft.operators.ParWrites.run(
+          () => textStore = graft.operators.DedupState.build(
+            s, corpus, tPath, hashTag = "md5"),
+          () => {
+            val index = graft.operators.IVF.train(corpusEmb, 4, 5,
+              maxTrainRows = 400L)
+            geoStore = graft.operators.HnswGeoStore.build(
+              s, corpusEmb, gPath, index)
+          })
         val (kept, _) = graft.pipelines.CorpusPipeline.admitBatch(s,
           graft.pipelines.CorpusPipeline.CorpusState(textStore, geoStore),
           docs.filter(col("doc_id") >= 300), emb, config,
@@ -5072,15 +5082,21 @@ object Queries {
           .getFileSystem(s.sessionState.newHadoopConf())
         fsq.delete(new org.apache.hadoop.fs.Path(tPath), true)
         fsq.delete(new org.apache.hadoop.fs.Path(gPath), true)
-        val textStore = graft.operators.DedupState.build(
-          s, corpus, tPath, hashTag = "md5")
+        // independent store seeds overlapped — q201's discipline
         val corpusEmb = emb
           .join(corpus.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-        val index = graft.operators.IVF.train(corpusEmb, 4, 5,
-          maxTrainRows = 400L)
-        val geoStore = graft.operators.HnswGeoStore.build(
-          s, corpusEmb, gPath, index)
+        @volatile var textStore: graft.operators.DedupState.Store = null
+        @volatile var geoStore: graft.operators.HnswGeoStore.Store = null
+        graft.operators.ParWrites.run(
+          () => textStore = graft.operators.DedupState.build(
+            s, corpus, tPath, hashTag = "md5"),
+          () => {
+            val index = graft.operators.IVF.train(corpusEmb, 4, 5,
+              maxTrainRows = 400L)
+            geoStore = graft.operators.HnswGeoStore.build(
+              s, corpusEmb, gPath, index)
+          })
         val (_, st) = graft.pipelines.CorpusPipeline.admitBatch(s,
           graft.pipelines.CorpusPipeline.CorpusState(textStore, geoStore),
           docs.filter(col("doc_id") >= 300), emb, config,

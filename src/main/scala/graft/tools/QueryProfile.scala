@@ -34,6 +34,9 @@ object QueryProfile {
       .config("spark.sql.maxPlanStringLength", "10000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "6000")
+      // sort writer, never bypass — see the Bench.scala session note
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger
@@ -44,11 +47,26 @@ object QueryProfile {
     val shufR = new AtomicLong
     val shufW = new AtomicLong
     val input = new AtomicLong
+    // SPARK_GRAFT_PROFILE_STAGES=1: per-stage task counts and task-time,
+    // printed as they complete — attribution for WHICH stage inflates
+    // when per-task time balloons (the 8-vs-32-core diagnostic)
+    val perStage = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (perStage) {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          System.err.println(f"[stage] id=${i.stageId}%5d " +
+            f"tasks=${i.numTasks}%5d " +
+            f"taskSec=${m.executorRunTime / 1e3}%8.2f " +
+            f"cpuSec=${m.executorCpuTime / 1e9}%8.2f " +
+            f"gcSec=${m.jvmGCTime / 1e3}%6.2f " +
+            s"name=${i.name.takeWhile(_ != '\n').take(80)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics

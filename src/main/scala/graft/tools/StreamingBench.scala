@@ -44,6 +44,8 @@ object StreamingBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.streaming.checkpointLocation.deleteOnExit", "true")
+      // sort writer, never bypass — see the Bench.scala session note
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -13,4 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Spark schema → parquet MessageType, exactly as Spark's own parquet
+    * writer converts it — used to land schema-carrying EMPTY relations
+    * driver-side (a full Spark job per zero-row write is pure overhead;
+    * see graft.operators.StoreCommits.writeEmptyRelation).
+    */
+  def parquetMessageType(
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.schema.MessageType =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .SparkToParquetSchemaConverter()
+      .convert(schema)
 }

@@ -449,6 +449,14 @@ object Anonymize {
                       maxRounds: Int = 64): DataFrame =
     mondrian(df, quasiCols, k, maxRounds).classes
 
+  /** Per-partition split statistics, collected once per GENERATION (not
+    * per consumer): count, per-attribute min/max (width) and exact
+    * median. Decoupled from Row shape so the round-1 stats can ride the
+    * setup aggregate.
+    */
+  private final case class PidStat(pid: Long, n: Long, mn: Array[Long],
+                                   mx: Array[Long], md: Array[Double])
+
   def mondrian(df: DataFrame, quasiCols: Seq[String], k: Int,
                maxRounds: Int = 64): MondrianResult = {
     require(quasiCols.nonEmpty, "mondrian needs quasi columns")
@@ -458,6 +466,21 @@ object Anonymize {
         col(c).cast("long").as(s"__q$i") } :+ lit(0L).as("__pid"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val log = Seq.newBuilder[Seq[(Long, Int, Double)]]
+    // One driver-blocking job per GENERATION, not three (guide §1/§7 job
+    // attribution — this loop was 3 jobs/round of pure scheduler latency
+    // on partition-count-sized stats): the stats collect rides the job
+    // that materializes the relabeled generation's persist (same frame,
+    // same values the old loop-top collect read), so each round pays only
+    // the ≤-median feasibility job plus that fused materialize+stats job.
+    val statAggs = count(lit(1)).as("n") +: (0 until m).flatMap(i => Seq(
+      min(col(s"__q$i")).as(s"mn$i"), max(col(s"__q$i")).as(s"mx$i"),
+      percentile(col(s"__q$i"), lit(0.5)).as(s"md$i")))
+    def collectStats(gen: DataFrame): Array[PidStat] =
+      gen.groupBy(col("__pid")).agg(statAggs.head, statAggs.tail: _*)
+        .collect().map(r => PidStat(r.getLong(0), r.getLong(1),
+          (0 until m).map(i => r.getLong(2 + 3 * i)).toArray,
+          (0 until m).map(i => r.getLong(3 + 3 * i)).toArray,
+          (0 until m).map(i => r.getDouble(4 + 3 * i)).toArray))
     try {
       // global ranges normalize the width comparison across attributes;
       // the same pass counts nulls per quasi column, which must be ZERO:
@@ -465,12 +488,17 @@ object Anonymize {
       // median -> null -> uncounted) yet the relabel routes it to the
       // lower half (null > median -> otherwise(0)), so nulls would let
       // an upper class end up under k — fail fast instead of silently
-      // breaking the k-anonymity-by-construction guarantee
+      // breaking the k-anonymity-by-construction guarantee. The same
+      // pass carries round 1's per-attribute medians: generation 0 is one
+      // partition (__pid = 0), so its groupBy-__pid stats ARE this global
+      // row — the old loop's first stats job re-read the cache for them.
       val gRow = cur.agg(count(lit(1)).as("n"),
         (0 until m).flatMap(i => Seq(min(col(s"__q$i")).as(s"mn$i"),
           max(col(s"__q$i")).as(s"mx$i"))) ++
         (0 until m).map(i =>
-          sum(when(col(s"__q$i").isNull, 1L).otherwise(0L)).as(s"nn$i")): _*)
+          sum(when(col(s"__q$i").isNull, 1L).otherwise(0L)).as(s"nn$i")) ++
+        (0 until m).map(i =>
+          percentile(col(s"__q$i"), lit(0.5)).as(s"md$i")): _*)
         .head()
       (0 until m).foreach { i =>
         val nn = gRow.getLong(1 + 2 * m + i)
@@ -483,21 +511,19 @@ object Anonymize {
         s"need at least k=$k rows, got ${gRow.getLong(0)}")
       val gw = (0 until m).map(i => math.max(1L,
         gRow.getLong(2 + 2 * i) - gRow.getLong(1 + 2 * i)).toDouble)
+      var stats = Array(PidStat(0L, gRow.getLong(0),
+        (0 until m).map(i => gRow.getLong(1 + 2 * i)).toArray,
+        (0 until m).map(i => gRow.getLong(2 + 2 * i)).toArray,
+        (0 until m).map(i => gRow.getDouble(1 + 3 * m + i)).toArray))
       var round = 0
       var live = true
       while (live && round < maxRounds) {
         round += 1
-        val statAggs = count(lit(1)).as("n") +: (0 until m).flatMap(i => Seq(
-          min(col(s"__q$i")).as(s"mn$i"), max(col(s"__q$i")).as(s"mx$i"),
-          percentile(col(s"__q$i"), lit(0.5)).as(s"md$i")))
-        val stats = cur.groupBy(col("__pid"))
-          .agg(statAggs.head, statAggs.tail: _*).collect()
-        val cands = stats.filter(_.getLong(1) >= 2L * k)
+        val cands = stats.filter(_.n >= 2L * k)
         if (cands.isEmpty) { live = false }
         else {
-          val candPids = cands.map(_.getLong(0)).toSet
-          val meds = cands.map(r => r.getLong(0) ->
-            (0 until m).map(i => r.getDouble(4 + 3 * i)).toArray).toMap
+          val candPids = cands.map(_.pid).toSet
+          val meds = cands.map(s => s.pid -> s.md).toMap
           def medExpr(i: Int) = meds.foldLeft(lit(Double.NaN)) {
             case (acc, (pid, md)) =>
               when(col("__pid") === pid, lit(md(i))).otherwise(acc)
@@ -510,11 +536,11 @@ object Anonymize {
             .groupBy(col("__pid")).agg(leAggs.head, leAggs.tail: _*)
             .collect().map(r => r.getLong(0) ->
               (0 until m).map(i => r.getLong(1 + i)).toArray).toMap
-          val decisions = cands.toSeq.flatMap { r =>
-            val pid = r.getLong(0)
-            val n = r.getLong(1)
+          val decisions = cands.toSeq.flatMap { st =>
+            val pid = st.pid
+            val n = st.n
             val order = (0 until m).map { i =>
-              val w = (r.getLong(3 + 3 * i) - r.getLong(2 + 3 * i)).toDouble / gw(i)
+              val w = (st.mx(i) - st.mn(i)).toDouble / gw(i)
               (-w, i)
             }.sorted.map(_._2)
             order.collectFirst(Function.unlift { (i: Int) =>
@@ -534,7 +560,9 @@ object Anonymize {
             val next = cur
               .withColumn("__pid", col("__pid") * 2 + delta)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count() // materialize before dropping the parent
+            // materializes the persist AND is the next round's loop-top
+            // stats read, one job
+            stats = collectStats(next)
             cur.unpersist(false)
             cur = next
           }

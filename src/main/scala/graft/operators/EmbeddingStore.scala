@@ -139,7 +139,10 @@ object EmbeddingStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     val idx = IVF.train(emb, k, iters)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // the trained centroids carry the embedding dim — the old
+    // head()-on-size probe was one whole Spark job for a scalar the
+    // driver already holds (guide §1/§7 job attribution)
+    val dim = idx.centroids.head.length
     val cb = PQ.trainResidual(emb, idx, dim, m, pqK,
       if (pqIters > 0) pqIters else iters)
     // the codebook save must precede the epoch write (its on-disk

@@ -1257,12 +1257,6 @@ object HnswGeoStore {
             col("nbrs"), col("__live"))
     }
 
-  private def emptyServe(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Long, Double, Int)]
-      .toDF("probe_id", "vec_id", "cos", "rank")
-  }
-
   /** Routed single-query top-k: the query's `nProbe` nearest cells
     * (driver-side [[IVF.probeIds]] — one vector, no job) across every
     * live epoch, then [[Hnsw.neighbors]] over ONLY those cell graphs —
@@ -1331,16 +1325,19 @@ object HnswGeoStore {
           .join(broadcast(probedCells), Seq("shard"), "left_semi")
           .select(col("vec_id")))
     // NOT persisted (guide §5): the view has exactly one full consumer —
-    // the probed-cell-pruned scan below; the dim probe reads one row.
-    // Persisting wrote the whole corpus into the block manager per serve
-    // for zero reuse (and defeated the scan's column pruning at scale).
+    // the probed-cell-pruned scan below. Persisting wrote the whole
+    // corpus into the block manager per serve for zero reuse (and
+    // defeated the scan's column pruning at scale).
     val st = store.segments.select(col("shard"), col("vec_id"), col("vec"),
       col("level"), col("nbrs"))
-    val dim = st.select(size(col("vec"))).take(1)
-    if (dim.isEmpty) return emptyServe(spark)
+    // the store's dim is the index's centroid dim (every segment row was
+    // assigned under it) — the old one-row segment probe was a whole
+    // Spark job per serve for a scalar the driver already holds; a
+    // zero-segment store serves the same empty frame through the scan
+    // (batchScan: g.n == 0 → no candidates)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    Hnsw.requireCleanProbes(pr0, store.index.centroids.head.length)
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     // epochs is a driver-side handful — fan out as a literal-array
     // explode (a Generate), never a join: between compactions the
@@ -1474,11 +1471,10 @@ object HnswGeoStore {
     val st0 = flagged.getOrElse(
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs")))
-    val dim = st0.select(size(col("vec"))).take(1)
-    if (dim.isEmpty) return emptyServe(spark)
+    // index-derived dim, no segment probe job (see batchNeighbors)
     val pr0 = probes.select(col("probe_id").as("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
-    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    Hnsw.requireCleanProbes(pr0, store.index.centroids.head.length)
     val np = if (nProbe <= 0) IVF.defaultNProbe(store.index.k) else nProbe
     val pr = graft.CacheRegistry.persist(Hnsw.asProbes(stridedFan(pr0
       .withColumn("cell",
@@ -1577,12 +1573,12 @@ object HnswGeoStore {
       store.segments.select(col("shard"), col("vec_id"), col("vec"),
         col("level"), col("nbrs")))
     requireStridedGeo(st, store.index)
-    val dim = st.select(size(col("vec"))).take(1)
-    if (dim.isEmpty) return Hnsw.emptyPairs(spark)
+    // index-derived dim, no segment probe job (see batchNeighbors); a
+    // zero-segment store pair-scans to the same empty frame
     val pr0 = graft.CacheRegistry.persist(
       probes.select(col("probe_id").as("vec_id"),
         col("embedding").cast("array<double>").as("vec")))
-    Hnsw.requireCleanProbes(pr0, dim.head.getInt(0))
+    Hnsw.requireCleanProbes(pr0, store.index.centroids.head.length)
     val shared = st.select(col("vec_id"))
       .join(pr0.select(col("vec_id")), Seq("vec_id")).limit(1).count()
     require(shared == 0L,

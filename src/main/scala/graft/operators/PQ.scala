@@ -113,11 +113,48 @@ object PQ {
     * the round-trip bit-exact ([[IVF.save]]'s discipline).
     */
   def save(spark: SparkSession, cb: Codebooks, path: String): Unit = {
-    import spark.implicits._
-    (for {
-      j <- cb.books.indices; c <- cb.books(j).indices
-    } yield (j, c, cb.books(j)(c).toSeq)).toDF("sub", "code", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    // DRIVER-SIDE parquet-mr write, no Spark job ([[IVF.save]]'s
+    // discipline): codebooks are m×k×subDim doubles — codebook-sized at
+    // any corpus scale — and a full Spark job per save was pure
+    // scheduler latency on every ANN-store build. Temp file + atomic
+    // rename keeps the crash states of the old overwrite (absent or
+    // complete); the file is ordinary parquet with the logical schema
+    // the old job wrote, so [[load]] reads either vintage.
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  optional int32 sub;
+        |  optional int32 code;
+        |  optional group codeword (LIST) {
+        |    repeated group list {
+        |      optional double element;
+        |    }
+        |  }
+        |}""".stripMargin)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(path)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d)
+    val tmp = new org.apache.hadoop.fs.Path(d,
+      s".part-00000-${java.util.UUID.randomUUID}.parquet.tmp")
+    val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf).withType(schema).build()
+    for (j <- cb.books.indices; c <- cb.books(j).indices) {
+      val g = new SimpleGroup(schema)
+      g.add("sub", j)
+      g.add("code", c)
+      val word = g.addGroup("codeword")
+      cb.books(j)(c).foreach(x => word.addGroup("list").add("element", x))
+      w.write(g)
+    }
+    w.close()
+    fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(d, "part-00000-codebooks.parquet"))
   }
 
   /** Load codebooks persisted by [[save]]; fails fast on gaps or ragged

@@ -189,15 +189,19 @@ object TableMerge {
           f.isFile && f.getPath.getName.endsWith(".parquet"))
         if (!hasData) Set.empty[String]
         else {
-          val staged = spark.read.parquet(staging)
-          val surviving = staged
-            .select(col(partCol).cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet
-          staged.write.mode("overwrite")
+          // the surviving-partition set rides the write job as an
+          // Observation instead of a separate distinct+collect pass over
+          // the staged slice (guide §1/§7 job attribution) — same values,
+          // one less driver-blocking job per purge
+          val obs = org.apache.spark.sql.Observation()
+          spark.read.parquet(staging)
+            .observe(obs,
+              collect_set(col(partCol).cast("string")).as("parts"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partCol)
             .parquet(dir)
-          surviving
+          obs.get("parts").asInstanceOf[scala.collection.Seq[String]].toSet
         }
       } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     partVals.filterNot(survivors).foreach { v =>

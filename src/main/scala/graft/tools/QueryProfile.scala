@@ -37,6 +37,10 @@ object QueryProfile {
       // sort writer, never bypass — see the Bench.scala session note
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      // A/B hook: AQE partition coalescing driven by advisory byte size
+      // (false) vs parallelism-first (true, the Spark default)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger

@@ -302,6 +302,28 @@ class AnonymizeSpec extends SparkSpec {
       Anonymize.mondrianClasses(df, Seq("a"), k = 1))
   }
 
+  test("mondrian: the recorded split log is the hand-derived tree — the " +
+    "fused per-generation stats job reads the same medians/widths the " +
+    "3-job loop did") {
+    import graft.operators.Anonymize
+    // 8 rows, one quasi column, k=2: root (n=8, median of 1..8 = 4.5)
+    // splits at 4.5 -> pids {0: 1..4, 1: 5..8}; each child (n=4 = 2k)
+    // splits at its own exact median (2.5 / 6.5); the four leaves
+    // (n=2 each) are < 2k and the recursion stops. Every median is an
+    // interpolated percentile the setup/fused stats job must reproduce
+    // exactly — a drifted or stale stats read changes the tree.
+    val df = (1 to 8).map(i => Tuple1(i.toLong)).toDF("a")
+    val r = Anonymize.mondrian(df, Seq("a"), k = 2)
+    assert(r.log === Seq(
+      Seq((0L, 0, 4.5)),
+      Seq((0L, 0, 2.5), (1L, 0, 6.5))))
+    val classes = r.classes.collect().map(c =>
+      (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))).sorted
+    assert(classes === Array((0L, 1L, 2L, 2L), (1L, 3L, 4L, 2L),
+      (2L, 5L, 6L, 2L), (3L, 7L, 8L, 2L)),
+      "leaf ranges/sizes must match the hand-derived tree")
+  }
+
   test("mondrian: null quasi values fail fast (they would break k-anonymity)") {
     import graft.operators.Anonymize
     // a null is invisible to the split-feasibility count yet relabels to

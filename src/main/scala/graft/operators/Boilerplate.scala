@@ -43,8 +43,13 @@ object Boilerplate {
                        idCol: String = "doc_id", textCol: String = "text",
                        hashLines: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs: a line cannot be boilerplate at df<2")
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // spread the scan FIRST ([[graft.sources.Tables.ensureParallelism]]):
+    // the line explode (and any caller-side text reshaping fused into the
+    // same stage) otherwise runs inside the scan's partitioning — one
+    // task at bench scale; a no-op at scale
+    val lines = graft.sources.Tables.ensureParallelism(docs)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val key = if (hashLines) xxhash64(col("line")) else col("line")
     val keyed = lines.withColumn("lk", key)
     // df = distinct docs per line; the inner distinct collapses a doc's

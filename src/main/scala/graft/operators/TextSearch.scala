@@ -126,7 +126,13 @@ object TextSearch {
     */
   def trigramPostings(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
+    // spread the scan FIRST ([[graft.sources.Tables.ensureParallelism]],
+    // the charDuplicateSpans discipline): the per-character trigram
+    // explode amplifies ~|text|× INSIDE the scan stage's partitioning —
+    // at bench scale that is one task doing the whole corpus's explode
+    // while 31 cores idle; at 100 TB the scan is already thousands of
+    // splits and the guarded round-robin is a no-op
+    graft.sources.Tables.ensureParallelism(docs).select(col(idCol),
         explode(transform(
           // sequence(1, 0) would DESCEND in Spark — guard short texts to
           // an empty gram array instead

@@ -144,6 +144,11 @@ object Vocabulary {
       s"rounds must be in [1, 64], got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    // spread the scan FIRST ([[graft.sources.Tables.ensureParallelism]]):
+    // every round's split + pair explode + partial count runs INSIDE the
+    // scan stage's partitioning — one task per round at bench scale while
+    // the other cores idle; a no-op at scale (thousands of splits)
+    val src = graft.sources.Tables.ensureParallelism(docs)
     val dsep = BpeSep + BpeSep
     var stream: Column = concat(lit(dsep),
       replace(col(text), lit(" "), lit(dsep)), lit(dsep))
@@ -151,7 +156,7 @@ object Vocabulary {
     for (r <- 1 to rounds) {
       val toks = filter(split(stream, java.util.regex.Pattern.quote(dsep)),
         x => length(x) > 0)
-      val top = docs.select(toks.as("t"))
+      val top = src.select(toks.as("t"))
         .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
           i => struct(element_at(col("t"), i).as("lhs"),
             element_at(col("t"), i + 1).as("rhs")))).as("p"))

@@ -68,8 +68,15 @@ object CorpusPipeline {
       else docs
     // persisted: consumed by the dedup pass AND re-joined for the feature
     // columns — without it the 25-regex langId and quality projections
-    // (the most expensive per-row work here) would run once per consumer
-    graft.CacheRegistry.persist(normalized
+    // (the most expensive per-row work here) would run once per consumer.
+    // Spread the scan FIRST ([[graft.sources.Tables.ensureParallelism]],
+    // the docShingles discipline): these projections otherwise run inside
+    // the scan stage's partitioning — measured as ONE task per admission
+    // batch at bench scale (1.2-1.9 s serialized on one core while 31
+    // idle); at 100 TB the scan has thousands of splits and the guarded
+    // round-robin is a no-op
+    graft.CacheRegistry.persist(
+      graft.sources.Tables.ensureParallelism(normalized)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("mean_tok_len", TextFunctions.meanTokenLength(col("text")))
       .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text")))

@@ -1628,7 +1628,9 @@ object Queries {
         val bits = (col("doc_id") % 3 + 1) * 8
         val dsz = col("n_chars").cast("long") * 50 + col("doc_id")
         val junk = col("doc_id") % 4 === 0
-        t(s, dir, "documents")
+        // spread the scan first (the q186 discipline): the synth + byte
+        // walk otherwise runs single-task inside the scan stage
+        Tables.ensureParallelism(t(s, dir, "documents"))
           .select(col("doc_id"),
             Multimodal.wavHeaderPayload(sr, ch, bits, dsz, junk).as("payload"))
           .select(col("doc_id"), hex(col("payload")).as("payload_hex"),
@@ -1799,7 +1801,8 @@ object Queries {
           (col("doc_id") % 4 + 1).cast("int"))
         val minor = col("doc_id") % 512
         val msz = col("n_chars").cast("long") * 100 + col("doc_id")
-        t(s, dir, "documents")
+        // spread the scan first (the q186 discipline, see q81)
+        Tables.ensureParallelism(t(s, dir, "documents"))
           .select(col("doc_id"),
             Multimodal.mp4HeaderPayload(brand, minor, msz,
               col("doc_id") % 4 === 0, col("doc_id") % 5 === 0).as("payload"))

@@ -3453,7 +3453,11 @@ object Queries {
             Sampling.hashBucket(concat(lit("pb:"),
               col("p_partkey").cast("string")), 32).as("__pb"))
           .filter(col("__keep") === 0)
-        samp.as("a").join(samp.as("b"),
+        // spread the STREAMED side first (the q186 discipline): the other
+        // side broadcasts, so the whole O(pairs) Damerau kernel otherwise
+        // runs inside the single-split scan stage — measured 3 tasks /
+        // ~6-9 taskSec serialized at bench scale
+        Tables.ensureParallelism(samp).as("a").join(samp.as("b"),
             col("a.__pb") === col("b.__pb") && col("a.id") < col("b.id"))
           .select(col("a.id").as("i"), col("b.id").as("j"),
             graft.functions.GraftFunctions.damerau_levenshtein(
